@@ -1,0 +1,61 @@
+"""Headline benchmark: runs the bench-tagged declared queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is executed once to warm (JVM/codegen/catalog) and then
+timed; the reported figure per query is the timed run's wall-clock,
+and `value` is total timed wall-clock across the set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from wilayah_aceh_etl_spark.plans.registry import all_specs
+from wilayah_aceh_etl_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = {k: v for k, v in all_specs().items() if v.bench}
+    # guess sf from dir name for the report
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        df = spec.fn(spark, sf_dir)
+        df.collect()  # warm-up: codegen + file listing + broadcast
+        t0 = time.time()
+        spec.fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Every registered query hash-matches its DuckDB oracle at sf0.001.
+
+This is the in-repo twin of the driver's CORRECTNESS gate (the
+driver runs sf0.01; tools/parity.py replicates that scale locally).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+from tools.parity import _canon
+from wilayah_aceh_etl_spark.plans.registry import all_specs
+
+SPECS = all_specs()
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_matches_oracle(name, spark, duck):
+    spec = SPECS[name]
+    sdf = spec.fn(spark, SF_SMOKE).toPandas()
+    if spec.oracle is None:
+        # rows-only contract: must run and produce a stable schema
+        assert sdf is not None
+        return
+    odf = duck.sql(spec.oracle).df()
+    assert sorted(sdf.columns) == sorted(odf.columns), (
+        f"{name}: column sets differ"
+    )
+    assert len(sdf) == len(odf), f"{name}: rowcount {len(sdf)} != {len(odf)}"
+    assert _canon(sdf) == _canon(odf), f"{name}: value mismatch"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_registry_contract():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert len(q) >= 10
+    assert set(o) <= set(q)

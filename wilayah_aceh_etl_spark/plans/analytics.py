@@ -1,0 +1,580 @@
+"""Relational analytics over the star schema.
+
+These exercise the operator categories the reference engine either
+implements (filter/project/agg/sort/limit — SURVEY §2.2-§2.6) or
+explicitly lacks and Spark provides natively (joins, windows, set
+ops, rollup — SURVEY §2.11). Each is written declaratively so
+Catalyst plans broadcast joins for the dims, pushes filters into the
+parquet scans, and keeps the whole pipeline in WholeStageCodegen.
+
+Scale notes (100 TB contract):
+  * dims (region/nation/customer/supplier/part) are broadcast —
+    only fact tables (lineitem/orders) ever shuffle;
+  * aggregations are hash-aggregates with map-side partials;
+  * top-k = orderBy+limit → TakeOrderedAndProject, never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wilayah_aceh_etl_spark.plans.registry import register
+from wilayah_aceh_etl_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# A. Aggregation pipeline (reference A1-A3; TPC-H Q1 shape)
+# --------------------------------------------------------------------------
+
+_PRICING_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  ROUND(SUM(l_quantity), 2)                            AS sum_qty,
+  ROUND(SUM(l_extendedprice), 2)                       AS sum_base_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                                                       AS sum_charge,
+  ROUND(AVG(l_quantity), 4)                            AS avg_qty,
+  ROUND(AVG(l_extendedprice), 4)                       AS avg_price,
+  ROUND(AVG(l_discount), 4)                            AS avg_disc,
+  COUNT(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "agg_pricing_summary",
+    oracle=_PRICING_ORACLE,
+    tags=("agg", "filter", "sort"),
+    description="TPC-H Q1-shape pricing summary: filter+groupBy+8 aggregates",
+    bench=True,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter → hash-aggregate → sort. Predicate pushes to parquet;
+    partial aggregation happens map-side before the single shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# B. Multi-way star join (absent in reference — SURVEY §2.11; TPC-H Q5 shape)
+# --------------------------------------------------------------------------
+
+_REVENUE_BY_NATION_ORACLE = """
+SELECT
+  n_name,
+  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  COUNT(*)                                          AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '2000-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register(
+    "join_revenue_by_nation",
+    oracle=_REVENUE_BY_NATION_ORACLE,
+    tags=("join", "agg", "broadcast"),
+    description="5-table star join, dims broadcast, fact-side filter pushdown",
+    bench=True,
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: lineitem⋈orders shuffles on orderkey; customer/
+    nation/region are broadcast so no other shuffle exists."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# C. Top-k with joins (reference O1+O2 sort+limit → TakeOrderedAndProject)
+# --------------------------------------------------------------------------
+
+_TOP_CUSTOMERS_ORACLE = """
+SELECT
+  c_custkey,
+  c_name,
+  ROUND(SUM(o_totalprice), 2) AS total_spent,
+  COUNT(*)                    AS n_orders
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey
+LIMIT 10
+"""
+
+
+@register(
+    "topk_customers_by_spend",
+    oracle=_TOP_CUSTOMERS_ORACLE,
+    tags=("join", "agg", "topk"),
+    description="join+agg+orderBy+limit → TakeOrderedAndProject top-k",
+)
+def topk_customers_by_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by lifetime spend. The limit folds into the
+    sort: Spark plans TakeOrderedAndProject, never a global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("total_spent").desc(), "c_custkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# D. Window functions (absent in reference — SURVEY §2.11)
+# --------------------------------------------------------------------------
+
+_TOP_ORDERS_PER_SEGMENT_ORACLE = """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT
+    c_mktsegment,
+    o_orderkey,
+    o_totalprice,
+    ROW_NUMBER() OVER (
+      PARTITION BY c_mktsegment
+      ORDER BY o_totalprice DESC, o_orderkey
+    ) AS rk
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+) t
+WHERE rk <= 3
+ORDER BY c_mktsegment, rk
+"""
+
+
+@register(
+    "window_top_orders_per_segment",
+    oracle=_TOP_ORDERS_PER_SEGMENT_ORACLE,
+    tags=("window", "join"),
+    description="row_number() window: top-3 orders per market segment",
+)
+def window_top_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window; one shuffle on the
+    partition key, rank computed streaming within partitions."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .orderBy("c_mktsegment", "rk")
+    )
+
+
+_RUNNING_TOTAL_ORACLE = """
+SELECT
+  o_custkey,
+  o_orderkey,
+  o_orderdate,
+  ROUND(SUM(o_totalprice) OVER (
+    PARTITION BY o_custkey
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ), 2) AS running_spend
+FROM orders
+WHERE o_custkey < 50
+ORDER BY o_custkey, o_orderdate, o_orderkey
+"""
+
+
+@register(
+    "window_running_customer_spend",
+    oracle=_RUNNING_TOTAL_ORACLE,
+    tags=("window",),
+    description="cumulative-sum window frame per customer",
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with an explicit ROWS frame."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# E. Rollup / conditional aggregation (reference A3 pivot; SURVEY §2.11)
+# --------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT
+  COALESCE(o_orderstatus, 'ALL')   AS orderstatus,
+  COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+  COUNT(*)                         AS n_orders,
+  ROUND(SUM(o_totalprice), 2)      AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY orderstatus, orderpriority
+"""
+
+
+@register(
+    "rollup_status_priority",
+    oracle=_ROLLUP_ORACLE,
+    tags=("agg", "rollup"),
+    description="ROLLUP over (status, priority) with subtotal rows",
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals; null grouping keys coalesced to 'ALL'
+    on both sides so hashing is stable."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("orderstatus", "orderpriority")
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT
+  c_mktsegment,
+  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_open,
+  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_pending
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register(
+    "pivot_orderstatus_by_segment",
+    oracle=_PIVOT_ORACLE,
+    tags=("agg", "pivot"),
+    description="conditional aggregation pivot (reference A3 count-fold shape)",
+)
+def pivot_orderstatus_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference folds per-level counts into one struct
+    (server.js:261-268); here the same conditional-agg pivot,
+    computed in one pass with FILTERed counts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+
+    def cnt(status: str):
+        return F.count(F.when(F.col("o_orderstatus") == status, 1))
+
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            cnt("O").alias("n_open"),
+            cnt("F").alias("n_finished"),
+            cnt("P").alias("n_pending"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# F. Semi/anti joins, set ops, distinct (absent in reference — SURVEY §2.11)
+# --------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT COUNT(*) AS n_customers_with_big_order
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 50000
+)
+"""
+
+
+@register(
+    "semijoin_customers_with_big_orders",
+    oracle=_SEMI_ORACLE,
+    tags=("join", "semi"),
+    description="left-semi join (EXISTS) + scalar count",
+)
+def semijoin_customers_with_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join; count of matching build side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_customers_with_big_order"))
+    )
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 70000
+)
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "antijoin_customers_without_big_orders",
+    oracle=_ANTI_ORACLE,
+    tags=("join", "anti"),
+    description="left-anti join (NOT EXISTS)",
+)
+def antijoin_customers_without_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 70000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+_SETOPS_ORACLE = """
+WITH cust_nations AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+     supp_nations AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+SELECT 'both' AS side, nationkey
+FROM (SELECT nationkey FROM cust_nations INTERSECT SELECT nationkey FROM supp_nations)
+UNION ALL
+SELECT 'customer_only' AS side, nationkey
+FROM (SELECT nationkey FROM cust_nations EXCEPT SELECT nationkey FROM supp_nations)
+ORDER BY side, nationkey
+"""
+
+
+@register(
+    "setops_nation_coverage",
+    oracle=_SETOPS_ORACLE,
+    tags=("setop", "distinct"),
+    description="INTERSECT / EXCEPT / UNION ALL over distinct key sets",
+)
+def setops_nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set algebra over the nation keysets of customers vs suppliers."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+        .distinct()
+    )
+    both = cust.intersect(supp).select(F.lit("both").alias("side"), "nationkey")
+    cust_only = cust.exceptAll(supp).select(
+        F.lit("customer_only").alias("side"), "nationkey"
+    )
+    return both.unionAll(cust_only).orderBy("side", "nationkey")
+
+
+_DISTINCT_ORACLE = """
+SELECT
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+"""
+
+
+@register(
+    "distinct_lineitem_keys",
+    oracle=_DISTINCT_ORACLE,
+    tags=("distinct", "agg"),
+    description="multi-column COUNT DISTINCT in one pass",
+)
+def distinct_lineitem_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (Spark plans expand+partial aggregate)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "approx_distinct_lineitem_keys",
+    oracle=None,  # approximate — no SQL oracle; driver rows-only check
+    tags=("distinct", "approx"),
+    description="approx_count_distinct (HLL++) — the 100 TB-scale path",
+)
+def approx_distinct_lineitem_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ sketch counts: at 100 TB this replaces exact
+    distinct (no expand, constant memory). Verified rows-only."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx"),
+        F.approx_count_distinct("l_suppkey", 0.01).alias("n_suppliers_approx"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("n_orders_approx"),
+    )
+
+
+# --------------------------------------------------------------------------
+# G. Existence probe + scalar subquery (reference F5)
+# --------------------------------------------------------------------------
+
+_EXISTS_ORACLE = """
+SELECT
+  CAST(EXISTS (SELECT 1 FROM orders WHERE o_totalprice > 90000) AS BOOLEAN)
+    AS has_jumbo_order,
+  CAST(EXISTS (SELECT 1 FROM orders WHERE o_totalprice < 0) AS BOOLEAN)
+    AS has_negative_order
+"""
+
+
+@register(
+    "exists_probe_orders",
+    oracle=_EXISTS_ORACLE,
+    tags=("filter", "exists"),
+    description="existence probes (reference F5 SELECT 1 ... LIMIT 1 shape)",
+)
+def exists_probe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """limit(1)-style existence folded into one row of booleans.
+    Mirrors reference server.js:125-126 / Supabase head-count probes."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        (F.count(F.when(F.col("o_totalprice") > 90000, 1)) > 0).alias(
+            "has_jumbo_order"
+        ),
+        (F.count(F.when(F.col("o_totalprice") < 0, 1)) > 0).alias(
+            "has_negative_order"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# H. Correlated-style scalar aggregates via join (having / subquery shapes)
+# --------------------------------------------------------------------------
+
+_HAVING_ORACLE = """
+SELECT p_brand, COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 4) AS avg_price
+FROM part
+GROUP BY p_brand
+HAVING COUNT(*) > 70
+ORDER BY n_parts DESC, p_brand
+"""
+
+
+@register(
+    "having_brand_counts",
+    oracle=_HAVING_ORACLE,
+    tags=("agg", "having"),
+    description="GROUP BY + HAVING post-aggregate filter",
+)
+def having_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .filter(F.col("n_parts") > 70)
+        .orderBy(F.col("n_parts").desc(), "p_brand")
+    )
+
+
+_SUBQ_ORACLE = """
+SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
+FROM supplier
+WHERE s_acctbal > (SELECT AVG(s_acctbal) FROM supplier)
+ORDER BY s_suppkey
+"""
+
+
+@register(
+    "scalar_subquery_above_avg_suppliers",
+    oracle=_SUBQ_ORACLE,
+    tags=("subquery", "filter"),
+    description="scalar subquery in predicate (above-average filter)",
+)
+def scalar_subquery_above_avg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery — expressed via spark.sql so
+    Catalyst plans the subquery reuse."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal
+        FROM supplier
+        WHERE s_acctbal > (SELECT AVG(s_acctbal) FROM supplier)
+        ORDER BY s_suppkey
+        """
+    )

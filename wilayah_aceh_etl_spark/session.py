@@ -1,0 +1,71 @@
+"""SparkSession construction with scale-appropriate defaults.
+
+The reference amortizes connection cost with a pg pool
+(reference lib/postgres.js:9-14); our analog is one long-lived
+SparkSession with AQE enabled so runtime statistics re-plan joins,
+coalesce post-shuffle partitions, and split skewed partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Conf that must be set before JVM start.
+_BUILD_TIME_CONF = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # 128 MB input splits — the right granularity for TB-scale scans;
+    # harmless at test scale.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+# Conf that is runtime-settable; applied to *any* session we are
+# handed (the driver builds its own session for verify runs).
+_RUNTIME_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # 64 MB broadcast threshold: every dim table in the star schema
+    # broadcasts; at 100 TB only the fact tables shuffle.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+
+
+def ensure_session_defaults(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable defaults to an existing session.
+
+    Safe to call repeatedly; used at the top of every public query
+    function so driver-owned sessions get deterministic timezone and
+    AQE behavior.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # immutable in this session build; accept its value
+    return spark
+
+
+def get_spark(
+    app_name: str = "wilayah-aceh-etl-spark",
+    master: str | None = None,
+    **extra_conf: str,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults."""
+    builder = SparkSession.builder.appName(app_name)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None and cpus:
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    for k, v in {**_BUILD_TIME_CONF, **extra_conf}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return ensure_session_defaults(spark)

@@ -1,0 +1,45 @@
+"""Parquet table sources for the driver's star schema.
+
+Analog of the reference's relational scan (SURVEY S6,
+reference server.js:415-419): here a columnar Parquet scan that
+Catalyst can push filters/projections into (check `.explain` for
+PushedFilters / ReadSchema — the 100 TB contract is that a 2-column
+query reads 2 columns).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wilayah_aceh_etl_spark.session import ensure_session_defaults
+
+STAR_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one star-schema table. Plain parquet scan — no caching,
+    no collect; filters/pruning compose on top declaratively."""
+    ensure_session_defaults(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so `spark.sql` queries can
+    bind by name (mirrors the driver's DuckDB-side view registry)."""
+    for name in STAR_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
