@@ -2,14 +2,495 @@
 
 The driver's correctness gate runs over the synthetic star tables,
 so each reference operator (SURVEY §2) is exercised here on a
-wilayah-shaped hierarchy DERIVED from region→nation→customer→orders:
-the same dotted-code derivation rules (SURVEY §1.4 /
-reference server.js:160-185), prefix fetches, search, status pivot,
-length-dispatch and upsert semantics — just with star-schema keys as
-the source material. The true GeoJSON ETL path is covered by
-operators/wilayah.py + tests/ on the real reference corpus.
+wilayah-shaped hierarchy DERIVED from region→nation→customer→orders
+with the exact code-derivation rules of SURVEY §1.4 (reference
+server.js:160-185): dotted concatenation, last-2-digit kecamatan
+suffix, literal-'2'-prefixed kelurahan code. The true GeoJSON ETL
+path runs in operators/wilayah.py against the real reference corpus
+(tests/test_wilayah_etl.py).
+
+Levels:
+  1 provinsi  ← region    (kode = lpad(r_regionkey, 2))
+  2 kabupaten ← nation    (kode = L1 || '.' || lpad(n_nationkey, 2))
+  3 kecamatan ← customer  (kd_kecamatan = lpad(c_custkey % 1000, 3);
+                           kode = L2 || '.' || right(kd_kecamatan, 2)
+                           — deliberately collides like the reference's
+                           slice(-2) could, exercising last-wins upsert)
+  4 kelurahan ← orders    (kd_kelurahan = lpad(o_orderkey % 1000, 3);
+                           kode = L3 || '.' || '2' || kd_kelurahan)
 """
 
 from __future__ import annotations
 
-# Queries registered in a follow-up commit.
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wilayah_aceh_etl_spark.plans.registry import register
+from wilayah_aceh_etl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared hierarchy dim — Spark side
+# ---------------------------------------------------------------------------
+
+
+def _lpad2(c):  # 2-digit zero-padded code segment
+    return F.lpad(c.cast("string"), 2, "0")
+
+
+def _lpad3(c):
+    return F.lpad(c.cast("string"), 3, "0")
+
+
+def wilayah_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-level wilayah hierarchy (kode, nama, level, src_key) derived
+    from the star schema with the SURVEY §1.4 code rules. Dims are
+    broadcast; only orders→customer shuffles at scale."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+
+    l1 = r.select(
+        _lpad2(F.col("r_regionkey")).alias("kode"),
+        F.col("r_name").alias("nama"),
+        F.lit(1).alias("level"),
+        F.col("r_regionkey").cast("long").alias("src_key"),
+    )
+
+    n2 = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        F.concat_ws(
+            ".", _lpad2(F.col("r_regionkey")), _lpad2(F.col("n_nationkey"))
+        ).alias("kode"),
+        F.col("n_name").alias("nama"),
+        F.lit(2).alias("level"),
+        F.col("n_nationkey").cast("long").alias("src_key"),
+    )
+
+    c3 = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.concat_ws(
+                ".",
+                _lpad2(F.col("r_regionkey")),
+                _lpad2(F.col("n_nationkey")),
+                F.expr("right(lpad(CAST(c_custkey % 1000 AS STRING), 3, '0'), 2)"),
+            ).alias("kode"),
+            F.col("c_name").alias("nama"),
+            F.lit(3).alias("level"),
+            F.col("c_custkey").cast("long").alias("src_key"),
+        )
+    )
+
+    o4 = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.concat_ws(
+                ".",
+                _lpad2(F.col("r_regionkey")),
+                _lpad2(F.col("n_nationkey")),
+                F.expr("right(lpad(CAST(c_custkey % 1000 AS STRING), 3, '0'), 2)"),
+                F.concat(
+                    F.lit("2"), _lpad3(F.col("o_orderkey") % 1000)
+                ),
+            ).alias("kode"),
+            F.concat(F.lit("Order#"), F.col("o_orderkey").cast("string")).alias(
+                "nama"
+            ),
+            F.lit(4).alias("level"),
+            F.col("o_orderkey").cast("long").alias("src_key"),
+        )
+    )
+
+    return l1.unionAll(n2).unionAll(c3).unionAll(o4)
+
+
+# ---------------------------------------------------------------------------
+# Shared hierarchy dim — DuckDB oracle CTE (same rules in ANSI SQL)
+# ---------------------------------------------------------------------------
+
+_WILAYAH_CTE = """
+WITH l1 AS (
+  SELECT lpad(CAST(r_regionkey AS VARCHAR), 2, '0') AS kode,
+         r_name AS nama, 1 AS level,
+         CAST(r_regionkey AS BIGINT) AS src_key
+  FROM region
+),
+l2 AS (
+  SELECT lpad(CAST(r_regionkey AS VARCHAR), 2, '0') || '.' ||
+         lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS kode,
+         n_name AS nama, 2 AS level,
+         CAST(n_nationkey AS BIGINT) AS src_key
+  FROM nation JOIN region ON n_regionkey = r_regionkey
+),
+l3 AS (
+  SELECT lpad(CAST(r_regionkey AS VARCHAR), 2, '0') || '.' ||
+         lpad(CAST(n_nationkey AS VARCHAR), 2, '0') || '.' ||
+         right(lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0'), 2) AS kode,
+         c_name AS nama, 3 AS level,
+         CAST(c_custkey AS BIGINT) AS src_key
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+l4 AS (
+  SELECT lpad(CAST(r_regionkey AS VARCHAR), 2, '0') || '.' ||
+         lpad(CAST(n_nationkey AS VARCHAR), 2, '0') || '.' ||
+         right(lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0'), 2) || '.' ||
+         '2' || lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0') AS kode,
+         'Order#' || CAST(o_orderkey AS VARCHAR) AS nama, 4 AS level,
+         CAST(o_orderkey AS BIGINT) AS src_key
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+wilayah AS (
+  SELECT * FROM l1 UNION ALL SELECT * FROM l2
+  UNION ALL SELECT * FROM l3 UNION ALL SELECT * FROM l4
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# P1 — code derivation (the core ETL transform, SURVEY §1.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wilayah_code_derivation",
+    oracle=_WILAYAH_CTE
+    + """
+SELECT kode, nama, level, src_key
+FROM wilayah
+ORDER BY level, src_key
+""",
+    tags=("wilayah", "project", "p1"),
+    description="P1 dotted-code derivation incl. last-2 + literal-'2' rules",
+)
+def wilayah_code_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full derived hierarchy: concat_ws/lpad/right/'2'-prefix —
+    reference transformProperties (server.js:160-185) re-expressed as
+    pure Catalyst column expressions (no UDFs)."""
+    return wilayah_dim(spark, sf_dir).orderBy("level", "src_key")
+
+
+# ---------------------------------------------------------------------------
+# F1 ∧ F2 — level + key-prefix fetch (children-of)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wilayah_prefix_children",
+    oracle=_WILAYAH_CTE
+    + """
+SELECT kode, nama, level
+FROM wilayah
+WHERE level = 3 AND kode LIKE '02.07%'
+ORDER BY kode, src_key
+""",
+    tags=("wilayah", "filter", "f1", "f2"),
+    description="F1∧F2: level equality + code-prefix children fetch",
+)
+def wilayah_prefix_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fetchGeoData(level, prefix) shape (reference server.js:415-419):
+    level equality + startswith prefix — both Catalyst-pushable."""
+    return (
+        wilayah_dim(spark, sf_dir)
+        .filter((F.col("level") == 3) & F.col("kode").startswith("02.07"))
+        .select("kode", "nama", "level", "src_key")
+        .orderBy("kode", "src_key")
+        .drop("src_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 + O1 + O2 — search (case-insensitive substring, sorted, top-10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wilayah_search_topk",
+    oracle=_WILAYAH_CTE
+    + """
+SELECT kode AS id, nama AS name, level
+FROM wilayah
+WHERE lower(nama) LIKE '%00012%'
+ORDER BY level, nama, kode
+LIMIT 10
+""",
+    tags=("wilayah", "filter", "sort", "topk", "f3"),
+    description="F3+O1+O2: ilike substring search, (level,name) sort, top-10",
+)
+def wilayah_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search_wilayah (reference init_db.sql:87-106 /
+    server.js:323-329): case-insensitive substring on name, ordered
+    (level, name), LIMIT 10 → TakeOrderedAndProject."""
+    return (
+        wilayah_dim(spark, sf_dir)
+        .filter(F.lower(F.col("nama")).contains("00012"))
+        .select(
+            F.col("kode").alias("id"), F.col("nama").alias("name"), "level",
+            "kode",
+        )
+        .orderBy("level", "name", "kode")
+        .limit(10)
+        .drop("kode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — per-level counts under a prefix (status endpoint)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wilayah_status_counts",
+    oracle=_WILAYAH_CTE
+    + """
+SELECT level, COUNT(*) AS count
+FROM wilayah
+WHERE kode LIKE '02%'
+GROUP BY level
+ORDER BY level
+""",
+    tags=("wilayah", "agg", "a1"),
+    description="A1: GROUP BY level COUNT(*) under code prefix",
+)
+def wilayah_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status counts (reference server.js:256-259 /
+    init_db.sql:109-120)."""
+    return (
+        wilayah_dim(spark, sf_dir)
+        .filter(F.col("kode").startswith("02"))
+        .groupBy("level")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("level")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — count pivot into per-level named columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wilayah_counts_pivot",
+    oracle=_WILAYAH_CTE
+    + """
+SELECT
+  CAST(COUNT(*) FILTER (WHERE level = 1) AS BIGINT) AS provinsi,
+  CAST(COUNT(*) FILTER (WHERE level = 2) AS BIGINT) AS kabupaten,
+  CAST(COUNT(*) FILTER (WHERE level = 3) AS BIGINT) AS kecamatan,
+  CAST(COUNT(*) FILTER (WHERE level = 4) AS BIGINT) AS kelurahan
+FROM wilayah
+""",
+    tags=("wilayah", "agg", "pivot", "a3"),
+    description="A3: per-level counts folded into one envelope row",
+)
+def wilayah_counts_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's JS fold of {level,count} rows into
+    {provinsi,kabupaten,kecamatan,kelurahan} (server.js:261-268) —
+    one conditional-aggregation pass, no fold loop."""
+    w = wilayah_dim(spark, sf_dir)
+
+    def cnt(lvl: int):
+        return F.count(F.when(F.col("level") == lvl, 1))
+
+    return w.agg(
+        cnt(1).alias("provinsi"),
+        cnt(2).alias("kabupaten"),
+        cnt(3).alias("kecamatan"),
+        cnt(4).alias("kelurahan"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 — code-length dispatch (hierarchical fetch strategy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wilayah_length_dispatch",
+    oracle=_WILAYAH_CTE
+    + """
+SELECT part, kode, nama, level FROM (
+  SELECT 'self' AS part, kode, nama, level FROM wilayah
+  WHERE level = 2 AND kode = '02.07'
+  UNION ALL
+  SELECT 'kecamatan' AS part, kode, nama, level FROM wilayah
+  WHERE level = 3 AND kode LIKE '02.07%'
+  UNION ALL
+  SELECT 'kelurahan' AS part, kode, nama, level FROM wilayah
+  WHERE level = 4 AND kode LIKE '02.07%'
+) t
+ORDER BY part, kode, nama
+""",
+    tags=("wilayah", "dispatch", "union"),
+    description="§2.7 length-5 dispatch: self + kecamatan + kelurahan fetches",
+)
+def wilayah_length_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-length dispatch (reference server.js:424-476): a length-5
+    kabupaten code fetches (2,self)+(3,prefix)+(4,prefix). One scan,
+    three tagged filters, unioned."""
+    w = wilayah_dim(spark, sf_dir)
+    code = "02.07"
+
+    def fetch(part: str, lvl: int, exact: bool) -> DataFrame:
+        pred = (F.col("level") == lvl) & (
+            (F.col("kode") == code) if exact else F.col("kode").startswith(code)
+        )
+        return w.filter(pred).select(
+            F.lit(part).alias("part"), "kode", "nama", "level"
+        )
+
+    return (
+        fetch("self", 2, True)
+        .unionAll(fetch("kecamatan", 3, False))
+        .unionAll(fetch("kelurahan", 4, False))
+        .orderBy("part", "kode", "nama")
+    )
+
+
+# ---------------------------------------------------------------------------
+# S9 — upsert last-wins rewrite (pure-Parquet MERGE substitute)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wilayah_upsert_last_wins",
+    oracle=_WILAYAH_CTE
+    + """
+SELECT kode, nama, level, n_versions FROM (
+  SELECT kode, nama, level,
+         ROW_NUMBER() OVER (PARTITION BY kode ORDER BY src_key DESC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY kode) AS BIGINT) AS n_versions
+  FROM wilayah
+  WHERE level = 3
+) t
+WHERE rn = 1
+ORDER BY kode
+""",
+    tags=("wilayah", "upsert", "window", "s9"),
+    description="S9 upsert: last-writer-wins dedup via ranking window",
+)
+def wilayah_upsert_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's INSERT..ON CONFLICT DO UPDATE (server.js:90-98)
+    re-expressed for Parquet: rank versions per key by an explicit
+    recency tiebreaker, keep rank 1. One shuffle on the key — the
+    same plan a Delta MERGE would shuffle anyway."""
+    from pyspark.sql.window import Window
+
+    w3 = wilayah_dim(spark, sf_dir).filter(F.col("level") == 3)
+    byk = Window.partitionBy("kode")
+    return (
+        w3.withColumn(
+            "rn", F.row_number().over(byk.orderBy(F.col("src_key").desc()))
+        )
+        .withColumn("n_versions", F.count(F.lit(1)).over(byk))
+        .filter(F.col("rn") == 1)
+        .select("kode", "nama", "level", "n_versions")
+        .orderBy("kode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT — explicit parent-child prefix join (SURVEY §2.7 note / §2.11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wilayah_parent_child_join",
+    oracle=_WILAYAH_CTE
+    + """
+SELECT c.kode AS child_kode, p.kode AS parent_kode, p.nama AS parent_nama
+FROM (SELECT * FROM wilayah WHERE level = 2) c
+JOIN (SELECT * FROM wilayah WHERE level = 1) p
+  ON substr(c.kode, 1, 2) = p.kode
+ORDER BY child_kode
+""",
+    tags=("wilayah", "join", "hierarchy"),
+    description="hierarchy as relational prefix join (child.substr = parent)",
+)
+def wilayah_parent_child_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The relational form of the reference's substring parent lookup
+    (server.js:455,470): equi-join on substring(child,1,len) so
+    Catalyst can still hash-partition — NOT a theta join."""
+    w = wilayah_dim(spark, sf_dir)
+    child = w.filter(F.col("level") == 2).select(F.col("kode").alias("child_kode"))
+    parent = w.filter(F.col("level") == 1).select(
+        F.col("kode").alias("parent_kode"), F.col("nama").alias("parent_nama")
+    )
+    return (
+        child.join(
+            F.broadcast(parent),
+            F.substring(F.col("child_kode"), 1, 2) == F.col("parent_kode"),
+        )
+        .orderBy("child_kode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3/A4 — envelope assembly (FeatureCollection analog, hash-stable form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wilayah_envelope_children",
+    oracle=_WILAYAH_CTE
+    + """
+SELECT substr(kode, 1, 5) AS kabupaten_kode,
+       CAST(COUNT(*) AS BIGINT) AS n_children,
+       string_agg(nama, ',' ORDER BY nama) AS child_names
+FROM wilayah
+WHERE level = 3
+GROUP BY substr(kode, 1, 5)
+ORDER BY kabupaten_kode
+""",
+    tags=("wilayah", "agg", "collect", "p3", "a4"),
+    description="P3/A4: per-parent child collection (envelope assembly)",
+)
+def wilayah_envelope_children(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toFeatureCollection's gather (reference server.js:486-506):
+    children collected per parent — here as a sorted joined string so
+    the value-hash is order-stable across engines."""
+    w3 = wilayah_dim(spark, sf_dir).filter(F.col("level") == 3)
+    return (
+        w3.groupBy(F.substring("kode", 1, 5).alias("kabupaten_kode"))
+        .agg(
+            F.count(F.lit(1)).alias("n_children"),
+            F.array_join(F.array_sort(F.collect_list("nama")), ",").alias(
+                "child_names"
+            ),
+        )
+        .orderBy("kabupaten_kode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5/S11 — seed-on-empty existence probe
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wilayah_seed_probe",
+    oracle=_WILAYAH_CTE
+    + """
+SELECT
+  CAST(COUNT(*) FILTER (WHERE level = 1) > 0 AS BOOLEAN) AS seeded,
+  CAST(COUNT(*) AS BIGINT) AS total_rows
+FROM wilayah
+""",
+    tags=("wilayah", "filter", "exists", "f5", "s11"),
+    description="F5/S11: seed-on-empty existence probe",
+)
+def wilayah_seed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seedInitialData's guard (reference server.js:125-126): does a
+    level-1 row exist? The engine's bootstrap runs ingest only if
+    this is false."""
+    return wilayah_dim(spark, sf_dir).agg(
+        (F.count(F.when(F.col("level") == 1, 1)) > 0).alias("seeded"),
+        F.count(F.lit(1)).alias("total_rows"),
+    )
