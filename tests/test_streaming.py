@@ -1,0 +1,133 @@
+"""Structured Streaming operators: availableNow runs over file
+sources must agree with the oracle-checked batch twins."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from wilayah_aceh_etl_spark.sources.tables import load_table
+from wilayah_aceh_etl_spark.streaming import (
+    dedup_first_per_key,
+    read_event_stream,
+    running_user_totals,
+    session_counts,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, tmp_path_factory):
+    """Micros-normalized event files for streaming reads (the raw
+    testdata carries nano timestamps, normalized by load_table)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_SMOKE, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return path
+
+
+def _run_to_memory(df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name.startswith("agg") else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_matches_batch(spark, event_files):
+    stream = read_event_stream(spark, event_files)
+    name = f"agg_tumbling_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(tumbling_counts(stream), name)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table(name).collect()
+    }
+    from wilayah_aceh_etl_spark.plans.events_queries import (
+        events_tumbling_window_counts,
+    )
+
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in events_tumbling_window_counts(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_session_matches_batch(spark, event_files):
+    stream = read_event_stream(spark, event_files)
+    name = f"agg_session_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(session_counts(stream), name)
+    got = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in spark.table(name).collect()
+    }
+    from wilayah_aceh_etl_spark.plans.events_queries import events_session_windows
+
+    want = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in events_session_windows(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_dedup_stream_runs(spark, event_files):
+    stream = read_event_stream(spark, event_files)
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(dedup_first_per_key(stream), name)
+    out = spark.table(name)
+    n_keys = out.select("user_id", "event_type").distinct().count()
+    assert out.count() == n_keys  # at most one row per key
+    batch_keys = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert n_keys == batch_keys
+
+
+def test_running_totals_stateful(spark, event_files):
+    stream = read_event_stream(spark, event_files)
+    name = f"totals_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last update per user must equal the batch totals
+    out = spark.table(name)
+    from pyspark.sql.window import Window
+
+    last = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter("rn = 1")
+        .select("user_id", "n_events", "total_value")
+    )
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    got = {r.user_id: (r.n_events, r.total_value) for r in last.collect()}
+    want = {r.user_id: (r.n_events, r.total_value) for r in batch.collect()}
+    assert got == want

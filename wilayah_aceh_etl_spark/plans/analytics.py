@@ -36,9 +36,9 @@ SELECT
   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
   ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
                                                        AS sum_charge,
-  ROUND(AVG(l_quantity), 4)                            AS avg_qty,
-  ROUND(AVG(l_extendedprice), 4)                       AS avg_price,
-  ROUND(AVG(l_discount), 4)                            AS avg_disc,
+  ROUND(ROUND(SUM(l_quantity), 2) / COUNT(l_quantity), 4)           AS avg_qty,
+  ROUND(ROUND(SUM(l_extendedprice), 2) / COUNT(l_extendedprice), 4) AS avg_price,
+  ROUND(ROUND(SUM(l_discount), 2) / COUNT(l_discount), 4)           AS avg_disc,
   COUNT(*)                                             AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -68,9 +68,16 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # two-step stable avg (see events_queries): deterministic
+            # across engine summation orders
+            F.round(F.round(F.sum("l_quantity"), 2) / F.count("l_quantity"), 4)
+            .alias("avg_qty"),
+            F.round(
+                F.round(F.sum("l_extendedprice"), 2) / F.count("l_extendedprice"),
+                4,
+            ).alias("avg_price"),
+            F.round(F.round(F.sum("l_discount"), 2) / F.count("l_discount"), 4)
+            .alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -524,7 +531,8 @@ def exists_probe_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _HAVING_ORACLE = """
-SELECT p_brand, COUNT(*) AS n_parts, ROUND(AVG(p_retailprice), 4) AS avg_price
+SELECT p_brand, COUNT(*) AS n_parts,
+       ROUND(ROUND(SUM(p_retailprice), 2) / COUNT(p_retailprice), 4) AS avg_price
 FROM part
 GROUP BY p_brand
 HAVING COUNT(*) > 70
@@ -545,7 +553,9 @@ def having_brand_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.round(
+                F.round(F.sum("p_retailprice"), 2) / F.count("p_retailprice"), 4
+            ).alias("avg_price"),
         )
         .filter(F.col("n_parts") > 70)
         .orderBy(F.col("n_parts").desc(), "p_brand")

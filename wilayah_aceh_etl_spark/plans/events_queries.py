@@ -1,11 +1,284 @@
-"""Event-stream analytics (batch semantics of the streaming ops).
+"""Event-stream analytics — batch semantics of the streaming ops.
 
 SURVEY §2.11 declares streaming absent in the reference; the engine
-adds tumbling/sliding/session windows, watermark policy and stateful
-dedup (wilayah_aceh_etl_spark/streaming/). Each batch-equivalent
-query here is oracle-checked; the streaming twins are pytest-covered.
+adds it (phase 4). Each query here is the deterministic batch
+equivalent of a Structured Streaming operator in
+wilayah_aceh_etl_spark/streaming/ (tumbling/sliding/session windows,
+stateful dedup) so the correctness gate can oracle-check the WINDOW
+SEMANTICS; the streaming twins run in tests/test_streaming.py with
+availableNow triggers.
+
+Both engines bucket epochs identically: Spark `window(ts, w)` and
+DuckDB `time_bucket(INTERVAL w, ts)` are epoch-aligned.
 """
 
 from __future__ import annotations
 
-# Queries registered in a follow-up commit.
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wilayah_aceh_etl_spark.plans.registry import register
+from wilayah_aceh_etl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Tumbling window
+# ---------------------------------------------------------------------------
+
+_TUMBLING_ORACLE = """
+SELECT
+  time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+  event_type,
+  COUNT(*)                   AS n_events,
+  ROUND(SUM(value), 2)       AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "events_tumbling_window_counts",
+    oracle=_TUMBLING_ORACLE,
+    tags=("events", "window-time", "agg"),
+    description="5-minute tumbling window counts per event type",
+    bench=True,
+)
+def events_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time window — the batch twin of
+    streaming/windows.py::tumbling_counts (same window spec feeds
+    readStream + watermark there)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding window
+# ---------------------------------------------------------------------------
+
+_SLIDING_ORACLE = """
+SELECT window_start, COUNT(*) AS n_events,
+       ROUND(ROUND(SUM(value), 2) / COUNT(value), 4) AS avg_value
+FROM (
+  SELECT u.window_start, value
+  FROM events,
+  LATERAL (
+    SELECT UNNEST([
+      time_bucket(INTERVAL '5 minutes', ts),
+      time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'
+    ]) AS window_start
+  ) u
+) t
+GROUP BY window_start
+ORDER BY window_start
+"""
+
+
+@register(
+    "events_sliding_window_rates",
+    oracle=_SLIDING_ORACLE,
+    tags=("events", "window-time", "sliding"),
+    description="10-minute window sliding every 5 minutes",
+)
+def events_sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min length, 5 min slide): each event lands
+    in 2 windows; Spark expands via the window generator, the oracle
+    via an explicit 2-element unnest of the same bucket arithmetic."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # two-step stable avg: round the sum first so engine-order
+            # FP noise cannot straddle the final rounding boundary
+            F.round(
+                F.round(F.sum("value"), 2) / F.count("value"), 4
+            ).alias("avg_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session window (gaps-and-islands oracle)
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL '10 minutes'
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '10 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+@register(
+    "events_session_windows",
+    oracle=_SESSION_ORACLE,
+    tags=("events", "window-time", "session"),
+    description="10-minute-gap session windows per user",
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 10-minute inactivity gap. Spark's
+    native session_window (merging-state op in streaming) vs the
+    classic gaps-and-islands SQL — identical session boundaries."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stateful dedup (batch twin of dropDuplicates-within-watermark)
+# ---------------------------------------------------------------------------
+
+_DEDUP_ORACLE = """
+SELECT user_id, event_type, first_ts, first_event_id FROM (
+  SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+) t
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+@register(
+    "events_dedup_first_per_key",
+    oracle=_DEDUP_ORACLE,
+    tags=("events", "dedup", "window"),
+    description="first-event-wins dedup per (user, event_type)",
+)
+def events_dedup_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest event — batch semantics of
+    streaming dropDuplicates within a watermark (streaming/stateful.py)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("first_ts"),
+            F.col("event_id").alias("first_event_id"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON props (reference P4/P5 JSON boundary analog)
+# ---------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+         AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER)
+         AS max_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
+         AS avg_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_json_props_stats",
+    oracle=_JSON_ORACLE,
+    tags=("events", "json", "agg"),
+    description="JSON property extraction + aggregation (reference P4/P5)",
+)
+def events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference parses/serializes JSON at every boundary
+    (server.js:89,490-498); here get_json_object pushes extraction
+    into the JVM — no Python in the loop."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k users (rate ranking)
+# ---------------------------------------------------------------------------
+
+_TOPK_USERS_ORACLE = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY n_events DESC, user_id
+LIMIT 10
+"""
+
+
+@register(
+    "events_topk_users",
+    oracle=_TOPK_USERS_ORACLE,
+    tags=("events", "topk", "agg"),
+    description="top-10 users by event volume",
+)
+def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume ranking with deterministic tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(10)
+    )

@@ -35,6 +35,9 @@ _RUNTIME_CONF = {
     # 64 MB broadcast threshold: every dim table in the star schema
     # broadcasts; at 100 TB only the fact tables shuffle.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+    # default; read as long nanos, normalized to micros in load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

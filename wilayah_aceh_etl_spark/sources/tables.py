@@ -33,9 +33,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one star-schema table. Plain parquet scan — no caching,
-    no collect; filters/pruning compose on top declaratively."""
+    no collect; filters/pruning compose on top declaratively.
+
+    Nanosecond timestamp columns (events.ts) arrive as long nanos
+    (see session._RUNTIME_CONF) and are normalized to micros with
+    integer division — the same truncation DuckDB applies, so both
+    engines see identical values.
+    """
     ensure_session_defaults(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

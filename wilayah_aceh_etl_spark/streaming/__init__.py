@@ -1,0 +1,19 @@
+from wilayah_aceh_etl_spark.streaming.windows import (
+    read_event_stream,
+    session_counts,
+    sliding_rates,
+    tumbling_counts,
+)
+from wilayah_aceh_etl_spark.streaming.stateful import (
+    dedup_first_per_key,
+    running_user_totals,
+)
+
+__all__ = [
+    "read_event_stream",
+    "tumbling_counts",
+    "sliding_rates",
+    "session_counts",
+    "dedup_first_per_key",
+    "running_user_totals",
+]
