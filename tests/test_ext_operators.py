@@ -1,0 +1,123 @@
+"""EXT operator semantics beyond the oracle gate: LSH recall vs
+exact ground truth, simhash behavior on near-dups, multimodal
+plumbing shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from wilayah_aceh_etl_spark.operators import dedup as D
+from wilayah_aceh_etl_spark.operators import multimodal as M
+from wilayah_aceh_etl_spark.operators import similarity as S
+from wilayah_aceh_etl_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_lsh_recall_vs_exact(spark, docs):
+    """Banded MinHash must recover every exact-Jaccard≥0.5 pair on
+    this corpus (4 bands × 2 rows is generous at this threshold)."""
+    sh = D.distinct_shingles(docs, "doc_id")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in D.jaccard_pairs(sh).filter("jaccard >= 0.5").collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in D.verified_near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0, "corpus should contain planted near-dups"
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    """Signature agreement rate approximates true Jaccard for the
+    planted high-similarity pairs."""
+    sh = D.distinct_shingles(docs, "doc_id")
+    sigs = D.minhash_signatures(sh, 8)
+    pairs = D.jaccard_pairs(sh).filter("jaccard >= 0.8")
+    a = sigs.select([F.col(c).alias(f"a_{c}") for c in sigs.columns])
+    b = sigs.select([F.col(c).alias(f"b_{c}") for c in sigs.columns])
+    joined = (
+        pairs.join(a, pairs.doc_a == a.a_doc_id)
+        .join(b, pairs.doc_b == b.b_doc_id)
+    )
+    agree = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    rows = joined.select("jaccard", (agree / 8).alias("est")).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.est - r.jaccard) <= 0.5  # k=8 → coarse but correlated
+    mean_err = sum(abs(r.est - r.jaccard) for r in rows) / len(rows)
+    assert mean_err <= 0.3
+
+
+def test_simhash_close_on_near_dups(spark, docs):
+    """Near-identical docs (Jaccard ≥ 0.9) must land within small
+    hamming distance of each other."""
+    sh = D.distinct_shingles(docs, "doc_id")
+    close = D.jaccard_pairs(sh).filter("jaccard >= 0.9")
+    fps = D.simhash16(docs, "doc_id")
+    a = fps.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = fps.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    rows = (
+        close.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("d"))
+        .collect()
+    )
+    assert rows
+    # 16-bit fingerprints over ~30-token docs: 1-2 word edits can
+    # flip a few majority votes — observed max 3 on this corpus
+    assert all(r.d <= 4 for r in rows)
+
+
+def test_bucketed_pairs_subset_of_exact(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b) for r in S.threshold_pairs(emb, 0.15).collect()
+    }
+    bucketed = {
+        (r.vec_a, r.vec_b) for r in S.bucketed_pairs(emb, 0.15, 8).collect()
+    }
+    assert bucketed <= exact
+
+
+def test_multimodal_pipeline_shape(spark, docs):
+    media = M.attach_fake_payload(docs.limit(50), "doc_id")
+    assert [f.name for f in media.schema.fields] == [
+        "media_id",
+        "payload",
+        "mime",
+        "n_bytes",
+    ]
+    decoded = M.decode_media(media)
+    rows = decoded.collect()
+    assert len(rows) == 50
+    assert all(64 <= r.width <= 2047 and 1 <= r.n_channels <= 4 for r in rows)
+    # deterministic: same input → same metadata
+    again = {r.media_id: (r.width, r.height) for r in M.decode_media(media).collect()}
+    assert all(again[r.media_id] == (r.width, r.height) for r in rows)
+
+
+def test_multimodal_real_decode_is_explicit_stub(spark, docs):
+    media = M.attach_fake_payload(docs.limit(5), "doc_id")
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        M.decode_media(media, real=True).collect()
+
+
+def test_resize_and_frames(spark, docs):
+    media = M.attach_fake_payload(docs.limit(20), "doc_id")
+    resized = M.resize_media(media, max_side=128).collect()
+    assert all(max(r.width, r.height) <= 128 for r in resized)
+    frames = M.sample_frames(media, every_n=10)
+    n = frames.count()
+    assert n >= 20  # 1→N expansion
+    assert frames.schema.fieldNames() == ["media_id", "frame_index", "frame_digest"]

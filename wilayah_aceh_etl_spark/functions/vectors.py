@@ -1,0 +1,53 @@
+"""Embedding-vector column builders — pure Catalyst expressions.
+
+Dot/norm/cosine as sequential left-folds over array<double>; the
+fold order matches DuckDB's list_dot_product exactly (verified
+bitwise-identical on the test corpus), which is what lets the
+similarity queries be hash-checked against a SQL oracle at full
+double precision before rounding.
+
+At scale: these are per-row expressions — a brute-force top-k over
+N vectors × Q queries is a broadcast of Q against a partitioned scan
+of N, no shuffle until the per-query top-k aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    """array<float> → array<double> (promote before arithmetic so
+    both engines accumulate in f64)."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sign_lsh_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """Random-hyperplane-style LSH reduced to axis-sign bits: bucket
+    id = Σ 2^i · [vec[i] > 0]. Deterministic, engine-portable, and a
+    real partitioning key for bucketed similarity search (the IVF
+    coarse quantizer analog)."""
+    out = None
+    for i in range(n_bits):
+        bit = F.when(F.element_at(vec, i + 1) > 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit * (2**i)
+        out = term if out is None else out + term
+    return out

@@ -1,0 +1,237 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all shuffle-conscious:
+
+  exact        — hash-groupBy on md5(text): one shuffle on a short key.
+  fingerprint  — md5 of sorted distinct tokens: catches reordered copies.
+  minhash+LSH  — shingle → k-minhash → banded buckets → candidate
+                 pairs → exact-Jaccard verify. The only all-pairs-free
+                 near-dup path that scales: the self-join is on band
+                 hashes (tiny buckets), never on documents.
+  simhash      — 16-bit majority fingerprint; hamming-≤r pairs.
+  ngram-jaccard— exact Jaccard via shingle equi-join (ground truth /
+                 verifier for the approximate paths).
+
+Every step is built-in Catalyst expressions (no UDFs); the hash
+family is md5-based so the DuckDB oracles compute the identical
+signatures (plans/ext_queries.py).
+
+At 100 TB: explode(shingles) is the big intermediate — it pipelines
+into the partial min-aggregation map-side, so the shuffle carries
+only (doc, k signatures). Band self-join keys are md5 strings with
+near-uniform distribution — no skew salting needed; AQE handles
+stragglers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+from wilayah_aceh_etl_spark.functions.text import (
+    doc_fingerprint,
+    hex4_to_int,
+    minhash_component,
+    word_shingles,
+)
+
+DEFAULT_K = 8  # minhash signature length
+DEFAULT_BANDS = 4  # LSH bands (rows per band = K / BANDS)
+
+
+def exact_dedup_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-duplication profile in one pass."""
+    h = F.md5(F.col(text_col))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(h).alias("n_distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("n_exact_dups"),
+    )
+
+
+def keep_first_exact(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Exact dedup keeping the lowest id per text hash (one shuffle
+    on the 32-char hash, not the document body)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def distinct_shingles(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc, shingle) pairs, distinct — the base relation for both
+    minhash and exact-Jaccard."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh"))
+        .select("doc_id", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, k: int = DEFAULT_K
+) -> DataFrame:
+    """k lexicographic-min md5 signatures per doc. Partial aggregation
+    makes this one shuffle carrying k×32 chars per doc."""
+    aggs = [
+        F.min(minhash_component(F.col("shingle"), s)).alias(f"mh{s}")
+        for s in range(k)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_band_hashes(
+    sigs: DataFrame, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS
+) -> DataFrame:
+    """Fold each band's rows into one hash → (doc_id, band_id,
+    band_hash) long-form, the join key for candidate generation."""
+    rows_per_band = k // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"), F.md5(F.concat(*parts)).alias("band_hash")
+            )
+        )
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Docs sharing any band bucket. Self-join on (band_id, hash):
+    bucket sizes are tiny for non-duplicates, so the join output is
+    ~O(duplicate pairs), not O(n²)."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, min_shared: int = 1
+) -> DataFrame:
+    """Exact Jaccard for every doc pair sharing ≥min_shared shingles.
+    The equi-join on shingle keeps this far below all-pairs; used
+    directly as ground-truth dedup and as the verifier after LSH."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .filter(F.col("n_inter") >= min_shared)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def verified_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: candidates from banded
+    minhash, verified with exact Jaccard ≥ threshold."""
+    sh = distinct_shingles(df, id_col, text_col, n)
+    cands = lsh_candidate_pairs(lsh_band_hashes(minhash_signatures(sh, k), k, bands))
+    exact = jaccard_pairs(sh)
+    return (
+        cands.join(exact, ["doc_a", "doc_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Canonical-token-set fingerprint per doc."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        doc_fingerprint(F.col(text_col)).alias("fingerprint"),
+    )
+
+
+def _simhash_bits(n_bits: int) -> list[int]:
+    return list(range(n_bits))
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over distinct tokens: per bit, majority vote of
+    (±1) contributions derived from each token's md5-prefix integer.
+    Pure expressions: explode → conditional sums → bit pack; one
+    shuffle on doc_id."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    ).withColumn("h4", hex4_to_int(F.md5(F.col("tok"))))
+
+    bit_aggs = [
+        F.sum(
+            F.when((F.floor(F.col("h4") / (2**j)) % 2) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in _simhash_bits(16)
+    ]
+    votes = toks.groupBy("doc_id").agg(*bit_aggs)
+    fp = None
+    for j in _simhash_bits(16):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs within hamming radius. Broadcast-join safe at test
+    scale; at 100 TB, pre-bucket by high bits (same pattern as LSH
+    bands) before the pairwise check."""
+    a = fps.alias("a")
+    b = fps.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns.
+
+Two paths:
+  brute-force — exact cosine top-k: broadcast the (small) query set
+    against a partitioned scan of the corpus; per-query top-k via
+    ranking window. The correctness baseline.
+  LSH-bucketed — sign-bit bucket as a coarse quantizer (IVF analog):
+    vectors are bucketed once (write-time partition key at scale),
+    queries probe only their bucket → the candidate join is
+    bucket-local, O(corpus/2^bits) per query instead of O(corpus).
+
+All arithmetic is sequential-fold double math (functions/vectors.py)
+— bitwise equal to the DuckDB oracle, so even the FP path is
+hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wilayah_aceh_etl_spark.functions.vectors import (
+    as_double,
+    cosine,
+    l2_norm,
+    sign_lsh_bucket,
+)
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("vec")
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of corpus for each query vector.
+
+    Plan shape: broadcast(queries) × corpus scan → per-row cosine →
+    window top-k on query_id. No corpus self-shuffle."""
+    from pyspark.sql.window import Window
+
+    c = _prep(corpus, id_col, vec_col)
+    q = _prep(queries, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("qvec"), F.col("vec")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", F.round("_cos", 6).alias("cos_sim"), "rk")
+    )
+
+
+def threshold_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (embedding near-dup dedup).
+    Exact all-pairs — the ground-truth/verification path; use
+    bucketed_pairs for the at-scale variant."""
+    v = _prep(corpus, id_col, vec_col)
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
+def bucket_assignments(
+    corpus: DataFrame,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH bucket id per vector — the coarse partitioning used
+    for bucket-local search (and, at scale, the table's physical
+    partition column)."""
+    v = _prep(corpus, id_col, vec_col)
+    return v.select(
+        "vec_id", sign_lsh_bucket(F.col("vec"), n_bits).alias("bucket"), "vec"
+    )
+
+
+def bucketed_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs restricted to same-bucket candidates: the join
+    is on the bucket key, so work scales with Σ bucket² instead of
+    corpus². Recall loss vs threshold_pairs is the usual LSH
+    trade-off (sign bits must agree)."""
+    v = bucket_assignments(corpus, n_bits, id_col, vec_col)
+    a = v.alias("a")
+    b = v.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("_cos"),
+        )
+        .filter(F.col("_cos") >= threshold)
+        .select("vec_a", "vec_b", F.round("_cos", 6).alias("cos_sim"))
+    )
+
+
+def norm_stats_by_label(
+    corpus: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label L2-norm profile (embedding-space sanity check)."""
+    v = corpus.select(
+        F.col(label_col).alias("label"),
+        F.round(l2_norm(as_double(F.col(vec_col))), 6).alias("norm"),
+    )
+    return (
+        v.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.round(F.sum("norm"), 2) / F.count("norm"), 4).alias(
+                "avg_norm"
+            ),
+            F.round(F.min("norm"), 4).alias("min_norm"),
+            F.round(F.max("norm"), 4).alias("max_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,12 +1,579 @@
 """EXT training-data-pipeline operators (BASELINE.json:6 mandate).
 
-Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
-embedding-cosine), similarity search (brute-force + LSH-bucketed),
-multimodal binary-column plumbing, and text analysis — each with a
-DuckDB oracle where the computation is deterministic and
-SQL-expressible on both engines.
+Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard),
+similarity search (brute-force + sign-LSH-bucketed), text analysis
+(quality, tokens, fingerprint, language heuristic), and multimodal
+binary-column plumbing — every query backed by a DuckDB oracle that
+computes the IDENTICAL deterministic hash family (md5-based) or the
+bitwise-identical double arithmetic (sequential-fold cosine).
+
+The heavy lifting lives in operators/dedup.py, operators/similarity.py
+and functions/text.py; these wrappers fix the parameters the gate
+runs with.
 """
 
 from __future__ import annotations
 
-# Queries registered in a follow-up commit.
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wilayah_aceh_etl_spark.functions.text import (
+    EN_STOPWORDS,
+    doc_fingerprint,
+    token_quality_metrics,
+)
+from wilayah_aceh_etl_spark.operators import dedup as D
+from wilayah_aceh_etl_spark.operators import similarity as S
+from wilayah_aceh_etl_spark.plans.registry import register
+from wilayah_aceh_etl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTE fragments (the SQL twins of functions/text.py)
+# ---------------------------------------------------------------------------
+
+_K = D.DEFAULT_K
+_BANDS = D.DEFAULT_BANDS
+_ROWS = _K // _BANDS
+
+# word 3-gram shingles, distinct per doc
+_SHINGLE_CTE = """
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+)
+"""
+
+_SIGS_CTE = (
+    "sigs AS (SELECT doc_id, "
+    + ", ".join(f"MIN(md5('{s}#' || shingle)) AS mh{s}" for s in range(_K))
+    + " FROM sh GROUP BY doc_id)"
+)
+
+_BANDS_CTE = (
+    "bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"md5({' || '.join(f'mh{b * _ROWS + r}' for r in range(_ROWS))}) AS band_hash "
+        "FROM sigs"
+        for b in range(_BANDS)
+    )
+    + ")"
+)
+
+_JACCARD_CTE = """
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+)
+"""
+
+# hex4→int in SQL (twin of functions/text.py::hex4_to_int)
+_H4 = " + ".join(
+    f"(instr('0123456789abcdef', md5(tok)[{p}:{p}]) - 1) * {w}"
+    for p, w in ((1, 4096), (2, 256), (3, 16), (4, 1))
+)
+
+# embeddings prepped as double lists; composed cosine (bitwise equal
+# to the Spark sequential fold — verified on this corpus)
+_VEC_CTE = """
+v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+"""
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_BUCKET = " + ".join(
+    f"(CASE WHEN e[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)" for i in range(8)
+)
+
+
+# ---------------------------------------------------------------------------
+# Dedup — exact
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+SELECT COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+       CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
+FROM documents
+""",
+    tags=("ext", "dedup", "exact"),
+    description="exact-dup profile via text-hash distinct count",
+)
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup statistics — hash-groupBy, one pass."""
+    return D.exact_dedup_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup — MinHash signatures / LSH pairs / exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle="WITH "
+    + _SHINGLE_CTE
+    + ", "
+    + _SIGS_CTE
+    + """
+SELECT doc_id, """
+    + ", ".join(f"mh{s}" for s in range(_K))
+    + """
+FROM sigs WHERE doc_id < 40 ORDER BY doc_id
+""",
+    tags=("ext", "dedup", "minhash"),
+    description=f"{_K}-component MinHash signatures (md5 hash family)",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures for a doc_id slice — the reproducible
+    md5 hash family makes the signature itself oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.distinct_shingles(docs, "doc_id")
+    return (
+        D.minhash_signatures(sh, _K)
+        .filter(F.col("doc_id") < 40)
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle="WITH "
+    + _SHINGLE_CTE
+    + ", "
+    + _SIGS_CTE
+    + ", "
+    + _BANDS_CTE
+    + ""","""
+    + """
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+),"""
+    + _JACCARD_CTE
+    + """
+SELECT c.doc_a, c.doc_b, j.jaccard
+FROM cand c JOIN jac j USING (doc_a, doc_b)
+WHERE j.jaccard >= 0.5
+ORDER BY doc_a, doc_b
+""",
+    tags=("ext", "dedup", "minhash", "lsh"),
+    description="MinHash+LSH near-dup pairs, exact-Jaccard verified ≥0.5",
+    bench=True,
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: banded-minhash candidates verified by
+    exact Jaccard. The scale path — no all-pairs comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.verified_near_dup_pairs(docs, threshold=0.5).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle="WITH "
+    + _SHINGLE_CTE
+    + ","
+    + _JACCARD_CTE
+    + """
+SELECT doc_a, doc_b, jaccard FROM jac
+WHERE jaccard >= 0.5
+ORDER BY doc_a, doc_b
+""",
+    tags=("ext", "dedup", "jaccard"),
+    description="exact n-gram-Jaccard pairs ≥0.5 (ground truth for LSH)",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard via shingle equi-join — the ground truth the
+    LSH path is measured against (recall check in tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.distinct_shingles(docs, "doc_id")
+    return (
+        D.jaccard_pairs(sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup — SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_CTE = (
+    """
+toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) t
+),
+h AS (SELECT doc_id, """
+    + _H4
+    + """ AS h4 FROM toks),
+votes AS (SELECT doc_id, """
+    + ", ".join(
+        f"SUM(CASE WHEN CAST(floor(h4 / {2 ** j}) AS BIGINT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(16)
+    )
+    + """ FROM h GROUP BY doc_id),
+fp AS (SELECT doc_id, CAST("""
+    + " + ".join(f"(CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(16))
+    + """ AS BIGINT) AS simhash FROM votes)
+"""
+)
+
+
+@register(
+    "dedup_simhash_fingerprints",
+    oracle="WITH " + _SIMHASH_CTE + """
+SELECT doc_id, simhash FROM fp WHERE doc_id < 100 ORDER BY doc_id
+""",
+    tags=("ext", "dedup", "simhash"),
+    description="16-bit SimHash fingerprints (majority-vote bit pack)",
+)
+def dedup_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints for a doc slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash16(docs, "doc_id").filter(F.col("doc_id") < 100).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "dedup_simhash_near_pairs",
+    oracle="WITH " + _SIMHASH_CTE + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+ORDER BY doc_a, doc_b
+""",
+    tags=("ext", "dedup", "simhash"),
+    description="SimHash near-dup pairs (hamming ≤ 1)",
+)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-radius pairs over the 16-bit fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = D.simhash16(docs, "doc_id")
+    return (
+        D.simhash_near_pairs(fps, max_hamming=1)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(toks) AS INTEGER) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+  ROUND(len(list_distinct(toks)) / len(toks), 4) AS distinct_ratio,
+  ROUND(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+        / len(toks), 4) AS avg_token_len,
+  ROUND(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) / len(toks), 4)
+    AS stopword_ratio
+FROM w ORDER BY doc_id
+""",
+    tags=("ext", "text", "quality"),
+    description="per-doc quality signals (token/distinct/stopword ratios)",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring pass: all integer-derived ratios, exact
+    division — deterministic across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = token_quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n_tokens"].alias("n_tokens"),
+        m["n_distinct"].alias("n_distinct"),
+        m["distinct_ratio"].alias("distinct_ratio"),
+        m["avg_token_len"].alias("avg_token_len"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+SELECT doc_id,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_word_tokens,
+  CAST(length(text) AS INTEGER) AS n_chars_measured,
+  CAST(n_chars AS INTEGER) AS n_chars_declared
+FROM documents ORDER BY doc_id
+""",
+    tags=("ext", "text", "tokens"),
+    description="token counting: whitespace + regex tokenizers",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and regex token counts + declared-vs-measured
+    char-length consistency check."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+"))
+        .cast("int")
+        .alias("n_word_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.col("n_chars").cast("int").alias("n_chars_declared"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprints",
+    oracle="""
+SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+    AS fingerprint
+FROM documents ORDER BY doc_id
+""",
+    tags=("ext", "text", "fingerprint"),
+    description="canonical token-set document fingerprint",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/duplication-invariant content fingerprint per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_langid_heuristic",
+    oracle=f"""
+WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id, lang AS lang_declared,
+  ROUND(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) / len(toks), 4)
+    AS en_stop_ratio,
+  CASE WHEN len(list_filter(toks, x -> x IN ({_STOP_SQL}))) / len(toks) >= 0.02
+       THEN 'en' ELSE 'other' END AS lang_pred
+FROM w ORDER BY doc_id
+""",
+    tags=("ext", "text", "langid"),
+    description="stopword-ratio language-ID heuristic",
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language heuristic. NOTE: the synthetic corpus
+    uses one shared vocabulary for every `lang` value, so the
+    heuristic's output is structurally checkable (and is) but cannot
+    recover the declared label — documented, not hidden."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    ratio = hits / F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        F.round(ratio, 4).alias("en_stop_ratio"),
+        F.when(ratio >= 0.02, F.lit("en")).otherwise(F.lit("other")).alias(
+            "lang_pred"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk_bruteforce",
+    oracle="WITH "
+    + _VEC_CTE
+    + """,
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, vec_id, """
+    + _COS.format(a="qe", b="e")
+    + """ AS c
+  FROM q, v WHERE vec_id != query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(c, 6) AS cos_sim, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 10
+ORDER BY query_id, rk
+""",
+    tags=("ext", "similarity", "topk"),
+    description="brute-force cosine top-10 for 5 query vectors",
+    bench=True,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ANN baseline: broadcast queries × corpus scan, ranking
+    window top-k. Ranked on the unrounded double (bitwise equal
+    across engines), rounded only for display."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (
+        S.brute_force_topk(emb, queries, k=10)
+        .withColumn("rk", F.col("rk").cast("int"))
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
+    "similarity_threshold_pairs",
+    oracle="WITH "
+    + _VEC_CTE
+    + """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND("""
+    + _COS.format(a="a.e", b="b.e")
+    + """, 6) AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE """
+    + _COS.format(a="a.e", b="b.e")
+    + """ >= 0.4
+ORDER BY vec_a, vec_b
+""",
+    tags=("ext", "similarity", "neardup"),
+    description="embedding near-dup pairs: exact all-pairs cosine ≥0.4",
+)
+def similarity_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection (exact path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.threshold_pairs(emb, 0.4).orderBy("vec_a", "vec_b")
+
+
+@register(
+    "similarity_lsh_buckets",
+    oracle="WITH "
+    + _VEC_CTE
+    + f"""
+SELECT {_BUCKET} AS bucket,
+       COUNT(*) AS n_vectors,
+       CAST(MIN(vec_id) AS BIGINT) AS min_vec_id,
+       CAST(MAX(vec_id) AS BIGINT) AS max_vec_id
+FROM v GROUP BY 1 ORDER BY bucket
+""",
+    tags=("ext", "similarity", "lsh"),
+    description="sign-LSH bucket assignment histogram (IVF coarse quantizer)",
+)
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket occupancy of the sign-bit coarse quantizer — at scale
+    this bucket id is the physical partition key of the vector table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        S.bucket_assignments(emb, 8)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "similarity_lsh_bucketed_pairs",
+    oracle="WITH "
+    + _VEC_CTE
+    + f""",
+bv AS (SELECT vec_id, e, {_BUCKET} AS bucket FROM v)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND("""
+    + _COS.format(a="a.e", b="b.e")
+    + """, 6) AS cos_sim
+FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE """
+    + _COS.format(a="a.e", b="b.e")
+    + """ >= 0.15
+ORDER BY vec_a, vec_b
+""",
+    tags=("ext", "similarity", "lsh"),
+    description="bucket-local near-dup pairs (the at-scale LSH path)",
+)
+def similarity_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-bucket candidate pairs with cosine ≥ 0.15: work scales
+    with Σ bucket² instead of corpus²."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.bucketed_pairs(emb, 0.15, n_bits=8).orderBy("vec_a", "vec_b")
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="WITH "
+    + _VEC_CTE
+    + """
+, n AS (SELECT label, ROUND(sqrt(list_dot_product(e, e)), 6) AS norm FROM v)
+SELECT label,
+       COUNT(*) AS n_vectors,
+       ROUND(ROUND(SUM(norm), 2) / COUNT(norm), 4) AS avg_norm,
+       ROUND(MIN(norm), 4) AS min_norm,
+       ROUND(MAX(norm), 4) AS max_norm
+FROM n GROUP BY label ORDER BY label
+""",
+    tags=("ext", "similarity", "stats"),
+    description="per-label embedding L2-norm profile",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space sanity profile per label."""
+    return S.norm_stats_by_label(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_binary_metadata",
+    oracle="""
+SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+  sha256(text) AS content_sha256,
+  CAST(octet_length(encode(text)) % 16 AS INTEGER) AS shard
+FROM documents ORDER BY doc_id
+""",
+    tags=("ext", "multimodal", "binary"),
+    description="opaque-binary column metadata (bytes, sha256, shard key)",
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal convention: payloads as opaque binary + typed
+    metadata. Here the payload is the utf-8 encoding of text (no
+    media libs in this container); byte length, content digest and a
+    derived shard key are computed JVM-side on the binary column.
+    Real decode/resize runs in operators/multimodal.py (stubbed,
+    plumbing tested)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+        (F.length(payload) % 16).alias("shard"),
+    ).orderBy("doc_id")
