@@ -1,0 +1,197 @@
+"""Golden ETL tests over the real reference corpus
+(/root/reference/geojson, read-only) — invariants verified during the
+survey (SURVEY §5.1): feature counts, code formats, derivation rules,
+geometry normalization, upsert idempotence, endpoint parity."""
+
+from __future__ import annotations
+
+import datetime
+import json
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from wilayah_aceh_etl_spark.functions.geometry import (
+    bounds_agg,
+    normalize_geojson_str,
+    vertex_count,
+)
+from wilayah_aceh_etl_spark.operators import wilayah as W
+from wilayah_aceh_etl_spark.sources.geojson import read_features
+
+GEOJSON_DIR = "/root/reference/geojson"
+CLOCK = datetime.datetime(2026, 1, 1, 0, 0, 0)
+
+CODE_RE = re.compile(r"^\d{2}(\.\d{2}(\.\d{2}(\.2\d{3})?)?)?$")
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    return read_features(spark, GEOJSON_DIR).cache()
+
+
+@pytest.fixture(scope="module")
+def table_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("wilayah") / "m_wilayah_poligon")
+    W.sync(spark, GEOJSON_DIR, path, code="11", clock=CLOCK)
+    return path
+
+
+def test_corpus_totals(raw):
+    assert raw.count() == 388
+    counts = {r.level: r.n for r in raw.groupBy("level").agg(F.count("*").alias("n")).collect()}
+    assert counts == {1: 1, 2: 18, 3: 135, 4: 234}
+
+
+def test_code_derivation_rules(raw):
+    rows = raw.select("kode_wilayah_kemendagri", "level").collect()
+    for r in rows:
+        assert CODE_RE.match(r.kode_wilayah_kemendagri), r
+        assert len(r.kode_wilayah_kemendagri) == {1: 2, 2: 5, 3: 8, 4: 13}[r.level]
+    # level-4 last segment starts with literal '2' (server.js:178-180)
+    l4 = [r.kode_wilayah_kemendagri for r in rows if r.level == 4]
+    assert l4 and all(k.split(".")[-1].startswith("2") for k in l4)
+    # zero slice(-2) collisions at level 3 (survey-verified)
+    l3 = [r.kode_wilayah_kemendagri for r in rows if r.level == 3]
+    assert len(set(l3)) == 135
+
+
+def test_ingest_table_layout(spark, table_path):
+    t = W.load_wilayah(spark, table_path)
+    assert t.count() == 388  # corpus has no duplicate codes
+    assert set(t.columns) == set(W.TABLE_COLUMNS)
+    # partitioned by level on disk
+    import os
+
+    assert any(d.startswith("level=") for d in os.listdir(table_path))
+
+
+def test_geometry_normalized(spark, table_path):
+    t = W.load_wilayah(spark, table_path)
+    geoms = t.select("geometry").limit(20).collect()
+    for r in geoms:
+        g = json.loads(r.geometry)
+        assert g["type"] == "MultiPolygon"
+        pt = g["coordinates"][0][0][0]
+        assert len(pt) == 2  # force-2D
+    # simplification reduced vertices vs raw
+    raw_v = (
+        read_features(spark, GEOJSON_DIR, "11_")
+        .select(F.sum(vertex_count(F.col("geometry_json"))).alias("v"))
+        .collect()[0]
+        .v
+    )
+    simp_v = (
+        t.filter("level = 1")
+        .select(F.sum(vertex_count(F.col("geometry"))).alias("v"))
+        .collect()[0]
+        .v
+    )
+    assert simp_v < raw_v
+
+
+def test_upsert_idempotent(spark, table_path):
+    before = sorted(
+        W.load_wilayah(spark, table_path)
+        .select("kode_wilayah_kemendagri", "nama_wilayah_kemendagri", "geometry")
+        .collect()
+    )
+    W.sync(spark, GEOJSON_DIR, table_path, code="11", clock=CLOCK)
+    after = sorted(
+        W.load_wilayah(spark, table_path)
+        .select("kode_wilayah_kemendagri", "nama_wilayah_kemendagri", "geometry")
+        .collect()
+    )
+    assert before == after
+
+
+def test_upsert_preserves_created_at(spark, table_path):
+    later = datetime.datetime(2026, 6, 1)
+    W.sync(spark, GEOJSON_DIR, table_path, code="11.01", clock=later)
+    t = W.load_wilayah(spark, table_path)
+    row = t.filter(F.col("kode_wilayah_kemendagri") == "11.01").collect()[0]
+    assert row.created_at == CLOCK  # preserved
+    assert row.updated_at == later  # bumped
+
+
+def test_search_contract(spark, table_path):
+    t = W.load_wilayah(spark, table_path)
+    rows = W.search(t, "aceh").collect()
+    assert 0 < len(rows) <= 10
+    assert all("aceh" in r.name.lower() for r in rows)
+    # sorted by (level, name)
+    keys = [(r.level, r.name) for r in rows]
+    assert keys == sorted(keys)
+    # min-length guard
+    assert W.search(t, "ac").count() == 0
+
+
+def test_status_counts(spark, table_path):
+    row = W.status_counts(W.load_wilayah(spark, table_path)).collect()[0]
+    assert row.available
+    assert (row.provinsi, row.kabupaten, row.kecamatan, row.kelurahan) == (
+        1,
+        18,
+        135,
+        234,
+    )
+
+
+@pytest.mark.parametrize(
+    "code,expected_parts",
+    [
+        ("11", {"provinsi", "kabupaten"}),
+        ("11.01", {"kabupaten", "kecamatan", "kelurahan"}),
+        ("11.01.01", {"kabupaten", "kecamatan", "kelurahan"}),
+        ("11.73.01.2001", {"kecamatan", "kelurahan"}),
+    ],
+)
+def test_geojson_envelope_dispatch(spark, table_path, code, expected_parts):
+    t = W.load_wilayah(spark, table_path)
+    rows = W.geojson_envelope(t, code).collect()
+    parts = {r.part for r in rows}
+    assert parts <= expected_parts
+    for r in rows:
+        fc = json.loads(r.feature_collection)
+        assert fc["type"] == "FeatureCollection"
+        assert len(fc["features"]) == r.n_features
+        f = fc["features"][0]
+        assert set(f) == {"type", "properties", "geometry"}
+        assert set(f["properties"]) == {"name", "id"}
+
+
+def test_file_envelope(spark):
+    rows = W.file_envelope(spark, GEOJSON_DIR, "11.01").collect()
+    assert {r.source_file for r in rows} == {
+        "11.01_Aceh_Selatan.geojson",
+        "11.01_kecamatan.geojson",
+    }
+    assert all(r.file_size > 0 and r.n_features > 0 for r in rows)
+
+
+def test_seed_if_empty(spark, tmp_path):
+    path = str(tmp_path / "seeded")
+    assert W.seed_if_empty(spark, GEOJSON_DIR, path, clock=CLOCK) is True
+    t = W.load_wilayah(spark, path)
+    assert t.count() == 1
+    assert t.collect()[0].level == 1
+    # second call is a no-op
+    assert W.seed_if_empty(spark, GEOJSON_DIR, path, clock=CLOCK) is False
+
+
+def test_bounds_aggregate(spark, table_path):
+    t = W.load_wilayah(spark, table_path).filter("level = 1")
+    b = bounds_agg(t).collect()[0]
+    # Aceh bbox sanity (northern Sumatra)
+    assert 94 < b.min_lon < 96 and 97 < b.max_lon < 99
+    assert 1.5 < b.min_lat < 3 and 5 < b.max_lat < 7
+
+
+def test_malformed_geometry_null_path():
+    assert normalize_geojson_str("not json") is None
+    assert normalize_geojson_str('{"type":"Point","coordinates":[1,2]}') is None
+    out = normalize_geojson_str(
+        '{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,0]]]}'
+    )
+    assert json.loads(out)["type"] == "MultiPolygon"

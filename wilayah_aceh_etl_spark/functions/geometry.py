@@ -1,0 +1,213 @@
+"""Geometry kernel: GeoJSON-string columns + Arrow-batched pandas UDFs.
+
+The reference normalizes every ingested geometry with
+  ST_Multi(ST_SimplifyPreserveTopology(ST_Force2D(
+      ST_GeomFromGeoJSON(g)), 0.0001))
+(reference init_db.sql:29 ≡ server.js:52,92). Spark has no geometry
+type and this container has no shapely/GEOS or Sedona, so the engine
+carries geometry as a GeoJSON string column and implements the same
+pipeline in pure Python, vectorized per Arrow batch:
+
+  G1 parse+validate   → json.loads, structural checks (null on error,
+                        matching the reference's catch→null, server.js:494-497)
+  G2 force 2D         → truncate coordinate triples
+  G3 simplify(1e-4)   → Douglas-Peucker per ring, closed-ring aware,
+                        ≥4-point floor. DIVERGENCE NOTE: GEOS
+                        "preserveTopology" additionally repairs
+                        self-intersections introduced by collapse;
+                        plain DP with a ring-size floor matches it on
+                        this corpus (verified no degenerate rings) but
+                        is not bug-for-bug identical on adversarial
+                        inputs.
+  G4 promote to Multi → wrap Polygon coords
+  G5 to GeoJSON       → canonical compact json.dumps (sorted keys off,
+                        fixed key order type→coordinates)
+
+G6 (bounds aggregate) is pure Catalyst — explode the parsed
+coordinate array and min/max, no UDF.
+
+Scale: the UDF is the one Python touch-point of the ETL; it is
+stateless per row, Arrow-batched, and runs map-side before the merge
+shuffle — it parallelizes with input splits.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+DEFAULT_TOLERANCE = 1e-4  # degrees, ~11 m (reference init_db.sql:29)
+
+# GeoJSON geometry object schema for Catalyst-side parsing (G6 etc.)
+GEOMETRY_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField(
+            "coordinates",
+            T.ArrayType(  # polygons
+                T.ArrayType(  # rings
+                    T.ArrayType(T.ArrayType(T.DoubleType()))  # points
+                )
+            ),
+        ),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python kernel (runs inside the pandas UDF)
+# ---------------------------------------------------------------------------
+
+
+def _perp_dist(pt, a, b) -> float:
+    """Perpendicular distance from pt to segment a-b (planar degrees,
+    same metric GEOS uses for geographic coords without reprojection)."""
+    ax, ay = a[0], a[1]
+    bx, by = b[0], b[1]
+    px, py = pt[0], pt[1]
+    dx, dy = bx - ax, by - ay
+    if dx == 0 and dy == 0:
+        return math.hypot(px - ax, py - ay)
+    t = ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy)
+    t = max(0.0, min(1.0, t))
+    return math.hypot(px - (ax + t * dx), py - (ay + t * dy))
+
+
+def _dp(points: list, tol: float) -> list:
+    """Iterative Douglas-Peucker on an open polyline."""
+    if len(points) < 3:
+        return points
+    keep = [False] * len(points)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(points) - 1)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi <= lo + 1:
+            continue
+        best, best_d = -1, -1.0
+        a, b = points[lo], points[hi]
+        for i in range(lo + 1, hi):
+            d = _perp_dist(points[i], a, b)
+            if d > best_d:
+                best, best_d = i, d
+        if best_d > tol:
+            keep[best] = True
+            stack.append((lo, best))
+            stack.append((best, hi))
+    return [p for p, k in zip(points, keep) if k]
+
+
+def _simplify_ring(ring: list, tol: float) -> list:
+    """Simplify a closed ring; keep closure and ≥4 points (3 distinct
+    vertices) so the ring stays a valid polygon boundary."""
+    if len(ring) <= 4:
+        return ring
+    closed = ring[0] == ring[-1]
+    open_part = ring[:-1] if closed else ring
+    simplified = _dp(open_part, tol)
+    if len(simplified) < 3:  # floor: never collapse a ring away
+        # fall back to the 3 extreme-most original vertices
+        simplified = open_part[:: max(1, len(open_part) // 3)][:3]
+        if len(simplified) < 3:
+            simplified = open_part[:3]
+    return simplified + [simplified[0]] if closed else simplified
+
+
+def normalize_geometry_obj(geom: dict, tolerance: float = DEFAULT_TOLERANCE):
+    """G1-G5 pipeline on a parsed geometry object → normalized
+    MultiPolygon coordinate nest, or None if invalid."""
+    if not isinstance(geom, dict):
+        return None
+    gtype = geom.get("type")
+    coords = geom.get("coordinates")
+    if coords is None:
+        return None
+    if gtype == "Polygon":  # G4 promote
+        polys = [coords]
+    elif gtype == "MultiPolygon":
+        polys = coords
+    else:
+        return None
+    out = []
+    try:
+        for poly in polys:
+            rings = []
+            for ring in poly:
+                pts = [[float(p[0]), float(p[1])] for p in ring]  # G2 force2d
+                rings.append(_simplify_ring(pts, tolerance))  # G3
+            out.append(rings)
+    except (TypeError, ValueError, IndexError):
+        return None
+    return out
+
+
+def normalize_geojson_str(s, tolerance: float = DEFAULT_TOLERANCE):
+    """String→string normalization; None/malformed → None (the
+    reference's catch→null geometry path)."""
+    if s is None:
+        return None
+    try:
+        geom = json.loads(s)
+    except (ValueError, TypeError):
+        return None
+    coords = normalize_geometry_obj(geom, tolerance)
+    if coords is None:
+        return None
+    return json.dumps(
+        {"type": "MultiPolygon", "coordinates": coords},
+        separators=(",", ":"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark surface
+# ---------------------------------------------------------------------------
+
+
+def make_normalize_udf(tolerance: float = DEFAULT_TOLERANCE):
+    """Vectorized G1-G5 pipeline as a pandas UDF (Arrow batches)."""
+
+    @pandas_udf(T.StringType())
+    def normalize(series: pd.Series) -> pd.Series:
+        return series.map(lambda s: normalize_geojson_str(s, tolerance))
+
+    return normalize
+
+
+def geometry_struct(geo_json: Column) -> Column:
+    """Parse the GeoJSON string Catalyst-side (malformed → null,
+    from_json default — same contract as the UDF path)."""
+    return F.from_json(geo_json, GEOMETRY_SCHEMA)
+
+
+def vertex_count(geo_json: Column) -> Column:
+    """Total vertex count — Catalyst-only (flatten + size)."""
+    pts = F.flatten(F.flatten(geometry_struct(geo_json)["coordinates"]))
+    return F.size(pts)
+
+
+def bounds_agg(df, geo_col: str = "geometry"):
+    """G6: dataset envelope (min/max lon/lat) as a pure Catalyst
+    aggregate over exploded coordinates — the one spatial aggregate
+    in the reference (client-side Leaflet bounds, app.js:241-244)."""
+    pts = F.explode(
+        F.flatten(F.flatten(geometry_struct(F.col(geo_col))["coordinates"]))
+    ).alias("pt")
+    return df.select(pts).agg(
+        F.min(F.col("pt")[0]).alias("min_lon"),
+        F.min(F.col("pt")[1]).alias("min_lat"),
+        F.max(F.col("pt")[0]).alias("max_lon"),
+        F.max(F.col("pt")[1]).alias("max_lat"),
+    )
+
+
+from wilayah_aceh_etl_spark.serde import pickle_module_by_value
+
+pickle_module_by_value(__name__)  # UDF closures must not need repo on worker path

@@ -174,3 +174,8 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
         )
 
     return df.mapInPandas(batches, FRAMES_SCHEMA)
+
+
+from wilayah_aceh_etl_spark.serde import pickle_module_by_value
+
+pickle_module_by_value(__name__)  # UDF closures must not need repo on worker path

@@ -1,0 +1,336 @@
+"""The wilayah engine: full reference-service parity, Spark-first.
+
+Every entry point of the reference (SURVEY §3) as a DataFrame
+operation over one managed Parquet table:
+
+  ingest          — POST /api/db/sync (server.js:339-383): read →
+                    derive codes → normalize geometry (one pandas-UDF
+                    stage) → last-wins MERGE. One distributed job vs
+                    the reference's 388 sequential round-trips.
+  search          — GET /api/search (server.js:290-336)
+  status          — GET /api/db/status (server.js:188-287)
+  geojson_envelope— GET /api/db/geojson (server.js:386-483) with the
+                    code-length dispatch (SURVEY §2.7)
+  file_envelope   — GET /api/geojson DB-less fallback (server.js:509-565)
+  seed_if_empty   — startup seed (server.js:103-157)
+
+Storage: Parquet partitioned by `level` (partition pruning replaces
+the B-tree on level), rows sorted by kode within partitions (row-group
+min/max pruning replaces the kode index — SURVEY §4 X1). Upsert is
+the pure-Parquet last-wins window rewrite (no Delta available): the
+same shuffle a MERGE would do, with an explicit (source_file,
+feature_index) tiebreaker reproducing the reference's sequential
+last-write-wins (SURVEY §7 hard-problem 3).
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wilayah_aceh_etl_spark.functions.geometry import (
+    DEFAULT_TOLERANCE,
+    geometry_struct,
+    make_normalize_udf,
+)
+from wilayah_aceh_etl_spark.sources.geojson import read_features
+
+TABLE_COLUMNS = [
+    "kode_wilayah_kemendagri",
+    "nama_wilayah_kemendagri",
+    "level",
+    "geometry",
+    "created_at",
+    "updated_at",
+]
+
+_KODE = "kode_wilayah_kemendagri"
+_NAMA = "nama_wilayah_kemendagri"
+
+
+def _now(clock: datetime.datetime | None) -> F.Column:
+    return (
+        F.lit(clock.isoformat()).cast("timestamp")
+        if clock is not None
+        else F.current_timestamp()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ingest (ETL)
+# ---------------------------------------------------------------------------
+
+
+def ingest_features(
+    spark: SparkSession,
+    geojson_dir: str,
+    code: str | None = None,
+    tolerance: float = DEFAULT_TOLERANCE,
+    clock: datetime.datetime | None = None,
+) -> DataFrame:
+    """The ETL transform: raw features → normalized table rows.
+
+    Geometry normalization (G1-G5) is the single Python stage,
+    Arrow-batched and map-side; everything else is Catalyst. The
+    in-batch last-wins dedup keyed on (source_file, feature_index)
+    reproduces the reference's sequential loop ordering."""
+    from pyspark.sql.window import Window
+
+    normalize = make_normalize_udf(tolerance)
+    raw = read_features(spark, geojson_dir, code)
+    w = Window.partitionBy(_KODE).orderBy(
+        F.col("source_file").desc(), F.col("feature_index").desc()
+    )
+    return (
+        raw.withColumn("geometry", normalize(F.col("geometry_json")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            _KODE,
+            _NAMA,
+            "level",
+            "geometry",
+            _now(clock).alias("created_at"),
+            _now(clock).alias("updated_at"),
+        )
+    )
+
+
+def upsert(
+    spark: SparkSession,
+    table_path: str,
+    batch: DataFrame,
+    clock: datetime.datetime | None = None,
+) -> int:
+    """S9: INSERT .. ON CONFLICT DO UPDATE as the pure-Parquet
+    last-wins rewrite. Batch rows win over existing rows; existing
+    created_at is preserved for matched keys (the reference updates
+    nama/geometry/updated_at only, server.js:93-97).
+
+    Returns the number of batch rows applied (A5 processed counter).
+    """
+    from pyspark.sql.window import Window
+
+    n_batch = batch.count()
+    batch = batch.withColumn("_prio", F.lit(1))
+    if _table_exists(table_path):
+        existing = spark.read.parquet(table_path).withColumn("_prio", F.lit(0))
+        merged = batch.unionByName(existing)
+    else:
+        merged = batch
+    w = Window.partitionBy(_KODE).orderBy(F.col("_prio").desc())
+    winners = (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # preserve created_at of pre-existing keys
+    if _table_exists(table_path):
+        old_created = (
+            spark.read.parquet(table_path)
+            .groupBy(_KODE)
+            .agg(F.min("created_at").alias("_old_created"))
+        )
+        winners = (
+            winners.join(old_created, _KODE, "left")
+            .withColumn(
+                "created_at", F.coalesce("_old_created", F.col("created_at"))
+            )
+            .drop("_old_created")
+        )
+    out = winners.select(*TABLE_COLUMNS)
+    # write-stage layout: partition pruning on level, kode-sorted row
+    # groups for min/max pruning on prefix predicates
+    tmp = table_path + "._staged"
+    (
+        out.repartition("level")
+        .sortWithinPartitions(_KODE)
+        .write.mode("overwrite")
+        .partitionBy("level")
+        .parquet(tmp)
+    )
+    _swap(table_path, tmp)
+    return n_batch
+
+
+def _table_exists(path: str) -> bool:
+    return os.path.exists(path)
+
+
+def _swap(path: str, tmp: str) -> None:
+    import shutil
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(tmp, path)
+
+
+def sync(
+    spark: SparkSession,
+    geojson_dir: str,
+    table_path: str,
+    code: str,
+    clock: datetime.datetime | None = None,
+) -> int:
+    """POST /api/db/sync: ingest all files with filename prefix
+    `code` and merge. Returns processed-feature count (A5)."""
+    return upsert(
+        spark, table_path, ingest_features(spark, geojson_dir, code, clock=clock)
+    )
+
+
+def seed_if_empty(
+    spark: SparkSession,
+    geojson_dir: str,
+    table_path: str,
+    clock: datetime.datetime | None = None,
+) -> bool:
+    """S11: ingest the province file iff no level-1 row exists
+    (reference server.js:103-157). Returns True if seeding ran."""
+    if _table_exists(table_path):
+        table = spark.read.parquet(table_path)
+        if table.filter(F.col("level") == 1).limit(1).count() > 0:
+            return False
+    batch = ingest_features(spark, geojson_dir, clock=clock).filter(
+        F.col("level") == 1
+    )
+    upsert(spark, table_path, batch, clock=clock)
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Queries over the table
+# ---------------------------------------------------------------------------
+
+
+def load_wilayah(spark: SparkSession, table_path: str) -> DataFrame:
+    return spark.read.parquet(table_path)
+
+
+def search(table: DataFrame, q: str, limit: int = 10) -> DataFrame:
+    """GET /api/search: case-insensitive substring, (level, name)
+    order, top-10; query shorter than 3 chars → empty (F6 guard)."""
+    spark = table.sparkSession
+    if q is None or len(q) < 3:
+        return spark.createDataFrame(
+            [], "id string, name string, level int"
+        )
+    return (
+        table.filter(F.lower(F.col(_NAMA)).contains(q.lower()))
+        .select(
+            F.col(_KODE).alias("id"),
+            F.col(_NAMA).alias("name"),
+            "level",
+        )
+        .orderBy("level", "name", "id")
+        .limit(limit)
+    )
+
+
+def status_counts(table: DataFrame, code: str | None = None) -> DataFrame:
+    """GET /api/db/status: one-row envelope of per-level counts under
+    an optional prefix (A1 group-count + A3 pivot in one pass)."""
+    if code:
+        table = table.filter(F.col(_KODE).startswith(code))
+
+    def cnt(lvl: int):
+        return F.count(F.when(F.col("level") == lvl, 1))
+
+    return table.agg(
+        (F.count(F.lit(1)) > 0).alias("available"),
+        cnt(1).alias("provinsi"),
+        cnt(2).alias("kabupaten"),
+        cnt(3).alias("kecamatan"),
+        cnt(4).alias("kelurahan"),
+    )
+
+
+def _dispatch(code: str) -> list[tuple[str, int, str]]:
+    """SURVEY §2.7: code length → (envelope_key, level, prefix)
+    fetch plan (reference server.js:424-476)."""
+    n = len(code)
+    if n == 2:
+        return [("provinsi", 1, code), ("kabupaten", 2, code)]
+    if n == 5:
+        return [
+            ("kabupaten", 2, code),
+            ("kecamatan", 3, code),
+            ("kelurahan", 4, code),
+        ]
+    if n == 8:
+        return [
+            ("kabupaten", 2, code[:5]),
+            ("kecamatan", 3, code),
+            ("kelurahan", 4, code),
+        ]
+    return [("kecamatan", 3, code[:8]), ("kelurahan", 4, code)]
+
+
+def geojson_envelope(table: DataFrame, code: str) -> DataFrame:
+    """GET /api/db/geojson: the per-level envelope, each level's rows
+    reassembled into a FeatureCollection JSON string (P3/P4/A4,
+    toFeatureCollection server.js:486-506).
+
+    One scan: the 2-3 level fetches become one OR-of-conjunctions
+    predicate plus a group-by on the envelope key."""
+    parts = _dispatch(code)
+    pred = None
+    part_col = None
+    for key, lvl, prefix in parts:
+        cond = (F.col("level") == lvl) & F.col(_KODE).startswith(prefix)
+        pred = cond if pred is None else (pred | cond)
+        part_col = (
+            F.when(cond, F.lit(key))
+            if part_col is None
+            else part_col.when(cond, F.lit(key))
+        )
+    feature = F.struct(
+        F.lit("Feature").alias("type"),
+        F.struct(
+            F.col(_NAMA).alias("name"), F.col(_KODE).alias("id")
+        ).alias("properties"),
+        geometry_struct(F.col("geometry")).alias("geometry"),
+    )
+    return (
+        table.filter(pred)
+        .select(part_col.alias("part"), F.col(_KODE).alias("kode"), feature.alias("feature"))
+        .groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.to_json(
+                F.struct(
+                    F.lit("FeatureCollection").alias("type"),
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("kode"), F.col("feature")))
+                    )["feature"].alias("features"),
+                )
+            ).alias("feature_collection"),
+        )
+        .orderBy("part")
+    )
+
+
+def file_envelope(
+    spark: SparkSession, geojson_dir: str, code: str
+) -> DataFrame:
+    """GET /api/geojson (DB-less fallback, server.js:509-565): the
+    same envelope computed straight from the files, with file sizes
+    (S5) — the dual-source reader behind one logical operator."""
+    from wilayah_aceh_etl_spark.sources.geojson import (
+        classify_level,
+        read_feature_collections,
+    )
+
+    fc = read_feature_collections(spark, geojson_dir, code)
+    return (
+        fc.select(
+            "source_file",
+            classify_level(F.col("source_file")).alias("level"),
+            F.col("file_size"),
+            F.size("features").alias("n_features"),
+        )
+        .orderBy("source_file")
+    )

@@ -75,3 +75,8 @@ def running_user_totals(events: DataFrame, watermark: str = "10 minutes") -> Dat
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+from wilayah_aceh_etl_spark.serde import pickle_module_by_value
+
+pickle_module_by_value(__name__)  # UDF closures must not need repo on worker path
