@@ -66,9 +66,13 @@ def distinct_shingles(
     df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """(doc, shingle) pairs, distinct — the base relation for both
-    minhash and exact-Jaccard."""
+    minhash and exact-Jaccard. `spread` keeps the explode parallel
+    even when the input scan is a single small file."""
+    from wilayah_aceh_etl_spark.sources.tables import spread
+
     return (
-        df.select(F.col(id_col).alias("doc_id"), word_shingles(F.col(text_col), n).alias("sh"))
+        spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select(F.col("doc_id"), word_shingles(F.col(text_col), n).alias("sh"))
         .select("doc_id", F.explode("sh").alias("shingle"))
         .distinct()
     )
@@ -160,6 +164,40 @@ def jaccard_pairs(
     )
 
 
+def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    """Exact Jaccard computed ONLY for the given (doc_a, doc_b) pairs.
+
+    This is the verify step after candidate generation: the pair set
+    is tiny (≈ O(true duplicates)), so Catalyst broadcasts it into
+    the shingle scan and the intersection count touches only shingles
+    of candidate docs — never the all-co-shingle-pairs blowup that
+    `jaccard_pairs` materializes (1.1M pairs vs 640 candidates at
+    sf0.1)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def verified_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -170,12 +208,24 @@ def verified_near_dup_pairs(
     bands: int = DEFAULT_BANDS,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates from banded
-    minhash, verified with exact Jaccard ≥ threshold."""
-    sh = distinct_shingles(df, id_col, text_col, n)
+    minhash, verified with exact Jaccard ≥ threshold — the Jaccard is
+    computed only for candidate pairs (a pair with zero shared
+    shingles can never reach a positive threshold, so restricting to
+    LSH candidates loses nothing).
+
+    The (doc, shingle) relation feeds six plan subtrees (both sides
+    of the band self-join; a/b/sizes in the verify); persisting it
+    computes the scan+explode+distinct once instead of six times —
+    at 100 TB this is the difference between one and six passes over
+    the corpus (MEMORY_AND_DISK: spills, never recomputes)."""
+    from pyspark import StorageLevel
+
+    sh = distinct_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cands = lsh_candidate_pairs(lsh_band_hashes(minhash_signatures(sh, k), k, bands))
-    exact = jaccard_pairs(sh)
     return (
-        cands.join(exact, ["doc_a", "doc_b"])
+        jaccard_for_pairs(cands, sh)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -198,8 +248,10 @@ def simhash16(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     (±1) contributions derived from each token's md5-prefix integer.
     Pure expressions: explode → conditional sums → bit pack; one
     shuffle on doc_id."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
+    from wilayah_aceh_etl_spark.sources.tables import spread
+
+    toks = spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id",
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     ).withColumn("h4", hex4_to_int(F.md5(F.col("tok"))))
 

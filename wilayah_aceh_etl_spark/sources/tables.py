@@ -50,6 +50,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the scan has fewer partitions than
+    the cluster has cores.
+
+    Remedy for the small-input trap: a table stored as one parquet
+    file scans as ONE partition, so any explode-heavy derivation
+    (shingles, token explodes, embedding unnests) runs on one core
+    no matter how wide the cluster. At real scale the scan already
+    has ≥cores partitions and this is a no-op — the shuffle only
+    happens when the input is small enough that shuffling it is
+    cheap by construction."""
+    sc = df.sparkSession.sparkContext
+    goal = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < goal:
+        return df.repartition(goal)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so `spark.sql` queries can
     bind by name (mirrors the driver's DuckDB-side view registry)."""
