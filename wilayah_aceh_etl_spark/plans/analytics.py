@@ -588,3 +588,143 @@ def scalar_subquery_above_avg_suppliers(spark: SparkSession, sf_dir: str) -> Dat
         ORDER BY s_suppkey
         """
     )
+
+
+_CUBE_ORACLE = """
+SELECT
+  COALESCE(o_orderstatus, 'ALL')   AS orderstatus,
+  COALESCE(c_mktsegment, 'ALL')    AS mktsegment,
+  COUNT(*)                         AS n_orders,
+  ROUND(SUM(o_totalprice), 2)      AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (o_orderstatus, c_mktsegment)
+ORDER BY orderstatus, mktsegment
+"""
+
+
+@register(
+    "cube_status_segment",
+    oracle=_CUBE_ORACLE,
+    tags=("agg", "cube", "join"),
+    description="CUBE over (status, segment): all 4 grouping combos",
+)
+def cube_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE = every grouping-set combination; Catalyst expands it to
+    one Expand node feeding a single hash aggregate — one shuffle,
+    not 4 separate group-bys."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .cube("o_orderstatus", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("mktsegment"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("orderstatus", "mktsegment")
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT
+  COALESCE(o_orderstatus, 'ALL')   AS orderstatus,
+  COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+  COUNT(*)                         AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY orderstatus, orderpriority
+"""
+
+
+@register(
+    "grouping_sets_status_or_priority",
+    oracle=_GROUPING_SETS_ORACLE,
+    tags=("agg", "grouping-sets", "sql"),
+    description="explicit GROUPING SETS via the SQL surface",
+)
+def grouping_sets_status_or_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets — the SQL front-end form (DataFrame
+    API only exposes rollup/cube); same single-Expand plan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT
+          COALESCE(o_orderstatus, 'ALL')   AS orderstatus,
+          COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+          COUNT(*)                         AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY orderstatus, orderpriority
+        """
+    )
+
+
+_MONTHLY_ORACLE = """
+SELECT date_trunc('month', o_orderdate) AS order_month,
+       COUNT(*)                    AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@register(
+    "monthly_order_revenue",
+    oracle=_MONTHLY_ORACLE,
+    tags=("agg", "date", "filter"),
+    description="date_trunc monthly revenue with pushed date filter",
+)
+def monthly_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing + a range predicate that must reach the
+    parquet scan as a pushed filter (check PushedFilters in explain)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("order_month")
+    )
+
+
+_PERCENTILE_ORACLE = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 2) AS p75
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "percentiles_price_by_status",
+    oracle=_PERCENTILE_ORACLE,
+    tags=("agg", "percentile"),
+    description="exact interpolated quartiles per order status",
+)
+def percentiles_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (Spark `percentile` ≡ DuckDB quantile_cont,
+    both linear-interpolated). At 100 TB swap to approx_percentile —
+    the exact form needs per-group sorted values; the approx sketch
+    merges map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 2).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.50)"), 2).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 2).alias("p75"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -282,3 +282,111 @@ def events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "user_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (custom temporal operator — no Spark built-in)
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS purchase_ts, ROUND(r.value, 2) AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+ON l.user_id = r.user_id AND l.ts > r.ts
+ORDER BY l.event_id
+"""
+
+
+@register(
+    "events_asof_last_purchase",
+    oracle=_ASOF_ORACLE,
+    tags=("events", "asof", "join", "temporal"),
+    description="as-of join: each click ← latest strictly-prior purchase",
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click event joined to the SAME USER's latest purchase
+    strictly before it (operators/temporal.py::asof_join — the
+    union+sort formulation, one shuffle, checked against DuckDB's
+    native ASOF JOIN)."""
+    from wilayah_aceh_etl_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        clicks, purchases, on="user_id", right_payload=["value"], strict=True
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_r").alias("purchase_ts"),
+        F.round(F.col("value_r"), 2).alias("purchase_value"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Banded range join (interval predicate → equi-join on time buckets)
+# ---------------------------------------------------------------------------
+
+_RANGE_JOIN_ORACLE = """
+SELECT l.event_id, l.user_id, l.ts AS error_ts,
+       r.event_id AS click_event_id, r.ts AS click_ts,
+       CAST(floor(epoch(l.ts)) AS BIGINT)
+         - CAST(floor(epoch(r.ts)) AS BIGINT) AS delta_s
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'error' AND r.event_type = 'click'
+ AND CAST(floor(epoch(l.ts)) AS BIGINT)
+       - CAST(floor(epoch(r.ts)) AS BIGINT) BETWEEN 0 AND 3599
+ORDER BY l.event_id, click_event_id
+"""
+
+
+@register(
+    "events_range_join_error_click",
+    oracle=_RANGE_JOIN_ORACLE,
+    tags=("events", "range-join", "join", "temporal"),
+    description="banded range join: errors ← same-user clicks ≤1h before",
+)
+def events_range_join_error_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every (error, click) pair of the same user with the click at
+    most 1 hour before the error. Spark side runs the bucketed
+    equi-join (operators/temporal.py::banded_range_join) whose
+    intermediate is O(true pairs); the oracle states the naive
+    inequality join. Time resolution is whole seconds
+    (unix_timestamp ≡ floor(epoch))."""
+    from wilayah_aceh_etl_spark.operators.temporal import banded_range_join
+
+    e = load_table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = banded_range_join(
+        errors,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        lower=F.lit(0),
+        upper=F.lit(3600),
+        band_seconds=3600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        F.col("event_id_r").alias("click_event_id"),
+        F.col("ts_r").alias("click_ts"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("ts_r")
+        ).alias("delta_s"),
+    ).orderBy("event_id", "click_event_id")
