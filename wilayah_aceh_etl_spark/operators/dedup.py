@@ -269,21 +269,48 @@ def simhash16(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     return votes.select("doc_id", fp.cast("long").alias("simhash"))
 
 
-def simhash_near_pairs(fps: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Pairs within hamming radius. Broadcast-join safe at test
-    scale; at 100 TB, pre-bucket by high bits (same pattern as LSH
-    bands) before the pairwise check."""
-    a = fps.alias("a")
-    b = fps.alias("b")
-    ham = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+def simhash_near_pairs(
+    fps: DataFrame, max_hamming: int = 3, n_bits: int = 16
+) -> DataFrame:
+    """Pairs within hamming radius, WITHOUT the all-pairs join.
+
+    Pigeonhole banding: split the fingerprint into max_hamming+1
+    equal-ish chunks — a pair with ≤max_hamming differing bits must
+    agree EXACTLY on at least one chunk. Equi-join on (chunk_idx,
+    chunk_value), dedup candidates, then the exact hamming filter.
+    Identical output to the naive O(n²) comparison, but the join is
+    hash-partitioned on chunk values — the same candidates-only
+    shape as MinHash LSH, and the plan has no nested-loop join."""
+    n_chunks = max_hamming + 1
+    width = -(-n_bits // n_chunks)  # ceil
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_idx"),
+                (F.floor(F.col("simhash") / (2 ** (i * width))).cast("long")
+                 % (2**width)).alias("chunk_val"),
+            )
+            for i in range(n_chunks)
+        ]
     )
+    banded = fps.select(
+        "doc_id", "simhash", F.explode(chunks).alias("c")
+    ).select("doc_id", "simhash", "c.chunk_idx", "c.chunk_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
