@@ -1,0 +1,150 @@
+"""Property-based tests (hypothesis) — SURVEY §5.5.
+
+Pure-function properties run at full example counts; Spark-backed
+properties use small example budgets (each example is a real job).
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from wilayah_aceh_etl_spark.functions.geometry import (
+    _dp,
+    _simplify_ring,
+    normalize_geojson_str,
+)
+from wilayah_aceh_etl_spark.operators.wilayah import _dispatch
+
+# ---------------------------------------------------------------------------
+# Query-shape dispatch (reference server.js:424-476 rules)
+# ---------------------------------------------------------------------------
+
+_code = st.one_of(
+    st.from_regex(r"^\d{2}$", fullmatch=True),
+    st.from_regex(r"^\d{2}\.\d{2}$", fullmatch=True),
+    st.from_regex(r"^\d{2}\.\d{2}\.\d{2}$", fullmatch=True),
+    st.from_regex(r"^\d{2}\.\d{2}\.\d{2}\.2\d{3}$", fullmatch=True),
+)
+
+
+@given(_code)
+def test_dispatch_matches_reference_rules(code):
+    parts = _dispatch(code)
+    n = len(code)
+    keys = [p[0] for p in parts]
+    # every fetch level matches its envelope key
+    level_of = {"provinsi": 1, "kabupaten": 2, "kecamatan": 3, "kelurahan": 4}
+    assert all(level_of[k] == lvl for k, lvl, _ in parts)
+    if n == 2:
+        assert keys == ["provinsi", "kabupaten"]
+        assert all(pfx == code for _, _, pfx in parts)
+    elif n == 5:
+        assert keys == ["kabupaten", "kecamatan", "kelurahan"]
+        assert all(pfx == code for _, _, pfx in parts)
+    elif n == 8:
+        assert keys == ["kabupaten", "kecamatan", "kelurahan"]
+        assert parts[0][2] == code[:5]  # parent context
+        assert parts[1][2] == parts[2][2] == code
+    else:
+        assert keys == ["kecamatan", "kelurahan"]
+        assert parts[0][2] == code[:8]
+        assert parts[1][2] == code
+    # prefixes are always prefixes of (or equal to) the query code
+    assert all(code.startswith(pfx) or pfx == code[: len(pfx)] for _, _, pfx in parts)
+
+
+# ---------------------------------------------------------------------------
+# Geometry kernel invariants
+# ---------------------------------------------------------------------------
+
+_pt = st.tuples(
+    st.floats(-180, 180, allow_nan=False), st.floats(-90, 90, allow_nan=False)
+).map(list)
+
+
+@given(st.lists(_pt, min_size=2, max_size=40), st.floats(0, 1, allow_nan=False))
+def test_dp_subset_and_endpoints(points, tol):
+    out = _dp(points, tol)
+    assert out[0] == points[0] and out[-1] == points[-1]
+    # output is an ordered subsequence of the input
+    idx = 0
+    for p in out:
+        while idx < len(points) and points[idx] != p:
+            idx += 1
+        assert idx < len(points)
+        idx += 1
+
+
+@given(st.lists(_pt, min_size=4, max_size=40), st.floats(0, 1, allow_nan=False))
+def test_ring_closure_and_floor(points, tol):
+    ring = points + [points[0]]  # closed ring
+    out = _simplify_ring(ring, tol)
+    assert out[0] == out[-1]  # closure preserved
+    assert len(out) >= 4  # never collapses below a valid boundary
+
+
+@given(st.text(max_size=80))
+def test_normalize_never_raises_on_junk(s):
+    out = normalize_geojson_str(s)
+    assert out is None or isinstance(out, str)
+
+
+@given(
+    st.lists(_pt, min_size=3, max_size=12).map(
+        lambda pts: {"type": "Polygon", "coordinates": [pts + [pts[0]]]}
+    )
+)
+def test_normalize_promotes_polygon_to_multi(geom):
+    out = normalize_geojson_str(json.dumps(geom))
+    assert out is not None
+    parsed = json.loads(out)
+    assert parsed["type"] == "MultiPolygon"
+    # 4-level nesting, 2-D points
+    ring = parsed["coordinates"][0][0]
+    assert all(len(p) == 2 for p in ring)
+
+
+# ---------------------------------------------------------------------------
+# As-of join vs a pure-Python reference model (Spark-backed, small budget)
+# ---------------------------------------------------------------------------
+
+_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 1000)),  # (key, seconds)
+    min_size=1,
+    max_size=12,
+    unique=True,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_events, right=_events)
+def test_asof_join_matches_model(spark, left, right):
+    import datetime as dt
+
+    from wilayah_aceh_etl_spark.operators.temporal import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    ldf = spark.createDataFrame(
+        [(i, f"k{k}", mk(s)) for i, (k, s) in enumerate(left)],
+        "id int, k string, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(f"k{k}", mk(s), float(s)) for k, s in right],
+        "k string, ts timestamp, v double",
+    )
+    got = {
+        r["id"]: r["v_r"]
+        for r in asof_join(ldf, rdf, on="k", strict=True).collect()
+    }
+    for i, (k, s) in enumerate(left):
+        priors = [rs for rk, rs in right if rk == k and rs < s]
+        want = float(max(priors)) if priors else None
+        assert got[i] == want, (i, k, s, got[i], want)

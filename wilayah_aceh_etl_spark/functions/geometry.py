@@ -73,9 +73,12 @@ def _perp_dist(pt, a, b) -> float:
     bx, by = b[0], b[1]
     px, py = pt[0], pt[1]
     dx, dy = bx - ax, by - ay
-    if dx == 0 and dy == 0:
+    # test the squared length, not the components: subnormal dx/dy can
+    # be nonzero while dx*dx + dy*dy underflows to exactly 0.0
+    denom = dx * dx + dy * dy
+    if denom == 0.0:
         return math.hypot(px - ax, py - ay)
-    t = ((px - ax) * dx + (py - ay) * dy) / (dx * dx + dy * dy)
+    t = ((px - ax) * dx + (py - ay) * dy) / denom
     t = max(0.0, min(1.0, t))
     return math.hypot(px - (ax + t * dx), py - (ay + t * dy))
 
