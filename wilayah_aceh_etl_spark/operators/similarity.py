@@ -138,6 +138,83 @@ def bucketed_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: assign every vector to
+    its nearest centroid (the inverted lists), probe only the
+    `n_probe` centroids nearest each query, exact cosine within the
+    probed lists.
+
+    Centroids here are the first `n_centroids` corpus vectors by id —
+    deterministic, so the whole structure is oracle-checkable in SQL.
+    At scale you'd swap in k-means centroids (pyspark.ml) and make
+    `centroid` the table's physical partition key so a probe reads
+    n_probe/n_centroids of the corpus; the query plan is unchanged.
+
+    Work: assignment is one broadcast pass O(N·C); search touches
+    only probed lists, O(Q · n_probe · N/C) instead of O(Q · N)."""
+    from pyspark.sql.window import Window
+
+    c = _prep(corpus, id_col, vec_col)
+    cent = F.broadcast(
+        c.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+        )
+    )
+
+    # inverted lists: nearest centroid per corpus vector (tie → low cid)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("_cos").desc(), F.col("cid")
+    )
+    lists = (
+        c.join(cent)
+        .select("vec_id", "vec", "cid", cosine(F.col("vec"), F.col("cvec")).alias("_cos"))
+        .withColumn("_rn", F.row_number().over(w_assign))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "vec", F.col("cid").alias("centroid"))
+    )
+
+    # probe set: n_probe nearest centroids per query
+    q = _prep(queries, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("cid")
+    )
+    probes = (
+        q.join(cent)
+        .select("query_id", "qvec", "cid", cosine(F.col("qvec"), F.col("cvec")).alias("_cos"))
+        .withColumn("_rn", F.row_number().over(w_probe))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", "qvec", F.col("cid").alias("centroid"))
+    )
+
+    # exact cosine, probed lists only
+    w_topk = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id")
+    )
+    return (
+        F.broadcast(probes)
+        .join(lists, "centroid")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("qvec"), F.col("vec")).alias("_cos"),
+        )
+        .withColumn("rk", F.row_number().over(w_topk))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", F.round("_cos", 6).alias("cos_sim"), "rk")
+    )
+
+
 def norm_stats_by_label(
     corpus: DataFrame, vec_col: str = "embedding", label_col: str = "label"
 ) -> DataFrame:

@@ -303,6 +303,7 @@ ORDER BY l.event_id
     oracle=_ASOF_ORACLE,
     tags=("events", "asof", "join", "temporal"),
     description="as-of join: each click ← latest strictly-prior purchase",
+    bench=True,
 )
 def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Each click event joined to the SAME USER's latest purchase
@@ -390,3 +391,65 @@ def events_range_join_error_click(spark: SparkSession, sf_dir: str) -> DataFrame
             F.unix_timestamp("ts") - F.unix_timestamp("ts_r")
         ).alias("delta_s"),
     ).orderBy("event_id", "click_event_id")
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical rollup (continuous-aggregate pattern: fine partials →
+# coarse aggregate, never re-reading raw data for the coarse grain)
+# ---------------------------------------------------------------------------
+
+_HIER_ROLLUP_ORACLE = """
+WITH minute_partials AS (
+  SELECT time_bucket(INTERVAL '1 minute', ts) AS m,
+         event_type,
+         COUNT(*)             AS n,
+         ROUND(SUM(value), 2) AS v
+  FROM events GROUP BY 1, 2
+)
+SELECT time_bucket(INTERVAL '1 hour', m) AS hour_start,
+       event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       ROUND(SUM(v), 2)       AS total_value
+FROM minute_partials
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@register(
+    "events_hierarchical_rollup",
+    oracle=_HIER_ROLLUP_ORACLE,
+    tags=("events", "window-time", "rollup", "hypertable"),
+    description="hypertable-style rollup: minute partials → hourly",
+)
+def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable/continuous-aggregate pattern: the hourly grain
+    is computed FROM the minute-grain partials (both engines do the
+    same two-level computation, so the FP rounding path is shared).
+    At 100 TB the minute partials are a materialized table the
+    streaming job maintains; every coarser grain derives from it —
+    ~60× less data than re-scanning raw events per grain."""
+    e = load_table(spark, sf_dir, "events")
+    minute = (
+        e.groupBy(
+            F.window("ts", "1 minute").alias("w"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("v"),
+        )
+        .select(F.col("w.start").alias("m"), "event_type", "n", "v")
+    )
+    return (
+        minute.groupBy(
+            F.window("m", "1 hour").alias("w"), "event_type"
+        ).agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("v"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("hour_start", "event_type")
+    )

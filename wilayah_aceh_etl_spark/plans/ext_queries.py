@@ -525,6 +525,68 @@ def similarity_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "similarity_ivf_topk",
+    oracle="WITH "
+    + _VEC_CTE
+    + """,
+cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+lists AS (
+  SELECT vec_id, e, cid AS centroid FROM (
+    SELECT v.vec_id, v.e, cent.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY """
+    + _COS.format(a="v.e", b="cent.ce")
+    + """ DESC, cent.cid
+           ) AS rn
+    FROM v, cent
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qe, cid AS centroid FROM (
+    SELECT v.vec_id AS query_id, v.e AS qe, cent.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY """
+    + _COS.format(a="v.e", b="cent.ce")
+    + """ DESC, cent.cid
+           ) AS rn
+    FROM v, cent WHERE v.vec_id < 5
+  ) WHERE rn <= 4
+),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+  FROM (
+    SELECT p.query_id, l.vec_id, """
+    + _COS.format(a="p.qe", b="l.e")
+    + """ AS c
+    FROM probes p JOIN lists l USING (centroid)
+    WHERE p.query_id != l.vec_id
+  )
+)
+SELECT query_id, vec_id, ROUND(c, 6) AS cos_sim, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 10
+ORDER BY query_id, rk
+""",
+    tags=("ext", "similarity", "ivf", "ann"),
+    description="IVF approximate top-10: probe 4 of 16 inverted lists",
+    bench=True,
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (operators/similarity.py::ivf_topk): inverted lists
+    from a deterministic coarse quantizer, queries probe 4/16 lists —
+    the structure that scales by making `centroid` the partition key."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (
+        S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+        .withColumn("rk", F.col("rk").cast("int"))
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
     "embedding_norm_stats",
     oracle="WITH "
     + _VEC_CTE
