@@ -728,3 +728,71 @@ def percentiles_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_SALTED_JOIN_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT)    AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "skew_salted_join_revenue",
+    oracle=_SALTED_JOIN_ORACLE,
+    tags=("join", "skew", "salted"),
+    description="fact-dim join via explicit salting (skew-safe path)",
+)
+def skew_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit skew remedy (operators/skew.py::salted_join):
+    lineitem salted per-row, orders replicated 8×, shuffle keys
+    (orderkey, salt). Result-identical to the plain join — the
+    oracle states the plain form."""
+    from wilayah_aceh_etl_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    joined = salted_join(li, o, on="l_orderkey", n_salts=8)
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_SKEW_DISTINCT_ORACLE = """
+SELECT l_suppkey, CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+FROM lineitem
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
+
+
+@register(
+    "skew_safe_distinct_parts_per_supplier",
+    oracle=_SKEW_DISTINCT_ORACLE,
+    tags=("agg", "distinct", "skew"),
+    description="two-phase exact distinct (hot keys never concentrate)",
+)
+def skew_safe_distinct_parts_per_supplier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-supplier distinct part count via the two-shuffle form
+    (operators/skew.py::count_distinct_skew_safe): the first shuffle
+    partitions on (suppkey, partkey), so a hot supplier spreads."""
+    from wilayah_aceh_etl_spark.operators.skew import count_distinct_skew_safe
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return count_distinct_skew_safe(li, "l_suppkey", "l_partkey").orderBy(
+        "l_suppkey"
+    )
