@@ -160,8 +160,10 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
                 for i in range(n_frames):
                     out_ids.append(mid)
                     out_idx.append(i)
+                    # ASCII index suffix: reproducible in any engine
+                    # with md5 + string concat (the oracle's twin)
                     out_digest.append(
-                        hashlib.md5(b + i.to_bytes(4, "big")).hexdigest()
+                        hashlib.md5(b + str(i).encode()).hexdigest()
                     )
         import pandas as pd
 

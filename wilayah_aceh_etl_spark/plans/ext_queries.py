@@ -639,3 +639,71 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("text"), 256).alias("content_sha256"),
         (F.length(payload) % 16).alias("shard"),
     ).orderBy("doc_id")
+
+
+_H4D0 = " + ".join(
+    f"(instr('0123456789abcdef', digest[{p}:{p}]) - 1) * {w}"
+    for p, w in ((1, 4096), (2, 256), (3, 16), (4, 1))
+)
+_H4D4 = " + ".join(
+    f"(instr('0123456789abcdef', digest[{p + 4}:{p + 4}]) - 1) * {w}"
+    for p, w in ((1, 4096), (2, 256), (3, 16), (4, 1))
+)
+
+
+@register(
+    "multimodal_decode_meta",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         md5(text) AS digest
+  FROM documents WHERE doc_id < 200
+)
+SELECT media_id, 'image/png' AS mime, n_bytes,
+       CAST(64 + ({_H4D0}) % 1984 AS INTEGER) AS width,
+       CAST(64 + ({_H4D4}) % 1984 AS INTEGER) AS height,
+       CAST(1 + (instr('0123456789abcdef', digest[9:9]) - 1) % 4 AS INTEGER)
+         AS n_channels,
+       digest AS content_digest
+FROM m ORDER BY media_id
+""",
+    tags=("ext", "multimodal", "decode"),
+    description="Arrow-batched media decode (stub codec), metadata out",
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode_media over mapInPandas: payload column dropped on
+    output so metadata queries never re-read bytes. The stub codec's
+    md5-derived dimensions are the oracle's twin; a real codec
+    replaces one function (operators/multimodal.py seam)."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = M.attach_fake_payload(docs, "doc_id")
+    return M.decode_media(media).orderBy("media_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents WHERE doc_id < 200
+)
+SELECT media_id, CAST(i AS INTEGER) AS frame_index,
+       md5(text || CAST(i AS VARCHAR)) AS frame_digest
+FROM m, UNNEST(range(0, GREATEST(1, n_bytes // 100))) AS t(i)
+ORDER BY media_id, frame_index
+""",
+    tags=("ext", "multimodal", "video", "frames"),
+    description="1→N frame sampling over mapInPandas (video analog)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample_frames: each payload expands to ≥1 deterministic frame
+    rows — the 1→N batch shape a real frame sampler has."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = M.attach_fake_payload(docs, "doc_id")
+    return M.sample_frames(media, every_n=10).orderBy("media_id", "frame_index")

@@ -494,3 +494,73 @@ def wilayah_seed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.when(F.col("level") == 1, 1)) > 0).alias("seeded"),
         F.count(F.lit(1)).alias("total_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# P10 + P11 + P12 — level labels, byte humanization, null-guard defaults
+# (client-side compute in the reference: app.js:398-402, 247-254, 230-235)
+# ---------------------------------------------------------------------------
+
+_LABELS_ORACLE = (
+    _WILAYAH_CTE
+    + """,
+per_level AS (
+  SELECT level,
+         CASE level WHEN 1 THEN 'Provinsi'
+                    WHEN 2 THEN 'Kabupaten/Kota'
+                    WHEN 3 THEN 'Kecamatan'
+                    ELSE 'Kelurahan/Desa' END AS label,
+         COUNT(*) AS n_rows,
+         CAST(SUM(length(COALESCE(nama, ''))) AS BIGINT) AS name_bytes
+  FROM wilayah GROUP BY level
+)
+SELECT level, label, n_rows, name_bytes,
+       ROUND(name_bytes / POWER(1024.0,
+             floor(ln(GREATEST(name_bytes, 1)) / ln(1024.0))), 2) AS size_value,
+       ['B','KB','MB','GB'][CAST(
+             floor(ln(GREATEST(name_bytes, 1)) / ln(1024.0)) AS INTEGER) + 1]
+         AS size_unit
+FROM per_level ORDER BY level
+"""
+)
+
+
+@register(
+    "wilayah_level_labels_sizes",
+    oracle=_LABELS_ORACLE,
+    tags=("wilayah", "project", "p10", "p11", "p12"),
+    description="level→label map + byte humanization (log/pow/floor)",
+)
+def wilayah_level_labels_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 (conditional level→label, reference app.js:398-402), P11
+    (byte humanization floor(log(b)/log(1024)) + pow, app.js:247-254)
+    and P12 (coalesce null-guard, app.js:230-235) in one projection
+    over the hierarchy dim."""
+    dim = wilayah_dim(spark, sf_dir)
+    per_level = dim.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length(F.coalesce("nama", F.lit("")))).alias("name_bytes"),
+    )
+    label = (
+        F.when(F.col("level") == 1, F.lit("Provinsi"))
+        .when(F.col("level") == 2, F.lit("Kabupaten/Kota"))
+        .when(F.col("level") == 3, F.lit("Kecamatan"))
+        .otherwise(F.lit("Kelurahan/Desa"))
+    )
+    i = F.floor(
+        F.log(F.greatest(F.col("name_bytes"), F.lit(1)).cast("double"))
+        / F.log(F.lit(1024.0))
+    )
+    return per_level.select(
+        "level",
+        label.alias("label"),
+        "n_rows",
+        "name_bytes",
+        F.round(
+            F.col("name_bytes") / F.pow(F.lit(1024.0), i), 2
+        ).alias("size_value"),
+        F.element_at(
+            F.array(F.lit("B"), F.lit("KB"), F.lit("MB"), F.lit("GB")),
+            (i + 1).cast("int"),
+        ).alias("size_unit"),
+    ).orderBy("level")
