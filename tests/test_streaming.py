@@ -131,3 +131,67 @@ def test_running_totals_stateful(spark, event_files):
     got = {r.user_id: (r.n_events, r.total_value) for r in last.collect()}
     want = {r.user_id: (r.n_events, r.total_value) for r in batch.collect()}
     assert got == want
+
+
+def test_watermark_drops_late_rows_across_runs(spark, tmp_path):
+    """Late-data policy end-to-end: a row arriving after the
+    watermark passed its window is DROPPED, not merged — verified
+    through a parquet sink + checkpoint across three availableNow
+    runs (the third proves exactly-once: no new files → no new rows).
+    """
+    import datetime as dt
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m, 0)  # noqa: E731
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            [(i, ts, 1, "click", 1.0, "{}") for i, ts in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            tumbling_counts(read_event_stream(spark, src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: two rows in window 00:00-00:05; a row at 00:30 pushes the
+    # watermark to 00:20 > 00:05, finalizing the first window
+    write_batch([t(1), t(2), t(30)])
+    run_once()
+    rows = {
+        (r.window_start, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (t(0), 2) in rows  # first window emitted with both rows
+
+    # run 2: a LATE row for the finalized 00:00 window (watermark
+    # 00:20 ≫ window end) plus a fresh row at 00:50 that finalizes
+    # the 00:30 window
+    write_batch([t(3), t(50)])
+    run_once()
+    rows2 = sorted(
+        (r.window_start, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert (t(0), 2) in rows2  # late row did NOT resurrect the window
+    assert (t(0), 3) not in rows2 and (t(0), 1) not in rows2
+    assert (t(30), 1) in rows2  # 00:30 window finalized by run 2
+
+    # run 3: no new files → exactly-once means byte-identical output
+    run_once()
+    rows3 = sorted(
+        (r.window_start, r.n_events)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows3 == rows2

@@ -195,3 +195,36 @@ def test_malformed_geometry_null_path():
         '{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[0,0]]]}'
     )
     assert json.loads(out)["type"] == "MultiPolygon"
+
+
+def test_corrupt_geojson_file_skipped_not_fatal(spark, tmp_path):
+    """SURVEY §2.9: per-file read errors are logged and skipped in the
+    reference (server.js:555-557); here the PERMISSIVE schema read
+    yields null `features` for the corrupt file and explode drops it —
+    the good file still ingests."""
+    import json
+    import shutil
+
+    d = tmp_path / "geo"
+    d.mkdir()
+    good = {
+        "type": "FeatureCollection",
+        "features": [
+            {
+                "type": "Feature",
+                "properties": {"kd_propinsi": "11", "nm_propinsi": "Aceh"},
+                "geometry": {
+                    "type": "MultiPolygon",
+                    "coordinates": [[[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]]]],
+                },
+            }
+        ],
+    }
+    (d / "11_Aceh.geojson").write_text(json.dumps(good))
+    (d / "12_Broken.geojson").write_text("{not valid json at all")
+
+    from wilayah_aceh_etl_spark.sources.geojson import read_features
+
+    rows = read_features(spark, str(d)).collect()
+    assert len(rows) == 1
+    assert rows[0]["kode_wilayah_kemendagri"] == "11"
