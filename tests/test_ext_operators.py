@@ -121,3 +121,20 @@ def test_resize_and_frames(spark, docs):
     n = frames.count()
     assert n >= 20  # 1→N expansion
     assert frames.schema.fieldNames() == ["media_id", "frame_index", "frame_digest"]
+
+
+def test_minhash_signatures_from_docs_matches_explode_path(spark):
+    from wilayah_aceh_etl_spark.operators import dedup as D
+    from wilayah_aceh_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200)
+    via_arrays = {
+        r["doc_id"]: tuple(r[f"mh{s}"] for s in range(D.DEFAULT_K))
+        for r in D.minhash_signatures_from_docs(docs).collect()
+    }
+    sh = D.distinct_shingles(docs, "doc_id")
+    via_explode = {
+        r["doc_id"]: tuple(r[f"mh{s}"] for s in range(D.DEFAULT_K))
+        for r in D.minhash_signatures(sh).collect()
+    }
+    assert via_arrays == via_explode

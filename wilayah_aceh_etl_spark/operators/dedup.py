@@ -81,13 +81,44 @@ def distinct_shingles(
 def minhash_signatures(
     shingles: DataFrame, k: int = DEFAULT_K
 ) -> DataFrame:
-    """k lexicographic-min md5 signatures per doc. Partial aggregation
-    makes this one shuffle carrying k×32 chars per doc."""
+    """k lexicographic-min md5 signatures per doc from the exploded
+    (doc, shingle) relation. Partial aggregation makes this one
+    shuffle carrying k×32 chars per doc."""
     aggs = [
         F.min(minhash_component(F.col("shingle"), s)).alias(f"mh{s}")
         for s in range(k)
     ]
     return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures_from_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Same signatures with ZERO shuffles: the shingle set stays an
+    array column and each component is array_min(transform(...)) —
+    a per-row expression, so signature computation is map-side only
+    and parallelizes with input splits. Identical output to
+    minhash_signatures∘distinct_shingles (docs with no shingles are
+    dropped there by the explode, hence the size filter here)."""
+    from wilayah_aceh_etl_spark.sources.tables import spread
+
+    sh_arr = F.array_distinct(word_shingles(F.col(text_col), n))
+    comps = [
+        F.array_min(
+            F.transform(F.col("_sh"), lambda s: minhash_component(s, seed))
+        ).alias(f"mh{seed}")
+        for seed in range(k)
+    ]
+    return (
+        spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select("doc_id", sh_arr.alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .select("doc_id", *comps)
+    )
 
 
 def lsh_band_hashes(
@@ -217,7 +248,16 @@ def verified_near_dup_pairs(
     of the band self-join; a/b/sizes in the verify); persisting it
     computes the scan+explode+distinct once instead of six times —
     at 100 TB this is the difference between one and six passes over
-    the corpus (MEMORY_AND_DISK: spills, never recomputes)."""
+    the corpus (MEMORY_AND_DISK: spills, never recomputes).
+
+    (An alternative shape — map-side signatures via
+    minhash_signatures_from_docs + semi-join-scoped verification —
+    trades the persisted explode for more, smaller stages; measured
+    slower at bench scale because stage-scheduling overhead dominates,
+    so the persisted-relation form is kept. At 1000 executors the
+    map-side signature path avoids caching the shingle relation
+    entirely and becomes the better choice for the signature step;
+    it remains available as a drop-in.)"""
     from pyspark import StorageLevel
 
     sh = distinct_shingles(df, id_col, text_col, n).persist(

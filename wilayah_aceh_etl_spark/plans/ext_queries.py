@@ -145,9 +145,8 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures for a doc_id slice — the reproducible
     md5 hash family makes the signature itself oracle-checkable."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.distinct_shingles(docs, "doc_id")
     return (
-        D.minhash_signatures(sh, _K)
+        D.minhash_signatures_from_docs(docs, "doc_id", k=_K)
         .filter(F.col("doc_id") < 40)
         .orderBy("doc_id")
     )
