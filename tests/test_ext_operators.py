@@ -138,3 +138,18 @@ def test_minhash_signatures_from_docs_matches_explode_path(spark):
         for r in D.minhash_signatures(sh).collect()
     }
     assert via_arrays == via_explode
+
+
+def test_connected_components_handmade_graph(spark):
+    from wilayah_aceh_etl_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4, triangle 10-11-12 (+ redundant edge), pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

@@ -271,6 +271,57 @@ def verified_near_dup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Cluster the near-dup pair graph: every doc gets
+    cluster_id = min(doc_id reachable from it). This is the step that
+    turns pairwise similarity into actual corpus dedup (keep one
+    canonical doc per cluster).
+
+    Min-label propagation: each round every node takes the min of its
+    own and its neighbors' labels — one shuffle per round, converges
+    in O(graph diameter) rounds (near-dup clusters are shallow; 25
+    covers any realistic chain). localCheckpoint truncates lineage so
+    round N's plan doesn't replay rounds 1..N-1 — the standard Spark
+    iterative-algorithm pattern. The driver-side loop only checks a
+    scalar convergence count; all data movement is distributed."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .union(
+            pairs.select(F.col(a_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .union(
+            pairs.select(F.col(b_col).alias("src"), F.col(b_col).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.groupBy("src").agg(F.min("src").alias("label"))
+    for _ in range(max_iterations):
+        e = edges.alias("e")
+        lbl = labels.alias("lbl")
+        propagated = (
+            e.join(lbl, F.col("e.dst") == F.col("lbl.src"))
+            .groupBy(F.col("e.src").alias("src"))
+            .agg(F.min("lbl.label").alias("new_label"))
+        )
+        joined = labels.join(propagated, "src").localCheckpoint(eager=True)
+        n_changed = joined.filter(
+            F.col("new_label") != F.col("label")
+        ).count()
+        labels = joined.select("src", F.col("new_label").alias("label"))
+        if n_changed == 0:
+            break
+    return labels.select(
+        F.col("src").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def fingerprint_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """Canonical-token-set fingerprint per doc."""
     return df.select(

@@ -706,3 +706,54 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = M.attach_fake_payload(docs, "doc_id")
     return M.sample_frames(media, every_n=10).orderBy("media_id", "frame_index")
+
+
+@register(
+    "dedup_connected_components",
+    oracle="WITH RECURSIVE "
+    + _SHINGLE_CTE
+    + ", "
+    + _SIGS_CTE
+    + ", "
+    + _BANDS_CTE
+    + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+),"""
+    + _JACCARD_CTE
+    + """,
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN jac j USING (doc_a, doc_b)
+  WHERE j.jaccard >= 0.5
+),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM und),
+reach(src, dst) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+)
+SELECT src AS doc_id, MIN(dst) AS cluster_id,
+       (src = MIN(dst)) AS is_canonical
+FROM reach GROUP BY src ORDER BY doc_id
+""",
+    tags=("ext", "dedup", "graph", "components"),
+    description="near-dup clusters via iterative connected components",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise near-dups → clusters → canonical doc per cluster
+    (operators/dedup.py::connected_components, min-label propagation
+    vs the oracle's recursive-CTE transitive closure)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.verified_near_dup_pairs(docs, threshold=0.5)
+    comps = D.connected_components(pairs)
+    return comps.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    ).orderBy("doc_id")
