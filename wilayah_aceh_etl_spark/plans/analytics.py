@@ -796,3 +796,114 @@ def skew_safe_distinct_parts_per_supplier(
     return count_distinct_skew_safe(li, "l_suppkey", "l_partkey").orderBy(
         "l_suppkey"
     )
+
+
+_CORRELATED_EXISTS_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "correlated_exists_big_spenders",
+    oracle=_CORRELATED_EXISTS_ORACLE,
+    tags=("subquery", "exists", "sql"),
+    description="correlated EXISTS subquery (SQL surface)",
+)
+def correlated_exists_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL front-end — Catalyst rewrites
+    it to the same left-semi join the DataFrame form plans."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+_STRINGFUNC_ORACLE = """
+SELECT c_custkey,
+       upper(c_name)                                   AS name_upper,
+       regexp_extract(c_name, '([0-9]+)$', 1)          AS name_num,
+       CAST(length(c_name) AS INTEGER)                 AS name_len,
+       replace(c_name, '#', '-')                       AS name_dashed,
+       substr(c_mktsegment, 1, 3)                      AS seg3,
+       CAST(contains(lower(c_mktsegment), 'a') AS BOOLEAN) AS seg_has_a
+FROM customer
+WHERE c_custkey < 200
+ORDER BY c_custkey
+"""
+
+
+@register(
+    "string_functions_battery",
+    oracle=_STRINGFUNC_ORACLE,
+    tags=("project", "string"),
+    description="string-function battery: regexp, case, replace, substr",
+)
+def string_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string transforms, all JVM-side expressions (the
+    reference's only string ops are lower/substring — SURVEY P6/P8;
+    this is the broader surface Spark gives for free)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.filter(F.col("c_custkey") < 200)
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("name_num"),
+            F.length("c_name").cast("int").alias("name_len"),
+            F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias(
+                "name_dashed"
+            ),
+            F.substring("c_mktsegment", 1, 3).alias("seg3"),
+            F.lower(F.col("c_mktsegment")).contains("a").alias("seg_has_a"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_LATERAL_ORACLE = """
+SELECT doc_id, CAST(pos AS INTEGER) AS pos, tok
+FROM (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+         UNNEST(string_split(text, ' ')) AS tok
+  FROM documents
+) t
+WHERE doc_id < 5
+ORDER BY doc_id, pos
+"""
+
+
+@register(
+    "lateral_posexplode_tokens",
+    oracle=_LATERAL_ORACLE,
+    tags=("project", "explode", "lateral"),
+    description="posexplode token stream (generator / lateral view)",
+)
+def lateral_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator expression (LATERAL VIEW posexplode): 1→N row
+    expansion with positional index — the shape every tokenization
+    pipeline starts with."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") < 5)
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        )
+        .orderBy("doc_id", "pos")
+    )
