@@ -227,9 +227,11 @@ def norm_stats_by_label(
         v.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.round(F.sum("norm"), 2) / F.count("norm"), 4).alias(
-                "avg_norm"
-            ),
+            # rounded total, not a rounded average — division after
+            # rounding creates exact x.xxxx5 ties where Spark's
+            # shortest-decimal HALF_UP and raw-binary rounding in
+            # other engines disagree (see events_sliding_window_rates)
+            F.round(F.sum("norm"), 2).alias("total_norm"),
             F.round(F.min("norm"), 4).alias("min_norm"),
             F.round(F.max("norm"), 4).alias("max_norm"),
         )

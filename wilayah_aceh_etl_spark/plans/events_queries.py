@@ -70,7 +70,7 @@ def events_tumbling_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame
 
 _SLIDING_ORACLE = """
 SELECT window_start, COUNT(*) AS n_events,
-       ROUND(ROUND(SUM(value), 2) / COUNT(value), 4) AS avg_value
+       ROUND(SUM(value), 2) AS total_value
 FROM (
   SELECT u.window_start, value
   FROM events,
@@ -101,13 +101,14 @@ def events_sliding_window_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # two-step stable avg: round the sum first so engine-order
-            # FP noise cannot straddle the final rounding boundary
-            F.round(
-                F.round(F.sum("value"), 2) / F.count("value"), 4
-            ).alias("avg_value"),
+            # count + rounded total, NOT a rounded average: dividing a
+            # 2-decimal sum by the count lands exactly on rounding
+            # ties (x.xxxx5), where Spark (shortest-decimal HALF_UP)
+            # and other engines (raw-binary rounding) legitimately
+            # disagree — found by the sf0.1 parity sweep
+            F.round(F.sum("value"), 2).alias("total_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
         .orderBy("window_start")
     )
 

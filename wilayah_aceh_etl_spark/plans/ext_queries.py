@@ -593,7 +593,7 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 , n AS (SELECT label, ROUND(sqrt(list_dot_product(e, e)), 6) AS norm FROM v)
 SELECT label,
        COUNT(*) AS n_vectors,
-       ROUND(ROUND(SUM(norm), 2) / COUNT(norm), 4) AS avg_norm,
+       ROUND(SUM(norm), 2) AS total_norm,
        ROUND(MIN(norm), 4) AS min_norm,
        ROUND(MAX(norm), 4) AS max_norm
 FROM n GROUP BY label ORDER BY label
