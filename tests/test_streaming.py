@@ -195,3 +195,24 @@ def test_watermark_drops_late_rows_across_runs(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert rows3 == rows2
+
+
+def test_sliding_matches_batch(spark, event_files):
+    from wilayah_aceh_etl_spark.streaming import sliding_rates
+
+    stream = read_event_stream(spark, event_files)
+    name = f"agg_sliding_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(sliding_rates(stream), name)
+    got = {
+        r.window_start: (r.n_events, r.total_value)
+        for r in spark.table(name).collect()
+    }
+    from wilayah_aceh_etl_spark.plans.events_queries import (
+        events_sliding_window_rates,
+    )
+
+    want = {
+        r.window_start: (r.n_events, r.total_value)
+        for r in events_sliding_window_rates(spark, SF_SMOKE).collect()
+    }
+    assert got == want

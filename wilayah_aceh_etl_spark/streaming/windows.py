@@ -78,11 +78,9 @@ def sliding_rates(
         .groupBy(F.window("ts", window, slide).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.round(F.sum("value"), 2) / F.count("value"), 4).alias(
-                "avg_value"
-            ),
+            F.round(F.sum("value"), 2).alias("total_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
     )
 
 
