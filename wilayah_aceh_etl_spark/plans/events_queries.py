@@ -454,3 +454,77 @@ def events_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis (ordered multi-step conversion)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN s ON e.user_id = s.user_id AND e.ts > s.t_signup
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT s.user_id, s.t_signup, c.t_click, p.t_purchase,
+       CAST(c.user_id IS NOT NULL AS BOOLEAN)   AS reached_click,
+       CAST(p.user_id IS NOT NULL AS BOOLEAN)   AS reached_purchase
+FROM s LEFT JOIN c ON s.user_id = c.user_id
+       LEFT JOIN p ON s.user_id = p.user_id
+ORDER BY s.user_id
+"""
+
+
+@register(
+    "events_funnel_signup_click_purchase",
+    oracle=_FUNNEL_ORACLE,
+    tags=("events", "funnel", "sequence", "join"),
+    description="ordered funnel: signup → first later click → first later purchase",
+)
+def events_funnel_signup_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ordered-sequence funnel: each step's timestamp is the first
+    occurrence strictly AFTER the previous step (not just presence).
+    Three keyed aggregations + two left joins on user_id — one
+    shuffle key throughout, so at scale all steps co-partition."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, prev_t: str, etype: str, out_t: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_t))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_t))
+        )
+
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    c = first_after(s, "t_signup", "click", "t_click")
+    p = first_after(c, "t_click", "purchase", "t_purchase")
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_signup",
+            "t_click",
+            "t_purchase",
+            F.col("t_click").isNotNull().alias("reached_click"),
+            F.col("t_purchase").isNotNull().alias("reached_purchase"),
+        )
+        .orderBy("user_id")
+    )

@@ -757,3 +757,67 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * (ln((n.n_docs + 1) / (df.df + 1)) + 1), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tfidf
+FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+""",
+    tags=("ext", "text", "tfidf"),
+    description="top-3 characteristic terms per doc (smoothed TF-IDF)",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-term TF-IDF (operators/text_analysis.py) — deterministic
+    alternative to hashed TF; same two-aggregation plan shape."""
+    from wilayah_aceh_etl_spark.operators.text_analysis import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3).orderBy("doc_id", "rk")
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+dims AS (
+  SELECT vec_id, generate_subscripts(e, 1) AS dim, UNNEST(e) AS x FROM v
+),
+stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM dims GROUP BY dim),
+codes AS (
+  SELECT d.vec_id, d.dim,
+         CAST(round((d.x - s.mn) / (s.mx - s.mn) * 255) AS INTEGER) AS code,
+         d.x, s.mn, s.mx
+  FROM dims d JOIN stats s USING (dim)
+)
+SELECT vec_id,
+       list(code ORDER BY dim) AS codes,
+       ROUND(SUM(abs(x - (mn + code * (mx - mn) / 255.0))), 6) AS abs_err
+FROM codes GROUP BY vec_id ORDER BY vec_id
+""",
+    tags=("ext", "similarity", "quantization"),
+    description="int8 min-max quantization of embeddings + recon error",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization (operators/similarity.py::quantize_int8):
+    the storage-compression op of a vector lake, per-dim codebook
+    broadcast both ways."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.quantize_int8(emb).orderBy("vec_id")
