@@ -148,3 +148,53 @@ def test_asof_join_matches_model(spark, left, right):
         priors = [rs for rk, rs in right if rk == k and rs < s]
         want = float(max(priors)) if priors else None
         assert got[i] == want, (i, k, s, got[i], want)
+
+
+# ---------------------------------------------------------------------------
+# Banded range join vs naive filter (Spark-backed, small budget)
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    left=_events,
+    right=_events,
+    bounds=st.tuples(st.integers(-600, 600), st.integers(1, 600)),
+)
+def test_banded_range_join_matches_naive(spark, left, right, bounds):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from wilayah_aceh_etl_spark.operators.temporal import banded_range_join
+
+    lower, width = bounds
+    upper = lower + width  # window always fits in band_seconds=width
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    ldf = spark.createDataFrame(
+        [(i, f"k{k}", mk(s)) for i, (k, s) in enumerate(left)],
+        "id int, k string, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(i, f"k{k}", mk(s)) for i, (k, s) in enumerate(right)],
+        "rid int, k string, ts timestamp",
+    )
+    got = sorted(
+        (r["id"], r["rid_r"])
+        for r in banded_range_join(
+            ldf, rdf, on="k", left_time="ts", right_time="ts",
+            lower=F.lit(lower), upper=F.lit(upper), band_seconds=width,
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (lk, ls) in enumerate(left)
+        for j, (rk, rs) in enumerate(right)
+        if lk == rk and lower <= ls - rs < upper
+    )
+    assert got == want

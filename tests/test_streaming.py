@@ -216,3 +216,60 @@ def test_sliding_matches_batch(spark, event_files):
         for r in events_sliding_window_rates(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_streaming_upsert_sink(spark, tmp_path):
+    """foreachBatch keyed upsert: after two availableNow runs over a
+    growing file source, the table holds exactly the latest event per
+    (user_id, event_type) — and matches the batch computation."""
+    import datetime as dt
+
+    from pyspark.sql.window import Window
+
+    from wilayah_aceh_etl_spark.streaming.sinks import upsert_stream
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    table = str(tmp_path / "table")
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m, 0)  # noqa: E731
+
+    def write_batch(rows):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            upsert_stream(
+                read_event_stream(spark, src),
+                table,
+                ck,
+                keys=["user_id", "event_type"],
+                order_cols=["ts", "event_id"],
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_batch([(1, t(1), 7, "click", 1.0, "{}"), (2, t(2), 7, "click", 2.0, "{}"),
+                 (3, t(1), 8, "view", 3.0, "{}")])
+    run_once()
+    got1 = {
+        (r.user_id, r.event_type): r.value
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got1 == {(7, "click"): 2.0, (8, "view"): 3.0}
+
+    # second run: newer click for user 7 wins; new key appears;
+    # older-ts row for user 8 view loses
+    write_batch([(4, t(9), 7, "click", 9.0, "{}"), (5, t(0), 8, "view", 0.5, "{}"),
+                 (6, t(3), 9, "purchase", 4.0, "{}")])
+    run_once()
+    got2 = {
+        (r.user_id, r.event_type): r.value
+        for r in spark.read.parquet(table).collect()
+    }
+    assert got2 == {(7, "click"): 9.0, (8, "view"): 3.0, (9, "purchase"): 4.0}

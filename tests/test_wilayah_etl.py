@@ -228,3 +228,17 @@ def test_corrupt_geojson_file_skipped_not_fatal(spark, tmp_path):
     rows = read_features(spark, str(d)).collect()
     assert len(rows) == 1
     assert rows[0]["kode_wilayah_kemendagri"] == "11"
+
+
+def test_envelope_auto_dual_source(spark, table_path, tmp_path):
+    """§2.9: one operator serves from the table when populated, from
+    raw files when not (the reference's DB-down fallback)."""
+    from wilayah_aceh_etl_spark.operators.wilayah import envelope_auto
+
+    geojson_dir = "/root/reference/geojson"
+    # populated table → DB-style envelope (has feature_collection col)
+    db = envelope_auto(spark, table_path, geojson_dir, "11")
+    assert "feature_collection" in db.columns and db.count() > 0
+    # missing table → file-style envelope (has source_file col)
+    fb = envelope_auto(spark, str(tmp_path / "nope"), geojson_dir, "11")
+    assert "source_file" in fb.columns and fb.count() > 0

@@ -313,6 +313,24 @@ def geojson_envelope(table: DataFrame, code: str) -> DataFrame:
     )
 
 
+def envelope_auto(
+    spark: SparkSession,
+    table_path: str,
+    geojson_dir: str,
+    code: str,
+) -> DataFrame:
+    """§2.9 dual-source fallback collapsed into one operator: serve
+    the envelope from the managed table when it exists and has rows
+    (the reference's DB path), else straight from the raw files (the
+    reference's /api/geojson file fallback when the DB is down —
+    server.js:282-286 + public/app.js:108-112)."""
+    if _table_exists(table_path):
+        table = load_wilayah(spark, table_path)
+        if table.limit(1).count() > 0:
+            return geojson_envelope(table, code)
+    return file_envelope(spark, geojson_dir, code)
+
+
 def file_envelope(
     spark: SparkSession, geojson_dir: str, code: str
 ) -> DataFrame:
