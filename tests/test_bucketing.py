@@ -72,3 +72,25 @@ def test_bucketed_agg_has_no_exchange(spark, bucketed_tables):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert "Exchange" not in plan, plan
+
+
+def test_compaction_reduces_files_preserves_data(spark, tmp_path):
+    from wilayah_aceh_etl_spark.sources.maintenance import (
+        compact_table,
+        data_file_count,
+    )
+
+    table = str(tmp_path / "frag")
+    li = load_table(spark, SF, "lineitem")
+    # fragment: 40 tiny files
+    li.repartition(40).write.mode("overwrite").parquet(table)
+    before_files = data_file_count(table)
+    before_rows = spark.read.parquet(table).count()
+    assert before_files >= 40
+
+    compact_table(spark, table, target_file_bytes=64 * 1024 * 1024)
+    after_files = data_file_count(table)
+    after_rows = spark.read.parquet(table).count()
+    assert after_rows == before_rows
+    assert after_files < before_files
+    assert after_files <= 4

@@ -1,0 +1,66 @@
+"""Table maintenance: small-file compaction.
+
+Every incremental writer (streaming upsert sink, repeated syncs)
+fragments a parquet table into many small files; at 100 TB the
+resulting per-file open/footer overhead dominates scan time and
+executors starve on listing. Compaction rewrites the table at a
+target file size, preserving the partition layout and re-sorting
+rows within files so min/max row-group pruning keeps working.
+
+(Delta/Iceberg expose this as OPTIMIZE; this is the plain-parquet
+equivalent with the same staged-write + atomic-swap discipline as
+the upsert path.)
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _tree_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith((".", "_")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_table(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_by: tuple[str, ...] = (),
+    sort_within: tuple[str, ...] = (),
+) -> int:
+    """Rewrite `table_path` with ≈target-sized files. Returns the
+    output file-count target. Data is byte-identical (same rows);
+    only the physical layout changes."""
+    df = spark.read.parquet(table_path)
+    n_files = max(1, math.ceil(_tree_bytes(table_path) / target_file_bytes))
+    out: DataFrame
+    if partition_by:
+        out = df.repartition(n_files, *partition_by)
+    else:
+        out = df.repartition(n_files)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    tmp = table_path + "._compacting"
+    writer.parquet(tmp)
+    shutil.rmtree(table_path)
+    os.rename(tmp, table_path)
+    return n_files
+
+
+def data_file_count(table_path: str) -> int:
+    n = 0
+    for _root, _dirs, files in os.walk(table_path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
