@@ -907,3 +907,155 @@ def lateral_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "pos")
     )
+
+
+_NULL_SEMANTICS_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_comment_null IS NULL AS BOOLEAN)           AS is_null,
+       COALESCE(o_comment_null, 'none')                  AS coalesced,
+       CAST(o_totalprice IS NOT DISTINCT FROM o_price2 AS BOOLEAN)
+                                                         AS null_safe_eq,
+       NULLIF(o_orderstatus, 'O')                        AS status_or_null
+FROM (
+  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         CASE WHEN o_orderkey % 3 = 0 THEN NULL
+              ELSE o_orderpriority END AS o_comment_null,
+         CASE WHEN o_orderkey % 2 = 0 THEN NULL
+              ELSE o_totalprice END AS o_price2
+  FROM orders WHERE o_orderkey < 300
+) t
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "null_semantics_battery",
+    oracle=_NULL_SEMANTICS_ORACLE,
+    tags=("project", "null", "three-valued"),
+    description="null semantics: IS NULL, coalesce, null-safe eq, nullif",
+)
+def null_semantics_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: null-safe equality (<=> ≡
+    IS NOT DISTINCT FROM), coalesce defaults (reference P12), nullif."""
+    o = load_table(spark, sf_dir, "orders")
+    t = o.filter(F.col("o_orderkey") < 300).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_comment_null"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_price2"),
+    )
+    return t.select(
+        "o_orderkey",
+        F.col("o_comment_null").isNull().alias("is_null"),
+        F.coalesce("o_comment_null", F.lit("none")).alias("coalesced"),
+        F.col("o_totalprice").eqNullSafe(F.col("o_price2")).alias("null_safe_eq"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_or_null"),
+    ).orderBy("o_orderkey")
+
+
+_DATE_BATTERY_ORACLE = """
+SELECT o_orderkey,
+       o_orderdate,
+       CAST(year(o_orderdate) AS INTEGER)                AS yr,
+       CAST(quarter(o_orderdate) AS INTEGER)             AS qtr,
+       CAST(dayofweek(o_orderdate) AS INTEGER)           AS dow,
+       o_orderdate + INTERVAL 90 DAY                     AS due_date,
+       CAST(date_diff('day', o_orderdate,
+                      TIMESTAMP '2000-01-01') AS BIGINT) AS days_to_y2k,
+       strftime(o_orderdate, '%Y-%m')                    AS ym
+FROM orders
+WHERE o_orderkey < 200
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "date_functions_battery",
+    oracle=_DATE_BATTERY_ORACLE,
+    tags=("project", "date"),
+    description="date arithmetic: parts, intervals, diffs, formatting",
+)
+def date_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar surface beyond the reference's NOW() (SURVEY P9):
+    part extraction, interval add, day diffs, formatting. DuckDB
+    dayofweek is 0=Sunday; Spark dayofweek is 1=Sunday — aligned by
+    subtracting 1 Spark-side."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            (F.dayofweek("o_orderdate") - 1).alias("dow"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias(
+                "due_date"
+            ),
+            F.datediff(
+                F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate")
+            ).cast("long").alias("days_to_y2k"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_WINDOW_FRAMES_ORACLE = """
+SELECT o_custkey, o_orderkey, price,
+       LAG(price) OVER w                                   AS prev_price,
+       LEAD(price) OVER w                                  AS next_price,
+       CAST(NTILE(4) OVER w AS INTEGER)                    AS quartile,
+       ROUND(SUM(price) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)     AS trailing3_sum,
+       CAST(RANK() OVER (
+         PARTITION BY o_custkey ORDER BY price DESC,
+         o_orderkey) AS INTEGER)                           AS price_rank
+FROM (
+  SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price
+  FROM orders WHERE o_custkey < 20
+) t
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register(
+    "window_frames_battery",
+    oracle=_WINDOW_FRAMES_ORACLE,
+    tags=("window", "frames"),
+    description="window frames: lag/lead, ntile, trailing-3 frame, rank",
+)
+def window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec surface: offset functions, tiles, an explicit ROWS
+    frame, deterministic rank tiebreak — all one shuffle on the
+    partition key, evaluated in a single Window physical op."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    t = o.filter(F.col("o_custkey") < 20).select(
+        "o_custkey",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wf = w.rowsBetween(-2, Window.currentRow)
+    wr = Window.partitionBy("o_custkey").orderBy(
+        F.col("price").desc(), "o_orderkey"
+    )
+    return t.select(
+        "o_custkey",
+        "o_orderkey",
+        "price",
+        F.lag("price").over(w).alias("prev_price"),
+        F.lead("price").over(w).alias("next_price"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.sum("price").over(wf), 2).alias("trailing3_sum"),
+        F.rank().over(wr).cast("int").alias("price_rank"),
+    ).orderBy("o_custkey", "o_orderkey")
