@@ -821,3 +821,52 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast both ways."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.quantize_int8(emb).orderBy("vec_id")
+
+
+@register(
+    "array_hof_battery",
+    oracle="""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+           WHERE vec_id < 100)
+SELECT vec_id,
+  CAST(len(list_filter(e, x -> x > 0)) AS INTEGER) AS n_positive,
+  ROUND(list_reduce(list_transform(e, x -> abs(x)), (a, b) -> a + b), 6)
+    AS l1_norm,
+  ROUND(list_max(e), 6) AS max_elem,
+  ROUND(list_dot_product(e, e), 6) AS self_dot,
+  ROUND(list_transform(e, x -> x * 2.0)[1], 6) AS first_doubled
+FROM v ORDER BY vec_id
+""",
+    tags=("ext", "project", "hof", "array"),
+    description="higher-order array functions: filter/transform/fold/zip",
+)
+def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions over the embedding arrays — the
+    expression-level toolkit every vector/array pipeline composes
+    (all JVM-side lambda expressions; the DuckDB twins are the
+    list_* functions). The fold starts at 0.0, which is
+    addition-identity-exact, so both engines produce bitwise-equal
+    doubles."""
+    from wilayah_aceh_etl_spark.functions.vectors import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    l1 = F.aggregate(
+        F.transform(e, lambda x: F.abs(x)), F.lit(0.0), lambda a, x: a + x
+    )
+    dot = F.aggregate(
+        F.zip_with(e, e, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        emb.filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+            F.round(l1, 6).alias("l1_norm"),
+            F.round(F.array_max(e), 6).alias("max_elem"),
+            F.round(dot, 6).alias("self_dot"),
+            F.round(F.element_at(F.transform(e, lambda x: x * 2.0), 1), 6)
+            .alias("first_doubled"),
+        )
+        .orderBy("vec_id")
+    )
