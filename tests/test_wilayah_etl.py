@@ -242,3 +242,28 @@ def test_envelope_auto_dual_source(spark, table_path, tmp_path):
     # missing table → file-style envelope (has source_file col)
     fb = envelope_auto(spark, str(tmp_path / "nope"), geojson_dir, "11")
     assert "source_file" in fb.columns and fb.count() > 0
+
+
+def test_stored_function_twins(spark, table_path):
+    """§2.8: every plpgsql stored function has a DataFrame twin."""
+    from wilayah_aceh_etl_spark.operators.wilayah import (
+        get_wilayah_by_level,
+        get_wilayah_counts,
+        get_wilayah_geojson,
+        load_wilayah,
+    )
+
+    t = load_wilayah(spark, table_path)
+
+    rows = get_wilayah_geojson(t, "11.01").collect()
+    assert rows and all(r["id"].startswith("11.01") for r in rows)
+    assert set(rows[0].asDict()) == {"id", "name", "level", "geom"}
+
+    by_level = get_wilayah_by_level(t, 2, "11").collect()
+    assert by_level and all(len(r["id"]) == 5 for r in by_level)
+    # null parent → no prefix constraint (F4 null escape)
+    assert len(get_wilayah_by_level(t, 2).collect()) >= len(by_level)
+
+    counts = {r["level"]: r["count"] for r in get_wilayah_counts(t).collect()}
+    assert counts and all(v > 0 for v in counts.values())
+    assert sum(counts.values()) == t.count()

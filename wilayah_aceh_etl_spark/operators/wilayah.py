@@ -248,6 +248,50 @@ def status_counts(table: DataFrame, code: str | None = None) -> DataFrame:
     )
 
 
+def get_wilayah_geojson(table: DataFrame, code: str) -> DataFrame:
+    """§2.8 UDTF twin of plpgsql get_wilayah_geojson(code)
+    (reference init_db.sql:40-60; declared but unused by server.js —
+    implemented for full parity scope): rows under a code prefix with
+    the GeoJSON geometry projected out."""
+    return (
+        table.filter(F.col(_KODE).startswith(code))
+        .select(
+            F.col(_KODE).alias("id"),
+            F.col(_NAMA).alias("name"),
+            "level",
+            F.col("geometry").alias("geom"),
+        )
+        .orderBy("level", "id")
+    )
+
+
+def get_wilayah_by_level(
+    table: DataFrame, level: int, parent: str | None = None
+) -> DataFrame:
+    """§2.8 UDTF twin of get_wilayah_by_level(level, parent)
+    (reference init_db.sql:63-84): F1 ∧ F4 (null-escaped prefix) with
+    the id/name/geom projection."""
+    pred = F.col("level") == level
+    if parent is not None:
+        pred = pred & F.col(_KODE).startswith(parent)
+    return table.filter(pred).select(
+        F.col(_KODE).alias("id"),
+        F.col(_NAMA).alias("name"),
+        F.col("geometry").alias("geom"),
+    )
+
+
+def get_wilayah_counts(table: DataFrame) -> DataFrame:
+    """§2.8 UDTF twin of get_wilayah_counts()
+    (reference init_db.sql:109-120): TABLE(level, count) — the
+    long-form of status_counts' pivoted envelope."""
+    return (
+        table.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy("level")
+    )
+
+
 def _dispatch(code: str) -> list[tuple[str, int, str]]:
     """SURVEY §2.7: code length → (envelope_key, level, prefix)
     fetch plan (reference server.js:424-476)."""
