@@ -870,3 +870,102 @@ def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "dedup_corpus_after",
+    oracle="WITH RECURSIVE "
+    + _SHINGLE_CTE
+    + ", "
+    + _SIGS_CTE
+    + ", "
+    + _BANDS_CTE
+    + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+),"""
+    + _JACCARD_CTE
+    + """,
+pairs AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN jac j USING (doc_a, doc_b)
+  WHERE j.jaccard >= 0.5
+),
+und AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM und),
+reach(src, dst) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.src, u.b FROM reach r JOIN und u ON r.dst = u.a
+),
+drop_list AS (
+  SELECT src AS doc_id FROM reach GROUP BY src
+  HAVING src != MIN(dst)
+)
+SELECT CAST(COUNT(*) AS BIGINT)                         AS n_docs_before,
+       CAST(COUNT(*) - (SELECT COUNT(*) FROM drop_list) AS BIGINT)
+                                                        AS n_docs_after,
+       CAST((SELECT COUNT(*) FROM drop_list) AS BIGINT) AS n_dropped
+FROM documents
+""",
+    tags=("ext", "dedup", "apply"),
+    description="corpus size after dropping non-canonical near-dups",
+)
+def dedup_corpus_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup APPLICATION: near-dup pairs → clusters →
+    keep only each cluster's canonical (min-id) doc; everything else
+    anti-joins away. This is the operation a training pipeline
+    actually runs; the pair/cluster queries are its observability."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.verified_near_dup_pairs(docs, threshold=0.5)
+    comps = D.connected_components(pairs)
+    drop = comps.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    kept = docs.join(drop, "doc_id", "anti")
+    return docs.agg(F.count(F.lit(1)).alias("n_docs_before")).crossJoin(
+        kept.agg(F.count(F.lit(1)).alias("n_docs_after"))
+    ).crossJoin(drop.agg(F.count(F.lit(1)).alias("n_dropped")))
+
+
+@register(
+    "sample_stratified_deterministic",
+    oracle="""
+WITH tagged AS (
+  SELECT doc_id, lang,
+         (instr('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[1:1]) - 1)
+           AS h
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) FILTER (WHERE h < 2) AS BIGINT) AS n_sampled,
+       COUNT(*)                                      AS n_total
+FROM tagged GROUP BY lang ORDER BY lang
+""",
+    tags=("ext", "sampling", "stratified"),
+    description="deterministic ~12.5% stratified sample via id-hash",
+)
+def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible sampling (training pipelines need the SAME sample
+    on re-runs and across engines): hash the stable id, keep hash
+    digit < 2 of 16 (~12.5%) per stratum. No rand(), no seed state —
+    pure projection, so it pushes down and parallelizes trivially."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    )
+    return (
+        docs.select("lang", h.alias("h"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.when(F.col("h") < 2, 1)).alias("n_sampled"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("lang")
+    )
