@@ -923,11 +923,17 @@ def dedup_corpus_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.verified_near_dup_pairs(docs, threshold=0.5)
     comps = D.connected_components(pairs)
-    drop = comps.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    kept = docs.join(drop, "doc_id", "anti")
-    return docs.agg(F.count(F.lit(1)).alias("n_docs_before")).crossJoin(
-        kept.agg(F.count(F.lit(1)).alias("n_docs_after"))
-    ).crossJoin(drop.agg(F.count(F.lit(1)).alias("n_dropped")))
+    drop = comps.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id", F.lit(1).alias("_dropped")
+    )
+    # one pass: mark dropped docs with a broadcast left join, count
+    # both totals in a single aggregation (no 1-row cross joins)
+    marked = docs.join(F.broadcast(drop), "doc_id", "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_docs_before"),
+        (F.count(F.lit(1)) - F.count("_dropped")).alias("n_docs_after"),
+        F.count("_dropped").alias("n_dropped"),
+    )
 
 
 @register(
