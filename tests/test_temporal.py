@@ -107,3 +107,25 @@ def test_banded_range_join_no_duplicate_pairs(spark):
     assert len(pairs) == len(set(pairs))
     # deltas in [0,120) at whole minutes → 0s and 60s only
     assert len(pairs) == 59 + 58
+
+
+def test_asof_tolerance_discards_stale_matches(spark):
+    left, right = _frames(spark)
+    # left id=2 at 00:20 matches right at 00:15 (300s old); with a
+    # 200s tolerance that match must become null, with 400s it stays
+    out_tight = {
+        r["id"]: r["v_r"]
+        for r in asof_join(
+            left, right, on="k", strict=True, tolerance_seconds=200
+        ).collect()
+    }
+    out_loose = {
+        r["id"]: r["v_r"]
+        for r in asof_join(
+            left, right, on="k", strict=True, tolerance_seconds=400
+        ).collect()
+    }
+    assert out_tight[2] is None
+    assert out_loose[2] == 150.0
+    # unmatched rows stay unmatched either way
+    assert out_tight[4] is None and out_loose[4] is None

@@ -42,12 +42,15 @@ def asof_join(
     right_payload: list[str] | None = None,
     strict: bool = True,
     suffix: str = "_r",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the payload of the LATEST right row
     of the same `on` key with right_time < left_time (strict=True,
     DuckDB `ASOF JOIN ... ON l.t > r.t`) or <= left_time
     (strict=False). Left rows with no prior right row keep nulls
-    (LEFT-join semantics).
+    (LEFT-join semantics). With `tolerance_seconds`, a match older
+    than the tolerance is discarded (bounded staleness — the match
+    becomes null rather than arbitrarily stale).
 
     One hash shuffle on `on` + one sort per partition; never builds
     the per-key cross product.
@@ -92,6 +95,14 @@ def asof_join(
     merged = l.unionByName(r).withColumn(
         "_match", F.last("_rp", ignorenulls=True).over(w)
     )
+    if tolerance_seconds is not None:
+        fresh = (
+            F.unix_timestamp(F.col("_t"))
+            - F.unix_timestamp(F.col("_match")[right_time + suffix])
+        ) <= tolerance_seconds
+        merged = merged.withColumn(
+            "_match", F.when(fresh, F.col("_match"))
+        )
     out = merged.filter(F.col("_side") == 1).select(
         *[F.col("_lp")[c].alias(c) for c in left_cols],
         *[
