@@ -528,3 +528,58 @@ def events_funnel_signup_click_purchase(
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming THROUGH the correctness gate: the availableNow
+# streaming pipeline must hash-match the same DuckDB oracle as its
+# batch twin — not just "run".
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_tumbling_window_counts",
+    oracle=_TUMBLING_ORACLE,
+    tags=("streaming", "events", "window-time"),
+    description="Structured Streaming tumbling agg, oracle-checked",
+)
+def streaming_tumbling_window_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Runs the REAL streaming pipeline (readStream → watermark →
+    windowed agg → memory sink, availableNow trigger) and returns its
+    result table: the one registry entry whose execution path is
+    Structured Streaming end-to-end, held to the same oracle as the
+    batch twin. Events are staged once per (session, sf_dir) with
+    timestamps micros-normalized (streaming file source can't apply
+    the nanos conf rewrite load_table does)."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from wilayah_aceh_etl_spark.streaming import (
+        read_event_stream,
+        tumbling_counts,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    staged = os.path.join(
+        tempfile.gettempdir(), f"wilayah_spark_events_{tag}"
+    )
+    marker = os.path.join(staged, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (
+        tumbling_counts(read_event_stream(spark, staged))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("window_start", "event_type")
