@@ -325,6 +325,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
   CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INTEGER) AS n_word_tokens,
+  CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS INTEGER)
+    AS n_bpe_pretokens,
   CAST(length(text) AS INTEGER) AS n_chars_measured,
   CAST(n_chars AS INTEGER) AS n_chars_declared
 FROM documents ORDER BY doc_id
@@ -342,6 +344,15 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit("[a-z0-9]+"))
         .cast("int")
         .alias("n_word_tokens"),
+        # GPT-2-style pretokenizer shape: space-prefixed word/number
+        # runs and punctuation runs — the "BPE-ish" count (contraction
+        # alternatives omitted: corpus has no apostrophes)
+        F.regexp_count(
+            F.col("text"),
+            F.lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"),
+        )
+        .cast("int")
+        .alias("n_bpe_pretokens"),
         F.length("text").alias("n_chars_measured"),
         F.col("n_chars").cast("int").alias("n_chars_declared"),
     ).orderBy("doc_id")
