@@ -986,3 +986,97 @@ def sample_stratified_deterministic(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_clean_normalize",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS clean_md5,
+       CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+           '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS INTEGER)
+         AS clean_len
+FROM documents ORDER BY doc_id
+""",
+    tags=("ext", "text", "cleaning"),
+    description="text normalization: lower, strip punct, collapse spaces",
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning pass every pretraining corpus gets before dedup
+    and tokenization: lowercase → non-alnum → space → collapse runs →
+    trim. Pure JVM regexp expressions; output pinned by md5 so the
+    gate verifies the exact cleaned bytes, not just a length."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(cleaned).alias("clean_md5"),
+        F.length(cleaned).cast("int").alias("clean_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "corpus_quality_filter",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' ')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains({list(EN_STOPWORDS)!r}, t)))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+  FROM documents
+),
+gated AS (
+  SELECT *,
+         (n_tokens BETWEEN 20 AND 1000
+          AND distinct_ratio >= 0.3
+          AND stop_ratio >= 0.005) AS keep
+  FROM m
+)
+SELECT lang,
+       COUNT(*)                                    AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE NOT keep) AS BIGINT) AS n_filtered
+FROM gated GROUP BY lang ORDER BY lang
+""",
+    tags=("ext", "text", "quality", "filter"),
+    description="Gopher-style quality gates: token count, diversity, stopwords",
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining quality-gate filter (C4/Gopher-rule shape):
+    keep docs inside a token-count band with enough lexical diversity
+    and a minimum stopword ratio. All gates are per-row expressions —
+    the filter pushes to the scan and drops rows before any shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        / n_tokens.cast("double")
+    )
+    keep = (
+        n_tokens.between(20, 1000)
+        & (distinct_ratio >= 0.3)
+        & (stop_ratio >= 0.005)
+    )
+    return (
+        docs.select("lang", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+            F.count(F.when(~F.col("keep"), 1)).alias("n_filtered"),
+        )
+        .orderBy("lang")
+    )
