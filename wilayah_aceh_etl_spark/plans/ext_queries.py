@@ -1080,3 +1080,48 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_repetition_scores",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN [array_to_string(toks[i:i+2], ' ')
+                    FOR i IN range(1, len(toks) - 1)]
+              ELSE [] END AS shingles
+  FROM w
+)
+SELECT doc_id,
+       CAST(len(shingles) AS INTEGER)                AS n_shingles,
+       CAST(len(list_distinct(shingles)) AS INTEGER) AS n_distinct,
+       ROUND(CASE WHEN len(shingles) > 0
+             THEN 1.0 - len(list_distinct(shingles))
+                  / CAST(len(shingles) AS DOUBLE)
+             ELSE 0.0 END, 4)                        AS rep3_fraction
+FROM sh ORDER BY doc_id
+""",
+    tags=("ext", "text", "quality", "repetition"),
+    description="repeated-3-gram fraction (Gopher repetition signal)",
+)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's repetition quality signal: the fraction of 3-gram
+    shingles that are duplicates within the document. High values
+    flag degenerate/boilerplate text. Per-row array expressions —
+    no shuffle at all until the caller aggregates."""
+    from wilayah_aceh_etl_spark.functions.text import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(F.col("text"), 3)
+    n = F.size(sh)
+    nd = F.size(F.array_distinct(sh))
+    return docs.select(
+        "doc_id",
+        n.alias("n_shingles"),
+        nd.alias("n_distinct"),
+        F.round(
+            F.when(n > 0, 1.0 - nd / n.cast("double")).otherwise(0.0), 4
+        ).alias("rep3_fraction"),
+    ).orderBy("doc_id")
