@@ -1125,3 +1125,117 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n > 0, 1.0 - nd / n.cast("double")).otherwise(0.0), 4
         ).alias("rep3_fraction"),
     ).orderBy("doc_id")
+
+
+@register(
+    "pack_documents_into_sequences",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM m
+)
+SELECT shard, CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT)     AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM c GROUP BY 1, 2 ORDER BY shard, pack_id
+""",
+    tags=("ext", "packing", "window", "training"),
+    description="sequence packing: shard-local token-budget bins (B=2048)",
+)
+def pack_documents_into_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assigning documents to fixed token-budget
+    training sequences. Deterministic offset packing: within each
+    shard, pack_id = floor(preceding-token-cumsum / B). One window
+    per shard partition; shards are the parallelism unit at 100 TB
+    (a global order would serialize — the shard column IS the scale
+    design, not a demo artifact)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = m.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.select(
+            "shard",
+            F.floor((F.col("cum") - F.col("n_tokens")) / 2048)
+            .cast("long")
+            .alias("pack_id"),
+            "n_tokens",
+        )
+        .groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard", "pack_id")
+    )
+
+
+@register(
+    "data_mixture_rates",
+    oracle="""
+WITH stats AS (
+  SELECT lang, source,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS bucket_tokens
+  FROM documents GROUP BY lang, source
+),
+tot AS (SELECT SUM(bucket_tokens) AS total_tokens FROM stats)
+SELECT lang, source, bucket_tokens,
+       ROUND(bucket_tokens / CAST(total_tokens AS DOUBLE), 6) AS current_share,
+       ROUND(LEAST(1.0,
+             (0.1 * total_tokens) / CAST(bucket_tokens AS DOUBLE)), 6)
+         AS keep_rate_for_10pct
+FROM stats CROSS JOIN tot
+ORDER BY lang, source
+""",
+    tags=("ext", "mixture", "sampling", "training"),
+    description="data-mixture math: per-bucket shares and resample rates",
+)
+def data_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning: per (lang, source) token counts, the
+    bucket's current share of the corpus, and the keep-rate that
+    would cap each bucket at 10% of total tokens — the arithmetic a
+    mixture re-balancer feeds into the sampler
+    (sample_stratified_deterministic is the apply side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang", "source").agg(
+        F.sum(F.size(F.split("text", " "))).alias("bucket_tokens")
+    )
+    tot = stats.agg(F.sum("bucket_tokens").alias("total_tokens"))
+    return (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "bucket_tokens",
+            F.round(
+                F.col("bucket_tokens") / F.col("total_tokens").cast("double"),
+                6,
+            ).alias("current_share"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    (0.1 * F.col("total_tokens"))
+                    / F.col("bucket_tokens").cast("double"),
+                ),
+                6,
+            ).alias("keep_rate_for_10pct"),
+        )
+        .orderBy("lang", "source")
+    )
