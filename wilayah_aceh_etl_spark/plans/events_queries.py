@@ -583,3 +583,44 @@ def streaming_tumbling_window_counts(
     )
     q.awaitTermination(300)
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+@register(
+    "streaming_session_windows",
+    oracle=_SESSION_ORACLE,
+    tags=("streaming", "events", "session"),
+    description="Structured Streaming session windows, oracle-checked",
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows through the REAL streaming path (merging
+    session state), availableNow over staged files, held to the same
+    gaps-and-islands oracle as the batch twin."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from wilayah_aceh_etl_spark.streaming import (
+        read_event_stream,
+        session_counts,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    staged = os.path.join(
+        tempfile.gettempdir(), f"wilayah_spark_events_{tag}"
+    )
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_counts(read_event_stream(spark, staged))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("user_id", "session_start")

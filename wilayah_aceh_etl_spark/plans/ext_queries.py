@@ -1239,3 +1239,43 @@ def data_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle="WITH "
+    + _SHINGLE_CTE
+    + """,
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+hits AS (
+  SELECT s.doc_id, COUNT(*) AS n_shared
+  FROM sh s JOIN eval_sh e USING (shingle)
+  WHERE s.doc_id >= 20
+  GROUP BY s.doc_id
+)
+SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
+FROM hits WHERE n_shared >= 3
+ORDER BY doc_id
+""",
+    tags=("ext", "contamination", "dedup", "eval"),
+    description="train/eval contamination: ≥3 shared 3-grams with eval set",
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection: training docs sharing ≥3
+    word-3-grams with the held-out set (docs 0-19 standing in for an
+    eval benchmark). The eval shingle set is tiny → broadcast; the
+    training side streams through map-side, no corpus self-join —
+    the same candidates-only shape as the dedup family."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.distinct_shingles(docs, "doc_id")
+    eval_sh = (
+        sh.filter(F.col("doc_id") < 20).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+        .orderBy("doc_id")
+    )
