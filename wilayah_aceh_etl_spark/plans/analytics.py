@@ -1059,3 +1059,53 @@ def window_frames_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("price").over(wf), 2).alias("trailing3_sum"),
         F.rank().over(wr).cast("int").alias("price_rank"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+# --------------------------------------------------------------------------
+# K. Outer join with preserved null-groups (TPC-H Q13 shape)
+# --------------------------------------------------------------------------
+
+_CUSTDIST_ORACLE = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) cc
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register(
+    "outerjoin_order_count_distribution",
+    oracle=_CUSTDIST_ORACLE,
+    tags=("join", "outer", "agg"),
+    description="TPC-H Q13 shape: left-outer join + two-level count distribution",
+)
+def outerjoin_order_count_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The outer-join surface (absent in the reference, SURVEY §2.11):
+    customers LEFT OUTER JOIN orders with an extra join-side predicate,
+    so order-less customers survive as c_count=0 groups, then the
+    distribution of customers per order-count. COUNT(o_orderkey)
+    ignores the nulls the outer join manufactures — the exact Q13
+    subtlety. At scale the join shuffles on custkey and both
+    aggregations are hash-aggs; the second groupBy has tiny
+    cardinality (distinct counts), so its shuffle is negligible."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

@@ -564,3 +564,90 @@ def wilayah_level_labels_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (i + 1).cast("int"),
         ).alias("size_unit"),
     ).orderBy("level")
+
+
+# ---------------------------------------------------------------------------
+# G5 + G6 — GeoJSON geometry round-trip + envelope (bounds) aggregate
+# ---------------------------------------------------------------------------
+
+_ENVELOPE_ORACLE = """
+WITH feat AS (
+  SELECT c_mktsegment AS segment,
+         format('{{"type":"Polygon","coordinates":[[[{0},{1}],[{2},{1}],[{2},{3}],[{0},{3}],[{0},{1}]]]}}',
+                CAST(c_custkey % 360 AS BIGINT) - 180,
+                CAST(c_custkey % 180 AS BIGINT) - 90,
+                CAST(c_custkey % 360 AS BIGINT) - 179,
+                CAST(c_custkey % 180 AS BIGINT) - 89) AS geojson
+  FROM customer
+),
+parsed AS (
+  SELECT segment,
+         flatten(CAST(json_extract(geojson, '$.coordinates')
+                      AS DOUBLE[][][])) AS pts
+  FROM feat
+)
+SELECT segment,
+       MIN(list_min(list_transform(pts, p -> p[1]))) AS min_lon,
+       MIN(list_min(list_transform(pts, p -> p[2]))) AS min_lat,
+       MAX(list_max(list_transform(pts, p -> p[1]))) AS max_lon,
+       MAX(list_max(list_transform(pts, p -> p[2]))) AS max_lat,
+       CAST(COUNT(*) AS BIGINT) AS n_features
+FROM parsed GROUP BY segment ORDER BY segment
+"""
+
+_POLY_FMT = (
+    '{"type":"Polygon","coordinates":'
+    "[[[%d,%d],[%d,%d],[%d,%d],[%d,%d],[%d,%d]]]}"
+)
+
+
+@register(
+    "geo_envelope_aggregate",
+    oracle=_ENVELOPE_ORACLE,
+    tags=("wilayah", "geometry", "json", "agg", "g5", "g6"),
+    description="G5/G6: GeoJSON serialize/parse round-trip + bbox aggregate",
+)
+def geo_envelope_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one spatial aggregate (G6): the client folds
+    every feature's bounds into a single envelope to fit the map
+    (public/app.js:220,241-244), over GeoJSON produced by
+    ST_AsGeoJSON (G5, server.js:416). Here: serialize a polygon per
+    row, parse it back with from_json (the stored-as-GeoJSON-string
+    design of SURVEY §1.5), and fold per-feature bounds into a
+    per-segment envelope. Array higher-order functions keep the
+    coordinate math inside codegen — no explode row-blowup, and the
+    aggregate is a plain hash-agg (map-side partial min/max).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    x0 = (F.col("c_custkey") % 360 - 180).cast("long")
+    y0 = (F.col("c_custkey") % 180 - 90).cast("long")
+    x1 = x0 + 1
+    y1 = y0 + 1
+    feat = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.format_string(
+            _POLY_FMT, x0, y0, x1, y0, x1, y1, x0, y1, x0, y0
+        ).alias("geojson"),
+    )
+    parsed = feat.select(
+        "segment",
+        F.flatten(
+            F.from_json(
+                "geojson",
+                "type STRING, coordinates ARRAY<ARRAY<ARRAY<DOUBLE>>>",
+            )["coordinates"]
+        ).alias("pts"),
+    )
+    xs = F.transform(F.col("pts"), lambda p: p[0])
+    ys = F.transform(F.col("pts"), lambda p: p[1])
+    return (
+        parsed.groupBy("segment")
+        .agg(
+            F.min(F.array_min(xs)).alias("min_lon"),
+            F.min(F.array_min(ys)).alias("min_lat"),
+            F.max(F.array_max(xs)).alias("max_lon"),
+            F.max(F.array_max(ys)).alias("max_lat"),
+            F.count(F.lit(1)).alias("n_features"),
+        )
+        .orderBy("segment")
+    )
