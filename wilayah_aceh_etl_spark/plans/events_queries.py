@@ -624,3 +624,153 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# Gap-filling + LOCF (hypertable-style time_bucket_gapfill / locf)
+# ---------------------------------------------------------------------------
+
+_GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         ROUND(SUM(value), 2) AS total_value
+  FROM events GROUP BY 1, 2
+),
+spans AS (
+  SELECT event_type, MIN(hour) AS hmin, MAX(hour) AS hmax FROM hourly
+  GROUP BY event_type
+),
+grid AS (
+  SELECT event_type,
+         UNNEST(generate_series(hmin, hmax, INTERVAL '1 hour')) AS hour
+  FROM spans
+)
+SELECT g.event_type, g.hour,
+       COALESCE(h.n_events, 0) AS n_events,
+       CAST(h.hour IS NOT NULL AS BOOLEAN) AS observed,
+       last_value(h.total_value IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour
+         ROWS UNBOUNDED PRECEDING
+       ) AS locf_total_value
+FROM grid g LEFT JOIN hourly h USING (event_type, hour)
+ORDER BY g.event_type, g.hour
+"""
+
+
+@register(
+    "events_gapfill_locf",
+    oracle=_GAPFILL_ORACLE,
+    tags=("events", "window-time", "gapfill", "locf", "temporal"),
+    description="hourly gap-fill grid + last-observation-carried-forward",
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-filling: a dense per-type hourly grid
+    generated from each type's own [min, max] span (sequence +
+    explode — no cross join), left-joined with observed hourly
+    aggregates, missing hours carried forward with
+    last(ignorenulls) over an unbounded-preceding frame — the
+    time_bucket_gapfill/locf pattern. At scale the grid size is
+    bounded by the time span, not the data volume; the one shuffle
+    is the (event_type, hour) join, and the LOCF window partitions
+    by type so state never concentrates on one executor."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("hmin"), F.max("hour").alias("hmax"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    joined = grid.join(
+        hourly.withColumnRenamed("hour", "obs_hour"),
+        (grid.event_type == hourly.event_type)
+        & (grid.hour == F.col("obs_hour")),
+        "left",
+    ).select(
+        grid.event_type,
+        grid.hour,
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("obs_hour").isNotNull().alias("observed"),
+        "total_value",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.select(
+            "event_type",
+            "hour",
+            "n_events",
+            "observed",
+            F.last("total_value", ignorenulls=True)
+            .over(w)
+            .alias("locf_total_value"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling event-time window (RANGE frame over an interval)
+# ---------------------------------------------------------------------------
+
+_ROLLING_ORACLE = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_prev_1h,
+       ROUND(SUM(value) OVER w, 2) AS sum_value_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY epoch_us(ts)
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+)
+ORDER BY event_id
+"""
+
+
+@register(
+    "events_rolling_1h_user_window",
+    oracle=_ROLLING_ORACLE,
+    tags=("events", "window-time", "rolling", "temporal"),
+    description="per-user rolling 1-hour event-time RANGE window",
+)
+def events_rolling_1h_user_window(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling event-time aggregate: for every event, the count and
+    value-sum of the same user's events in the trailing hour —
+    a RANGE frame over microsecond epochs so both engines use the
+    identical numeric frame (no interval/timezone ambiguity, ties
+    are peers in both). One shuffle on user_id; the frame is
+    evaluated with a sliding two-pointer pass per partition, never
+    materializing per-row subsets."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_prev_1h"),
+            F.round(F.sum("value").over(w), 2).alias("sum_value_1h"),
+        )
+        .orderBy("event_id")
+    )
