@@ -1109,3 +1109,126 @@ def outerjoin_order_count_distribution(
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+# --------------------------------------------------------------------------
+# L. Map-typed columns, IN-subquery with HAVING, approximate percentiles
+# --------------------------------------------------------------------------
+
+_MAP_BATTERY_ORACLE = """
+WITH m AS (
+  SELECT o_orderkey,
+         MAP {'status': o_orderstatus, 'priority': o_orderpriority} AS props
+  FROM orders WHERE o_orderkey < 200
+)
+SELECT o_orderkey,
+       list_sort(map_keys(props))                    AS keys_sorted,
+       props['status'][1]                            AS status_val,
+       CAST(cardinality(props) AS BIGINT)            AS n_entries,
+       array_to_string(list_sort(list_transform(map_entries(props),
+           e -> e.key || '=' || e.value)), ',')      AS entries_str
+FROM m ORDER BY o_orderkey
+"""
+
+
+@register(
+    "map_functions_battery",
+    oracle=_MAP_BATTERY_ORACLE,
+    tags=("map", "project", "types"),
+    description="map-typed column battery: build, keys, lookup, entries",
+)
+def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface (the engine's key-value column type — absent in
+    the reference, whose only KV shape is the JSONB boundary, SURVEY
+    §1.2): construct a map from columns, sorted key list, point
+    lookup, cardinality, and an entries→sorted-string fold so the
+    cross-engine hash is order-stable. All map functions evaluate
+    inside codegen; no shuffle beyond the final sort."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    m = F.create_map(
+        F.lit("status"),
+        F.col("o_orderstatus"),
+        F.lit("priority"),
+        F.col("o_orderpriority"),
+    )
+    entries_str = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        ",",
+    )
+    return o.select(
+        "o_orderkey",
+        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.element_at(m, "status").alias("status_val"),
+        F.size(m).cast("long").alias("n_entries"),
+        entries_str.alias("entries_str"),
+    ).orderBy("o_orderkey")
+
+
+_IN_SUBQUERY_ORACLE = """
+SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS total_price
+FROM orders
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+)
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "in_subquery_large_volume_orders",
+    oracle=_IN_SUBQUERY_ORACLE,
+    tags=("subquery", "in", "having", "sql"),
+    description="TPC-H Q18 shape: IN over a grouped-HAVING subquery",
+)
+def in_subquery_large_volume_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Uncorrelated IN-subquery over an aggregated-HAVING inner query
+    (TPC-H Q18's discriminator), through the SQL front-end: Catalyst
+    rewrites the IN into a left-semi join against the aggregate, so
+    the physical plan is the same shuffle-once hash-agg + semi join
+    the DataFrame form would produce."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus,
+               ROUND(o_totalprice, 2) AS total_price
+        FROM orders
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING SUM(l_quantity) > 200
+        )
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "approx_percentile_prices",
+    oracle=None,  # approximate sketch — driver rows-only check
+    tags=("percentile", "approx"),
+    description="approx_percentile (GK sketch) — the 100 TB quantile path",
+)
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles per order status: the
+    at-scale complement to percentiles_price_by_status (exact
+    interpolation needs a sort; the sketch is one pass, mergeable
+    map-side, constant memory). Verified rows-only."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75], 10000
+            ).alias("quartiles_approx"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
