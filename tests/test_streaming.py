@@ -12,6 +12,7 @@ from tests.conftest import SF_SMOKE
 from wilayah_aceh_etl_spark.sources.tables import load_table
 from wilayah_aceh_etl_spark.streaming import (
     dedup_first_per_key,
+    enriched_segment_counts,
     read_event_stream,
     running_user_totals,
     session_counts,
@@ -74,6 +75,37 @@ def test_session_matches_batch(spark, event_files):
     want = {
         (r.user_id, r.session_start): (r.session_end, r.n_events)
         for r in events_session_windows(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_stream_static_join_matches_batch(spark, event_files):
+    users = (
+        load_table(spark, SF_SMOKE, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    stream = read_event_stream(spark, event_files)
+    name = f"agg_enriched_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(enriched_segment_counts(stream, users), name)
+    got = {
+        (r.window_start, r.segment): (r.n_events, r.total_value)
+        for r in spark.table(name).collect()
+    }
+    batch = (
+        load_table(spark, SF_SMOKE, "events")
+        .join(users, "user_id")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    want = {
+        (r["w"].start, r.segment): (r.n_events, r.total_value)
+        for r in batch.collect()
     }
     assert got == want
 

@@ -1,4 +1,5 @@
 from wilayah_aceh_etl_spark.streaming.windows import (
+    enriched_segment_counts,
     read_event_stream,
     session_counts,
     sliding_rates,
@@ -10,6 +11,7 @@ from wilayah_aceh_etl_spark.streaming.stateful import (
 )
 
 __all__ = [
+    "enriched_segment_counts",
     "read_event_stream",
     "tumbling_counts",
     "sliding_rates",

@@ -84,6 +84,38 @@ def sliding_rates(
     )
 
 
+def enriched_segment_counts(
+    events: DataFrame,
+    user_dim: DataFrame,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-static join then windowed aggregation: each micro-batch
+    of the event stream is enriched with a static user dimension
+    (user_id → segment) before the tumbling count per segment.
+
+    At scale the static side is a dim table — Spark broadcasts it per
+    micro-batch (stream-static joins are stateless: no watermark
+    bookkeeping on the static side, and the join never adds state
+    beyond the downstream aggregation's)."""
+    dim = F.broadcast(user_dim.select("user_id", "segment"))
+    return (
+        events.withWatermark("ts", watermark)
+        .join(dim, "user_id")
+        .groupBy(F.window("ts", window).alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_counts(
     events: DataFrame,
     gap: str = "10 minutes",
