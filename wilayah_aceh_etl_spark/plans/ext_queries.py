@@ -1279,3 +1279,114 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared") >= 3)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding clustering — one Lloyd (k-means) iteration
+# ---------------------------------------------------------------------------
+
+_KMEANS_ORACLE = (
+    "WITH "
+    + _VEC_CTE
+    + """,
+c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 16),
+d AS (
+  SELECT v.vec_id, c.centroid_id,
+         greatest(list_dot_product(e, e) - 2 * list_dot_product(e, ce)
+                  + list_dot_product(ce, ce), 0) AS d2
+  FROM v CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, arg_min(centroid_id, d2) AS centroid_id, MIN(d2) AS d2
+  FROM d GROUP BY vec_id
+),
+stats AS (
+  SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+         ROUND(AVG(sqrt(d2)), 4) AS avg_dist
+  FROM a GROUP BY centroid_id
+),
+px AS (
+  SELECT a.centroid_id, generate_subscripts(v.e, 1) AS pos,
+         UNNEST(v.e) AS val
+  FROM a JOIN v USING (vec_id)
+),
+dimsum AS (
+  SELECT centroid_id, pos, SUM(val) AS s FROM px GROUP BY 1, 2
+),
+norm AS (
+  SELECT d.centroid_id,
+         ROUND(sqrt(SUM((s / n_assigned) ^ 2)), 4) AS new_centroid_norm
+  FROM dimsum d JOIN stats USING (centroid_id)
+  GROUP BY d.centroid_id, n_assigned
+)
+SELECT s.centroid_id, s.n_assigned, s.avg_dist, n.new_centroid_norm
+FROM stats s JOIN norm n USING (centroid_id)
+ORDER BY s.centroid_id
+"""
+)
+
+
+@register(
+    "embedding_kmeans_iteration",
+    oracle=_KMEANS_ORACLE,
+    tags=("ext", "embedding", "clustering", "kmeans"),
+    description="one Lloyd iteration: nearest-centroid assign + recompute",
+)
+def embedding_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means (Lloyd) iteration over the embedding corpus with
+    the first 16 vectors as seed centroids: broadcast the centroids
+    (16-row build side — the documented NLJ exception shape), assign
+    each vector to its nearest centroid by squared L2 (min_by), then
+    recompute per-cluster size, mean within-cluster distance, and the
+    norm of the recomputed mean vector via posexplode → per-(cluster,
+    dim) partial sums — the elementwise-mean shuffle pattern that
+    scales to any corpus because state is (k × dims), never
+    per-vector. This is the building block an iterative clusterer
+    (or IVF index trainer) loops; similarity_ivf_topk is the read
+    side of that index."""
+    from wilayah_aceh_etl_spark.functions import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", V.as_double(F.col("embedding")).alias("e"))
+    cent = v.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
+    d2 = F.greatest(
+        V.dot(F.col("e"), F.col("e"))
+        - 2 * V.dot(F.col("e"), F.col("ce"))
+        + V.dot(F.col("ce"), F.col("ce")),
+        F.lit(0.0),
+    )
+    assign = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "centroid_id", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("centroid_id", "d2").alias("centroid_id"),
+            F.min("d2").alias("d2"),
+        )
+    )
+    stats = assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.avg(F.sqrt("d2")), 4).alias("avg_dist"),
+    )
+    dimsum = (
+        assign.join(v, "vec_id")
+        .select("centroid_id", F.posexplode("e").alias("pos0", "val"))
+        .groupBy("centroid_id", "pos0")
+        .agg(F.sum("val").alias("s"))
+    )
+    norm = (
+        dimsum.join(stats.select("centroid_id", "n_assigned"), "centroid_id")
+        .groupBy("centroid_id")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.pow(F.col("s") / F.col("n_assigned"), 2))), 4
+            ).alias("new_centroid_norm")
+        )
+    )
+    return (
+        stats.join(norm, "centroid_id")
+        .select("centroid_id", "n_assigned", "avg_dist", "new_centroid_norm")
+        .orderBy("centroid_id")
+    )
