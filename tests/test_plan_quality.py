@@ -23,6 +23,7 @@ NLJ_ALLOWED = {
     # broadcast of a single-row global-total aggregate: the build side is
     # exactly 1 row regardless of data size, so the NLJ is O(buckets)
     "data_mixture_rates",
+    "text_unigram_logprob",
     # k-row centroid broadcast (k=16): nearest-centroid assignment is
     # definitionally all-vectors × all-centroids; build side is O(k)
     "embedding_kmeans_iteration",

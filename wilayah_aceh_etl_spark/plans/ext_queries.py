@@ -1390,3 +1390,145 @@ def embedding_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("centroid_id", "n_assigned", "avg_dist", "new_centroid_norm")
         .orderBy("centroid_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM document scoring (perplexity-style quality signal)
+# ---------------------------------------------------------------------------
+
+_LOGPROB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+freq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq),
+scored AS (
+  SELECT t.doc_id, ln(f.cnt / CAST(tot.total AS DOUBLE)) AS lp
+  FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(SUM(lp) / COUNT(*), 3) AS avg_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=_LOGPROB_ORACLE,
+    tags=("ext", "text", "quality", "lm"),
+    description="per-doc mean unigram log-probability (perplexity signal)",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM document scoring — the cheap perplexity-style
+    quality signal: corpus unigram frequencies, each token scored
+    ln(cnt/total), per-doc mean. The corpus total joins in as a
+    broadcast 1-row aggregate (documented NLJ exception shape). The
+    token↔frequency equi-join is the skew hot spot at 100 TB
+    (stopwords are heavy keys) — AQE skew-join splits those
+    partitions; the per-doc mean is one hash-agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    from wilayah_aceh_etl_spark.sources.tables import spread
+
+    toks = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(F.col("cnt") / F.col("total").cast("double")).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 3).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Composed end-to-end training-data prep (filter → dedup → mixture stats)
+# ---------------------------------------------------------------------------
+
+_PIPELINE_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, lang, source, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' ')))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains({list(EN_STOPWORDS)!r}, t)))
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio
+  FROM documents
+),
+kept AS (
+  SELECT * FROM m
+  WHERE n_tokens BETWEEN 20 AND 1000
+    AND distinct_ratio >= 0.3 AND stop_ratio >= 0.005
+),
+canon AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+  ) t WHERE rn = 1
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM canon GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+@register(
+    "pipeline_training_prep",
+    oracle=_PIPELINE_ORACLE,
+    tags=("ext", "pipeline", "quality", "dedup", "mixture"),
+    description="composed prep: quality gate → exact dedup → mixture stats",
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators composed as a user would run them: Gopher-style
+    quality gates (per-row expressions, evaluated at the scan), exact
+    dedup keeping the lowest doc_id per text hash (row_number window
+    partitioned by the hash — state is per-duplicate-group), then
+    per-(lang, source) doc/token totals for the mixture planner
+    (data_mixture_rates consumes this shape). Three shuffles total at
+    any scale: dedup hash partition, then the two-key aggregate."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens.cast("double")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    stop_ratio = (
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+        / n_tokens.cast("double")
+    )
+    kept = docs.select(
+        "doc_id", "lang", "source", "text", n_tokens.alias("n_tokens")
+    ).filter(
+        n_tokens.between(20, 1000)
+        & (distinct_ratio >= 0.3)
+        & (stop_ratio >= 0.005)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        canon.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
