@@ -1232,3 +1232,63 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_FULL_OUTER_ORACLE = """
+WITH c AS (
+  SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM customer GROUP BY c_nationkey
+),
+s AS (
+  SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers,
+       CASE WHEN c.nationkey IS NULL THEN 'supplier_only'
+            WHEN s.nationkey IS NULL THEN 'customer_only'
+            ELSE 'both' END AS presence
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+ORDER BY nationkey
+"""
+
+
+@register(
+    "fullouter_nation_reconciliation",
+    oracle=_FULL_OUTER_ORACLE,
+    tags=("join", "outer", "setops"),
+    description="full-outer reconciliation: per-nation customer vs supplier",
+)
+def fullouter_nation_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Full-outer join surface: per-nation customer and supplier
+    counts reconciled, keys present on either side preserved and
+    classified. Both inputs pre-aggregate to nation cardinality
+    before the join, so the full-outer itself moves only ~|nations|
+    rows regardless of fact size."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    joined = c.alias("c").join(
+        s.alias("s"), F.col("c.nationkey") == F.col("s.nationkey"), "full"
+    )
+    return joined.select(
+        F.coalesce(F.col("c.nationkey"), F.col("s.nationkey")).alias(
+            "nationkey"
+        ),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        F.when(F.col("c.nationkey").isNull(), F.lit("supplier_only"))
+        .when(F.col("s.nationkey").isNull(), F.lit("customer_only"))
+        .otherwise(F.lit("both"))
+        .alias("presence"),
+    ).orderBy("nationkey")

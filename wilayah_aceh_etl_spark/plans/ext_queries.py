@@ -1532,3 +1532,55 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus n-gram statistics (LM-style bigram counts, deterministic top-k)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_ORACLE = """
+WITH w AS (SELECT string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT UNNEST(CASE WHEN len(toks) >= 2
+                     THEN [array_to_string(toks[i:i+1], ' ')
+                           FOR i IN range(1, len(toks))]
+                     ELSE [] END) AS bigram
+  FROM w
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM bg GROUP BY bigram
+ORDER BY cnt DESC, bigram ASC
+LIMIT 20
+"""
+
+
+@register(
+    "text_bigram_counts",
+    oracle=_BIGRAM_ORACLE,
+    tags=("ext", "text", "ngram", "topk"),
+    description="corpus top-20 bigram counts (LM n-gram statistics)",
+)
+def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram counting (the LM-statistics side of the
+    shingle machinery): per-doc bigram arrays built as a codegen
+    expression, exploded, hash-counted; top-20 with a total-order
+    tiebreak (count desc, bigram asc) so the limit is deterministic —
+    Catalyst plans TakeOrderedAndProject, never a full sort."""
+    from wilayah_aceh_etl_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+        "transform(sequence(1, size(split(text, ' ')) - 1), "
+        "i -> concat(element_at(split(text, ' '), i), ' ', "
+        "element_at(split(text, ' '), i + 1))) "
+        "ELSE array() END"
+    )
+    return (
+        spread(docs.select("text"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
