@@ -153,3 +153,29 @@ def test_connected_components_handmade_graph(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_chunk_payload_reassembles(spark, docs):
+    import hashlib
+
+    media = M.attach_fake_payload(docs.limit(20), "doc_id")
+    chunks = M.chunk_payload(media, chunk_bytes=100).collect()
+    originals = {
+        r.media_id: bytes(r.payload) for r in media.collect()
+    }
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r.media_id, []).append(r)
+    for mid, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_index)
+        # indices contiguous from 0, sizes full except possibly last
+        assert [r.chunk_index for r in rows] == list(range(len(rows)))
+        assert all(r.chunk_n_bytes == 100 for r in rows[:-1])
+        # digests match the original payload sliced the same way
+        b = originals[mid]
+        assert sum(r.chunk_n_bytes for r in rows) == len(b)
+        for i, r in enumerate(rows):
+            assert (
+                hashlib.md5(b[i * 100 : (i + 1) * 100]).hexdigest()
+                == r.chunk_digest
+            )

@@ -181,3 +181,47 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
 from wilayah_aceh_etl_spark.serde import pickle_module_by_value
 
 pickle_module_by_value(__name__)  # UDF closures must not need repo on worker path
+
+
+CHUNKED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("chunk_index", T.IntegerType()),
+        T.StructField("chunk_n_bytes", T.LongType()),
+        T.StructField("chunk_digest", T.StringType()),
+    ]
+)
+
+
+def chunk_payload(df: DataFrame, chunk_bytes: int = 1000) -> DataFrame:
+    """Fixed-size payload chunking (audio analog: a real pipeline
+    windows PCM/opus streams into decoder-sized pieces). 1→N
+    mapInPandas expansion like sample_frames; each chunk carries its
+    byte length and content digest so reassembly is verifiable.
+    Chunk boundaries depend only on payload length — the partition a
+    row lands in never changes the output."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out_ids, out_idx, out_len, out_digest = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                n_chunks = (len(b) + chunk_bytes - 1) // chunk_bytes
+                for i in range(n_chunks):
+                    c = b[i * chunk_bytes : (i + 1) * chunk_bytes]
+                    out_ids.append(mid)
+                    out_idx.append(i)
+                    out_len.append(len(c))
+                    out_digest.append(hashlib.md5(c).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": out_ids,
+                    "chunk_index": out_idx,
+                    "chunk_n_bytes": out_len,
+                    "chunk_digest": out_digest,
+                }
+            )
+
+    return df.mapInPandas(batches, CHUNKED_SCHEMA)

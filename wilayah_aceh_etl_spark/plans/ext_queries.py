@@ -1584,3 +1584,33 @@ def text_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("bigram"))
         .limit(20)
     )
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents WHERE doc_id < 200
+)
+SELECT media_id, CAST(i AS INTEGER) AS chunk_index,
+       CAST(LEAST(1000, n_bytes - i * 1000) AS BIGINT) AS chunk_n_bytes,
+       md5(substring(text, CAST(i * 1000 + 1 AS INTEGER), 1000))
+         AS chunk_digest
+FROM m, UNNEST(range(0, CAST(ceil(n_bytes / 1000.0) AS BIGINT))) AS t(i)
+ORDER BY media_id, chunk_index
+""",
+    tags=("ext", "multimodal", "audio", "chunks"),
+    description="fixed-size payload chunking over mapInPandas (audio analog)",
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk_payload over the fake media table: 1000-byte windows,
+    each chunk's length and digest oracled (payload bytes are the
+    utf-8 text, so the oracle's md5-of-substring is the exact twin
+    of the Python-side md5-of-slice)."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = M.attach_fake_payload(docs, "doc_id")
+    return M.chunk_payload(media).orderBy("media_id", "chunk_index")
