@@ -1292,3 +1292,94 @@ def fullouter_nation_reconciliation(
         .otherwise(F.lit("both"))
         .alias("presence"),
     ).orderBy("nationkey")
+
+
+_RANK_BATTERY_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(dense_rank() OVER w AS INTEGER)    AS price_dense_rank,
+       ROUND(percent_rank() OVER w, 6)         AS price_percent_rank,
+       ROUND(cume_dist() OVER w, 6)            AS price_cume_dist
+FROM orders
+WHERE o_custkey < 20
+WINDOW w AS (
+  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register(
+    "window_rank_battery",
+    oracle=_RANK_BATTERY_ORACLE,
+    tags=("window", "rank"),
+    description="ranking windows: dense_rank, percent_rank, cume_dist",
+)
+def window_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function surface the frames battery doesn't cover:
+    dense_rank, percent_rank ((rank-1)/(n-1) — exact integer division
+    in f64, identical cross-engine), cume_dist. One shuffle on the
+    partition key, one Window op."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.dense_rank().over(w).cast("int").alias("price_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("price_percent_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("price_cume_dist"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+_SETOPS_ALL_ORACLE = """
+WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000),
+ea AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys
+FROM ea
+UNION ALL
+SELECT 'intersect_all', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(DISTINCT k) AS BIGINT)
+FROM ia
+ORDER BY op
+"""
+
+
+@register(
+    "setops_multiset_variants",
+    oracle=_SETOPS_ALL_ORACLE,
+    tags=("setops", "multiset"),
+    description="EXCEPT ALL / INTERSECT ALL multiset semantics",
+)
+def setops_multiset_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-ops (the ALL variants setops_nation_coverage's
+    distinct forms don't cover): duplicate cardinalities are
+    preserved, so profiles of the two results (row vs key counts)
+    differ from the distinct forms exactly by the multiplicity math.
+    Spark plans both as hash aggregations over counted duplicates —
+    one shuffle each, no sort."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("k")
+    )
+    b = o.filter(F.col("o_totalprice") > 200000).select(
+        F.col("o_custkey").alias("k")
+    )
+
+    def profile(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.lit(op).alias("op"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("k").alias("n_keys"),
+        ).select("op", "n_rows", "n_keys")
+
+    return (
+        profile(a.exceptAll(b), "except_all")
+        .unionAll(profile(a.intersectAll(b), "intersect_all"))
+        .orderBy("op")
+    )

@@ -774,3 +774,47 @@ def events_rolling_1h_user_window(
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "streaming_sliding_window_rates",
+    oracle=_SLIDING_ORACLE,
+    tags=("streaming", "events", "window-time", "sliding"),
+    description="Structured Streaming sliding-window agg, oracle-checked",
+)
+def streaming_sliding_window_rates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding windows (10 min / 5 min slide) through the REAL
+    streaming path — each event enters two window states, watermark
+    prunes them — availableNow over staged files, held to the same
+    2-element-unnest oracle as the batch twin."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from wilayah_aceh_etl_spark.streaming import (
+        read_event_stream,
+        sliding_rates,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    staged = os.path.join(
+        tempfile.gettempdir(), f"wilayah_spark_events_{tag}"
+    )
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        sliding_rates(read_event_stream(spark, staged))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("window_start")
