@@ -1,0 +1,50 @@
+"""Source-layout behaviors a 100 TB lake depends on: schema
+evolution across write batches, and partition pruning reaching the
+file listing (the engine's replacement for the reference's B-tree on
+`level`, SURVEY §4 X1)."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+
+def test_schema_evolution_mergeschema(spark, tmp_path):
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[3] == 9.5 and rows[1] is None  # old rows null-filled
+
+    # without mergeSchema one footer wins — both reads must still work
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_partition_pruning_reaches_listing(spark, tmp_path):
+    path = str(tmp_path / "by_level")
+    df = spark.createDataFrame(
+        [(f"11.{i:02d}", i % 4 + 1) for i in range(40)],
+        "kode string, level int",
+    )
+    df.write.partitionBy("level").mode("overwrite").parquet(path)
+
+    q = spark.read.parquet(path).filter(F.col("level") == 2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "level" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], "level filter must prune at listing time"
+    # pruned read touches only the level=2 directory
+    files = {r[0] for r in q.select(F.input_file_name()).distinct().collect()}
+    assert files and all("level=2" in f for f in files)
