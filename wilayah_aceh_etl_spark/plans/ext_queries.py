@@ -1614,3 +1614,82 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = M.attach_fake_payload(docs, "doc_id")
     return M.chunk_payload(media).orderBy("media_id", "chunk_index")
+
+
+# ---------------------------------------------------------------------------
+# Sparse (term-frequency) document cosine — the non-embedding similarity path
+# ---------------------------------------------------------------------------
+
+_SPARSE_COS_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 500) t
+  GROUP BY doc_id, tok
+),
+nrm AS (SELECT doc_id, sqrt(SUM(tf * tf)) AS nrm FROM tf GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.tf * b.tf) AS dp
+  FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(dp / (x.nrm * y.nrm), 4) AS cosine
+FROM pairs
+JOIN nrm x ON doc_a = x.doc_id
+JOIN nrm y ON doc_b = y.doc_id
+WHERE dp / (x.nrm * y.nrm) >= 0.9
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "similarity_sparse_tf_cosine",
+    oracle=_SPARSE_COS_ORACLE,
+    tags=("ext", "similarity", "sparse", "text"),
+    description="sparse TF-vector cosine pairs ≥0.9 (token-join path)",
+)
+def similarity_sparse_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector document similarity — the bag-of-words
+    complement to the dense embedding path: term-frequency vectors
+    never materialize; the dot product is an equi-join on token with
+    a product-sum, so only token-sharing pairs are ever scored
+    (inverted-index semantics). The same skew note as
+    text_unigram_logprob applies to hot tokens; AQE splits them. A
+    doc_id bound keeps the demo pair set fixed; at scale the bound is
+    replaced by LSH prefiltering (similarity_lsh_bucketed_pairs is
+    that path for dense vectors)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    from wilayah_aceh_etl_spark.sources.tables import spread
+
+    tf = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    nrm = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")
+    )
+    a = tf.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("tf").alias("tf_a")
+    )
+    b = tf.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("tf").alias("tf_b")
+    )
+    pairs = (
+        a.join(b, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dp"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb"))
+    cos = F.col("dp") / (F.col("na") * F.col("nb"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(cos >= 0.9)
+        .select("doc_a", "doc_b", F.round(cos, 4).alias("cosine"))
+        .orderBy("doc_a", "doc_b")
+    )
