@@ -1383,3 +1383,82 @@ def setops_multiset_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(profile(a.intersectAll(b), "intersect_all"))
         .orderBy("op")
     )
+
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT o_orderstatus,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS total_price,
+         ROUND(MAX(o_totalprice), 2) AS max_price
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, metric, value
+FROM (UNPIVOT wide ON n_orders, total_price, max_price
+      INTO NAME metric VALUE value)
+ORDER BY o_orderstatus, metric
+"""
+
+
+@register(
+    "unpivot_status_metrics",
+    oracle=_UNPIVOT_ORACLE,
+    tags=("unpivot", "melt", "agg"),
+    description="UNPIVOT/melt: wide per-status metrics to long form",
+)
+def unpivot_status_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of the pivot surface: a wide per-status aggregate
+    melted to (key, metric, value) long form with df.unpivot — an
+    Expand over the value columns, one extra narrow projection, no
+    shuffle beyond the aggregate's."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"],
+        ["n_orders", "total_price", "max_price"],
+        "metric",
+        "value",
+    ).orderBy("o_orderstatus", "metric")
+
+
+_EXPLODE_OUTER_ORACLE = """
+WITH c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN []::BIGINT[]
+              ELSE [c_custkey, c_custkey * 2] END AS arr
+  FROM customer WHERE c_custkey < 200
+)
+SELECT c_custkey, u.x AS item
+FROM c LEFT JOIN LATERAL (SELECT UNNEST(arr) AS x) u ON TRUE
+ORDER BY c_custkey, item
+"""
+
+
+@register(
+    "explode_outer_null_preserving",
+    oracle=_EXPLODE_OUTER_ORACLE,
+    tags=("generator", "explode", "outer"),
+    description="explode_outer: empty arrays survive as null rows",
+)
+def explode_outer_null_preserving(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The null-preserving generator variant
+    (lateral_posexplode_tokens covers the inner form): rows with
+    empty arrays survive as a single null item — the semantics an
+    outer lateral view / LEFT JOIN UNNEST has. Generators run inside
+    codegen; no shuffle before the final sort."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    arr = F.when(
+        F.col("c_custkey") % 5 == 0,
+        F.array().cast("array<long>"),
+    ).otherwise(F.array(F.col("c_custkey"), F.col("c_custkey") * 2))
+    return (
+        c.select("c_custkey", arr.alias("arr"))
+        .select("c_custkey", F.explode_outer("arr").alias("item"))
+        .orderBy("c_custkey", "item")
+    )
