@@ -1462,3 +1462,126 @@ def explode_outer_null_preserving(
         .select("c_custkey", F.explode_outer("arr").alias("item"))
         .orderBy("c_custkey", "item")
     )
+
+
+_PROFILE_ORACLE = """
+WITH m AS (SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)    AS k_nulls,
+  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)                    AS k_distinct,
+  CAST(MIN(o_orderkey) AS DOUBLE)                               AS k_min,
+  CAST(MAX(o_orderkey) AS DOUBLE)                               AS k_max,
+  CAST(COUNT(*) FILTER (WHERE o_totalprice IS NULL) AS BIGINT)  AS p_nulls,
+  CAST(COUNT(DISTINCT o_totalprice) AS BIGINT)                  AS p_distinct,
+  ROUND(MIN(o_totalprice), 2)                                   AS p_min,
+  ROUND(MAX(o_totalprice), 2)                                   AS p_max,
+  CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT) AS s_nulls,
+  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)                 AS s_distinct,
+  MIN(o_orderstatus)                                            AS s_min,
+  MAX(o_orderstatus)                                            AS s_max,
+  CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT)   AS d_nulls,
+  CAST(COUNT(DISTINCT o_orderdate) AS BIGINT)                   AS d_distinct,
+  strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S')               AS d_min,
+  strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')               AS d_max
+FROM orders)
+SELECT 'o_orderkey' AS col_name, n_rows, k_nulls AS n_nulls,
+       k_distinct AS n_distinct, k_min AS min_num, k_max AS max_num,
+       NULL AS min_str, NULL AS max_str FROM m
+UNION ALL
+SELECT 'o_totalprice', n_rows, p_nulls, p_distinct, p_min, p_max,
+       NULL, NULL FROM m
+UNION ALL
+SELECT 'o_orderstatus', n_rows, s_nulls, s_distinct, NULL, NULL,
+       s_min, s_max FROM m
+UNION ALL
+SELECT 'o_orderdate', n_rows, d_nulls, d_distinct, NULL, NULL,
+       d_min, d_max FROM m
+ORDER BY col_name
+"""
+
+
+@register(
+    "profile_orders_columns",
+    oracle=_PROFILE_ORACLE,
+    tags=("profiling", "quality", "agg"),
+    description="data-profiling pass: per-column nulls/distinct/min/max",
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling — the first job any lake pipeline runs
+    on a new table: per-column null counts, distinct cardinality, and
+    typed min/max (numeric, string, and second-truncated timestamp
+    forms), all from ONE aggregate pass (no per-column scans), then
+    exploded to long form driver-free. At 100 TB the exact
+    COUNT(DISTINCT) switches to approx_count_distinct (the
+    approx_distinct_lineitem_keys path); the rest is a single
+    map-side-combined agg."""
+    o = load_table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("k_nulls"),
+        F.countDistinct("o_orderkey").alias("k_distinct"),
+        F.min("o_orderkey").cast("double").alias("k_min"),
+        F.max("o_orderkey").cast("double").alias("k_max"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("p_nulls"),
+        F.countDistinct("o_totalprice").alias("p_distinct"),
+        F.round(F.min("o_totalprice"), 2).alias("p_min"),
+        F.round(F.max("o_totalprice"), 2).alias("p_max"),
+        F.sum(F.col("o_orderstatus").isNull().cast("long")).alias("s_nulls"),
+        F.countDistinct("o_orderstatus").alias("s_distinct"),
+        F.min("o_orderstatus").alias("s_min"),
+        F.max("o_orderstatus").alias("s_max"),
+        F.sum(F.col("o_orderdate").isNull().cast("long")).alias("d_nulls"),
+        F.countDistinct("o_orderdate").alias("d_distinct"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "d_min"
+        ),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias(
+            "d_max"
+        ),
+    )
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
+    prof = F.array(
+        F.struct(
+            F.lit("o_orderkey").alias("col_name"),
+            F.col("k_nulls").alias("n_nulls"),
+            F.col("k_distinct").alias("n_distinct"),
+            F.col("k_min").alias("min_num"),
+            F.col("k_max").alias("max_num"),
+            null_s.alias("min_str"),
+            null_s.alias("max_str"),
+        ),
+        F.struct(
+            F.lit("o_totalprice").alias("col_name"),
+            F.col("p_nulls").alias("n_nulls"),
+            F.col("p_distinct").alias("n_distinct"),
+            F.col("p_min").alias("min_num"),
+            F.col("p_max").alias("max_num"),
+            null_s.alias("min_str"),
+            null_s.alias("max_str"),
+        ),
+        F.struct(
+            F.lit("o_orderstatus").alias("col_name"),
+            F.col("s_nulls").alias("n_nulls"),
+            F.col("s_distinct").alias("n_distinct"),
+            null_d.alias("min_num"),
+            null_d.alias("max_num"),
+            F.col("s_min").alias("min_str"),
+            F.col("s_max").alias("max_str"),
+        ),
+        F.struct(
+            F.lit("o_orderdate").alias("col_name"),
+            F.col("d_nulls").alias("n_nulls"),
+            F.col("d_distinct").alias("n_distinct"),
+            null_d.alias("min_num"),
+            null_d.alias("max_num"),
+            F.col("d_min").alias("min_str"),
+            F.col("d_max").alias("max_str"),
+        ),
+    )
+    return (
+        row.select(F.explode(prof).alias("p"), F.col("n_rows"))
+        .select("p.col_name", "n_rows", "p.n_nulls", "p.n_distinct",
+                "p.min_num", "p.max_num", "p.min_str", "p.max_str")
+        .orderBy("col_name")
+    )
