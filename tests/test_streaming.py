@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_SMOKE
 from wilayah_aceh_etl_spark.sources.tables import load_table
 from wilayah_aceh_etl_spark.streaming import (
+    click_purchase_attribution,
     dedup_first_per_key,
     enriched_segment_counts,
     read_event_stream,
@@ -77,6 +78,39 @@ def test_session_matches_batch(spark, event_files):
         for r in events_session_windows(spark, SF_SMOKE).collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_matches_batch(spark, event_files):
+    stream = read_event_stream(spark, event_files)
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(click_purchase_attribution(stream), name)
+    got = {
+        (r.click_id, r.purchase_id) for r in spark.table(name).collect()
+    }
+    e = load_table(spark, SF_SMOKE, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("click_ts") < F.col("purchase_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
 
 
 def test_stream_static_join_matches_batch(spark, event_files):

@@ -9,8 +9,12 @@ from wilayah_aceh_etl_spark.streaming.stateful import (
     dedup_first_per_key,
     running_user_totals,
 )
+from wilayah_aceh_etl_spark.streaming.joins import (
+    click_purchase_attribution,
+)
 
 __all__ = [
+    "click_purchase_attribution",
     "enriched_segment_counts",
     "read_event_stream",
     "tumbling_counts",
