@@ -746,6 +746,7 @@ ORDER BY event_id
     oracle=_ROLLING_ORACLE,
     tags=("events", "window-time", "rolling", "temporal"),
     description="per-user rolling 1-hour event-time RANGE window",
+    bench=True,
 )
 def events_rolling_1h_user_window(
     spark: SparkSession, sf_dir: str

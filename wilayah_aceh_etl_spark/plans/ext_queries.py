@@ -1492,6 +1492,7 @@ FROM canon GROUP BY lang, source ORDER BY lang, source
     oracle=_PIPELINE_ORACLE,
     tags=("ext", "pipeline", "quality", "dedup", "mixture"),
     description="composed prep: quality gate → exact dedup → mixture stats",
+    bench=True,
 )
 def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The operators composed as a user would run them: Gopher-style
