@@ -1585,3 +1585,37 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "p.min_num", "p.max_num", "p.min_str", "p.max_str")
         .orderBy("col_name")
     )
+
+
+_NOT_IN_ORACLE = """
+SELECT
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 300000)) AS BIGINT)
+    AS n_without_big_order,
+  CAST((SELECT COUNT(*) FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_totalprice > 300000
+                                UNION ALL SELECT NULL)) AS BIGINT)
+    AS n_with_null_in_set
+"""
+
+
+@register(
+    "not_in_null_semantics",
+    oracle=_NOT_IN_ORACLE,
+    tags=("subquery", "not-in", "null", "sql"),
+    description="NOT IN three-valued logic: a NULL in the set empties it",
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic NOT IN trap pinned cross-engine: with a NULL in
+    the subquery set, `x NOT IN (...)` is never TRUE (three-valued
+    logic), so the second count is 0 while the first is positive.
+    Catalyst plans NOT IN as a null-aware anti join — broadcast-only
+    by design, which is why the scale-path form of this predicate is
+    NOT EXISTS (antijoin_customers_without_big_orders); this entry
+    certifies the engine gets the tricky semantics right, not that
+    NOT IN is the recommended shape."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_NOT_IN_ORACLE)
