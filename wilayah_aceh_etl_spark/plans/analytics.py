@@ -1619,3 +1619,44 @@ def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_NOT_IN_ORACLE)
+
+
+_HISTOGRAM_ORACLE = """
+WITH b AS (
+  SELECT LEAST(CAST(floor(o_totalprice / 50000) AS INTEGER), 9) AS bin
+  FROM orders
+)
+SELECT bin,
+       CAST(bin * 50000 AS BIGINT) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+@register(
+    "histogram_order_prices",
+    oracle=_HISTOGRAM_ORACLE,
+    tags=("histogram", "agg"),
+    description="fixed-bound 10-bin price histogram (width_bucket shape)",
+)
+def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram with fixed bounds (the width_bucket
+    shape): binning is a per-row expression, so the whole thing is
+    one hash-agg over 10 groups — no global min/max pass, no second
+    scan. (A data-dependent-bounds variant would attach min/max as a
+    broadcast 1-row aggregate, the data_mixture_rates pattern.)"""
+    o = load_table(spark, sf_dir, "orders")
+    bin_ = F.least(
+        F.floor(F.col("o_totalprice") / 50000).cast("int"), F.lit(9)
+    )
+    return (
+        o.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "bin",
+            (F.col("bin").cast("long") * 50000).alias("bin_lo"),
+            "n_orders",
+        )
+        .orderBy("bin")
+    )

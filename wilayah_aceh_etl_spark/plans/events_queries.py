@@ -819,3 +819,50 @@ def streaming_sliding_window_rates(
     )
     q.awaitTermination(300)
     return spark.table(name).orderBy("window_start")
+
+
+# ---------------------------------------------------------------------------
+# Event-type transition matrix (Markov-chain counts via lag)
+# ---------------------------------------------------------------------------
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type
+ORDER BY prev_type, next_type
+"""
+
+
+@register(
+    "events_type_transitions",
+    oracle=_TRANSITIONS_ORACLE,
+    tags=("events", "window", "sequence", "markov"),
+    description="event-type transition matrix (lag over user timelines)",
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral sequencing: consecutive event-type pairs
+    counted into a transition matrix (the Markov-chain input of a
+    session-analysis pipeline). One shuffle on user_id for the lag
+    window (deterministic (ts, event_id) tiebreak), then a tiny
+    |types|² hash-agg."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
