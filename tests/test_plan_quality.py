@@ -24,6 +24,7 @@ NLJ_ALLOWED = {
     # exactly 1 row regardless of data size, so the NLJ is O(buckets)
     "data_mixture_rates",
     "text_unigram_logprob",
+    "tpch_q22_idle_rich_customers",
     # k-row centroid broadcast (k=16): nearest-centroid assignment is
     # definitionally all-vectors × all-centroids; build side is O(k)
     "embedding_kmeans_iteration",

@@ -1660,3 +1660,80 @@ def histogram_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+_SEGMENT_TREND_ORACLE = """
+SELECT
+  c_mktsegment AS segment,
+  COUNT(*) AS n_orders,
+  ROUND(REGR_SLOPE(o_totalprice,
+        DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate)), 4)
+    AS price_slope,
+  ROUND(REGR_INTERCEPT(o_totalprice,
+        DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate)), 2)
+    AS price_intercept
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+
+@register(
+    "grouped_map_segment_trend",
+    oracle=_SEGMENT_TREND_ORACLE,
+    tags=("pandas-udf", "grouped-map", "join"),
+    description="applyInPandas grouped-map: per-segment OLS price trend",
+)
+def grouped_map_segment_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF surface (applyInPandas): each market
+    segment's orders arrive as ONE Arrow batch group and a least-
+    squares price-vs-time line is fit in numpy; the DuckDB oracle is
+    REGR_SLOPE/REGR_INTERCEPT. Rows are sorted by o_orderkey inside
+    the group so the float summation order is run-deterministic.
+
+    Scale note: 5 segments over 100 TB would concentrate each segment
+    on one task — for that regime use the Catalyst-native
+    F.regr_slope/F.regr_intercept aggregates (partial-aggregated,
+    no Python boundary); this entry certifies the grouped-map
+    plumbing (schema contract, Arrow transfer, group iteration) on an
+    operator whose result an oracle can check exactly.
+    """
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    base = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp"))
+        .cast("double")
+        .alias("days"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("o_orderkey")
+        x = pdf["days"].to_numpy(dtype="float64")
+        y = pdf["o_totalprice"].to_numpy(dtype="float64")
+        xm, ym = x.mean(), y.mean()
+        var = float(((x - xm) ** 2).sum())
+        slope = float(((x - xm) * (y - ym)).sum()) / var
+        return pd.DataFrame(
+            {
+                "segment": [str(pdf["c_mktsegment"].iloc[0])],
+                "n_orders": [len(pdf)],
+                "price_slope": [round(slope, 4)],
+                "price_intercept": [round(ym - slope * xm, 2)],
+            }
+        )
+
+    return (
+        base.groupBy("c_mktsegment")
+        .applyInPandas(
+            fit,
+            schema="segment string, n_orders long, "
+            "price_slope double, price_intercept double",
+        )
+        .orderBy("segment")
+    )

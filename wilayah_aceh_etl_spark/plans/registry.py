@@ -70,6 +70,7 @@ def _load_all() -> None:
     import wilayah_aceh_etl_spark.plans.wilayah_queries  # noqa: F401
     import wilayah_aceh_etl_spark.plans.events_queries  # noqa: F401
     import wilayah_aceh_etl_spark.plans.ext_queries  # noqa: F401
+    import wilayah_aceh_etl_spark.plans.tpch_queries  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:
