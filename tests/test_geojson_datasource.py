@@ -1,0 +1,106 @@
+"""The geojson_features Python DataSource (Spark 4 PDS API) matches
+the declarative JSON-reader path feature-for-feature on the real
+reference corpus, and its pushFilters prunes whole files."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThan, In, StringStartsWith
+
+from wilayah_aceh_etl_spark.functions.geometry import GEOMETRY_SCHEMA
+from wilayah_aceh_etl_spark.sources.geojson import (
+    derive_codes,
+    explode_features,
+    read_feature_collections,
+)
+from wilayah_aceh_etl_spark.sources.geojson_datasource import (
+    GeoJSONFeaturesReader,
+    classify_level_py,
+    register_geojson_datasource,
+)
+
+GEOJSON_DIR = "/root/reference/geojson"
+
+
+@pytest.fixture(scope="module")
+def pds(spark):
+    register_geojson_datasource(spark)
+    return spark.read.format("geojson_features").load(GEOJSON_DIR)
+
+
+def _canon_geometry(col):
+    # both sides through the same parse→serialize so float formatting
+    # and key order can't differ
+    return F.to_json(F.from_json(col, GEOMETRY_SCHEMA))
+
+
+def test_matches_declarative_reader(spark, pds):
+    builtin = derive_codes(
+        explode_features(read_feature_collections(spark, GEOJSON_DIR))
+    ).select(
+        "source_file",
+        "feature_index",
+        "kode_wilayah_kemendagri",
+        "level",
+        "file_size",
+        _canon_geometry(F.col("geometry_json")).alias("geom"),
+    )
+    custom = derive_codes(pds).select(
+        "source_file",
+        "feature_index",
+        "kode_wilayah_kemendagri",
+        "level",
+        "file_size",
+        _canon_geometry(F.col("geometry_json")).alias("geom"),
+    )
+    assert builtin.count() == 388
+    assert custom.exceptAll(builtin).count() == 0
+    assert builtin.exceptAll(custom).count() == 0
+
+
+def test_level_filter_returns_correct_rows(pds):
+    rows = pds.filter(F.col("level") == 3).select("source_file").distinct().collect()
+    assert len(rows) > 0
+    assert all(r.source_file.endswith("_kecamatan.geojson") for r in rows)
+
+
+def test_pushdown_prunes_files():
+    r = GeoJSONFeaturesReader({"path": GEOJSON_DIR})
+    total = len(r.partitions())
+
+    r = GeoJSONFeaturesReader({"path": GEOJSON_DIR})
+    leftovers = list(
+        r.pushFilters([EqualTo(("level",), 3), GreaterThan(("feature_index",), 1)])
+    )
+    # the level filter is absorbed; the unsupported one comes back
+    assert leftovers == [GreaterThan(("feature_index",), 1)]
+    pruned = r.partitions()
+    assert 0 < len(pruned) < total
+    assert all(p.level == 3 for p in pruned)
+
+    r = GeoJSONFeaturesReader({"path": GEOJSON_DIR})
+    assert list(r.pushFilters([In(("level",), (1, 2))])) == []
+    assert all(p.level in (1, 2) for p in r.partitions())
+
+    r = GeoJSONFeaturesReader({"path": GEOJSON_DIR})
+    assert list(r.pushFilters([StringStartsWith(("source_file",), "11.01")])) == []
+    assert 0 < len(r.partitions()) < total
+
+
+def test_code_option_matches_reference_prefix_rule(spark):
+    register_geojson_datasource(spark)
+    df = (
+        spark.read.format("geojson_features")
+        .option("code", "11.01")
+        .load(GEOJSON_DIR)
+    )
+    files = {r.source_file for r in df.select("source_file").distinct().collect()}
+    assert files and all(f.startswith("11.01") for f in files)
+
+
+def test_classify_level_py_matches_rules():
+    assert classify_level_py("11_Aceh.geojson") == 1
+    assert classify_level_py("11.01_Aceh_Selatan.geojson") == 2
+    assert classify_level_py("11.01_kecamatan.geojson") == 3
+    assert classify_level_py("11.73_kelurahan.geojson") == 4

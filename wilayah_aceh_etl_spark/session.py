@@ -38,6 +38,9 @@ _RUNTIME_CONF = {
     # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
     # default; read as long nanos, normalized to micros in load_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # let Python DataSources (sources/geojson_datasource.py) receive
+    # pushFilters during planning
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -1,0 +1,180 @@
+"""GeoJSON feature source as a Spark 4 Python DataSource (PDS).
+
+The declarative reader in `sources/geojson.py` (multiLine JSON +
+pathGlobFilter) covers SURVEY S1-S5 with built-in machinery; this
+module provides the same relation as a first-class *pluggable
+connector* — `spark.read.format("geojson_features").load(dir)` —
+using the public `pyspark.sql.datasource` API (added in Spark 4).
+What the connector adds over the plain JSON read:
+
+  * **file-pruning filter pushdown** (`pushFilters`): `level = n` /
+    `level IN (...)` and `source_file LIKE 'prefix%'` predicates are
+    resolved against FILENAMES during planning (the reference's
+    filename rules, server.js:363-366), so pruned files are never
+    opened — the PDS equivalent of partition pruning;
+  * **one input partition per file** with the file's size attached —
+    Spark schedules files across executors; at 100 TB-scale corpora
+    the partition unit would become (file, feature-range) splits, the
+    same evolution parquet took;
+  * the feature index (posexplode twin) comes free from enumeration
+    order, preserving the last-wins upsert tiebreaker (SURVEY §7.3).
+
+Schema is identical to `geojson.explode_features` output, so
+`geojson.derive_codes` composes on top of either source unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    In,
+    InputPartition,
+    StringStartsWith,
+)
+from pyspark.sql import types as T
+
+# level-1 filename shape (reference server.js:366,523)
+_LEVEL1_RE = re.compile(r"^\d{2}_[^_]+\.geojson$")
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("source_file", T.StringType()),
+        T.StructField("file_size", T.LongType()),
+        T.StructField("level", T.IntegerType()),
+        T.StructField("feature_index", T.IntegerType()),
+        T.StructField(
+            "props",
+            T.StructType(
+                [
+                    T.StructField("kd_propinsi", T.StringType()),
+                    T.StructField("kd_dati2", T.StringType()),
+                    T.StructField("kd_kecamatan", T.StringType()),
+                    T.StructField("kd_kelurahan", T.StringType()),
+                    T.StructField("nm_propinsi", T.StringType()),
+                    T.StructField("nm_dati2", T.StringType()),
+                    T.StructField("nm_kecamatan", T.StringType()),
+                    T.StructField("nm_kelurahan", T.StringType()),
+                ]
+            ),
+        ),
+        T.StructField("geometry_json", T.StringType()),
+    ]
+)
+
+_PROP_KEYS = (
+    "kd_propinsi",
+    "kd_dati2",
+    "kd_kecamatan",
+    "kd_kelurahan",
+    "nm_propinsi",
+    "nm_dati2",
+    "nm_kecamatan",
+    "nm_kelurahan",
+)
+
+
+def classify_level_py(filename: str) -> int:
+    """Python twin of geojson.classify_level (same precedence)."""
+    if _LEVEL1_RE.match(filename):
+        return 1
+    if filename.endswith("_kecamatan.geojson"):
+        return 3
+    if filename.endswith("_kelurahan.geojson"):
+        return 4
+    return 2
+
+
+class GeoJSONFilePartition(InputPartition):
+    def __init__(self, path: str, size: int, level: int):
+        self.path = path
+        self.size = size
+        self.level = level
+
+
+class GeoJSONFeaturesReader(DataSourceReader):
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("geojson_features: .load(<directory>) is required")
+        # reference S1 prefix filter (server.js:347) as a reader option
+        self.code = options.get("code")
+        # populated by pushFilters
+        self.levels: set[int] | None = None
+        self.prefix: str | None = None
+
+    def pushFilters(self, filters):
+        """Accept level-equality/IN and source_file-prefix filters;
+        they prune whole FILES in partitions() (filename rules decide
+        both columns), which is strictly stronger than row filtering —
+        the filters are still returned as leftovers only when partial.
+        """
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("level",):
+                self.levels = {int(f.value)}
+            elif isinstance(f, In) and f.attribute == ("level",):
+                self.levels = {int(v) for v in f.value}
+            elif isinstance(f, StringStartsWith) and f.attribute == ("source_file",):
+                self.prefix = str(f.value)
+            else:
+                yield f
+
+    def partitions(self):
+        parts = []
+        for name in sorted(os.listdir(self.dir)):
+            if not name.endswith(".geojson"):
+                continue
+            if self.code and not name.startswith(self.code):
+                continue
+            if self.prefix and not name.startswith(self.prefix):
+                continue
+            level = classify_level_py(name)
+            if self.levels is not None and level not in self.levels:
+                continue
+            full = os.path.join(self.dir, name)
+            parts.append(GeoJSONFilePartition(full, os.path.getsize(full), level))
+        return parts
+
+    def read(self, partition):
+        with open(partition.path, encoding="utf-8") as fh:
+            collection = json.load(fh)
+        source_file = os.path.basename(partition.path)
+        for idx, feature in enumerate(collection.get("features") or []):
+            props = feature.get("properties") or {}
+            geom = feature.get("geometry")
+            yield (
+                source_file,
+                partition.size,
+                partition.level,
+                idx,
+                tuple(props.get(k) for k in _PROP_KEYS),
+                None if geom is None else json.dumps(geom, separators=(",", ":")),
+            )
+
+
+class GeoJSONFeaturesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "geojson_features"
+
+    def schema(self):
+        return SCHEMA
+
+    def reader(self, schema):
+        return GeoJSONFeaturesReader(self.options)
+
+
+def register_geojson_datasource(spark) -> None:
+    """Idempotent format registration; after this,
+    spark.read.format('geojson_features').load(dir) works."""
+    spark.dataSource.register(GeoJSONFeaturesDataSource)
+
+
+from wilayah_aceh_etl_spark.serde import pickle_module_by_value  # noqa: E402
+
+pickle_module_by_value(__name__)  # reader closures must not need repo on worker path
