@@ -1694,3 +1694,72 @@ def similarity_sparse_tf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(cos, 4).alias("cosine"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+_CHUNK_W = 32  # tokens per chunk
+_CHUNK_S = 24  # stride (8-token overlap between consecutive chunks)
+
+_CHUNK_SLIDING_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(generate_series(1, len(toks), {_CHUNK_S})) AS pos
+  FROM t
+)
+SELECT
+  doc_id,
+  CAST((pos - 1) // {_CHUNK_S} AS BIGINT) AS chunk_idx,
+  array_to_string(toks[pos : pos + {_CHUNK_W} - 1], ' ') AS chunk_text,
+  CAST(LEAST({_CHUNK_W}, n - pos + 1) AS BIGINT) AS n_chunk_tokens
+FROM p
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@register(
+    "text_chunk_sliding",
+    oracle=_CHUNK_SLIDING_ORACLE,
+    tags=("text", "chunking", "training-prep"),
+    description="sliding-window token chunking with overlap (W=32, stride=24)",
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking, the prep step between cleaning and
+    packing: overlapping 32-token windows every 24 tokens (trailing
+    chunk may be short; 8-token overlap preserves cross-boundary
+    context). Start positions come from sequence(1, n, stride) and
+    each chunk is a clamped slice — all per-row Catalyst expressions:
+    no shuffle at all until the output sort, and at 100 TB the sort
+    is dropped and chunks stream straight into the tokenizer."""
+    from wilayah_aceh_etl_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        spread(docs.select("doc_id", "text"))
+        .select(
+            "doc_id",
+            toks.alias("toks"),
+            F.size(toks).alias("n"),
+        )
+        .select(
+            "doc_id",
+            "toks",
+            "n",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n"), F.lit(_CHUNK_S))
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"CAST((pos - 1) DIV {_CHUNK_S} AS BIGINT)").alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("pos"), _CHUNK_W)).alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.lit(_CHUNK_W), F.col("n") - F.col("pos") + 1
+            ).cast("long").alias("n_chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

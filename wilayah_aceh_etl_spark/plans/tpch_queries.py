@@ -622,3 +622,109 @@ def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R'
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "tpch_q4_priority_with_returns",
+    oracle=_Q4_ORACLE,
+    tags=("semi", "agg"),
+    description="Q4 shape: EXISTS semi-join, priority distribution",
+)
+def tpch_q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4's EXISTS as a left-semi join: lineitem is filtered and
+    projected to its join key before the shuffle, so the semi side
+    carries one column. Adapted predicate: an order with any returned
+    line (the driver schema has no commit/receipt dates)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q9_ORACLE = """
+SELECT
+  n_name AS nation,
+  o_year,
+  ROUND(SUM(volume_cents) / 100.0, 2) AS profit
+FROM (
+  SELECT
+    n_name,
+    EXTRACT(year FROM o_orderdate) AS o_year,
+    CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+      AS volume_cents
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY n_name, o_year
+ORDER BY nation, o_year
+"""
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle=_Q9_ORACLE,
+    tags=("join", "agg", "like"),
+    description="Q9 shape: product-line profit by supplier nation and year",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 without partsupp (absent from the driver schema): revenue
+    stands in for profit. The contains-LIKE on p_name filters the
+    broadcast part dim before the join; supplier/nation broadcast;
+    the only shuffles are lineitem⋈orders and the final aggregate.
+
+    The revenue term is rounded to exact integer CENTS before the
+    sum: integer addition is order-independent, so the aggregate is
+    bit-stable under any partitioning — the pattern to prefer for
+    money sums whose double-summation would round near a boundary
+    (this one flapped by one cent between engines as a double)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            cents.alias("volume_cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("volume_cents") / 100.0, 2).alias("profit"))
+        .orderBy("nation", "o_year")
+    )
