@@ -48,3 +48,51 @@ def test_partition_pruning_reaches_listing(spark, tmp_path):
     # pruned read touches only the level=2 directory
     files = {r[0] for r in q.select(F.input_file_name()).distinct().collect()}
     assert files and all("level=2" in f for f in files)
+
+
+def test_range_sorted_write_files_are_disjoint(spark, tmp_path):
+    """write_range_sorted: per-file key ranges are disjoint and
+    globally ordered, so footer min/max prunes range predicates."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_SMOKE
+    from wilayah_aceh_etl_spark.sources.maintenance import write_range_sorted
+    from wilayah_aceh_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_range_sorted")
+    write_range_sorted(orders, path, ("o_orderkey",), num_files=8)
+
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    assert back.exceptAll(orders).count() == 0
+
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(per_file) > 1
+    for prev, cur in zip(per_file, per_file[1:]):
+        assert prev.hi < cur.lo  # disjoint AND globally ordered
+
+
+def test_shuffle_hash_hint_controls_strategy(spark):
+    """join_hint_shuffle_hash: the hint overrides the broadcast
+    default and yields a ShuffledHashJoin."""
+    import io
+    from contextlib import redirect_stdout
+
+    from tests.conftest import SF_SMOKE
+    from wilayah_aceh_etl_spark.plans.analytics import join_hint_shuffle_hash
+
+    df = join_hint_shuffle_hash(spark, SF_SMOKE)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    assert "ShuffledHashJoin" in buf.getvalue()

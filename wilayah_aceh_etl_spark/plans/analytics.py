@@ -1737,3 +1737,42 @@ def grouped_map_segment_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+_SHUFFLE_HASH_ORACLE = """
+SELECT
+  c_mktsegment AS segment,
+  COUNT(*) AS n_orders,
+  ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY segment
+"""
+
+
+@register(
+    "join_hint_shuffle_hash",
+    oracle=_SHUFFLE_HASH_ORACLE,
+    tags=("join", "hint", "agg"),
+    description="SHUFFLE_HASH-hinted join: physical-strategy override",
+)
+def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same logical plan as the broadcast form, but the build side is
+    pinned to a shuffled hash join via hint — the strategy for a dim
+    too big to broadcast but small enough to hash per-partition
+    (avoids SMJ's sort on both sides). Demonstrates per-query
+    physical control without touching session conf; result-identical
+    to the unhinted plan, which is exactly what the oracle checks.
+    (tests/test_source_layout.py pins ShuffledHashJoin in the plan.)"""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").hint("shuffle_hash")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("segment")
+    )

@@ -64,3 +64,30 @@ def data_file_count(table_path: str) -> int:
     for _root, _dirs, files in os.walk(table_path):
         n += sum(1 for f in files if f.endswith(".parquet"))
     return n
+
+
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: tuple[str, ...],
+    num_files: int | None = None,
+) -> None:
+    """Globally range-sorted table layout WITHOUT a single-reducer
+    sort: repartitionByRange samples the sort keys and assigns each
+    output file a disjoint key range; sortWithinPartitions orders
+    rows inside each file. Files are therefore globally ordered
+    (file i's max < file i+1's min) and every file's min/max footer
+    stats prune range predicates — the plain-parquet analog of a
+    clustered index, and the write layout the wilayah `kode` table
+    uses conceptually (X1 replacement at corpus scale).
+
+    At 100 TB this is THE way to produce sorted output: orderBy()
+    before a write would still distribute (Spark's sort is a range
+    exchange too) but repartitionByRange makes the file-count and
+    boundary contract explicit."""
+    out = df
+    if num_files:
+        out = out.repartitionByRange(num_files, *sort_cols)
+    else:
+        out = out.repartitionByRange(*sort_cols)
+    out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
