@@ -1763,3 +1763,127 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle="WITH "
+    + _SHINGLE_CTE
+    + ", "
+    + _SIGS_CTE
+    + ", "
+    + _BANDS_CTE
+    + ""","""
+    + """
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+),"""
+    + _JACCARD_CTE
+    + """,
+truth AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+hit AS (SELECT t.doc_a, t.doc_b FROM truth t JOIN cand c
+        ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+SELECT
+  CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_pairs,
+  CAST((SELECT COUNT(*) FROM hit) AS BIGINT)   AS n_lsh_hits,
+  ROUND(CAST((SELECT COUNT(*) FROM hit) AS DOUBLE)
+        / (SELECT COUNT(*) FROM truth), 4)     AS recall
+""",
+    tags=("ext", "dedup", "lsh", "evaluation"),
+    description="LSH recall vs exact-Jaccard ground truth (self-measuring)",
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation harness AS a query: how many true near-dup
+    pairs (exact Jaccard ≥ 0.5) does banded MinHash LSH recover as
+    candidates? Counts are integers, so the recall ratio is
+    bit-stable. At production scale this runs on a sampled partition
+    to monitor banding parameters (k=8, b=4) against corpus drift —
+    recall here is the b·r-curve guarantee made measurable."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.distinct_shingles(docs, "doc_id")
+    truth = D.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.5).select(
+        "doc_a", "doc_b"
+    )
+    cands = D.lsh_candidate_pairs(
+        D.lsh_band_hashes(D.minhash_signatures(sh, _K), _K, _BANDS)
+    ).withColumn("_hit", F.lit(1))
+    # one left join (cands is distinct, so no fan-out) + ONE global
+    # aggregate — no 1-row × 1-row cross join in the plan
+    return truth.join(cands, ["doc_a", "doc_b"], "left").agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.count("_hit").alias("n_lsh_hits"),
+        F.round(
+            F.count("_hit").cast("double") / F.count(F.lit(1)), 4
+        ).alias("recall"),
+    )
+
+
+_ANOMALY_ORACLE = """
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type,
+         CAST(SUM(n) AS BIGINT)     AS sum_n,
+         CAST(SUM(n * n) AS BIGINT) AS sum_n2,
+         CAST(COUNT(*) AS BIGINT)   AS k
+  FROM h GROUP BY 1
+)
+SELECT h.event_type AS event_type, h.hour, h.n,
+       ROUND(
+         (h.n - CAST(s.sum_n AS DOUBLE) / s.k)
+         / sqrt((CAST(s.sum_n2 AS DOUBLE)
+                 - CAST(s.sum_n AS DOUBLE) * CAST(s.sum_n AS DOUBLE) / s.k)
+                / (s.k - 1)),
+         4) AS zscore
+FROM h JOIN s ON h.event_type = s.event_type
+WHERE abs((h.n - CAST(s.sum_n AS DOUBLE) / s.k)
+          / sqrt((CAST(s.sum_n2 AS DOUBLE)
+                  - CAST(s.sum_n AS DOUBLE) * CAST(s.sum_n AS DOUBLE) / s.k)
+                 / (s.k - 1))) >= 2.0
+ORDER BY event_type, hour
+"""
+
+
+@register(
+    "events_hourly_anomaly",
+    oracle=_ANOMALY_ORACLE,
+    tags=("events", "anomaly", "window"),
+    description="hourly volume anomalies: |z| ≥ 2 vs per-type mean/std",
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hours whose event count deviates
+    ≥2σ from that type's hourly mean. Mean/variance are computed from
+    exact integer sums (Σn, Σn²) with the identical expression order
+    as the oracle, so the z-scores are bit-stable — never the
+    engine-internal streaming stddev, whose accumulation order is
+    unspecified. Two hash aggregates (hour grain, then type grain ≈
+    one row per type) + a broadcast join back; at 100 TB the hourly
+    grain is the only fact-sized shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    h = (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = h.groupBy("event_type").agg(
+        F.sum("n").alias("sum_n"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_n2"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    mean = F.col("sum_n").cast("double") / F.col("k")
+    var = (
+        F.col("sum_n2").cast("double")
+        - F.col("sum_n").cast("double") * F.col("sum_n").cast("double") / F.col("k")
+    ) / (F.col("k") - 1)
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return (
+        h.join(F.broadcast(s), "event_type")
+        .filter(F.abs(z) >= 2.0)
+        .select("event_type", "hour", "n", F.round(z, 4).alias("zscore"))
+        .orderBy("event_type", "hour")
+    )
