@@ -111,10 +111,17 @@ def upsert(
     nama/geometry/updated_at only, server.js:93-97).
 
     Returns the number of batch rows applied (A5 processed counter).
+    The counter rides the write job via the Observation API — no
+    separate count() action, so the batch lineage (GeoJSON scan +
+    geometry kernel, the expensive part of ingest) executes exactly
+    once. This is the Spark twin of the reference's totalProcessed++
+    (server.js:357,374) and of Delta's operationMetrics.numOutputRows.
     """
+    from pyspark.sql import Observation
     from pyspark.sql.window import Window
 
-    n_batch = batch.count()
+    obs = Observation()
+    batch = batch.observe(obs, F.count(F.lit(1)).alias("n_batch"))
     batch = batch.withColumn("_prio", F.lit(1))
     if _table_exists(table_path):
         existing = spark.read.parquet(table_path).withColumn("_prio", F.lit(0))
@@ -153,7 +160,7 @@ def upsert(
         .parquet(tmp)
     )
     _swap(table_path, tmp)
-    return n_batch
+    return int(obs.get["n_batch"])
 
 
 def _table_exists(path: str) -> bool:
