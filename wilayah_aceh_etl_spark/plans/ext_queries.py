@@ -1887,3 +1887,30 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "hour", "n", F.round(z, 4).alias("zscore"))
         .orderBy("event_type", "hour")
     )
+
+
+@register(
+    "udtf_chunk_text",
+    oracle=_CHUNK_SLIDING_ORACLE,
+    tags=("text", "chunking", "udtf"),
+    description="sliding-window chunking via a Python UDTF (lateral join)",
+)
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDTF twin of text_chunk_sliding: a Spark 4 Python table
+    function applied with LATERAL, checked against the SAME oracle as
+    the expression form — certifying the two surfaces agree exactly.
+    The UDTF runs partition-parallel in Python workers; prefer the
+    expression form in hot paths (Catalyst can't optimize through a
+    UDTF), use this surface when the per-row expansion logic needs
+    real Python (tokenizers, parsers, decoders)."""
+    from wilayah_aceh_etl_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.chunk_text, c.n_chunk_tokens
+        FROM documents, LATERAL chunk_text(text) c
+        ORDER BY doc_id, chunk_idx
+        """
+    )
