@@ -866,3 +866,49 @@ def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_transitions"))
         .orderBy("prev_type", "next_type")
     )
+
+
+_VARIANT_ORACLE = """
+SELECT
+  event_type,
+  CAST(COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+    AS n_with_k,
+  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+    AS sum_k,
+  CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_high_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_variant_props",
+    oracle=_VARIANT_ORACLE,
+    tags=("events", "variant", "semi-structured"),
+    description="VARIANT-typed semi-structured extraction (Spark 4 parse_json)",
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    parse_json once into the binary variant encoding, then typed
+    try_variant_get extraction — the scale path for ragged JSON
+    (parse once, extract many, no per-access string re-parse the way
+    repeated get_json_object calls re-parse; the reference re-parses
+    at every boundary, server.js:490-498). All aggregates are exact
+    integers."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.sum(F.when(F.col("k") >= 50, 1).otherwise(0))
+            .cast("long")
+            .alias("n_high_k"),
+        )
+        .orderBy("event_type")
+    )
