@@ -339,3 +339,70 @@ def test_streaming_upsert_sink(spark, tmp_path):
         for r in spark.read.parquet(table).collect()
     }
     assert got2 == {(7, "click"): 9.0, (8, "view"): 3.0, (9, "purchase"): 4.0}
+
+
+def test_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: matched pairs emit immediately;
+    an unmatched click emits null-padded only after a later run's
+    watermark proves no match can arrive — state carries across the
+    checkpointed restart."""
+    import datetime
+
+    from wilayah_aceh_etl_spark.streaming import (
+        click_purchase_attribution_outer,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(*specs):
+        return spark.createDataFrame(
+            [
+                (eid, base + datetime.timedelta(minutes=m), uid, et, 1.0, "{}")
+                for eid, m, uid, et in specs
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    out = str(tmp_path / "out")
+
+    def run(name):
+        # file sink (memory sink cannot recover from a checkpoint);
+        # reads back the CUMULATIVE appended result
+        stream = read_event_stream(spark, src)
+        q = (
+            click_purchase_attribution_outer(stream)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [
+            (r.click_id, r.purchase_id)
+            for r in spark.read.parquet(out).collect()
+        ]
+
+    # run 1: user 1's click matches a purchase; user 2's click has none
+    rows(
+        (10, 5, 1, "click"),
+        (11, 20, 1, "purchase"),
+        (20, 10, 2, "click"),
+    ).coalesce(1).write.mode("append").parquet(src)
+    got1 = run(f"outer1_{uuid.uuid4().hex[:8]}")
+    assert (10, 11) in got1
+    assert not any(c == 20 for c, _p in got1)  # unmatched not yet emitted
+
+    # run 2: far-future flush events advance BOTH sides' watermarks
+    # (policy is min-across-watermarks) past click_ts + horizon
+    rows(
+        (90, 240, 99, "click"),
+        (91, 241, 98, "purchase"),
+    ).coalesce(1).write.mode("append").parquet(src)
+    got2 = run(f"outer2_{uuid.uuid4().hex[:8]}")
+    assert got2.count((20, None)) == 1  # user 2's click, null-padded
+    assert got2.count((10, 11)) == 1  # matched pair emitted exactly once

@@ -11,10 +11,12 @@ from wilayah_aceh_etl_spark.streaming.stateful import (
 )
 from wilayah_aceh_etl_spark.streaming.joins import (
     click_purchase_attribution,
+    click_purchase_attribution_outer,
 )
 
 __all__ = [
     "click_purchase_attribution",
+    "click_purchase_attribution_outer",
     "enriched_segment_counts",
     "read_event_stream",
     "tumbling_counts",
