@@ -32,10 +32,12 @@ import re
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     In,
     InputPartition,
     StringStartsWith,
+    WriterCommitMessage,
 )
 from pyspark.sql import types as T
 
@@ -157,6 +159,59 @@ class GeoJSONFeaturesReader(DataSourceReader):
             )
 
 
+class GeoJSONCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_features: int):
+        self.path = path
+        self.n_features = n_features
+
+
+class GeoJSONFeaturesWriter(DataSourceWriter):
+    """Sink side (SURVEY S10 as a connector): each task serializes
+    its partition into ONE FeatureCollection file — the engine twin
+    of toFeatureCollection (reference server.js:486-506), but
+    partition-parallel: no driver-side collect, no single giant
+    document. Expects rows (kode, nama, level, geometry_json)."""
+
+    def __init__(self, options, overwrite: bool):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("geojson_features write: .save(<directory>) required")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        features = []
+        for row in iterator:
+            geom = row["geometry_json"]
+            features.append(
+                {
+                    "type": "Feature",
+                    "properties": {"id": row["kode"], "name": row["nama"],
+                                   "level": row["level"]},
+                    "geometry": None if geom is None else json.loads(geom),
+                }
+            )
+        os.makedirs(self.dir, exist_ok=True)
+        out = os.path.join(self.dir, f"part-{pid:05d}.geojson")
+        with open(out, "w", encoding="utf-8") as fh:
+            json.dump(
+                {"type": "FeatureCollection", "features": features},
+                fh,
+                separators=(",", ":"),
+            )
+        return GeoJSONCommit(out, len(features))
+
+    def commit(self, messages):
+        pass  # files are already in place; nothing atomic to finalize
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class GeoJSONFeaturesDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -167,6 +222,16 @@ class GeoJSONFeaturesDataSource(DataSource):
 
     def reader(self, schema):
         return GeoJSONFeaturesReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        if overwrite:
+            # directory prep happens on the driver, before tasks run
+            d = self.options.get("path")
+            if d and os.path.isdir(d):
+                for name in os.listdir(d):
+                    if name.endswith(".geojson"):
+                        os.remove(os.path.join(d, name))
+        return GeoJSONFeaturesWriter(self.options, overwrite)
 
 
 def register_geojson_datasource(spark) -> None:
