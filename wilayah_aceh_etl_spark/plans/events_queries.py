@@ -912,3 +912,57 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_USER_FEATURES_ORACLE = """
+SELECT
+  user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_purchases,
+  CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS active_days,
+  ROUND(ROUND(SUM(value), 2) / COUNT(value), 4) AS avg_value,
+  ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 4) AS purchase_rate,
+  min(ts) AS first_ts,
+  max(ts) AS last_ts
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "events_user_features",
+    oracle=_USER_FEATURES_ORACLE,
+    tags=("events", "features", "training-prep"),
+    description="per-user behavioral feature vector (feature-store shape)",
+)
+def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature engineering in one hash-aggregate pass: the per-entity
+    profile a training pipeline joins onto examples (counts, rates,
+    recency bounds, distinct-activity cardinality). Everything is a
+    conditional aggregate over the single shuffle on user_id; the
+    distinct-days count rides the same aggregation (Spark plans the
+    distinct via a partial expand, still one logical pass). Ratios
+    divide exact integers or pre-rounded sums — deterministic across
+    engines and partitionings."""
+    e = load_table(spark, sf_dir, "events")
+    is_purchase = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(is_purchase).cast("long").alias("n_purchases"),
+            F.countDistinct(F.date_trunc("day", F.col("ts"))).alias("active_days"),
+            F.round(F.round(F.sum("value"), 2) / F.count("value"), 4).alias(
+                "avg_value"
+            ),
+            F.round(
+                F.sum(is_purchase).cast("double") / F.count(F.lit(1)), 4
+            ).alias("purchase_rate"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )
