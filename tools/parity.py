@@ -65,13 +65,20 @@ def main() -> int:
     ap.add_argument("--sf", default=os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01"))
     ap.add_argument("--only", default=None)
     ap.add_argument("--show-diff", type=int, default=5)
+    ap.add_argument(
+        "--master",
+        default="local[8]",
+        help="Spark master; run with local[32] too — partial-aggregation "
+        "order varies with parallelism, so this shakes out rounding flaps "
+        "the default config can't see",
+    )
     args = ap.parse_args()
 
     specs = all_specs()
     if args.only:
         specs = {k: v for k, v in specs.items() if args.only in k}
 
-    spark = get_spark("parity", master="local[8]")
+    spark = get_spark("parity", master=args.master)
     con = duckdb.connect()
     for t in STAR_TABLES:
         con.execute(

@@ -1776,3 +1776,44 @@ def join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+_AGG_BATTERY_ORACLE = """
+SELECT
+  o_orderstatus,
+  arg_min(o_totalprice, o_orderkey)  AS first_order_price,
+  arg_max(o_totalprice, o_orderkey)  AS last_order_price,
+  bool_and(o_totalprice > 0)         AS all_positive,
+  bool_or(o_totalprice > 400000)     AS any_jumbo,
+  list_sort(list(DISTINCT o_orderpriority)) AS priorities
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "agg_functions_battery",
+    oracle=_AGG_BATTERY_ORACLE,
+    tags=("agg", "battery"),
+    description="min_by/max_by, bool_and/or, sorted collect_set battery",
+)
+def agg_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The non-arithmetic aggregate surface: argmin/argmax carry a
+    payload column ordered by ANOTHER column (keyed on the unique
+    orderkey so ties cannot make the answer engine-dependent),
+    boolean reducers, and set-collection — canonicalized with
+    array_sort because collect_set order is unspecified by contract.
+    All are partial-aggregable: one shuffle, map-side combine."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_totalprice", "o_orderkey").alias("first_order_price"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )
