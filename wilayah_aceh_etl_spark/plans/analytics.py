@@ -1817,3 +1817,48 @@ def agg_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+_BASKET_ORACLE = """
+SELECT
+  a.l_partkey AS part_a,
+  b.l_partkey AS part_b,
+  CAST(COUNT(*) AS BIGINT) AS n_orders_together
+FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+HAVING COUNT(*) >= 3
+ORDER BY n_orders_together DESC, part_a, part_b
+"""
+
+
+@register(
+    "basket_part_pairs",
+    oracle=_BASKET_ORACLE,
+    tags=("join", "self-join", "co-occurrence"),
+    description="market-basket co-occurrence: part pairs in >=3 shared orders",
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining via self equi-join on the order key
+    (the n-gram-statistics shape applied to baskets). The input is
+    deduped to distinct (order, part) first, so the join input is
+    minimal and the pair blow-up is bounded by lines-per-order², a
+    per-basket constant — the intermediate scales linearly with
+    orders, not quadratically with parts. One shuffle for the join
+    (both sides hash on l_orderkey), one for the pair count."""
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders_together"))
+        .filter(F.col("n_orders_together") >= 3)
+        .orderBy(F.col("n_orders_together").desc(), "part_a", "part_b")
+    )

@@ -966,3 +966,57 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_RETENTION_ORACLE = """
+WITH signup AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS active_week
+  FROM events e
+)
+SELECT
+  s.cohort_week,
+  CAST(datediff('week', s.cohort_week, a.active_week) AS BIGINT) AS week_offset,
+  CAST(COUNT(DISTINCT s.user_id) AS BIGINT) AS n_active_users
+FROM signup s
+JOIN activity a ON s.user_id = a.user_id
+WHERE a.active_week >= s.cohort_week
+GROUP BY s.cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register(
+    "events_weekly_retention",
+    oracle=_RETENTION_ORACLE,
+    tags=("events", "retention", "cohort"),
+    description="signup-cohort weekly retention triangle",
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by signup week, counted in
+    each later week they were active. Two aggregates plus one join on
+    user_id; the signup side is one row per user so it broadcasts at
+    any realistic cohort cardinality, and the distinct-activity grid
+    is bounded by users × weeks, not events."""
+    e = load_table(spark, sf_dir, "events")
+    signup = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    week_offset = (
+        F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+    ).cast("long")
+    return (
+        activity.join(F.broadcast(signup), "user_id")
+        .filter(F.col("active_week") >= F.col("cohort_week"))
+        .groupBy("cohort_week", week_offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
