@@ -179,3 +179,45 @@ def test_chunk_payload_reassembles(spark, docs):
                 hashlib.md5(b[i * 100 : (i + 1) * 100]).hexdigest()
                 == r.chunk_digest
             )
+
+
+def test_approx_sketches_within_error_bounds(spark):
+    """The two rows-only sketch queries can't hash-match an oracle,
+    but their error IS checkable: HLL++ at rsd=0.01 must land within
+    5% of exact counts, and GK quartiles within the rank tolerance
+    (value between the exact neighbors ±2% of rank)."""
+    from tests.conftest import SF_SMOKE
+    from wilayah_aceh_etl_spark.plans.analytics import (
+        approx_distinct_lineitem_keys,
+        approx_percentile_prices,
+    )
+    from wilayah_aceh_etl_spark.sources.tables import load_table
+
+    got = approx_distinct_lineitem_keys(spark, SF_SMOKE).collect()[0]
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    exact = l.agg(
+        F.countDistinct("l_partkey").alias("p"),
+        F.countDistinct("l_suppkey").alias("s"),
+        F.countDistinct("l_orderkey").alias("o"),
+    ).collect()[0]
+    for approx, true in [
+        (got.n_parts_approx, exact.p),
+        (got.n_suppliers_approx, exact.s),
+        (got.n_orders_approx, exact.o),
+    ]:
+        assert abs(approx - true) / true < 0.05, (approx, true)
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    for row in approx_percentile_prices(spark, SF_SMOKE).collect():
+        vals = [
+            r.o_totalprice
+            for r in o.filter(F.col("o_orderstatus") == row.o_orderstatus)
+            .select("o_totalprice")
+            .collect()
+        ]
+        vals.sort()
+        n = len(vals)
+        for q, v in zip((0.25, 0.5, 0.75), row.quartiles_approx):
+            lo = vals[max(0, int((q - 0.02) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.02) * n))]
+            assert lo <= v <= hi, (row.o_orderstatus, q, v, lo, hi)
