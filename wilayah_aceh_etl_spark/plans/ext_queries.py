@@ -1914,3 +1914,43 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, chunk_idx
         """
     )
+
+
+@register(
+    "multimodal_resize_dims",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id, md5(text) AS digest FROM documents
+  WHERE doc_id < 200
+),
+dims AS (
+  SELECT media_id,
+         64 + ({_H4D0}) % 1984 AS w,
+         64 + ({_H4D4}) % 1984 AS h
+  FROM m
+)
+SELECT media_id,
+       CAST(FLOOR(w / GREATEST(1.0, GREATEST(w, h) / 256.0)) AS INTEGER)
+         AS width,
+       CAST(FLOOR(h / GREATEST(1.0, GREATEST(w, h) / 256.0)) AS INTEGER)
+         AS height
+FROM dims ORDER BY media_id
+""",
+    tags=("ext", "multimodal", "resize"),
+    description="media resize stub: max-side-256 scaled dimensions",
+)
+def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """resize_media over mapInPandas: dimensions scaled so the longer
+    side is ≤256 (aspect preserved, payload passthrough in the stub;
+    a real impl transcodes in the same Arrow batch loop). The scale
+    factor is the identical float expression on both sides, and the
+    truncation is floor — bit-stable."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = M.attach_fake_payload(docs, "doc_id")
+    return (
+        M.resize_media(media, max_side=256)
+        .select("media_id", "width", "height")
+        .orderBy("media_id")
+    )
