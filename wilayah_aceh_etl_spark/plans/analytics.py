@@ -1862,3 +1862,56 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders_together") >= 3)
         .orderBy(F.col("n_orders_together").desc(), "part_a", "part_b")
     )
+
+
+_ANSI_TRY_ORACLE = """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(SUM(CASE WHEN o_totalprice = 0
+                THEN NULL ELSE 1 END) AS BIGINT) AS n_nonzero_prices,
+  CAST(SUM(CASE WHEN TRY_CAST(o_orderstatus AS INTEGER) IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_noninteger_status,
+  ROUND(SUM(CASE WHEN o_totalprice = 0 THEN NULL
+                 ELSE CAST(ROUND(ROUND(100000.0 / o_totalprice, 6) * 1000000)
+                      AS BIGINT) END) / 1000000.0, 4)
+    AS sum_inverse_price
+FROM orders
+"""
+
+
+@register(
+    "ansi_try_functions",
+    oracle=_ANSI_TRY_ORACLE,
+    tags=("ansi", "try", "null-safety"),
+    description="ANSI-mode safe arithmetic: try_divide/try_cast semantics",
+)
+def ansi_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 runs with spark.sql.ansi.enabled=true: a plain
+    division by zero or bad cast now RAISES instead of silently
+    returning null — the try_* family is the sanctioned escape hatch
+    and this query pins its null-on-failure semantics cross-engine
+    (DuckDB twins: CASE guards and TRY_CAST). Each per-row inverse is
+    rounded into exact integer micro-units before summing, so the
+    aggregate is order-independent (the integer-cents pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    inverse = F.round(
+        F.round(F.try_divide(F.lit(100000.0), F.col("o_totalprice")), 6)
+        * 1000000,
+        0,
+    ).cast("long")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_totalprice") == 0, None).otherwise(1)
+        ).cast("long").alias("n_nonzero_prices"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus").try_cast("int").isNull(), 1
+            ).otherwise(0)
+        ).cast("long").alias("n_noninteger_status"),
+        F.round(
+            F.sum(F.when(F.col("o_totalprice") == 0, None).otherwise(inverse))
+            / 1000000.0,
+            4,
+        ).alias("sum_inverse_price"),
+    )
