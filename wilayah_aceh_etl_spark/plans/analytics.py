@@ -1684,6 +1684,7 @@ ORDER BY segment
     oracle=_SEGMENT_TREND_ORACLE,
     tags=("pandas-udf", "grouped-map", "join"),
     description="applyInPandas grouped-map: per-segment OLS price trend",
+    bench=True,
 )
 def grouped_map_segment_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map pandas UDF surface (applyInPandas): each market

@@ -195,6 +195,7 @@ ORDER BY o_year
     oracle=_Q8_ORACLE,
     tags=("join", "agg", "conditional-agg"),
     description="Q8 shape: one nation's market share within a region per year",
+    bench=True,
 )
 def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market share = conditional sum / total sum in ONE aggregation
