@@ -1020,3 +1020,65 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+_STREAM_JOIN_ORACLE = """
+SELECT
+  c.user_id   AS user_id,
+  c.event_id  AS click_id,
+  p.event_id  AS purchase_id,
+  c.ts        AS click_ts,
+  p.ts        AS purchase_ts
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND c.ts < p.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+ORDER BY click_id, purchase_id
+"""
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle=_STREAM_JOIN_ORACLE,
+    tags=("streaming", "events", "stream-stream-join"),
+    description="Structured Streaming stream-stream join, oracle-checked",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream attribution join executed END-TO-END as
+    Structured Streaming (readStream → dual watermark → range-
+    condition join → memory sink, availableNow) and held to the batch
+    SQL oracle. The staged 4-file source fits one micro-batch, so no
+    event is dropped as late and streaming output equals the batch
+    join exactly — larger corpora would relax this to the
+    watermark-filtered batch twin."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from wilayah_aceh_etl_spark.streaming import (
+        click_purchase_attribution,
+        read_event_stream,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    staged = os.path.join(tempfile.gettempdir(), f"wilayah_spark_events_{tag}")
+    marker = os.path.join(staged, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    name = f"stream_ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        click_purchase_attribution(read_event_stream(spark, staged))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("click_id", "purchase_id")
