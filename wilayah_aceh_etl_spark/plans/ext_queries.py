@@ -1954,3 +1954,62 @@ def multimodal_resize_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "width", "height")
         .orderBy("media_id")
     )
+
+
+_SPLIT_ORACLE = """
+WITH tagged AS (
+  SELECT doc_id,
+         length(string_split(text, ' ')) AS n_tokens,
+         (instr('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[1:1]) - 1) * 16
+         + (instr('0123456789abcdef', md5(CAST(doc_id AS VARCHAR))[2:2]) - 1)
+           AS h
+  FROM documents
+),
+assigned AS (
+  SELECT doc_id, n_tokens,
+         CASE WHEN h < 204 THEN 'train'
+              WHEN h < 230 THEN 'val'
+              ELSE 'test' END AS split
+  FROM tagged
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
+@register(
+    "split_train_val_test",
+    oracle=_SPLIT_ORACLE,
+    tags=("ext", "sampling", "split", "training-prep"),
+    description="deterministic ~80/10/10 train/val/test split via id-hash",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus splitting: two hex digits of md5(doc_id)
+    give a uniform 0..255 value; thresholds 204/230 cut ~80/10/10.
+    Same document lands in the same split on every engine, every
+    re-run, any partitioning — the property random()-based splits
+    lose. Pure projection + one aggregate; at 100 TB the split column
+    is written once as a partition key so each split is a directory
+    prune away."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.md5(F.col("doc_id").cast("string"))
+    hexd = "0123456789abcdef"
+    h = (F.instr(F.lit(hexd), F.substring(d, 1, 1)) - 1) * 16 + (
+        F.instr(F.lit(hexd), F.substring(d, 2, 1)) - 1
+    )
+    split = (
+        F.when(h < 204, "train").when(h < 230, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"), F.size(F.split("text", " ")).alias("n_tokens")
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
