@@ -1082,3 +1082,57 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name).orderBy("click_id", "purchase_id")
+
+
+_STATEFUL_TOTALS_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2)     AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "streaming_stateful_user_totals",
+    oracle=_STATEFUL_TOTALS_ORACLE,
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+    description="applyInPandasWithState running totals, oracle-checked",
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ARBITRARY-stateful operator class (applyInPandasWithState)
+    in the correctness gate: per-user running totals where state is
+    one (count, sum) tuple per user. The staged source fits one
+    availableNow micro-batch, so the single 'update' emission per
+    user IS the final total and the batch GROUP BY oracle applies;
+    with more batches the entry would assert only the latest row per
+    key (the sink-side last-wins merge)."""
+    import hashlib
+    import os
+    import tempfile
+    import uuid
+
+    from wilayah_aceh_etl_spark.streaming import (
+        read_event_stream,
+        running_user_totals,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    staged = os.path.join(tempfile.gettempdir(), f"wilayah_spark_events_{tag}")
+    marker = os.path.join(staged, "_SUCCESS")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    name = f"stream_stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        running_user_totals(read_event_stream(spark, staged))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("user_id")

@@ -2013,3 +2013,54 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+_DATA_CARD_ORACLE = """
+WITH d AS (
+  SELECT source, lang,
+         length(string_split(text, ' ')) AS n_tokens,
+         n_chars
+  FROM documents
+)
+SELECT
+  source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+  ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS avg_tokens,
+  ROUND(CAST(MIN(n_tokens) AS DOUBLE) / MAX(n_tokens), 4) AS len_ratio
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+@register(
+    "corpus_data_card",
+    oracle=_DATA_CARD_ORACLE,
+    tags=("ext", "text", "data-card", "training-prep"),
+    description="per-source corpus data card: docs, tokens, chars, lang mix",
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition summary a corpus data card reports per source:
+    volumes (docs/tokens/chars), language cardinality, and length
+    shape. All integer-derived → exact; one hash aggregate keyed on
+    source (the mixture axis data-mixture planning samples over)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split("text", " "))
+    return (
+        docs.select("source", "lang", n_tokens.alias("n_tokens"), "n_chars")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_tokens"),
+            F.round(
+                F.min("n_tokens").cast("double") / F.max("n_tokens"), 4
+            ).alias("len_ratio"),
+        )
+        .orderBy("source")
+    )
