@@ -198,3 +198,70 @@ def test_banded_range_join_matches_naive(spark, left, right, bounds):
         if lk == rk and lower <= ls - rs < upper
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking reconstruction (plans/ext_queries contract)
+# ---------------------------------------------------------------------------
+
+_tok = st.text(alphabet="abcxyz", min_size=1, max_size=4)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.lists(_tok, min_size=1, max_size=90), min_size=1, max_size=4))
+def test_chunking_reconstructs_original(spark, docs):
+    """W=32/S=24 chunks losslessly reconstruct every document: take
+    the first S tokens of each chunk plus the tail of the last one."""
+    from wilayah_aceh_etl_spark.plans.ext_queries import (
+        _CHUNK_S,
+        text_chunk_sliding,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "_chunk_prop_docs"
+    )
+    df = spark.table("_chunk_prop_docs")
+    # run the same expression pipeline against the temp view
+    # (patch the name ext_queries bound at import, not the source module)
+    import wilayah_aceh_etl_spark.plans.ext_queries as extq
+
+    orig_load = extq.load_table
+    try:
+        extq.load_table = lambda s, d, n: df  # noqa: ARG005
+        out = text_chunk_sliding(spark, "ignored").collect()
+    finally:
+        extq.load_table = orig_load
+
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+    for i, toks in enumerate(docs):
+        chunks = [t for _, t in sorted(by_doc[i])]
+        rebuilt: list[str] = []
+        for k, c in enumerate(chunks):
+            ctoks = c.split(" ")
+            rebuilt.extend(ctoks[:_CHUNK_S] if k < len(chunks) - 1 else ctoks)
+        assert rebuilt == toks
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split: total, disjoint, deterministic
+# ---------------------------------------------------------------------------
+
+
+def test_split_is_total_disjoint_deterministic(spark):
+    from wilayah_aceh_etl_spark.plans.ext_queries import split_train_val_test
+    from tests.conftest import SF_SMOKE
+    from wilayah_aceh_etl_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, SF_SMOKE, "documents").count()
+    runs = [split_train_val_test(spark, SF_SMOKE).collect() for _ in range(2)]
+    for run in runs:
+        assert {r.split for r in run} <= {"train", "val", "test"}
+        assert sum(r.n_docs for r in run) == n_docs  # total + disjoint
+    assert [tuple(r) for r in runs[0]] == [tuple(r) for r in runs[1]]

@@ -225,3 +225,47 @@ def chunk_payload(df: DataFrame, chunk_bytes: int = 1000) -> DataFrame:
             )
 
     return df.mapInPandas(batches, CHUNKED_SCHEMA)
+
+
+def chunk_payload_arrow(df: DataFrame, chunk_bytes: int = 1000) -> DataFrame:
+    """chunk_payload's twin on the mapInArrow surface: the UDF
+    receives pyarrow.RecordBatch directly — no pandas materialization,
+    no copy out of Arrow memory — which is the right interface when
+    the payload column dominates the batch (media bytes) and the
+    Python side only slices it. Output contract is identical to
+    chunk_payload and both are held to the same oracle."""
+
+    def batches(it):
+        import pyarrow as pa
+
+        for batch in it:
+            mids = batch.column("media_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            out_ids, out_idx, out_len, out_digest = [], [], [], []
+            for mid, p in zip(mids, payloads):
+                b = bytes(p)
+                n_chunks = (len(b) + chunk_bytes - 1) // chunk_bytes
+                for i in range(n_chunks):
+                    c = b[i * chunk_bytes : (i + 1) * chunk_bytes]
+                    out_ids.append(mid)
+                    out_idx.append(i)
+                    out_len.append(len(c))
+                    out_digest.append(hashlib.md5(c).hexdigest())
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "media_id": out_ids,
+                    "chunk_index": out_idx,
+                    "chunk_n_bytes": out_len,
+                    "chunk_digest": out_digest,
+                },
+                schema=pa.schema(
+                    [
+                        ("media_id", pa.int64()),
+                        ("chunk_index", pa.int32()),
+                        ("chunk_n_bytes", pa.int64()),
+                        ("chunk_digest", pa.string()),
+                    ]
+                ),
+            )
+
+    return df.mapInArrow(batches, CHUNKED_SCHEMA)

@@ -2064,3 +2064,33 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "multimodal_chunks_arrow",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents WHERE doc_id < 200
+)
+SELECT media_id, CAST(i AS INTEGER) AS chunk_index,
+       CAST(LEAST(1000, n_bytes - i * 1000) AS BIGINT) AS chunk_n_bytes,
+       md5(substring(text, CAST(i * 1000 + 1 AS INTEGER), 1000))
+         AS chunk_digest
+FROM m, UNNEST(range(0, CAST(ceil(n_bytes / 1000.0) AS BIGINT))) AS t(i)
+ORDER BY media_id, chunk_index
+""",
+    tags=("ext", "multimodal", "arrow", "chunks"),
+    description="payload chunking via mapInArrow (no-pandas UDF surface)",
+)
+def multimodal_chunks_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk_payload_arrow held to the SAME oracle as the mapInPandas
+    form — certifying the two Arrow-batched UDF surfaces agree. Use
+    mapInArrow when the binary column dominates and Python only
+    slices bytes: it skips the pandas materialization entirely."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = M.attach_fake_payload(docs, "doc_id")
+    return M.chunk_payload_arrow(media).orderBy("media_id", "chunk_index")
