@@ -1916,3 +1916,36 @@ def ansi_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("sum_inverse_price"),
     )
+
+
+@register(
+    "segment_trend_native",
+    oracle=_SEGMENT_TREND_ORACLE,
+    tags=("agg", "regression", "join"),
+    description="Catalyst-native REGR_SLOPE twin of the grouped-map trend",
+)
+def segment_trend_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented scale path of grouped_map_segment_trend: the
+    same OLS fit via the built-in regr_slope/regr_intercept
+    aggregates — partial-aggregated, mergeable, no Python boundary,
+    no one-task-per-segment concentration. Both forms share ONE
+    oracle, so the gate certifies pandas-fit == native-aggregate ==
+    DuckDB to 4 decimals."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    days = F.datediff(
+        "o_orderdate", F.lit("1995-01-01").cast("timestamp")
+    ).cast("double")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(F.col("c_mktsegment").alias("segment"), "o_totalprice", days.alias("days"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.regr_slope("o_totalprice", "days"), 4).alias("price_slope"),
+            F.round(F.regr_intercept("o_totalprice", "days"), 2).alias(
+                "price_intercept"
+            ),
+        )
+        .orderBy("segment")
+    )

@@ -1136,3 +1136,74 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q.awaitTermination(300)
     return spark.table(name).orderBy("user_id")
+
+
+_DYN_SESSION_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         ts + CASE WHEN event_type = 'error' THEN INTERVAL '5 minutes'
+                   ELSE INTERVAL '10 minutes' END AS e_end
+  FROM events
+),
+m AS (
+  SELECT user_id, ts, event_id, e_end,
+         MAX(e_end) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_max
+  FROM e
+),
+flagged AS (
+  SELECT user_id, ts, event_id, e_end,
+         CASE WHEN prev_max IS NULL OR ts > prev_max THEN 1 ELSE 0 END
+           AS new_session
+  FROM m
+),
+numbered AS (
+  SELECT user_id, ts, e_end,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(e_end) AS session_end,
+       COUNT(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+@register(
+    "events_session_dynamic_gap",
+    oracle=_DYN_SESSION_ORACLE,
+    tags=("events", "window-time", "session", "dynamic-gap"),
+    description="per-event-type dynamic-gap session windows",
+)
+def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window with a DATA-DEPENDENT gap (errors time out
+    after 5 minutes, everything else 10): each event claims the
+    interval [ts, ts+gap] and sessions are unions of overlapping
+    claims — verified empirically that Spark merges on boundary
+    equality and reports end = MAX(ts+gap) over the merged set, which
+    is exactly what the cumulative-max gaps-and-islands oracle
+    computes. The streaming form is the same expression under a
+    watermark (merging session state)."""
+    e = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", F.lit("5 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
