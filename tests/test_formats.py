@@ -16,7 +16,7 @@ def orders(spark):
     return load_table(spark, SF_SMOKE, "orders")
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json", "orc", "parquet"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "xml", "orc", "parquet"])
 def test_roundtrip_exact(spark, tmp_path, orders, fmt):
     path = str(tmp_path / f"orders_{fmt}")
     write_table(orders, path, fmt)
@@ -57,7 +57,7 @@ def test_columnar_pushdown_reaches_scan(spark, tmp_path, orders, fmt):
     assert "o_orderstatus" not in read_schema
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "xml"])
 def test_text_column_pruning(spark, tmp_path, orders, fmt):
     path = str(tmp_path / f"orders_prune_{fmt}")
     write_table(orders, path, fmt)

@@ -27,7 +27,7 @@ from pyspark.sql import types as T
 
 from wilayah_aceh_etl_spark.session import ensure_session_defaults
 
-TEXT_FORMATS = ("csv", "json")
+TEXT_FORMATS = ("csv", "json", "xml")
 COLUMNAR_FORMATS = ("orc", "parquet")
 FORMATS = TEXT_FORMATS + COLUMNAR_FORMATS
 
@@ -43,6 +43,11 @@ def write_table(df: DataFrame, path: str, fmt: str, **options: str) -> None:
         writer = writer.option("header", "true").option("timestampFormat", _TS_FMT)
     if fmt == "json":
         writer = writer.option("timestampFormat", _TS_FMT)
+    if fmt == "xml":
+        # native XML source (Spark 4): one element per row
+        writer = writer.option("rowTag", "row").option(
+            "timestampFormat", _TS_FMT
+        )
     writer.save(path)
 
 
@@ -70,6 +75,8 @@ def read_table(
         reader = reader.option("header", "true").option("timestampFormat", _TS_FMT)
     if fmt == "json":
         reader = reader.option("timestampFormat", _TS_FMT)
+    if fmt == "xml":
+        reader = reader.option("rowTag", "row").option("timestampFormat", _TS_FMT)
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load(path)
