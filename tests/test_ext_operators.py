@@ -221,3 +221,33 @@ def test_approx_sketches_within_error_bounds(spark):
             lo = vals[max(0, int((q - 0.02) * n) - 1)]
             hi = vals[min(n - 1, int((q + 0.02) * n))]
             assert lo <= v <= hi, (row.o_orderstatus, q, v, lo, hi)
+
+
+def test_hll_rollup_merge_equals_direct_and_bounds(spark):
+    """HLL registers update by max(), so union-of-minute-sketches is
+    EXACTLY the sketch of the hour (merge associativity) — and the
+    estimate lands within 5% of the exact distinct count."""
+    from tests.conftest import SF_SMOKE
+    from wilayah_aceh_etl_spark.plans.events_queries import events_hll_rollup
+    from wilayah_aceh_etl_spark.sources.tables import load_table
+
+    rolled = {
+        r.hour: r.approx_distinct_users
+        for r in events_hll_rollup(spark, SF_SMOKE).collect()
+    }
+    e = load_table(spark, SF_SMOKE, "events")
+    direct = {
+        r.hour: r.est
+        for r in e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"))
+        .collect()
+    }
+    exact = {
+        r.hour: r.n
+        for r in e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert rolled == direct  # partial-merge == direct, bit-exact
+    for h, est in rolled.items():
+        assert abs(est - exact[h]) / exact[h] < 0.05

@@ -1207,3 +1207,39 @@ def events_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@register(
+    "events_hll_rollup",
+    oracle=None,  # no HLL twin in DuckDB — rows-only; bounds + merge
+    # associativity pinned in tests/test_ext_operators.py
+    tags=("events", "sketch", "hll", "rollup"),
+    description="mergeable HLL rollup: minute sketches unioned to hourly",
+)
+def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE mergeable-sketch pattern for 100 TB rollups: per-minute
+    HLL sketches of distinct users are stored once, and every coarser
+    grain (hour here) is a sketch UNION — no re-scan of raw events,
+    no exact re-count. HLL registers update by max(), so the merged
+    estimate is a pure function of the distinct set: partial-merge
+    equals direct computation exactly (asserted in tests), unlike
+    naive distinct counts which cannot be merged at all."""
+    e = load_table(spark, sf_dir, "events")
+    minute = F.date_trunc("minute", F.col("ts"))
+    per_minute = (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            minute.alias("minute"),
+        )
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    return (
+        per_minute.groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_minutes"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_distinct_users"
+            ),
+        )
+        .orderBy("hour")
+    )
