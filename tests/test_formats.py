@@ -78,3 +78,34 @@ def test_unsupported_format_rejected(spark, orders, tmp_path):
         write_table(orders, str(tmp_path / "x"), "avro")
     with pytest.raises(ValueError, match="unsupported format"):
         read_table(spark, str(tmp_path / "x"), "avro")
+
+
+def test_variant_column_roundtrips_through_parquet(spark, tmp_path):
+    """Spark 4 can persist VARIANT columns in parquet: the binary
+    encoding survives the round trip and typed extraction still works
+    — the storage story for ragged semi-structured columns."""
+    from tests.conftest import SF_SMOKE
+
+    e = load_table(spark, SF_SMOKE, "events").limit(200)
+    path = str(tmp_path / "events_variant")
+    e.select(
+        "event_id", F.parse_json(F.col("props")).alias("props_v")
+    ).write.mode("overwrite").parquet(path)
+
+    back = spark.read.parquet(path)
+    assert back.schema["props_v"].dataType.typeName() == "variant"
+    got = {
+        r.event_id: r.k
+        for r in back.select(
+            "event_id",
+            F.try_variant_get(F.col("props_v"), "$.k", "int").alias("k"),
+        ).collect()
+    }
+    want = {
+        r.event_id: r.k
+        for r in e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        ).collect()
+    }
+    assert got == want and len(got) == 200
