@@ -171,3 +171,46 @@ def test_writer_overwrite_replaces_files(spark, tmp_path):
 
     files = [f for f in _os.listdir(out) if f.endswith(".geojson")]
     assert len(files) == 1
+
+
+def test_stream_reader_exactly_once_across_restarts(spark, tmp_path):
+    """Streaming side of the connector: each file's features emit
+    exactly once; a checkpointed restart picks up only files added
+    since the last committed offset."""
+    import shutil
+
+    register_geojson_datasource(spark)
+    src = str(tmp_path / "feed")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    import os as _os
+
+    _os.makedirs(src)
+    shutil.copy(f"{GEOJSON_DIR}/11_Aceh.geojson", src)
+
+    def run():
+        q = (
+            spark.readStream.format("geojson_features")
+            .load(src)
+            .select("source_file", "feature_index", "level")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return [
+            (r.source_file, r.feature_index, r.level)
+            for r in spark.read.parquet(out).collect()
+        ]
+
+    got1 = run()
+    assert got1 == [("11_Aceh.geojson", 0, 1)]  # 1 feature, level 1
+
+    shutil.copy(f"{GEOJSON_DIR}/11.01_kecamatan.geojson", src)
+    got2 = run()
+    assert len([g for g in got2 if g[0] == "11_Aceh.geojson"]) == 1  # no re-emit
+    new = [g for g in got2 if g[0] == "11.01_kecamatan.geojson"]
+    assert len(new) == 18 and all(lvl == 3 for _, _, lvl in new)

@@ -36,6 +36,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     In,
     InputPartition,
+    SimpleDataSourceStreamReader,
     StringStartsWith,
     WriterCommitMessage,
 )
@@ -223,6 +224,9 @@ class GeoJSONFeaturesDataSource(DataSource):
     def reader(self, schema):
         return GeoJSONFeaturesReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return GeoJSONStreamReader(self.options)
+
     def writer(self, schema, overwrite: bool):
         if overwrite:
             # directory prep happens on the driver, before tasks run
@@ -243,3 +247,72 @@ def register_geojson_datasource(spark) -> None:
 from wilayah_aceh_etl_spark.serde import pickle_module_by_value  # noqa: E402
 
 pickle_module_by_value(__name__)  # reader closures must not need repo on worker path
+
+
+class GeoJSONStreamReader(SimpleDataSourceStreamReader):
+    """Streaming side of the connector: treats the directory as an
+    append-only feed (the reference's operational reality — new
+    region files land over time) and emits each file's features
+    exactly once. Offsets are the sorted list of files already
+    processed, so a checkpointed restart resumes precisely;
+    readBetweenOffsets replays a committed range deterministically.
+
+    SimpleDataSourceStreamReader reads on the driver — right for
+    this corpus-sized feed; a partition-parallel DataSourceStreamReader
+    drops in behind the same offset contract when file volume demands
+    executor-side reads."""
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("geojson_features stream: .load(<directory>) required")
+        self.code = options.get("code")
+
+    def _files(self):
+        return sorted(
+            f
+            for f in os.listdir(self.dir)
+            if f.endswith(".geojson")
+            and (not self.code or f.startswith(self.code))
+        )
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _rows_for(self, names):
+        for name in names:
+            full = os.path.join(self.dir, name)
+            size = os.path.getsize(full)
+            level = classify_level_py(name)
+            with open(full, encoding="utf-8") as fh:
+                collection = json.load(fh)
+            for idx, feature in enumerate(collection.get("features") or []):
+                props = feature.get("properties") or {}
+                geom = feature.get("geometry")
+                yield (
+                    name,
+                    size,
+                    level,
+                    idx,
+                    tuple(props.get(k) for k in _PROP_KEYS),
+                    None
+                    if geom is None
+                    else json.dumps(geom, separators=(",", ":")),
+                )
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        new = [f for f in self._files() if f not in seen]
+        end = {"seen": sorted(seen | set(new))}
+        # materialized list, not a generator — the simple-stream
+        # protocol pickles the batch for prefetch/replay
+        return list(self._rows_for(new)), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = set(start.get("seen", []))
+        return list(
+            self._rows_for([f for f in end.get("seen", []) if f not in seen])
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets fully describe progress; nothing external to ack
