@@ -1719,13 +1719,21 @@ def grouped_map_segment_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         y = pdf["o_totalprice"].to_numpy(dtype="float64")
         xm, ym = x.mean(), y.mean()
         var = float(((x - xm) ** 2).sum())
-        slope = float(((x - xm) * (y - ym)).sum()) / var
+        if var == 0.0:
+            # degenerate group (all orders on one date): REGR_SLOPE
+            # and the native twin return NULL here — match, don't
+            # ZeroDivisionError the task
+            slope = intercept = None
+        else:
+            raw = float(((x - xm) * (y - ym)).sum()) / var
+            slope = round(raw, 4)
+            intercept = round(ym - raw * xm, 2)
         return pd.DataFrame(
             {
                 "segment": [str(pdf["c_mktsegment"].iloc[0])],
                 "n_orders": [len(pdf)],
-                "price_slope": [round(slope, 4)],
-                "price_intercept": [round(ym - slope * xm, 2)],
+                "price_slope": [slope],
+                "price_intercept": [intercept],
             }
         )
 

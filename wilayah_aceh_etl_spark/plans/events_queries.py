@@ -20,6 +20,28 @@ from pyspark.sql import functions as F
 from wilayah_aceh_etl_spark.plans.registry import register
 from wilayah_aceh_etl_spark.sources.tables import load_table
 
+def _stage_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the events table as plain parquet files for streaming
+    reads (the streaming file source cannot apply load_table's nanos
+    normalization). Cached per (sf_dir, source mtime): regenerated
+    testdata invalidates the staged copy instead of being silently
+    shadowed by a stale one."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf_dir}:{mtime}".encode()).hexdigest()[:10]
+    staged = os.path.join(tempfile.gettempdir(), f"wilayah_spark_events_{tag}")
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(staged)
+    return staged
+
+
+
 # ---------------------------------------------------------------------------
 # Tumbling window
 # ---------------------------------------------------------------------------
@@ -553,9 +575,6 @@ def streaming_tumbling_window_counts(
     batch twin. Events are staged once per (session, sf_dir) with
     timestamps micros-normalized (streaming file source can't apply
     the nanos conf rewrite load_table does)."""
-    import hashlib
-    import os
-    import tempfile
     import uuid
 
     from wilayah_aceh_etl_spark.streaming import (
@@ -563,15 +582,7 @@ def streaming_tumbling_window_counts(
         tumbling_counts,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    staged = os.path.join(
-        tempfile.gettempdir(), f"wilayah_spark_events_{tag}"
-    )
-    marker = os.path.join(staged, "_SUCCESS")
-    if not os.path.exists(marker):
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(staged)
+    staged = _stage_events(spark, sf_dir)
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
     q = (
         tumbling_counts(read_event_stream(spark, staged))
@@ -595,9 +606,6 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows through the REAL streaming path (merging
     session state), availableNow over staged files, held to the same
     gaps-and-islands oracle as the batch twin."""
-    import hashlib
-    import os
-    import tempfile
     import uuid
 
     from wilayah_aceh_etl_spark.streaming import (
@@ -605,14 +613,7 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_counts,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    staged = os.path.join(
-        tempfile.gettempdir(), f"wilayah_spark_events_{tag}"
-    )
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(staged)
+    staged = _stage_events(spark, sf_dir)
     name = f"stream_session_{uuid.uuid4().hex[:8]}"
     q = (
         session_counts(read_event_stream(spark, staged))
@@ -790,9 +791,6 @@ def streaming_sliding_window_rates(
     streaming path — each event enters two window states, watermark
     prunes them — availableNow over staged files, held to the same
     2-element-unnest oracle as the batch twin."""
-    import hashlib
-    import os
-    import tempfile
     import uuid
 
     from wilayah_aceh_etl_spark.streaming import (
@@ -800,14 +798,7 @@ def streaming_sliding_window_rates(
         sliding_rates,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    staged = os.path.join(
-        tempfile.gettempdir(), f"wilayah_spark_events_{tag}"
-    )
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(staged)
+    staged = _stage_events(spark, sf_dir)
     name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
     q = (
         sliding_rates(read_event_stream(spark, staged))
@@ -1054,9 +1045,6 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     event is dropped as late and streaming output equals the batch
     join exactly — larger corpora would relax this to the
     watermark-filtered batch twin."""
-    import hashlib
-    import os
-    import tempfile
     import uuid
 
     from wilayah_aceh_etl_spark.streaming import (
@@ -1064,13 +1052,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_event_stream,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    staged = os.path.join(tempfile.gettempdir(), f"wilayah_spark_events_{tag}")
-    marker = os.path.join(staged, "_SUCCESS")
-    if not os.path.exists(marker):
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(staged)
+    staged = _stage_events(spark, sf_dir)
     name = f"stream_ssjoin_{uuid.uuid4().hex[:8]}"
     q = (
         click_purchase_attribution(read_event_stream(spark, staged))
@@ -1108,9 +1090,6 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     user IS the final total and the batch GROUP BY oracle applies;
     with more batches the entry would assert only the latest row per
     key (the sink-side last-wins merge)."""
-    import hashlib
-    import os
-    import tempfile
     import uuid
 
     from wilayah_aceh_etl_spark.streaming import (
@@ -1118,13 +1097,7 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         running_user_totals,
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    staged = os.path.join(tempfile.gettempdir(), f"wilayah_spark_events_{tag}")
-    marker = os.path.join(staged, "_SUCCESS")
-    if not os.path.exists(marker):
-        load_table(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(staged)
+    staged = _stage_events(spark, sf_dir)
     name = f"stream_stateful_{uuid.uuid4().hex[:8]}"
     q = (
         running_user_totals(read_event_stream(spark, staged))

@@ -1815,8 +1815,10 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return truth.join(cands, ["doc_a", "doc_b"], "left").agg(
         F.count(F.lit(1)).alias("n_true_pairs"),
         F.count("_hit").alias("n_lsh_hits"),
+        # try_divide: a drift-monitoring sample with ZERO true pairs
+        # reports null recall instead of an ANSI divide-by-zero abort
         F.round(
-            F.count("_hit").cast("double") / F.count(F.lit(1)), 4
+            F.try_divide(F.count("_hit").cast("double"), F.count(F.lit(1))), 4
         ).alias("recall"),
     )
 
@@ -1842,7 +1844,10 @@ SELECT h.event_type AS event_type, h.hour, h.n,
                 / (s.k - 1)),
          4) AS zscore
 FROM h JOIN s ON h.event_type = s.event_type
-WHERE abs((h.n - CAST(s.sum_n AS DOUBLE) / s.k)
+WHERE s.k >= 2
+  AND (CAST(s.sum_n2 AS DOUBLE)
+       - CAST(s.sum_n AS DOUBLE) * CAST(s.sum_n AS DOUBLE) / s.k) > 0
+  AND abs((h.n - CAST(s.sum_n AS DOUBLE) / s.k)
           / sqrt((CAST(s.sum_n2 AS DOUBLE)
                   - CAST(s.sum_n AS DOUBLE) * CAST(s.sum_n AS DOUBLE) / s.k)
                  / (s.k - 1))) >= 2.0
@@ -1876,11 +1881,17 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("k"),
     )
     mean = F.col("sum_n").cast("double") / F.col("k")
-    var = (
-        F.col("sum_n2").cast("double")
-        - F.col("sum_n").cast("double") * F.col("sum_n").cast("double") / F.col("k")
-    ) / (F.col("k") - 1)
-    z = (F.col("n") - mean) / F.sqrt(var)
+    ss = F.col("sum_n2").cast("double") - F.col("sum_n").cast("double") * F.col(
+        "sum_n"
+    ).cast("double") / F.col("k")
+    # try_divide throughout: a type seen in one hour (k-1 = 0) or with
+    # constant hourly counts (ss = 0 → sqrt(var) = 0) has no defined
+    # z-score; null propagates and the >= 2 filter drops the row —
+    # the same rows the oracle's k/ss WHERE guards exclude. Guarding
+    # beside the division isn't enough: Spark doesn't promise
+    # conjunct short-circuiting, and ANSI mode raises on the bare /0.
+    var = F.try_divide(ss, (F.col("k") - 1).cast("double"))
+    z = F.try_divide(F.col("n") - mean, F.sqrt(var))
     return (
         h.join(F.broadcast(s), "event_type")
         .filter(F.abs(z) >= 2.0)
@@ -1906,11 +1917,14 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wilayah_aceh_etl_spark.functions.udtfs import register_udtfs
 
     register_udtfs(spark)
-    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # private view name: a registry query must not clobber a user's
+    # session temp view as a side effect
+    view = "_udtf_chunk_docs"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT doc_id, c.chunk_idx, c.chunk_text, c.n_chunk_tokens
-        FROM documents, LATERAL chunk_text(text) c
+        FROM {view}, LATERAL chunk_text(text) c
         ORDER BY doc_id, chunk_idx
         """
     )

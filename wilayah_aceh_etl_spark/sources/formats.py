@@ -48,6 +48,8 @@ def write_table(df: DataFrame, path: str, fmt: str, **options: str) -> None:
         writer = writer.option("rowTag", "row").option(
             "timestampFormat", _TS_FMT
         )
+    for k, v in options.items():
+        writer = writer.option(k, v)
     writer.save(path)
 
 

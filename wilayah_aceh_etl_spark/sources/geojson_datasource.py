@@ -107,9 +107,12 @@ class GeoJSONFeaturesReader(DataSourceReader):
             raise ValueError("geojson_features: .load(<directory>) is required")
         # reference S1 prefix filter (server.js:347) as a reader option
         self.code = options.get("code")
-        # populated by pushFilters
-        self.levels: set[int] | None = None
-        self.prefix: str | None = None
+        # populated by pushFilters; lists because the pushed filters
+        # are a CONJUNCTION — every absorbed predicate must hold
+        # (overwriting state would silently drop earlier conjuncts,
+        # which Spark never re-checks once absorbed)
+        self.level_sets: list[set[int]] = []
+        self.prefixes: list[str] = []
 
     def pushFilters(self, filters):
         """Accept level-equality/IN and source_file-prefix filters;
@@ -119,25 +122,28 @@ class GeoJSONFeaturesReader(DataSourceReader):
         """
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("level",):
-                self.levels = {int(f.value)}
+                self.level_sets.append({int(f.value)})
             elif isinstance(f, In) and f.attribute == ("level",):
-                self.levels = {int(v) for v in f.value}
+                self.level_sets.append({int(v) for v in f.value})
             elif isinstance(f, StringStartsWith) and f.attribute == ("source_file",):
-                self.prefix = str(f.value)
+                self.prefixes.append(str(f.value))
             else:
                 yield f
 
     def partitions(self):
+        levels: set[int] | None = None
+        for s in self.level_sets:
+            levels = s if levels is None else levels & s
         parts = []
         for name in sorted(os.listdir(self.dir)):
             if not name.endswith(".geojson"):
                 continue
             if self.code and not name.startswith(self.code):
                 continue
-            if self.prefix and not name.startswith(self.prefix):
+            if any(not name.startswith(p) for p in self.prefixes):
                 continue
             level = classify_level_py(name)
-            if self.levels is not None and level not in self.levels:
+            if levels is not None and level not in levels:
                 continue
             full = os.path.join(self.dir, name)
             parts.append(GeoJSONFilePartition(full, os.path.getsize(full), level))
@@ -180,6 +186,8 @@ class GeoJSONFeaturesWriter(DataSourceWriter):
         self.overwrite = overwrite
 
     def write(self, iterator):
+        import uuid
+
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
@@ -195,7 +203,12 @@ class GeoJSONFeaturesWriter(DataSourceWriter):
                 }
             )
         os.makedirs(self.dir, exist_ok=True)
-        out = os.path.join(self.dir, f"part-{pid:05d}.geojson")
+        # unique temp name: append never clobbers an earlier write,
+        # and retried/speculative attempts can't race on one path;
+        # readers never see it (pattern filters on .geojson)
+        out = os.path.join(
+            self.dir, f"part-{pid:05d}-{uuid.uuid4().hex}.geojson.tmp"
+        )
         with open(out, "w", encoding="utf-8") as fh:
             json.dump(
                 {"type": "FeatureCollection", "features": features},
@@ -205,7 +218,20 @@ class GeoJSONFeaturesWriter(DataSourceWriter):
         return GeoJSONCommit(out, len(features))
 
     def commit(self, messages):
-        pass  # files are already in place; nothing atomic to finalize
+        """Job-success finalization on the driver: promote each task's
+        temp file, and for overwrite delete the PRIOR files only now —
+        a failed job therefore never destroys existing data."""
+        final = set()
+        for m in messages:
+            if m is None:
+                continue
+            dest = m.path[: -len(".tmp")]
+            os.replace(m.path, dest)
+            final.add(os.path.basename(dest))
+        if self.overwrite:
+            for name in os.listdir(self.dir):
+                if name.endswith(".geojson") and name not in final:
+                    os.remove(os.path.join(self.dir, name))
 
     def abort(self, messages):
         for m in messages:
@@ -228,13 +254,8 @@ class GeoJSONFeaturesDataSource(DataSource):
         return GeoJSONStreamReader(self.options)
 
     def writer(self, schema, overwrite: bool):
-        if overwrite:
-            # directory prep happens on the driver, before tasks run
-            d = self.options.get("path")
-            if d and os.path.isdir(d):
-                for name in os.listdir(d):
-                    if name.endswith(".geojson"):
-                        os.remove(os.path.join(d, name))
+        # overwrite cleanup is deferred to commit() so a failed job
+        # leaves the previous data intact
         return GeoJSONFeaturesWriter(self.options, overwrite)
 
 
