@@ -214,3 +214,67 @@ def test_stream_reader_exactly_once_across_restarts(spark, tmp_path):
     assert len([g for g in got2 if g[0] == "11_Aceh.geojson"]) == 1  # no re-emit
     new = [g for g in got2 if g[0] == "11.01_kecamatan.geojson"]
     assert len(new) == 18 and all(lvl == 3 for _, _, lvl in new)
+
+
+def test_streaming_etl_pipeline_end_to_end(spark, tmp_path):
+    """The reference's POST /api/db/sync as a CONTINUOUS pipeline:
+    streaming connector → code derivation (P1) → keyed upsert sink.
+    A new region file landing in the directory flows into the
+    upserted table on the next trigger; re-delivered features stay
+    idempotent (last-wins on the merge key)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from wilayah_aceh_etl_spark.streaming.sinks import upsert_stream
+
+    register_geojson_datasource(spark)
+    src = str(tmp_path / "feed")
+    table = str(tmp_path / "wilayah_table")
+    ckpt = str(tmp_path / "ckpt")
+    import os as _os
+
+    _os.makedirs(src)
+    shutil.copy(f"{GEOJSON_DIR}/11_Aceh.geojson", src)
+
+    def run_once():
+        stream = spark.readStream.format("geojson_features").load(src)
+        derived = derive_codes(stream).select(
+            "kode_wilayah_kemendagri",
+            "nama_wilayah_kemendagri",
+            "level",
+            "geometry_json",
+            "source_file",
+            "feature_index",
+        )
+        q = (
+            upsert_stream(
+                derived,
+                table,
+                ckpt,
+                keys=["kode_wilayah_kemendagri"],
+                order_cols=["source_file", "feature_index"],
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(table)
+
+    t1 = run_once()
+    assert t1.count() == 1
+    assert t1.collect()[0].kode_wilayah_kemendagri == "11"
+
+    shutil.copy(f"{GEOJSON_DIR}/11.01_kecamatan.geojson", src)
+    t2 = run_once()
+    assert t2.count() == 1 + 18  # province + 18 kecamatan features
+    assert (
+        t2.filter(F.col("level") == 3)
+        .filter(~F.col("kode_wilayah_kemendagri").rlike(r"^11\.01\.\d{2}$"))
+        .count()
+        == 0
+    )
+
+    # third trigger with no new files: table unchanged (idempotent)
+    t3 = run_once()
+    assert t3.count() == 19

@@ -325,14 +325,15 @@ class GeoJSONStreamReader(SimpleDataSourceStreamReader):
         seen = set(start.get("seen", []))
         new = [f for f in self._files() if f not in seen]
         end = {"seen": sorted(seen | set(new))}
-        # materialized list, not a generator — the simple-stream
-        # protocol pickles the batch for prefetch/replay
-        return list(self._rows_for(new)), end
+        # a LIST ITERATOR, not a bare generator or list: the simple-
+        # stream prefetch cache both advances it (next) and pickles it
+        # for replay — list iterators support both, generators neither
+        return iter(list(self._rows_for(new))), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         seen = set(start.get("seen", []))
-        return list(
-            self._rows_for([f for f in end.get("seen", []) if f not in seen])
+        return iter(
+            list(self._rows_for([f for f in end.get("seen", []) if f not in seen]))
         )
 
     def commit(self, end: dict) -> None:
