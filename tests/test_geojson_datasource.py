@@ -278,3 +278,51 @@ def test_streaming_etl_pipeline_end_to_end(spark, tmp_path):
     # third trigger with no new files: table unchanged (idempotent)
     t3 = run_once()
     assert t3.count() == 19
+
+
+def test_stream_writer_batches_are_atomic_and_idempotent(spark, tmp_path):
+    """Streaming sink quadrant: each micro-batch commits as a
+    batch-{id} directory of FeatureCollection files."""
+    import json as _json
+    import os as _os
+    import shutil
+
+    register_geojson_datasource(spark)
+    src = str(tmp_path / "feed")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(src)
+    shutil.copy(f"{GEOJSON_DIR}/11.01_kecamatan.geojson", src)
+
+    stream = spark.readStream.format("geojson_features").load(src)
+    derived = derive_codes(stream).select(
+        F.col("kode_wilayah_kemendagri").alias("kode"),
+        F.col("nama_wilayah_kemendagri").alias("nama"),
+        "level",
+        "geometry_json",
+    )
+    q = (
+        derived.coalesce(2)
+        .writeStream.format("geojson_features")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batches = sorted(d for d in _os.listdir(out) if d.startswith("batch-"))
+    assert len(batches) == 1
+    n = 0
+    for f in _os.listdir(_os.path.join(out, batches[0])):
+        assert f.endswith(".geojson")
+        with open(_os.path.join(out, batches[0], f), encoding="utf-8") as fh:
+            fc = _json.load(fh)
+        assert fc["type"] == "FeatureCollection"
+        n += len(fc["features"])
+    assert n == 18
+    # no stray tmp files outside batch dirs
+    assert all(
+        d.startswith("batch-") for d in _os.listdir(out)
+    ), _os.listdir(out)

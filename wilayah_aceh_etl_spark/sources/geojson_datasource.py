@@ -32,6 +32,7 @@ import re
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     In,
@@ -253,6 +254,9 @@ class GeoJSONFeaturesDataSource(DataSource):
     def simpleStreamReader(self, schema):
         return GeoJSONStreamReader(self.options)
 
+    def streamWriter(self, schema, overwrite: bool):
+        return GeoJSONStreamWriter(self.options)
+
     def writer(self, schema, overwrite: bool):
         # overwrite cleanup is deferred to commit() so a failed job
         # leaves the previous data intact
@@ -338,3 +342,64 @@ class GeoJSONStreamReader(SimpleDataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # offsets fully describe progress; nothing external to ack
+
+
+class GeoJSONStreamWriter(DataSourceStreamWriter):
+    """Streaming sink quadrant of the connector: every micro-batch
+    lands as FeatureCollection files, promoted atomically at batch
+    commit. Exactly-once comes from idempotent batch directories —
+    a replayed batchId rewrites batch-{id}/ wholesale instead of
+    appending duplicates. (For keyed UPSERT semantics use
+    streaming/sinks.upsert_stream; this sink is the append-feed
+    form — each batch is a new delivery of files.)"""
+
+    def __init__(self, options):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("geojson_features stream write: path required")
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        features = []
+        for row in iterator:
+            geom = row["geometry_json"]
+            features.append(
+                {
+                    "type": "Feature",
+                    "properties": {"id": row["kode"], "name": row["nama"],
+                                   "level": row["level"]},
+                    "geometry": None if geom is None else json.loads(geom),
+                }
+            )
+        os.makedirs(self.dir, exist_ok=True)
+        out = os.path.join(
+            self.dir, f"task-{pid:05d}-{uuid.uuid4().hex}.geojson.tmp"
+        )
+        with open(out, "w", encoding="utf-8") as fh:
+            json.dump(
+                {"type": "FeatureCollection", "features": features},
+                fh,
+                separators=(",", ":"),
+            )
+        return GeoJSONCommit(out, len(features))
+
+    def commit(self, messages, batchId: int) -> None:
+        batch_dir = os.path.join(self.dir, f"batch-{batchId:05d}")
+        # idempotent replay: the batch directory is rebuilt wholesale
+        if os.path.isdir(batch_dir):
+            for name in os.listdir(batch_dir):
+                os.remove(os.path.join(batch_dir, name))
+        os.makedirs(batch_dir, exist_ok=True)
+        for i, m in enumerate(m for m in messages if m is not None):
+            os.replace(
+                m.path, os.path.join(batch_dir, f"part-{i:05d}.geojson")
+            )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
