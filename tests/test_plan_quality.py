@@ -51,3 +51,63 @@ def test_no_plan_antipatterns(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: nested-loop join crept in"
         )
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """Scale evidence for SCALE.md §1: with AQE skew-join enabled, a
+    hot key whose partition dwarfs the median is split at runtime —
+    the executed SortMergeJoin is marked skew=true. This is the
+    automatic remedy; operators/skew.py holds the explicit ones."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    left_path = str(tmp_path / "skew_left")
+    right_path = str(tmp_path / "skew_right")
+    # one hot key (0) with ~200k rows, 99 cold keys with ~200 each
+    spark.range(200_000).select(
+        F.lit(0).alias("k"), F.col("id").alias("v")
+    ).union(
+        spark.range(20_000).select(
+            (F.col("id") % 99 + 1).alias("k"), F.col("id").alias("v")
+        )
+    ).write.mode("overwrite").parquet(left_path)
+    spark.range(1_000_000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("w")
+    ).write.mode("overwrite").parquet(right_path)
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        l = spark.read.parquet(left_path)
+        r = spark.read.parquet(right_path)
+        # A global aggregate (not groupBy("k")) — a downstream operator
+        # that *requires* hash distribution on k would veto the skew
+        # split, since split partitions no longer satisfy it.
+        joined = l.join(r, "k").agg(F.sum("v").alias("total_v"))
+        joined.collect()  # execute so AQE finalizes the plan
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain()
+        plan = buf.getvalue()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
