@@ -729,3 +729,111 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("volume_cents") / 100.0, 2).alias("profit"))
         .orderBy("nation", "o_year")
     )
+
+
+_Q5_ORACLE = """
+SELECT
+  n_name AS nation,
+  ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) / 100.0, 2)
+    AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, nation
+"""
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle=_Q5_ORACLE,
+    tags=("join", "agg"),
+    description="Q5 shape: 6-table join, customer and supplier in one nation",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume (TPC-H Q5): the join graph is a cycle —
+    lineitem joins supplier on suppkey AND on the customer's nation —
+    which no reference query has (SURVEY §2.11: the reference engine
+    has no joins at all).
+
+    Scale shape: region→nation→supplier collapse driver-side into a
+    broadcast; customer broadcasts; the only shuffle is
+    lineitem⋈orders on orderkey. The c_nationkey = s_nationkey leg
+    rides the same joins as an ordinary equi-condition — no extra
+    shuffle. Revenue sums exact integer cents (order-independent)."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_name").alias("nation"), cents.alias("cents"))
+        .groupBy("nation")
+        .agg(F.round(F.sum("cents") / 100.0, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+_Q6_ORACLE = """
+SELECT
+  ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount * 100, 0) AS BIGINT)) / 100.0, 2)
+    AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=_Q6_ORACLE,
+    tags=("filter", "agg", "pushdown"),
+    description="Q6 shape: pure scan-filter-aggregate, all predicates pushed",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue-change (TPC-H Q6): the canonical
+    scan-dominated query — no join, no groupBy key, so the plan is
+    FileScan → Filter → partial agg → single-row final agg. All four
+    predicates appear in PushedFilters (row-group pruning via parquet
+    min/max stats); ReadSchema keeps only the 4 referenced columns.
+    At 100 TB this is the query whose cost IS the scan — anything
+    beyond one pass over the pruned row groups is waste."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    cents = F.round(F.col("l_extendedprice") * F.col("l_discount") * 100, 0).cast(
+        "long"
+    )
+    return l.select(cents.alias("cents")).agg(
+        F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
