@@ -406,3 +406,20 @@ def test_outer_join_emits_unmatched_after_watermark(spark, tmp_path):
     got2 = run(f"outer2_{uuid.uuid4().hex[:8]}")
     assert got2.count((20, None)) == 1  # user 2's click, null-padded
     assert got2.count((10, 11)) == 1  # matched pair emitted exactly once
+
+
+def test_dedup_within_watermark_undoes_replay(spark, event_files, tmp_path):
+    """A stream that replays every record twice comes out exactly
+    once per event_id — and per-key state is watermark-evicted
+    (dropDuplicatesWithinWatermark), not retained forever."""
+    from wilayah_aceh_etl_spark.streaming import dedup_exact_replay
+
+    doubled = str(tmp_path / "doubled")
+    e = spark.read.parquet(event_files)
+    e.unionAll(e).coalesce(1).write.mode("overwrite").parquet(doubled)
+
+    name = f"dedup_replay_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(dedup_exact_replay(read_event_stream(spark, doubled)), name)
+    got = spark.table(name)
+    assert got.count() == e.count()
+    assert got.select("event_id").distinct().count() == e.count()

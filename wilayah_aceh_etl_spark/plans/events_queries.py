@@ -1216,3 +1216,84 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+def _stage_events_doubled(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events UNION ALL events as ONE parquet file: an
+    at-least-once source that replayed every record exactly twice.
+    A single file keeps availableNow to one deterministic
+    micro-batch, so the dedup outcome is exact (no dup can straddle
+    a watermark advance)."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf_dir}:double:{mtime}".encode()).hexdigest()[:10]
+    staged = os.path.join(
+        tempfile.gettempdir(), f"wilayah_spark_events2x_{tag}"
+    )
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        e = load_table(spark, sf_dir, "events")
+        e.unionAll(e).coalesce(1).write.mode("overwrite").parquet(staged)
+    return staged
+
+
+_DEDUP_REPLAY_ORACLE = """
+SELECT
+  event_type,
+  COUNT(*) AS n_events,
+  ROUND(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle=_DEDUP_REPLAY_ORACLE,
+    tags=("streaming", "events", "dedup"),
+    description="dropDuplicatesWithinWatermark un-doubles a replayed stream",
+)
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once repair through the REAL streaming path: the
+    staged source replays every event twice; the pipeline is
+    readStream → watermark → dropDuplicatesWithinWatermark(event_id)
+    → memory sink (append). The oracle is the per-type profile of
+    the ORIGINAL events — it hash-matches only if every replica was
+    dropped (a doubled stream would double n_events). Summarization
+    of the sink table is batch-side; value sums exact integer cents
+    so the aggregate is order-independent."""
+    import uuid
+
+    from wilayah_aceh_etl_spark.streaming import (
+        dedup_exact_replay,
+        read_event_stream,
+    )
+
+    staged = _stage_events_doubled(spark, sf_dir)
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_exact_replay(read_event_stream(spark, staged))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        spark.table(name)
+        .select("event_type", cents.alias("cents"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("cents") / 100.0, 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

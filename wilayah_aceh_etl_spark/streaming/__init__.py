@@ -6,6 +6,7 @@ from wilayah_aceh_etl_spark.streaming.windows import (
     tumbling_counts,
 )
 from wilayah_aceh_etl_spark.streaming.stateful import (
+    dedup_exact_replay,
     dedup_first_per_key,
     running_user_totals,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "tumbling_counts",
     "sliding_rates",
     "session_counts",
+    "dedup_exact_replay",
     "dedup_first_per_key",
     "running_user_totals",
 ]

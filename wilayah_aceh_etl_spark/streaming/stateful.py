@@ -80,3 +80,19 @@ def running_user_totals(events: DataFrame, watermark: str = "10 minutes") -> Dat
 from wilayah_aceh_etl_spark.serde import pickle_module_by_value
 
 pickle_module_by_value(__name__)  # UDF closures must not need repo on worker path
+
+
+def dedup_exact_replay(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """At-least-once → exactly-once repair: drop replayed copies of
+    the same event_id with dropDuplicatesWithinWatermark — unlike
+    plain dropDuplicates, its per-key state is EVICTED once the
+    watermark passes the event time, so state stays bounded by the
+    watermark horizon instead of growing with the key universe
+    (the only viable shape for an unbounded-id stream at 100 TB;
+    a duplicate arriving later than the watermark delay would
+    re-emit, the documented at-least-once residual)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
