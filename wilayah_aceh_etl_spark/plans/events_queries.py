@@ -1297,3 +1297,56 @@ def streaming_dedup_within_watermark(
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact mergeable distinct via bitmaps (the pre-aggregation scale path)
+# ---------------------------------------------------------------------------
+
+_BITMAP_DISTINCT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_bitmap_distinct_rollup",
+    oracle=_BITMAP_DISTINCT_ORACLE,
+    tags=("events", "rollup", "bitmap", "distinct"),
+    description="exact distinct users via mergeable hourly bitmap partials",
+)
+def events_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) as a mergeable rollup: hourly partial
+    bitmaps (bitmap_construct_agg over bitmap_bit_position, bucketed
+    by bitmap_bucket_number) are OR-merged across hours and summed.
+
+    This is the EXACT counterpart of the HLL rollup in
+    events_hll_rollup: unlike a raw COUNT(DISTINCT), the hourly
+    partials are reusable — any time-range distinct count is an OR
+    of stored partials, never a rescan. At 100 TB the partials are
+    what you materialize; re-aggregation cost is proportional to
+    bitmap count, not row count. The oracle is a plain
+    COUNT(DISTINCT): bitmaps are exact, so this hash-matches."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bucket"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "hour", "bucket")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    merged = hourly.groupBy("event_type", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return (
+        merged.select("event_type", F.expr("bitmap_count(bm)").alias("n"))
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("distinct_users"))
+        .orderBy("event_type")
+    )

@@ -2108,3 +2108,74 @@ def multimodal_chunks_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = M.attach_fake_payload(docs, "doc_id")
     return M.chunk_payload_arrow(media).orderBy("media_id", "chunk_index")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing pass)
+# ---------------------------------------------------------------------------
+
+_PII_ORACLE = """
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z0-9]+[.][a-z]+')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '[+]1-555-[0-9]{4}')) AS BIGINT)
+         AS n_phones,
+       md5(regexp_replace(
+             regexp_replace(text, '[a-z0-9.]+@[a-z0-9]+[.][a-z]+', '<EMAIL>', 'g'),
+             '[+]1-555-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+FROM seeded
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_pii_redaction",
+    oracle=_PII_ORACLE,
+    tags=("text", "pii", "regex"),
+    description="PII scrub: email/phone regex redaction with match counts",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data scrubbing pass: regex-redact emails and phone
+    numbers, reporting per-doc match counts and the md5 of the
+    scrubbed text. The corpus has no natural PII, so a deterministic
+    seeding step derives one email + one phone from doc_id on BOTH
+    engines — the oracle proves byte-identical redaction output.
+
+    Patterns stay in the common Java-regex/RE2 subset (character
+    classes only — no backslash classes, lookarounds or refs).
+    Scale shape: pure narrow projection — no shuffle at all except
+    the presentation ORDER BY; at 100 TB this runs at scan speed,
+    whole-stage-codegen'd, and would be written back partition-local
+    (noop sort) rather than globally ordered."""
+    d = load_table(spark, sf_dir, "documents")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    email = "[a-z0-9.]+@[a-z0-9]+[.][a-z]+"
+    phone = "[+]1-555-[0-9]{4}"
+    return seeded.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(phone)).cast("long").alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", email, "<EMAIL>"),
+                phone,
+                "<PHONE>",
+            )
+        ).alias("redacted_md5"),
+    ).orderBy("doc_id")
