@@ -251,3 +251,21 @@ def test_hll_rollup_merge_equals_direct_and_bounds(spark):
     assert rolled == direct  # partial-merge == direct, bit-exact
     for h, est in rolled.items():
         assert abs(est - exact[h]) / exact[h] < 0.05
+
+
+def test_cms_heavy_hitters_error_bounds(spark):
+    """Count-min guarantees est >= true always, and
+    est - true <= eps*N with 99% confidence per probe; with the
+    fixed seed the sketch is deterministic, so these bounds either
+    hold reproducibly or the query is wrong."""
+    from wilayah_aceh_etl_spark.plans.events_queries import (
+        events_cms_heavy_hitters,
+    )
+    from wilayah_aceh_etl_spark.sources.tables import load_table
+
+    rows = events_cms_heavy_hitters(spark, SF_SMOKE).collect()
+    assert 1 <= len(rows) <= 20  # smoke SF has <20 distinct users
+    n_total = load_table(spark, SF_SMOKE, "events").count()
+    for r in rows:
+        assert r.est_n >= r.exact_n, r
+        assert r.est_n - r.exact_n <= max(1, int(0.001 * n_total)), r

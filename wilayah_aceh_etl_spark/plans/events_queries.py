@@ -1350,3 +1350,140 @@ def events_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.sum("n").alias("distinct_users"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_cms_heavy_hitters",
+    oracle=None,  # no count-min twin in DuckDB — rows-only; the
+    # estimate-vs-exact error bound is pinned in tests/test_ext_operators.py
+    tags=("events", "sketch", "cms"),
+    description="count-min sketch frequency estimates for the hottest users",
+)
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter frequencies from ONE count-min sketch pass: the
+    sketch is a fixed 0.1%-eps / 99%-confidence summary (a few KB)
+    built in a single distributed aggregation (mergeable across
+    partitions/time ranges the same way the HLL and bitmap rollups
+    are); per-key estimates are then probed from the collected
+    sketch through the JVM CountMinSketch reader — O(1) per probe on
+    a KB-sized object, the one deliberate driver-side step. At
+    100 TB the sketch replaces a full groupBy when only known keys
+    need frequencies: the shuffle carries one sketch per partition
+    instead of one row per key. Count-min guarantees
+    estimate >= true and (estimate - true) <= eps·N at the stated
+    confidence; the test pins both bounds against exact counts. The
+    fixed seed makes the output deterministic, so the rows-only gate
+    is stable across runs."""
+    e = load_table(spark, sf_dir, "events")
+    cms_bytes = bytes(
+        e.agg(
+            F.count_min_sketch(
+                F.col("user_id"), F.lit(0.001), F.lit(0.99), F.lit(42)
+            ).alias("cms")
+        ).head()[0]
+    )
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(20)
+        .collect()
+    )
+    jvm = spark._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        spark._sc._jvm.java.io.ByteArrayInputStream(cms_bytes)
+    )
+    rows = [
+        (r["user_id"], r["exact_n"], int(sketch.estimateCount(r["user_id"])))
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows, "user_id long, exact_n long, est_n long"
+    ).orderBy(F.col("exact_n").desc(), "user_id")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build (change events → validity intervals)
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), flagged AS (
+  SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                 THEN 1 ELSE 0 END AS is_change
+  FROM ordered
+), islands AS (
+  SELECT *, SUM(is_change) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), intervals AS (
+  SELECT user_id, event_type, island,
+         MIN(ts) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM islands
+  GROUP BY user_id, event_type, island
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+         AS valid_to,
+       n_events,
+       CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+            IS NULL AS BOOLEAN) AS is_current
+FROM intervals
+ORDER BY user_id, valid_from
+"""
+
+
+@register(
+    "scd2_user_state_history",
+    oracle=_SCD2_ORACLE,
+    tags=("events", "scd2", "window", "temporal"),
+    description="SCD2 build: change events collapsed to validity intervals",
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a change stream:
+    consecutive same-state runs collapse to one row with
+    [valid_from, valid_to) and an is_current flag — the warehouse
+    dimension the as-of join (events_asof_last_purchase) would probe.
+    Three window passes + one aggregate, ALL partitioned by user_id:
+    one data shuffle total — every subsequent window and the
+    aggregate reuse that hash partitioning (user_id is a subset of
+    the group keys, so ClusteredDistribution is already satisfied);
+    the only other Exchange in the plan is the presentation ORDER BY.
+    Ties on ts break by event_id so islands are deterministic."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).withColumn(
+        "is_change",
+        (
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        ).cast("int"),
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("is_change").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    intervals = islands.groupBy("user_id", "event_type", "island").agg(
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from")
+    return (
+        intervals.select(
+            "user_id", "event_type", "valid_from",
+            F.lead("valid_from").over(w2).alias("valid_to"),
+            "n_events",
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "valid_from")
+    )

@@ -2179,3 +2179,66 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("redacted_md5"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity matching (blocked edit distance)
+# ---------------------------------------------------------------------------
+
+_FUZZY_ORACLE = """
+WITH names AS (
+  SELECT DISTINCT p_name,
+         split_part(p_name, ' ', 2) AS block_key
+  FROM part
+)
+SELECT a.p_name AS name_a,
+       b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM names a
+JOIN names b
+  ON a.block_key = b.block_key AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 5
+ORDER BY name_a, name_b
+"""
+
+
+@register(
+    "fuzzy_name_pairs_levenshtein",
+    oracle=_FUZZY_ORACLE,
+    tags=("dedup", "fuzzy", "join", "text"),
+    description="blocked fuzzy matching: levenshtein <= 5 within noun blocks",
+)
+def fuzzy_name_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution shape: candidate pairs come from a BLOCKED
+    self-join (equal trailing noun token), then the expensive edit
+    distance runs only within blocks. The block key is what makes
+    this survive scale — pairwise levenshtein over N names is O(N²);
+    with B balanced blocks it is O(N²/B), and the join is a plain
+    shuffle-hash on the block key (no cross product ever forms).
+    The distinct-project first collapses the fact table to the name
+    dictionary — at 100 TB the quadratic runs on the dictionary,
+    never the corpus."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("block_key", F.element_at(F.split("p_name", " "), -1))
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 5)
+        .orderBy("name_a", "name_b")
+    )
