@@ -96,3 +96,66 @@ def test_shuffle_hash_hint_controls_strategy(spark):
     with redirect_stdout(buf):
         df.explain()
     assert "ShuffledHashJoin" in buf.getvalue()
+
+
+def test_zorder_layout_bounds_files_in_both_dims(spark, tmp_path):
+    """Z-order vs linear sort: a linear sort on x packs x tightly
+    but every file spans the FULL y range, so a y-only filter prunes
+    nothing. Z-ordering bounds each file in BOTH dimensions — the
+    per-dim normalized min/max spans from the parquet footers are
+    what pruning actually uses."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from wilayah_aceh_etl_spark.sources.maintenance import (
+        write_range_sorted,
+        write_zordered,
+    )
+
+    n = 1 << 14
+    side = 1 << 7
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % side).alias("x"),
+            (F.col("id") / side).cast("long").alias("y"),
+        )
+        # shuffle the input so neither layout gets accidental order
+        .orderBy(F.md5(F.col("id").cast("string")))
+    )
+    linear = str(tmp_path / "linear")
+    zordered = str(tmp_path / "zordered")
+    write_range_sorted(df, linear, ("x",), num_files=16)
+    write_zordered(df, zordered, ("x", "y"), num_files=16)
+
+    def mean_spans(path):
+        spans = {"x": [], "y": []}
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            lo = {"x": None, "y": None}
+            hi = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        mn, mx = col.statistics.min, col.statistics.max
+                        lo[name] = mn if lo[name] is None else min(lo[name], mn)
+                        hi[name] = mx if hi[name] is None else max(hi[name], mx)
+            for d in ("x", "y"):
+                spans[d].append((hi[d] - lo[d] + 1) / side)
+        return {d: sum(v) / len(v) for d, v in spans.items()}
+
+    lin = mean_spans(linear)
+    z = mean_spans(zordered)
+    # Linear: x tightly packed, y unbounded (≈ full range per file).
+    assert lin["x"] <= 0.25, lin
+    assert lin["y"] >= 0.9, lin
+    # Z-order: BOTH dims bounded — y at least 2× tighter than the
+    # linear layout's, x still far from full-range.
+    assert z["y"] <= lin["y"] / 2, (z, lin)
+    assert z["x"] <= 0.75, z

@@ -1957,3 +1957,65 @@ def segment_trend_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 collations: case-insensitive grouping as a TYPE property
+# ---------------------------------------------------------------------------
+
+_COLLATION_ORACLE = """
+WITH seeded AS (
+  SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name) ELSE p_name END
+           AS name
+  FROM part
+)
+SELECT lower(name) AS name_ci,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT name) AS BIGINT) AS n_case_variants
+FROM seeded
+GROUP BY lower(name)
+ORDER BY name_ci
+"""
+
+
+@register(
+    "collation_ci_grouping",
+    oracle=_COLLATION_ORACLE,
+    tags=("string", "collation", "agg"),
+    description="UTF8_LCASE collated grouping vs a lower() oracle twin",
+)
+def collation_ci_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: case-insensitivity declared as a property
+    of the STRING TYPE (collate(..., 'UTF8_LCASE')) instead of
+    normalize-at-every-use. The grouping, and any join or comparison
+    on the collated column, is case-insensitive with no lower()
+    wrapped around each reference — at 100 TB that means the
+    original bytes are stored once and every operator (including
+    shuffle hashing) respects the collation natively. Case variants
+    are seeded deterministically from p_partkey; the oracle is the
+    portable lower() twin, proving the two formulations agree. The
+    output key is lower()-normalized because a collated GROUP BY's
+    representative value is whichever variant a partition saw first
+    — nondeterministic by design."""
+    seeded = load_table(spark, sf_dir, "part").select(
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.upper(F.col("p_name"))
+        )
+        .otherwise(F.col("p_name"))
+        .alias("name")
+    )
+    return (
+        seeded.groupBy(
+            F.collate(F.col("name"), "UTF8_LCASE").alias("name_key")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct(F.col("name")).alias("n_case_variants"),
+        )
+        .select(
+            F.lower(F.col("name_key")).cast("string").alias("name_ci"),
+            "n_rows",
+            "n_case_variants",
+        )
+        .orderBy("name_ci")
+    )

@@ -91,3 +91,75 @@ def write_range_sorted(
     else:
         out = out.repartitionByRange(*sort_cols)
     out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def zorder_key(cols, mins, maxs, bits: int = 16):
+    """Morton (Z-order) key: min-max scale each column to `bits`-bit
+    integers, then interleave their bits. Rows close in EVERY listed
+    dimension get close keys, so range-partitioning on the key gives
+    each file a bounded hyper-rectangle — parquet min/max footer
+    stats then prune scans filtered on ANY of the dimensions, not
+    just the leading sort column. This is the multi-dimensional
+    clustering Delta exposes as OPTIMIZE ZORDER BY, built from plain
+    column expressions (static bit unroll — stays inside whole-stage
+    codegen; no UDF).
+
+    `mins`/`maxs` are the per-column bounds (one cheap agg pass at
+    write time). Degenerate columns (min == max) contribute zeros."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    scaled = []
+    top = (1 << bits) - 1
+    for c, lo, hi in zip(cols, mins, maxs):
+        col = F.col(c) if isinstance(c, str) else c
+        if hi == lo:
+            scaled.append(F.lit(0).cast("long"))
+        else:
+            frac = (col.cast("double") - float(lo)) / (float(hi) - float(lo))
+            scaled.append(
+                F.least(
+                    F.lit(top),
+                    F.greatest(F.lit(0), F.floor(frac * (top + 1))),
+                ).cast("long")
+            )
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            bit = F.shiftright(s, b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: tuple[str, ...],
+    num_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write `df` clustered on the Z-order key of `zorder_cols`:
+    one stats pass for the bounds, then repartitionByRange +
+    sortWithinPartitions on the key (same no-single-reducer
+    discipline as write_range_sorted). Compared with a linear sort
+    on the first column, every file's footer now bounds a small
+    rectangle in ALL z-dimensions — the layout to choose when scans
+    filter on more than one column (the 100 TB replacement for
+    secondary indexes)."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for c in zorder_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    stats = df.agg(*aggs).head()
+    mins = [stats[f"min_{c}"] for c in zorder_cols]
+    maxs = [stats[f"max_{c}"] for c in zorder_cols]
+    key = zorder_key(list(zorder_cols), mins, maxs, bits=bits)
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
