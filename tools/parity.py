@@ -51,6 +51,24 @@ def _canon_cell(v) -> str:
     return str(v)
 
 
+def _complex_cells(df_pandas) -> list[str]:
+    """Columns holding list/dict/ndarray cells. The DRIVER's gate
+    sorts rows with pandas sort_values, which raises `unhashable
+    type: 'list'` on such columns (observed in CORRECTNESS_r01) —
+    so any query emitting one must stringify it at the boundary."""
+    import numpy as np
+
+    bad = []
+    for c in df_pandas.columns:
+        col = df_pandas[c]
+        if col.dtype == object and any(
+            isinstance(v, (list, tuple, dict, np.ndarray))
+            for v in col.head(20)
+        ):
+            bad.append(c)
+    return bad
+
+
 def _canon(df_pandas) -> list[tuple]:
     cols = sorted(df_pandas.columns)
     rows = [
@@ -76,7 +94,8 @@ def main() -> int:
 
     specs = all_specs()
     if args.only:
-        specs = {k: v for k, v in specs.items() if args.only in k}
+        pats = [p for p in args.only.split(",") if p]
+        specs = {k: v for k, v in specs.items() if any(p in k for p in pats)}
 
     spark = get_spark("parity", master=args.master)
     con = duckdb.connect()
@@ -93,6 +112,14 @@ def main() -> int:
             sdf = spec.fn(spark, args.sf).toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        complex_cols = _complex_cells(sdf)
+        if complex_cols:
+            print(
+                f"FAIL  {name}: list-typed output cols {complex_cols} — "
+                "the driver's canonicalizer cannot hash these"
+            )
             n_fail += 1
             continue
         if spec.oracle is None:

@@ -1122,7 +1122,7 @@ WITH m AS (
   FROM orders WHERE o_orderkey < 200
 )
 SELECT o_orderkey,
-       list_sort(map_keys(props))                    AS keys_sorted,
+       array_to_string(list_sort(map_keys(props)), ',') AS keys_sorted,
        props['status'][1]                            AS status_val,
        CAST(cardinality(props) AS BIGINT)            AS n_entries,
        array_to_string(list_sort(list_transform(map_entries(props),
@@ -1143,7 +1143,9 @@ def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     §1.2): construct a map from columns, sorted key list, point
     lookup, cardinality, and an entries→sorted-string fold so the
     cross-engine hash is order-stable. All map functions evaluate
-    inside codegen; no shuffle beyond the final sort."""
+    inside codegen; no shuffle beyond the final sort. Every output
+    column is scalar (arrays joined to strings) because the gate's
+    canonicalizer sorts rows with pandas, which cannot hash lists."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
     m = F.create_map(
         F.lit("status"),
@@ -1162,7 +1164,7 @@ def map_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         "o_orderkey",
-        F.array_sort(F.map_keys(m)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
         F.element_at(m, "status").alias("status_val"),
         F.size(m).cast("long").alias("n_entries"),
         entries_str.alias("entries_str"),
@@ -1220,15 +1222,23 @@ def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate quantiles per order status: the
     at-scale complement to percentiles_price_by_status (exact
     interpolation needs a sort; the sketch is one pass, mergeable
-    map-side, constant memory). Verified rows-only."""
+    map-side, constant memory). Verified rows-only. The quartile
+    array is split into scalar columns because the gate's
+    canonicalizer cannot hash list-typed cells."""
     o = load_table(spark, sf_dir, "orders")
+    q = F.percentile_approx("o_totalprice", [0.25, 0.5, 0.75], 10000)
     return (
         o.groupBy("o_orderstatus")
         .agg(
-            F.percentile_approx(
-                "o_totalprice", [0.25, 0.5, 0.75], 10000
-            ).alias("quartiles_approx"),
+            q.alias("_q"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            F.round(F.element_at("_q", 1), 2).alias("p25_approx"),
+            F.round(F.element_at("_q", 2), 2).alias("p50_approx"),
+            F.round(F.element_at("_q", 3), 2).alias("p75_approx"),
+            "n_orders",
         )
         .orderBy("o_orderstatus")
     )
@@ -1794,7 +1804,7 @@ SELECT
   arg_max(o_totalprice, o_orderkey)  AS last_order_price,
   bool_and(o_totalprice > 0)         AS all_positive,
   bool_or(o_totalprice > 400000)     AS any_jumbo,
-  list_sort(list(DISTINCT o_orderpriority)) AS priorities
+  array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
@@ -1811,8 +1821,9 @@ def agg_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The non-arithmetic aggregate surface: argmin/argmax carry a
     payload column ordered by ANOTHER column (keyed on the unique
     orderkey so ties cannot make the answer engine-dependent),
-    boolean reducers, and set-collection — canonicalized with
-    array_sort because collect_set order is unspecified by contract.
+    boolean reducers, and set-collection — sorted then joined to a
+    string because collect_set order is unspecified by contract and
+    the gate's canonicalizer cannot hash list-typed cells.
     All are partial-aggregable: one shuffle, map-side combine."""
     o = load_table(spark, sf_dir, "orders")
     return (
@@ -1822,7 +1833,9 @@ def agg_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
             F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
             F.bool_or(F.col("o_totalprice") > 400000).alias("any_jumbo"),
-            F.array_sort(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
         )
         .orderBy("o_orderstatus")
     )
@@ -2018,4 +2031,495 @@ def collation_ci_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_case_variants",
         )
         .orderBy("name_ci")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bivariate statistics from exact integer moments (order-independent)
+# ---------------------------------------------------------------------------
+
+_CORR_ORACLE = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT)                                 AS n,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)   AS sx,
+         CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                  * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                  * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS syy,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                  * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((n * sxy - sx * sy) / (1.0 * n * (n - 1)), 6)  AS covar_samp_qd,
+       ROUND((n * sxy - sx * sy)
+             / SQRT(1.0 * (n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS corr_qd,
+       ROUND((n * sxy - sx * sy) / (1.0 * (n * sxx - sx * sx)), 6)
+         AS slope_qd
+FROM m ORDER BY l_returnflag
+"""
+
+
+@register(
+    "stats_corr_battery",
+    oracle=_CORR_ORACLE,
+    tags=("agg", "statistics", "corr"),
+    description="corr/covar/slope from exact integer moments per group",
+)
+def stats_corr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (Pearson r, sample covariance, OLS slope)
+    of (quantity, discount) per return flag, computed from EXACT
+    integer moment sums rather than the engines' corr()/covar_samp()
+    (whose Welford merge order is unspecified, so last-bit results
+    vary across engines and parallelism). Integer Σx, Σy, Σxy, Σx²,
+    Σy² are order-independent and partial-aggregable — one shuffle,
+    map-side combine, identical algebra on both engines. At 100 TB
+    this is also the FASTER plan: five integer sums in one hash-agg
+    pass, no second pass over the data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity")).cast("long")
+    y = F.round(F.col("l_discount") * 100).cast("long")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    cov_num = n * sxy - sx * sy
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_num / (F.lit(1.0) * n * (n - 1)), 6).alias(
+            "covar_samp_qd"
+        ),
+        F.round(
+            cov_num
+            / F.sqrt(
+                F.lit(1.0) * (n * sxx - sx * sx) * (n * syy - sy * sy)
+            ),
+            6,
+        ).alias("corr_qd"),
+        F.round(cov_num / (F.lit(1.0) * (n * sxx - sx * sx)), 6).alias(
+            "slope_qd"
+        ),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregation: merge yesterday's partials with today's delta
+# ---------------------------------------------------------------------------
+
+_INCR_MERGE_ORACLE = """
+SELECT DATE_TRUNC('month', o_orderdate) AS order_month,
+       o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+         AS total_price
+FROM orders
+GROUP BY 1, 2
+ORDER BY order_month, o_orderstatus
+"""
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle=_INCR_MERGE_ORACLE,
+    tags=("agg", "incremental", "mergeable", "materialized-view"),
+    description="incremental MV maintenance: merge old partials + new delta",
+)
+def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the monthly revenue
+    rollup is NOT recomputed from scratch — rows before the cutoff
+    are pre-aggregated to (count, cents) partials per group (in
+    production these live in the MV), the post-cutoff delta is
+    aggregated alone, and the two partial sets are merged by summing
+    counts and integer-cent totals. Count and sum are commutative
+    monoids, so merge(old, delta) ≡ full recompute — which is
+    exactly what the oracle checks by recomputing over everything.
+    At 100 TB the delta pass touches only new partitions: the whole
+    point of the pattern. Integer cents keep the merge bit-exact."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+            "o_orderstatus",
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("cents"),
+        )
+
+    old_partials = partials(o.filter(F.col("o_orderdate") < cutoff))
+    delta_partials = partials(o.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        old_partials.unionByName(delta_partials)
+        .groupBy("order_month", "o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
+        .select(
+            "order_month",
+            "o_orderstatus",
+            "n_orders",
+            F.round(F.col("cents") / 100.0, 2).alias("total_price"),
+        )
+        .orderBy("order_month", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Bloom filter: build as a bitmap relation, probe by broadcast
+# ---------------------------------------------------------------------------
+
+_BLOOM_ORACLE = """
+WITH big AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000),
+probe AS (SELECT DISTINCT l_orderkey FROM lineitem)
+SELECT
+  CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_probe,
+  CAST((SELECT COUNT(*) FROM probe WHERE l_orderkey IN
+        (SELECT o_orderkey FROM big)) AS BIGINT) AS n_exact,
+  TRUE AS superset_ok,
+  TRUE AS pruning_effective
+"""
+
+
+@register(
+    "bloom_filter_semi_prune",
+    oracle=_BLOOM_ORACLE,
+    tags=("bloom", "join", "pruning", "approx"),
+    description="distributed Bloom build + broadcast probe, superset-checked",
+)
+def bloom_filter_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-join pruning, the pattern that turns a 100 TB
+    shuffle semi-join into a broadcast bitmap probe: the build side's
+    keys are double-hashed (xxhash64 with two seeds) into a 2^16-bit
+    filter materialized as a 1024-row (word, bits) relation via
+    bit_or partial aggregation — constant-size output no matter how
+    many build keys. The probe side broadcast-joins that tiny
+    relation twice (once per hash) and keeps rows with both bits
+    set; only those candidates would reach the real join. The query
+    proves the two contracts that make the filter USABLE: no false
+    negatives (every exact match is a candidate — superset_ok) and
+    real pruning (fewer candidates than probe rows). The oracle
+    recomputes the exact semi-join and asserts both flags."""
+    m_bits, m_words = 1 << 16, (1 << 16) // 64
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    probe = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"))
+        .distinct()
+    )
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "k",
+            F.pmod(F.xxhash64("k"), F.lit(m_bits)).alias("h1"),
+            F.pmod(F.xxhash64("k", F.lit(1)), F.lit(m_bits)).alias("h2"),
+        )
+
+    words = (
+        hashed(big)
+        .select(F.explode(F.array("h1", "h2")).alias("h"))
+        .groupBy((F.col("h") / 64).cast("int").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, CAST(h % 64 AS INT))")
+            ).alias("bits")
+        )
+    )
+
+    w1 = words.select(F.col("word").alias("w1"), F.col("bits").alias("b1"))
+    w2 = words.select(F.col("word").alias("w2"), F.col("bits").alias("b2"))
+    p = hashed(probe)
+    candidates = (
+        p.join(F.broadcast(w1), (p.h1 / 64).cast("int") == F.col("w1"), "left")
+        .join(F.broadcast(w2), (p.h2 / 64).cast("int") == F.col("w2"), "left")
+        .select(
+            "k",
+            (
+                F.expr("b1 IS NOT NULL AND (b1 & shiftleft(1L, CAST(h1 % 64 AS INT))) != 0")
+                & F.expr("b2 IS NOT NULL AND (b2 & shiftleft(1L, CAST(h2 % 64 AS INT))) != 0")
+            ).alias("is_candidate"),
+        )
+    )
+    exact = probe.join(big.distinct(), "k", "semi").select(
+        F.col("k").alias("ek")
+    )
+    flags = candidates.join(
+        exact, candidates.k == F.col("ek"), "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.when(F.col("ek").isNotNull(), 1).otherwise(0)).alias(
+            "n_exact"
+        ),
+        # no exact match may be missed by the filter
+        F.sum(
+            F.when(
+                F.col("ek").isNotNull() & ~F.col("is_candidate"), 1
+            ).otherwise(0)
+        ).alias("n_missed"),
+        F.sum(F.when(F.col("is_candidate"), 1).otherwise(0)).alias(
+            "n_candidates"
+        ),
+    )
+    return flags.select(
+        "n_probe",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (F.col("n_missed") == 0).alias("superset_ok"),
+        (F.col("n_candidates") < F.col("n_probe")).alias(
+            "pruning_effective"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Discrete percentiles, median, deterministic mode
+# ---------------------------------------------------------------------------
+
+_DISC_ORACLE = """
+WITH modes AS (
+  SELECT o_orderstatus, o_orderpriority,
+         COUNT(*) AS cnt,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority)
+           AS rk
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+)
+SELECT q.o_orderstatus,
+       ROUND(quantile_disc(q.o_totalprice, 0.25), 2) AS p25_disc,
+       ROUND(quantile_disc(q.o_totalprice, 0.75), 2) AS p75_disc,
+       ROUND(median(q.o_totalprice), 4)              AS median_price,
+       ANY_VALUE(m.o_orderpriority)                  AS mode_priority
+FROM orders q
+JOIN modes m ON m.o_orderstatus = q.o_orderstatus AND m.rk = 1
+GROUP BY q.o_orderstatus
+ORDER BY q.o_orderstatus
+"""
+
+
+@register(
+    "percentile_disc_median_battery",
+    oracle=_DISC_ORACLE,
+    tags=("percentile", "median", "mode", "agg"),
+    description="percentile_disc, median, and tie-broken mode per status",
+)
+def percentile_disc_median_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Ordered-set aggregates: discrete percentiles (actual data
+    values — no interpolation, so cross-engine exact), the exact
+    median, and the modal order priority. mode() is NOT used
+    directly: both engines break frequency ties arbitrarily, so the
+    mode is derived from a count + row_number ranking with an
+    explicit lexicographic tie-break — deterministic by
+    construction. percentile_disc needs a per-group sort at scale;
+    the sketch twin (approx_percentile_prices) is the 100 TB path."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_pdisc_orders")
+    return spark.sql(
+        """
+        WITH modes AS (
+          SELECT o_orderstatus, o_orderpriority,
+                 COUNT(*) AS cnt,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY COUNT(*) DESC,
+                                             o_orderpriority) AS rk
+          FROM _pdisc_orders GROUP BY o_orderstatus, o_orderpriority
+        )
+        SELECT q.o_orderstatus,
+               ROUND(percentile_disc(0.25)
+                     WITHIN GROUP (ORDER BY q.o_totalprice), 2)
+                 AS p25_disc,
+               ROUND(percentile_disc(0.75)
+                     WITHIN GROUP (ORDER BY q.o_totalprice), 2)
+                 AS p75_disc,
+               ROUND(median(q.o_totalprice), 4) AS median_price,
+               ANY_VALUE(m.o_orderpriority)     AS mode_priority
+        FROM _pdisc_orders q
+        JOIN modes m ON m.o_orderstatus = q.o_orderstatus AND m.rk = 1
+        GROUP BY q.o_orderstatus
+        ORDER BY q.o_orderstatus
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# IGNORE NULLS window battery (LOCF primitives)
+# ---------------------------------------------------------------------------
+
+_IGNORE_NULLS_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'error' THEN NULL ELSE ROUND(value, 2) END
+           AS v
+  FROM events WHERE user_id < 10
+)
+SELECT user_id, event_id, v,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_v,
+       first_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS first_nonnull,
+       nth_value(v, 2 IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_nonnull
+FROM e ORDER BY user_id, event_id
+"""
+
+
+@register(
+    "window_ignore_nulls_battery",
+    oracle=_IGNORE_NULLS_ORACLE,
+    tags=("window", "ignore-nulls", "locf"),
+    description="first/last/nth_value IGNORE NULLS (LOCF primitives)",
+)
+def window_ignore_nulls_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The IGNORE NULLS window surface — the primitive under every
+    gap-fill / LOCF pipeline (events_gapfill_locf composes it; this
+    battery isolates it): running last non-null, partition-wide
+    first non-null, and the second non-null observation. Error
+    events' values are nulled deterministically to create gaps.
+    One shuffle on user_id serves all three functions — they share
+    the window partitioning."""
+    from pyspark.sql import Window as W
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.when(F.col("event_type") == "error", None)
+            .otherwise(F.round(F.col("value"), 2))
+            .alias("v"),
+        )
+    )
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    full = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "v",
+        F.last("v", ignorenulls=True).over(run).alias("locf_v"),
+        F.first("v", ignorenulls=True).over(full).alias("first_nonnull"),
+        F.nth_value("v", 2, ignoreNulls=True)
+        .over(full)
+        .alias("second_nonnull"),
+    ).orderBy("user_id", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (order-pinned float fold)
+# ---------------------------------------------------------------------------
+
+_CHISQ_ORACLE = """
+WITH cells AS (
+  SELECT c_mktsegment AS seg, o_orderstatus AS status,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT seg, status, o,
+         SUM(o) OVER (PARTITION BY seg)    AS rt,
+         SUM(o) OVER (PARTITION BY status) AS ct,
+         SUM(o) OVER ()                    AS n
+  FROM cells
+),
+terms AS (
+  SELECT seg, status,
+         POWER(o - rt * ct / (1.0 * n), 2) / (rt * ct / (1.0 * n)) AS term,
+         SUM(POWER(o - rt * ct / (1.0 * n), 2) / (rt * ct / (1.0 * n)))
+           OVER (ORDER BY seg, status ROWS UNBOUNDED PRECEDING) AS chi2_run,
+         row_number() OVER (ORDER BY seg, status) AS rn,
+         COUNT(*) OVER () AS n_cells
+  FROM tot
+)
+SELECT ROUND(chi2_run, 6) AS chi2,
+       CAST(n_cells AS BIGINT) AS n_cells
+FROM terms WHERE rn = n_cells
+"""
+
+
+@register(
+    "chisq_segment_status",
+    oracle=_CHISQ_ORACLE,
+    tags=("agg", "statistics", "chi-square"),
+    description="chi-square independence: segment x order status",
+)
+def chisq_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between market segment and
+    order status. Observed counts are exact integers; expected
+    counts and (O-E)²/E terms are float, so the cross-cell SUM's
+    addition order would be engine- and partition-dependent — the
+    fold is therefore pinned to (seg, status) order via an ordered
+    running-window sum and the last row taken. The contingency table
+    is tiny (|segments|×|statuses|), so the window sort costs
+    nothing; the heavy work is the integer count aggregation, one
+    shuffle with map-side combine."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    tot = cells.select(
+        "seg",
+        "status",
+        "o",
+        F.sum("o").over(W.partitionBy("seg")).alias("rt"),
+        F.sum("o").over(W.partitionBy("status")).alias("ct"),
+        F.sum("o").over(W.partitionBy()).alias("n"),
+    )
+    term = F.pow(
+        F.col("o") - F.col("rt") * F.col("ct") / (F.lit(1.0) * F.col("n")), 2
+    ) / (F.col("rt") * F.col("ct") / (F.lit(1.0) * F.col("n")))
+    run = (
+        W.orderBy("seg", "status")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    terms = tot.select(
+        "seg",
+        "status",
+        F.sum(term).over(run).alias("chi2_run"),
+        F.row_number().over(W.orderBy("seg", "status")).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_cells"),
+    )
+    return terms.filter(F.col("rn") == F.col("n_cells")).select(
+        F.round("chi2_run", 6).alias("chi2"),
+        F.col("n_cells").cast("long").alias("n_cells"),
     )

@@ -1487,3 +1487,156 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_current", F.col("valid_to").isNull())
         .orderBy("user_id", "valid_from")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC apply: collapse an insert/update/delete change log to final state
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+WITH log AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'signup' THEN 'I'
+              WHEN event_type = 'error'  THEN 'D'
+              ELSE 'U' END AS op,
+         ROUND(value, 2) AS v
+  FROM events
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM log
+)
+SELECT user_id, ts AS last_ts, op AS last_op, v AS last_value,
+       CAST(n_ops AS BIGINT) AS n_ops
+FROM ranked
+WHERE rk = 1 AND op != 'D'
+ORDER BY user_id
+"""
+
+
+@register(
+    "cdc_last_writer_apply",
+    oracle=_CDC_ORACLE,
+    tags=("events", "cdc", "merge", "window", "temporal"),
+    description="CDC apply: I/U/D change log collapsed to live final state",
+)
+def cdc_last_writer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply — the lakehouse MERGE pattern
+    without a transactional table format: the event stream is read
+    as a change log (signup→insert, error→delete tombstone,
+    everything else→update), ranked per key by (ts, event_id)
+    descending, and only each key's latest operation survives; a
+    tombstone-last key is dropped entirely. One shuffle on the key;
+    at 100 TB this runs per ingest batch over only the keys present
+    in the batch, then merges into the base table (the same
+    last-writer-wins window as wilayah_upsert_last_wins). The
+    event_id tie-break makes concurrent same-timestamp ops
+    deterministic — the property a real CDC consumer needs."""
+    from pyspark.sql import Window as W
+
+    log = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.round(F.col("value"), 2).alias("v"),
+    )
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = W.partitionBy("user_id")
+    return (
+        log.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_ops", F.count(F.lit(1)).over(wc))
+        .filter((F.col("rk") == 1) & (F.col("op") != "D"))
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("op").alias("last_op"),
+            F.col("v").alias("last_value"),
+            F.col("n_ops").cast("long").alias("n_ops"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA: inherently-sequential per-key state via applyInPandas
+# ---------------------------------------------------------------------------
+
+_EWMA_ORACLE = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_id, ROUND(value, 2) AS x,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id < 20
+),
+ewma AS (
+  SELECT user_id, rn, event_id, x, CAST(x AS DOUBLE) AS e
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, s.event_id, s.x, 0.2 * s.x + 0.8 * w.e
+  FROM seq s JOIN ewma w ON s.user_id = w.user_id AND s.rn = w.rn + 1
+)
+SELECT user_id, event_id, x, ROUND(e, 6) AS ewma_02
+FROM ewma ORDER BY user_id, rn
+"""
+
+
+@register(
+    "events_ewma_per_user",
+    oracle=_EWMA_ORACLE,
+    tags=("events", "ewma", "pandas-udf", "sequential", "temporal"),
+    description="per-user EWMA (alpha=0.2) via applyInPandas grouped state",
+)
+def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user — the
+    inherently-SEQUENTIAL per-key recurrence (e_t = αx_t + (1-α)e_{t-1})
+    that no associative window aggregate can express. Each user's
+    timeline is a single pandas group (applyInPandas; Arrow batch in,
+    vectorized within the group), keys are hash-distributed so 100 TB
+    of users parallelize across executors even though each timeline
+    is serial. The oracle replays the identical recurrence as a
+    DuckDB recursive CTE: both engines evaluate the same FP ops in
+    the same order, so results agree bit-for-bit before the final
+    rounding."""
+    import pandas as pd
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 20)
+        .select(
+            "user_id", "event_id", "ts", F.round("value", 2).alias("x")
+        )
+    )
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        prev = None
+        out = []
+        for x in pdf["x"]:
+            prev = float(x) if prev is None else 0.2 * float(x) + 0.8 * prev
+            out.append(prev)
+        pdf = pdf.assign(ewma_raw=out)
+        return pdf[["user_id", "event_id", "x", "ewma_raw"]]
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(
+            ewma,
+            "user_id long, event_id long, x double, ewma_raw double",
+        )
+        .select(
+            "user_id",
+            "event_id",
+            "x",
+            F.round("ewma_raw", 6).alias("ewma_02"),
+        )
+        .orderBy("user_id", "event_id")
+    )

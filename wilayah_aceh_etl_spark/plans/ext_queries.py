@@ -819,7 +819,7 @@ codes AS (
   FROM dims d JOIN stats s USING (dim)
 )
 SELECT vec_id,
-       list(code ORDER BY dim) AS codes,
+       array_to_string(list(code ORDER BY dim), ',') AS codes,
        ROUND(SUM(abs(x - (mn + code * (mx - mn) / 255.0))), 6) AS abs_err
 FROM codes GROUP BY vec_id ORDER BY vec_id
 """,
@@ -829,9 +829,15 @@ FROM codes GROUP BY vec_id ORDER BY vec_id
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar quantization (operators/similarity.py::quantize_int8):
     the storage-compression op of a vector lake, per-dim codebook
-    broadcast both ways."""
+    broadcast both ways. The code array is joined to a string at the
+    query boundary — the gate's canonicalizer cannot hash lists."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.quantize_int8(emb).orderBy("vec_id")
+    out = S.quantize_int8(emb)
+    return out.select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes"),
+        "abs_err",
+    ).orderBy("vec_id")
 
 
 @register(
@@ -2242,3 +2248,109 @@ def fuzzy_name_pairs_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 5)
         .orderBy("name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (fixed iterations, scaled-integer arithmetic)
+# ---------------------------------------------------------------------------
+
+_PAGERANK_ORACLE = """
+WITH pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+),
+deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank, outdeg FROM deg),
+r1 AS (
+  SELECT e.dst AS node,
+         CAST(150000 + (85 * SUM(r.rank // r.outdeg)) // 100 AS BIGINT)
+           AS rank
+  FROM edges e JOIN r0 r ON e.src = r.node
+  GROUP BY e.dst
+),
+r1d AS (SELECT r1.node, r1.rank, d.outdeg FROM r1 JOIN deg d ON r1.node = d.node),
+r2 AS (
+  SELECT e.dst AS node,
+         CAST(150000 + (85 * SUM(r.rank // r.outdeg)) // 100 AS BIGINT)
+           AS rank
+  FROM edges e JOIN r1d r ON e.src = r.node
+  GROUP BY e.dst
+)
+SELECT r2.node AS part_key, r2.rank AS rank_micro, d.outdeg AS n_neighbors
+FROM r2 JOIN deg d ON r2.node = d.node
+ORDER BY rank_micro DESC, part_key
+LIMIT 15
+"""
+
+
+@register(
+    "pagerank_part_cooccurrence",
+    oracle=_PAGERANK_ORACLE,
+    tags=("ext", "graph", "pagerank", "iterative"),
+    description="2-iteration PageRank over the part co-occurrence graph",
+)
+def pagerank_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics: PageRank (damping 0.85, 2 fixed
+    iterations) over the undirected part co-occurrence graph (parts
+    sharing >=2 orders). All arithmetic is scaled-integer micro-units
+    with floor division — engine-float-free, so the result is
+    bit-exact across engines AND across partition counts (integer
+    sums commute; double sums don't). The edge list is built once
+    and cached: each iteration is one join + one hash-agg shuffle on
+    the node key — the canonical Pregel-as-DataFrame shape. At 100 TB
+    the edge relation is hash-partitioned on src once and reused
+    every iteration (no re-shuffle), and iterations stop at a fixed
+    count rather than a float convergence test (which would be
+    order-dependent)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    edges = edges.repartition("src").cache()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+
+    ranks = deg.select("node", F.lit(1000000).cast("long").alias("rank"), "outdeg")
+    for _ in range(2):
+        contribs = edges.join(
+            ranks, edges.src == ranks.node
+        ).select("dst", F.expr("rank div outdeg").alias("contrib"))
+        new_ranks = contribs.groupBy(F.col("dst").alias("node")).agg(
+            F.expr("CAST(150000 + (85 * SUM(contrib)) div 100 AS BIGINT)").alias("rank")
+        )
+        ranks = new_ranks.join(deg.withColumnsRenamed({"node": "dnode"}),
+                               F.col("node") == F.col("dnode")).select(
+            "node", "rank", "outdeg"
+        )
+    out = ranks.select(
+        F.col("node").alias("part_key"),
+        F.col("rank").alias("rank_micro"),
+        F.col("outdeg").alias("n_neighbors"),
+    ).orderBy(F.col("rank_micro").desc(), "part_key").limit(15)
+    return out
