@@ -217,7 +217,8 @@ def test_approx_sketches_within_error_bounds(spark):
         ]
         vals.sort()
         n = len(vals)
-        for q, v in zip((0.25, 0.5, 0.75), row.quartiles_approx):
+        quartiles = (row.p25_approx, row.p50_approx, row.p75_approx)
+        for q, v in zip((0.25, 0.5, 0.75), quartiles):
             lo = vals[max(0, int((q - 0.02) * n) - 1)]
             hi = vals[min(n - 1, int((q + 0.02) * n))]
             assert lo <= v <= hi, (row.o_orderstatus, q, v, lo, hi)
