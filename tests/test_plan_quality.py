@@ -25,6 +25,7 @@ NLJ_ALLOWED = {
     "data_mixture_rates",
     "text_unigram_logprob",
     "tpch_q22_idle_rich_customers",
+    "tpch_q11_important_stock",
     # k-row centroid broadcast (k=16): nearest-centroid assignment is
     # definitionally all-vectors × all-centroids; build side is O(k)
     "embedding_kmeans_iteration",

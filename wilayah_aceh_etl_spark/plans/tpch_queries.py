@@ -837,3 +837,426 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+# --------------------------------------------------------------------------
+# Derived partsupp — the driver schema omits TPC-H's partsupp table, so the
+# Q2/Q11/Q16/Q20 shapes run against a supplier-part relation aggregated from
+# lineitem. All money math is exact integer cents (order-independent sums);
+# the oracle builds the identical relation in a CTE.
+# --------------------------------------------------------------------------
+
+_PARTSUPP_CTE = """
+  SELECT
+    l_partkey AS ps_partkey,
+    l_suppkey AS ps_suppkey,
+    CAST(SUM(l_quantity) AS BIGINT) AS ps_availqty,
+    CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+      AS ps_cost_cents,
+    ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+          / 100.0 / SUM(l_quantity), 4) AS ps_supplycost
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partsupp surrogate: per (part, supplier) total quantity, total
+    spend in exact cents, and a deterministic unit cost (both engines
+    divide the same exact integers, so ROUND(...,4) cannot flap).
+    One shuffle on (partkey, suppkey); at 100 TB this is a map-side-
+    combined hash aggregate over the fact table."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        l.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.sum("l_quantity").cast("long").alias("ps_availqty"),
+            F.sum(cents).alias("ps_cost_cents"),
+        )
+        .withColumn(
+            "ps_supplycost",
+            F.round(F.col("ps_cost_cents") / 100.0 / F.col("ps_availqty"), 4),
+        )
+    )
+
+
+_Q2_ORACLE = f"""
+WITH partsupp AS ({_PARTSUPP_CTE}),
+euro AS (
+  SELECT ps_partkey, ps_suppkey, ps_supplycost, s_name, n_name
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT p_partkey, p_name, s_name, n_name, ps_supplycost AS min_cost
+FROM part
+JOIN euro ON p_partkey = ps_partkey
+WHERE p_size = 15 AND p_type = 'STANDARD'
+  AND ps_supplycost = (
+    SELECT MIN(e2.ps_supplycost) FROM euro e2
+    WHERE e2.ps_partkey = p_partkey
+  )
+ORDER BY p_partkey, s_name
+LIMIT 100
+"""
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    oracle=_Q2_ORACLE,
+    tags=("join", "window", "correlated-subquery"),
+    description="Q2 shape: min-cost supplier per part within a region",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's correlated MIN subquery decorrelated as a window minimum:
+    enrich the derived partsupp with supplier→nation→region (all
+    broadcast), keep EUROPE, take min(ps_supplycost) over a partkey
+    window, keep the rows that achieve it. One shuffle (partkey) past
+    the partsupp build; the part dim filters before its broadcast
+    join, and LIMIT plans TakeOrderedAndProject."""
+    from pyspark.sql.window import Window
+
+    ps = _derived_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    euro = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("ps_partkey", "ps_supplycost", "s_name", "n_name")
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        euro.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "min_cost")
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+_Q11_ORACLE = f"""
+WITH partsupp AS ({_PARTSUPP_CTE}),
+natps AS (
+  SELECT ps_partkey, ps_cost_cents
+  FROM partsupp
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+)
+SELECT
+  ps_partkey,
+  ROUND(CAST(SUM(ps_cost_cents) AS BIGINT) / 100.0, 2) AS value
+FROM natps
+GROUP BY ps_partkey
+HAVING CAST(SUM(ps_cost_cents) AS BIGINT)
+     > 0.001 * (SELECT CAST(SUM(ps_cost_cents) AS BIGINT) FROM natps)
+ORDER BY value DESC, ps_partkey
+"""
+
+
+@register(
+    "tpch_q11_important_stock",
+    oracle=_Q11_ORACLE,
+    tags=("join", "agg", "scalar-subquery", "having"),
+    description="Q11 shape: parts above a fraction of one nation's total spend",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11's global-fraction HAVING: the nation's partsupp slice is
+    aggregated per part, and the grand total arrives as a broadcast
+    1-row cross join (uncorrelated scalar subquery). Integer-cents
+    sums keep both the per-part values and the 0.001·total threshold
+    bit-identical across engines and partitionings."""
+    ps = _derived_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    natps = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("ps_partkey", "ps_cost_cents")
+    )
+    per_part = natps.groupBy("ps_partkey").agg(
+        F.sum("ps_cost_cents").alias("part_cents")
+    )
+    total = natps.agg(F.sum("ps_cost_cents").alias("total_cents"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_cents") > 0.001 * F.col("total_cents"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("part_cents") / 100.0, 2).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+_Q12_ORACLE = """
+SELECT
+  l_returnflag AS shipclass,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "tpch_q12_late_ship_priority",
+    oracle=_Q12_ORACLE,
+    tags=("join", "conditional-agg", "date"),
+    description="Q12 shape: priority mix of late shipments (>=60d after order)",
+)
+def tpch_q12_late_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 with lateness re-derived (no commitdate/shipmode in the
+    driver schema): a line is late when shipped ≥60 days after its
+    order date — a cross-table predicate that can only apply after the
+    orderkey join, while the shipdate year-range still pushes into the
+    lineitem scan. Priority classes split in one conditional-agg pass."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("shipclass"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("shipclass")
+    )
+
+
+_Q16_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+  FROM lineitem
+)
+SELECT
+  p_brand, p_type, p_size,
+  CAST(COUNT(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register(
+    "tpch_q16_supplier_variety",
+    oracle=_Q16_ORACLE,
+    tags=("join", "anti", "distinct-agg"),
+    description="Q16 shape: distinct supplier counts per part descriptor",
+)
+def tpch_q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 topology: distinct (part, supplier) pairs, minus an
+    excluded-supplier set (negative balances stand in for the
+    complaints LIKE — no comment column), joined to a triple-filtered
+    part dim, then COUNT(DISTINCT supplier) per descriptor. The
+    exclusion is a broadcast anti-join; the distinct pair derivation
+    is the only fact-side shuffle."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    return (
+        pairs.join(
+            F.broadcast(bad), pairs.ps_suppkey == F.col("s_suppkey"), "left_anti"
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q18_ORACLE = """
+SELECT
+  c_custkey, c_name, o_orderkey, o_orderdate,
+  ROUND(o_totalprice, 2) AS totalprice,
+  CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 250
+)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    oracle=_Q18_ORACLE,
+    tags=("join", "semi", "having", "topk"),
+    description="Q18 shape: customers behind >250-unit aggregate orders",
+)
+def tpch_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18's IN-over-HAVING as an aggregate→semi-join: big orderkeys
+    are found with one map-side-combined groupBy, semi-joined back
+    into lineitem on the same key (no re-shuffle — both sides already
+    hash by orderkey, and at scale AQE reuses the exchange), then the
+    customer roll-up rides the existing partitioning. Quantity sums
+    are integer-valued doubles, exact at any scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        l.join(big, l.l_orderkey == F.col("big_orderkey"), "left_semi")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+_Q20_ORACLE = """
+WITH widget_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE '%widget%'
+),
+qty96 AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q96
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+qty97 AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS q97
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'ASIA')
+  AND s_suppkey IN (
+    SELECT q.l_suppkey
+    FROM qty96 q
+    JOIN qty97 u ON q.l_partkey = u.l_partkey AND q.l_suppkey = u.l_suppkey
+    WHERE q.l_partkey IN (SELECT p_partkey FROM widget_parts)
+      AND q.q96 > 0.5 * u.q97
+  )
+ORDER BY s_suppkey
+"""
+
+
+@register(
+    "tpch_q20_excess_stock_suppliers",
+    oracle=_Q20_ORACLE,
+    tags=("join", "semi", "agg"),
+    description="Q20 shape: suppliers whose 1996 widget volume exceeds half of 1997's",
+)
+def tpch_q20_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20's nested-IN chain: two year-sliced (part, supplier)
+    aggregates joined on their grouping key — co-partitioned, so the
+    join after the groupBys needs no extra shuffle — filtered by a
+    cross-aggregate inequality (the availqty>0.5·shipped analog),
+    reduced to a supplier id set, and semi-joined into the broadcast-
+    enriched supplier dim. Quantity sums are exact; 0.5·q is an exact
+    halving, so the inequality is deterministic."""
+    l = load_table(spark, sf_dir, "lineitem")
+    wp = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey")
+    )
+
+    def year_slice(year: int, alias: str) -> DataFrame:
+        return (
+            l.filter(
+                (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            )
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum("l_quantity").alias(alias))
+        )
+
+    q96 = year_slice(1996, "q96")
+    q97 = year_slice(1997, "q97").withColumnsRenamed(
+        {"l_partkey": "u_partkey", "l_suppkey": "u_suppkey"}
+    )
+    excess = (
+        q96.join(F.broadcast(wp), q96.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(
+            q97,
+            (q96.l_partkey == F.col("u_partkey"))
+            & (q96.l_suppkey == F.col("u_suppkey")),
+        )
+        .filter(F.col("q96") > 0.5 * F.col("q97"))
+        .select(F.col("l_suppkey").alias("x_suppkey"))
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey, "left_semi")
+        .join(F.broadcast(excess), s.s_suppkey == F.col("x_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
