@@ -36,30 +36,36 @@ def main() -> None:
         sf_val = None
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, spec in sorted(specs.items()):
-        df = spec.fn(spark, sf_dir)
-        df.collect()  # warm-up: codegen + file listing + broadcast
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            spec.fn(spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+        # One failing query must not zero out the whole bench run:
+        # record the error, keep timing the rest.
+        try:
+            df = spec.fn(spark, sf_dir)
+            df.collect()  # warm-up: codegen + file listing + broadcast
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                spec.fn(spark, sf_dir).collect()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "n_queries": len(timings),
-                "cpus": int(cpus),
-                "timing": "min_of_2_after_warmup",
-            }
-        )
-    )
+    report = {
+        "metric": "headline_queries_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "cpus": int(cpus),
+        "timing": "min_of_2_after_warmup",
+    }
+    if errors:
+        report["errors"] = errors
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

@@ -141,6 +141,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "similarity_ivf_topk",
     "text_quality_scores",
     "pipeline_training_prep",
+    "dedup_simhash_near_pairs",
+    "dedup_ngram_jaccard_pairs",
 )
 
 
