@@ -377,6 +377,85 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Winnowing (MOSS-style) fingerprints: polynomial rolling hash over
+# char 5-grams, min per 4-hash window, distinct. Both engines compute
+# the identical (base=257, mod=1e9+7) integer hashes, so per-doc
+# profiles hash-match exactly.
+_WINNOW_K = 5  # char-gram width
+_WINNOW_W = 4  # winnowing window (guarantee: matches ≥ k+w-1 chars detected)
+_WINNOW_MOD = 1_000_000_007
+
+_WINNOW_ORACLE = f"""
+WITH hs AS (
+  SELECT doc_id,
+    list_transform(range(1, length(text) - {_WINNOW_K} + 2),
+      i -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(0, {_WINNOW_K}),
+                 j -> CAST(ascii(substr(text, CAST(i + j AS INTEGER), 1)) AS BIGINT))),
+             (acc, x) -> (acc * 257 + x) % {_WINNOW_MOD})) AS h
+  FROM documents
+  WHERE length(text) >= {_WINNOW_K + _WINNOW_W - 1}
+),
+fps AS (
+  SELECT doc_id,
+    list_distinct(list_transform(range(1, len(h) - {_WINNOW_W} + 2),
+      i -> list_min(h[CAST(i AS INTEGER):CAST(i + {_WINNOW_W - 1} AS INTEGER)]))) AS fp
+  FROM hs
+)
+SELECT doc_id,
+  CAST(len(fp) AS BIGINT) AS n_fps,
+  CAST(list_min(fp) AS BIGINT) AS min_fp,
+  CAST(list_max(fp) AS BIGINT) AS max_fp,
+  CAST(list_sum(fp) % {_WINNOW_MOD} AS BIGINT) AS fp_checksum
+FROM fps ORDER BY doc_id
+"""
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=_WINNOW_ORACLE,
+    tags=("ext", "text", "fingerprint", "rolling-hash"),
+    description="winnowing fingerprints via char-5-gram rolling hash",
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    a polynomial rolling hash (base 257 mod 1e9+7) over character
+    5-grams, then the minimum hash of every 4-hash window, distinct —
+    the plagiarism/near-dup fingerprint family whose guarantee is
+    that any shared substring of ≥ k+w-1 chars yields a shared
+    fingerprint. Entirely Catalyst array expressions (sequence →
+    transform → aggregate), so the whole derivation is map-side
+    JVM code with zero shuffles before the final sort — at 100 TB
+    it scales with input splits like any projection."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _WINNOW_K + _WINNOW_W - 1
+    )
+    h = F.expr(
+        f"transform(sequence(1, length(text) - {_WINNOW_K} + 1), "
+        f"i -> aggregate(sequence(0, {_WINNOW_K - 1}), CAST(0 AS BIGINT), "
+        f"(acc, j) -> (acc * 257 + ascii(substring(text, i + j, 1))) % {_WINNOW_MOD}))"
+    )
+    fp = F.expr(
+        f"array_distinct(transform(sequence(1, size(_h) - {_WINNOW_W} + 1), "
+        f"i -> array_min(slice(_h, i, {_WINNOW_W}))))"
+    )
+    return (
+        docs.select("doc_id", h.alias("_h"))
+        .select("doc_id", fp.alias("_fp"))
+        .select(
+            "doc_id",
+            F.size("_fp").cast("long").alias("n_fps"),
+            F.array_min("_fp").alias("min_fp"),
+            F.array_max("_fp").alias("max_fp"),
+            F.expr(
+                f"aggregate(_fp, CAST(0 AS BIGINT), (a, x) -> a + x) % {_WINNOW_MOD}"
+            ).alias("fp_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "text_langid_heuristic",
     oracle=f"""
