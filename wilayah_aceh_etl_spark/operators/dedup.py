@@ -405,3 +405,78 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def incremental_near_dup_filter(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+) -> DataFrame:
+    """Incremental corpus growth: admit each incoming document only if
+    it is neither an exact copy nor a near-dup (Jaccard ≥ threshold)
+    of the EXISTING corpus. The production shape — a corpus is built
+    batch by batch, and each batch dedups against what is already
+    admitted, not against itself.
+
+    Returns (doc_id, is_exact_dup, near_dup_of, kept): near_dup_of is
+    the smallest existing doc id whose verified Jaccard clears the
+    threshold (null when none), kept = not exact and no near-dup.
+
+    Scale shape: the existing side's signatures/bands are a stored
+    index in production — here both sides derive them the same way.
+    Candidates come from an incoming⋈existing band-bucket equi-join
+    (never incoming×existing); exact Jaccard runs only on candidates.
+    Exact-dup probing joins on md5(text), a 32-char key, so document
+    bodies never shuffle."""
+    inc_sh = distinct_shingles(incoming, id_col, text_col, n)
+    ex_sh = distinct_shingles(existing, id_col, text_col, n)
+
+    inc_bands = lsh_band_hashes(minhash_signatures(inc_sh, k), k, bands)
+    ex_bands = lsh_band_hashes(minhash_signatures(ex_sh, k), k, bands)
+    cands = (
+        inc_bands.alias("i")
+        .join(
+            ex_bands.alias("e"),
+            (F.col("i.band_id") == F.col("e.band_id"))
+            & (F.col("i.band_hash") == F.col("e.band_hash")),
+        )
+        .select(
+            F.col("i.doc_id").alias("doc_a"), F.col("e.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with exact Jaccard over the union shingle set
+    # (jaccard_for_pairs is side-agnostic: doc_a = incoming, doc_b = existing)
+    verified = (
+        jaccard_for_pairs(cands, inc_sh.unionByName(ex_sh))
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("doc_a")
+        .agg(F.min("doc_b").alias("near_dup_of"))
+    )
+
+    ex_hashes = existing.select(
+        F.md5(F.col(text_col)).alias("_h")
+    ).distinct()
+    inc = incoming.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_h")
+    )
+    exact = (
+        inc.join(ex_hashes.withColumn("_dup", F.lit(True)), "_h", "left")
+        .select("doc_id", F.coalesce("_dup", F.lit(False)).alias("is_exact_dup"))
+    )
+    return (
+        exact.join(verified, exact.doc_id == verified.doc_a, "left")
+        .select(
+            "doc_id",
+            "is_exact_dup",
+            "near_dup_of",
+            (
+                (~F.col("is_exact_dup")) & F.col("near_dup_of").isNull()
+            ).alias("kept"),
+        )
+    )

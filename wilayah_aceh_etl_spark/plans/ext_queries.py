@@ -2433,3 +2433,92 @@ def pagerank_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("outdeg").alias("n_neighbors"),
     ).orderBy(F.col("rank_micro").desc(), "part_key").limit(15)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: admit a new batch against the existing corpus
+# ---------------------------------------------------------------------------
+
+def _side_ctes(tag: str, pred: str) -> str:
+    """Shingle/signature/band CTEs for one side of the incremental
+    dedup (SQL twin of operators/dedup.py building blocks)."""
+    sigs = ", ".join(f"MIN(md5('{s}#' || shingle)) AS mh{s}" for s in range(_K))
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"md5({' || '.join(f'mh{b * _ROWS + r}' for r in range(_ROWS))}) AS band_hash "
+        f"FROM {tag}sigs"
+        for b in range(_BANDS)
+    )
+    return f"""
+{tag} AS (SELECT * FROM documents WHERE {pred}),
+{tag}w AS (SELECT doc_id, string_split(text, ' ') AS w FROM {tag}),
+{tag}sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM {tag}w, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+),
+{tag}sigs AS (SELECT doc_id, {sigs} FROM {tag}sh GROUP BY doc_id),
+{tag}bands AS ({bands})
+"""
+
+
+_INCREMENTAL_ORACLE = (
+    "WITH "
+    + _side_ctes("ex", "doc_id % 2 = 0")
+    + ","
+    + _side_ctes("inc", "doc_id % 2 = 1")
+    + """,
+cand AS (
+  SELECT DISTINCT i.doc_id AS doc_a, e.doc_id AS doc_b
+  FROM incbands i
+  JOIN exbands e ON i.band_id = e.band_id AND i.band_hash = e.band_hash
+),
+allsh AS (SELECT * FROM incsh UNION ALL SELECT * FROM exsh),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM allsh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN allsh a ON a.doc_id = c.doc_a
+  JOIN allsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT doc_a, MIN(doc_b) AS near_dup_of
+  FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+  GROUP BY doc_a
+),
+exh AS (SELECT DISTINCT md5(text) AS h FROM ex)
+SELECT i.doc_id,
+       (exh.h IS NOT NULL) AS is_exact_dup,
+       near.near_dup_of,
+       (exh.h IS NULL AND near.near_dup_of IS NULL) AS kept
+FROM inc i
+LEFT JOIN exh ON md5(i.text) = exh.h
+LEFT JOIN near ON near.doc_a = i.doc_id
+ORDER BY i.doc_id
+"""
+)
+
+
+@register(
+    "dedup_incremental_admission",
+    oracle=_INCREMENTAL_ORACLE,
+    tags=("ext", "dedup", "minhash", "lsh", "incremental"),
+    description="incremental batch admission vs the existing corpus",
+)
+def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup shape: a corpus grows batch by batch, and
+    each incoming batch (odd doc ids here) is admitted only where it
+    is neither an exact copy nor a verified near-dup (Jaccard ≥ 0.5)
+    of the EXISTING corpus (even ids). Candidates come from an
+    incoming⋈existing band-bucket equi-join — never incoming×existing
+    — and the exact-dup probe joins on md5(text), so document bodies
+    never shuffle. At scale the existing side's signatures/bands are
+    a stored index updated per admitted batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    return D.incremental_near_dup_filter(existing, incoming).orderBy("doc_id")
