@@ -20,6 +20,9 @@ NLJ_ALLOWED = {
     "similarity_topk_bruteforce",
     "similarity_threshold_pairs",
     "similarity_ivf_topk",
+    # composes the two shapes above (BF ground truth × IVF), so it
+    # inherits both documented broadcast products
+    "similarity_ivf_recall",
     # broadcast of a single-row global-total aggregate: the build side is
     # exactly 1 row regardless of data size, so the NLJ is O(buckets)
     "data_mixture_rates",

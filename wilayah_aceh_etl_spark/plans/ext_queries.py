@@ -2522,3 +2522,105 @@ def dedup_incremental_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = docs.filter(F.col("doc_id") % 2 == 0)
     incoming = docs.filter(F.col("doc_id") % 2 == 1)
     return D.incremental_near_dup_filter(existing, incoming).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ANN quality: IVF recall vs the brute-force ground truth
+# ---------------------------------------------------------------------------
+
+_IVF_RECALL_ORACLE = (
+    "WITH "
+    + _VEC_CTE
+    + """,
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 5),
+bf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+    FROM (SELECT query_id, vec_id, """
+    + _COS.format(a="qe", b="e")
+    + """ AS c
+          FROM q, v WHERE vec_id != query_id)
+  ) WHERE rk <= 10
+),
+cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+lists AS (
+  SELECT vec_id, e, cid AS centroid FROM (
+    SELECT v.vec_id, v.e, cent.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY """
+    + _COS.format(a="v.e", b="cent.ce")
+    + """ DESC, cent.cid
+           ) AS rn
+    FROM v, cent
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qe, cid AS centroid FROM (
+    SELECT query_id, qe, cent.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY """
+    + _COS.format(a="qe", b="cent.ce")
+    + """ DESC, cent.cid
+           ) AS rn
+    FROM q, cent
+  ) WHERE rn <= 4
+),
+ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+    FROM (
+      SELECT p.query_id, l.vec_id, """
+    + _COS.format(a="p.qe", b="l.e")
+    + """ AS c
+      FROM probes p JOIN lists l USING (centroid)
+      WHERE p.query_id != l.vec_id
+    )
+  ) WHERE rk <= 10
+)
+SELECT bf.query_id,
+       CAST(COUNT(ivf.vec_id) AS BIGINT) AS n_hits,
+       ROUND(COUNT(ivf.vec_id) / 10.0, 2) AS recall_at_10
+FROM bf
+LEFT JOIN ivf ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
+GROUP BY bf.query_id
+ORDER BY bf.query_id
+"""
+)
+
+
+@register(
+    "similarity_ivf_recall",
+    oracle=_IVF_RECALL_ORACLE,
+    tags=("ext", "similarity", "ivf", "ann", "quality"),
+    description="recall@10 of the IVF path vs brute-force ground truth",
+)
+def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-measuring ANN quality: per query, how many of the exact
+    brute-force top-10 the probe-4-of-16 IVF path recovers — the
+    metric that decides n_probe/n_centroids in production (same
+    pattern as dedup_lsh_recall for the MinHash path). Both pipelines
+    are the registered operators themselves, so the recall is the
+    recall of exactly what ships."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    bf = S.brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    ivf = S.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).select(
+        F.col("query_id").alias("i_qid"), F.col("vec_id").alias("i_vid")
+    )
+    return (
+        bf.join(
+            ivf,
+            (bf.query_id == F.col("i_qid")) & (bf.vec_id == F.col("i_vid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("i_vid").alias("n_hits"),
+            F.round(F.count("i_vid") / 10.0, 2).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
