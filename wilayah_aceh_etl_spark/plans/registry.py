@@ -137,6 +137,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # training-data pipeline operators
     "dedup_exact_stats",
     "dedup_minhash_lsh_pairs",
+    "dedup_incremental_admission",
     "similarity_topk_bruteforce",
     "similarity_ivf_topk",
     "text_quality_scores",

@@ -44,18 +44,26 @@ _RUNTIME_CONF = {
 }
 
 
+_DEFAULTED_SESSIONS: set[int] = set()
+
+
 def ensure_session_defaults(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable defaults to an existing session.
 
     Safe to call repeatedly; used at the top of every public query
     function so driver-owned sessions get deterministic timezone and
-    AQE behavior.
+    AQE behavior. Memoized per session object — load_table calls this
+    on every scan, and each conf.set is a py4j round-trip.
     """
+    key = id(spark)
+    if key in _DEFAULTED_SESSIONS:
+        return spark
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # immutable in this session build; accept its value
+    _DEFAULTED_SESSIONS.add(key)
     return spark
 
 
