@@ -651,3 +651,105 @@ def geo_envelope_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive hierarchy walk (Spark 4 WITH RECURSIVE through the SQL surface)
+# ---------------------------------------------------------------------------
+
+# Both engines walk the same deduplicated (kode, level) tree: the raw
+# derivation carries deliberate kode collisions (last-2 rule), so the
+# base relation is DISTINCT codes; parentage is the string prefix, as
+# in the reference (server.js:455,470 — substring parent lookup).
+_RECURSIVE_WALK = """
+, base AS (SELECT DISTINCT kode, level FROM {src})
+, walk AS (
+  SELECT kode, level, 1 AS depth, kode AS path
+  FROM base WHERE kode = '02'
+  UNION ALL
+  SELECT c.kode, c.level, w.depth + 1, w.path || '>' || c.kode
+  FROM base c JOIN walk w
+    ON c.level = w.level + 1
+   AND substring(c.kode, 1, length(w.kode)) = w.kode
+)
+SELECT kode, level, depth, path FROM walk ORDER BY kode
+"""
+
+
+@register(
+    "wilayah_recursive_descendants",
+    oracle="WITH RECURSIVE "
+    + _WILAYAH_CTE.replace("WITH ", "", 1)
+    + _RECURSIVE_WALK.format(src="wilayah"),
+    tags=("wilayah", "recursive-cte", "sql", "hierarchy"),
+    description="recursive CTE: all descendants of a root via prefix parentage",
+)
+def wilayah_recursive_descendants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hierarchy walk the reference hardcodes as a code-length
+    dispatch (SURVEY §2.7), generalized: WITH RECURSIVE (Spark 4)
+    descends from the root to every descendant, carrying depth and
+    path. Each recursion step is one equi-join on the parent prefix;
+    the tree is 4 levels deep, so the plan is 4 joined iterations —
+    at 100 TB each iteration is a broadcast of the (small) frontier
+    against the code dim."""
+    wilayah_dim(spark, sf_dir).createOrReplaceTempView("wilayah_v")
+    return spark.sql(
+        "WITH RECURSIVE x AS (SELECT 1)"
+        + _RECURSIVE_WALK.format(src="wilayah_v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-defined UDFs (Spark 4 CREATE FUNCTION ... RETURN expr)
+# ---------------------------------------------------------------------------
+
+_SQL_UDF_ORACLE = (
+    _WILAYAH_CTE
+    + """
+, base AS (SELECT DISTINCT kode, level FROM wilayah)
+SELECT kode, level,
+  CASE level WHEN 1 THEN 'Provinsi' WHEN 2 THEN 'Kabupaten/Kota'
+             WHEN 3 THEN 'Kecamatan' ELSE 'Kelurahan/Desa' END AS label,
+  CASE WHEN instr(kode, '.') = 0 THEN NULL
+       ELSE left(kode, length(kode) - instr(reverse(kode), '.')) END AS parent
+FROM base ORDER BY kode
+"""
+)
+
+
+@register(
+    "wilayah_sql_udf_labels",
+    oracle=_SQL_UDF_ORACLE,
+    tags=("wilayah", "sql-udf", "p10"),
+    description="SQL-defined scalar UDFs: level label + parent-kode",
+)
+def wilayah_sql_udf_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's extensibility story is SQL-defined stored
+    functions (init_db.sql, SURVEY §2.8); Spark 4's analog is
+    CREATE FUNCTION ... RETURN <expr> — a catalog-registered scalar
+    function Catalyst INLINES into the plan (unlike a Python UDF,
+    nothing leaves the JVM and codegen sees through it). The level
+    label (P10) and parent-kode (P8 generalized to any level) ship
+    as SQL UDFs; the oracle inlines the identical expressions."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION wilayah_label(l INT) "
+        "RETURNS STRING RETURN "
+        "CASE l WHEN 1 THEN 'Provinsi' WHEN 2 THEN 'Kabupaten/Kota' "
+        "WHEN 3 THEN 'Kecamatan' ELSE 'Kelurahan/Desa' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION parent_kode(k STRING) "
+        "RETURNS STRING RETURN "
+        "CASE WHEN instr(k, '.') = 0 THEN NULL "
+        "ELSE left(k, length(k) - instr(reverse(k), '.')) END"
+    )
+    wilayah_dim(spark, sf_dir).createOrReplaceTempView("wilayah_v")
+    return spark.sql(
+        """
+        WITH base AS (SELECT DISTINCT kode, level FROM wilayah_v)
+        SELECT kode, level,
+               wilayah_label(level) AS label,
+               parent_kode(kode)    AS parent
+        FROM base ORDER BY kode
+        """
+    )
