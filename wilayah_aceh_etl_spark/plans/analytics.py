@@ -2523,3 +2523,72 @@ def chisq_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("chi2_run", 6).alias("chi2"),
         F.col("n_cells").cast("long").alias("n_cells"),
     )
+
+
+# --------------------------------------------------------------------------
+# Lateral correlated subquery + Spark 4 pipe syntax (SQL surface)
+# --------------------------------------------------------------------------
+
+_LATERAL_ORACLE = """
+SELECT d.c_mktsegment, l.o_orderkey, l.totalprice
+FROM (SELECT DISTINCT c_mktsegment FROM customer) d,
+LATERAL (
+  SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = d.c_mktsegment
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) l
+ORDER BY d.c_mktsegment, l.totalprice DESC, l.o_orderkey
+"""
+
+
+@register(
+    "lateral_topk_per_segment",
+    oracle=_LATERAL_ORACLE,
+    tags=("join", "lateral", "topk", "sql"),
+    description="JOIN LATERAL: correlated top-2 orders per market segment",
+)
+def lateral_topk_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the third top-k-per-group form
+    beside the ranking window and groupBy+slice: each outer row
+    (segment) drives an ordered-limited inner query. Catalyst
+    decorrelates it; at scale this plans like the window form, but
+    the surface matters for SQL users migrating correlated queries."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_ORACLE)
+
+
+_PIPE_ORACLE = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "pipe_syntax_order_stats",
+    oracle=_PIPE_ORACLE,
+    tags=("agg", "sql", "pipe-syntax"),
+    description="Spark 4 SQL pipe syntax (|>) filter→aggregate→sort",
+)
+def pipe_syntax_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same filter→aggregate→sort expressed in Spark 4's pipe
+    syntax — compiles to the identical plan as the ANSI form (the
+    oracle), pinning that the new surface is semantics-preserving."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     ROUND(SUM(o_totalprice), 2) AS revenue
+           GROUP BY o_orderstatus
+        |> ORDER BY o_orderstatus
+        """
+    )
