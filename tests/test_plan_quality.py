@@ -27,6 +27,9 @@ NLJ_ALLOWED = {
     # exactly 1 row regardless of data size, so the NLJ is O(buckets)
     "data_mixture_rates",
     "text_unigram_logprob",
+    "events_m4_downsample",  # 1-row global [min,max] span broadcast
+    "graph_triangle_count",  # three 1-row count aggregates cross-joined
+
     "tpch_q22_idle_rich_customers",
     "tpch_q11_important_stock",
     # k-row centroid broadcast (k=16): nearest-centroid assignment is

@@ -2592,3 +2592,78 @@ def pipe_syntax_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderstatus
         """
     )
+
+
+# --------------------------------------------------------------------------
+# Graph: triangle counting over the co-occurrence graph
+# --------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = """
+WITH edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 3
+)
+SELECT
+  CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+  CAST((SELECT COUNT(DISTINCT p) FROM (
+    SELECT pa AS p FROM edges UNION SELECT pb FROM edges)) AS BIGINT) AS n_nodes,
+  CAST((SELECT COUNT(*)
+        FROM edges e1
+        JOIN edges e2 ON e1.pb = e2.pa
+        JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb) AS BIGINT)
+    AS n_triangles
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_TRIANGLE_ORACLE,
+    tags=("graph", "self-join", "triangle"),
+    description="oriented triangle count over the part co-occurrence graph",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting, the classic graph-analytics
+    kernel: orient every edge low→high, then one two-hop equi-join
+    (e1.b = e2.a) probed against the edge set closes each wedge
+    exactly once — the standard MapReduce formulation whose join
+    input is O(Σ deg²) wedges, kept small here because the ≥3-orders
+    support threshold prunes the edge set first. Two shuffles past
+    the edge build: wedge join on the middle vertex, closure probe
+    on the (a, c) pair."""
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("pa", "pb")
+    )
+    e1 = edges.select(F.col("pa").alias("x"), F.col("pb").alias("y"))
+    e2 = edges.select(F.col("pa").alias("y2"), F.col("pb").alias("z"))
+    wedges = e1.join(e2, F.col("y") == F.col("y2")).select("x", "y", "z")
+    tri = wedges.join(
+        edges,
+        (F.col("x") == F.col("pa")) & (F.col("z") == F.col("pb")),
+        "left_semi",
+    )
+    nodes = (
+        edges.select(F.col("pa").alias("p"))
+        .union(edges.select(F.col("pb").alias("p")))
+        .distinct()
+    )
+    return (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .join(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .join(F.broadcast(tri.agg(F.count(F.lit(1)).alias("n_triangles"))))
+    )

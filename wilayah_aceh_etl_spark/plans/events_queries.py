@@ -1640,3 +1640,97 @@ def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# M4 downsampling (Jugel et al., VLDB'14) — visualization-lossless
+# ---------------------------------------------------------------------------
+
+_M4_ORACLE = """
+WITH b AS (
+  SELECT event_type, value, epoch_us(ts) AS e, event_id FROM events
+),
+span AS (SELECT MIN(e) AS e0, MAX(e) AS e1 FROM b),
+pix AS (
+  SELECT event_type, value, event_id, e,
+    CAST(least(399, CAST(floor((e - e0) * 400.0 / (e1 - e0 + 1)) AS BIGINT))
+         AS BIGINT) AS bucket
+  FROM b, span
+),
+rn AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                       ORDER BY e, event_id) AS rf,
+    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                       ORDER BY e DESC, event_id DESC) AS rl
+  FROM pix
+)
+SELECT event_type, bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_points,
+  ROUND(MIN(value), 2) AS min_v,
+  ROUND(MAX(value), 2) AS max_v,
+  ROUND(MAX(CASE WHEN rf = 1 THEN value END), 2) AS first_v,
+  ROUND(MAX(CASE WHEN rl = 1 THEN value END), 2) AS last_v
+FROM rn
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+"""
+
+
+@register(
+    "events_m4_downsample",
+    oracle=_M4_ORACLE,
+    tags=("events", "downsample", "m4", "window"),
+    description="M4 downsampling: first/last/min/max per pixel bucket",
+)
+def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB'14): for a 400-pixel-wide
+    chart, keep exactly the first/last/min/max of each series per
+    pixel column — the provably visualization-lossless reduction for
+    line charts, and the op a monitoring store runs on every zoomed-
+    out query. The bucket key is exact integer epoch math on a
+    broadcast 1-row global span; first/last are pinned by (ts,
+    event_id) row_numbers so ties break identically in both engines.
+    One shuffle on (series, bucket); output is O(series × pixels),
+    independent of input volume — the whole point at 100 TB."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"),
+        "event_id",
+    )
+    span = e.agg(F.min("e").alias("e0"), F.max("e").alias("e1"))
+    pix = e.join(F.broadcast(span)).withColumn(
+        "bucket",
+        F.least(
+            F.lit(399),
+            F.floor(
+                (F.col("e") - F.col("e0"))
+                * 400.0
+                / (F.col("e1") - F.col("e0") + 1)
+            ).cast("long"),
+        ).cast("long"),
+    )
+    wf = Window.partitionBy("event_type", "bucket").orderBy("e", "event_id")
+    wl = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("e").desc(), F.col("event_id").desc()
+    )
+    return (
+        pix.withColumn("rf", F.row_number().over(wf))
+        .withColumn("rl", F.row_number().over(wl))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.min("value"), 2).alias("min_v"),
+            F.round(F.max("value"), 2).alias("max_v"),
+            F.round(
+                F.max(F.when(F.col("rf") == 1, F.col("value"))), 2
+            ).alias("first_v"),
+            F.round(
+                F.max(F.when(F.col("rl") == 1, F.col("value"))), 2
+            ).alias("last_v"),
+        )
+        .orderBy("event_type", "bucket")
+    )
