@@ -28,6 +28,7 @@ NLJ_ALLOWED = {
     "data_mixture_rates",
     "text_unigram_logprob",
     "events_m4_downsample",  # 1-row global [min,max] span broadcast
+    "sample_weighted_pps",  # 1-row total-weight broadcast
     "graph_triangle_count",  # three 1-row count aggregates cross-joined
 
     "tpch_q22_idle_rich_customers",

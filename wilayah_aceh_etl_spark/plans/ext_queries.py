@@ -2624,3 +2624,64 @@ def similarity_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling: systematic PPS (probability proportional to size)
+# ---------------------------------------------------------------------------
+
+_PPS_ORACLE = """
+WITH w AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents
+),
+c AS (
+  SELECT doc_id, wt,
+         SUM(wt) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         (SELECT CAST(SUM(wt) AS BIGINT) FROM w) AS tot
+  FROM w
+)
+SELECT doc_id, wt AS weight
+FROM c
+WHERE (cum * 50) // tot > ((cum - wt) * 50) // tot
+ORDER BY doc_id
+"""
+
+
+@register(
+    "sample_weighted_pps",
+    oracle=_PPS_ORACLE,
+    tags=("ext", "sampling", "pps", "window"),
+    description="systematic PPS sample: ~50 docs, probability ∝ length",
+)
+def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling for data mixtures: systematic PPS (Madow) —
+    lay documents on a line with segment length = weight (n_chars),
+    drop 50 equally-spaced ticks, keep each document whose segment
+    contains a tick. Selection probability ∝ weight, and the whole
+    derivation is INTEGER arithmetic (cumulative sums + floor
+    division), so both engines pick the identical sample — no
+    transcendental-function ulp risk, unlike key-based A-ES
+    sampling. The running sum is a single-partition window here;
+    at 100 TB the same math runs per-shard with per-shard tick
+    counts (exactly how split_train_val_test shards by id hash)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("long").alias("wt")
+    )
+    tot = docs.agg(F.sum("wt").alias("tot"))
+    cum = docs.withColumn(
+        "cum",
+        F.sum("wt").over(
+            Window.orderBy("doc_id").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    ).join(F.broadcast(tot))
+    tick = F.expr("div(cum * 50, tot)") > F.expr("div((cum - wt) * 50, tot)")
+    return (
+        cum.filter(tick)
+        .select("doc_id", F.col("wt").alias("weight"))
+        .orderBy("doc_id")
+    )
