@@ -42,8 +42,47 @@ class ChunkTextUDTF:
 def register_udtfs(spark) -> None:
     """Idempotent SQL-name registration."""
     spark.udtf.register("chunk_text", ChunkTextUDTF)
+    spark.udtf.register("event_runs", EventRunsUDTF)
 
 
 from wilayah_aceh_etl_spark.serde import pickle_module_by_value  # noqa: E402
 
 pickle_module_by_value(__name__)  # UDTF class must not need repo on worker path
+
+
+@udtf(
+    returnType=(
+        "user_id: bigint, event_type: string, run_len: bigint, "
+        "start_event_id: bigint, end_event_id: bigint"
+    )
+)
+class EventRunsUDTF:
+    """Polymorphic table-argument UDTF (Spark 4): consumes
+    TABLE(events) PARTITION BY user_id ORDER BY ts, event_id and
+    emits each maximal run of consecutive identical event_type —
+    the gaps-and-islands kernel as a streaming per-group pass.
+    Spark instantiates one UDTF per partition key and feeds rows in
+    the declared order, so state is one (type, len, start, end)
+    tuple; terminate() flushes the final run."""
+
+    def __init__(self):
+        self._user = None
+        self._type = None
+        self._len = 0
+        self._start = None
+        self._end = None
+
+    def eval(self, row):
+        if row["event_type"] != self._type:
+            if self._type is not None:
+                yield self._user, self._type, self._len, self._start, self._end
+            self._type = row["event_type"]
+            self._len = 0
+            self._start = row["event_id"]
+        self._user = row["user_id"]
+        self._len += 1
+        self._end = row["event_id"]
+
+    def terminate(self):
+        if self._type is not None:
+            yield self._user, self._type, self._len, self._start, self._end

@@ -1734,3 +1734,54 @@ def events_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table-argument UDTF: per-user event-type runs (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+_RUNS_ORACLE = """
+WITH o AS (
+  SELECT user_id, event_type, event_id,
+    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rt
+  FROM events
+)
+SELECT user_id, event_type,
+  CAST(COUNT(*) AS BIGINT) AS run_len,
+  CAST(arg_min(event_id, rn) AS BIGINT) AS start_event_id,
+  CAST(arg_max(event_id, rn) AS BIGINT) AS end_event_id
+FROM o
+GROUP BY user_id, event_type, rn - rt
+ORDER BY user_id, start_event_id
+"""
+
+
+@register(
+    "udtf_event_runs",
+    oracle=_RUNS_ORACLE,
+    tags=("events", "udtf", "table-arg", "islands"),
+    description="table-arg UDTF: maximal same-type event runs per user",
+)
+def udtf_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's polymorphic-UDTF surface end-to-end: the engine
+    passes TABLE(events) PARTITION BY user_id ORDER BY (ts, event_id)
+    into a Python table function that streams each user's timeline
+    once and emits maximal same-type runs. Held to a pure-SQL
+    gaps-and-islands oracle — certifying the imperative per-group
+    pass against the relational formulation (same discipline as the
+    chunker UDTF vs its expression twin). One shuffle on user_id;
+    per-group state is O(1)."""
+    from wilayah_aceh_etl_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        SELECT * FROM event_runs(
+          TABLE(events_v) PARTITION BY user_id ORDER BY (ts, event_id)
+        )
+        ORDER BY user_id, start_event_id
+        """
+    )
