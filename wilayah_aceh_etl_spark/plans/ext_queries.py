@@ -2685,3 +2685,98 @@ def sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("wt").alias("weight"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Geohash spatial bucketing (base32 Z-curve over lat/lon)
+# ---------------------------------------------------------------------------
+
+_GH_BITS = 15  # per axis; 30 bits total = 6 base32 chars
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_sql(lat: str, lon: str) -> str:
+    """Geohash-6 as pure integer arithmetic (engine-portable: no bit
+    operators, only *, floor-div, %). Lon contributes even bit
+    positions (geohash convention), lat odd."""
+    lon_cell = f"CAST(floor(({lon} + 180.0) / 360.0 * {2 ** _GH_BITS}) AS BIGINT)"
+    lat_cell = f"CAST(floor(({lat} + 90.0) / 180.0 * {2 ** _GH_BITS}) AS BIGINT)"
+    terms = []
+    for b in range(_GH_BITS):  # bit b of each axis → interleaved position
+        # highest axis bit first: geohash bit i (from MSB) alternates lon/lat
+        lon_b = _GH_BITS - 1 - b
+        terms.append(
+            f"(CAST(floor({lon_cell} / {2 ** lon_b}) AS BIGINT) % 2) "
+            f"* CAST({2 ** (2 * _GH_BITS - 1 - 2 * b)} AS BIGINT)"
+        )
+        terms.append(
+            f"(CAST(floor({lat_cell} / {2 ** lon_b}) AS BIGINT) % 2) "
+            f"* CAST({2 ** (2 * _GH_BITS - 2 - 2 * b)} AS BIGINT)"
+        )
+    z = " + ".join(terms)
+    chars = " || ".join(
+        f"substr('{_GH_ALPHABET}', "
+        f"CAST((CAST(floor(({z}) / {2 ** (30 - 5 * (i + 1))}) AS BIGINT) % 32) "
+        f"+ 1 AS INTEGER), 1)"
+        for i in range(6)
+    )
+    return chars
+
+
+_GEOHASH_ORACLE = f"""
+WITH pts AS (
+  SELECT c_custkey,
+    (c_custkey % 17000) / 17000.0 * 170.0 - 85.0   AS lat,
+    (c_custkey % 35900) / 35900.0 * 359.0 - 179.5  AS lon
+  FROM customer
+)
+SELECT substr({_geohash_sql('lat', 'lon')}, 1, 3) AS cell,
+  CAST(COUNT(*) AS BIGINT) AS n_points,
+  CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+  ROUND(MIN(lat), 6) AS min_lat,
+  ROUND(MIN(lon), 6) AS min_lon
+FROM pts
+GROUP BY 1
+HAVING COUNT(*) >= 2
+ORDER BY cell
+"""
+
+
+@register(
+    "geo_geohash_bucketing",
+    oracle=_GEOHASH_ORACLE,
+    tags=("geo", "geohash", "bucketing"),
+    description="geohash-6 spatial bucketing (integer Z-curve + base32)",
+)
+def geo_geohash_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encoding as the spatial analog of the sign-LSH /
+    IVF bucket: interleave quantized lat/lon bits (Z-curve) and
+    base32-encode — points in one cell share a key, so proximity
+    joins become equi-joins on the geohash (+ neighbor cells) and
+    the cell is the table's physical partition key at 100 TB —
+    exactly how the wilayah geometry table would shard beyond one
+    province. The whole derivation is integer multiply/div/mod in
+    Catalyst (identical in the oracle: no bit operators, no libm);
+    coordinates here are synthesized deterministically from customer
+    keys since the star schema carries no geography."""
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 17000) / 17000.0 * 170.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") % 35900) / 35900.0 * 359.0 - 179.5).alias("lon"),
+    )
+    gh = F.expr(_geohash_sql("lat", "lon"))
+    return (
+        pts.select(
+            "c_custkey", "lat", "lon", F.substring(gh, 1, 3).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("c_custkey").alias("min_key"),
+            F.round(F.min("lat"), 6).alias("min_lat"),
+            F.round(F.min("lon"), 6).alias("min_lon"),
+        )
+        .filter(F.col("n_points") >= 2)
+        .orderBy("cell")
+    )
