@@ -2780,3 +2780,62 @@ def geo_geohash_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_points") >= 2)
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index build (token → df + posting list)
+# ---------------------------------------------------------------------------
+
+_POSTINGS_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
+  FROM documents
+),
+agg AS (
+  SELECT tok,
+         CAST(COUNT(*) AS BIGINT) AS df,
+         list_sort(list(doc_id)) AS all_docs
+  FROM toks GROUP BY tok
+)
+SELECT tok, df,
+       array_to_string(all_docs[1:10], ',') AS top_postings
+FROM agg
+WHERE df >= 50
+ORDER BY df DESC, tok
+"""
+
+
+@register(
+    "text_inverted_postings",
+    oracle=_POSTINGS_ORACLE,
+    tags=("ext", "text", "inverted-index"),
+    description="inverted index: df + first-10 posting list per common token",
+)
+def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The search-engine build: distinct (doc, token) pairs grouped
+    into per-token posting lists — document frequency plus the
+    sorted first-10 doc ids (capped: at 100 TB a hot token's full
+    posting list is the thing you DON'T materialize in one task;
+    production shards postings by doc-id range, which this cap
+    models). One shuffle on the token; collect_list is bounded by
+    the cap after array_sort — sorting then slicing keeps the
+    output deterministic under any partitioning."""
+    from wilayah_aceh_etl_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10), ","
+            ).alias("top_postings"),
+        )
+        .filter(F.col("df") >= 50)
+        .orderBy(F.col("df").desc(), "tok")
+    )
