@@ -29,6 +29,7 @@ NLJ_ALLOWED = {
     "text_unigram_logprob",
     "events_m4_downsample",  # 1-row global [min,max] span broadcast
     "sample_weighted_pps",  # 1-row total-weight broadcast
+    "text_bm25_search",  # 1-row corpus-stats broadcast
     "graph_triangle_count",  # three 1-row count aggregates cross-joined
 
     "tpch_q22_idle_rich_customers",

@@ -2839,3 +2839,99 @@ def text_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") >= 50)
         .orderBy(F.col("df").desc(), "tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("scan", "merge", "window")
+
+_BM25_ORACLE = f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dlen
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dlen) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok IN ('scan', 'merge', 'window')
+  GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok
+),
+scored AS (
+  SELECT tf.doc_id,
+    SUM(
+      ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      * tf.tf * ({_BM25_K1} + 1.0)
+      / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dlen / stats.avgdl))
+    ) AS score
+  FROM tf
+  JOIN df ON tf.tok = df.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS bm25
+FROM scored
+ORDER BY ROUND(score, 4) DESC, doc_id
+LIMIT 10
+"""
+
+
+@register(
+    "text_bm25_search",
+    oracle=_BM25_ORACLE,
+    tags=("ext", "text", "bm25", "retrieval"),
+    description="BM25 top-10 retrieval for a fixed 3-token query",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval with BM25 (k1=1.2, b=0.75): the scoring
+    function every lexical search stack runs over the inverted index
+    (text_inverted_postings is the layout; this is the query-time
+    math). The query-token filter prunes the explode BEFORE the tf
+    aggregation, so the shuffle carries only matching (doc, token)
+    pairs; df and the corpus stats are 1-row/3-row broadcasts. Rank
+    is taken on the ROUNDED score with a doc-id tiebreak so the
+    top-10 cannot flap on last-ulp ln() differences between engines."""
+    from wilayah_aceh_etl_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dlen")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    tf = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avgdl")
+    )
+    term = idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term).alias("score"))
+        .select("doc_id", F.round("score", 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
