@@ -19,6 +19,9 @@ from wilayah_aceh_etl_spark.plans.registry import all_specs
 NLJ_ALLOWED = {
     "similarity_topk_bruteforce",
     "similarity_threshold_pairs",
+    # brute-force shape with the label inequality fused into the
+    # non-equi join condition (re-rank stage after the ANN path)
+    "embedding_hard_negatives",
     "similarity_ivf_topk",
     # composes the two shapes above (BF ground truth × IVF), so it
     # inherits both documented broadcast products

@@ -2935,3 +2935,146 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (cross-label nearest neighbors)
+# ---------------------------------------------------------------------------
+
+_HARDNEG_ORACLE = (
+    "WITH "
+    + _VEC_CTE
+    + """,
+q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe FROM v WHERE vec_id < 8),
+ranked AS (
+  SELECT query_id, vec_id, c, lbl,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+  FROM (
+    SELECT q.query_id, v.vec_id, v.label AS lbl, """
+    + _COS.format(a="q.qe", b="v.e")
+    + """ AS c
+    FROM q JOIN v ON v.vec_id != q.query_id AND v.label != q.qlabel
+  )
+)
+SELECT query_id, vec_id, lbl AS neg_label, ROUND(c, 6) AS cos_sim,
+       CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 5
+ORDER BY query_id, rk
+"""
+)
+
+
+@register(
+    "embedding_hard_negatives",
+    oracle=_HARDNEG_ORACLE,
+    tags=("ext", "similarity", "training", "hard-negatives"),
+    description="hard-negative mining: top-5 cross-label neighbors per query",
+)
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training data prep: for each query vector, the 5
+    most similar vectors with a DIFFERENT label — the hard negatives
+    that make embedding training work. Same broadcast-queries ×
+    corpus-scan shape as the brute-force baseline with the label
+    inequality fused into the join condition, so mismatched labels
+    are dropped before the cosine evaluates. At scale the candidate
+    side narrows through the IVF/LSH path first (similarity_ivf_topk)
+    — this is the exact re-rank that follows it."""
+    from pyspark.sql.window import Window
+
+    from wilayah_aceh_etl_spark.functions.vectors import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+    q = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            v,
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel")),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            cosine(F.col("qvec"), F.col("vec")).alias("_c"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_c").desc(), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "query_id",
+            "vec_id",
+            "neg_label",
+            F.round("_c", 6).alias("cos_sim"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE pair statistics (tokenizer training, first merge iteration)
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = """
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+pairs AS (
+  SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair
+  FROM toks, UNNEST(range(1, length(tok))) AS t(i)
+  WHERE length(tok) >= 2
+)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
+@register(
+    "text_bpe_pair_counts",
+    oracle=_BPE_ORACLE,
+    tags=("ext", "text", "bpe", "tokenizer"),
+    description="BPE merge statistics: top-20 adjacent symbol pairs",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer training: count every
+    adjacent symbol pair inside word boundaries across the corpus —
+    the argmax pair is the first merge rule. Expressed as a
+    sequence→transform explode (pure Catalyst; the per-token pair
+    enumeration is map-side) feeding one hash aggregation; at
+    100 TB the counts are exactly the mergeable partials a
+    distributed BPE trainer iterates on."""
+    from wilayah_aceh_etl_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        spread(docs.select("text"))
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1), "
+                    "i -> substring(tok, i, 2))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
