@@ -1785,3 +1785,68 @@ def udtf_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY user_id, start_event_id
         """
     )
+
+
+@register(
+    "streaming_m4_downsample",
+    oracle=_M4_ORACLE,
+    tags=("streaming", "events", "downsample", "m4"),
+    description="Structured Streaming M4 downsample, oracle-checked",
+)
+def streaming_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 through the REAL streaming path: the chart's x-domain
+    (global [min,max] epoch span) is fixed by a one-row batch
+    pre-pass — exactly how a live dashboard pins its axis — then the
+    stream aggregates first/last/min/max per (series, pixel) with
+    min_by/max_by over the (ts, event_id) order, state O(series ×
+    pixels). Held to the same oracle as the batch twin, so the
+    incremental aggregation provably matches the relational
+    formulation."""
+    import uuid
+
+    from wilayah_aceh_etl_spark.streaming import read_event_stream
+
+    staged = _stage_events(spark, sf_dir)
+    span = (
+        spark.read.parquet(staged)
+        .agg(
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("e0"),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("e1"),
+        )
+        .head()
+    )
+    e0, e1 = int(span["e0"]), int(span["e1"])
+    s = read_event_stream(spark, staged).select(
+        "event_type",
+        "value",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("e"),
+    )
+    bucket = F.least(
+        F.lit(399),
+        F.floor((F.col("e") - F.lit(e0)) * 400.0 / F.lit(e1 - e0 + 1)).cast(
+            "long"
+        ),
+    ).cast("long")
+    order_key = F.struct("e", "event_id")
+    agg = (
+        s.withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.min("value"), 2).alias("min_v"),
+            F.round(F.max("value"), 2).alias("max_v"),
+            F.round(F.min_by("value", order_key), 2).alias("first_v"),
+            F.round(F.max_by("value", order_key), 2).alias("last_v"),
+        )
+    )
+    name = f"stream_m4_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("event_type", "bucket")
