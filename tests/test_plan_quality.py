@@ -33,6 +33,7 @@ NLJ_ALLOWED = {
     "events_m4_downsample",  # 1-row global [min,max] span broadcast
     "sample_weighted_pps",  # 1-row total-weight broadcast
     "text_bm25_search",  # 1-row corpus-stats broadcast
+    "text_source_kl_divergence",  # 1-row corpus-total broadcast
     "graph_triangle_count",  # three 1-row count aggregates cross-joined
 
     "tpch_q22_idle_rich_customers",

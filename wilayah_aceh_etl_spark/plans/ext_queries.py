@@ -3078,3 +3078,77 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution shift: per-source unigram KL divergence vs the corpus
+# ---------------------------------------------------------------------------
+
+_KL_ORACLE = """
+WITH toks AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+src_counts AS (
+  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM toks GROUP BY source, tok
+),
+src_totals AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM src_counts GROUP BY source
+),
+corpus_counts AS (
+  SELECT tok, CAST(SUM(n) AS BIGINT) AS cn FROM src_counts GROUP BY tok
+),
+corpus_total AS (
+  SELECT CAST(SUM(cn) AS BIGINT) AS ctot FROM corpus_counts
+)
+SELECT s.source,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+  ROUND(SUM( (s.n * 1.0 / t.tot)
+             * ln( (s.n * 1.0 / t.tot) / (c.cn * 1.0 / x.ctot) ) ), 6)
+    AS kl_vs_corpus
+FROM src_counts s
+JOIN src_totals t ON s.source = t.source
+JOIN corpus_counts c ON s.tok = c.tok
+CROSS JOIN corpus_total x
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
+@register(
+    "text_source_kl_divergence",
+    oracle=_KL_ORACLE,
+    tags=("ext", "text", "mixture", "kl"),
+    description="per-source unigram KL divergence against the whole corpus",
+)
+def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture QA: KL(source ‖ corpus) over unigram
+    distributions — the domain-shift number that tells you a source
+    drifted before you train on it. Support is never an issue
+    (every source token is in the corpus by construction), so the
+    sum is total. One token-keyed aggregation tree, all partials
+    map-side combined; the corpus marginals broadcast back against
+    the per-source counts."""
+    from wilayah_aceh_etl_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs.select("source", "text")).select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    src = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("n"))
+    src_tot = src.groupBy("source").agg(F.sum("n").alias("tot"))
+    corp = src.groupBy("tok").agg(F.sum("n").alias("cn"))
+    ctot = corp.agg(F.sum("cn").alias("ctot"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    q = F.col("cn") * 1.0 / F.col("ctot")
+    return (
+        src.join(F.broadcast(src_tot), "source")
+        .join(corp, "tok")
+        .join(F.broadcast(ctot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )

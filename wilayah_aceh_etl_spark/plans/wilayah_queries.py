@@ -753,3 +753,72 @@ def wilayah_sql_udf_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base ORDER BY kode
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy integrity audit (orphan detection)
+# ---------------------------------------------------------------------------
+
+_ORPHAN_ORACLE = (
+    _WILAYAH_CTE
+    + """
+, base AS (SELECT DISTINCT kode, level FROM wilayah),
+parents AS (
+  SELECT kode, level,
+    left(kode, length(kode) - instr(reverse(kode), '.')) AS parent_kode
+  FROM base WHERE level > 1
+)
+SELECT p.level,
+  CAST(COUNT(*) AS BIGINT) AS n_nodes,
+  CAST(SUM(CASE WHEN b.kode IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM parents p
+LEFT JOIN base b ON p.parent_kode = b.kode AND b.level = p.level - 1
+GROUP BY p.level
+ORDER BY p.level
+"""
+)
+
+
+@register(
+    "wilayah_orphan_audit",
+    oracle=_ORPHAN_ORACLE,
+    tags=("wilayah", "integrity", "anti", "audit"),
+    description="hierarchy integrity: per-level orphan (missing-parent) counts",
+)
+def wilayah_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit for a key-encoded hierarchy: every
+    non-root code must have its parent prefix present one level up —
+    the check a prefix-keyed table needs because nothing enforces it
+    (the reference's PostGIS schema had no FK either; SURVEY §1.1).
+    A left join on the derived parent key, counted per level; at
+    scale both sides hash on the short code string. Zero orphans on
+    the derived hierarchy doubles as a generator sanity check."""
+    base = (
+        wilayah_dim(spark, sf_dir).select("kode", "level").distinct()
+    )
+    parents = base.filter(F.col("level") > 1).select(
+        "kode",
+        "level",
+        F.expr(
+            "left(kode, length(kode) - instr(reverse(kode), '.'))"
+        ).alias("parent_kode"),
+    )
+    b = base.select(
+        F.col("kode").alias("b_kode"), F.col("level").alias("b_level")
+    )
+    return (
+        parents.join(
+            b,
+            (parents.parent_kode == b.b_kode)
+            & (b.b_level == parents.level - 1),
+            "left",
+        )
+        .groupBy("level")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum(
+                F.when(F.col("b_kode").isNull(), 1).otherwise(0)
+            ).alias("n_orphans"),
+        )
+        .orderBy("level")
+    )
