@@ -1850,3 +1850,70 @@ def streaming_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(name).orderBy("event_type", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median absolute deviation per event type
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = """
+WITH med AS (
+  SELECT event_type, median(value) AS med FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS (
+  SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+  ROUND(MAX(d.med), 4) AS median_value,
+  ROUND(MAX(m.mad), 4) AS mad,
+  CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@register(
+    "events_mad_outliers",
+    oracle=_MAD_ORACLE,
+    tags=("events", "robust-stats", "mad", "outliers"),
+    description="median-absolute-deviation outlier counts per event type",
+)
+def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per event type, the median, the MAD
+    (median of absolute deviations), and how many events sit beyond
+    3·MAD — the screen that survives the very outliers a mean/std
+    z-score is corrupted by (events_hourly_anomaly is the parametric
+    twin). Two exact-median passes; each is one shuffle on the
+    (low-cardinality) type key, and the tiny per-type statistics
+    broadcast back against the fact rows. At extreme scale the
+    medians would switch to approx_percentile partials — noted, same
+    plan shape."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 4).alias("median_value"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
