@@ -1917,3 +1917,73 @@ def events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cogrouped-map pandas UDF: click vs purchase timelines per user
+# ---------------------------------------------------------------------------
+
+_COGROUP_ORACLE = """
+SELECT user_id,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_clicks,
+  CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchases,
+  CAST(MIN(epoch_us(ts)) FILTER (WHERE event_type = 'click') AS BIGINT)
+    AS first_click_us,
+  CAST(MIN(epoch_us(ts)) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+    AS first_purchase_us
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "cogroup_click_purchase_stats",
+    oracle=_COGROUP_ORACLE,
+    tags=("events", "pandas-udf", "cogroup"),
+    description="cogroup().applyInPandas: per-user click vs purchase timelines",
+)
+def cogroup_click_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogrouped-map UDF surface: two relations grouped on the
+    same key arrive as a PAIR of Arrow batches per key in one Python
+    function — the shape for custom two-sided per-key logic (asof
+    reconciliation, interleaved replay) when relational forms run
+    out. Certified here against a conditional-aggregation oracle so
+    the plumbing (two-sided shuffle co-location, empty-side
+    semantics: keys present on either side must still emit) is
+    hash-checked. Both sides shuffle once on user_id, co-located."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    micros = F.unix_micros(F.col("ts").cast("timestamp")).alias("e_us")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", micros)
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", micros
+    )
+
+    def merge(key, cdf: pd.DataFrame, pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_clicks": [len(cdf)],
+                "n_purchases": [len(pdf)],
+                "first_click_us": [
+                    int(cdf["e_us"].min()) if len(cdf) else None
+                ],
+                "first_purchase_us": [
+                    int(pdf["e_us"].min()) if len(pdf) else None
+                ],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema="user_id long, n_clicks long, n_purchases long, "
+            "first_click_us long, first_purchase_us long",
+        )
+        .orderBy("user_id")
+    )
