@@ -34,6 +34,7 @@ NLJ_ALLOWED = {
     "sample_weighted_pps",  # 1-row total-weight broadcast
     "text_bm25_search",  # 1-row corpus-stats broadcast
     "text_source_kl_divergence",  # 1-row corpus-total broadcast
+    "abc_part_classification",  # 1-row total-revenue broadcast
     "graph_triangle_count",  # three 1-row count aggregates cross-joined
 
     "tpch_q22_idle_rich_customers",

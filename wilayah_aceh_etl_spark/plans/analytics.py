@@ -2667,3 +2667,147 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n_nodes"))))
         .join(F.broadcast(tri.agg(F.count(F.lit(1)).alias("n_triangles"))))
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto / ABC classification + RFM scoring (warehouse staples)
+# --------------------------------------------------------------------------
+
+_ABC_ORACLE = """
+WITH rev AS (
+  SELECT l_partkey,
+    CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+         AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+  SELECT l_partkey, cents,
+    SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    (SELECT CAST(SUM(cents) AS BIGINT) FROM rev) AS tot
+  FROM rev
+)
+SELECT
+  CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+       WHEN cum * 100 <= tot * 95 THEN 'B'
+       ELSE 'C' END AS abc_class,
+  CAST(COUNT(*) AS BIGINT) AS n_parts,
+  ROUND(CAST(SUM(cents) AS BIGINT) / 100.0, 2) AS revenue,
+  ROUND(CAST(SUM(cents) AS BIGINT) * 100.0 / MAX(tot), 2) AS revenue_pct
+FROM ranked
+GROUP BY 1
+ORDER BY abc_class
+"""
+
+
+@register(
+    "abc_part_classification",
+    oracle=_ABC_ORACLE,
+    tags=("window", "pareto", "abc"),
+    description="ABC/Pareto part classification by cumulative revenue share",
+)
+def abc_part_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto analysis: rank parts by revenue, classify by cumulative
+    share (A ≤80%, B ≤95%, C rest). Revenue is exact integer cents and
+    the class boundary compares cum·100 ≤ tot·k in integers — no
+    float share, so classification is bit-stable. The running sum is
+    a global-order window: at 100 TB it becomes range-partitioned
+    prefix sums (two passes: per-partition totals, then offset
+    propagation) — same math, noted here because a single-partition
+    window is the one shape that cannot ship as-is."""
+    from pyspark.sql.window import Window
+
+    l = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = l.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    tot = rev.agg(F.sum("cents").alias("tot"))
+    w = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.withColumn("cum", F.sum("cents").over(w)).join(
+        F.broadcast(tot)
+    )
+    abc = (
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        ranked.groupBy(abc.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.sum("cents") * 100.0 / F.max("tot"), 2).alias(
+                "revenue_pct"
+            ),
+        )
+        .orderBy("abc_class")
+    )
+
+
+_RFM_ORACLE = """
+WITH base AS (
+  SELECT o_custkey,
+    MAX(o_orderdate) AS last_order,
+    CAST(COUNT(*) AS BIGINT) AS frequency,
+    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey,
+    NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+    NTILE(5) OVER (ORDER BY frequency DESC, o_custkey)  AS f_score,
+    NTILE(5) OVER (ORDER BY cents DESC, o_custkey)      AS m_score
+  FROM base
+)
+SELECT r_score, f_score, m_score,
+  CAST(COUNT(*) AS BIGINT) AS n_customers,
+  CAST(MIN(o_custkey) AS BIGINT) AS min_custkey
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+@register(
+    "customer_rfm_segments",
+    oracle=_RFM_ORACLE,
+    tags=("window", "ntile", "rfm"),
+    description="RFM quintile segmentation of customers",
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quintiles via
+    NTILE over fully-tiebroken orders (custkey breaks every tie, so
+    quintile assignment is deterministic across engines and
+    partitionings; monetary is exact cents). Three global-order
+    windows over the per-customer aggregate — fine at dim scale; for
+    a fact-sized key domain the quintile boundaries would come from
+    approx_percentile and a broadcast join instead."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents).alias("cents"),
+    )
+    r = Window.orderBy(F.col("last_order").desc(), "o_custkey")
+    f_ = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    m = Window.orderBy(F.col("cents").desc(), "o_custkey")
+    scored = base.select(
+        "o_custkey",
+        F.ntile(5).over(r).alias("r_score"),
+        F.ntile(5).over(f_).alias("f_score"),
+        F.ntile(5).over(m).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("o_custkey").alias("min_custkey"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
