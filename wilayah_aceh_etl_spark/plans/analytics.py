@@ -2811,3 +2811,83 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# --------------------------------------------------------------------------
+# Sweep-line interval counting: open-order backlog by month
+# --------------------------------------------------------------------------
+
+_BACKLOG_ORACLE = """
+WITH spans AS (
+  SELECT o.o_orderkey,
+    date_trunc('month', o.o_orderdate) AS open_month,
+    date_trunc('month', MAX(l.l_shipdate)) AS close_month
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate
+),
+deltas AS (
+  SELECT open_month AS month, CAST(1 AS BIGINT) AS d FROM spans
+  UNION ALL
+  SELECT close_month + INTERVAL 1 MONTH, CAST(-1 AS BIGINT) FROM spans
+),
+monthly AS (
+  SELECT month, CAST(SUM(d) AS BIGINT) AS delta FROM deltas GROUP BY month
+)
+SELECT month,
+  CAST(SUM(delta) OVER (ORDER BY month
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS open_orders
+FROM monthly
+ORDER BY month
+"""
+
+
+@register(
+    "orders_backlog_sweepline",
+    oracle=_BACKLOG_ORACLE,
+    tags=("window", "sweep-line", "intervals"),
+    description="open-order backlog per month via sweep-line deltas",
+)
+def orders_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders are open (placed, not fully shipped) at each
+    month — the interval-overlap count, computed sweep-line style:
+    every order contributes +1 at its open month and −1 after its
+    close month, deltas aggregate per month, and a running sum
+    converts deltas to concurrency. The intermediate is TWO ROWS per
+    order regardless of interval length — the scale trick vs.
+    exploding every interval into its covered months (unboundedly
+    larger for long intervals). The final window runs over the tiny
+    month domain; the heavy lifting is ordinary keyed aggregation."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.date_trunc("month", "o_orderdate").alias("open_month"),
+            F.add_months(F.date_trunc("month", "last_ship"), 1).alias(
+                "after_close"
+            ),
+        )
+    )
+    deltas = spans.select(
+        F.col("open_month").alias("month"), F.lit(1).cast("long").alias("d")
+    ).unionAll(
+        spans.select(
+            F.col("after_close").alias("month"),
+            F.lit(-1).cast("long").alias("d"),
+        )
+    )
+    monthly = deltas.groupBy("month").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        monthly.select(
+            "month", F.sum("delta").over(w).alias("open_orders")
+        )
+        .orderBy("month")
+    )
