@@ -3152,3 +3152,111 @@ def text_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset-audit metrics: Gini concentration + Zipf slope
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH x AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id
+),
+r AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS i FROM x
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS cnt,
+         CAST(SUM(n) AS BIGINT) AS tot,
+         CAST(SUM(i * n) AS BIGINT) AS weighted
+  FROM r
+)
+SELECT cnt AS n_users, tot AS n_events,
+  ROUND(2.0 * weighted / (cnt * tot) - (cnt + 1.0) / cnt, 6) AS gini
+FROM s
+"""
+
+
+@register(
+    "events_user_gini",
+    oracle=_GINI_ORACLE,
+    tags=("ext", "audit", "gini", "window"),
+    description="Gini coefficient of per-user event concentration",
+)
+def events_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration audit: the Gini coefficient of events per user —
+    the one-number answer to \"is this dataset dominated by a few
+    heavy keys?\" (the same skew that later breaks shuffles). Exact
+    rank formulation G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over fully
+    tiebroken ascending ranks; every sum is integer, the final
+    division is one deterministic double op. The rank window is
+    global but runs over the per-user aggregate, not the fact table."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    x = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    r = x.withColumn(
+        "i", F.row_number().over(Window.orderBy("n", "user_id"))
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n").alias("n_events"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("n"))
+            / (F.count(F.lit(1)) * F.sum("n"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+    )
+
+
+_ZIPF_ORACLE = """
+WITH tf AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+),
+ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rnk FROM tf
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+  ROUND(regr_slope(ln(n), ln(rnk)), 4) AS zipf_slope,
+  ROUND(regr_r2(ln(n), ln(rnk)), 4) AS fit_r2
+FROM ranked
+"""
+
+
+@register(
+    "text_zipf_slope",
+    oracle=_ZIPF_ORACLE,
+    tags=("ext", "text", "zipf", "audit"),
+    description="Zipf slope of the token frequency distribution",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus health diagnostic: fit log(frequency) ~ log(rank) —
+    natural text follows Zipf's law with slope ≈ −1, and synthetic
+    or templated corpora betray themselves with a flat or kinked
+    curve (this corpus: a giveaway worth measuring before training).
+    Uses the Catalyst-native REGR_SLOPE/REGR_R2 aggregates over the
+    ranked vocabulary — one shuffle to count, one rank window over
+    vocab, one partial-aggregated regression."""
+    from pyspark.sql.window import Window
+
+    from wilayah_aceh_etl_spark.sources.tables import spread
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        spread(docs.select("text"))
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = tf.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("n").desc(), "tok")),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.regr_slope(F.log("n"), F.log("rnk")), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(F.log("n"), F.log("rnk")), 4).alias("fit_r2"),
+    )
