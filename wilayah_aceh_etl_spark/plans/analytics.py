@@ -2891,3 +2891,137 @@ def orders_backlog_sweepline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curves + shipping-latency SLA
+# --------------------------------------------------------------------------
+
+_COHORT_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+facts AS (
+  SELECT f.cohort,
+    CAST(datediff('month', f.cohort, date_trunc('month', o.o_orderdate))
+         AS BIGINT) AS month_idx,
+    CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+  WHERE f.cohort < TIMESTAMP '1996-01-01'
+),
+monthly AS (
+  SELECT cohort, month_idx,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM facts WHERE month_idx <= 11 GROUP BY 1, 2
+)
+SELECT cohort, month_idx,
+  ROUND(CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY month_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        / 100.0, 2) AS cum_revenue
+FROM monthly
+ORDER BY cohort, month_idx
+"""
+
+
+@register(
+    "cohort_ltv_curves",
+    oracle=_COHORT_LTV_ORACLE,
+    tags=("window", "cohort", "ltv"),
+    description="12-month cumulative revenue curves per signup cohort",
+)
+def cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers keyed by first-order
+    month, revenue accumulated over each cohort's first 12 months —
+    the growth-analytics twin of the retention triangle
+    (events_weekly_retention). The first-order derivation is one
+    keyed aggregate joined back to the fact (broadcast at dim
+    scale); cents stay integer until the final display division."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    ).filter(F.col("cohort") < F.lit("1996-01-01").cast("timestamp"))
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    facts = o.join(F.broadcast(firsts), "o_custkey").select(
+        "cohort",
+        F.months_between(
+            F.date_trunc("month", "o_orderdate"), F.col("cohort")
+        )
+        .cast("long")
+        .alias("month_idx"),
+        cents.alias("cents"),
+    )
+    monthly = (
+        facts.filter(F.col("month_idx") <= 11)
+        .groupBy("cohort", "month_idx")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        monthly.select(
+            "cohort",
+            "month_idx",
+            F.round(F.sum("cents").over(w) / 100.0, 2).alias("cum_revenue"),
+        )
+        .orderBy("cohort", "month_idx")
+    )
+
+
+_SHIP_SLA_ORACLE = """
+WITH lat AS (
+  SELECT o.o_orderpriority,
+    CAST(datediff('day', o.o_orderdate, MIN(l.l_shipdate)) AS BIGINT)
+      AS days_to_first_ship
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+)
+SELECT o_orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  ROUND(median(days_to_first_ship), 1) AS median_days,
+  CAST(MAX(days_to_first_ship) AS BIGINT) AS worst_days
+FROM lat
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "orders_ship_sla",
+    oracle=_SHIP_SLA_ORACLE,
+    tags=("agg", "median", "sla"),
+    description="median/worst days-to-first-ship per order priority",
+)
+def orders_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilment SLA: per priority class, the median and worst days
+    from order to FIRST shipment — median because a single pathological
+    order must not move the headline number (the same robustness
+    argument as events_mad_outliers). One orderkey-join + two keyed
+    aggregates; integer day arithmetic throughout."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    lat = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff("first_ship", "o_orderdate")
+            .cast("long")
+            .alias("days_to_first_ship"),
+        )
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.median("days_to_first_ship"), 1).alias("median_days"),
+            F.max("days_to_first_ship").alias("worst_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1987,3 +1987,87 @@ def cogroup_click_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Burst detection: peak trailing-5-minute rate per event type
+# ---------------------------------------------------------------------------
+
+_BURST_ORACLE = """
+WITH per_min AS (
+  SELECT event_type,
+    CAST(epoch_us(date_trunc('minute', ts)) / 60000000 AS BIGINT) AS minute,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+rolling AS (
+  SELECT event_type, minute, n,
+    CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY minute
+                      RANGE BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS n_5min
+  FROM per_min
+)
+SELECT event_type,
+  CAST(MAX(n_5min) AS BIGINT) AS peak_5min,
+  CAST(MIN(minute) FILTER (WHERE n_5min = m.best) AS BIGINT) AS peak_minute
+FROM rolling r
+JOIN (SELECT event_type AS et, MAX(n_5min) AS best
+      FROM rolling GROUP BY 1) m
+  ON r.event_type = m.et
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_burst_peaks",
+    oracle=_BURST_ORACLE,
+    tags=("events", "window-time", "burst"),
+    description="peak trailing-5-minute event rate per type",
+)
+def events_burst_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: pre-aggregate to per-minute counts (the data
+    reduction that makes the window cheap — the RANGE frame then
+    slides over minutes, not raw events), take the trailing-5-minute
+    sum, report each type's peak and its earliest peak minute. The
+    minute key is integer epoch-minutes so the RANGE frame is pure
+    integer arithmetic in both engines."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    per_min = (
+        e.select(
+            "event_type",
+            (
+                F.unix_micros(F.date_trunc("minute", F.col("ts").cast("timestamp")))
+                / 60_000_000
+            )
+            .cast("long")
+            .alias("minute"),
+        )
+        .groupBy("event_type", "minute")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rangeBetween(-4, Window.currentRow)
+    )
+    rolling = per_min.withColumn("n_5min", F.sum("n").over(w))
+    best = rolling.groupBy(F.col("event_type").alias("et")).agg(
+        F.max("n_5min").alias("best")
+    )
+    return (
+        rolling.join(
+            F.broadcast(best),
+            rolling.event_type == F.col("et"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("n_5min").alias("peak_5min"),
+            F.min(
+                F.when(F.col("n_5min") == F.col("best"), F.col("minute"))
+            ).alias("peak_minute"),
+        )
+        .orderBy("event_type")
+    )
