@@ -3025,3 +3025,55 @@ def orders_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_SUPPLIER_SCORECARD_ORACLE = """
+SELECT s_suppkey, s_name,
+  ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                 AS BIGINT)) AS BIGINT) / 100.0, 2) AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts,
+  ROUND(CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        * 1.0 / COUNT(*), 4) AS return_rate
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY revenue DESC, s_suppkey
+LIMIT 25
+"""
+
+
+@register(
+    "supplier_scorecard",
+    oracle=_SUPPLIER_SCORECARD_ORACLE,
+    tags=("agg", "scorecard", "distinct-agg"),
+    description="top-25 supplier scorecard: revenue, breadth, return rate",
+)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-metric entity scorecard in ONE aggregation pass —
+    revenue (exact cents), volume, part breadth (distinct agg), and
+    return rate (conditional agg) computed together so the fact
+    table is read once; the supplier dim broadcasts. The shape every
+    operational dashboard page compiles to."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.round(F.sum(cents) / 100.0, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            F.count_distinct("l_partkey").alias("n_distinct_parts"),
+            F.round(
+                F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+                * 1.0
+                / F.count(F.lit(1)),
+                4,
+            ).alias("return_rate"),
+        )
+        .orderBy(F.col("revenue").desc(), "s_suppkey")
+        .limit(25)
+    )

@@ -2071,3 +2071,50 @@ def events_burst_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ENTROPY_ORACLE = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY user_id, event_type
+),
+t AS (
+  SELECT user_id, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY user_id
+)
+SELECT c.user_id,
+  CAST(MAX(t.tot) AS BIGINT) AS n_events,
+  CAST(COUNT(*) AS BIGINT) AS n_types,
+  ROUND(SUM(-(c.n * 1.0 / t.tot) * ln(c.n * 1.0 / t.tot)), 6) AS entropy
+FROM c JOIN t ON c.user_id = t.user_id
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
+@register(
+    "events_user_entropy",
+    oracle=_ENTROPY_ORACLE,
+    tags=("events", "entropy", "feature"),
+    description="behavioral entropy of each user's event-type distribution",
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-diversity feature: Shannon entropy of each user's
+    event-type mix — 0 for single-action bots, ln(n_types) for
+    uniform explorers; a standard feature-store column and the
+    per-key micro-version of the corpus-level KL audit
+    (text_source_kl_divergence). Two keyed aggregates on user_id —
+    co-partitioned, so the join after them adds no exchange."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("tot").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.sum(-p * F.log(p)), 6).alias("entropy"),
+        )
+        .orderBy("user_id")
+    )
