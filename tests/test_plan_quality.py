@@ -35,6 +35,7 @@ NLJ_ALLOWED = {
     "text_bm25_search",  # 1-row corpus-stats broadcast
     "text_source_kl_divergence",  # 1-row corpus-total broadcast
     "abc_part_classification",  # 1-row total-revenue broadcast
+    "orders_benford_digits",  # 1-row digit-count total broadcast
     "graph_triangle_count",  # three 1-row count aggregates cross-joined
 
     "tpch_q22_idle_rich_customers",

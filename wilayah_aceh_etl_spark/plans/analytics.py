@@ -3077,3 +3077,58 @@ def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "s_suppkey")
         .limit(25)
     )
+
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice >= 1
+)
+SELECT digit,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM d), 4) AS observed_p,
+  ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 4) AS benford_p
+FROM d
+GROUP BY digit
+ORDER BY digit
+"""
+
+
+@register(
+    "orders_benford_digits",
+    oracle=_BENFORD_ORACLE,
+    tags=("agg", "audit", "benford"),
+    description="first-digit distribution of order totals vs Benford's law",
+)
+def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit: the observed leading-digit
+    distribution of order totals beside the log₁₀(1+1/d) expectation
+    — the forensic screen for fabricated or capped monetary data
+    (synthetic uniform generators fail it visibly, which is itself a
+    data-quality signal worth surfacing). Digit extraction is exact
+    integer/string arithmetic; one tiny aggregate plus a 1-row total
+    broadcast."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("long")
+        .alias("digit")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("tot"), 4).alias("observed_p"),
+            F.round(
+                F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 4
+            ).alias("benford_p"),
+        )
+        .orderBy("digit")
+    )

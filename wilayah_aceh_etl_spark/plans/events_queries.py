@@ -2118,3 +2118,40 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_DOW_HOUR_ORACLE = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY dow, hour
+"""
+
+
+@register(
+    "events_dow_hour_matrix",
+    oracle=_DOW_HOUR_ORACLE,
+    tags=("events", "calendar", "heatmap"),
+    description="day-of-week x hour activity matrix",
+)
+def events_dow_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ops-dashboard heatmap: activity by (day-of-week, hour) —
+    a bounded 7×24 output whatever the input volume, so it is pure
+    map-side partials plus one tiny exchange. DuckDB's dayofweek is
+    0=Sunday while Spark's dayofweek is 1=Sunday; normalized to the
+    DuckDB convention here so the keys hash-match."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("dow", "hour")
+    )
