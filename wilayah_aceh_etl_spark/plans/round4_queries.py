@@ -1,0 +1,553 @@
+"""Round-4 declared queries: association rules, skyline, exact
+substring-level dedup, weighted median, equi-depth histogram, and
+reciprocal-rank-fusion retrieval.
+
+Each extends a family the engine already covers with a classically
+distinct operator shape (the reference itself has no analytics
+surface — see SURVEY.md §2.11/EXT; the training-pipeline mandate is
+`BASELINE.json:6`). Every query follows the repo-wide determinism
+contract: identical aliases on both sides, floats rounded at fixed
+precision, ranks taken on values that are bitwise equal across
+engines, and a total ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wilayah_aceh_etl_spark.plans.registry import register
+from wilayah_aceh_etl_spark.sources.tables import load_table, spread
+
+# ---------------------------------------------------------------------------
+# Association rules (support / confidence / lift) — extends the
+# basket_part_pairs co-occurrence query into the full Agrawal-style
+# rule metrics.
+# ---------------------------------------------------------------------------
+
+_ASSOC_ORACLE = """
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM base),
+item AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n_item FROM base GROUP BY pk),
+pair AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM base a JOIN base b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY a.pk, b.pk
+  HAVING COUNT(*) >= 3
+)
+SELECT
+  part_a, part_b, n_pair,
+  ia.n_item AS n_a, ib.n_item AS n_b,
+  ROUND(CAST(n_pair AS DOUBLE) / n.n_orders, 6) AS support,
+  ROUND(CAST(n_pair AS DOUBLE) / ia.n_item, 6) AS conf_a_b,
+  ROUND(CAST(n_pair AS DOUBLE) / ib.n_item, 6) AS conf_b_a,
+  ROUND(CAST(n_pair AS DOUBLE) * n.n_orders / (ia.n_item * ib.n_item), 6)
+    AS lift
+FROM pair
+JOIN item ia ON ia.pk = part_a
+JOIN item ib ON ib.pk = part_b
+CROSS JOIN n
+ORDER BY ROUND(CAST(n_pair AS DOUBLE) * n.n_orders
+               / (ia.n_item * ib.n_item), 6) DESC, part_a, part_b
+"""
+
+
+@register(
+    "basket_association_rules",
+    oracle=_ASSOC_ORACLE,
+    tags=("join", "co-occurrence", "association-rules", "agg"),
+    description="association rules: support/confidence/lift for part pairs",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: pair
+    support, directional confidences, and lift. The pair explosion is
+    the same bounded self-join as basket_part_pairs (distinct
+    (order, part) first, so the blow-up is lines-per-order² per
+    basket, linear in orders). Item counts and the scalar basket
+    count are tiny aggregates broadcast into the final join — the
+    only wide shuffles are the orderkey self-join and the pair
+    count, both on well-distributed keys. All three metrics are
+    single double divisions of exact BIGINT counts, so the rounded
+    values are bitwise reproducible across engines."""
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n_orders = base.agg(
+        F.countDistinct("ok").alias("n_orders")
+    )
+    item = base.groupBy("pk").agg(F.count(F.lit(1)).alias("n_item"))
+    a = base.select(F.col("ok"), F.col("pk").alias("part_a"))
+    b = base.select(F.col("ok"), F.col("pk").alias("part_b"))
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    ia = item.select(F.col("pk").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("pk").alias("part_b"), F.col("n_item").alias("n_b"))
+    lift = (
+        F.col("n_pair").cast("double")
+        * F.col("n_orders")
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    return (
+        pair.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_pair").cast("double") / F.col("n_orders"), 6)
+            .alias("support"),
+            F.round(F.col("n_pair").cast("double") / F.col("n_a"), 6)
+            .alias("conf_a_b"),
+            F.round(F.col("n_pair").cast("double") / F.col("n_b"), 6)
+            .alias("conf_b_a"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(F.round(lift, 6).desc(), "part_a", "part_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline (Pareto frontier)
+# ---------------------------------------------------------------------------
+
+_SKYLINE_ORACLE = """
+WITH g AS (
+  SELECT p_retailprice AS pr, MAX(p_size) AS mx FROM part GROUP BY 1
+),
+s AS (
+  SELECT pr, mx,
+         MAX(mx) OVER (ORDER BY pr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prevmx
+  FROM g
+),
+sky AS (SELECT pr, mx FROM s WHERE prevmx IS NULL OR mx > prevmx)
+SELECT ROUND(pr, 2) AS price, mx AS size,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM part JOIN sky ON p_retailprice = sky.pr AND p_size = sky.mx
+GROUP BY 1, 2
+ORDER BY price
+"""
+
+
+@register(
+    "skyline_parts_price_size",
+    oracle=_SKYLINE_ORACLE,
+    tags=("skyline", "window", "agg", "pareto"),
+    description="2-D skyline: cheapest-price / largest-size Pareto frontier",
+)
+def skyline_parts_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts minimizing retail price and
+    maximizing size: a part survives iff no other part is at most as
+    expensive AND at least as large with one strict. Classic 2-D
+    skyline reduces to a sorted sweep: aggregate max(size) per
+    distinct price (a scalable hash agg — the 100 TB reduction step),
+    then a running-max over the ascending distinct-price sequence
+    keeps exactly the staircase. The window runs over the tiny
+    aggregated set (|distinct prices| rows, not |parts|), which is
+    the standard distribute-then-sweep skyline plan; survivors are
+    joined back to count tied parts at each frontier point."""
+    part = load_table(spark, sf_dir, "part")
+    g = part.groupBy(F.col("p_retailprice").alias("pr")).agg(
+        F.max("p_size").alias("mx")
+    )
+    w = Window.orderBy("pr").rowsBetween(Window.unboundedPreceding, -1)
+    sky = (
+        g.withColumn("prevmx", F.max("mx").over(w))
+        .filter(F.col("prevmx").isNull() | (F.col("mx") > F.col("prevmx")))
+        .select("pr", "mx")
+    )
+    return (
+        part.join(
+            F.broadcast(sky),
+            (part.p_retailprice == sky.pr) & (part.p_size == sky.mx),
+        )
+        .groupBy(
+            F.round("pr", 2).alias("price"), F.col("mx").alias("size")
+        )
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-level dedup: duplicated 8-token spans across docs
+# (the exact-substring counterpart of the MinHash document-level
+# near-dup family — cf. "Deduplicating Training Data Makes Language
+# Models Better", Lee et al. 2022, done here at fixed-width token
+# windows instead of suffix arrays).
+# ---------------------------------------------------------------------------
+
+_SPAN_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM toks,
+       UNNEST(CASE WHEN len(t) >= 8 THEN range(1, len(t) - 6)
+                   ELSE CAST([] AS BIGINT[]) END) AS u(i)
+),
+dup AS (
+  SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1
+),
+per AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_spans,
+         CAST(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_spans
+  FROM sh s LEFT JOIN dup d ON s.h = d.h
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_spans, n_dup_spans,
+       ROUND(CAST(n_dup_spans AS DOUBLE) / n_spans, 6) AS dup_frac
+FROM per
+ORDER BY doc_id
+"""
+
+
+@register(
+    "dedup_duplicate_span_fraction",
+    oracle=_SPAN_ORACLE,
+    tags=("ext", "dedup", "text", "exact-substring", "training"),
+    description="per-doc fraction of 8-token spans duplicated across docs",
+)
+def dedup_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-granularity dedup signal: every 8-token
+    window is hashed; a span is 'duplicated' when its hash occurs in
+    more than one distinct document, and each doc reports the
+    fraction of its spans that are cross-document duplicates — the
+    quantity an exact-substring training-data cleaner thresholds on.
+    Spans are md5'd BEFORE the explode shuffles them, so the wide
+    exchange carries 32-byte hashes, never the raw n-gram text; the
+    cross-doc duplicate set is a hash-groupBy on those digests and
+    comes back as a broadcastable semi-side (duplicate spans are a
+    tiny minority by construction). At 100 TB both shuffles hash on
+    the digest, which is uniform by construction — no skew."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = F.split(F.lower("text"), r"\s+")
+    spans = F.when(
+        F.size(t) >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 7),
+            lambda i: F.md5(F.array_join(F.slice(t, i, 8), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = docs.select("doc_id", F.explode(spans).alias("h"))
+    dup = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    per = (
+        sh.join(F.broadcast(dup), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.coalesce(F.sum("is_dup"), F.lit(0))
+            .cast("long")
+            .alias("n_dup_spans"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.round(
+            F.col("n_dup_spans").cast("double") / F.col("n_spans"), 6
+        ).alias("dup_frac"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Weighted median
+# ---------------------------------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+c AS (
+  SELECT flag, price, w,
+         SUM(w) OVER (PARTITION BY flag ORDER BY price
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(w) OVER (PARTITION BY flag) AS total
+  FROM g
+)
+SELECT flag, ROUND(MIN(price), 2) AS weighted_median,
+       CAST(MIN(total) AS BIGINT) AS total_weight
+FROM c WHERE cum * 2 >= total
+GROUP BY flag
+ORDER BY flag
+"""
+
+
+@register(
+    "weighted_median_price_by_flag",
+    oracle=_WMEDIAN_ORACLE,
+    tags=("agg", "median", "window", "weighted"),
+    description="quantity-weighted median extended price per return flag",
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (weight = quantity, integral in this schema so
+    summed as exact BIGINT — no float accumulation order to disagree
+    on): smallest price whose cumulative weight reaches half the
+    group total. Weights are pre-aggregated per distinct
+    (flag, price) so the cumulative window runs over the collapsed
+    distribution, not the raw rows — at 100 TB the window input is
+    |distinct prices per flag|, and the partition key (returnflag)
+    keeps it parallel across groups."""
+    g = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("w"))
+    )
+    wp = Window.partitionBy("flag")
+    wc = (
+        wp.orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = g.select(
+        "flag",
+        "price",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wp).alias("total"),
+    )
+    return (
+        c.filter(F.col("cum") * 2 >= F.col("total"))
+        .groupBy("flag")
+        .agg(
+            F.round(F.min("price"), 2).alias("weighted_median"),
+            F.min("total").cast("long").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (the complement of the fixed-width
+# histogram_order_prices): decile boundaries carry equal mass.
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_ORACLE = """
+WITH t AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(MIN(o_totalprice), 2) AS lo,
+       ROUND(MAX(o_totalprice), 2) AS hi
+FROM t GROUP BY decile ORDER BY decile
+"""
+
+
+@register(
+    "histogram_equi_depth_prices",
+    oracle=_EQUIDEPTH_ORACLE,
+    tags=("histogram", "ntile", "agg", "statistics"),
+    description="equi-depth 10-bucket price histogram via NTILE",
+)
+def histogram_equi_depth_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram: NTILE(10) over a total order
+    (price, orderkey tiebreak — both engines share the same
+    remainder-to-early-buckets NTILE contract) then per-decile
+    count/lo/hi. The global-sort window is the honest cost of exact
+    equi-depth; the at-scale substitute is approx_percentile
+    boundaries (see approx_percentile_prices), which this query
+    pins ground truth for."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_totalprice", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion: lexical (BM25) + dense (cosine) retrieval
+# fused with the standard 1/(60+rank) formula.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPN = 50
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_RRF_ORACLE = f"""
+WITH dl AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dlen
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dlen) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok IN ('scan', 'merge', 'window')
+  GROUP BY doc_id, tok
+),
+df AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+bscore AS (
+  SELECT tf.doc_id,
+    SUM(
+      ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      * tf.tf * ({_BM25_K1} + 1.0)
+      / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+         + {_BM25_B} * dl.dlen / stats.avgdl))
+    ) AS score
+  FROM tf
+  JOIN df ON tf.tok = df.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+btop AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY ROUND(score, 4) DESC, doc_id) AS rk
+  FROM bscore
+  QUALIFY rk <= {_RRF_TOPN}
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+cscore AS (
+  SELECT vec_id,
+         list_dot_product(qe, e)
+         / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)))
+           AS c
+  FROM v, q WHERE vec_id != 0
+),
+ctop AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS rk
+  FROM cscore
+  QUALIFY rk <= {_RRF_TOPN}
+),
+fused AS (
+  SELECT COALESCE(b.doc_id, c.vec_id) AS doc_id,
+         COALESCE(1.0 / ({_RRF_K} + b.rk), 0)
+         + COALESCE(1.0 / ({_RRF_K} + c.rk), 0) AS rrf,
+         CAST(COALESCE(b.rk, 0) AS INTEGER) AS bm25_rk,
+         CAST(COALESCE(c.rk, 0) AS INTEGER) AS cos_rk
+  FROM btop b FULL OUTER JOIN ctop c ON b.doc_id = c.vec_id
+)
+SELECT doc_id, ROUND(rrf, 6) AS rrf_score, bm25_rk, cos_rk,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rk
+FROM fused
+QUALIFY rk <= 20
+ORDER BY rk
+"""
+
+
+@register(
+    "retrieval_rrf_fusion",
+    oracle=_RRF_ORACLE,
+    tags=("ext", "retrieval", "similarity", "bm25", "fusion"),
+    description="hybrid retrieval: RRF fusion of BM25 and cosine top-50",
+)
+def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: the lexical (BM25, fixed 3-token query) and
+    dense (cosine to vector 0) retrievers each produce a top-50
+    list; reciprocal-rank fusion scores 1/(60+rank) and re-ranks.
+    This is the textbook hybrid-retrieval operator every RAG data
+    stack runs. Both per-retriever lists use ulp-stable ranking
+    (BM25 on the rounded score / cosine on the bitwise-reproducible
+    double, id tiebreaks), and the fused score is a sum of exact
+    reciprocals of small integers — cross-engine deterministic.
+    At scale each retriever is already top-k-bounded (window top-k /
+    TakeOrdered), so the fusion join touches ≤2k rows regardless of
+    corpus size."""
+    from wilayah_aceh_etl_spark.operators import similarity as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dlen")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").isin("scan", "merge", "window"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term = idf * F.col("tf") * (_BM25_K1 + 1.0) / (
+        F.col("tf")
+        + _BM25_K1
+        * (1.0 - _BM25_B + _BM25_B * F.col("dlen") / F.col("avgdl"))
+    )
+    bscore = (
+        tf.join(F.broadcast(df_), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term).alias("score"))
+    )
+    wb = Window.orderBy(F.round("score", 4).desc(), "doc_id")
+    btop = (
+        bscore.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") <= _RRF_TOPN)
+        .select("doc_id", F.col("rk").alias("brk"))
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ctop = (
+        S.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=_RRF_TOPN)
+        .select(F.col("vec_id"), F.col("rk").alias("crk"))
+    )
+
+    fused = (
+        btop.join(ctop, btop.doc_id == ctop.vec_id, "full_outer")
+        .select(
+            F.coalesce(btop.doc_id, ctop.vec_id).alias("doc_id"),
+            (
+                F.coalesce(1.0 / (_RRF_K + F.col("brk")), F.lit(0.0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("crk")), F.lit(0.0))
+            ).alias("rrf"),
+            F.coalesce(F.col("brk"), F.lit(0)).cast("int").alias("bm25_rk"),
+            F.coalesce(F.col("crk"), F.lit(0)).cast("int").alias("cos_rk"),
+        )
+    )
+    wf = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.withColumn("rk", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "doc_id", F.round("rrf", 6).alias("rrf_score"),
+            "bm25_rk", "cos_rk", "rk",
+        )
+        .orderBy("rk")
+    )
