@@ -551,3 +551,303 @@ def retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month growth (lag-based growth rates on exact cents)
+# ---------------------------------------------------------------------------
+
+_MOM_ORACLE = """
+WITH m AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+),
+g AS (
+  SELECT month, cents,
+         LAG(cents) OVER (ORDER BY month) AS prev_cents
+  FROM m
+)
+SELECT month,
+       ROUND(cents / 100.0, 2) AS revenue,
+       ROUND(prev_cents / 100.0, 2) AS prev_revenue,
+       ROUND(CAST(cents - prev_cents AS DOUBLE) / prev_cents, 6)
+         AS mom_growth
+FROM g
+ORDER BY month
+"""
+
+
+@register(
+    "orders_mom_growth",
+    oracle=_MOM_ORACLE,
+    tags=("agg", "date", "window", "growth"),
+    description="month-over-month revenue growth via LAG on exact cents",
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series growth rates: monthly revenue is accumulated in
+    exact integer cents (o_totalprice has 2 decimals, so
+    ROUND(x*100) is lossless and the SUM is order-independent — the
+    integer-cents pattern), then LAG computes month-over-month
+    deltas. The monthly rollup is a scalable hash agg; the lag
+    window runs over the tiny month sequence. NULL growth on the
+    first month is the declared semantic on both sides."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM")
+        .alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .alias("cents")
+    )
+    w = Window.orderBy("month")
+    g = m.withColumn("prev_cents", F.lag("cents").over(w))
+    return g.select(
+        "month",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("prev_cents") / 100.0, 2).alias("prev_revenue"),
+        F.round(
+            (F.col("cents") - F.col("prev_cents")).cast("double")
+            / F.col("prev_cents"),
+            6,
+        ).alias("mom_growth"),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection on per-type daily event counts
+# ---------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, AVG(n) AS mean_n FROM daily GROUP BY 1
+),
+cus AS (
+  SELECT d.event_type, d.day, d.n,
+         SUM(d.n - s.mean_n) OVER (
+           PARTITION BY d.event_type ORDER BY d.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cusum
+  FROM daily d JOIN stats s ON d.event_type = s.event_type
+),
+ranked AS (
+  SELECT event_type, day, cusum,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY ABS(cusum) DESC, day
+         ) AS rk
+  FROM cus
+)
+SELECT event_type, CAST(day AS VARCHAR) AS changepoint_day,
+       ROUND(cusum, 4) AS cusum_at_peak
+FROM ranked WHERE rk = 1
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle=_CUSUM_ORACLE,
+    tags=("events", "window", "changepoint", "anomaly"),
+    description="CUSUM changepoint: peak cumulative deviation per event type",
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint detection: per event type, the day
+    where the running sum of (daily count − overall mean) peaks in
+    magnitude — the classic single-changepoint estimator over a
+    count series. Daily counts are a scalable hash agg; the
+    cumulative window is per-type over the collapsed day series
+    (bounded by the calendar, not the event volume). The running sum
+    adds doubles in day order on both engines, so cusum is bitwise
+    reproducible; rank ties break on the earlier day."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(F.avg("n").alias("mean_n"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = daily.join(F.broadcast(stats), "event_type").withColumn(
+        "cusum", F.sum(F.col("n") - F.col("mean_n")).over(wc)
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.abs("cusum").desc(), "day"
+    )
+    return (
+        cus.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("changepoint_day"),
+            F.round("cusum", 4).alias("cusum_at_peak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations suite (multi-rule audit report)
+# ---------------------------------------------------------------------------
+
+_DQ_ORACLE = """
+SELECT * FROM (
+  SELECT 'lineitem_quantity_in_1_50' AS rule,
+         CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM lineitem
+  UNION ALL
+  SELECT 'orders_totalprice_positive',
+         CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_discount_in_0_015',
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.15
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'lineitem_orderkey_in_orders',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o
+                            WHERE o.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'customer_custkey_unique',
+         CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT)
+  FROM customer
+)
+ORDER BY rule
+"""
+
+
+@register(
+    "data_quality_expectations",
+    oracle=_DQ_ORACLE,
+    tags=("audit", "quality", "integrity", "anti"),
+    description="expectations suite: 5 data-quality rules, violations each",
+)
+def data_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations-style data-quality audit: five declarative rules
+    (quantity range, price positivity, discount range, referential
+    integrity, key uniqueness) evaluated in one report. Per-table rules are
+    conditional aggregates fused into single scans (one pass over
+    lineitem covers two rules); the referential check is a broadcast
+    anti-join count. The report is a tiny union of scalars — the
+    shape a 100 TB nightly audit job emits."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    li = l.agg(
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("qty_bad"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.15), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("disc_bad"),
+    )
+    ord_bad = o.agg(
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n")
+    )
+    orphan = (
+        l.join(
+            F.broadcast(o.select("o_orderkey")),
+            l.l_orderkey == o.o_orderkey,
+            "left_anti",
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    dup_keys = c.agg(
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey"))
+        .cast("long")
+        .alias("n")
+    )
+
+    def one(rule: str, df: DataFrame, col: str) -> DataFrame:
+        return df.select(
+            F.lit(rule).alias("rule"), F.col(col).alias("n_violations")
+        )
+
+    report = (
+        one("lineitem_quantity_in_1_50", li, "qty_bad")
+        .unionAll(one("orders_totalprice_positive", ord_bad, "n"))
+        .unionAll(one("lineitem_discount_in_0_015", li, "disc_bad"))
+        .unionAll(one("lineitem_orderkey_in_orders", orphan, "n"))
+        .unionAll(one("customer_custkey_unique", dup_keys, "n"))
+    )
+    return report.orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join (registers the existing
+# streaming/windows.py::enriched_segment_counts operator against an
+# oracle — the one streaming join shape not yet in the registry).
+# ---------------------------------------------------------------------------
+
+_ENRICH_ORACLE = """
+SELECT
+  time_bucket(INTERVAL '5 minutes', e.ts) AS window_start,
+  c.c_mktsegment AS segment,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  ROUND(SUM(e.value), 2) AS total_value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "streaming_stream_static_enrich",
+    oracle=_ENRICH_ORACLE,
+    tags=("streaming", "events", "join", "stream-static"),
+    description="Structured Streaming stream-static dim join, oracle-checked",
+)
+def streaming_stream_static_enrich(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream-static join through the REAL streaming path: each
+    micro-batch of the event stream is enriched against the static
+    customer dimension (user_id → market segment, broadcast per
+    batch — stream-static joins are stateless), then aggregated per
+    tumbling window and segment; availableNow over staged files,
+    held to the batch join+agg oracle."""
+    import uuid
+
+    from wilayah_aceh_etl_spark.plans.events_queries import _stage_events
+    from wilayah_aceh_etl_spark.streaming import (
+        enriched_segment_counts,
+        read_event_stream,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    staged = _stage_events(spark, sf_dir)
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched_segment_counts(read_event_stream(spark, staged), dim)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).orderBy("window_start", "segment")
