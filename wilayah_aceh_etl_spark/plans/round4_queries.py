@@ -851,3 +851,365 @@ def streaming_stream_static_enrich(
     )
     q.awaitTermination(300)
     return spark.table(name).orderBy("window_start", "segment")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization + asymmetric distance (the FAISS IVF-PQ read
+# path, deterministic codebook): 64-d vectors → 4 subspaces × 16
+# centroids; ADC top-10 per query via the precomputed LUT.
+# ---------------------------------------------------------------------------
+
+_PQ_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+sub AS (SELECT UNNEST(range(4)) AS s),
+cent AS (
+  SELECT v.vec_id AS cid, sub.s,
+         v.e[CAST(sub.s * 16 + 1 AS BIGINT):CAST(sub.s * 16 + 16 AS BIGINT)]
+           AS ce
+  FROM v, sub WHERE v.vec_id < 16
+),
+vs AS (
+  SELECT v.vec_id, sub.s,
+         v.e[CAST(sub.s * 16 + 1 AS BIGINT):CAST(sub.s * 16 + 16 AS BIGINT)]
+           AS ve
+  FROM v, sub
+),
+dist AS (
+  SELECT vs.vec_id, vs.s, cent.cid,
+         greatest(list_dot_product(ve, ve) - 2 * list_dot_product(ve, ce)
+                  + list_dot_product(ce, ce), 0) AS d2
+  FROM vs JOIN cent ON vs.s = cent.s
+),
+codes AS (
+  SELECT vec_id, s, arg_min(cid, d2) AS code
+  FROM dist GROUP BY vec_id, s
+),
+lut AS (
+  SELECT vec_id AS query_id, s, cid AS code,
+         CAST(ROUND(d2 * 1000000) AS BIGINT) AS d2_micro
+  FROM dist WHERE vec_id < 3
+),
+adc AS (
+  SELECT lut.query_id, codes.vec_id,
+         CAST(SUM(lut.d2_micro) AS BIGINT) AS adc_micro
+  FROM codes JOIN lut ON codes.s = lut.s AND codes.code = lut.code
+  WHERE codes.vec_id != lut.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_micro,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_micro, vec_id) AS rk
+  FROM adc
+)
+SELECT query_id, vec_id,
+       ROUND(adc_micro / 1000000.0, 4) AS adc_d2,
+       CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 10
+ORDER BY query_id, rk
+"""
+
+
+@register(
+    "similarity_pq_adc_topk",
+    oracle=_PQ_ORACLE,
+    tags=("ext", "similarity", "ann", "quantization", "pq"),
+    description="product-quantization ADC top-10 (4x16 codebook)",
+)
+def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization with asymmetric distance computation —
+    the memory-bound ANN path: each 64-d vector is encoded as 4
+    nibble codes (nearest of 16 sub-centroids per 16-d subspace;
+    codebook = the first 16 vectors, deterministic), and each query
+    precomputes a 4×16 lookup table of exact subspace distances, so
+    scoring a candidate is 4 table lookups instead of a 64-d fold.
+    At scale the codes table is ~500× smaller than the raw vectors
+    (4 bytes vs 256), the LUT is a tiny broadcast, and scoring is a
+    broadcast-hash join + sum — no full-precision vectors ever
+    shuffle. LUT entries are rounded to exact integer micro-units
+    before the 4-way sum so the ADC total is order-independent and
+    bitwise identical across engines; top-10 ranks break ties on
+    vec_id. Completes the ANN story: brute force (exact) → IVF
+    (prune) → PQ (compress)."""
+    from wilayah_aceh_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", V.as_double(F.col("embedding")).alias("e"))
+    sub = spark.range(4).select(F.col("id").cast("int").alias("s"))
+    seg = lambda col, s: F.slice(col, s * 16 + 1, 16)  # noqa: E731
+
+    cent = (
+        v.filter(F.col("vec_id") < 16)
+        .crossJoin(F.broadcast(sub))
+        .select(
+            F.col("vec_id").alias("cid"),
+            "s",
+            seg(F.col("e"), F.col("s")).alias("ce"),
+        )
+    )
+    vs = v.crossJoin(F.broadcast(sub)).select(
+        "vec_id", "s", seg(F.col("e"), F.col("s")).alias("ve")
+    )
+    d2 = F.greatest(
+        V.dot(F.col("ve"), F.col("ve"))
+        - 2 * V.dot(F.col("ve"), F.col("ce"))
+        + V.dot(F.col("ce"), F.col("ce")),
+        F.lit(0.0),
+    )
+    dist = vs.join(F.broadcast(cent), "s").select(
+        "vec_id", "s", "cid", d2.alias("d2")
+    )
+    codes = dist.groupBy("vec_id", "s").agg(
+        F.min_by("cid", "d2").alias("code")
+    )
+    lut = (
+        dist.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "s",
+            F.col("cid").alias("code"),
+            F.round(F.col("d2") * 1000000, 0).cast("long").alias("d2_micro"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_micro", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("adc_micro") / 1000000.0, 4).alias("adc_d2"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BFS over the part co-occurrence graph (bounded hops),
+# oracle-checked against a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_BFS_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+pairs AS (
+  SELECT a.pk AS pa, b.pk AS pb
+  FROM base a JOIN base b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+edges AS (
+  SELECT pa AS u, pb AS w FROM pairs
+  UNION ALL
+  SELECT pb AS u, pa AS w FROM pairs
+),
+src AS (SELECT MIN(u) AS s FROM edges),
+walk AS (
+  SELECT s AS node, 0 AS d FROM src
+  UNION ALL
+  SELECT e.w, walk.d + 1
+  FROM walk JOIN edges e ON walk.node = e.u
+  WHERE walk.d < 3
+)
+SELECT node, CAST(MIN(d) AS INTEGER) AS dist
+FROM walk GROUP BY node
+ORDER BY dist, node
+"""
+
+
+@register(
+    "graph_bfs_part_cooccurrence",
+    oracle=_BFS_ORACLE,
+    tags=("graph", "iterative", "bfs", "join"),
+    description="3-hop BFS distances over the part co-occurrence graph",
+)
+def graph_bfs_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first shortest hops (≤3) from the smallest part id in
+    the co-occurrence graph (edges = part pairs sharing ≥3 orders).
+    Spark-side this is the canonical unrolled-frontier BFS: each hop
+    joins the current frontier to the edge list and anti-joins the
+    visited set, so per-hop work is |frontier|·degree, the Pregel
+    pattern without per-node state. The oracle is DuckDB's recursive
+    CTE walking the same edges. Bounded unrolling (3 static joins)
+    keeps the lineage finite — at scale each frontier is
+    checkpointable, and the edge list shuffles once and is reused
+    every hop."""
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = base.select("ok", F.col("pk").alias("pa"))
+    b = base.select("ok", F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(
+        F.col("pa").alias("u"), F.col("pb").alias("w")
+    ).unionAll(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("w")))
+    edges = edges.cache()
+
+    src = edges.agg(F.min("u").alias("node")).withColumn("dist", F.lit(0))
+    visited = src
+    frontier = src.select("node")
+    for hop in range(1, 4):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.u)
+            .select(F.col("w").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        visited = visited.unionAll(nxt)
+        frontier = nxt.select("node")
+    return visited.select(
+        "node", F.col("dist").cast("int").alias("dist")
+    ).orderBy("dist", "node")
+
+
+# ---------------------------------------------------------------------------
+# Gap-fill with linear interpolation (the numeric upgrade of
+# events_gapfill_locf): per-user daily series densified to the full
+# calendar, missing days linearly interpolated between neighbors.
+# ---------------------------------------------------------------------------
+
+_INTERP_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE user_id < 10
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1
+),
+cal AS (
+  SELECT user_id, CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))
+                       AS DATE) AS day
+  FROM bounds
+),
+joined AS (
+  SELECT c.user_id, c.day, d.v,
+         CASE WHEN d.v IS NOT NULL THEN c.day END AS vday
+  FROM cal c LEFT JOIN daily d ON c.user_id = d.user_id AND c.day = d.day
+),
+neigh AS (
+  SELECT user_id, day, v,
+         LAST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         LAST_VALUE(vday IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         FIRST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         FIRST_VALUE(vday IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM joined
+)
+SELECT user_id, CAST(day AS VARCHAR) AS day,
+       CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS interpolated,
+       ROUND(
+         CASE
+           WHEN v IS NOT NULL THEN v / 1000000.0
+           WHEN pv IS NULL THEN nv / 1000000.0
+           WHEN nv IS NULL THEN pv / 1000000.0
+           ELSE (pv + CAST(nv - pv AS DOUBLE)
+                 * date_diff('day', pd, day)
+                 / date_diff('day', pd, nd)) / 1000000.0
+         END, 4) AS value_filled
+FROM neigh
+ORDER BY user_id, day
+"""
+
+
+@register(
+    "events_gapfill_linear_interp",
+    oracle=_INTERP_ORACLE,
+    tags=("events", "temporal", "gapfill", "interpolation", "window"),
+    description="calendar densify + linear interpolation between neighbors",
+)
+def events_gapfill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap-fill: each user's daily value series
+    is densified to the full calendar (sequence/explode — partition-
+    local, no shuffle) and every missing day gets the time-weighted
+    blend of its nearest observed neighbors, with edge days falling
+    back to one-sided fill (LOCF forward / NOCB backward). Daily
+    totals are exact integer micro-units so every interpolated value
+    is a deterministic function of exact ints and integer day gaps —
+    no float-accumulation ambiguity. The four neighbor lookups are
+    two window passes (forward last-ignore-nulls, backward
+    first-ignore-nulls) per user partition, the standard scalable
+    interpolation plan (hypertable gapfill semantics)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    daily = e.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 1000000, 0).cast("long")).alias("v")
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 day"))
+            ).alias("day"),
+        )
+    )
+    joined = cal.join(daily, ["user_id", "day"], "left").withColumn(
+        "vday", F.when(F.col("v").isNotNull(), F.col("day"))
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    neigh = joined.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wf).alias("pv"),
+        F.last("vday", ignorenulls=True).over(wf).alias("pd"),
+        F.first("v", ignorenulls=True).over(wb).alias("nv"),
+        F.first("vday", ignorenulls=True).over(wb).alias("nd"),
+    )
+    interp = (
+        F.col("pv")
+        + (F.col("nv") - F.col("pv")).cast("double")
+        * F.datediff(F.col("day"), F.col("pd"))
+        / F.datediff(F.col("nd"), F.col("pd"))
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v") / 1000000.0)
+        .when(F.col("pv").isNull(), F.col("nv") / 1000000.0)
+        .when(F.col("nv").isNull(), F.col("pv") / 1000000.0)
+        .otherwise(interp / 1000000.0)
+    )
+    return neigh.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        F.when(F.col("v").isNotNull(), 0).otherwise(1).alias("interpolated"),
+        F.round(filled, 4).alias("value_filled"),
+    ).orderBy("user_id", "day")
