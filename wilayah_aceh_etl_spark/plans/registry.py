@@ -86,41 +86,30 @@ GATE_PRIORITY: tuple[str, ...] = (
     # core relational algebra
     "agg_pricing_summary",
     "join_revenue_by_nation",
-    "topk_customers_by_spend",
     "window_top_orders_per_segment",
     "window_frames_battery",
-    "rollup_status_priority",
     "pivot_orderstatus_by_segment",
     "semijoin_customers_with_big_orders",
     "antijoin_customers_without_big_orders",
     "outerjoin_order_count_distribution",
-    "fullouter_nation_reconciliation",
     "grouping_sets_status_or_priority",
     # subqueries through the SQL front-end
     "correlated_exists_big_spenders",
-    "in_subquery_large_volume_orders",
     "not_in_null_semantics",
-    "scalar_subquery_above_avg_suppliers",
     # function batteries
     "string_functions_battery",
-    "date_functions_battery",
     "null_semantics_battery",
-    "map_functions_battery",
-    "agg_functions_battery",
     "array_hof_battery",
     # physical-strategy / advanced
     "skew_salted_join_revenue",
     "percentiles_price_by_status",
     "grouped_map_segment_trend",
-    "join_hint_shuffle_hash",
     # TPC-H shapes
     "tpch_q3_shipping_priority",
     "tpch_q8_market_share",
-    "tpch_q9_product_profit",
     "tpch_q21_sole_returning_supplier",
     # the reference's own domain (wilayah)
     "wilayah_code_derivation",
-    "wilayah_prefix_children",
     "wilayah_search_topk",
     "wilayah_status_counts",
     "wilayah_upsert_last_wins",
@@ -130,21 +119,30 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_session_windows",
     "events_asof_last_purchase",
     "events_range_join_error_click",
-    "events_gapfill_locf",
-    "events_variant_props",
+    "events_gapfill_linear_interp",
+    "events_changepoint_cusum",
     "scd2_user_state_history",
     # structured streaming (oracle-checked replay)
     "streaming_tumbling_window_counts",
+    "streaming_stream_static_enrich",
+    # analytics extensions (round 4)
+    "skyline_parts_price_size",
+    "basket_association_rules",
+    "weighted_median_price_by_flag",
+    "histogram_equi_depth_prices",
+    "data_quality_expectations",
+    "graph_bfs_part_cooccurrence",
     # training-data pipeline operators
     "dedup_exact_stats",
     "dedup_minhash_lsh_pairs",
     "dedup_incremental_admission",
+    "dedup_duplicate_span_fraction",
     "similarity_topk_bruteforce",
     "similarity_ivf_topk",
+    "similarity_pq_adc_topk",
+    "retrieval_rrf_fusion",
     "text_quality_scores",
     "pipeline_training_prep",
-    "dedup_simhash_near_pairs",
-    "dedup_ngram_jaccard_pairs",
 )
 
 
