@@ -1213,3 +1213,270 @@ def events_gapfill_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("v").isNotNull(), 0).otherwise(1).alias("interpolated"),
         F.round(filled, 4).alias("value_filled"),
     ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation (ACF lags 1..3) of the daily count series,
+# computed from exact integer sums so both engines agree bitwise.
+# ---------------------------------------------------------------------------
+
+_ACF_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, lag, n AS x,
+         LAG(n, lag) OVER (PARTITION BY event_type, lag ORDER BY day) AS y
+  FROM daily CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS lag)
+),
+sums AS (
+  SELECT event_type, lag,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM lagged WHERE y IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS INTEGER) AS lag, k AS n_pairs,
+       ROUND(
+         (k * sxy - sx * sy)
+         / (sqrt(CAST(k * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(k * syy - sy * sy AS DOUBLE))), 6) AS acf
+FROM sums
+ORDER BY event_type, lag
+"""
+
+
+@register(
+    "events_autocorrelation_acf",
+    oracle=_ACF_ORACLE,
+    tags=("events", "window", "acf", "statistics", "temporal"),
+    description="lag-1..3 autocorrelation of daily counts per event type",
+)
+def events_autocorrelation_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of each event type's daily count
+    series at lags 1–3 — the first diagnostic any time-series
+    forecasting pipeline computes. Pearson r is assembled manually
+    from sums of exact BIGINT counts (k·Σxy − Σx·Σy over the
+    geometric mean of the variances), so every addition is exact
+    integer arithmetic and only the final division touches floats —
+    bitwise identical across engines with no reliance on matching
+    builtin corr() definitions. Daily counts are a scalable hash
+    agg; the lag windows run per (type, lag) over the collapsed
+    calendar series."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wide = daily.select(
+        "event_type",
+        F.col("n").alias("x"),
+        *[F.lag("n", k).over(w).alias(f"y{k}") for k in (1, 2, 3)],
+    )
+    lagged = wide.select(
+        "event_type",
+        F.expr(
+            "stack(3, 1, y1, 2, y2, 3, y3) AS (lag, y)"
+        ),
+        "x",
+    ).filter(F.col("y").isNotNull())
+    sums = lagged.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    acf = (
+        F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (
+        F.sqrt((F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+               .cast("double"))
+        * F.sqrt((F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
+                 .cast("double"))
+    )
+    return sums.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("k").alias("n_pairs"),
+        F.round(acf, 6).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: credit each purchase to the user's most
+# recent preceding non-purchase event within a 7-day lookback.
+# ---------------------------------------------------------------------------
+
+_ATTR_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN event_type != 'purchase' THEN event_type END AS touch_type,
+         CASE WHEN event_type != 'purchase' THEN ts END AS touch_ts
+  FROM events
+),
+attributed AS (
+  SELECT user_id, ts, event_type,
+         LAST_VALUE(touch_type IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_type
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+         LAST_VALUE(touch_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_type
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch_ts
+  FROM tagged
+)
+SELECT COALESCE(CASE WHEN last_touch_ts >= ts - INTERVAL 7 DAY
+                     THEN last_touch END, 'none') AS attributed_to,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions
+FROM attributed
+WHERE event_type = 'purchase'
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle=_ATTR_ORACLE,
+    tags=("events", "window", "attribution", "ignore-nulls"),
+    description="last-touch attribution with a 7-day lookback window",
+)
+def events_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Marketing-style last-touch attribution: each purchase credits
+    the same user's most recent earlier non-purchase event, provided
+    it happened within the 7-day lookback; otherwise 'none'. One
+    ordered pass per user partition (LAG … IGNORE NULLS over a
+    conditionally-tagged column — no self-join, no per-purchase
+    subquery), so the cost is a single user-keyed shuffle however
+    long the history is. The (ts, event_type) ordering tiebreak
+    makes same-timestamp rows deterministic on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") != "purchase", F.col("event_type"))
+        .alias("touch_type"),
+        F.when(F.col("event_type") != "purchase", F.col("ts"))
+        .alias("touch_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_type")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = tagged.select(
+        "ts",
+        "event_type",
+        F.last("touch_type", ignorenulls=True).over(w).alias("last_touch"),
+        F.last("touch_ts", ignorenulls=True).over(w).alias("last_touch_ts"),
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .select(
+            F.coalesce(
+                F.when(
+                    F.col("last_touch_ts")
+                    >= F.col("ts") - F.expr("interval 7 day"),
+                    F.col("last_touch"),
+                ),
+                F.lit("none"),
+            ).alias("attributed_to")
+        )
+        .groupBy("attributed_to")
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .orderBy("attributed_to")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-parent rollup: nation revenue as a share of its region,
+# region as a share of the world (the OLAP drill-down ratio).
+# ---------------------------------------------------------------------------
+
+_POP_ORACLE = """
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT region, nation, cents,
+         SUM(cents) OVER (PARTITION BY region) AS region_cents,
+         SUM(cents) OVER () AS world_cents
+  FROM rev
+)
+SELECT region, nation,
+       ROUND(cents / 100.0, 2) AS revenue,
+       ROUND(CAST(cents AS DOUBLE) / region_cents, 6) AS pct_of_region,
+       ROUND(CAST(region_cents AS DOUBLE) / world_cents, 6)
+         AS region_pct_of_world
+FROM tot
+ORDER BY region, nation
+"""
+
+
+@register(
+    "revenue_percent_of_parent",
+    oracle=_POP_ORACLE,
+    tags=("agg", "window", "hierarchy", "join", "percent-of-parent"),
+    description="share-of-parent ratios down the region→nation hierarchy",
+)
+def revenue_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent — the drill-down ratio every OLAP frontend
+    computes: each nation's revenue share within its region, and
+    each region's share of the world total. Revenue is accumulated
+    in exact integer cents (order-independent), the dimension chain
+    is two broadcast joins into the fact scan, and both parent
+    totals are partition windows over the tiny (region, nation)
+    rollup — no second scan of the fact table."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("cents")
+        )
+    )
+    wr = Window.partitionBy("region")
+    ww = Window.partitionBy()
+    tot = rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.sum("cents").over(wr).alias("region_cents"),
+        F.sum("cents").over(ww).alias("world_cents"),
+    )
+    return tot.select(
+        "region",
+        "nation",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.col("cents").cast("double") / F.col("region_cents"), 6
+        ).alias("pct_of_region"),
+        F.round(
+            F.col("region_cents").cast("double") / F.col("world_cents"), 6
+        ).alias("region_pct_of_world"),
+    ).orderBy("region", "nation")
