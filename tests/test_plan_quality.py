@@ -43,6 +43,13 @@ NLJ_ALLOWED = {
     # k-row centroid broadcast (k=16): nearest-centroid assignment is
     # definitionally all-vectors × all-centroids; build side is O(k)
     "embedding_kmeans_iteration",
+    "basket_association_rules",  # 1-row basket-count total broadcast
+    # inherits text_bm25_search's 1-row stats broadcast + the
+    # brute-force query≠candidate non-equi broadcast (top-50 side)
+    "retrieval_rrf_fusion",
+    # 4-row subspace-index broadcast: slicing each vector into its 4
+    # PQ subspaces is definitionally vectors × subspaces
+    "similarity_pq_adc_topk",
 }
 
 
