@@ -50,6 +50,9 @@ NLJ_ALLOWED = {
     # 4-row subspace-index broadcast: slicing each vector into its 4
     # PQ subspaces is definitionally vectors × subspaces
     "similarity_pq_adc_topk",
+    # two brute-force passes (full-dim + prefix ground truth) — the
+    # self-measuring eval inherits the documented BF broadcast shape
+    "similarity_matryoshka_recall",
 }
 
 

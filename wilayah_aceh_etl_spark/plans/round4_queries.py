@@ -1480,3 +1480,90 @@ def revenue_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("region_cents").cast("double") / F.col("world_cents"), 6
         ).alias("region_pct_of_world"),
     ).orderBy("region", "nation")
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall: how much of the exact full-dim
+# top-10 the 16-d prefix embedding retains (self-measuring, like
+# similarity_ivf_recall but for dimension truncation).
+# ---------------------------------------------------------------------------
+
+_MATRYOSHKA_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         CAST(embedding[1:16] AS DOUBLE[]) AS p
+  FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, e AS qe, p AS qp FROM v WHERE vec_id < 5),
+full_rank AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+           list_dot_product(qe, e)
+           / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e)))
+           DESC, vec_id) AS rk
+  FROM q, v WHERE vec_id != query_id
+),
+pre_rank AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+           list_dot_product(qp, p)
+           / (sqrt(list_dot_product(qp, qp)) * sqrt(list_dot_product(p, p)))
+           DESC, vec_id) AS rk
+  FROM q, v WHERE vec_id != query_id
+)
+SELECT f.query_id,
+       CAST(COUNT(p.vec_id) AS BIGINT) AS n_overlap,
+       ROUND(COUNT(p.vec_id) / 10.0, 2) AS recall_at_10
+FROM full_rank f
+LEFT JOIN pre_rank p
+  ON f.query_id = p.query_id AND f.vec_id = p.vec_id AND p.rk <= 10
+WHERE f.rk <= 10
+GROUP BY f.query_id
+ORDER BY f.query_id
+"""
+
+
+@register(
+    "similarity_matryoshka_recall",
+    oracle=_MATRYOSHKA_ORACLE,
+    tags=("ext", "similarity", "ann", "truncation", "eval"),
+    description="recall@10 of 16-d prefix embeddings vs full 64-d cosine",
+)
+def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation quality meter: rank the corpus by cosine
+    over the first 16 dimensions only (the Matryoshka/prefix-pruning
+    trick — 4× less memory and bandwidth per comparison) and measure
+    what fraction of the exact full-dimension top-10 survives, per
+    query. At scale this is the calibration query run before
+    switching the serving path to truncated vectors: both rankings
+    are broadcast-query × corpus-scan passes (no corpus self-join),
+    and the overlap join touches only 2×10 rows per query. Ranks
+    break ties on vec_id over the bitwise-reproducible fold cosine,
+    so recall is exact cross-engine."""
+    from wilayah_aceh_etl_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    full = S.brute_force_topk(emb, queries, k=10)
+    pre_corpus = emb.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    pre = S.brute_force_topk(
+        pre_corpus, pre_corpus.filter(F.col("vec_id") < 5), k=10
+    )
+    overlap = (
+        full.select("query_id", "vec_id")
+        .join(
+            pre.select("query_id", "vec_id", F.lit(1).alias("hit")),
+            ["query_id", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.sum("hit").alias("n_hits"))
+    )
+    return overlap.select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_overlap"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 10.0, 2)
+        .alias("recall_at_10"),
+    ).orderBy("query_id")
