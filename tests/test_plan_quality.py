@@ -53,6 +53,11 @@ NLJ_ALLOWED = {
     # two brute-force passes (full-dim + prefix ground truth) — the
     # self-measuring eval inherits the documented BF broadcast shape
     "similarity_matryoshka_recall",
+    # two 1-row corpus-total broadcasts feed the PMI denominator
+    "text_bigram_pmi_collocations",
+    # bounded range join: each (day,user) row fans into ≤7 window
+    # anchors — constant fan-out by construction (day-grid pattern)
+    "events_sliding_distinct_users",
 }
 
 

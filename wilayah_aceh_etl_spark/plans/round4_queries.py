@@ -1567,3 +1567,217 @@ def similarity_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 10.0, 2)
         .alias("recall_at_10"),
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# Decimal-exact money aggregation (DECIMAL type coverage: the one
+# numeric family the engine's integer-cents pattern sidesteps
+# elsewhere — here the arithmetic itself runs in DECIMAL).
+# ---------------------------------------------------------------------------
+
+_DECIMAL_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE), 2)
+         AS total_dec,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2)))
+                  / COUNT(*) AS DOUBLE), 4) AS avg_dec,
+       ROUND(CAST(MAX(CAST(o_totalprice AS DECIMAL(18, 2)))
+                  - MIN(CAST(o_totalprice AS DECIMAL(18, 2)))
+                  AS DOUBLE), 2) AS range_dec
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "decimal_exact_money_agg",
+    oracle=_DECIMAL_ORACLE,
+    tags=("agg", "types", "decimal"),
+    description="DECIMAL(18,2) exact money aggregation per priority",
+)
+def decimal_exact_money_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic in DECIMAL: prices cast to DECIMAL(18,2) so
+    SUM/AVG/range are exact base-10 regardless of accumulation order
+    — the type a financial ledger schema would declare, and the
+    built-in alternative to the repo's integer-cents idiom. Spark
+    widens the DECIMAL sum precision automatically; results are cast
+    to double only for display. Aggregation is one hash agg with
+    map-side partials (decimal partials are exact, so partial+final
+    merge is order-independent by construction)."""
+    o = load_table(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(dec).cast("double"), 2).alias("total_dec"),
+            F.round(
+                (F.sum(dec) / F.count(F.lit(1))).cast("double"), 4
+            ).alias("avg_dec"),
+            F.round(
+                (F.max(dec) - F.min(dec)).cast("double"), 2
+            ).alias("range_dec"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: bigram pointwise mutual information over the
+# document corpus (the association-rule 'lift' of token pairs).
+# ---------------------------------------------------------------------------
+
+_PMI_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_uni
+  FROM (SELECT UNNEST(t) AS tok FROM toks) GROUP BY tok
+),
+n_uni_total AS (SELECT CAST(SUM(n_uni) AS BIGINT) AS total FROM uni),
+bi AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_bi
+  FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  )
+  GROUP BY w1, w2
+  HAVING COUNT(*) >= 5
+),
+n_bi_total AS (SELECT CAST(SUM(n_bi) AS BIGINT) AS total FROM (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_bi
+  FROM (
+    SELECT t[i] AS w1, t[i + 1] AS w2
+    FROM toks, UNNEST(range(1, len(t))) AS u(i)
+  ) GROUP BY w1, w2
+))
+SELECT bi.w1, bi.w2, bi.n_bi,
+       ROUND(ln(
+         (CAST(bi.n_bi AS DOUBLE) / nb.total)
+         / ((CAST(u1.n_uni AS DOUBLE) / nu.total)
+            * (CAST(u2.n_uni AS DOUBLE) / nu.total))
+       ), 4) AS pmi
+FROM bi
+JOIN uni u1 ON bi.w1 = u1.tok
+JOIN uni u2 ON bi.w2 = u2.tok
+CROSS JOIN n_bi_total nb
+CROSS JOIN n_uni_total nu
+ORDER BY ROUND(ln(
+         (CAST(bi.n_bi AS DOUBLE) / nb.total)
+         / ((CAST(u1.n_uni AS DOUBLE) / nu.total)
+            * (CAST(u2.n_uni AS DOUBLE) / nu.total))
+       ), 4) DESC, bi.w1, bi.w2
+LIMIT 25
+"""
+
+
+@register(
+    "text_bigram_pmi_collocations",
+    oracle=_PMI_ORACLE,
+    tags=("ext", "text", "pmi", "collocations", "topk"),
+    description="top-25 bigram collocations by pointwise mutual information",
+)
+def text_bigram_pmi_collocations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Collocation mining: PMI = ln(P(w1,w2) / (P(w1)·P(w2))) over
+    whitespace bigrams, the token-level analog of association-rule
+    lift — what a tokenizer-vocabulary or phrase-mining pass ranks.
+    Unigram and bigram counts are two explode+hash-agg passes (the
+    shuffle carries tokens, not documents); the two scalar totals
+    broadcast. PMI is a single ln() of a ratio of exact counts —
+    deterministic across engines — and the top-25 orders on the
+    ROUNDED score with a (w1, w2) tiebreak, the ulp-stable ranking
+    pattern."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    t = F.split("text", " ")
+    toks = docs.select(F.explode(t).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_uni"))
+    nu = uni.agg(F.sum("n_uni").alias("nu_total"))
+
+    pairs = docs.select(
+        F.explode(
+            F.zip_with(
+                F.slice(t, 1, F.size(t) - 1),
+                F.slice(t, 2, F.size(t) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi_all = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bi"))
+    nb = bi_all.agg(F.sum("n_bi").alias("nb_total"))
+    bi = bi_all.filter(F.col("n_bi") >= 5)
+
+    u1 = uni.select(F.col("tok").alias("w1"), F.col("n_uni").alias("n1"))
+    u2 = uni.select(F.col("tok").alias("w2"), F.col("n_uni").alias("n2"))
+    pmi = F.log(
+        (F.col("n_bi").cast("double") / F.col("nb_total"))
+        / (
+            (F.col("n1").cast("double") / F.col("nu_total"))
+            * (F.col("n2").cast("double") / F.col("nu_total"))
+        )
+    )
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select("w1", "w2", "n_bi", F.round(pmi, 4).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing-window distinct users (exact sliding COUNT DISTINCT —
+# the day-grid self-join shape; the sketch twin is events_hll_rollup)
+# ---------------------------------------------------------------------------
+
+_SLIDING_DAU_ORACLE = """
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+SELECT CAST(d.day AS VARCHAR) AS day,
+       CAST(COUNT(DISTINCT du.user_id) AS BIGINT) AS wau_7d
+FROM days d
+JOIN du ON du.day > d.day - INTERVAL 7 DAY AND du.day <= d.day
+GROUP BY d.day
+ORDER BY d.day
+"""
+
+
+@register(
+    "events_sliding_distinct_users",
+    oracle=_SLIDING_DAU_ORACLE,
+    tags=("events", "window-time", "distinct", "rolling"),
+    description="exact trailing-7-day distinct users per day (WAU)",
+)
+def events_sliding_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling distinct-user count (7-day WAU per day) — the metric
+    window functions cannot express because COUNT(DISTINCT) is not
+    frame-able. The exact plan: collapse to distinct (day, user)
+    first (the big reduction — events → at most days×users rows),
+    then a bounded range join fans each observation into the ≤7
+    window anchors it serves, then a distinct-count per anchor. The
+    fan-out factor is the window length, a constant — this is the
+    day-grid self-join pattern; the 100 TB alternative trades
+    exactness for mergeable sketches (events_hll_rollup is that
+    twin)."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    du = e.select(F.to_date("ts").alias("uday"), "user_id").distinct()
+    return (
+        days.join(
+            du,
+            (F.col("uday") > F.date_sub(F.col("day"), 7))
+            & (F.col("uday") <= F.col("day")),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau_7d"))
+        .select(F.col("day").cast("string").alias("day"), "wau_7d")
+        .orderBy("day")
+    )
