@@ -1781,3 +1781,91 @@ def events_sliding_distinct_users(
         .select(F.col("day").cast("string").alias("day"), "wau_7d")
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data audit: which arrivals a 10-minute watermark
+# would drop, computed batch-side with a parallel prefix-max.
+# ---------------------------------------------------------------------------
+
+_LATE_ORACLE = """
+WITH r AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS rmax
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN ts < rmax - INTERVAL 10 MINUTE
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late_10m,
+       CAST(MAX(epoch_us(rmax) - epoch_us(ts)) AS BIGINT) AS max_late_us
+FROM r
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_watermark_late_audit",
+    oracle=_LATE_ORACLE,
+    tags=("events", "streaming", "watermark", "audit", "window"),
+    description="late-arrival audit: rows a 10-min watermark would drop",
+)
+def events_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark policy audit: replaying events in arrival order
+    (event_id), count per type how many rows arrive more than 10
+    minutes behind the running max event-time — exactly the rows
+    `withWatermark('ts', '10 minutes')` would drop — plus the worst
+    observed lateness. The running max over arrival order is NOT
+    computed with one global window: arrivals are chunked into 1024-id
+    blocks, each block's max is rolled up (tiny), a running max over
+    the block summaries is broadcast back, and the in-block prefix
+    max runs partition-parallel — the standard two-phase parallel
+    prefix-scan, so the plan holds at any event volume. Lateness is
+    reported in exact epoch microseconds (integer math end-to-end)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("event_id") / 1024).alias("block"),
+    )
+    w_intra = (
+        Window.partitionBy("block")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    blocks = e.groupBy("block").agg(F.max("ts").alias("bmax"))
+    w_b = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    prev = blocks.select(
+        "block", F.max("bmax").over(w_b).alias("prev_max")
+    )
+    r = (
+        e.withColumn("intra_max", F.max("ts").over(w_intra))
+        .join(F.broadcast(prev), "block")
+        .withColumn(
+            "rmax",
+            F.greatest(
+                "intra_max", F.coalesce("prev_max", "intra_max")
+            ),
+        )
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return (
+        r.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("ts")
+                    < F.col("rmax") - F.expr("interval 10 minutes"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_late_10m"),
+            F.max(us("rmax") - us("ts")).cast("long").alias("max_late_us"),
+        )
+        .orderBy("event_type")
+    )
