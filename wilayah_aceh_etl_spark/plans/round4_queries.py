@@ -248,21 +248,19 @@ def dedup_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
     ).otherwise(F.array().cast("array<string>"))
     sh = docs.select("doc_id", F.explode(spans).alias("h"))
-    dup = (
-        sh.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") > 1)
-        .select("h", F.lit(1).alias("is_dup"))
-    )
-    per = (
-        sh.join(F.broadcast(dup), "h", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.coalesce(F.sum("is_dup"), F.lit(0))
-            .cast("long")
-            .alias("n_dup_spans"),
-        )
+    # One pass over the spans: collapse to (h, doc) with a multiplicity,
+    # count distinct docs per h with a window over the already-h-
+    # clustered rows, then fold back per doc. The expensive explode +
+    # md5 runs ONCE (the naive two-branch plan recomputes it for the
+    # duplicate-set aggregation and again for the per-doc join).
+    gh = sh.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("k"))
+    wd = Window.partitionBy("h")
+    marked = gh.withColumn("nd", F.count(F.lit(1)).over(wd))
+    per = marked.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_spans"),
+        F.sum(F.when(F.col("nd") > 1, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_spans"),
     )
     return per.select(
         "doc_id",
