@@ -276,3 +276,159 @@ def test_association_rule_metrics(spark, monkeypatch):
     assert row["conf_a_b"] == pytest.approx(0.75)
     assert row["conf_b_a"] == pytest.approx(1.0)
     assert row["lift"] == pytest.approx(1.0)
+
+
+# ---------------------------------------------------------------------------
+# Batch 4-6 semantics
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+
+
+def test_attribution_lookback_boundary(spark, monkeypatch):
+    import datetime
+
+    base = datetime.datetime(2024, 6, 15, 12, 0, 0)
+    rows = [
+        # user 1: click 6 days before purchase → attributed to click
+        (0, base - datetime.timedelta(days=6), 1, "click", 1.0, "{}"),
+        (1, base, 1, "purchase", 1.0, "{}"),
+        # user 2: view 8 days before purchase → outside lookback
+        (2, base - datetime.timedelta(days=8), 2, "view", 1.0, "{}"),
+        (3, base, 2, "purchase", 1.0, "{}"),
+        # user 3: purchase with no prior events at all
+        (4, base, 3, "purchase", 1.0, "{}"),
+        # user 4: click then ANOTHER purchase between click and the
+        # final purchase — purchases are transparent (not touches)
+        (5, base - datetime.timedelta(days=2), 4, "click", 1.0, "{}"),
+        (6, base - datetime.timedelta(days=1), 4, "purchase", 1.0, "{}"),
+        (7, base, 4, "purchase", 1.0, "{}"),
+    ]
+    import wilayah_aceh_etl_spark.plans.round4_queries as r4
+
+    monkeypatch.setattr(r4, "load_table", lambda s, d, n: _events(spark, rows))
+    out = {
+        r["attributed_to"]: r["n_conversions"]
+        for r in r4.events_attribution_last_touch(spark, "ignored").collect()
+    }
+    assert out == {"click": 3, "none": 2}
+
+
+def test_watermark_late_audit_counts(spark, monkeypatch):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    # arrival order = event_id; event 2 arrives 15 min behind the
+    # running max (late), event 3 only 5 min behind (on time)
+    rows = [
+        (0, at(0), 1, "click", 1.0, "{}"),
+        (1, at(20), 1, "click", 1.0, "{}"),
+        (2, at(5), 1, "click", 1.0, "{}"),   # 15 min late
+        (3, at(15), 1, "click", 1.0, "{}"),  # 5 min late → kept
+    ]
+    import wilayah_aceh_etl_spark.plans.round4_queries as r4
+
+    monkeypatch.setattr(r4, "load_table", lambda s, d, n: _events(spark, rows))
+    row = r4.events_watermark_late_audit(spark, "ignored").collect()[0]
+    assert row["n_events"] == 4
+    assert row["n_late_10m"] == 1
+    assert row["max_late_us"] == 15 * 60 * 1_000_000
+
+
+def test_sliding_distinct_users_window_edges(spark, monkeypatch):
+    import datetime
+
+    def ev(eid, day, user):
+        return (
+            eid,
+            datetime.datetime(2024, 3, day, 10, 0, 0),
+            user,
+            "click",
+            1.0,
+            "{}",
+        )
+
+    # users 1,2 on day 1; user 3 on day 7; user 4 on day 8.
+    # WAU(day 7) counts days 1..7 → {1,2,3}; WAU(day 8) counts days
+    # 2..8 → {3,4} (day 1 falls out of the trailing-7 window).
+    rows = [ev(0, 1, 1), ev(1, 1, 2), ev(2, 7, 3), ev(3, 8, 4)]
+    import wilayah_aceh_etl_spark.plans.round4_queries as r4
+
+    monkeypatch.setattr(r4, "load_table", lambda s, d, n: _events(spark, rows))
+    out = {
+        r["day"]: r["wau_7d"]
+        for r in r4.events_sliding_distinct_users(spark, "ignored").collect()
+    }
+    assert out["2024-03-07"] == 3
+    assert out["2024-03-08"] == 2
+
+
+def test_percent_of_parent_shares_sum_to_one(spark):
+    from wilayah_aceh_etl_spark.plans.round4_queries import (
+        revenue_percent_of_parent,
+    )
+
+    rows = revenue_percent_of_parent(spark, "/root/testdata/sf0.001").collect()
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r["region"], []).append(r)
+    for region, nations in by_region.items():
+        assert sum(n["pct_of_region"] for n in nations) == pytest.approx(
+            1.0, abs=1e-4
+        )
+    world = {n["region"]: n["region_pct_of_world"] for n in rows}
+    assert sum(world.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_equi_depth_buckets_are_balanced(spark):
+    from wilayah_aceh_etl_spark.plans.round4_queries import (
+        histogram_equi_depth_prices,
+    )
+
+    rows = histogram_equi_depth_prices(spark, "/root/testdata/sf0.001").collect()
+    counts = [r["n_orders"] for r in rows]
+    assert len(rows) == 10
+    assert max(counts) - min(counts) <= 1  # NTILE balance contract
+    los = [r["lo"] for r in rows]
+    his = [r["hi"] for r in rows]
+    assert los == sorted(los) and his == sorted(his)
+    for r in rows:
+        assert r["lo"] <= r["hi"]
+
+
+def test_matryoshka_recall_bounds(spark):
+    from wilayah_aceh_etl_spark.plans.round4_queries import (
+        similarity_matryoshka_recall,
+    )
+
+    rows = similarity_matryoshka_recall(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r["n_overlap"] <= 10
+        assert r["recall_at_10"] == pytest.approx(r["n_overlap"] / 10.0)
+
+
+def test_pq_adc_prefers_same_code_vectors(spark):
+    # the PQ query's top-1 for each query must be a vector whose ADC
+    # distance is minimal — sanity: distances are non-decreasing in rk
+    from wilayah_aceh_etl_spark.plans.round4_queries import (
+        similarity_pq_adc_topk,
+    )
+
+    rows = similarity_pq_adc_topk(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        ds = [r["adc_d2"] for r in sorted(rs, key=lambda r: r["rk"])]
+        assert ds == sorted(ds)
