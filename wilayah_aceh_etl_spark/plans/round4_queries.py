@@ -1867,3 +1867,94 @@ def events_watermark_late_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive forecast backtest: predict each month's revenue
+# with the same month last year; score MAPE per year.
+# ---------------------------------------------------------------------------
+
+_FORECAST_ORACLE = """
+WITH m AS (
+  SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+         CAST(date_part('month', o_orderdate) AS INTEGER) AS mo,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1, 2
+),
+j AS (
+  SELECT cur.yr, cur.mo, cur.cents, prev.cents AS pred_cents
+  FROM m cur JOIN m prev
+    ON prev.yr = cur.yr - 1 AND prev.mo = cur.mo
+)
+SELECT yr,
+       CAST(COUNT(*) AS BIGINT) AS n_months,
+       ROUND(SUM(ABS(cents - pred_cents)) / SUM(CAST(cents AS DOUBLE)), 6)
+         AS wape,
+       ROUND(SUM(CAST(ROUND(ABS(cents - pred_cents)
+                             / CAST(cents AS DOUBLE) * 1000000)
+                      AS BIGINT)) / (1000000.0 * COUNT(*)), 6)
+         AS mape
+FROM j
+GROUP BY yr
+ORDER BY yr
+"""
+
+
+@register(
+    "orders_forecast_seasonal_naive",
+    oracle=_FORECAST_ORACLE,
+    tags=("agg", "date", "forecast", "backtest", "join"),
+    description="seasonal-naive YoY forecast backtest: WAPE/MAPE per year",
+)
+def orders_forecast_seasonal_naive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forecast backtesting: the seasonal-naive baseline (predict a
+    month with the same month one year earlier) scored with WAPE and
+    MAPE per year — the sanity baseline any demand-forecast pipeline
+    must beat, and the eval harness shape for backtesting at scale.
+    Monthly revenue is exact integer cents (hash agg), the
+    prediction join is a self-equi-join on the tiny (year, month)
+    rollup, and both error metrics divide exact integer sums — WAPE's
+    numerator sums |int−int| exactly; MAPE's per-month ratios are
+    rounded into integer micro-units BEFORE summing, so the average
+    is order-independent across partial-aggregation schedules."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .alias("cents")
+    )
+    prev = m.select(
+        (F.col("yr") + 1).alias("yr"),
+        F.col("mo"),
+        F.col("cents").alias("pred_cents"),
+    )
+    j = m.join(prev, ["yr", "mo"])
+    return (
+        j.groupBy("yr")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.round(
+                F.sum(F.abs(F.col("cents") - F.col("pred_cents")))
+                / F.sum(F.col("cents").cast("double")),
+                6,
+            ).alias("wape"),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.abs(F.col("cents") - F.col("pred_cents"))
+                        / F.col("cents").cast("double")
+                        * 1000000,
+                        0,
+                    ).cast("long")
+                )
+                / (1000000.0 * F.count(F.lit(1))),
+                6,
+            ).alias("mape"),
+        )
+        .orderBy("yr")
+    )
