@@ -265,3 +265,104 @@ def test_split_is_total_disjoint_deterministic(spark):
         assert {r.split for r in run} <= {"train", "val", "test"}
         assert sum(r.n_docs for r in run) == n_docs  # total + disjoint
     assert [tuple(r) for r in runs[0]] == [tuple(r) for r in runs[1]]
+
+
+# ---------------------------------------------------------------------------
+# Round-4: skyline and weighted median vs direct models
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_skyline_sweep_matches_dominance_model(spark, pts):
+    """The sorted-sweep skyline (per-price max + running max) must
+    equal the O(n²) dominance definition on arbitrary point sets,
+    including duplicates and ties on either axis."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    expected = sorted(
+        {
+            p
+            for p in pts
+            if not any(
+                q[0] <= p[0]
+                and q[1] >= p[1]
+                and (q[0] < p[0] or q[1] > p[1])
+                for q in pts
+            )
+        }
+    )
+    df = spark.createDataFrame(
+        [(float(a), b) for a, b in pts], "pr double, sz int"
+    )
+    g = df.groupBy("pr").agg(F.max("sz").alias("mx"))
+    w = Window.orderBy("pr").rowsBetween(Window.unboundedPreceding, -1)
+    sky = (
+        g.withColumn("prevmx", F.max("mx").over(w))
+        .filter(F.col("prevmx").isNull() | (F.col("mx") > F.col("prevmx")))
+    )
+    got = sorted((int(r["pr"]), r["mx"]) for r in sky.collect())
+    assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),  # price
+            st.integers(min_value=1, max_value=9),  # weight
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_weighted_median_matches_expansion_model(spark, rows):
+    """The cumulative-crossing weighted median must equal the plain
+    median-position element of the weight-expanded multiset."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    expanded = sorted(p for p, w in rows for _ in range(w))
+    total = len(expanded)
+    # smallest price whose cumulative weight reaches half the total
+    # (the definition both the query and the oracle implement)
+    half_up = (total + 1) // 2 if total % 2 else total // 2
+    expected = expanded[half_up - 1]
+
+    df = spark.createDataFrame(
+        [(float(p), w) for p, w in rows], "price double, w long"
+    )
+    g = df.groupBy("price").agg(F.sum("w").alias("w"))
+    wc = Window.orderBy("price").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.partitionBy()
+    c = g.select(
+        "price",
+        F.sum("w").over(wc).alias("cum"),
+        F.sum("w").over(wt).alias("total"),
+    )
+    got = (
+        c.filter(F.col("cum") * 2 >= F.col("total"))
+        .agg(F.min("price").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert int(got) == expected
