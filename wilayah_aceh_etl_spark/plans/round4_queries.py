@@ -1,14 +1,23 @@
-"""Round-4 declared queries: association rules, skyline, exact
-substring-level dedup, weighted median, equi-depth histogram, and
-reciprocal-rank-fusion retrieval.
+"""Round-4 declared queries (22): classic-analytics completions
+(association rules, 2-D skyline, weighted median, equi-depth
+histogram, percent-of-parent, MoM growth, seasonal-naive forecast
+backtest, CUSUM changepoint, autocorrelation, last-touch
+attribution, linear-interpolation gap-fill, trailing-window distinct
+users, DECIMAL-exact money aggregation, a data-quality expectations
+suite, a watermark late-data audit), retrieval/ANN completions (RRF
+hybrid fusion, product-quantization ADC, Matryoshka truncation
+recall), exact-substring span dedup, PMI collocations, 3-hop BFS
+against a recursive-CTE oracle, and the stream-static enrichment
+join through the real streaming path.
 
 Each extends a family the engine already covers with a classically
 distinct operator shape (the reference itself has no analytics
 surface — see SURVEY.md §2.11/EXT; the training-pipeline mandate is
 `BASELINE.json:6`). Every query follows the repo-wide determinism
 contract: identical aliases on both sides, floats rounded at fixed
-precision, ranks taken on values that are bitwise equal across
-engines, and a total ORDER BY.
+precision, money/ratio sums in exact integer (micro-)units, ranks
+taken on values that are bitwise equal across engines, and a total
+ORDER BY.
 """
 
 from __future__ import annotations
