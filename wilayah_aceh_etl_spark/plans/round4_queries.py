@@ -1967,3 +1967,86 @@ def orders_forecast_seasonal_naive(
         )
         .orderBy("yr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric containment dedup: |A∩B| / |A| over 3-gram shingle
+# sets — catches a document swallowed by a longer near-superset,
+# which symmetric Jaccard under-scores (a 100-token doc inside a
+# 1000-token doc has Jaccard ≈ 0.1 but containment ≈ 1.0).
+# ---------------------------------------------------------------------------
+
+_CONTAIN_ORACLE = """
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b
+    ON a.shingle = b.shingle AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS n_a,
+       ROUND(CAST(i.n_common AS DOUBLE) / sa.n, 6) AS containment
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+WHERE CAST(i.n_common AS DOUBLE) / sa.n >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=_CONTAIN_ORACLE,
+    tags=("ext", "dedup", "containment", "jaccard", "training"),
+    description="asymmetric containment ≥0.8: docs swallowed by supersets",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-based near-dup detection: C(A→B) = |A∩B|/|A| on
+    3-gram shingle sets, flagging every doc ≥80% contained in some
+    other doc — the subset-duplicate case symmetric Jaccard
+    under-scores and training-data cleaners specifically hunt
+    (quoted articles, boilerplate-wrapped reposts). The intersection
+    comes from the same equi-join on the distinct (doc, shingle)
+    relation the Jaccard path uses (shuffle keyed by shingle — no
+    all-pairs comparison; only docs actually sharing a shingle meet),
+    and per-doc set sizes broadcast in. Directional: (A,B) and (B,A)
+    score separately."""
+    from wilayah_aceh_etl_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.distinct_shingles(docs, "doc_id")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    containment = F.col("n_common").cast("double") / F.col("n_a")
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")
+                )
+            ),
+            "doc_a",
+        )
+        .filter(containment >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            F.round(containment, 6).alias("containment"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
