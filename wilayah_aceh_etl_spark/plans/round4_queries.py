@@ -2050,3 +2050,118 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document token entropy — the information-theoretic quality
+# filter (low entropy = repetitive/boilerplate text).
+# ---------------------------------------------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS k
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY 1, 2
+),
+per AS (
+  SELECT doc_id,
+         CAST(SUM(k) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(SUM(CAST(ROUND(k * ln(k) * 1000000) AS BIGINT)) AS BIGINT)
+           AS klnk_micro
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       ROUND(ln(n_tokens) - klnk_micro / 1000000.0 / n_tokens, 4)
+         AS token_entropy
+FROM per
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_token_entropy",
+    oracle=_ENTROPY_ORACLE,
+    tags=("ext", "text", "entropy", "quality", "training"),
+    description="per-doc Shannon token entropy (repetitive-text filter)",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution,
+    H = ln(n) − (Σ k·ln k)/n — the standard repetitive-text /
+    boilerplate quality signal (near-zero for a page of one token,
+    ln(n) for all-distinct text). The Σ k·ln k term is rounded into
+    exact integer micro-units per TERM before summing, so the
+    per-doc total is order-independent across partial-aggregation
+    schedules; the explode shuffles (doc, token) pairs once into a
+    hash agg with map-side combine."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    per = tf.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.sum(
+            F.round(F.col("k") * F.log("k") * 1000000, 0).cast("long")
+        ).alias("klnk_micro"),
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            F.log("n_tokens")
+            - F.col("klnk_micro") / 1000000.0 / F.col("n_tokens"),
+            4,
+        ).alias("token_entropy"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL (Spark 4 named-parameter binding) — the SQL
+# front-end's injection-safe templating surface.
+# ---------------------------------------------------------------------------
+
+_PARAM_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+             / 100.0, 2) AS revenue
+FROM orders
+WHERE o_orderstatus = 'F' AND o_totalprice >= 50000.0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "sql_named_parameters",
+    oracle=_PARAM_ORACLE,
+    tags=("sql", "parameters", "agg", "filter"),
+    description="spark.sql named-parameter binding (:status, :min_price)",
+)
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL through `spark.sql(query, args={...})` —
+    Spark 4's injection-safe bind-parameter surface (the engine-side
+    equivalent of the reference's `$1`-style bound statements,
+    `/root/reference/server.js:323-329`). The literals reach
+    Catalyst as constants, so predicate pushdown into the parquet
+    scan works exactly as with inline literals."""
+    from wilayah_aceh_etl_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          AS DOUBLE) / 100.0, 2) AS revenue
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :min_price
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"status": "F", "min_price": 50000.0},
+    )
