@@ -58,6 +58,7 @@ NLJ_ALLOWED = {
     # bounded range join: each (day,user) row fans into ≤7 window
     # anchors — constant fan-out by construction (day-grid pattern)
     "events_sliding_distinct_users",
+    "embedding_power_iteration",  # 1-row vector-norm broadcast
 }
 
 

@@ -2165,3 +2165,82 @@ def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F", "min_price": 50000.0},
     )
+
+
+# ---------------------------------------------------------------------------
+# One power-iteration step toward the corpus's top principal
+# direction — distributed matrix-vector linear algebra with
+# integer-exact accumulation (the PCA/embedding-whitening building
+# block, iterated the way pagerank/kmeans/BFS are in this repo).
+# ---------------------------------------------------------------------------
+
+_POWER_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+c AS (  -- c_i = <e_i, v0> with v0 = unit vector on dim 1
+  SELECT vec_id, e[1] AS ci FROM v
+),
+px AS (
+  SELECT v.vec_id, generate_subscripts(v.e, 1) AS dim, UNNEST(v.e) AS val,
+         c.ci
+  FROM v JOIN c ON v.vec_id = c.vec_id
+),
+w AS (  -- w_d = sum_i c_i * e_id, accumulated in exact micro-units
+  SELECT CAST(dim AS INTEGER) AS dim,
+         CAST(SUM(CAST(ROUND(ci * val * 1000000) AS BIGINT)) AS BIGINT)
+           AS w_micro
+  FROM px GROUP BY dim
+),
+n AS (SELECT sqrt(SUM((w_micro / 1000000.0) ^ 2)) AS norm FROM w)
+SELECT w.dim, ROUND(w_micro / 1000000.0, 4) AS w_d,
+       ROUND(w_micro / 1000000.0 / n.norm, 6) AS v1_d
+FROM w CROSS JOIN n
+ORDER BY w.dim
+"""
+
+
+@register(
+    "embedding_power_iteration",
+    oracle=_POWER_ORACLE,
+    tags=("ext", "embedding", "iterative", "linear-algebra", "pca"),
+    description="one power-iteration step: w = AᵀA·v0, normalized",
+)
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed power-iteration step toward the embedding
+    matrix's top right-singular vector: w = Aᵀ(A·v0) with v0 the
+    dim-1 unit vector, returned normalized. A·v0 is a per-row dot
+    (here just the first component — stays in the scan); Aᵀ(·) is a
+    posexplode → per-dimension sum, the elementwise-reduction
+    pattern whose state is O(dims), never O(rows) — the same shuffle
+    shape as the k-means centroid recompute, which is what makes the
+    full iterated PCA (or whitening) loop feasible at any corpus
+    size. Every c_i·e_id product is rounded into exact integer
+    micro-units BEFORE the per-dim sum, so the aggregated vector is
+    order-independent and the oracle matches bitwise."""
+    from wilayah_aceh_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", V.as_double(F.col("embedding")).alias("e"))
+    px = v.select(
+        F.element_at("e", 1).alias("ci"),
+        F.posexplode("e").alias("dim0", "val"),
+    )
+    w = px.groupBy((F.col("dim0") + 1).cast("int").alias("dim")).agg(
+        F.sum(
+            F.round(F.col("ci") * F.col("val") * 1000000, 0).cast("long")
+        ).alias("w_micro")
+    )
+    n = w.agg(
+        F.sqrt(F.sum(F.pow(F.col("w_micro") / 1000000.0, 2))).alias("norm")
+    )
+    return (
+        w.crossJoin(F.broadcast(n))
+        .select(
+            "dim",
+            F.round(F.col("w_micro") / 1000000.0, 4).alias("w_d"),
+            F.round(F.col("w_micro") / 1000000.0 / F.col("norm"), 6)
+            .alias("v1_d"),
+        )
+        .orderBy("dim")
+    )
