@@ -59,6 +59,8 @@ NLJ_ALLOWED = {
     # anchors — constant fan-out by construction (day-grid pattern)
     "events_sliding_distinct_users",
     "embedding_power_iteration",  # 1-row vector-norm broadcast
+    # 16-row centroid broadcast (the kmeans assignment shape)
+    "embedding_cluster_silhouette",
 }
 
 

@@ -2244,3 +2244,165 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence mining: most common event-type trigram paths per user
+# timeline (the n=3 extension of the Markov transition matrix).
+# ---------------------------------------------------------------------------
+
+_TRIGRAM_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         LEAD(event_type, 1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         LEAD(event_type, 2) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS e3
+  FROM events
+)
+SELECT e1, e2, e3, CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM seq WHERE e3 IS NOT NULL
+GROUP BY 1, 2, 3
+ORDER BY n_paths DESC, e1, e2, e3
+LIMIT 15
+"""
+
+
+@register(
+    "events_path_trigrams",
+    oracle=_TRIGRAM_ORACLE,
+    tags=("events", "window", "sequence", "paths"),
+    description="top-15 event-type trigram paths across user timelines",
+)
+def events_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: sliding trigrams over each user's
+    time-ordered event sequence (LEAD ×2 — one ordered pass per user
+    partition, no self-joins), counted corpus-wide. The n=3 upgrade
+    of events_type_transitions' Markov bigrams; the (ts, event_id)
+    ordering tiebreak pins same-timestamp rows on both engines, and
+    the top-15 orders on the exact count with a full-path tiebreak."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), "e1", "e2", "e3")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette — cluster-quality evaluation over the
+# k-means assignment (a = dist to own centroid, b = min dist to any
+# other centroid, s = (b-a)/max(a,b)).
+# ---------------------------------------------------------------------------
+
+_SILHOUETTE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 16),
+d AS (
+  SELECT v.vec_id, c.centroid_id,
+         sqrt(greatest(list_dot_product(e, e) - 2 * list_dot_product(e, ce)
+                       + list_dot_product(ce, ce), 0)) AS dist
+  FROM v CROSS JOIN c
+),
+ranked AS (
+  SELECT vec_id, centroid_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist, centroid_id) AS rk
+  FROM d
+),
+ab AS (
+  SELECT o.vec_id,
+         MAX(CASE WHEN rk = 1 THEN centroid_id END) AS own,
+         MAX(CASE WHEN rk = 1 THEN dist END) AS a,
+         MAX(CASE WHEN rk = 2 THEN dist END) AS b
+  FROM ranked o WHERE rk <= 2 GROUP BY o.vec_id
+),
+s AS (
+  SELECT own AS centroid_id,
+         CAST(ROUND((b - a) / greatest(a, b) * 1000000) AS BIGINT)
+           AS s_micro
+  FROM ab WHERE greatest(a, b) > 0
+)
+SELECT centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_assigned,
+       ROUND(CAST(SUM(s_micro) AS BIGINT) / (1000000.0 * COUNT(*)), 6)
+         AS mean_silhouette
+FROM s
+GROUP BY centroid_id
+ORDER BY centroid_id
+"""
+
+
+@register(
+    "embedding_cluster_silhouette",
+    oracle=_SILHOUETTE_ORACLE,
+    tags=("ext", "embedding", "clustering", "eval", "silhouette"),
+    description="simplified silhouette per k-means cluster (16 centroids)",
+)
+def embedding_cluster_silhouette(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Clustering-quality evaluation: the simplified (centroid-based)
+    silhouette s = (b−a)/max(a,b), where a is the distance to the
+    assigned centroid and b to the closest rival — the metric that
+    validates an IVF/k-means index before it serves (the read-side
+    twin of embedding_kmeans_iteration, same deterministic first-16
+    codebook). Per-vector s needs only the 2 nearest of the 16
+    broadcast centroids (a window top-2 over the assignment pass —
+    state O(k) per vector, never pairwise); per-cluster means
+    accumulate exact integer micro-units, so the aggregate is
+    order-independent cross-engine."""
+    from wilayah_aceh_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", V.as_double(F.col("embedding")).alias("e"))
+    cent = v.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
+    dist = F.sqrt(
+        F.greatest(
+            V.dot(F.col("e"), F.col("e"))
+            - 2 * V.dot(F.col("e"), F.col("ce"))
+            + V.dot(F.col("ce"), F.col("ce")),
+            F.lit(0.0),
+        )
+    )
+    d = v.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "centroid_id", dist.alias("dist")
+    )
+    wr = Window.partitionBy("vec_id").orderBy("dist", "centroid_id")
+    ranked = d.withColumn("rk", F.row_number().over(wr)).filter(
+        F.col("rk") <= 2
+    )
+    ab = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("centroid_id"))).alias("own"),
+        F.max(F.when(F.col("rk") == 1, F.col("dist"))).alias("a"),
+        F.max(F.when(F.col("rk") == 2, F.col("dist"))).alias("b"),
+    )
+    s = ab.filter(F.greatest("a", "b") > 0).select(
+        F.col("own").alias("centroid_id"),
+        F.round(
+            (F.col("b") - F.col("a")) / F.greatest("a", "b") * 1000000, 0
+        )
+        .cast("long")
+        .alias("s_micro"),
+    )
+    return (
+        s.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.round(
+                F.sum("s_micro") / (1000000.0 * F.count(F.lit(1))), 6
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("centroid_id")
+    )
