@@ -2406,3 +2406,153 @@ def embedding_cluster_silhouette(
         )
         .orderBy("centroid_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tukey boxplot fences: IQR-based outlier counting per segment
+# (the rank-statistics complement of the MAD z-score detector).
+# ---------------------------------------------------------------------------
+
+_FENCES_ORACLE = """
+WITH q AS (
+  SELECT c.c_mktsegment AS segment,
+         quantile_cont(o.o_totalprice, 0.25) AS p25,
+         quantile_cont(o.o_totalprice, 0.75) AS p75
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT q.segment,
+       ROUND(q.p25, 2) AS p25, ROUND(q.p75, 2) AS p75,
+       ROUND(q.p75 - q.p25, 2) AS iqr,
+       ROUND(q.p75 + 1.5 * (q.p75 - q.p25), 2) AS upper_fence,
+       CAST(SUM(CASE WHEN o.o_totalprice > q.p75 + 1.5 * (q.p75 - q.p25)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN q ON q.segment = c.c_mktsegment
+GROUP BY q.segment, q.p25, q.p75
+ORDER BY q.segment
+"""
+
+
+@register(
+    "boxplot_fences_by_segment",
+    oracle=_FENCES_ORACLE,
+    tags=("agg", "percentile", "outliers", "robust-stats", "join"),
+    description="Tukey IQR fences + outlier counts per market segment",
+)
+def boxplot_fences_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey boxplot outlier detection: per segment, the interpolated
+    quartiles, the 1.5·IQR upper fence, and how many orders exceed it
+    — the rank-statistics complement of events_outliers_mad's
+    MAD z-scores. Two passes over the joined fact (quartiles, then
+    the fence count) with the tiny per-segment quartile table
+    broadcast back; both engines interpolate quantile_cont/
+    percentile identically (pinned by percentiles_price_by_status),
+    and the count compares against the same double fence."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(F.col("c_mktsegment").alias("segment"), "o_totalprice")
+    q = j.groupBy("segment").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+    )
+    fence = F.col("p75") + 1.5 * (F.col("p75") - F.col("p25"))
+    return (
+        j.join(F.broadcast(q), "segment")
+        .groupBy("segment", "p25", "p75")
+        .agg(
+            F.sum(
+                F.when(F.col("o_totalprice") > fence, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "segment",
+            F.round("p25", 2).alias("p25"),
+            F.round("p75", 2).alias("p75"),
+            F.round(F.col("p75") - F.col("p25"), 2).alias("iqr"),
+            F.round(fence, 2).alias("upper_fence"),
+            "n_outliers",
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Value-decile migration matrix: customer spend deciles 1996 → 1997
+# (the cohort-movement upgrade of a static RFM snapshot).
+# ---------------------------------------------------------------------------
+
+_MIGRATION_ORACLE = """
+WITH spend AS (
+  SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS yr, o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  WHERE date_part('year', o_orderdate) IN (1996, 1997)
+  GROUP BY 1, 2
+),
+dec AS (
+  SELECT yr, o_custkey,
+         NTILE(5) OVER (PARTITION BY yr ORDER BY cents DESC, o_custkey)
+           AS quintile
+  FROM spend
+)
+SELECT a.quintile AS q_1996, b.quintile AS q_1997,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM dec a JOIN dec b
+  ON a.o_custkey = b.o_custkey AND a.yr = 1996 AND b.yr = 1997
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "customer_quintile_migration",
+    oracle=_MIGRATION_ORACLE,
+    tags=("agg", "window", "ntile", "cohort", "migration", "join"),
+    description="spend-quintile migration matrix 1996 → 1997",
+)
+def customer_quintile_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Value-migration analysis: customers ranked into spend
+    quintiles in 1996 and again in 1997, cross-tabulated — the
+    movement matrix (churn off the diagonal) a retention team reads,
+    and the longitudinal upgrade of the static RFM snapshot. Yearly
+    spend is exact integer cents; NTILE ties break on customer key
+    so both engines bucket identically; the migration join is a
+    self-equi-join on the per-year quintile rollup (|customers|
+    rows, not |orders|)."""
+    o = load_table(spark, sf_dir, "orders")
+    spend = (
+        o.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"), "o_custkey"
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("yr").orderBy(
+        F.col("cents").desc(), "o_custkey"
+    )
+    dec = spend.select("yr", "o_custkey", F.ntile(5).over(w).alias("quintile"))
+    a = dec.filter(F.col("yr") == 1996).select(
+        "o_custkey", F.col("quintile").alias("q_1996")
+    )
+    b = dec.filter(F.col("yr") == 1997).select(
+        "o_custkey", F.col("quintile").alias("q_1997")
+    )
+    return (
+        a.join(b, "o_custkey")
+        .groupBy("q_1996", "q_1997")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("q_1996", "q_1997")
+    )
