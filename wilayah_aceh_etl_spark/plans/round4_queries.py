@@ -2556,3 +2556,161 @@ def customer_quintile_migration(
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("q_1996", "q_1997")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert: signup → first-purchase latency distribution.
+# ---------------------------------------------------------------------------
+
+_TTC_ORACLE = """
+WITH first_signup AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+),
+first_purchase AS (
+  SELECT e.user_id, MIN(e.ts) AS t1
+  FROM events e JOIN first_signup s
+    ON e.user_id = s.user_id AND e.ts >= s.t0
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1
+),
+lat AS (
+  SELECT s.user_id,
+         CAST(epoch_us(p.t1) - epoch_us(s.t0) AS BIGINT) AS us
+  FROM first_signup s JOIN first_purchase p ON s.user_id = p.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(MIN(us) AS BIGINT) AS min_us,
+       ROUND(quantile_cont(us, 0.50), 1) AS p50_us,
+       ROUND(quantile_cont(us, 0.90), 1) AS p90_us,
+       CAST(MAX(us) AS BIGINT) AS max_us
+FROM lat
+"""
+
+
+@register(
+    "events_time_to_convert",
+    oracle=_TTC_ORACLE,
+    tags=("events", "funnel", "temporal", "percentile", "latency"),
+    description="signup → first-purchase latency percentiles",
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: per user, the gap between
+    first signup and the first purchase at-or-after it, summarized
+    with exact interpolated percentiles over integer microsecond
+    gaps (integer inputs → both engines interpolate identically).
+    Two per-user min-aggregations and one equi-join on user_id —
+    the latency table is |users|, not |events|, before any
+    percentile math; the complement of the funnel count
+    (events_funnel_signup_click_purchase) that answers 'how fast',
+    not 'how many'."""
+    e = load_table(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        e.join(s, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= F.col("t0"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    lat = s.join(p, "user_id").select(
+        (us("t1") - us("t0")).cast("long").alias("us_gap")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("us_gap").cast("long").alias("min_us"),
+        F.round(F.percentile("us_gap", F.lit(0.50)), 1).alias("p50_us"),
+        F.round(F.percentile("us_gap", F.lit(0.90)), 1).alias("p90_us"),
+        F.max("us_gap").cast("long").alias("max_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap: Jaccard similarity between event-type user sets.
+# ---------------------------------------------------------------------------
+
+_AUDIENCE_ORACLE = """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+sizes AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM du GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b, i.n_both, sa.n AS n_a, sb.n AS n_b,
+       ROUND(CAST(i.n_both AS DOUBLE) / (sa.n + sb.n - i.n_both), 6)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.event_type = i.type_a
+JOIN sizes sb ON sb.event_type = i.type_b
+ORDER BY type_a, type_b
+"""
+
+
+@register(
+    "events_audience_overlap",
+    oracle=_AUDIENCE_ORACLE,
+    tags=("events", "setops", "jaccard", "self-join", "agg"),
+    description="audience-overlap Jaccard matrix between event types",
+)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap: Jaccard similarity between the user sets of
+    every event-type pair — the segment-overlap matrix an audience
+    planner reads. Events collapse to distinct (type, user) first
+    (the big reduction), the intersection is a self-equi-join on
+    user_id (pairs meet only through shared users — no type×type
+    cross product over raw events), and union sizes come from the
+    inclusion-exclusion identity |A∪B| = |A|+|B|−|A∩B|, so one
+    distinct pass serves every pair."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select("event_type", "user_id").distinct()
+    sizes = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = du.select(F.col("event_type").alias("type_a"), "user_id")
+    b = du.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    jac = F.col("n_both").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_both")
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
