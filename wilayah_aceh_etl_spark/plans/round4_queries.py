@@ -2714,3 +2714,250 @@ def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Price-volume-mix decomposition of the 1996 → 1997 revenue change
+# per order priority (the FP&A variance-analysis operator).
+# ---------------------------------------------------------------------------
+
+_PVM_ORACLE = """
+WITH yr AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders
+  WHERE date_part('year', o_orderdate) IN (1996, 1997)
+  GROUP BY 1, 2
+),
+w AS (
+  SELECT a.priority,
+         a.n AS n0, b.n AS n1, a.cents AS c0, b.cents AS c1,
+         a.cents / (100.0 * a.n) AS p0, b.cents / (100.0 * b.n) AS p1
+  FROM yr a JOIN yr b ON a.priority = b.priority
+  WHERE a.yr = 1996 AND b.yr = 1997
+)
+SELECT priority,
+       ROUND((c1 - c0) / 100.0, 2) AS delta_revenue,
+       ROUND((n1 - n0) * p0, 2) AS volume_effect,
+       ROUND(n0 * (p1 - p0), 2) AS price_effect,
+       ROUND((n1 - n0) * (p1 - p0), 2) AS cross_effect
+FROM w
+ORDER BY priority
+"""
+
+
+@register(
+    "revenue_price_volume_mix",
+    oracle=_PVM_ORACLE,
+    tags=("agg", "date", "decomposition", "join", "finance"),
+    description="price-volume-mix decomposition of YoY revenue change",
+)
+def revenue_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance decomposition — the FP&A bridge chart: each
+    priority's 1996→1997 revenue change split into volume effect
+    (Δcount at old average price), price effect (old count at Δ
+    average price), and the interaction cross term; the three sum
+    exactly to the delta by construction. Inputs are exact integer
+    cents and counts from one yearly hash agg; the decomposition is
+    pure arithmetic on the tiny per-priority rollup joined to
+    itself across years."""
+    o = load_table(spark, sf_dir, "orders")
+    yr = (
+        o.filter(F.year("o_orderdate").isin(1996, 1997))
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("cents"),
+        )
+    )
+    a = yr.filter(F.col("yr") == 1996).select(
+        "priority",
+        F.col("n").alias("n0"),
+        F.col("cents").alias("c0"),
+        (F.col("cents") / (100.0 * F.col("n"))).alias("p0"),
+    )
+    b = yr.filter(F.col("yr") == 1997).select(
+        "priority",
+        F.col("n").alias("n1"),
+        F.col("cents").alias("c1"),
+        (F.col("cents") / (100.0 * F.col("n"))).alias("p1"),
+    )
+    return (
+        a.join(b, "priority")
+        .select(
+            "priority",
+            F.round((F.col("c1") - F.col("c0")) / 100.0, 2)
+            .alias("delta_revenue"),
+            F.round((F.col("n1") - F.col("n0")) * F.col("p0"), 2)
+            .alias("volume_effect"),
+            F.round(F.col("n0") * (F.col("p1") - F.col("p0")), 2)
+            .alias("price_effect"),
+            F.round(
+                (F.col("n1") - F.col("n0")) * (F.col("p1") - F.col("p0")), 2
+            ).alias("cross_effect"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness per month — a ratio of distinct counts at two
+# time grains.
+# ---------------------------------------------------------------------------
+
+_STICKY_ORACLE = """
+WITH dau AS (
+  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+         CAST(ts AS DATE) AS day,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM events GROUP BY 1, 2
+),
+mau AS (
+  SELECT strftime(date_trunc('month', ts), '%Y-%m') AS month,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM events GROUP BY 1
+),
+d AS (
+  SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(dau) AS BIGINT) AS dau_sum
+  FROM dau GROUP BY 1
+)
+SELECT d.month, d.n_days, m.mau,
+       ROUND(CAST(d.dau_sum AS DOUBLE) / d.n_days, 2) AS avg_dau,
+       ROUND(CAST(d.dau_sum AS DOUBLE) / (d.n_days * m.mau), 6)
+         AS stickiness
+FROM d JOIN mau m ON d.month = m.month
+ORDER BY d.month
+"""
+
+
+@register(
+    "events_stickiness_dau_mau",
+    oracle=_STICKY_ORACLE,
+    tags=("events", "distinct", "calendar", "agg", "engagement"),
+    description="DAU/MAU stickiness ratio per month",
+)
+def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement stickiness: average daily active users over monthly
+    active users — a ratio of COUNT(DISTINCT) at two grains that
+    cannot be rolled up from one another (a user active 5 days is 5
+    DAU-days but 1 MAU), so the query runs the two-grain distinct
+    pattern: both aggregations share one scan, each keyed by its own
+    calendar bucket, joined on month at the end. All inputs to the
+    ratios are exact BIGINTs."""
+    e = load_table(spark, sf_dir, "events")
+    month = F.date_format(F.date_trunc("month", "ts"), "yyyy-MM")
+    dau = (
+        e.groupBy(month.alias("month"), F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau"))
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("dau").cast("long").alias("dau_sum"),
+        )
+    )
+    mau = e.groupBy(month.alias("month")).agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        dau.join(mau, "month")
+        .select(
+            "month",
+            "n_days",
+            "mau",
+            F.round(
+                F.col("dau_sum").cast("double") / F.col("n_days"), 2
+            ).alias("avg_dau"),
+            F.round(
+                F.col("dau_sum").cast("double")
+                / (F.col("n_days") * F.col("mau")),
+                6,
+            ).alias("stickiness"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k with an OTHERS rollup row — the presentation-layer cut
+# every BI chart applies before rendering.
+# ---------------------------------------------------------------------------
+
+_OTHERS_ORACLE = """
+WITH rev AS (
+  SELECT n.n_name AS nation,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+),
+ranked AS (
+  SELECT nation, cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, nation) AS rk
+  FROM rev
+)
+SELECT CASE WHEN rk <= 5 THEN nation ELSE 'OTHERS' END AS nation,
+       CAST(MIN(CASE WHEN rk <= 5 THEN rk ELSE 6 END) AS INTEGER) AS rk,
+       ROUND(SUM(cents) / 100.0, 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM ranked
+GROUP BY 1
+ORDER BY rk, nation
+"""
+
+
+@register(
+    "topk_nations_with_others",
+    oracle=_OTHERS_ORACLE,
+    tags=("topk", "agg", "window", "presentation"),
+    description="top-5 nations by revenue with an OTHERS rollup row",
+)
+def topk_nations_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-with-others: the five highest-revenue nations plus one
+    OTHERS row absorbing the tail — the cut a chart renderer applies
+    so the long tail doesn't drown the legend, kept engine-side so
+    the tail total is exact rather than client-truncated. Ranking
+    happens on the tiny per-nation rollup (exact cents, nation
+    tiebreak); the conditional re-group folds the tail without a
+    second fact scan."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy(F.col("cents").desc(), "nation")
+    ranked = rev.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.select(
+            F.when(F.col("rk") <= 5, F.col("nation"))
+            .otherwise(F.lit("OTHERS"))
+            .alias("nation"),
+            F.when(F.col("rk") <= 5, F.col("rk"))
+            .otherwise(F.lit(6))
+            .alias("rk0"),
+            "cents",
+        )
+        .groupBy("nation")
+        .agg(
+            F.min("rk0").cast("int").alias("rk"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("rk", "nation")
+    )
