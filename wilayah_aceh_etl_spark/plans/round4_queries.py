@@ -2961,3 +2961,182 @@ def topk_nations_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk", "nation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation matrix between event types' daily count series
+# (same exact-integer-sums Pearson as the ACF query, across series).
+# ---------------------------------------------------------------------------
+
+_XCORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+paired AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.n AS x, b.n AS y
+  FROM daily a JOIN daily b
+    ON a.day = b.day AND a.event_type < b.event_type
+),
+sums AS (
+  SELECT type_a, type_b,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM paired GROUP BY 1, 2
+)
+SELECT type_a, type_b, k AS n_days,
+       ROUND(
+         (k * sxy - sx * sy)
+         / (sqrt(CAST(k * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(k * syy - sy * sy AS DOUBLE))), 6) AS pearson_r
+FROM sums
+ORDER BY type_a, type_b
+"""
+
+
+@register(
+    "events_cross_correlation_matrix",
+    oracle=_XCORR_ORACLE,
+    tags=("events", "corr", "statistics", "self-join", "temporal"),
+    description="Pearson correlation matrix between daily count series",
+)
+def events_cross_correlation_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-series correlation: Pearson r between every pair of
+    event types' daily count series (do errors co-move with clicks?)
+    — the multivariate companion of events_autocorrelation_acf, on
+    the same exact-BIGINT-sums Pearson so no builtin corr()
+    definition or float accumulation order is trusted. Series align
+    by a self-equi-join on day over the collapsed daily rollup;
+    pairs meet only through shared days."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = daily.select(
+        "day", F.col("event_type").alias("type_a"), F.col("n").alias("x")
+    )
+    b = daily.select(
+        "day", F.col("event_type").alias("type_b"), F.col("n").alias("y")
+    )
+    sums = (
+        a.join(b, "day")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    r = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(
+            (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("double")
+        )
+        * F.sqrt(
+            (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))
+            .cast("double")
+        )
+    )
+    return sums.select(
+        "type_a",
+        "type_b",
+        F.col("k").alias("n_days"),
+        F.round(r, 6).alias("pearson_r"),
+    ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# Classical decomposition: day-of-week seasonal indices via
+# ratio-to-centered-moving-average.
+# ---------------------------------------------------------------------------
+
+_SEASONAL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+ma AS (
+  SELECT day, n,
+         CAST(SUM(n) OVER (ORDER BY day
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+              AS BIGINT) AS win_sum,
+         CAST(COUNT(*) OVER (ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+              AS BIGINT) AS win_n
+  FROM daily
+),
+ratio AS (
+  -- DuckDB dayofweek is 0=Sunday..6; Spark's is 1=Sunday..7 — align
+  SELECT CAST(dayofweek(day) + 1 AS INTEGER) AS dow,
+         CAST(ROUND(n * win_n * 1000000.0 / win_sum) AS BIGINT)
+           AS ratio_micro
+  FROM ma WHERE win_n = 7
+)
+SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(ratio_micro) AS BIGINT)
+             / (1000000.0 * COUNT(*)), 6) AS seasonal_index
+FROM ratio
+GROUP BY dow
+ORDER BY dow
+"""
+
+
+@register(
+    "events_seasonal_indices_dow",
+    oracle=_SEASONAL_ORACLE,
+    tags=("events", "temporal", "seasonality", "window", "decomposition"),
+    description="day-of-week seasonal indices via ratio-to-moving-average",
+)
+def events_seasonal_indices_dow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical seasonal decomposition, step one: each full-window
+    day's count is divided by its centered 7-day moving average and
+    the ratios are averaged per day-of-week — the seasonal index a
+    forecaster divides out before trend fitting. The ratio is exact:
+    n·win_n/win_sum is a single division of exact integers, rounded
+    into integer micro-units before the per-DOW mean so averaging is
+    order-independent. The MA window runs over the collapsed daily
+    series (calendar-bounded); edge days without a full 7-day window
+    are excluded on both engines (win_n = 7)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "n",
+        F.sum("n").over(w).alias("win_sum"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+    ).filter(F.col("win_n") == 7)
+    ratio = ma.select(
+        F.dayofweek("day").cast("int").alias("dow"),
+        F.round(
+            F.col("n") * F.col("win_n") * 1000000.0 / F.col("win_sum"), 0
+        )
+        .cast("long")
+        .alias("ratio_micro"),
+    )
+    return (
+        ratio.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.sum("ratio_micro") / (1000000.0 * F.count(F.lit(1))), 6
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )
