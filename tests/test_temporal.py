@@ -129,3 +129,46 @@ def test_asof_tolerance_discards_stale_matches(spark):
     assert out_loose[2] == 150.0
     # unmatched rows stay unmatched either way
     assert out_tight[4] is None and out_loose[4] is None
+
+
+def test_asof_forward_strict_picks_next(spark):
+    left, right = _frames(spark)
+    out = {
+        r["id"]: (r["ts_r"], r["v_r"])
+        for r in asof_join(
+            left, right, on="k", strict=True, direction="forward"
+        ).collect()
+    }
+    assert out[1] == (_ts(15), 150.0)  # right@10 NOT visible at left@10
+    assert out[2] == (None, None)      # nothing after 20
+    assert out[3] == (_ts(9), 90.0)    # earliest later right
+    assert out[4] == (None, None)      # key has no right rows
+
+
+def test_asof_forward_inclusive_takes_equal_ts(spark):
+    left, right = _frames(spark)
+    out = {
+        r["id"]: (r["ts_r"], r["v_r"])
+        for r in asof_join(
+            left, right, on="k", strict=False, direction="forward"
+        ).collect()
+    }
+    assert out[1] == (_ts(10), 100.0)  # equal timestamp matches
+    assert out[3] == (_ts(9), 90.0)
+
+
+def test_asof_forward_tolerance_discards_far_matches(spark):
+    left, right = _frames(spark)
+    out = {
+        r["id"]: (r["ts_r"], r["v_r"])
+        for r in asof_join(
+            left,
+            right,
+            on="k",
+            strict=True,
+            direction="forward",
+            tolerance_seconds=250,
+        ).collect()
+    }
+    assert out[3] == (_ts(9), 90.0)   # 4 min ahead: within tolerance
+    assert out[1] == (None, None)     # 5 min ahead: beyond tolerance

@@ -43,6 +43,7 @@ def asof_join(
     strict: bool = True,
     suffix: str = "_r",
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the payload of the LATEST right row
     of the same `on` key with right_time < left_time (strict=True,
@@ -52,9 +53,15 @@ def asof_join(
     than the tolerance is discarded (bounded staleness — the match
     becomes null rather than arbitrarily stale).
 
+    direction="forward" flips the search: the EARLIEST right row with
+    right_time > left_time (strict) / >= (inclusive) — next-event
+    lookup. Same plan shape: the per-key sort just runs descending.
+
     One hash shuffle on `on` + one sort per partition; never builds
     the per-key cross product.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     right_payload = right_payload or [
         c for c in right.columns if c not in (on, right_time)
     ]
@@ -87,18 +94,24 @@ def asof_join(
     # → right first. `last(ignorenulls)` then picks exactly the
     # right rows with t < lt (resp. <=).
     tie = F.when(F.col("_side") == (1 if strict else 0), 0).otherwise(1)
+    t_order = (
+        F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
+    )
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), tie.asc())
+        .orderBy(t_order, tie.asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l.unionByName(r).withColumn(
         "_match", F.last("_rp", ignorenulls=True).over(w)
     )
     if tolerance_seconds is not None:
+        lt = F.unix_timestamp(F.col("_t").cast("timestamp"))
+        rt = F.unix_timestamp(
+            F.col("_match")[right_time + suffix].cast("timestamp")
+        )
         fresh = (
-            F.unix_timestamp(F.col("_t"))
-            - F.unix_timestamp(F.col("_match")[right_time + suffix])
+            (lt - rt) if direction == "backward" else (rt - lt)
         ) <= tolerance_seconds
         merged = merged.withColumn(
             "_match", F.when(fresh, F.col("_match"))

@@ -437,3 +437,363 @@ def feature_scaling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join: next same-user click after each error (≤1h)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_asof_forward_next_click",
+    oracle="""
+WITH err AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+),
+clk AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+nxt AS (
+  SELECT e.event_id, e.user_id, e.ts,
+         (SELECT MIN(c.ts) FROM clk c
+           WHERE c.user_id = e.user_id AND c.ts > e.ts) AS cand_ts
+  FROM err e
+),
+tol AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN cand_ts IS NOT NULL
+               AND CAST(floor(epoch(cand_ts)) AS BIGINT)
+                 - CAST(floor(epoch(ts)) AS BIGINT) <= 3600
+              THEN cand_ts END AS next_click_ts
+  FROM nxt
+)
+SELECT event_id, user_id, ts AS error_ts, next_click_ts,
+       CAST(floor(epoch(next_click_ts)) AS BIGINT)
+         - CAST(floor(epoch(ts)) AS BIGINT) AS delta_s
+FROM tol ORDER BY event_id
+""",
+    tags=("events", "asof", "join", "temporal"),
+    description="forward as-of join: next same-user click within 1h",
+)
+def events_asof_forward_next_click(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forward as-of join (next-event lookup): each error event
+    attached to the SAME user's earliest click strictly after it,
+    nulled when the gap exceeds one hour (bounded look-ahead). Same
+    single-shuffle union+sort plan as the backward as-of
+    (operators/temporal.py::asof_join, direction='forward') — the
+    per-key sort just runs descending; never the per-key cross
+    product a naive join+filter+row_number would build."""
+    from wilayah_aceh_etl_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clk = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    j = asof_join(
+        err,
+        clk,
+        on="user_id",
+        right_payload=[],
+        strict=True,
+        tolerance_seconds=3600,
+        direction="forward",
+    )
+    lt = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    rt = F.unix_timestamp(F.col("ts_r").cast("timestamp"))
+    return j.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("error_ts"),
+        F.col("ts_r").alias("next_click_ts"),
+        (rt - lt).cast("long").alias("delta_s"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Rolling median (order statistic over a moving frame)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rolling_median_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, CAST(day AS VARCHAR) AS day, cnt,
+       ROUND(median(cnt) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS med7
+FROM daily ORDER BY event_type, day
+""",
+    tags=("events", "window", "rolling-median", "order-statistic"),
+    description="trailing-7-row rolling median of daily event counts",
+)
+def events_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN — an order statistic Spark's windowed
+    aggregates don't provide natively (DuckDB runs any aggregate as
+    a window). Composed as collect_list over the 7-row frame +
+    array_sort + middle pick: the frame is a compile-time constant
+    (≤7 values), so per-row cost is O(7 log 7) and the state never
+    scales with data — the generic pattern for small-frame order
+    statistics at 100 TB. One shuffle on the (type, day) aggregate;
+    the window reuses the type partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("cnt").over(w))
+    n = F.size(arr)
+    lo = F.floor((n + 1) / 2).cast("int")
+    hi = (F.floor(n / 2) + 1).cast("int")
+    med = (
+        F.element_at(arr, lo) + F.element_at(arr, hi)
+    ).cast("double") / 2
+    return daily.select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        "cnt",
+        F.round(med, 2).alias("med7"),
+    ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend slope (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_theil_sen_slope",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.cnt - a.cnt AS DOUBLE) / date_diff('day', a.day, b.day)
+           AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(median(slope), 6) AS theil_sen_slope
+FROM pairs GROUP BY event_type ORDER BY event_type
+""",
+    tags=("events", "timeseries", "robust-regression"),
+    description="Theil-Sen robust slope of daily counts per event type",
+)
+def events_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen estimator: the median of all pairwise slopes of the
+    daily-count series — the outlier-robust alternative to the OLS
+    trend (grouped_map_segment_trend / segment_trend_native). The
+    pair explosion is per-group O(days²) with days bounded by the
+    calendar (~90 here), so the blow-up is a fixed small constant
+    per event type no matter how many raw events — aggregate first,
+    THEN explode pairs: the 100 TB-safe order of operations. Each
+    slope is one double division of exact ints; the median is the
+    same interpolated percentile in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    a = daily.select(
+        "event_type", F.col("day").alias("day_a"), F.col("cnt").alias("cnt_a")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("day_b"), F.col("cnt").alias("cnt_b")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("day_a") < F.col("day_b"))
+        .select(
+            "event_type",
+            (
+                (F.col("cnt_b") - F.col("cnt_a")).cast("double")
+                / F.datediff("day_b", "day_a")
+            ).alias("slope"),
+        )
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.expr("percentile(slope, 0.5)"), 6).alias(
+                "theil_sen_slope"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (2 synchronous min-label rounds) on the part
+# co-occurrence graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_label_propagation",
+    oracle="""
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+pairs AS (
+  SELECT a.pk AS pa, b.pk AS pb
+  FROM base a JOIN base b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+edges AS (
+  SELECT pa AS u, pb AS w FROM pairs
+  UNION ALL
+  SELECT pb AS u, pa AS w FROM pairs
+),
+r1 AS (
+  SELECT u AS node, LEAST(u, MIN(w)) AS l1 FROM edges GROUP BY u
+),
+nb2 AS (
+  SELECT e.u AS node, MIN(n.l1) AS nb_min
+  FROM edges e JOIN r1 n ON n.node = e.w
+  GROUP BY e.u
+)
+SELECT r1.node, CAST(r1.l1 AS BIGINT) AS l1,
+       CAST(LEAST(r1.l1, nb2.nb_min) AS BIGINT) AS l2
+FROM r1 JOIN nb2 ON nb2.node = r1.node
+ORDER BY r1.node
+""",
+    tags=("graph", "iterative", "label-propagation", "join"),
+    description="2 min-label propagation rounds on part co-occurrence",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronous rounds of min-label propagation (the Pregel
+    superstep primitive under connected components): every node
+    starts labeled with its own id; each round it takes the min of
+    its label and its neighbors' labels. Each round is one
+    edges⋈labels join + groupBy-min — per-round cost O(|E|), the
+    labels relation stays node-sized, and at scale each round's
+    output is checkpointable. Distinct from the full
+    dedup_connected_components loop (iterate-to-fixpoint) and from
+    BFS (distances): this pins the per-round algebra to an oracle."""
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = base.select("ok", F.col("pk").alias("pa"))
+    b = base.select("ok", F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(
+        F.col("pa").alias("u"), F.col("pb").alias("w")
+    ).unionAll(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("w")))
+    r1 = (
+        edges.groupBy("u")
+        .agg(F.min("w").alias("nb_min"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("nb_min")).alias("l1"),
+        )
+    )
+    nb_l1 = r1.select(F.col("node").alias("w"), F.col("l1").alias("w_l1"))
+    nb2 = (
+        edges.join(nb_l1, "w")
+        .groupBy("u")
+        .agg(F.min("w_l1").alias("nb_min"))
+        .select(F.col("u").alias("node"), "nb_min")
+    )
+    return (
+        r1.join(nb2, "node")
+        .select(
+            "node",
+            "l1",
+            F.least(F.col("l1"), F.col("nb_min")).alias("l2"),
+        )
+        .orderBy("node")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff: 1996 vs 1997 per-customer spend reconciliation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_snapshot_diff",
+    oracle=f"""
+WITH a AS (
+  SELECT o_custkey, CAST(SUM({_CENTS}) AS BIGINT) AS spend
+  FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1
+),
+b AS (
+  SELECT o_custkey, CAST(SUM({_CENTS}) AS BIGINT) AS spend
+  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+),
+d AS (
+  SELECT a.spend AS spend_a, b.spend AS spend_b
+  FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+)
+SELECT CASE WHEN spend_a IS NULL THEN 'added'
+            WHEN spend_b IS NULL THEN 'removed'
+            WHEN spend_a = spend_b THEN 'unchanged'
+            ELSE 'changed' END AS change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(COALESCE(spend_b, 0) - COALESCE(spend_a, 0)) AS BIGINT)
+         AS delta_cents
+FROM d GROUP BY 1 ORDER BY 1
+""",
+    tags=("join", "outer", "diff", "reconciliation"),
+    description="snapshot diff: per-customer spend 1996 vs 1997",
+)
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff — the reconciliation primitive behind
+    incremental pipelines: aggregate both snapshots to the key,
+    full-outer join, classify added / removed / changed / unchanged,
+    and roll up counts + net delta. Both aggregates shuffle on the
+    same key so the outer join reuses the partitioning; spend is
+    exact BIGINT cents so 'unchanged' is a bitwise comparison, not
+    a float tolerance."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def snap(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year)
+            .groupBy("o_custkey")
+            .agg(F.sum(_o_cents()).alias("spend"))
+        )
+    a = snap(1996).select("o_custkey", F.col("spend").alias("spend_a"))
+    b = snap(1997).select("o_custkey", F.col("spend").alias("spend_b"))
+    d = a.join(b, "o_custkey", "full_outer")
+    change = (
+        F.when(F.col("spend_a").isNull(), "added")
+        .when(F.col("spend_b").isNull(), "removed")
+        .when(F.col("spend_a") == F.col("spend_b"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        d.select(
+            change.alias("change_type"),
+            F.coalesce(F.col("spend_b"), F.lit(0)).alias("vb"),
+            F.coalesce(F.col("spend_a"), F.lit(0)).alias("va"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("vb") - F.col("va")).alias("delta_cents"),
+        )
+        .orderBy("change_type")
+    )
