@@ -797,3 +797,293 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Balanced per-class downsampling (training-mixture rebalancing)
+# ---------------------------------------------------------------------------
+
+_DOC_LCG = "(doc_id * 1103515245 + 12345) % 2147483648"
+
+
+@register(
+    "sample_balanced_per_class",
+    oracle=f"""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+           ORDER BY {_DOC_LCG}, doc_id) AS rn
+  FROM documents
+)
+SELECT lang,
+  CAST(COUNT(*) AS BIGINT) AS n_total,
+  CAST(SUM(CASE WHEN rn <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  ROUND(CAST(SUM(CASE WHEN rn <= 50 THEN n_chars ELSE 0 END) AS DOUBLE)
+        / SUM(CASE WHEN rn <= 50 THEN 1 ELSE 0 END), 4) AS avg_chars_kept
+FROM ranked GROUP BY lang ORDER BY lang
+""",
+    tags=("ext", "sampling", "balanced", "window"),
+    description="balanced downsample: ≤50 docs per language via LCG rank",
+)
+def sample_balanced_per_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class cap — the majority-class downsampling step of
+    training-mixture rebalancing: rank every document inside its
+    language by a deterministic LCG of the doc id (a seedless,
+    engine-reproducible shuffle) and keep the first 50. One ranking
+    window per class key; no global sort, no driver-side sampling
+    state, and re-runs are byte-identical — the property random()
+    samplers can't give across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        ((F.col("doc_id") * 1103515245 + 12345) % 2147483648).asc(),
+        F.col("doc_id").asc(),
+    )
+    ranked = docs.select(
+        "doc_id", "lang", "n_chars", F.row_number().over(w).alias("rn")
+    )
+    kept = F.when(F.col("rn") <= 50, 1).otherwise(0)
+    kept_chars = F.when(F.col("rn") <= 50, F.col("n_chars")).otherwise(0)
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept).alias("n_kept"),
+            F.round(
+                F.sum(kept_chars).cast("double") / F.sum(kept), 4
+            ).alias("avg_chars_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated bigram language model (perplexity-grade LM signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_lm_logprob",
+    oracle="""
+WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+uni AS (SELECT doc_id, UNNEST(w) AS tok FROM words),
+c1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM uni),
+big AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM words, UNNEST(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY 1, 2),
+scored AS (
+  SELECT b.doc_id,
+         ln(0.7 * c2.c / ca.c + 0.3 * cb.c / CAST(n.total AS DOUBLE)) AS lp
+  FROM big b
+  JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+  JOIN c1 ca ON ca.tok = b.w1
+  JOIN c1 cb ON cb.tok = b.w2
+  CROSS JOIN n
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(lp) / COUNT(*), 3) AS avg_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("ext", "text", "lm", "quality"),
+    description="per-doc mean interpolated-bigram log-probability",
+)
+def text_bigram_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score per document — the next step up
+    from text_unigram_logprob as a perplexity-style quality filter:
+    P(w2|w1) = 0.7·c(w1,w2)/c(w1) + 0.3·c(w2)/N, scored over every
+    adjacent pair. Bigrams come from an array transform over the
+    already-split token array (no positional self-join); the LM
+    tables are two shuffled aggregates re-joined by token — at
+    corpus scale those joins hash-partition on token, the natural
+    key. Mirrors the oracle's exact expression tree so the doubles
+    agree bitwise before the display rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    uni = words.select("doc_id", F.explode("w").alias("tok"))
+    c1 = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = uni.agg(F.count(F.lit(1)).alias("total"))
+    big = (
+        words.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, size(w) - 1),"
+                    " (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ca = c1.select(F.col("tok").alias("w1"), F.col("c").alias("ca"))
+    cb = c1.select(F.col("tok").alias("w2"), F.col("c").alias("cb"))
+    lp = F.log(
+        F.lit(0.7) * F.col("c2") / F.col("ca")
+        + F.lit(0.3) * F.col("cb") / F.col("total").cast("double")
+    )
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 3).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: WebDataset-style shard manifest
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_shard_manifest",
+    oracle="""
+WITH s AS (
+  SELECT source, doc_id, n_chars,
+    CAST(floor((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
+      / 2048.0) AS BIGINT) AS shard_id
+  FROM documents
+)
+SELECT source, shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM s GROUP BY 1, 2 ORDER BY source, shard_id
+""",
+    tags=("ext", "multimodal", "shard", "window"),
+    description="WebDataset-style shard manifest via running byte budget",
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-manifest construction — the step that turns a document/
+    media table into fixed-budget archive shards (WebDataset / tar
+    layout): within each source, documents in deterministic id order
+    are assigned shard = floor(exclusive_running_bytes / budget),
+    then the manifest aggregates each shard's extent. The running
+    sum partitions by source, so shard building is parallel across
+    sources and never needs a global sort — at 100 TB the source
+    (or (source, date) prefix) is exactly how such corpora arrive
+    partitioned. Budget division is by a power of two, so the
+    floor() is exact in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    shard = F.floor(
+        (F.sum("n_chars").over(w) - F.col("n_chars")) / 2048.0
+    ).cast("long")
+    return (
+        docs.select("source", "doc_id", "n_chars", shard.alias("shard_id"))
+        .groupBy("source", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("shard_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "shard_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# kNN majority-vote classification over the embedding corpus
+# ---------------------------------------------------------------------------
+
+
+def _knn_vote_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.ext_queries import _COS, _VEC_CTE
+
+    cos = _COS.format(a="qe", b="e")
+    return (
+        "WITH "
+        + _VEC_CTE
+        + f""",
+q AS (SELECT vec_id AS query_id, label AS true_label, e AS qe
+      FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT query_id, true_label, vec_id, label, {cos} AS c
+  FROM q, v WHERE vec_id != query_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY c DESC, vec_id) AS rk
+  FROM scored
+),
+votes AS (
+  SELECT query_id, true_label, label,
+         CAST(COUNT(*) AS BIGINT) AS votes
+  FROM ranked WHERE rk <= 10 GROUP BY 1, 2, 3
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY votes DESC, label) AS brk
+  FROM votes
+)
+SELECT query_id, CAST(true_label AS BIGINT) AS true_label,
+       CAST(label AS BIGINT) AS pred_label, votes
+FROM best WHERE brk = 1 ORDER BY query_id
+"""
+    )
+
+
+@register(
+    "embedding_knn_label_vote",
+    oracle=_knn_vote_oracle(),
+    tags=("ext", "similarity", "knn", "classification"),
+    description="10-NN majority-vote label prediction for 5 queries",
+)
+def embedding_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classification — the label-quality probe run over a
+    labeled embedding corpus (e.g. checking annotation consistency):
+    each query's 10 nearest cosine neighbors vote; majority label
+    wins, ties break to the smaller label. Reuses the broadcast-
+    queries × corpus-scan top-k (operators/similarity.py), then two
+    tiny aggregates; the corpus is scanned once and never
+    self-joined. Votes are exact counts over a rank computed on the
+    unrounded doubles both engines share bitwise."""
+    from wilayah_aceh_etl_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    topk = S.brute_force_topk(emb, q, k=10)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(labels, "vec_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    pred = (
+        votes.withColumn("brk", F.row_number().over(wv))
+        .filter(F.col("brk") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+    truth = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    return (
+        pred.join(truth, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            F.col("pred_label").cast("long").alias("pred_label"),
+            "votes",
+        )
+        .orderBy("query_id")
+    )
