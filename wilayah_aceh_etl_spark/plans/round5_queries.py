@@ -1087,3 +1087,384 @@ def embedding_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA from exact integer moments
+# ---------------------------------------------------------------------------
+
+_EP_CENTS = "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+
+
+@register(
+    "lineitem_anova_returnflag",
+    oracle=f"""
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({_EP_CENTS}) AS BIGINT) AS s,
+         CAST(SUM({_EP_CENTS} * {_EP_CENTS}) AS BIGINT) AS ss
+  FROM lineitem GROUP BY l_returnflag
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(s) AS BIGINT) AS st,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM g
+),
+parts AS (
+  SELECT SUM(CAST(s AS DOUBLE) * s / n) AS sb_raw,
+         SUM(ss - CAST(s AS DOUBLE) * s / n) AS ssw
+  FROM g
+)
+SELECT tot.k, tot.nn AS n_rows,
+  ROUND((parts.sb_raw - CAST(tot.st AS DOUBLE) * tot.st / tot.nn)
+        / (tot.k - 1) / (parts.ssw / (tot.nn - tot.k)), 4) AS f_stat
+FROM parts CROSS JOIN tot
+""",
+    tags=("stats", "anova", "agg"),
+    description="one-way ANOVA F-statistic across return flags",
+)
+def lineitem_anova_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean extended price differ across return
+    flags? F = (SSB/(k−1)) / (SSW/(n−k)), with every sum of squares
+    computed from exact BIGINT moments per group (n, Σx, Σx²) — one
+    map-side-combinable aggregate over the fact table, then a 3-row
+    reduction. This is the constant-state pattern every grouped
+    statistic should compile to at 100 TB: no sort, no second pass,
+    partial aggregation does almost all the work."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+    parts = g.agg(
+        F.sum(F.col("s").cast("double") * F.col("s") / F.col("n")).alias(
+            "sb_raw"
+        ),
+        F.sum(
+            F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n")
+        ).alias("ssw"),
+        F.sum("n").alias("nn"),
+        F.sum("s").alias("st"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    f_stat = (
+        (
+            F.col("sb_raw")
+            - F.col("st").cast("double") * F.col("st") / F.col("nn")
+        )
+        / (F.col("k") - 1)
+        / (F.col("ssw") / (F.col("nn") - F.col("k")))
+    )
+    return parts.select(
+        "k",
+        F.col("nn").alias("n_rows"),
+        F.round(f_stat, 4).alias("f_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival of order→first-ship latency (censor at 60 d)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_kaplan_meier_ship",
+    oracle="""
+WITH raw AS (
+  SELECT l.l_orderkey,
+         date_diff('day', o.o_orderdate, MIN(l.l_shipdate)) AS raw_d
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY l.l_orderkey, o.o_orderdate
+),
+dur AS (
+  SELECT LEAST(raw_d, 60) AS d,
+         CASE WHEN raw_d <= 60 THEN 1 ELSE 0 END AS observed
+  FROM raw WHERE raw_d >= 0
+),
+n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dur),
+ev AS (
+  SELECT d, CAST(SUM(observed) AS BIGINT) AS d_events,
+         CAST(COUNT(*) AS BIGINT) AS leaving
+  FROM dur GROUP BY d
+),
+km AS (
+  SELECT d, d_events,
+         n_tot.n - COALESCE(SUM(leaving) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM ev CROSS JOIN n_tot
+)
+SELECT CAST(d AS BIGINT) AS day_t, CAST(n_risk AS BIGINT) AS n_risk,
+       d_events,
+       ROUND(exp(SUM(ln(1.0 - CAST(d_events AS DOUBLE) / n_risk))
+             OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)), 6) AS survival
+FROM km WHERE d_events > 0 ORDER BY day_t
+""",
+    tags=("stats", "survival", "window"),
+    description="Kaplan-Meier curve of days-to-first-ship, censored at 60",
+)
+def orders_kaplan_meier_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier product-limit estimator of the order→first-ship
+    latency distribution, right-censored at 60 days — the survival-
+    analysis shape (churn, time-to-event) on order fulfilment data;
+    negative latencies (the synthetic shipdates are uncorrelated
+    with orderdates) are excluded as ineligible.
+    Durations aggregate to one row per distinct day, so the curve
+    itself is a ~60-row series: the cumulative product is computed
+    as exp(Σ ln(1−d/n)) over a running window — identical double
+    expression both engines, and the only wide work is the
+    per-order MIN(shipdate) aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.min("l_shipdate").alias("first_ship"))
+        .select(
+            F.datediff("first_ship", "o_orderdate").alias("raw_d")
+        )
+    )
+    dur = raw.filter(F.col("raw_d") >= 0).select(
+        F.least(F.col("raw_d"), F.lit(60)).alias("d"),
+        F.when(F.col("raw_d") <= 60, 1).otherwise(0).alias("observed"),
+    )
+    n_tot = dur.agg(F.count(F.lit(1)).alias("n"))
+    ev = dur.groupBy("d").agg(
+        F.sum("observed").alias("d_events"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_prev = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    km = (
+        ev.crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "n_risk",
+            F.col("n")
+            - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
+        )
+    )
+    w_run = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = F.exp(
+        F.sum(
+            F.log(
+                F.lit(1.0)
+                - F.col("d_events").cast("double") / F.col("n_risk")
+            )
+        ).over(w_run)
+    )
+    return (
+        km.withColumn("survival", F.round(surv, 6))
+        .filter(F.col("d_events") > 0)
+        .select(
+            F.col("d").cast("long").alias("day_t"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            "d_events",
+            "survival",
+        )
+        .orderBy("day_t")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov statistic (click vs view values)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_ks_two_sample",
+    oracle="""
+WITH t AS (
+  SELECT value AS v,
+         CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+           AS na_v,
+         CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+           AS nb_v
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY value
+),
+c AS (
+  SELECT v,
+         SUM(na_v) OVER (ORDER BY v) AS ca,
+         SUM(nb_v) OVER (ORDER BY v) AS cb
+  FROM t
+),
+n AS (
+  SELECT CAST(SUM(na_v) AS BIGINT) AS na, CAST(SUM(nb_v) AS BIGINT) AS nb
+  FROM t
+)
+SELECT n.na AS n_click, n.nb AS n_view,
+       ROUND(MAX(ABS(CAST(c.ca AS DOUBLE) / n.na
+                     - CAST(c.cb AS DOUBLE) / n.nb)), 6) AS ks_stat
+FROM c CROSS JOIN n GROUP BY n.na, n.nb
+""",
+    tags=("stats", "ks-test", "window"),
+    description="two-sample KS statistic: click vs view value ECDFs",
+)
+def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of two event types: max ECDF gap over the merged
+    support. Values aggregate to per-distinct-value counts first
+    (the 100 TB move — the window then runs over support size, not
+    row count), cumulative counts give both ECDFs in one ordered
+    pass, and the max-gap is a scalar aggregate. ECDF ratios are
+    single divisions of exact BIGINTs."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    t = e.groupBy(F.col("value").alias("v")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "click", 1).otherwise(0)
+        ).alias("na_v"),
+        F.sum(
+            F.when(F.col("event_type") == "view", 1).otherwise(0)
+        ).alias("nb_v"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = t.select(
+        "v",
+        F.sum("na_v").over(w).alias("ca"),
+        F.sum("nb_v").over(w).alias("cb"),
+        F.sum("na_v").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("na"),
+        F.sum("nb_v").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nb"),
+    )
+    gap = F.abs(
+        F.col("ca").cast("double") / F.col("na")
+        - F.col("cb").cast("double") / F.col("nb")
+    )
+    return c.groupBy("na", "nb").agg(
+        F.round(F.max(gap), 6).alias("ks_stat")
+    ).select(
+        F.col("na").alias("n_click"),
+        F.col("nb").alias("n_view"),
+        "ks_stat",
+    )
+
+
+# ---------------------------------------------------------------------------
+# FILTER-clause aggregate battery
+# ---------------------------------------------------------------------------
+
+_VAL_MICROS = "CAST(ROUND(value * 1000000) AS BIGINT)"
+
+
+@register(
+    "events_filter_clause_battery",
+    oracle=f"""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_all,
+  CAST(COUNT(*) FILTER (WHERE value > 50) AS BIGINT) AS n_high,
+  CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) AS n_even_user,
+  CAST(COALESCE(SUM({_VAL_MICROS}) FILTER (WHERE value > 50), 0) AS BIGINT)
+    AS sum_high_micros,
+  CAST(MAX(user_id) FILTER (WHERE value <= 50) AS BIGINT) AS max_low_user
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("sql-surface", "agg", "filter-clause"),
+    description="FILTER (WHERE ...) conditional-aggregate battery",
+)
+def events_filter_clause_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2003 FILTER clause on aggregates — the declarative
+    form of conditional aggregation (one pass, N predicates) that
+    replaces N self-joins or CASE pyramids. Catalyst compiles each
+    filtered aggregate into the same hash-aggregate pass, so adding
+    predicates adds zero shuffles."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        f"""
+        SELECT event_type,
+          COUNT(*) AS n_all,
+          COUNT(*) FILTER (WHERE value > 50) AS n_high,
+          COUNT(*) FILTER (WHERE user_id % 2 = 0) AS n_even_user,
+          COALESCE(SUM({_VAL_MICROS}) FILTER (WHERE value > 50), 0)
+            AS sum_high_micros,
+          MAX(user_id) FILTER (WHERE value <= 50) AS max_low_user
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew audit (the shuffle-health profiler)
+# ---------------------------------------------------------------------------
+
+
+def _skew_cte(table: str, key: str) -> str:
+    return f"""
+  SELECT '{table}.{key}' AS join_key,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         CAST(quantile_disc(cnt, 0.99) AS BIGINT) AS p99_cnt,
+         ROUND(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / SUM(cnt), 4)
+           AS skew_ratio
+  FROM (SELECT {key}, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {table} GROUP BY {key}) k
+"""
+
+
+@register(
+    "audit_join_key_skew",
+    oracle="SELECT * FROM ("
+    + _skew_cte("orders", "o_custkey")
+    + ") a UNION ALL SELECT * FROM ("
+    + _skew_cte("lineitem", "l_partkey")
+    + ") b ORDER BY join_key",
+    tags=("ops", "skew", "audit", "agg"),
+    description="join-key skew audit: max/p99/ratio of key frequencies",
+)
+def audit_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-health profiler: per join key, the key-frequency
+    histogram reduced to the numbers that predict shuffle skew —
+    max key count, p99, and skew ratio (max/mean). This is the
+    query you run BEFORE a 100 TB join to decide between plain
+    shuffle, salting, or AQE skew-join; the engine's own
+    skew_salted_join_revenue is the remediation it gates. Two
+    map-combinable aggregates, one per audited key."""
+
+    def one(table: str, key: str) -> DataFrame:
+        k = (
+            load_table(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        return k.agg(
+            F.lit(f"{table}.{key}").alias("join_key"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY cnt)")
+            .cast("long")
+            .alias("p99_cnt"),
+            F.round(
+                F.max("cnt").cast("double")
+                * F.count(F.lit(1))
+                / F.sum("cnt"),
+                4,
+            ).alias("skew_ratio"),
+        )
+
+    return (
+        one("orders", "o_custkey")
+        .unionByName(one("lineitem", "l_partkey"))
+        .orderBy("join_key")
+    )

@@ -79,7 +79,13 @@ def get_spark(
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
-    for k, v in {**_BUILD_TIME_CONF, **extra_conf}.items():
+    env_conf = {}
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for pair in extra.split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            env_conf[k.strip()] = v.strip()
+    for k, v in {**_BUILD_TIME_CONF, **extra_conf, **env_conf}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     return ensure_session_defaults(spark)
