@@ -44,6 +44,11 @@ NLJ_ALLOWED = {
     # definitionally all-vectors × all-centroids; build side is O(k)
     "embedding_kmeans_iteration",
     "basket_association_rules",  # 1-row basket-count total broadcast
+    # inherits brute_force_topk's query≠candidate non-equi broadcast
+    "embedding_knn_label_vote",
+    "feature_onehot_class_weights",  # 1-row customer-total broadcast
+    "orders_kaplan_meier_ship",  # 1-row at-risk-total broadcast
+    "text_bigram_lm_logprob",  # 1-row corpus-token-total broadcast
     # inherits text_bm25_search's 1-row stats broadcast + the
     # brute-force query≠candidate non-equi broadcast (top-50 side)
     "retrieval_rrf_fusion",
