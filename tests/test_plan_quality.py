@@ -47,6 +47,7 @@ NLJ_ALLOWED = {
     # inherits brute_force_topk's query≠candidate non-equi broadcast
     "embedding_knn_label_vote",
     "feature_onehot_class_weights",  # 1-row customer-total broadcast
+    "feature_woe_binning",  # 1-row pos/neg-total broadcast
     "orders_kaplan_meier_ship",  # 1-row at-risk-total broadcast
     "text_bigram_lm_logprob",  # 1-row corpus-token-total broadcast
     # inherits text_bm25_search's 1-row stats broadcast + the

@@ -1468,3 +1468,268 @@ def audit_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("lineitem", "l_partkey"))
         .orderBy("join_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear (double exponential) smoothing — grouped-map pandas
+# against a recursive-CTE oracle
+# ---------------------------------------------------------------------------
+
+_HOLT_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM daily
+),
+n AS (SELECT event_type, MAX(t) AS tmax FROM idx GROUP BY 1),
+rec AS (
+  SELECT i.event_type, 1 AS t, CAST(i.y AS DOUBLE) AS l,
+         CAST(0 AS DOUBLE) AS b
+  FROM idx i WHERE i.t = 1
+  UNION ALL
+  SELECT r.event_type, r.t + 1,
+         0.3 * i.y + 0.7 * (r.l + r.b),
+         0.1 * ((0.3 * i.y + 0.7 * (r.l + r.b)) - r.l) + 0.9 * r.b
+  FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.t = r.t + 1
+)
+SELECT r.event_type, CAST(r.t AS BIGINT) AS n_days,
+       ROUND(r.l, 6) AS level, ROUND(r.b, 6) AS trend,
+       ROUND(r.l + r.b, 6) AS forecast_next
+FROM rec r JOIN n ON n.event_type = r.event_type AND r.t = n.tmax
+ORDER BY r.event_type
+"""
+
+
+@register(
+    "events_holt_linear_smoothing",
+    oracle=_HOLT_ORACLE,
+    tags=("events", "timeseries", "forecast", "pandas-udf"),
+    description="Holt linear smoothing per type (grouped-map pandas)",
+)
+def events_holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing of the
+    daily count series, α=0.3 β=0.1 — an inherently SEQUENTIAL
+    recurrence no relational operator expresses, so it runs as an
+    applyInPandas grouped map: aggregate first (events → ~90 daily
+    rows per type), then one Arrow batch per type walks the
+    recurrence. The oracle is a DuckDB recursive CTE stepping the
+    identical IEEE expression tree (constants written as literals,
+    never 1−α, so both engines multiply by the same doubles).
+    Per-group state is O(1); groups parallelize across executors."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        y = pdf["y"].tolist()
+        level = float(y[0])
+        trend = 0.0
+        for t in range(1, len(y)):
+            new_level = 0.3 * y[t] + 0.7 * (level + trend)
+            trend = 0.1 * (new_level - level) + 0.9 * trend
+            level = new_level
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_days": [len(y)],
+                "level": [round(level, 6)],
+                "trend": [round(trend, 6)],
+                "forecast_next": [round(level + trend, 6)],
+            }
+        )
+
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(
+            holt,
+            schema="event_type string, n_days long, level double, "
+            "trend double, forecast_next double",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weight-of-Evidence binning (credit-scoring feature transform)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_woe_binning",
+    oracle=f"""
+WITH target AS (
+  SELECT c.c_custkey, {_ACCT_CENTS} AS cents,
+         CASE WHEN EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+              THEN 1 ELSE 0 END AS y
+  FROM customer c
+),
+binned AS (
+  SELECT y, NTILE(5) OVER (ORDER BY cents, c_custkey) AS bin FROM target
+),
+g AS (
+  SELECT bin, CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - y) AS BIGINT) AS n_neg
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(n_pos) AS BIGINT) AS tp, CAST(SUM(n_neg) AS BIGINT) AS tn
+  FROM g
+)
+SELECT CAST(g.bin AS INTEGER) AS bin, g.n_pos, g.n_neg,
+  ROUND(ln((CAST(g.n_pos AS DOUBLE) / tot.tp)
+           / (CAST(g.n_neg AS DOUBLE) / tot.tn)), 6) AS woe,
+  ROUND((CAST(g.n_pos AS DOUBLE) / tot.tp
+         - CAST(g.n_neg AS DOUBLE) / tot.tn)
+        * ln((CAST(g.n_pos AS DOUBLE) / tot.tp)
+             / (CAST(g.n_neg AS DOUBLE) / tot.tn)), 6) AS iv_part
+FROM g CROSS JOIN tot ORDER BY bin
+""",
+    tags=("ext", "feature-engineering", "woe", "binning"),
+    description="Weight-of-Evidence quintile binning of account balance",
+)
+def feature_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence binning — the credit-scoring encoder:
+    balance quintiles (NTILE with a full tie-break so bin edges are
+    deterministic) scored against a binary target (customer ever
+    placed an URGENT order), WoE = ln(%pos/%neg) per bin plus the
+    information-value contribution. The target is a semi-join
+    (EXISTS), the binning one ranking window, the WoE math a 5-row
+    reduction — nothing here scales with more than one pass over
+    customers. NTILE's global ORDER BY is the scale caveat: at
+    100 TB the rewrite is quantile-cut bins from approx_percentile
+    edges, which needs no total order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    target = (
+        cust.join(urgent.withColumn("y", F.lit(1)), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            _c_cents().alias("cents"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    wb = Window.orderBy(F.col("cents").asc(), F.col("c_custkey").asc())
+    binned = target.select("y", F.ntile(5).over(wb).alias("bin"))
+    g = binned.groupBy("bin").agg(
+        F.sum("y").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
+    )
+    tot = g.agg(
+        F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn")
+    )
+    pp = F.col("n_pos").cast("double") / F.col("tp")
+    pn = F.col("n_neg").cast("double") / F.col("tn")
+    woe = F.log(pp / pn)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n_pos",
+            "n_neg",
+            F.round(woe, 6).alias("woe"),
+            F.round((pp - pn) * woe, 6).alias("iv_part"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily-revenue direction sequence
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_runs_test_randomness",
+    oracle=f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM({_CENTS}) AS BIGINT) AS rev
+  FROM orders GROUP BY 1
+),
+signs AS (
+  SELECT day, CASE WHEN rev > LAG(rev) OVER (ORDER BY day)
+              THEN 1 ELSE 0 END AS up,
+         LAG(rev) OVER (ORDER BY day) AS prev
+  FROM daily
+),
+seq AS (
+  SELECT up,
+         CASE WHEN up != LAG(up) OVER (ORDER BY day) THEN 1 ELSE 0 END
+           AS changed
+  FROM signs WHERE prev IS NOT NULL
+),
+s AS (
+  SELECT CAST(SUM(up) AS BIGINT) AS n1,
+         CAST(SUM(1 - up) AS BIGINT) AS n2,
+         CAST(1 + COALESCE(SUM(changed), 0) AS BIGINT) AS runs
+  FROM seq
+)
+SELECT n1, n2, runs,
+  ROUND((runs - (1 + 2.0 * n1 * n2 / (n1 + n2)))
+        / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+               / ((n1 + n2) * (n1 + n2) * CAST(n1 + n2 - 1 AS DOUBLE))), 4)
+    AS z_stat
+FROM s
+""",
+    tags=("stats", "runs-test", "window"),
+    description="Wald-Wolfowitz runs test on daily revenue direction",
+)
+def orders_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test: is the up/down direction of daily
+    revenue a random sequence? Days aggregate first (the series is
+    calendar-sized, not order-sized), one LAG window derives the
+    direction bits, a second counts sign changes, and the z-score
+    is pure arithmetic over three exact counts. The single-ordered
+    window over ~2400 days is driver-trivial; at scale the series
+    stays calendar-bounded no matter the fact-table size."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.sum(_o_cents()).alias("rev"))
+    w = Window.orderBy("day")
+    signs = daily.select(
+        "day",
+        F.when(F.col("rev") > F.lag("rev").over(w), 1)
+        .otherwise(0)
+        .alias("up"),
+        F.lag("rev").over(w).alias("prev"),
+    )
+    seq = signs.filter(F.col("prev").isNotNull()).select(
+        "day",
+        "up",
+        F.when(F.col("up") != F.lag("up").over(w), 1)
+        .otherwise(0)
+        .alias("changed"),
+    )
+    s = seq.agg(
+        F.sum("up").alias("n1"),
+        F.sum(F.lit(1) - F.col("up")).alias("n2"),
+        (F.lit(1) + F.coalesce(F.sum("changed"), F.lit(0))).alias("runs"),
+    )
+    n1, n2, runs = F.col("n1"), F.col("n2"), F.col("runs")
+    mu = F.lit(1) + F.lit(2.0) * n1 * n2 / (n1 + n2)
+    var = (
+        F.lit(2.0)
+        * n1
+        * n2
+        * (F.lit(2.0) * n1 * n2 - n1 - n2)
+        / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1).cast("double"))
+    )
+    return s.select(
+        "n1", "n2", "runs", F.round((runs - mu) / F.sqrt(var), 4).alias("z_stat")
+    )
