@@ -1733,3 +1733,375 @@ def orders_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "n1", "n2", "runs", F.round((runs - mu) / F.sqrt(var), 4).alias("z_stat")
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction via neighbor Jaccard (graph completion)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_jaccard_link_prediction",
+    oracle="""
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+pairs AS (
+  SELECT a.pk AS pa, b.pk AS pb
+  FROM base a JOIN base b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+edges AS (
+  SELECT pa AS u, pb AS w FROM pairs
+  UNION ALL
+  SELECT pb AS u, pa AS w FROM pairs
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+common AS (
+  SELECT e1.u AS a, e2.u AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM edges e1 JOIN edges e2 ON e1.w = e2.w AND e1.u < e2.u
+  GROUP BY 1, 2
+),
+nonadj AS (
+  SELECT c.a, c.b, c.n_common FROM common c
+  LEFT JOIN pairs p ON p.pa = c.a AND p.pb = c.b
+  WHERE p.pa IS NULL
+),
+scored AS (
+  SELECT a, b, n_common,
+         CAST(n_common AS DOUBLE) / (da.d + db.d - n_common) AS j
+  FROM nonadj
+  JOIN deg da ON da.u = a
+  JOIN deg db ON db.u = b
+)
+SELECT a, b, n_common, ROUND(j, 6) AS jaccard
+FROM scored ORDER BY j DESC, a, b LIMIT 20
+""",
+    tags=("graph", "link-prediction", "join"),
+    description="top-20 predicted links by neighbor-set Jaccard",
+)
+def graph_jaccard_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the part co-occurrence graph: for every
+    NON-adjacent pair with at least one shared neighbor, the Jaccard
+    similarity of neighbor sets; top-20 candidate links. The
+    wedge-join (edges⋈edges on the shared endpoint) generates only
+    pairs with common neighbors — never the node-pair cross product
+    — and the anti-join removes existing edges. Ranked on the
+    unrounded single-division double both engines share bitwise."""
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = base.select("ok", F.col("pk").alias("pa"))
+    b = base.select("ok", F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(
+        F.col("pa").alias("u"), F.col("pb").alias("w")
+    ).unionAll(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("w")))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("u").alias("a"), "w")
+    e2 = edges.select(F.col("u").alias("b"), "w")
+    common = (
+        e1.join(e2, "w")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nonadj = common.join(
+        pairs.select(
+            F.col("pa").alias("a"), F.col("pb").alias("b")
+        ),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("u").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("b"), F.col("d").alias("db"))
+    scored = (
+        nonadj.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common"))
+            ).alias("j"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("j").desc(), "a", "b")
+        .limit(20)
+        .select("a", "b", "n_common", F.round("j", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-trigram language profiles (langid feature extraction)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_char_trigram_profile",
+    oracle="""
+WITH tri AS (
+  SELECT lang, substr(text, i, 3) AS tg
+  FROM documents, UNNEST(range(1, len(text) - 1)) AS r(i)
+),
+counts AS (
+  SELECT lang, tg, CAST(COUNT(*) AS BIGINT) AS cnt FROM tri GROUP BY 1, 2
+),
+ranked AS (
+  SELECT lang, tg, cnt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, tg) AS rk
+  FROM counts
+)
+SELECT lang, CAST(rk AS INTEGER) AS rk, tg, cnt
+FROM ranked WHERE rk <= 10 ORDER BY lang, rk
+""",
+    tags=("ext", "text", "langid", "char-ngram"),
+    description="top-10 character trigrams per language",
+)
+def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram frequency profiles per language — the
+    feature table a real n-gram language identifier trains on (the
+    upgrade path from text_langid_heuristic's stopword ratio).
+    Trigrams explode as a per-row sequence transform (map-side),
+    collapse in one hash aggregate, and a per-language ranking
+    window takes the top-10: count-then-rank keeps the window input
+    at vocabulary size, not corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tri = spread(docs.select("lang", "text")).select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("tg"),
+    )
+    counts = tri.groupBy("lang", "tg").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cnt").desc(), F.col("tg").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("lang", F.col("rk").cast("int").alias("rk"), "tg", "cnt")
+        .orderBy("lang", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH band tuning sweep (precision/recall vs band count)
+# ---------------------------------------------------------------------------
+
+
+def _band_sweep_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.ext_queries import (
+        _JACCARD_CTE,
+        _SHINGLE_CTE,
+        _SIGS_CTE,
+    )
+
+    k = 8
+    parts = ["WITH " + _SHINGLE_CTE + ", " + _SIGS_CTE + "," + _JACCARD_CTE]
+    configs = (1, 2, 4, 8)
+    for bands in configs:
+        rows = k // bands
+        band_sel = " UNION ALL ".join(
+            f"SELECT doc_id, {b} AS band_id, "
+            f"md5({' || '.join(f'mh{b * rows + r}' for r in range(rows))})"
+            " AS band_hash FROM sigs"
+            for b in range(bands)
+        )
+        parts.append(
+            f""",
+bands{bands} AS ({band_sel}),
+cand{bands} AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands{bands} a JOIN bands{bands} b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+stat{bands} AS (
+  SELECT {bands} AS bands, {rows} AS rows_per_band,
+         CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         CAST(COALESCE(SUM(CASE WHEN j.jaccard >= 0.5 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_true_pos
+  FROM cand{bands} c LEFT JOIN jac j USING (doc_a, doc_b)
+)"""
+        )
+    parts.append(
+        """,
+truth AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM jac WHERE jaccard >= 0.5
+),
+sweep AS ("""
+        + " UNION ALL ".join(f"SELECT * FROM stat{b}" for b in configs)
+        + """)
+SELECT CAST(s.bands AS INTEGER) AS bands,
+       CAST(s.rows_per_band AS INTEGER) AS rows_per_band,
+       s.n_candidates, s.n_true_pos, t.n_truth,
+       CASE WHEN s.n_candidates > 0
+            THEN ROUND(CAST(s.n_true_pos AS DOUBLE) / s.n_candidates, 6)
+       END AS precision,
+       ROUND(CAST(s.n_true_pos AS DOUBLE) / t.n_truth, 6) AS recall
+FROM sweep s CROSS JOIN truth t ORDER BY bands
+"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "dedup_lsh_band_sweep",
+    oracle=_band_sweep_oracle(),
+    tags=("ext", "dedup", "minhash", "lsh", "tuning"),
+    description="LSH band-count sweep: precision/recall per config",
+)
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH S-curve, measured: candidate count, precision, and
+    recall (vs exact Jaccard ≥ 0.5) for every banding of the k=8
+    MinHash signature — b=1 (one strict 8-row band) through b=8
+    (eight permissive 1-row bands). This is the tuning table an
+    operator consults before fixing (b, r) for a 100 TB dedup run;
+    the signature table is computed ONCE and re-banded per config
+    (banding is a projection — only the tiny candidate joins
+    repeat)."""
+    from wilayah_aceh_etl_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.distinct_shingles(docs, "doc_id")
+    sigs = D.minhash_signatures(sh, k=8)
+    jac = D.jaccard_pairs(sh)
+    truth = jac.filter(F.col("jaccard") >= 0.5).agg(
+        F.count(F.lit(1)).alias("n_truth")
+    )
+    stats = []
+    for bands in (1, 2, 4, 8):
+        cand = D.lsh_candidate_pairs(D.lsh_band_hashes(sigs, k=8, bands=bands))
+        stats.append(
+            cand.join(jac, ["doc_a", "doc_b"], "left").agg(
+                F.lit(bands).alias("bands"),
+                F.lit(8 // bands).alias("rows_per_band"),
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("n_true_pos"),
+            )
+        )
+    sweep = stats[0]
+    for s in stats[1:]:
+        sweep = sweep.unionByName(s)
+    return (
+        sweep.crossJoin(F.broadcast(truth))
+        .select(
+            F.col("bands").cast("int").alias("bands"),
+            F.col("rows_per_band").cast("int").alias("rows_per_band"),
+            "n_candidates",
+            F.col("n_true_pos").cast("long").alias("n_true_pos"),
+            "n_truth",
+            F.when(
+                F.col("n_candidates") > 0,
+                F.round(
+                    F.col("n_true_pos").cast("double")
+                    / F.col("n_candidates"),
+                    6,
+                ),
+            ).alias("precision"),
+            F.round(
+                F.col("n_true_pos").cast("double") / F.col("n_truth"), 6
+            ).alias("recall"),
+        )
+        .orderBy("bands")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov conditional entropy per source state
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_markov_conditional_entropy",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+c AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+rowtot AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS n_out FROM c GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM c)
+SELECT c.prev_type, r.n_out,
+  ROUND(CAST(r.n_out AS DOUBLE) / t.n_all, 6) AS pi,
+  ROUND(SUM(CAST(c.n AS DOUBLE) / r.n_out
+            * ln(CAST(r.n_out AS DOUBLE) / c.n)), 6) AS h_cond
+FROM c
+JOIN rowtot r USING (prev_type)
+CROSS JOIN tot t
+GROUP BY c.prev_type, r.n_out, t.n_all
+ORDER BY c.prev_type
+""",
+    tags=("events", "markov", "entropy", "sequence"),
+    description="per-state conditional entropy of the type transition chain",
+)
+def events_markov_conditional_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conditional entropy H(next | prev=s) of the event-type Markov
+    chain, with each state's empirical stationary weight — the
+    information-theoretic summary of user-behavior predictability
+    (events_type_transitions gives the raw counts; this reduces
+    them). All probabilities are single divisions of exact BIGINT
+    counts; the per-state entropy sums ≤5 terms, so float ordering
+    is immaterial at the display rounding."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    rowtot = c.groupBy("prev_type").agg(F.sum("n").alias("n_out"))
+    tot = c.agg(F.sum("n").alias("n_all"))
+    term = (
+        F.col("n").cast("double")
+        / F.col("n_out")
+        * F.log(F.col("n_out").cast("double") / F.col("n"))
+    )
+    return (
+        c.join(rowtot, "prev_type")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("prev_type", "n_out", "n_all")
+        .agg(F.round(F.sum(term), 6).alias("h_cond"))
+        .select(
+            "prev_type",
+            "n_out",
+            F.round(
+                F.col("n_out").cast("double") / F.col("n_all"), 6
+            ).alias("pi"),
+            "h_cond",
+        )
+        .orderBy("prev_type")
+    )
