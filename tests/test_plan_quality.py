@@ -46,6 +46,8 @@ NLJ_ALLOWED = {
     "basket_association_rules",  # 1-row basket-count total broadcast
     # inherits brute_force_topk's query≠candidate non-equi broadcast
     "embedding_knn_label_vote",
+    # brute-force first stage + ≤8-row-slate pairwise-sim non-equi joins
+    "similarity_mmr_rerank",
     "feature_onehot_class_weights",  # 1-row customer-total broadcast
     "feature_woe_binning",  # 1-row pos/neg-total broadcast
     "dedup_lsh_band_sweep",  # 1-row ground-truth-count broadcast

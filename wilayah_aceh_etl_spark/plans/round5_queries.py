@@ -2105,3 +2105,183 @@ def events_markov_conditional_entropy(
         )
         .orderBy("prev_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR (maximal marginal relevance) diversified rerank — greedy
+# selection unrolled to a fixed number of relational stages
+# ---------------------------------------------------------------------------
+
+
+def _mmr_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.ext_queries import _COS, _VEC_CTE
+
+    cos_q = _COS.format(a="qe", b="e")
+    cos_p = _COS.format(a="ea", b="eb")
+    stages = []
+    for i in range(2, 5):
+        prev = f"sel{i - 1}"
+        stages.append(
+            f""",
+sc{i} AS (
+  SELECT c.query_id, c.vec_id, c.rel,
+         0.7 * c.rel - 0.3 * MAX(p.s) AS score
+  FROM cand c
+  JOIN {prev} sl ON sl.query_id = c.query_id
+  JOIN psim p ON p.query_id = c.query_id AND p.a = c.vec_id
+             AND p.b = sl.vec_id
+  WHERE NOT EXISTS (SELECT 1 FROM {prev} x
+                    WHERE x.query_id = c.query_id
+                      AND x.vec_id = c.vec_id)
+  GROUP BY c.query_id, c.vec_id, c.rel
+),
+s{i} AS (
+  SELECT query_id, vec_id, {i} AS rank, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, vec_id) AS rk
+    FROM sc{i}) WHERE rk = 1
+),
+sel{i} AS (SELECT query_id, vec_id FROM {prev}
+           UNION ALL SELECT query_id, vec_id FROM s{i})"""
+        )
+    return (
+        "WITH "
+        + _VEC_CTE
+        + f""",
+q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 3),
+scored AS (
+  SELECT query_id, vec_id, ROUND({cos_q}, 6) AS rel
+  FROM q, v WHERE vec_id != query_id
+),
+cand AS (
+  SELECT query_id, vec_id, rel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, vec_id) AS rk
+    FROM scored) WHERE rk <= 8
+),
+pv AS (
+  SELECT c.query_id, c.vec_id, v.e FROM cand c JOIN v USING (vec_id)
+),
+psim AS (
+  SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+         ROUND({cos_p.replace("ea", "a.e").replace("eb", "b.e")}, 6) AS s
+  FROM pv a JOIN pv b ON a.query_id = b.query_id
+                     AND a.vec_id != b.vec_id
+),
+s1 AS (
+  SELECT query_id, vec_id, 1 AS rank, rel AS score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY rel DESC, vec_id) AS rk
+    FROM cand) WHERE rk = 1
+),
+sel1 AS (SELECT query_id, vec_id FROM s1)"""
+        + "".join(stages)
+        + """
+SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id,
+       ROUND(score, 6) AS score
+FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)
+ORDER BY query_id, rank
+"""
+    )
+
+
+@register(
+    "similarity_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("ext", "similarity", "retrieval", "mmr", "rerank"),
+    description="MMR diversified rerank: greedy λ=0.7 selection of 4",
+)
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance rerank — the diversity-aware
+    second stage of a retrieval pipeline: from each query's top-8
+    cosine candidates, greedily select 4, each maximizing
+    0.7·relevance − 0.3·max-similarity-to-already-selected. The
+    greedy recurrence is unrolled into a FIXED number of relational
+    stages (k_out = 4), each one join + ranking window over the
+    per-query candidate slate (≤8 rows) — so the iterative part
+    never touches the corpus, only the first-stage top-k does.
+    Relevance and pairwise sims are rounded once on both engines,
+    making every greedy tie-break reproducible."""
+    from wilayah_aceh_etl_spark.functions.vectors import as_double, cosine
+    from wilayah_aceh_etl_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    cand = S.brute_force_topk(emb, q, k=8).select(
+        "query_id", "vec_id", F.col("cos_sim").alias("rel")
+    )
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    pv = cand.join(vecs, "vec_id").select("query_id", "vec_id", "e")
+    pa = pv.select(
+        "query_id", F.col("vec_id").alias("a"), F.col("e").alias("ea")
+    )
+    pb = pv.select(
+        "query_id", F.col("vec_id").alias("b"), F.col("e").alias("eb")
+    )
+    psim = (
+        pa.join(pb, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("s"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("vec_id").asc()
+    )
+    s1 = (
+        cand.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            "vec_id",
+            F.lit(1).alias("rank"),
+            F.col("rel").alias("score"),
+        )
+    )
+    picked = [s1]
+    sel = s1.select("query_id", "vec_id")
+    for i in range(2, 5):
+        remaining = cand.join(sel, ["query_id", "vec_id"], "left_anti")
+        sc = (
+            remaining.join(
+                sel.select(
+                    "query_id", F.col("vec_id").alias("sel_vec")
+                ),
+                "query_id",
+            )
+            .join(
+                psim,
+                (F.col("a") == F.col("vec_id"))
+                & (F.col("b") == F.col("sel_vec"))
+                & (psim.query_id == remaining.query_id),
+            )
+            .groupBy(remaining.query_id, "vec_id", "rel")
+            .agg(
+                (
+                    F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.max("s")
+                ).alias("score")
+            )
+        )
+        wi = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("vec_id").asc()
+        )
+        si = (
+            sc.withColumn("rk", F.row_number().over(wi))
+            .filter(F.col("rk") == 1)
+            .select("query_id", "vec_id", F.lit(i).alias("rank"), "score")
+        )
+        picked.append(si)
+        sel = sel.unionByName(si.select("query_id", "vec_id"))
+    out = picked[0]
+    for p in picked[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "query_id",
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id",
+        F.round("score", 6).alias("score"),
+    ).orderBy("query_id", "rank")
