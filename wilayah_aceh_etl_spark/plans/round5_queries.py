@@ -2285,3 +2285,220 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round("score", 6).alias("score"),
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing trick (64-bin token hashing)
+# ---------------------------------------------------------------------------
+
+_H4_TOK = " + ".join(
+    f"(instr('0123456789abcdef', md5(tok)[{p}:{p}]) - 1) * {w}"
+    for p, w in ((1, 4096), (2, 256), (3, 16), (4, 1))
+)
+
+
+@register(
+    "feature_hashing_trick",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < 100
+),
+binned AS (
+  SELECT doc_id, ({_H4_TOK}) % 64 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(MAX(cnt) AS BIGINT) AS max_bin_cnt,
+       CAST(SUM(bin * cnt) AS BIGINT) AS vec_checksum
+FROM binned GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("ext", "feature-engineering", "hashing-trick", "text"),
+    description="64-bin feature-hashing of tokens, per-doc summary",
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: tokens hashed into a fixed 64-bin feature
+    space (md5-derived bin, engine-portable — same digit arithmetic
+    as the MinHash family), the vocabulary-free vectorizer used when
+    a 100 TB corpus can't afford a fitted dictionary. Purely
+    map-side per doc until one hash aggregate; the output summarizes
+    each sparse vector (bin count, hottest bin, checksum) so the
+    whole vector contract is oracle-checked without 64 columns."""
+    from wilayah_aceh_etl_spark.functions.text import hex4_to_int
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    binned = toks.select(
+        "doc_id", (hex4_to_int(F.md5(F.col("tok"))) % 64).alias("bin")
+    ).groupBy("doc_id", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        binned.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            F.max("cnt").alias("max_bin_cnt"),
+            F.sum(F.col("bin") * F.col("cnt")).alias("vec_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized / trimmed robust statistics per segment
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_winsorized_stats",
+    oracle=f"""
+WITH c AS (
+  SELECT c_mktsegment, {_ACCT_CENTS} AS cents FROM customer
+),
+p AS (
+  SELECT c_mktsegment,
+         quantile_disc(cents, 0.05) AS p05,
+         quantile_disc(cents, 0.95) AS p95
+  FROM c GROUP BY c_mktsegment
+)
+SELECT c.c_mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(p.p05 AS BIGINT) AS p05_cents,
+  CAST(p.p95 AS BIGINT) AS p95_cents,
+  ROUND(CAST(SUM(LEAST(GREATEST(c.cents, p.p05), p.p95)) AS DOUBLE)
+        / COUNT(*), 4) AS winsorized_mean,
+  ROUND(CAST(SUM(CASE WHEN c.cents BETWEEN p.p05 AND p.p95
+                      THEN c.cents END) AS DOUBLE)
+        / SUM(CASE WHEN c.cents BETWEEN p.p05 AND p.p95
+                   THEN 1 ELSE 0 END), 4) AS trimmed_mean
+FROM c JOIN p USING (c_mktsegment)
+GROUP BY c.c_mktsegment, p.p05, p.p95
+ORDER BY c.c_mktsegment
+""",
+    tags=("stats", "robust", "winsorize", "agg"),
+    description="winsorized and trimmed means per market segment",
+)
+def customer_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (clamp to the 5th/95th discrete percentiles)
+    and trimmed mean (drop beyond them) of account balance per
+    segment — the robust-location estimators run before fitting on
+    heavy-tailed monetary features. DISCRETE percentiles keep every
+    intermediate an exact BIGINT (clamped values are actual data
+    values), so both means are one exact integer sum and one double
+    division — no float-accumulation ambiguity."""
+    cust = load_table(spark, sf_dir, "customer")
+    c = cust.select("c_mktsegment", _c_cents().alias("cents"))
+    p = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p05"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p95"),
+    )
+    j = c.join(F.broadcast(p), "c_mktsegment")
+    clamped = F.least(F.greatest(F.col("cents"), F.col("p05")), F.col("p95"))
+    inside = F.col("cents").between(F.col("p05"), F.col("p95"))
+    return (
+        j.groupBy("c_mktsegment", "p05", "p95")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(clamped).cast("double") / F.count(F.lit(1)), 4
+            ).alias("winsorized_mean"),
+            F.round(
+                F.sum(F.when(inside, F.col("cents"))).cast("double")
+                / F.sum(F.when(inside, 1).otherwise(0)),
+                4,
+            ).alias("trimmed_mean"),
+        )
+        .select(
+            "c_mktsegment",
+            "n",
+            F.col("p05").alias("p05_cents"),
+            F.col("p95").alias("p95_cents"),
+            "winsorized_mean",
+            "trimmed_mean",
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's d effect size from exact moments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_cohens_d_priority",
+    oracle=f"""
+WITH g AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({_CENTS}) AS BIGINT) AS s,
+         CAST(SUM({_CENTS} * {_CENTS}) AS BIGINT) AS ss
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+  GROUP BY o_orderpriority
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN n END) AS n1,
+    MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN s END) AS s1,
+    MAX(CASE WHEN o_orderpriority = '1-URGENT' THEN ss END) AS ss1,
+    MAX(CASE WHEN o_orderpriority = '5-LOW' THEN n END) AS n2,
+    MAX(CASE WHEN o_orderpriority = '5-LOW' THEN s END) AS s2,
+    MAX(CASE WHEN o_orderpriority = '5-LOW' THEN ss END) AS ss2
+  FROM g
+)
+SELECT n1, n2,
+  ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+    / sqrt(((ss1 - CAST(s1 AS DOUBLE) * s1 / n1)
+            + (ss2 - CAST(s2 AS DOUBLE) * s2 / n2))
+           / (n1 + n2 - 2)), 6) AS cohens_d
+FROM w
+""",
+    tags=("stats", "effect-size", "agg"),
+    description="Cohen's d: URGENT vs LOW order totals",
+)
+def orders_cohens_d_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size between URGENT and LOW
+    priority order totals — mean difference over the pooled sample
+    standard deviation, every term derived from exact BIGINT
+    moments gathered in ONE pass (conditional aggregation pivots
+    the two groups into one row — no second scan, no join)."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    cents = _o_cents()
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    )
+
+    def pick(col: str, prio: str):
+        return F.max(
+            F.when(F.col("o_orderpriority") == prio, F.col(col))
+        )
+
+    w = g.agg(
+        pick("n", "1-URGENT").alias("n1"),
+        pick("s", "1-URGENT").alias("s1"),
+        pick("ss", "1-URGENT").alias("ss1"),
+        pick("n", "5-LOW").alias("n2"),
+        pick("s", "5-LOW").alias("s2"),
+        pick("ss", "5-LOW").alias("ss2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    ssw1 = F.col("ss1") - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+    ssw2 = F.col("ss2") - F.col("s2").cast("double") * F.col("s2") / F.col("n2")
+    pooled = F.sqrt((ssw1 + ssw2) / (F.col("n1") + F.col("n2") - 2))
+    return w.select(
+        "n1", "n2", F.round((m1 - m2) / pooled, 6).alias("cohens_d")
+    )
