@@ -1361,6 +1361,7 @@ def events_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _VAL_MICROS = "CAST(ROUND(value * 1000000) AS BIGINT)"
+_VAL_CENTS = "CAST(ROUND(value * 100) AS BIGINT)"
 
 
 @register(
@@ -2502,3 +2503,327 @@ def orders_cohens_d_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "n1", "n2", F.round((m1 - m2) / pooled, 6).alias("cohens_d")
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-core decomposition (two unrolled peeling rounds)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_2core_peeling",
+    oracle="""
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+prs AS (
+  SELECT a.pk AS pa, b.pk AS pb
+  FROM base a JOIN base b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+edges AS (
+  SELECT pa AS u, pb AS w FROM prs
+  UNION ALL SELECT pb AS u, pa AS w FROM prs
+),
+deg0 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+keep1 AS (SELECT u FROM deg0 WHERE d >= 2),
+e1 AS (
+  SELECT e.u, e.w FROM edges e
+  JOIN keep1 a ON a.u = e.u JOIN keep1 b ON b.u = e.w
+),
+deg1 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e1 GROUP BY u),
+keep2 AS (SELECT u FROM deg1 WHERE d >= 2),
+e2 AS (
+  SELECT e.u, e.w FROM e1 e
+  JOIN keep2 a ON a.u = e.u JOIN keep2 b ON b.u = e.w
+),
+deg2 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e2 GROUP BY u)
+SELECT d0.u AS node, d0.d AS deg_initial, d2.d AS deg_after_2_peels
+FROM deg0 d0 JOIN deg2 d2 ON d2.u = d0.u
+ORDER BY node
+""",
+    tags=("graph", "k-core", "iterative", "join"),
+    description="2-core peeling: nodes surviving two degree-2 prunes",
+)
+def graph_2core_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition's inner loop, unrolled twice for k=2:
+    compute degrees, drop nodes below 2, induce the subgraph, and
+    repeat — the community-detection preprocessing that strips
+    tendrils off a graph. Each peel is one degree aggregate + two
+    semi-join-shaped edge filters; rounds are checkpointable at
+    scale and the edge list only shrinks."""
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = base.select("ok", F.col("pk").alias("pa"))
+    b = base.select("ok", F.col("pk").alias("pb"))
+    prs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    edges = prs.select(
+        F.col("pa").alias("u"), F.col("pb").alias("w")
+    ).unionAll(prs.select(F.col("pb").alias("u"), F.col("pa").alias("w")))
+    deg0 = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    cur = edges
+    for _ in range(2):
+        deg = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= 2).select("u")
+        cur = (
+            cur.join(keep, "u")
+            .join(keep.select(F.col("u").alias("w")), "w")
+            .select("u", "w")
+        )
+    deg2 = cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        deg0.select(
+            F.col("u").alias("node"), F.col("d").alias("deg_initial")
+        )
+        .join(
+            deg2.select(
+                F.col("u").alias("node"),
+                F.col("d").alias("deg_after_2_peels"),
+            ),
+            "node",
+        )
+        .orderBy("node")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (unequal variances) between two event types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_welch_t_test",
+    oracle=f"""
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({_VAL_CENTS}) AS BIGINT) AS s,
+         CAST(SUM({_VAL_CENTS} * {_VAL_CENTS}) AS BIGINT) AS ss
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY event_type
+),
+w AS (
+  SELECT
+    MAX(CASE WHEN event_type = 'click' THEN n END) AS n1,
+    MAX(CASE WHEN event_type = 'click' THEN s END) AS s1,
+    MAX(CASE WHEN event_type = 'click' THEN ss END) AS ss1,
+    MAX(CASE WHEN event_type = 'view' THEN n END) AS n2,
+    MAX(CASE WHEN event_type = 'view' THEN s END) AS s2,
+    MAX(CASE WHEN event_type = 'view' THEN ss END) AS ss2
+  FROM g
+),
+v AS (
+  SELECT n1, n2,
+    (ss1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) / n1 AS a,
+    (ss2 - CAST(s2 AS DOUBLE) * s2 / n2) / (n2 - 1) / n2 AS b,
+    CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2 AS md
+  FROM w
+)
+SELECT n1, n2,
+  ROUND(md / sqrt(a + b) / 100.0, 4) AS t_stat_units,
+  ROUND((a + b) * (a + b) / (a * a / (n1 - 1) + b * b / (n2 - 1)), 2)
+    AS df_welch
+FROM v
+""",
+    tags=("stats", "t-test", "agg"),
+    description="Welch's t-test: click vs view mean value",
+)
+def events_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event types'
+    value distributions, with the Welch-Satterthwaite degrees of
+    freedom — the A/B-test primitive. Values are exact integer
+    centi-units; one conditional-aggregation pass pivots both
+    groups into a single row of moments, and the t statistic and df
+    are fixed double expressions over them (t reported in original
+    units — the centi scale cancels in the ratio up to the 1e2
+    factor divided back out)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    micros = F.round(F.col("value") * 100).cast("long")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(micros).alias("s"),
+        F.sum(micros * micros).alias("ss"),
+    )
+
+    def pick(col: str, et: str):
+        return F.max(F.when(F.col("event_type") == et, F.col(col)))
+
+    w = g.agg(
+        pick("n", "click").alias("n1"),
+        pick("s", "click").alias("s1"),
+        pick("ss", "click").alias("ss1"),
+        pick("n", "view").alias("n2"),
+        pick("s", "view").alias("s2"),
+        pick("ss", "view").alias("ss2"),
+    )
+    a = (
+        (F.col("ss1") - F.col("s1").cast("double") * F.col("s1") / F.col("n1"))
+        / (F.col("n1") - 1)
+        / F.col("n1")
+    )
+    b = (
+        (F.col("ss2") - F.col("s2").cast("double") * F.col("s2") / F.col("n2"))
+        / (F.col("n2") - 1)
+        / F.col("n2")
+    )
+    md = F.col("s1").cast("double") / F.col("n1") - F.col("s2").cast(
+        "double"
+    ) / F.col("n2")
+    v = w.select("n1", "n2", a.alias("a"), b.alias("b"), md.alias("md"))
+    return v.select(
+        "n1",
+        "n2",
+        F.round(
+            F.col("md") / F.sqrt(F.col("a") + F.col("b")) / 100.0, 4
+        ).alias("t_stat_units"),
+        F.round(
+            (F.col("a") + F.col("b"))
+            * (F.col("a") + F.col("b"))
+            / (
+                F.col("a") * F.col("a") / (F.col("n1") - 1)
+                + F.col("b") * F.col("b") / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash Jaccard-estimate calibration vs exact ground truth
+# ---------------------------------------------------------------------------
+
+
+def _mh_est_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.ext_queries import (
+        _JACCARD_CTE,
+        _SHINGLE_CTE,
+        _SIGS_CTE,
+    )
+
+    matches = " + ".join(
+        f"(CASE WHEN a.mh{s} = b.mh{s} THEN 1 ELSE 0 END)" for s in range(8)
+    )
+    return (
+        "WITH "
+        + _SHINGLE_CTE
+        + ", "
+        + _SIGS_CTE
+        + ","
+        + _JACCARD_CTE
+        + f""",
+est AS (
+  SELECT j.doc_a, j.doc_b, j.jaccard,
+         ROUND(({matches}) / 8.0, 4) AS mh_estimate
+  FROM jac j
+  JOIN sigs a ON a.doc_id = j.doc_a
+  JOIN sigs b ON b.doc_id = j.doc_b
+  WHERE j.jaccard >= 0.4
+)
+SELECT doc_a, doc_b, jaccard, mh_estimate,
+       ROUND(ABS(mh_estimate - jaccard), 4) AS abs_err
+FROM est ORDER BY doc_a, doc_b
+"""
+    )
+
+
+@register(
+    "dedup_minhash_estimate_calibration",
+    oracle=_mh_est_oracle(),
+    tags=("ext", "dedup", "minhash", "calibration"),
+    description="MinHash Jaccard estimate vs exact, per near-dup pair",
+)
+def dedup_minhash_estimate_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch calibration: for every pair with exact Jaccard ≥ 0.4,
+    the MinHash estimate (matching components / k) next to the
+    truth and the absolute error — the measurement that justifies
+    k=8 for a 0.5-threshold dedup (estimator std ≈ √(J(1−J)/k)).
+    Exact Jaccard is the expensive side and exists already as the
+    shingle equi-join; the estimate is a signature join, k integer
+    comparisons per pair."""
+    from wilayah_aceh_etl_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.distinct_shingles(docs, "doc_id")
+    sigs = D.minhash_signatures(sh, k=8)
+    jac = D.jaccard_pairs(sh).filter(F.col("jaccard") >= 0.4)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(8)],
+    )
+    matches = None
+    for s in range(8):
+        m = F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        matches = m if matches is None else matches + m
+    return (
+        jac.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.round(matches / 8.0, 4).alias("mh_estimate"),
+            F.round(F.abs(matches / 8.0 - F.col("jaccard")), 4).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval arithmetic battery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "date_interval_arithmetic_battery",
+    oracle="""
+SELECT o_orderkey,
+  CAST(o_orderdate + INTERVAL 90 DAY AS VARCHAR) AS plus_90d,
+  CAST(o_orderdate - INTERVAL 36 HOUR AS VARCHAR) AS minus_36h,
+  CAST(o_orderdate + INTERVAL 2 MONTH AS VARCHAR) AS plus_2mo,
+  CAST(CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS VARCHAR)
+    AS quarter_start,
+  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end
+FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey
+""",
+    tags=("sql-surface", "date", "interval"),
+    description="INTERVAL arithmetic battery: day/hour/month, trunc, last_day",
+)
+def date_interval_arithmetic_battery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ANSI INTERVAL arithmetic on timestamps: day and sub-day
+    offsets, calendar-aware month addition (end-of-month clamping),
+    quarter truncation, and month-end — the temporal-expression
+    surface ETL date logic leans on. Pure projections; results
+    serialized to strings so both engines' temporal types compare
+    byte-identically."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        (d + F.expr("INTERVAL 90 DAY")).cast("string").alias("plus_90d"),
+        (d - F.expr("INTERVAL 36 HOUR")).cast("string").alias("minus_36h"),
+        (d + F.expr("INTERVAL 2 MONTH")).cast("string").alias("plus_2mo"),
+        F.date_trunc("quarter", d).cast("string").alias("quarter_start"),
+        F.last_day(d).cast("string").alias("month_end"),
+    ).orderBy("o_orderkey")
