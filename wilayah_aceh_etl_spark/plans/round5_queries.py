@@ -2248,19 +2248,15 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(2, 5):
         remaining = cand.join(sel, ["query_id", "vec_id"], "left_anti")
         sc = (
-            remaining.join(
-                sel.select(
-                    "query_id", F.col("vec_id").alias("sel_vec")
-                ),
-                "query_id",
+            remaining.select(
+                "query_id", F.col("vec_id").alias("a"), "rel"
             )
             .join(
-                psim,
-                (F.col("a") == F.col("vec_id"))
-                & (F.col("b") == F.col("sel_vec"))
-                & (psim.query_id == remaining.query_id),
+                sel.select("query_id", F.col("vec_id").alias("b")),
+                "query_id",
             )
-            .groupBy(remaining.query_id, "vec_id", "rel")
+            .join(psim, ["query_id", "a", "b"])
+            .groupBy("query_id", F.col("a").alias("vec_id"), "rel")
             .agg(
                 (
                     F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.max("s")
