@@ -2823,3 +2823,309 @@ def date_interval_arithmetic_battery(
         F.date_trunc("quarter", d).cast("string").alias("quarter_start"),
         F.last_day(d).cast("string").alias("month_end"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC via the Mann-Whitney rank sum
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "model_eval_roc_auc_rank_sum",
+    oracle=f"""
+WITH t AS (
+  SELECT c.c_custkey, {_ACCT_CENTS} AS cents,
+         CASE WHEN EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+              THEN 1 ELSE 0 END AS y
+  FROM customer c
+),
+ranked AS (
+  SELECT y,
+         RANK() OVER (ORDER BY cents) AS r_lo,
+         CAST(COUNT(*) OVER (PARTITION BY cents) AS BIGINT) AS c_ties
+  FROM t
+),
+s AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+         SUM(CASE WHEN y = 1
+                  THEN r_lo + (c_ties - 1) / 2.0 ELSE 0 END) AS rank_sum
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+  ROUND((rank_sum - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6)
+    AS auc
+FROM s
+""",
+    tags=("ext", "model-eval", "auc", "window"),
+    description="exact ROC-AUC of balance→urgent-order via rank sum",
+)
+def model_eval_roc_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC without materializing the curve: the
+    Mann-Whitney identity AUC = (R⁺ − n⁺(n⁺+1)/2)/(n⁺n⁻), with
+    tie-corrected average ranks (rank + (ties−1)/2 — every term a
+    half-integer, so the sum stays exactly representable). This is
+    the model-evaluation metric computed the way a 100 TB engine
+    must: one global rank (sort-based, the one wide operation), one
+    aggregate — never the O(n²) pair comparison the textbook
+    definition implies. Score = account balance, label = ever
+    placed an URGENT order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    t = (
+        cust.join(urgent.withColumn("y", F.lit(1)), "c_custkey", "left")
+        .select(
+            _c_cents().alias("cents"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    ranked = t.select(
+        "y",
+        F.rank().over(Window.orderBy("cents")).alias("r_lo"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cents"))
+        .alias("c_ties"),
+    )
+    s = ranked.agg(
+        F.sum("y").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).alias("n_neg"),
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                F.col("r_lo") + (F.col("c_ties") - 1) / 2.0,
+            ).otherwise(0.0)
+        ).alias("rank_sum"),
+    )
+    return s.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift / gains table
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "model_eval_decile_lift",
+    oracle=f"""
+WITH t AS (
+  SELECT c.c_custkey, {_ACCT_CENTS} AS cents,
+         CASE WHEN EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+              THEN 1 ELSE 0 END AS y
+  FROM customer c
+),
+d AS (
+  SELECT y, NTILE(10) OVER (ORDER BY cents DESC, c_custkey) AS decile
+  FROM t
+),
+g AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM d GROUP BY decile
+),
+c AS (
+  SELECT decile, n, n_pos,
+         CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+         CAST(SUM(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+         CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+         CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+  FROM g
+)
+SELECT CAST(decile AS INTEGER) AS decile, n, n_pos,
+  ROUND(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS cum_capture,
+  ROUND((CAST(cum_pos AS DOUBLE) / cum_n)
+        / (CAST(tot_pos AS DOUBLE) / tot_n), 6) AS cum_lift
+FROM c ORDER BY decile
+""",
+    tags=("ext", "model-eval", "lift", "window"),
+    description="decile gains table: capture and cumulative lift",
+)
+def model_eval_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decile lift/gains table — the campaign-targeting readout
+    of a scored population: rank by score, cut into deciles, and
+    report each prefix's capture rate and lift over the base rate.
+    One ranking window (with a full tie-break so decile edges are
+    deterministic), one 10-row aggregate, two running sums over 10
+    rows; every ratio divides exact BIGINTs."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    t = (
+        cust.join(urgent.withColumn("y", F.lit(1)), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            _c_cents().alias("cents"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    d = t.select(
+        "y",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("cents").desc(), F.col("c_custkey")))
+        .alias("decile"),
+    )
+    g = d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")
+    )
+    wo = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.sum("n").over(wo).alias("cum_n"),
+        F.sum("n_pos").over(wo).alias("cum_pos"),
+        F.sum("n").over(wall).alias("tot_n"),
+        F.sum("n_pos").over(wall).alias("tot_pos"),
+    )
+    return c.select(
+        F.col("decile").cast("int").alias("decile"),
+        "n",
+        "n_pos",
+        F.round(F.col("cum_pos").cast("double") / F.col("tot_pos"), 6).alias(
+            "cum_capture"
+        ),
+        F.round(
+            (F.col("cum_pos").cast("double") / F.col("cum_n"))
+            / (F.col("tot_pos").cast("double") / F.col("tot_n")),
+            6,
+        ).alias("cum_lift"),
+    ).orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# Brier score + calibration bins, integer-exact
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "model_eval_calibration_bins",
+    oracle=f"""
+WITH t AS (
+  SELECT c.c_custkey, {_ACCT_CENTS} AS cents,
+         CASE WHEN EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+              THEN 1 ELSE 0 END AS y
+  FROM customer c
+),
+r AS (
+  SELECT y,
+         ROW_NUMBER() OVER (ORDER BY cents, c_custkey) - 1 AS r0,
+         CAST(COUNT(*) OVER () AS BIGINT) - 1 AS nm1
+  FROM t
+),
+b AS (
+  SELECT y, r0, nm1,
+         LEAST(CAST((10 * r0) // nm1 AS BIGINT), 9) AS bin,
+         (r0 - y * nm1) * (r0 - y * nm1) AS sq_num
+  FROM r
+)
+SELECT CAST(bin AS INTEGER) AS bin,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(CAST(SUM(r0) AS DOUBLE) / COUNT(*) / MAX(nm1), 6) AS avg_score,
+  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos,
+  ROUND(CAST(SUM(sq_num) AS DOUBLE) / (MAX(nm1) * MAX(nm1))
+        / COUNT(*), 6) AS brier_bin
+FROM b GROUP BY bin ORDER BY bin
+""",
+    tags=("ext", "model-eval", "calibration", "window"),
+    description="calibration bins + per-bin Brier, integer-exact",
+)
+def model_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-curve bins with per-bin Brier scores for the
+    rank-derived score p = r/(n−1): each Brier term expands to
+    (r − y(n−1))²/(n−1)² whose NUMERATOR is an exact integer — the
+    whole calibration table reduces to integer sums divided once at
+    the end, sidestepping float-accumulation nondeterminism
+    entirely. Binning uses integer division (10r // (n−1)), so bin
+    edges cannot flap on a float boundary either."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    t = (
+        cust.join(urgent.withColumn("y", F.lit(1)), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            _c_cents().alias("cents"),
+            F.coalesce(F.col("y"), F.lit(0)).alias("y"),
+        )
+    )
+    wr = Window.orderBy(F.col("cents").asc(), F.col("c_custkey").asc())
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = t.select(
+        "y",
+        (F.row_number().over(wr) - 1).cast("long").alias("r0"),
+        (F.count(F.lit(1)).over(wall) - 1).cast("long").alias("nm1"),
+    )
+    sq_num = (F.col("r0") - F.col("y") * F.col("nm1")) * (
+        F.col("r0") - F.col("y") * F.col("nm1")
+    )
+    b = r.select(
+        "y",
+        "r0",
+        "nm1",
+        F.least(
+            F.expr("(10 * r0) div nm1").cast("long"), F.lit(9)
+        ).alias("bin"),
+        sq_num.alias("sq_num"),
+    )
+    return (
+        b.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("r0").cast("double")
+                / F.count(F.lit(1))
+                / F.max("nm1"),
+                6,
+            ).alias("avg_score"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)), 6
+            ).alias("frac_pos"),
+            F.round(
+                F.sum("sq_num").cast("double")
+                / (F.max("nm1") * F.max("nm1"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("brier_bin"),
+        )
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n",
+            "avg_score",
+            "frac_pos",
+            "brier_bin",
+        )
+        .orderBy("bin")
+    )
