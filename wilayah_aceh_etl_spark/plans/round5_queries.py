@@ -1981,8 +1981,12 @@ def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sh = D.distinct_shingles(docs, "doc_id")
-    sigs = D.minhash_signatures(sh, k=8)
-    jac = D.jaccard_pairs(sh)
+    # sigs feeds 4 banding branches and jac feeds 5 consumers of the
+    # final union — cache both so the shingle explode runs once, not
+    # once per branch (the same reuse a materialized signature table
+    # gives at production scale)
+    sigs = D.minhash_signatures(sh, k=8).cache()
+    jac = D.jaccard_pairs(sh).cache()
     truth = jac.filter(F.col("jaccard") >= 0.5).agg(
         F.count(F.lit(1)).alias("n_truth")
     )
@@ -3129,3 +3133,165 @@ def model_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time RANGE frame with a calendar INTERVAL bound
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_range_interval_frame",
+    oracle="""
+SELECT event_id, user_id,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS cents_3d,
+  CAST(COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS n_3d
+FROM events WHERE user_id < 5
+ORDER BY event_id
+""",
+    tags=("sql-surface", "window", "range-interval", "events"),
+    description="RANGE frame bounded by a calendar INTERVAL (3 days)",
+)
+def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame with a calendar INTERVAL bound — the
+    declarative form of a trailing-3-day rolling aggregate, written
+    directly over the timestamp order instead of hand-converting to
+    epoch numbers (events_rolling_1h_user_window shows the numeric
+    spelling; this pins the INTERVAL spelling both engines parse
+    natively). One shuffle on user_id; the frame is evaluated with
+    a sliding two-pointer pass per partition."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+          SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+            RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW
+          ) AS cents_3d,
+          COUNT(*) OVER (
+            PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+            RANGE BETWEEN INTERVAL 3 DAY PRECEDING AND CURRENT ROW
+          ) AS n_3d
+        FROM events WHERE user_id < 5
+        ORDER BY event_id
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# ORDER BY ... NULLS FIRST / LAST battery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_nulls_placement_battery",
+    oracle="""
+WITH t AS (
+  SELECT event_id, user_id,
+         CASE WHEN event_type = 'error' THEN NULL
+              ELSE ROUND(value, 2) END AS v
+  FROM events WHERE user_id < 3
+)
+SELECT event_id, user_id, v,
+  ROW_NUMBER() OVER (ORDER BY v ASC NULLS FIRST, event_id)
+    AS rk_nulls_first,
+  ROW_NUMBER() OVER (ORDER BY v DESC NULLS LAST, event_id)
+    AS rk_desc_nulls_last
+FROM t
+ORDER BY event_id
+""",
+    tags=("sql-surface", "sort", "nulls"),
+    description="explicit NULLS FIRST/LAST placement in rankings",
+)
+def sort_nulls_placement_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null placement in sort orders — the engines disagree
+    by DEFAULT (Spark: nulls first on ASC; standard SQL engines
+    often last), so portable ranking logic must spell it out. Two
+    ranking windows pin ASC NULLS FIRST and DESC NULLS LAST; a
+    unique tie-break keeps every rank reproducible."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 3)
+    v = F.when(
+        F.col("event_type") != "error", F.round(F.col("value"), 2)
+    )
+    t = e.select("event_id", "user_id", v.alias("v"))
+    w1 = Window.orderBy(F.col("v").asc_nulls_first(), F.col("event_id"))
+    w2 = Window.orderBy(F.col("v").desc_nulls_last(), F.col("event_id"))
+    return t.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.row_number().over(w1).alias("rk_nulls_first"),
+        F.row_number().over(w2).alias("rk_desc_nulls_last"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Array set-operation battery (order-normalized)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_setops_battery",
+    oracle="""
+WITH t AS (
+  SELECT o_orderkey,
+         string_split(o_orderpriority, '-') AS a,
+         string_split(o_orderstatus || '-' ||
+                      o_orderpriority[1:1], '-') AS b
+  FROM orders WHERE o_orderkey < 100
+)
+SELECT o_orderkey,
+  array_to_string(list_sort(list_distinct(list_cat(a, b))), ',')
+    AS union_ab,
+  array_to_string(list_sort(list_distinct(
+    list_filter(a, x -> list_contains(b, x)))), ',') AS intersect_ab,
+  array_to_string(list_sort(list_distinct(
+    list_filter(a, x -> NOT list_contains(b, x)))), ',') AS except_ab,
+  CAST(len(list_distinct(list_cat(a, b))) AS BIGINT) AS n_union,
+  list_contains(a, b[1]) AS overlaps_first
+FROM t ORDER BY o_orderkey
+""",
+    tags=("sql-surface", "array", "setops"),
+    description="array union/intersect/except, order-normalized",
+)
+def array_setops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed set algebra: union, intersection, difference,
+    distinct cardinality, and membership — the collection operations
+    multi-valued columns need (tags, token sets). Engines order
+    set-op results differently, so every array result is
+    array_sort-normalized and string-serialized before comparison — the same
+    canonicalization a correct test suite applies to any set-valued
+    output."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    t = o.select(
+        "o_orderkey",
+        F.split("o_orderpriority", "-").alias("a"),
+        F.split(
+            F.concat(
+                F.col("o_orderstatus"),
+                F.lit("-"),
+                F.substring("o_orderpriority", 1, 1),
+            ),
+            "-",
+        ).alias("b"),
+    )
+    return t.select(
+        "o_orderkey",
+        F.array_join(F.array_sort(F.array_union("a", "b")), ",").alias(
+            "union_ab"
+        ),
+        F.array_join(
+            F.array_sort(F.array_intersect("a", "b")), ","
+        ).alias("intersect_ab"),
+        F.array_join(F.array_sort(F.array_except("a", "b")), ",").alias(
+            "except_ab"
+        ),
+        F.size(F.array_union("a", "b")).cast("long").alias("n_union"),
+        F.array_contains("a", F.element_at("b", 1)).alias("overlaps_first"),
+    ).orderBy("o_orderkey")
