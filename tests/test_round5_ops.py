@@ -400,3 +400,46 @@ def test_knn_vote_majority_and_tiebreak(spark, tmp_path):
     }
     pred, votes = out[0]
     assert pred == 7 and votes == 6
+
+
+# ---------------------------------------------------------------------------
+# Pettitt: the rank identity must equal the sign-sum definition
+# ---------------------------------------------------------------------------
+
+
+def test_pettitt_rank_identity_matches_signsum(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round5_queries import (
+        events_pettitt_changepoint,
+    )
+
+    # tie-free series with an obvious level shift after day 5
+    series = [3.0, 1.0, 4.0, 2.0, 5.0, 20.0, 22.0, 21.0, 23.0, 24.0]
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d, cnt in enumerate(series):
+        for _ in range(int(cnt)):
+            rows.append(
+                (eid, t0 + dt.timedelta(days=d, minutes=eid % 60),
+                 1, "click", 1.0, "{}")
+            )
+            eid += 1
+    sf = _write(spark, tmp_path, "events", rows, _EV_SCHEMA)
+    [r] = events_pettitt_changepoint(spark, sf).collect()
+
+    # brute-force U_t = sum_{i<=t} sum_{j>t} sign(x_j - x_i)
+    y = [int(c) for c in series]
+    n = len(y)
+
+    def sign(v):
+        return (v > 0) - (v < 0)
+
+    best_k, best_day = -1, None
+    for t in range(1, n):
+        u = sum(
+            sign(y[j] - y[i]) for i in range(t) for j in range(t, n)
+        )
+        if abs(u) > best_k:
+            best_k, best_day = abs(u), t0 + dt.timedelta(days=t - 1)
+    assert r["k_stat"] == best_k
+    assert r["change_day"] == best_day.date().isoformat()

@@ -3295,3 +3295,221 @@ def array_setops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_union("a", "b")).cast("long").alias("n_union"),
         F.array_contains("a", F.element_at("b", 1)).alias("overlaps_first"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Fixed-frequency periodogram with literal trig tables (libm-free)
+# ---------------------------------------------------------------------------
+
+
+def _trig_case(col: str, period: int, fn: str) -> str:
+    """CASE expression mapping (t mod P) to a literal cos/sin value.
+
+    The literals are formatted with repr() so BOTH engines multiply
+    by the exact same doubles — no dependence on libm agreement
+    between the JVM and DuckDB."""
+    import math
+
+    vals = [
+        getattr(math, fn)(2.0 * math.pi * k / period) for k in range(period)
+    ]
+    branches = " ".join(
+        f"WHEN {k} THEN CAST({v!r} AS DOUBLE)" for k, v in enumerate(vals)
+    )
+    return f"(CASE ({col}) % {period} {branches} END)"
+
+
+def _periodogram_oracle() -> str:
+    rows = []
+    for period in (7, 30):
+        c = _trig_case("t", period, "cos")
+        s = _trig_case("t", period, "sin")
+        rows.append(
+            f"""
+SELECT event_type, {period} AS period,
+       ROUND((SUM(y * {c}) * SUM(y * {c})
+              + SUM(y * {s}) * SUM(y * {s}))
+             / (COUNT(*) * COUNT(*)), 3) AS power
+FROM idx GROUP BY event_type"""
+        )
+    return (
+        """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1
+           AS t
+  FROM daily
+)
+SELECT * FROM ("""
+        + " UNION ALL ".join(f"({r})" for r in rows)
+        + ") ORDER BY event_type, period"
+    )
+
+
+@register(
+    "events_periodogram_fixed_freqs",
+    oracle=_periodogram_oracle(),
+    tags=("events", "timeseries", "spectral"),
+    description="DFT power at 7-day and 30-day periods per event type",
+)
+def events_periodogram_fixed_freqs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Coarse periodogram: the DFT power of the daily-count series
+    at the weekly and monthly frequencies — the spectral test for
+    seasonality that complements the time-domain ACF
+    (events_autocorrelation_acf). Trig coefficients are emitted as
+    LITERAL doubles into both engines' expressions (t mod P has
+    only P distinct angles), so the computation never touches
+    libm and the only float work is a short dot product per
+    (type, frequency)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    idx = daily.select(
+        "event_type",
+        "y",
+        (
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("day")
+            )
+            - 1
+        ).alias("t"),
+    )
+    outs = []
+    for period in (7, 30):
+        c = F.expr(_trig_case("t", period, "cos"))
+        s = F.expr(_trig_case("t", period, "sin"))
+        outs.append(
+            idx.groupBy("event_type").agg(
+                F.lit(period).alias("period"),
+                F.round(
+                    (
+                        F.sum(F.col("y") * c) * F.sum(F.col("y") * c)
+                        + F.sum(F.col("y") * s) * F.sum(F.col("y") * s)
+                    )
+                    / (F.count(F.lit(1)) * F.count(F.lit(1))),
+                    3,
+                ).alias("power"),
+            )
+        )
+    return outs[0].unionByName(outs[1]).orderBy("event_type", "period")
+
+
+# ---------------------------------------------------------------------------
+# Pettitt changepoint test (rank-based, midrank tie handling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_pettitt_changepoint",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, day,
+         RANK() OVER (PARTITION BY event_type ORDER BY y)
+           + (CAST(COUNT(*) OVER (PARTITION BY event_type, y) AS BIGINT)
+              - 1) / 2.0 AS r,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM daily
+),
+u AS (
+  SELECT event_type, day, t, n,
+         2.0 * SUM(r) OVER (PARTITION BY event_type ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)
+           - t * (n + 1) AS u_t
+  FROM ranked WHERE t < n
+),
+best AS (
+  SELECT event_type, day, u_t, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(u_t) DESC, day) AS rk
+  FROM u
+)
+SELECT event_type, CAST(day AS VARCHAR) AS change_day,
+       ROUND(ABS(u_t), 1) AS k_stat,
+       ROUND(2 * exp(-6.0 * u_t * u_t / (n * n * n + n * n)), 6)
+         AS p_approx
+FROM best WHERE rk = 1 ORDER BY event_type
+""",
+    tags=("events", "timeseries", "changepoint", "rank"),
+    description="Pettitt rank changepoint (midrank variant) per type",
+)
+def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt's nonparametric changepoint test on the daily count
+    series: U_t = 2·Σ_{i≤t} r_i − t(n+1) over midranks, the split
+    point maximizing |U_t|, and the closed-form significance
+    approximation — the rank-based complement to the CUSUM
+    changepoint (events_changepoint_cusum), robust to outliers by
+    construction. Midranks keep every term a half-integer (exactly
+    representable), one ranking + one running sum per series."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wr = Window.partitionBy("event_type").orderBy("y")
+    wt = Window.partitionBy("event_type", "y")
+    wn = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("day")
+    ranked = daily.select(
+        "event_type",
+        "day",
+        (
+            F.rank().over(wr)
+            + (F.count(F.lit(1)).over(wt) - 1) / 2.0
+        ).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(wo).alias("t"),
+    )
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = ranked.filter(F.col("t") < F.col("n")).select(
+        "event_type",
+        "day",
+        "n",
+        (
+            F.lit(2.0) * F.sum("r").over(wrun)
+            - F.col("t") * (F.col("n") + 1)
+        ).alias("u_t"),
+    )
+    wb = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("u_t")).desc(), F.col("day").asc()
+    )
+    return (
+        u.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("change_day"),
+            F.round(F.abs(F.col("u_t")), 1).alias("k_stat"),
+            F.round(
+                2
+                * F.exp(
+                    F.lit(-6.0)
+                    * F.col("u_t")
+                    * F.col("u_t")
+                    / (
+                        F.col("n") * F.col("n") * F.col("n")
+                        + F.col("n") * F.col("n")
+                    )
+                ),
+                6,
+            ).alias("p_approx"),
+        )
+        .orderBy("event_type")
+    )
