@@ -52,6 +52,7 @@ NLJ_ALLOWED = {
     "feature_woe_binning",  # 1-row pos/neg-total broadcast
     "dedup_lsh_band_sweep",  # 1-row ground-truth-count broadcast
     "events_markov_conditional_entropy",  # 1-row transition-total broadcast
+    "lineitem_simpson_paradox_audit",  # 1-row ALL-slope broadcast
     "orders_kaplan_meier_ship",  # 1-row at-risk-total broadcast
     "text_bigram_lm_logprob",  # 1-row corpus-token-total broadcast
     # inherits text_bm25_search's 1-row stats broadcast + the

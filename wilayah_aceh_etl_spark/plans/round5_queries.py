@@ -3513,3 +3513,247 @@ def events_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Additive seasonal decomposition (exact-sevenths arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_seasonal_additive_dow",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+ma AS (
+  SELECT event_type, day, y,
+         CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7,
+         CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS c7,
+         dayofweek(day) + 1 AS dow
+  FROM daily
+),
+detr AS (
+  SELECT event_type, dow, 7 * y - s7 AS detr7
+  FROM ma WHERE c7 = 7
+)
+SELECT event_type, CAST(dow AS INTEGER) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(detr7) AS DOUBLE) / (7 * COUNT(*)), 4)
+         AS seasonal_add
+FROM detr GROUP BY event_type, dow
+ORDER BY event_type, dow
+""",
+    tags=("events", "timeseries", "seasonal", "window"),
+    description="additive day-of-week seasonal components per type",
+)
+def events_seasonal_additive_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (the additive twin of the
+    ratio-to-MA multiplicative indices): detrend with a centered
+    7-day moving average, average the residual per day-of-week.
+    Worked entirely in SEVENTHS — detr7 = 7y − Σ₇y is an exact
+    integer, so the per-DOW mean is one exact sum divided once;
+    no float accumulates across rows. Interior days only (full
+    7-day window), one shuffle for the daily aggregate, the
+    windows reuse its partitioning."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    ma = daily.select(
+        "event_type",
+        F.dayofweek("day").alias("dow"),
+        F.col("y"),
+        F.sum("y").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    )
+    detr = ma.filter(F.col("c7") == 7).select(
+        "event_type", "dow", (7 * F.col("y") - F.col("s7")).alias("detr7")
+    )
+    return (
+        detr.groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.sum("detr7").cast("double") / (7 * F.count(F.lit(1))), 4
+            ).alias("seasonal_add"),
+        )
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            "n_days",
+            "seasonal_add",
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox audit: aggregate vs per-group regression signs
+# ---------------------------------------------------------------------------
+
+_BPS = "CAST(ROUND(l_discount * 10000) AS BIGINT)"
+_QTY = "CAST(ROUND(l_quantity) AS BIGINT)"
+
+
+@register(
+    "lineitem_simpson_paradox_audit",
+    oracle=f"""
+WITH g AS (
+  SELECT l_returnflag AS grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({_BPS}) AS BIGINT) AS sx,
+         CAST(SUM({_QTY}) AS BIGINT) AS sy,
+         CAST(SUM({_BPS} * {_QTY}) AS BIGINT) AS sxy,
+         CAST(SUM({_BPS} * {_BPS}) AS BIGINT) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+),
+a AS (
+  SELECT 'ALL' AS grp, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(sx) AS BIGINT) AS sx, CAST(SUM(sy) AS BIGINT) AS sy,
+         CAST(SUM(sxy) AS BIGINT) AS sxy, CAST(SUM(sxx) AS BIGINT) AS sxx
+  FROM g
+),
+u AS (SELECT * FROM g UNION ALL SELECT * FROM a),
+sl AS (
+  SELECT grp, n,
+    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+    / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope
+  FROM u
+),
+ov AS (SELECT slope AS all_slope FROM sl WHERE grp = 'ALL')
+SELECT sl.grp, sl.n, ROUND(sl.slope * 10000, 6) AS slope_per_unit,
+       (sl.grp != 'ALL')
+         AND ((sl.slope > 0) != (ov.all_slope > 0)) AS sign_flips
+FROM sl CROSS JOIN ov ORDER BY sl.grp
+""",
+    tags=("stats", "regression", "simpson", "audit"),
+    description="Simpson audit: discount→quantity slope, ALL vs groups",
+)
+def lineitem_simpson_paradox_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson's-paradox audit: the OLS slope of quantity on
+    discount computed for the whole table AND per return flag, with
+    a flag marking any group whose slope sign contradicts the
+    aggregate — the confounding check a feature pipeline should run
+    before trusting a pooled correlation. One pass of exact integer
+    moments per group; the 'ALL' row is the SUM of the group
+    moments (free), not a second scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bps = F.round(F.col("l_discount") * 10000).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    g = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(bps).alias("sx"),
+        F.sum(qty).alias("sy"),
+        F.sum(bps * qty).alias("sxy"),
+        F.sum(bps * bps).alias("sxx"),
+    )
+    a = g.agg(
+        F.lit("ALL").alias("grp"),
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxx").alias("sxx"),
+    )
+    u = g.unionByName(a)
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    sl = u.select("grp", "n", slope.alias("slope"))
+    ov = sl.filter(F.col("grp") == "ALL").select(
+        F.col("slope").alias("all_slope")
+    )
+    return (
+        sl.crossJoin(F.broadcast(ov))
+        .select(
+            "grp",
+            "n",
+            F.round(F.col("slope") * 10000, 6).alias("slope_per_unit"),
+            (
+                (F.col("grp") != "ALL")
+                & ((F.col("slope") > 0) != (F.col("all_slope") > 0))
+            ).alias("sign_flips"),
+        )
+        .orderBy("grp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inter-arrival exponential-fit audit (Poissonness check)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_interarrival_exponential_audit",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_s
+  FROM events
+),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(gap_s) AS BIGINT) AS s,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS ss
+  FROM seq WHERE gap_s IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, n AS n_gaps,
+  ROUND(CAST(s AS DOUBLE) / n, 2) AS mean_gap_s,
+  ROUND(sqrt((ss - CAST(s AS DOUBLE) * s / n) / (n - 1))
+        / (CAST(s AS DOUBLE) / n), 4) AS cv
+FROM g ORDER BY event_type
+""",
+    tags=("events", "timeseries", "poisson", "audit"),
+    description="inter-arrival mean and CV per type (CV≈1 ⇒ Poisson)",
+)
+def events_interarrival_exponential_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Poisson-process audit: per event type, the mean inter-arrival
+    gap and its coefficient of variation — CV ≈ 1 is the signature
+    of exponential gaps (memoryless arrivals); CV ≫ 1 flags
+    burstiness (cross-check: events_burst_peaks). Gaps come from
+    one LAG over the per-type time order; mean and CV from exact
+    second-granularity integer moments."""
+    e = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", (sec - F.lag(sec).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    g = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap_s").alias("s"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    std = F.sqrt(
+        (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.round(mean, 2).alias("mean_gap_s"),
+        F.round(std / mean, 4).alias("cv"),
+    ).orderBy("event_type")
