@@ -3757,3 +3757,206 @@ def events_interarrival_exponential_audit(
         F.round(mean, 2).alias("mean_gap_s"),
         F.round(std / mean, 4).alias("cv"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# PSI drift monitor (population stability index over decile bins)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_drift_psi_value",
+    oracle="""
+WITH split AS (
+  SELECT MIN(ts) + INTERVAL 15 DAY AS cutoff FROM events
+),
+ref AS (
+  SELECT e.value FROM events e CROSS JOIN split s WHERE e.ts < s.cutoff
+),
+cur AS (
+  SELECT e.value FROM events e CROSS JOIN split s WHERE e.ts >= s.cutoff
+),
+edges AS (
+  SELECT """
+    + ", ".join(
+        f"quantile_disc(value, {k / 10}) AS e{k}" for k in range(1, 10)
+    )
+    + """
+  FROM ref
+),
+rb AS (
+  SELECT ("""
+    + " + ".join(f"(CASE WHEN r.value > e.e{k} THEN 1 ELSE 0 END)"
+                 for k in range(1, 10))
+    + """) AS bin, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ref r CROSS JOIN edges e GROUP BY 1
+),
+cb AS (
+  SELECT ("""
+    + " + ".join(f"(CASE WHEN c.value > e.e{k} THEN 1 ELSE 0 END)"
+                 for k in range(1, 10))
+    + """) AS bin, CAST(COUNT(*) AS BIGINT) AS c
+  FROM cur c CROSS JOIN edges e GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM rb) AS nr,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM cb) AS nc
+)
+SELECT CAST(rb.bin AS INTEGER) AS bin, rb.c AS n_ref,
+       COALESCE(cb.c, 0) AS n_cur,
+       ROUND((CAST(rb.c + 1 AS DOUBLE) / (t.nr + 10)
+              - CAST(COALESCE(cb.c, 0) + 1 AS DOUBLE) / (t.nc + 10))
+             * ln((CAST(rb.c + 1 AS DOUBLE) / (t.nr + 10))
+                  / (CAST(COALESCE(cb.c, 0) + 1 AS DOUBLE)
+                     / (t.nc + 10))), 6) AS psi_part
+FROM rb LEFT JOIN cb ON cb.bin = rb.bin CROSS JOIN tot t
+ORDER BY bin
+""",
+    tags=("ext", "monitoring", "drift", "psi"),
+    description="PSI of the value distribution, first vs second half",
+)
+def events_drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index — the standard production-ML
+    drift monitor: decile bins fitted on the reference window
+    (first 15 days), bin shares compared against the current
+    window with Laplace smoothing, PSI contribution per bin.
+    The nine decile edges are DISCRETE (actual data values, so
+    both engines cut identically) and travel as a 1-row broadcast;
+    each window then needs only one scan + one 10-row aggregate —
+    the shape that keeps a drift monitor cheap enough to run on
+    every ingest batch at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    split = e.agg(
+        (F.min("ts") + F.expr("INTERVAL 15 DAY")).alias("cutoff")
+    )
+    with_split = e.crossJoin(F.broadcast(split))
+    ref = with_split.filter(F.col("ts") < F.col("cutoff")).select("value")
+    cur = with_split.filter(F.col("ts") >= F.col("cutoff")).select("value")
+    edges = ref.agg(
+        *[
+            F.expr(f"percentile_disc({k / 10}) WITHIN GROUP (ORDER BY value)")
+            .alias(f"e{k}")
+            for k in range(1, 10)
+        ]
+    )
+
+    def binned(df: DataFrame) -> DataFrame:
+        bin_expr = None
+        for k in range(1, 10):
+            term = F.when(F.col("value") > F.col(f"e{k}"), 1).otherwise(0)
+            bin_expr = term if bin_expr is None else bin_expr + term
+        return (
+            df.crossJoin(F.broadcast(edges))
+            .select(bin_expr.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    rb = binned(ref)
+    cb = binned(cur)
+    nr = rb.agg(F.sum("c").alias("nr"))
+    nc = cb.agg(F.sum("c").alias("nc"))
+    j = (
+        rb.select(F.col("bin"), F.col("c").alias("n_ref"))
+        .join(
+            cb.select(F.col("bin"), F.col("c").alias("n_cur")),
+            "bin",
+            "left",
+        )
+        .withColumn("n_cur", F.coalesce(F.col("n_cur"), F.lit(0)))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+    )
+    p = (F.col("n_ref") + 1).cast("double") / (F.col("nr") + 10)
+    q = (F.col("n_cur") + 1).cast("double") / (F.col("nc") + 10)
+    return (
+        j.select(
+            F.col("bin").cast("int").alias("bin"),
+            "n_ref",
+            "n_cur",
+            F.round((p - q) * F.log(p / q), 6).alias("psi_part"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly Jensen-Shannon divergence of the event-type mix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_drift_js_weekly_mix",
+    oracle="""
+WITH base AS (
+  SELECT event_type,
+         CAST(date_diff('day', (SELECT CAST(MIN(ts) AS DATE) FROM events),
+                        CAST(ts AS DATE)) // 7 AS BIGINT) AS week
+  FROM events
+),
+c AS (
+  SELECT week, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY 1, 2
+),
+tot AS (SELECT week, CAST(SUM(n) AS BIGINT) AS nt FROM c GROUP BY week),
+p AS (
+  SELECT c.week, c.event_type,
+         CAST(c.n + 1 AS DOUBLE) / (t.nt + 5) AS pr
+  FROM c JOIN tot t USING (week)
+),
+ref AS (SELECT event_type, pr AS p0 FROM p WHERE week = 0),
+pairs AS (
+  SELECT p.week, p.event_type, p.pr, r.p0,
+         (p.pr + r.p0) / 2 AS m
+  FROM p JOIN ref r USING (event_type) WHERE p.week > 0
+)
+SELECT CAST(week AS INTEGER) AS week,
+  ROUND(SUM(0.5 * pr * ln(pr / m) + 0.5 * p0 * ln(p0 / m)), 6)
+    AS js_divergence
+FROM pairs GROUP BY week ORDER BY week
+""",
+    tags=("ext", "monitoring", "drift", "js-divergence"),
+    description="weekly JS divergence of event-type mix vs week 0",
+)
+def events_drift_js_weekly_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift monitor: the Jensen-Shannon divergence of
+    each week's event-type mix against week 0 — symmetric, bounded,
+    and zero-safe (Laplace-smoothed shares), the complement of the
+    numeric PSI monitor. The mix table is a tiny
+    (weeks × types) aggregate; everything after is arithmetic over
+    ≤5 terms per week, so ordering effects are confined far below
+    the display rounding."""
+    e = load_table(spark, sf_dir, "events")
+    min_day = e.agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    base = e.crossJoin(F.broadcast(min_day)).select(
+        "event_type",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.col("d0")) / 7
+        ).alias("week"),
+    )
+    c = base.groupBy("week", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.groupBy("week").agg(F.sum("n").alias("nt"))
+    p = c.join(tot, "week").select(
+        "week",
+        "event_type",
+        ((F.col("n") + 1).cast("double") / (F.col("nt") + 5)).alias("pr"),
+    )
+    ref = p.filter(F.col("week") == 0).select(
+        "event_type", F.col("pr").alias("p0")
+    )
+    pairs = (
+        p.filter(F.col("week") > 0)
+        .join(F.broadcast(ref), "event_type")
+        .withColumn("m", (F.col("pr") + F.col("p0")) / 2)
+    )
+    term = F.lit(0.5) * F.col("pr") * F.log(
+        F.col("pr") / F.col("m")
+    ) + F.lit(0.5) * F.col("p0") * F.log(F.col("p0") / F.col("m"))
+    return (
+        pairs.groupBy("week")
+        .agg(F.round(F.sum(term), 6).alias("js_divergence"))
+        .select(F.col("week").cast("int").alias("week"), "js_divergence")
+        .orderBy("week")
+    )
