@@ -3960,3 +3960,238 @@ def events_drift_js_weekly_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("week").cast("int").alias("week"), "js_divergence")
         .orderBy("week")
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC-XYZ inventory classification matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lineitem_abc_xyz_matrix",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_partkey, CAST(SUM({_EP_CENTS}) AS BIGINT) AS cents
+  FROM lineitem GROUP BY l_partkey
+),
+abc AS (
+  SELECT l_partkey,
+    CASE WHEN CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey)
+              AS DOUBLE) / (SELECT SUM(cents) FROM rev) <= 0.8 THEN 'A'
+         WHEN CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey)
+              AS DOUBLE) / (SELECT SUM(cents) FROM rev) <= 0.95 THEN 'B'
+         ELSE 'C' END AS abc_class
+  FROM rev
+),
+mon AS (
+  SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+         CAST(SUM({_QTY}) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2
+),
+xyz AS (
+  SELECT l_partkey,
+    CASE WHEN COUNT(*) < 2 THEN 'Z'
+         WHEN sqrt((SUM(q * q) - CAST(SUM(q) AS DOUBLE) * SUM(q)
+                    / COUNT(*)) / (COUNT(*) - 1))
+              / (CAST(SUM(q) AS DOUBLE) / COUNT(*)) < 0.5 THEN 'X'
+         WHEN sqrt((SUM(q * q) - CAST(SUM(q) AS DOUBLE) * SUM(q)
+                    / COUNT(*)) / (COUNT(*) - 1))
+              / (CAST(SUM(q) AS DOUBLE) / COUNT(*)) < 1.0 THEN 'Y'
+         ELSE 'Z' END AS xyz_class
+  FROM mon GROUP BY l_partkey
+)
+SELECT a.abc_class, x.xyz_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts
+FROM abc a JOIN xyz x USING (l_partkey)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    tags=("analytics", "abc-xyz", "inventory", "window"),
+    description="ABC (revenue share) × XYZ (demand CV) part matrix",
+)
+def lineitem_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ABC-XYZ inventory matrix: parts classed by cumulative
+    revenue share (A ≤80%, B ≤95%, C rest — the Pareto cut of
+    abc_part_classification) crossed with demand-variability
+    classes from the monthly-quantity coefficient of variation
+    (X <0.5, Y <1, Z rest — from exact integer moments). Two
+    aggregates + one ranked running sum + one join; the 3×3 output
+    is the planning table supply-chain teams actually read."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    qty = F.round(F.col("l_quantity")).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    tot = rev.agg(F.sum("cents").alias("tot"))
+    wc = Window.orderBy(F.col("cents").desc(), F.col("l_partkey"))
+    abc = (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "share",
+            F.sum("cents").over(wc).cast("double") / F.col("tot"),
+        )
+        .select(
+            "l_partkey",
+            F.when(F.col("share") <= 0.8, "A")
+            .when(F.col("share") <= 0.95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    mon = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(F.sum(qty).alias("q"))
+    n = F.count(F.lit(1))
+    s = F.sum("q")
+    ss = F.sum(F.col("q") * F.col("q"))
+    cv = F.sqrt(
+        (ss - s.cast("double") * s / n) / (n - 1)
+    ) / (s.cast("double") / n)
+    xyz = mon.groupBy("l_partkey").agg(
+        F.when(n < 2, "Z")
+        .when(cv < 0.5, "X")
+        .when(cv < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class")
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("abc_class", "xyz_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lagged feature-store table (forecasting features)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_store_customer_monthly",
+    oracle=f"""
+WITH mon AS (
+  SELECT o_custkey, date_trunc('month', o_orderdate) AS m,
+         CAST(SUM({_CENTS}) AS BIGINT) AS spend
+  FROM orders WHERE o_custkey < 50 GROUP BY 1, 2
+),
+feat AS (
+  SELECT o_custkey, m, spend,
+    LAG(spend, 1) OVER (PARTITION BY o_custkey ORDER BY m) AS lag1,
+    LAG(spend, 2) OVER (PARTITION BY o_custkey ORDER BY m) AS lag2,
+    CAST(SUM(spend) OVER (PARTITION BY o_custkey ORDER BY m
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS s3,
+    CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY m
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS c3
+  FROM mon
+)
+SELECT o_custkey, CAST(CAST(m AS TIMESTAMP) AS VARCHAR) AS month,
+       spend, lag1, lag2,
+       ROUND(CAST(s3 AS DOUBLE) / c3, 4) AS rolling3_mean
+FROM feat ORDER BY o_custkey, month
+""",
+    tags=("ext", "feature-engineering", "feature-store", "window"),
+    description="monthly spend features: lag-1/2 + trailing-3 mean",
+)
+def feature_store_customer_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The forecasting feature-store table: per (customer, month)
+    spend with lag-1, lag-2, and trailing-3-month mean — the lagged
+    features a demand model trains on, produced leakage-free (every
+    feature only looks backward). One monthly aggregate, then all
+    four features ride a single per-customer window ordering —
+    one shuffle total, the textbook incremental feature-store
+    build."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    mon = o.groupBy(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(F.sum(_o_cents()).alias("spend"))
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    w3 = w.rowsBetween(-2, Window.currentRow)
+    feat = mon.select(
+        "o_custkey",
+        "m",
+        "spend",
+        F.lag("spend", 1).over(w).alias("lag1"),
+        F.lag("spend", 2).over(w).alias("lag2"),
+        F.sum("spend").over(w3).alias("s3"),
+        F.count(F.lit(1)).over(w3).alias("c3"),
+    )
+    return feat.select(
+        "o_custkey",
+        F.col("m").cast("string").alias("month"),
+        "spend",
+        "lag1",
+        "lag2",
+        F.round(F.col("s3").cast("double") / F.col("c3"), 4).alias(
+            "rolling3_mean"
+        ),
+    ).orderBy("o_custkey", "month")
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL surface: IDENTIFIER clause (parameterized table name)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_identifier_clause",
+    oracle=f"""
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM({_CENTS}) AS BIGINT) AS revenue_cents
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+    tags=("sql-surface", "identifier", "parameterized"),
+    description="IDENTIFIER(:tbl) parameterized table reference",
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IDENTIFIER clause: a table name supplied as a BOUND
+    PARAMETER rather than string-spliced SQL — the injection-safe
+    way to write one query over N tables (the reference's
+    dual-provider dispatch would use exactly this). The identifier
+    resolves during analysis, so the optimized plan is identical
+    to the hard-coded form."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               SUM({_CENTS}) AS revenue_cents
+        FROM IDENTIFIER(:tbl) GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        args={"tbl": "orders"},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL surface: session variables (DECLARE / SET VAR)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_session_variables",
+    oracle=f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above
+FROM orders WHERE {_CENTS} > 15000000
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    tags=("sql-surface", "session-variables"),
+    description="DECLARE/SET VAR session variable in a predicate",
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (DECLARE VARIABLE / SET VAR): typed,
+    session-scoped state referenced directly in query text — the
+    ANSI replacement for client-side string substitution of
+    thresholds. The variable folds to a literal during analysis,
+    so predicate pushdown sees a constant."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE min_cents BIGINT DEFAULT 0"
+    )
+    spark.sql("SET VAR min_cents = 15000000")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, COUNT(*) AS n_above
+        FROM orders WHERE {_CENTS} > min_cents
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
