@@ -4195,3 +4195,326 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority ORDER BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction (log-degree-weighted common neighbors)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_adamic_adar_links",
+    oracle="""
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+prs AS (
+  SELECT a.pk AS pa, b.pk AS pb
+  FROM base a JOIN base b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+edges AS (
+  SELECT pa AS u, pb AS w FROM prs
+  UNION ALL SELECT pb AS u, pa AS w FROM prs
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+wedge AS (
+  SELECT e1.u AS a, e2.u AS b, e1.w AS c
+  FROM edges e1 JOIN edges e2 ON e1.w = e2.w AND e1.u < e2.u
+),
+score AS (
+  SELECT w.a, w.b,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         SUM(CASE WHEN dc.d > 1 THEN 1.0 / ln(dc.d) ELSE 0 END) AS aa
+  FROM wedge w JOIN deg dc ON dc.u = w.c
+  GROUP BY w.a, w.b
+),
+nonadj AS (
+  SELECT s.a, s.b, s.n_common, s.aa FROM score s
+  LEFT JOIN prs p ON p.pa = s.a AND p.pb = s.b
+  WHERE p.pa IS NULL
+)
+SELECT a, b, n_common, ROUND(aa, 6) AS adamic_adar
+FROM nonadj ORDER BY aa DESC, a, b LIMIT 20
+""",
+    tags=("graph", "link-prediction", "adamic-adar", "join"),
+    description="top-20 predicted links by Adamic-Adar score",
+)
+def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction: common neighbors weighted by
+    1/ln(degree) — rare shared neighbors count more than hubs, the
+    refinement over plain neighbor-Jaccard
+    (graph_jaccard_link_prediction). Same wedge-join backbone; the
+    degree weight joins once on the SHARED endpoint before the
+    pair aggregate, so the weighting adds no extra pass over the
+    edge list. Hub terms sum ≤degree² doubles per pair but through
+    a groupBy SUM of well-separated magnitudes — rounded at 1e-6
+    where ordering noise is ~1e-15."""
+    base = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = base.select("ok", F.col("pk").alias("pa"))
+    b = base.select("ok", F.col("pk").alias("pb"))
+    prs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("pa", "pb")
+    )
+    edges = prs.select(
+        F.col("pa").alias("u"), F.col("pb").alias("w")
+    ).unionAll(prs.select(F.col("pb").alias("u"), F.col("pa").alias("w")))
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("u").alias("a"), "w")
+    e2 = edges.select(F.col("u").alias("b"), "w")
+    wedge = e1.join(e2, "w").filter(F.col("a") < F.col("b"))
+    dc = deg.select(F.col("u").alias("w"), F.col("d").alias("dc"))
+    score = (
+        wedge.join(dc, "w")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(
+                F.when(
+                    F.col("dc") > 1, F.lit(1.0) / F.log(F.col("dc"))
+                ).otherwise(0.0)
+            ).alias("aa"),
+        )
+    )
+    nonadj = score.join(
+        prs.select(F.col("pa").alias("a"), F.col("pb").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return (
+        nonadj.orderBy(F.col("aa").desc(), "a", "b")
+        .limit(20)
+        .select("a", "b", "n_common", F.round("aa", 6).alias("adamic_adar"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential purchase rules between brands (A before B)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "brand_sequence_rules",
+    oracle="""
+WITH firsts AS (
+  SELECT o.o_custkey AS cust, p.p_brand AS brand,
+         MIN(o.o_orderdate) AS first_dt
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1, 2
+),
+nbrand AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_buyers FROM firsts
+  GROUP BY brand
+),
+seq AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b,
+         CAST(COUNT(*) AS BIGINT) AS n_seq
+  FROM firsts a JOIN firsts b
+    ON a.cust = b.cust AND a.brand != b.brand
+   AND a.first_dt < b.first_dt
+  GROUP BY 1, 2
+)
+SELECT s.brand_a, s.brand_b, s.n_seq, na.n_buyers AS n_a,
+       ROUND(CAST(s.n_seq AS DOUBLE) / na.n_buyers, 6) AS confidence
+FROM seq s JOIN nbrand na ON na.brand = s.brand_a
+ORDER BY s.n_seq DESC, s.brand_a, s.brand_b LIMIT 15
+""",
+    tags=("analytics", "sequence-rules", "join"),
+    description="top-15 brand A→B first-purchase sequence rules",
+)
+def brand_sequence_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern rules: 'customers who first bought brand A
+    later bought brand B', with confidence n_seq/n_buyers(A) — the
+    temporal upgrade of the co-occurrence basket rules
+    (basket_association_rules). Reducing each (customer, brand) to
+    its FIRST purchase date caps the per-customer self-join at
+    brands², independent of order volume — aggregate before
+    exploding pairs, the same scale discipline as Theil-Sen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    firsts = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.min("o_orderdate").alias("first_dt"))
+    )
+    nbrand = firsts.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_buyers")
+    )
+    fa = firsts.select(
+        "cust", F.col("brand").alias("brand_a"),
+        F.col("first_dt").alias("dt_a"),
+    )
+    fb = firsts.select(
+        "cust", F.col("brand").alias("brand_b"),
+        F.col("first_dt").alias("dt_b"),
+    )
+    seq = (
+        fa.join(fb, "cust")
+        .filter(
+            (F.col("brand_a") != F.col("brand_b"))
+            & (F.col("dt_a") < F.col("dt_b"))
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_seq"))
+    )
+    na = nbrand.select(
+        F.col("brand").alias("brand_a"), F.col("n_buyers").alias("n_a")
+    )
+    return (
+        seq.join(F.broadcast(na), "brand_a")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_seq",
+            "n_a",
+            F.round(
+                F.col("n_seq").cast("double") / F.col("n_a"), 6
+            ).alias("confidence"),
+        )
+        .orderBy(F.col("n_seq").desc(), "brand_a", "brand_b")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (stopword-delimited phrases)
+# ---------------------------------------------------------------------------
+
+
+def _rake_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.ext_queries import _STOP_SQL
+
+    return f"""
+WITH toks AS (
+  SELECT doc_id, i AS pos, w[i] AS tok
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       UNNEST(range(1, len(w) + 1)) AS t(i)
+),
+ns AS (
+  SELECT doc_id, pos, tok,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS grp
+  FROM toks WHERE tok NOT IN ({_STOP_SQL}) AND tok != ''
+),
+phr AS (
+  SELECT doc_id, grp,
+         array_to_string(list(tok ORDER BY pos), ' ') AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM ns GROUP BY doc_id, grp
+),
+pw AS (
+  SELECT p.doc_id, p.grp, n.tok, p.plen
+  FROM phr p JOIN ns n ON n.doc_id = p.doc_id AND n.grp = p.grp
+),
+ws AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(plen) AS BIGINT) AS degree
+  FROM pw GROUP BY tok
+),
+scored AS (
+  SELECT p.doc_id, p.grp, p.phrase,
+         SUM(CAST(w.degree AS DOUBLE) / w.freq) AS score
+  FROM pw p2
+  JOIN phr p ON p.doc_id = p2.doc_id AND p.grp = p2.grp
+  JOIN ws w ON w.tok = p2.tok
+  GROUP BY p.doc_id, p.grp, p.phrase
+)
+SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       ROUND(MAX(score), 4) AS rake_score
+FROM scored GROUP BY phrase
+ORDER BY MAX(score) DESC, phrase LIMIT 15
+"""
+
+
+@register(
+    "text_rake_keyphrases",
+    oracle=_rake_oracle(),
+    tags=("ext", "text", "keyphrase", "rake", "window"),
+    description="top-15 RAKE keyphrases over the corpus",
+)
+def text_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction: candidate phrases are maximal
+    stopword-free token runs (a gaps-and-islands window over token
+    positions), each word scores degree/freq over the phrase
+    corpus, each phrase the sum of its word scores. Everything is
+    joins + aggregates over the exploded token stream — the
+    keyword extractor that needs no model artifact, practical at
+    corpus scale because word stats are one hash aggregate and
+    phrases never leave their documents until the final tiny
+    top-k."""
+    from wilayah_aceh_etl_spark.functions.text import EN_STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = spread(docs.select("doc_id", F.split("text", " ").alias("w"))).select(
+        "doc_id", F.posexplode("w").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    stop_arr = F.array(*[F.lit(s) for s in EN_STOPWORDS])
+    ns = (
+        toks.filter(
+            (~F.array_contains(stop_arr, F.col("tok")))
+            & (F.col("tok") != "")
+        )
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+        )
+    )
+    phr = ns.groupBy("doc_id", "grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok"))
+                ),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("plen"),
+    )
+    pw = phr.join(ns.select("doc_id", "grp", "tok"), ["doc_id", "grp"])
+    ws = pw.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degree"),
+    )
+    scored = (
+        pw.join(ws, "tok")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(
+            F.sum(
+                F.col("degree").cast("double") / F.col("freq")
+            ).alias("score")
+        )
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("score").alias("mx"),
+        )
+        .orderBy(F.col("mx").desc(), "phrase")
+        .limit(15)
+        .select(
+            "phrase",
+            "n_occurrences",
+            F.round("mx", 4).alias("rake_score"),
+        )
+    )
