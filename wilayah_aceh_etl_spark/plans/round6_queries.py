@@ -803,3 +803,698 @@ def events_hurst_rs_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("h_point_estimate"),
     ).orderBy("n", "blk")
+
+
+# ---------------------------------------------------------------------------
+# Hash-function battery
+# ---------------------------------------------------------------------------
+
+_HASH_SQL = """
+SELECT p_partkey,
+       md5(p_name) AS h_md5,
+       sha256(p_name) AS h_sha256,
+       upper(substr(md5(p_name), 1, 8)) AS h_md5_prefix,
+       CAST(length(sha256(p_name)) AS INTEGER) AS sha_len,
+       md5(p_name || '|' || p_brand) AS h_compound
+FROM part WHERE p_partkey < 200
+ORDER BY p_partkey
+"""
+
+
+@register(
+    "hash_functions_battery",
+    oracle=_HASH_SQL,
+    tags=("functions", "hash"),
+    description="cryptographic-hash battery: md5 / sha256 / compound keys",
+)
+def hash_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hashing surface — the primitive under content
+    fingerprints, shard routing, and salted keys everywhere else in
+    this engine. md5/sha256 (hex), prefix extraction (the usual
+    bucket-id trick), and compound-key hashing with an explicit
+    separator (so ('ab','c') never collides with ('a','bc')).
+    Scalar, codegen'd, zero shuffle."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.md5("p_name").alias("h_md5"),
+        F.sha2("p_name", 256).alias("h_sha256"),
+        F.upper(F.substring(F.md5("p_name"), 1, 8)).alias("h_md5_prefix"),
+        F.length(F.sha2("p_name", 256)).cast("int").alias("sha_len"),
+        F.md5(F.concat_ws("|", "p_name", "p_brand")).alias("h_compound"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Bitwise battery (scalar) + bitwise aggregates
+# ---------------------------------------------------------------------------
+
+_BITWISE_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT) AS k_and,
+       CAST(o_orderkey | 4096 AS BIGINT) AS k_or,
+       CAST(xor(o_orderkey, 165) AS BIGINT) AS k_xor,
+       CAST(~o_orderkey AS BIGINT) AS k_not,
+       CAST(o_orderkey << 3 AS BIGINT) AS k_shl,
+       CAST(o_orderkey >> 2 AS BIGINT) AS k_shr,
+       CAST(bit_count(o_orderkey) AS INTEGER) AS k_popcount
+FROM orders WHERE o_orderkey < 200
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "bitwise_functions_battery",
+    oracle=_BITWISE_SQL,
+    tags=("functions", "bitwise"),
+    description="scalar bitwise battery: and/or/xor/not, shifts, popcount",
+)
+def bitwise_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit manipulation — the substrate of bitmap indexes, bloom
+    filters, SimHash, and the Z-curve interleave used by the geohash
+    operator. AND/OR/XOR/NOT, shifts, and popcount over the key
+    column; all JVM-codegen scalar expressions."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").cast("long").alias("k_and"),
+        F.expr("o_orderkey | 4096").cast("long").alias("k_or"),
+        F.expr("o_orderkey ^ 165").cast("long").alias("k_xor"),
+        F.expr("~o_orderkey").cast("long").alias("k_not"),
+        F.expr("shiftleft(o_orderkey, 3)").cast("long").alias("k_shl"),
+        F.expr("shiftright(o_orderkey, 2)").cast("long").alias("k_shr"),
+        F.bit_count("o_orderkey").cast("int").alias("k_popcount"),
+    ).orderBy("o_orderkey")
+
+
+_BITAGG_SQL = """
+SELECT o_orderstatus,
+       CAST(bit_and(o_orderkey & 1023) AS BIGINT) AS keys_bit_and,
+       CAST(bit_or(o_orderkey & 1023) AS BIGINT) AS keys_bit_or,
+       CAST(bit_xor(o_orderkey & 1023) AS BIGINT) AS keys_bit_xor,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "bitwise_agg_by_status",
+    oracle=_BITAGG_SQL,
+    tags=("functions", "bitwise", "agg"),
+    description="bit_and / bit_or / bit_xor aggregates per order status",
+)
+def bitwise_agg_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate functions — XOR-folding is the classic
+    set-reconciliation primitive (a disappeared-row detector: the
+    XOR of all keys changes iff an odd subset changed) and AND/OR
+    fold to feature masks. Commutative/associative, so they partial-
+    aggregate map-side like any algebraic aggregate — the property
+    that makes them usable as 100 TB checksums."""
+    o = load_table(spark, sf_dir, "orders")
+    masked = F.expr("o_orderkey & 1023")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.bit_and(masked).cast("long").alias("keys_bit_and"),
+            F.bit_or(masked).cast("long").alias("keys_bit_or"),
+            F.bit_xor(masked).cast("long").alias("keys_bit_xor"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# String pad / split / translate battery
+# ---------------------------------------------------------------------------
+
+_PAD_SQL = """
+SELECT p_partkey,
+       split_part(p_name, ' ', 1) AS first_word,
+       split_part(p_name, ' ', 2) AS second_word,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+       rpad(p_brand, 12, '.') AS brand_padded,
+       repeat(left(p_name, 2), 3) AS stutter,
+       reverse(p_name) AS name_rev,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+       right(p_type, 4) AS type_tail,
+       printf('%06d|%s', p_partkey, p_brand) AS composite_id
+FROM part WHERE p_partkey < 200
+ORDER BY p_partkey
+"""
+
+
+@register(
+    "string_pad_split_battery",
+    oracle=_PAD_SQL,
+    tags=("functions", "string"),
+    description="split_part/lpad/rpad/repeat/reverse/translate/format battery",
+)
+def string_pad_split_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixed-width / tokenized string surface: split_part for
+    delimited field extraction, lpad for sortable zero-padded keys
+    (the trick that makes string sort order match numeric order in
+    file layouts), translate for character-class mapping, and
+    printf-style composite-id formatting (format_string on the
+    Spark side, printf in DuckDB — same C format spec)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("second_word"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_padded"),
+        F.repeat(F.expr("left(p_name, 2)"), 3).alias("stutter"),
+        F.reverse("p_name").alias("name_rev"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+        F.expr("right(p_type, 4)").alias("type_tail"),
+        F.format_string("%06d|%s", "p_partkey", "p_brand").alias(
+            "composite_id"
+        ),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# URL construction / parsing battery
+# ---------------------------------------------------------------------------
+
+_URL_ORACLE = """
+WITH u AS (
+  SELECT p_partkey,
+         'https://shop.example.com/part/' || p_partkey
+           || '?brand=' || replace(p_brand, '#', '-')
+           || '&size=' || p_size AS url,
+         'Brand ' || p_size AS raw_q
+  FROM part WHERE p_partkey < 200
+)
+SELECT p_partkey, url,
+       regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+       regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]brand=([^&]*)', 1) AS q_brand,
+       regexp_extract(url, '[?&]size=([^&]*)', 1) AS q_size,
+       replace(raw_q, ' ', '+') AS q_encoded
+FROM u
+ORDER BY p_partkey
+"""
+
+
+@register(
+    "url_parse_battery",
+    oracle=_URL_ORACLE,
+    tags=("functions", "string", "url"),
+    description="URL build + parse_url HOST/PATH/QUERY-key extraction",
+)
+def url_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weblog-style URL handling: build a canonical URL, then tear
+    it apart with parse_url (HOST / PATH / keyed QUERY param) and
+    form-encode a query string (url_encode). The oracle twin proves
+    the extraction semantics against plain regex — parse_url is
+    just the codegen'd fast path for the same grammar. In a CommonCrawl
+    -scale pipeline this is the per-row normalizer that precedes
+    host-level dedup and robots filtering."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    u = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit("https://shop.example.com/part/"),
+            F.col("p_partkey").cast("string"),
+            F.lit("?brand="),
+            F.translate("p_brand", "#", "-"),
+            F.lit("&size="),
+            F.col("p_size").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("Brand "), F.col("p_size").cast("string")).alias(
+            "raw_q"
+        ),
+    )
+    return u.select(
+        "p_partkey",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("brand")).alias("q_brand"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("size")).alias("q_size"),
+        F.url_encode("raw_q").alias("q_encoded"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Exact median without a global sort: two-pass bucketed selection
+# ---------------------------------------------------------------------------
+
+_MEDIAN2P_ORACLE = """
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+),
+ranked AS (
+  SELECT l_returnflag, cents,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM base
+)
+SELECT l_returnflag, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT)
+         AS median_cents
+FROM ranked
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "exact_median_two_pass",
+    oracle=_MEDIAN2P_ORACLE,
+    tags=("ext", "quantile", "scale-pattern"),
+    description="exact median via histogram-then-refine (no global sort)",
+)
+def exact_median_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed median WITHOUT sorting the fact table: pass
+    1 histograms prices into $1000 buckets per group (one hash agg),
+    locates the bucket containing the target rank from the cumulative
+    histogram; pass 2 re-scans only that bucket's rows and takes the
+    residual rank within it. The oracle computes the same lower
+    median by brute-force ROW_NUMBER. At 100 TB the global-sort
+    median shuffles the whole table; this shape shuffles one
+    histogram (≈ groups x buckets rows) plus one bucket's rows —
+    the classic selection-by-refinement pattern (BLINKDB/quantile
+    literature), and it iterates to any rank, not just 0.5."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    width = 100_000  # $1000 buckets
+    hist = (
+        base.withColumn("bucket", F.expr(f"cents div {width}"))
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "bucket",
+        F.sum("c").over(wcum).alias("cum"),
+        (F.sum("c").over(wcum) - F.col("c")).alias("cum_before"),
+        F.sum("c").over(wall).alias("n"),
+    ).withColumn("k", F.expr("(n + 1) div 2"))
+    target = (
+        cum.filter(F.col("cum") >= F.col("k"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("l_returnflag").orderBy("bucket")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("l_returnflag", "bucket", "cum_before", "n", "k")
+    )
+    refined = (
+        base.join(F.broadcast(target), "l_returnflag")
+        .filter(F.expr(f"cents div {width}") == F.col("bucket"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("l_returnflag").orderBy("cents")
+            ),
+        )
+        .filter(F.col("rn") == F.col("k") - F.col("cum_before"))
+    )
+    return refined.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.col("cents").cast("long").alias("median_cents"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Double-entry reconciliation: order header totals vs line-item sums
+# ---------------------------------------------------------------------------
+
+_RECON_SQL = """
+li AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+           AS computed_cents
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderkey,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+         li.computed_cents,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) - li.computed_cents
+           AS diff_cents
+  FROM orders o JOIN li ON o.o_orderkey = li.l_orderkey
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CASE WHEN diff_cents = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact,
+         CAST(SUM(CASE WHEN diff_cents > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_header_high,
+         CAST(SUM(CASE WHEN diff_cents < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_header_low,
+         CAST(MAX(abs(diff_cents)) AS BIGINT) AS max_abs_diff_cents,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(diff_cents))
+              AS BIGINT) AS p50_abs_diff_cents
+  FROM j
+),
+orphans AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orders_no_lines
+  FROM orders o WHERE NOT EXISTS
+    (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+)
+SELECT a.*, o.n_orders_no_lines FROM agg a CROSS JOIN orphans o
+"""
+
+
+@register(
+    "orders_totalprice_reconciliation",
+    oracle="WITH " + _RECON_SQL,
+    tags=("ext", "data-quality", "reconciliation"),
+    description="double-entry audit: header totalprice vs line-item sum",
+)
+def orders_totalprice_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The double-entry audit every warehouse runs between a header
+    table and its detail table: recompute each order's total from
+    its line items (exact cents, rounded per line exactly as a
+    billing system would), diff against the stored header total,
+    and profile the mismatches — exact-match count, direction of
+    drift, worst and median absolute discrepancy, plus headers with
+    no detail rows at all (anti-join). One shuffle to the order
+    grain; everything downstream is a scalar aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    computed = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("computed_cents")
+    )
+    j = o.join(computed, o.o_orderkey == computed.l_orderkey).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("header_cents"),
+        "computed_cents",
+        (
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            - F.col("computed_cents")
+        ).alias("diff_cents"),
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.when(F.col("diff_cents") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("diff_cents") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_header_high"),
+        F.sum(F.when(F.col("diff_cents") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_header_low"),
+        F.max(F.abs("diff_cents")).cast("long").alias("max_abs_diff_cents"),
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(diff_cents))"
+        )
+        .cast("long")
+        .alias("p50_abs_diff_cents"),
+    )
+    orphans = o.join(
+        li.select(F.col("l_orderkey").alias("o_orderkey")).distinct(),
+        "o_orderkey",
+        "left_anti",
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orders_no_lines"))
+    return agg.crossJoin(F.broadcast(orphans))
+
+
+# ---------------------------------------------------------------------------
+# Flesch reading-ease signals per document
+# ---------------------------------------------------------------------------
+
+_FLESCH_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_words,
+         CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+              AS BIGINT) AS n_sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS n_syllables
+  FROM documents WHERE length(trim(text)) > 0
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+         AS flesch_score
+FROM m
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_readability_flesch",
+    oracle=_FLESCH_ORACLE,
+    tags=("ext", "text", "quality"),
+    description="Flesch reading-ease score per document",
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability as a corpus-quality gate (the C4/Gopher filter
+    family): words by whitespace tokenization, sentences by
+    terminal-punctuation runs (floored at 1), syllables by the
+    standard vowel-group approximation, folded into the Flesch
+    reading-ease formula. Pure scalar regex — codegen'd, shuffle-
+    free, embarrassingly parallel over a 100 TB corpus."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    m = d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_words"),
+        F.greatest(
+            F.lit(1), F.regexp_count("text", F.lit(r"[.!?]+"))
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            4,
+        ).alias("flesch_score"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Ranking-quality evaluation: nDCG@10 of cosine retrieval vs labels
+# ---------------------------------------------------------------------------
+
+_NDCG_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe
+      FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, q.qlabel, v.vec_id, v.label,
+         list_dot_product(q.qe, v.e)
+         / (sqrt(list_dot_product(q.qe, q.qe))
+            * sqrt(list_dot_product(v.e, v.e))) AS c
+  FROM q, v WHERE v.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id,
+         CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, vec_id) AS rk
+  FROM scored
+),
+top AS (SELECT * FROM ranked WHERE rk <= 10),
+idcg AS (
+  SELECT SUM(1.0 / log2(CAST(i AS DOUBLE) + 1)) AS ideal
+  FROM generate_series(1, 10) t(i)
+)
+SELECT t.query_id,
+       CAST(SUM(t.rel) AS BIGINT) AS n_rel_top10,
+       ROUND(SUM(t.rel / log2(CAST(t.rk AS DOUBLE) + 1)), 6) AS dcg10,
+       ROUND(SUM(t.rel / log2(CAST(t.rk AS DOUBLE) + 1)) / MAX(i.ideal), 6)
+         AS ndcg10
+FROM top t CROSS JOIN idcg i
+GROUP BY t.query_id
+ORDER BY t.query_id
+"""
+
+
+@register(
+    "retrieval_ndcg_label_eval",
+    oracle=_NDCG_ORACLE,
+    tags=("ext", "retrieval", "model-eval", "ndcg"),
+    description="nDCG@10 of cosine retrieval scored against labels",
+)
+def retrieval_ndcg_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation: treat each query vector's label
+    as graded relevance (1 if a retrieved neighbor shares the
+    label), rank the corpus by exact cosine, and compute DCG@10 /
+    nDCG@10. Every label has ≥10 corpus members, so the ideal DCG
+    is the closed-form first-10 sum — computed, not assumed, on
+    both sides. Broadcast queries x corpus scan, window top-10, one
+    10-row aggregate per query: the evaluation harness shape that
+    scales to any corpus because only top-k rows leave the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from wilayah_aceh_etl_spark.operators import similarity as S
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    topk = S.brute_force_topk(emb, queries, k=10)
+    labels = emb.select("vec_id", "label")
+    qlab = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    top = (
+        topk.join(F.broadcast(labels), "vec_id")
+        .join(F.broadcast(qlab), "query_id")
+        .select(
+            "query_id",
+            F.when(F.col("label") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            "rk",
+        )
+    )
+    idcg = spark.range(1, 11).agg(
+        F.sum(1.0 / F.log2(F.col("id").cast("double") + 1)).alias("ideal")
+    )
+    return (
+        top.crossJoin(F.broadcast(idcg))
+        .groupBy("query_id")
+        .agg(
+            F.sum("rel").cast("long").alias("n_rel_top10"),
+            F.round(
+                F.sum(F.col("rel") / F.log2(F.col("rk").cast("double") + 1)),
+                6,
+            ).alias("dcg10"),
+            F.round(
+                F.sum(F.col("rel") / F.log2(F.col("rk").cast("double") + 1))
+                / F.max("ideal"),
+                6,
+            ).alias("ndcg10"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Average precision (area under the PR curve, exact order-deterministic)
+# ---------------------------------------------------------------------------
+
+_AP_SQL = """
+t AS (
+  SELECT c.c_custkey, CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS cents,
+         CASE WHEN EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderpriority = '1-URGENT')
+              THEN 1 ELSE 0 END AS y
+  FROM customer c
+),
+ranked AS (
+  SELECT y,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, c_custkey) AS k,
+         SUM(y) OVER (ORDER BY cents DESC, c_custkey) AS cum_pos
+  FROM t
+),
+running AS (
+  SELECT k, y, cum_pos,
+         SUM(CASE WHEN y = 1
+                  THEN CAST(cum_pos AS DOUBLE) / k ELSE 0 END)
+           OVER (ORDER BY k) AS cum_ap_num,
+         SUM(y) OVER () AS n_pos,
+         COUNT(*) OVER () AS n
+  FROM ranked
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(n_pos) AS BIGINT) AS n_pos,
+       ROUND(MAX(cum_ap_num) / MAX(n_pos), 6) AS average_precision
+FROM running
+"""
+
+
+@register(
+    "model_eval_average_precision",
+    oracle="WITH " + _AP_SQL,
+    tags=("ext", "model-eval", "pr-curve", "window"),
+    description="exact average precision of balance→urgent-order ranking",
+)
+def model_eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve) of
+    the same score/label pair as the ROC-AUC query — AP is the
+    metric that stays honest under class imbalance. The per-positive
+    precision@k terms are accumulated via an ORDERED window sum, not
+    a hash aggregate, so the floating-point addition order is the
+    rank order on both engines — bit-deterministic by construction.
+    One global sort + two windows; the same sort-bound profile as
+    every rank metric at scale."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    t = cust.join(urgent.withColumn("y", F.lit(1)), "c_custkey", "left").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    wo = Window.orderBy(F.col("cents").desc(), "c_custkey")
+    ranked = t.select(
+        "y",
+        F.row_number().over(wo).alias("k"),
+        F.sum("y")
+        .over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_pos"),
+    )
+    wk = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    running = ranked.select(
+        "k",
+        "y",
+        F.sum(
+            F.when(
+                F.col("y") == 1, F.col("cum_pos").cast("double") / F.col("k")
+            ).otherwise(0.0)
+        )
+        .over(wk)
+        .alias("cum_ap_num"),
+        F.sum("y").over(wall).alias("n_pos"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return running.agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("n_pos").cast("long").alias("n_pos"),
+        F.round(F.max("cum_ap_num") / F.max("n_pos"), 6).alias(
+            "average_precision"
+        ),
+    )
