@@ -1498,3 +1498,781 @@ def model_eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "average_precision"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Map higher-order functions battery
+# ---------------------------------------------------------------------------
+
+_MAP_HOF_ORACLE = """
+SELECT o_orderkey,
+       'PRIORITY=' || o_orderpriority || ',STATUS=' || o_orderstatus
+         AS keys_upper,
+       'priority=' || upper(o_orderpriority) || ',status='
+         || upper(o_orderstatus) AS vals_upper,
+       CASE WHEN o_orderstatus = 'O' THEN 'status=O' ELSE '' END
+         AS only_open,
+       'priority=' || o_orderpriority || '|' || length(o_orderpriority)
+         || ',status=' || o_orderstatus || '|' || length(o_orderstatus)
+         AS zipped,
+       'priority=' || o_orderpriority || ',status=' || o_orderstatus
+         || ',total=' || CAST(ROUND(o_totalprice * 100) AS BIGINT)
+         AS merged
+FROM orders WHERE o_orderkey < 200
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "map_hof_battery",
+    oracle=_MAP_HOF_ORACLE,
+    tags=("functions", "map", "hof"),
+    description="map HOFs: transform_keys/values, map_filter, map_zip_with, map_concat",
+)
+def map_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions over MapType — the lambda surface the
+    map battery left out: transform_keys / transform_values (per-
+    entry rewrite without exploding), map_filter (predicate prune),
+    map_zip_with (two maps merged entry-wise), map_concat. Each
+    result folds to a sorted entries string so the cross-engine hash
+    is order-stable (map iteration order is an implementation
+    detail; serialized comparisons must never depend on it). The
+    oracle constructs the expected strings directly — proving the
+    HOF semantics, not just echoing them. All lambdas evaluate
+    inside codegen; zero shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    m = F.create_map(
+        F.lit("status"),
+        F.col("o_orderstatus"),
+        F.lit("priority"),
+        F.col("o_orderpriority"),
+    )
+
+    def entries_str(mcol):
+        return F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries(mcol),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                )
+            ),
+            ",",
+        )
+
+    m2 = F.create_map(
+        F.lit("status"),
+        F.length("o_orderstatus"),
+        F.lit("priority"),
+        F.length("o_orderpriority"),
+    )
+    merged = F.map_concat(
+        m,
+        F.create_map(
+            F.lit("total"),
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        ),
+    )
+    return o.select(
+        "o_orderkey",
+        entries_str(F.transform_keys(m, lambda k, v: F.upper(k))).alias(
+            "keys_upper"
+        ),
+        entries_str(F.transform_values(m, lambda k, v: F.upper(v))).alias(
+            "vals_upper"
+        ),
+        entries_str(
+            F.map_filter(m, lambda k, v: (k == "status") & (v == "O"))
+        ).alias("only_open"),
+        entries_str(
+            F.map_zip_with(
+                m,
+                m2,
+                lambda k, v1, v2: F.concat(
+                    v1, F.lit("|"), v2.cast("string")
+                ),
+            )
+        ).alias("zipped"),
+        entries_str(merged).alias("merged"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# MATTR lexical diversity (windowed type-token ratio)
+# ---------------------------------------------------------------------------
+
+_MATTR_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(l) AS tok,
+         generate_subscripts(l, 1) - 1 AS pos
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+        FROM documents WHERE length(trim(text)) > 0)
+),
+wins AS (
+  SELECT doc_id, pos // 25 AS w,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_types
+  FROM toks GROUP BY doc_id, pos // 25
+),
+full_wins AS (SELECT * FROM wins WHERE n_tok = 25)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       ROUND(CAST(SUM(n_types) AS DOUBLE) / (25 * COUNT(*)), 6) AS mattr25
+FROM full_wins
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register(
+    "text_mattr_diversity",
+    oracle=_MATTR_ORACLE,
+    tags=("ext", "text", "quality", "diversity"),
+    description="MATTR-25 lexical diversity (windowed type-token ratio)",
+)
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity that doesn't collapse with document length:
+    plain type-token ratio shrinks as docs grow (Heaps' law), so
+    quality filters use windowed TTR — here disjoint 25-token
+    windows, MATTR = Σ types / (25·windows). The mean of exact
+    integer type counts is a single division, so no float
+    accumulation. Shape: explode to tokens with position (the same
+    posexplode spine as the chunking operators), two hash aggs —
+    token work stays partition-local until the per-doc reduce."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "tok"),
+    )
+    wins = (
+        toks.groupBy("doc_id", F.expr("pos div 25").alias("w"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+            F.countDistinct("tok").cast("long").alias("n_types"),
+        )
+        .filter(F.col("n_tok") == 25)
+    )
+    return (
+        wins.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.round(
+                F.sum("n_types").cast("double")
+                / (25 * F.count(F.lit(1))),
+                6,
+            ).alias("mattr25"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bootstrap confidence interval with a deterministic LCG resampler
+# ---------------------------------------------------------------------------
+
+_BOOT_SQL = """
+daily AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS d,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+),
+idx AS (
+  SELECT r.r, i.i,
+         ((1103515245 * (r.r * 1000 + i.i) + 12345) % 2147483648) % 30
+           AS pick
+  FROM generate_series(1, 20) r(r) CROSS JOIN generate_series(1, 30) i(i)
+),
+reps AS (
+  SELECT idx.r,
+         CAST(SUM(daily.cents) AS BIGINT) AS tot
+  FROM idx JOIN daily ON daily.d = idx.pick
+  GROUP BY idx.r
+),
+means AS (SELECT r, CAST(tot AS DOUBLE) / 30 AS m FROM reps),
+point AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS tot_all,
+         CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM daily
+)
+SELECT CAST(20 AS BIGINT) AS n_replicates,
+       ROUND(CAST(p.tot_all AS DOUBLE) / p.n_days, 2) AS point_mean_cents,
+       ROUND(percentile_disc(0.05) WITHIN GROUP (ORDER BY m), 2)
+         AS ci_lo_cents,
+       ROUND(percentile_disc(0.5) WITHIN GROUP (ORDER BY m), 2)
+         AS ci_mid_cents,
+       ROUND(percentile_disc(0.95) WITHIN GROUP (ORDER BY m), 2)
+         AS ci_hi_cents
+FROM means CROSS JOIN point p
+GROUP BY p.tot_all, p.n_days
+"""
+
+
+@register(
+    "stats_bootstrap_ci_daily_value",
+    oracle="WITH " + _BOOT_SQL,
+    tags=("ext", "stats", "bootstrap", "resampling"),
+    description="bootstrap CI of mean daily event value via seeded LCG",
+)
+def stats_bootstrap_ci_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric bootstrap without nondeterministic RNG: 20
+    resamples of the 30-day daily-value series drawn by an explicit
+    LCG (the glibc constants) keyed on (replicate, draw), so both
+    engines — and any re-run — pick the identical indexes. Replicate
+    means are exact integer cent sums / 30; the CI is percentile_disc
+    over the 20 means. The resample is expressed as a JOIN against
+    the aggregated daily series — at 100 TB you bootstrap the
+    AGGREGATE (30 rows), never the raw events, which is what makes
+    resampling tractable at scale."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    reps_idx = (
+        spark.range(1, 21)
+        .select(F.col("id").alias("r"))
+        .crossJoin(spark.range(1, 31).select(F.col("id").alias("i")))
+        .select(
+            "r",
+            (
+                (
+                    (1103515245 * (F.col("r") * 1000 + F.col("i")) + 12345)
+                    % 2147483648
+                )
+                % 30
+            ).alias("pick"),
+        )
+    )
+    reps = (
+        reps_idx.join(F.broadcast(daily), reps_idx.pick == daily.d)
+        .groupBy("r")
+        .agg(F.sum("cents").cast("long").alias("tot"))
+        .select("r", (F.col("tot").cast("double") / 30).alias("m"))
+    )
+    point = daily.agg(
+        F.sum("cents").cast("long").alias("tot_all"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    return reps.crossJoin(F.broadcast(point)).agg(
+        F.lit(20).cast("long").alias("n_replicates"),
+        F.round(
+            F.max(F.col("tot_all").cast("double") / F.col("n_days")), 2
+        ).alias("point_mean_cents"),
+        F.round(
+            F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY m)"), 2
+        ).alias("ci_lo_cents"),
+        F.round(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY m)"), 2
+        ).alias("ci_mid_cents"),
+        F.round(
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY m)"), 2
+        ).alias("ci_hi_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson rate-ratio test: error rate, first half vs second half
+# ---------------------------------------------------------------------------
+
+_POISSON_SQL = """
+c AS (
+  SELECT
+    CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+         AS BIGINT) AS c1,
+    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END)
+         AS BIGINT) AS c2
+  FROM events WHERE event_type = 'error'
+)
+SELECT c1, c2,
+       ROUND(CAST(c1 AS DOUBLE) / 15, 6) AS rate1_per_day,
+       ROUND(CAST(c2 AS DOUBLE) / 15, 6) AS rate2_per_day,
+       ROUND(CAST(c2 AS DOUBLE) / c1, 6) AS rate_ratio,
+       ROUND((CAST(c1 AS DOUBLE) - 0.5 * (c1 + c2))
+             / sqrt(0.25 * (CAST(c1 AS DOUBLE) + c2)), 6) AS z_binomial
+FROM c
+"""
+
+
+@register(
+    "events_poisson_rate_test",
+    oracle="WITH " + _POISSON_SQL,
+    tags=("ext", "events", "stats", "monitoring"),
+    description="Poisson rate-ratio test: error rate first vs second half",
+)
+def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did the error rate change? The conditional (binomial) test
+    for comparing two Poisson counts with equal exposure: given
+    c1+c2 events, under H0 the first-window count is
+    Binomial(c1+c2, 1/2); the normal-approximation z-score falls
+    out in closed form from the two exact counts. This is the
+    incident-detection arithmetic an ops pipeline runs per
+    deployment window — one filtered scan, one two-cell aggregate,
+    O(1) result regardless of input size."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    c = e.agg(
+        F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+        F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0))
+        .cast("long")
+        .alias("c2"),
+    )
+    return c.select(
+        "c1",
+        "c2",
+        F.round(F.col("c1").cast("double") / 15, 6).alias("rate1_per_day"),
+        F.round(F.col("c2").cast("double") / 15, 6).alias("rate2_per_day"),
+        F.round(F.col("c2").cast("double") / F.col("c1"), 6).alias(
+            "rate_ratio"
+        ),
+        F.round(
+            (F.col("c1").cast("double") - 0.5 * (F.col("c1") + F.col("c2")))
+            / F.sqrt(0.25 * (F.col("c1").cast("double") + F.col("c2"))),
+            6,
+        ).alias("z_binomial"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lead-lag cross-correlation: clicks vs purchases at lags -3..+3
+# ---------------------------------------------------------------------------
+
+_CCF_SQL = """
+daily AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS BIGINT) AS clicks,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS buys
+  FROM events GROUP BY 1
+),
+lags AS (SELECT CAST(l AS BIGINT) AS lag FROM generate_series(-3, 3) t(l)),
+paired AS (
+  SELECT lags.lag, a.clicks AS x, b.buys AS y
+  FROM lags
+  JOIN daily a ON TRUE
+  JOIN daily b ON b.d = a.d + lags.lag
+),
+mom AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM paired GROUP BY lag
+),
+ccf AS (
+  SELECT CAST(lag AS INTEGER) AS lag, n,
+         ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+               / (sqrt(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                  * sqrt(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+               6) AS ccf
+  FROM mom
+)
+SELECT lag, n, ccf,
+       CASE WHEN ROW_NUMBER() OVER (ORDER BY abs(ccf) DESC, lag) = 1
+            THEN 1 ELSE 0 END AS is_peak
+FROM ccf
+ORDER BY lag
+"""
+
+
+@register(
+    "events_ccf_lead_lag",
+    oracle="WITH " + _CCF_SQL,
+    tags=("ext", "events", "timeseries", "correlation"),
+    description="cross-correlation of clicks vs purchases at lags -3..+3",
+)
+def events_ccf_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag discovery: the cross-correlation function between
+    the daily click series and the purchase series shifted by -3..+3
+    days, peak flagged — the standard question 'does engagement lead
+    conversion, and by how much?'. The shifted pairing is a self-
+    join of the 30-row daily aggregate against a 7-row lag dim (the
+    fact table is reduced FIRST — at 100 TB the CCF costs one scan
+    plus a toy join). Pearson per lag from exact integer moments."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("clicks"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("buys"),
+    )
+    lags = spark.range(-3, 4).select(F.col("id").alias("lag"))
+    a = daily.select(F.col("d").alias("da"), F.col("clicks").alias("x"))
+    b = daily.select(F.col("d").alias("db"), F.col("buys").alias("y"))
+    paired = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("db") == F.col("da") + F.col("lag"))
+    )
+    mom = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    ccf = mom.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        F.round(
+            (
+                F.col("n") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / (
+                F.sqrt(
+                    F.col("n") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                * F.sqrt(
+                    F.col("n") * F.col("syy").cast("double")
+                    - F.col("sy").cast("double") * F.col("sy")
+                )
+            ),
+            6,
+        ).alias("ccf"),
+    )
+    return ccf.select(
+        "lag",
+        "n",
+        "ccf",
+        F.when(
+            F.row_number().over(
+                Window.orderBy(F.abs("ccf").desc(), "lag")
+            )
+            == 1,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_peak"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Streaming stateful EWMA (order-sensitive custom state machine)
+# ---------------------------------------------------------------------------
+
+_STREAM_EWMA_ORACLE = """
+WITH RECURSIVE seq AS (
+  SELECT user_id, ROUND(value, 2) AS x,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id < 20
+),
+nmax AS (SELECT user_id, MAX(rn) AS tmax FROM seq GROUP BY 1),
+ewma AS (
+  SELECT user_id, rn, CAST(x AS DOUBLE) AS e FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn, 0.2 * s.x + 0.8 * w.e
+  FROM seq s JOIN ewma w ON s.user_id = w.user_id AND s.rn = w.rn + 1
+)
+SELECT w.user_id, CAST(n.tmax AS BIGINT) AS n_events,
+       ROUND(w.e, 6) AS ewma_02
+FROM ewma w JOIN nmax n ON n.user_id = w.user_id AND w.rn = n.tmax
+ORDER BY w.user_id
+"""
+
+
+@register(
+    "streaming_ewma_per_user",
+    oracle=_STREAM_EWMA_ORACLE,
+    tags=("streaming", "stateful", "applyInPandasWithState", "ewma"),
+    description="stateful streaming EWMA per user, oracle-checked",
+)
+def streaming_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ORDER-SENSITIVE arbitrary-stateful streaming class: a
+    per-user EWMA through applyInPandasWithState, where correctness
+    depends on folding each micro-batch in event-time order (the
+    running-totals op is commutative; this one is not — it carries
+    the sequential recurrence of events_ewma_per_user into the
+    streaming runtime). The staged source fits one availableNow
+    batch, so the single update emission per user is the final
+    state, checked against the recursive-CTE oracle bit-for-bit
+    after both sides fold literally 0.2*x + 0.8*e. Values are
+    pre-rounded ENGINE-side (Spark half-up = DuckDB half-away;
+    pandas half-even would diverge)."""
+    import uuid
+
+    from wilayah_aceh_etl_spark.plans.events_queries import _stage_events
+    from wilayah_aceh_etl_spark.streaming import (
+        read_event_stream,
+        running_user_ewma,
+    )
+
+    staged = _stage_events(spark, sf_dir)
+    name = f"stream_ewma_{uuid.uuid4().hex[:8]}"
+    src = (
+        read_event_stream(spark, staged)
+        .filter(F.col("user_id") < 20)
+        .withColumn("value", F.round("value", 2))
+    )
+    q = (
+        running_user_ewma(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select("user_id", "n_events", F.round("ewma_02", 6).alias("ewma_02"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive (triple exponential smoothing, period 7)
+# ---------------------------------------------------------------------------
+
+_HW_ORACLE = """
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+),
+idx AS (
+  SELECT event_type, y,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+  FROM daily
+),
+init AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN t <= 7 THEN y END) AS BIGINT) AS sa,
+         CAST(SUM(CASE WHEN t BETWEEN 8 AND 14 THEN y END) AS BIGINT) AS sb
+  FROM idx GROUP BY 1
+),
+anchor AS (
+  SELECT i.event_type, 7 AS t,
+         CAST(i.sa AS DOUBLE) / 7 AS l,
+         (CAST(i.sb AS DOUBLE) / 7 - CAST(i.sa AS DOUBLE) / 7) / 7 AS b,
+         list(CAST(x.y AS DOUBLE) - CAST(i.sa AS DOUBLE) / 7
+              ORDER BY x.t) AS s,
+         CAST(NULL AS DOUBLE) AS fitted,
+         CAST(NULL AS BIGINT) AS y
+  FROM init i JOIN idx x ON x.event_type = i.event_type AND x.t <= 7
+  GROUP BY i.event_type, i.sa, i.sb
+),
+rec AS (
+  SELECT * FROM anchor
+  UNION ALL
+  SELECT r.event_type, r.t + 1,
+         0.3 * (i.y - r.s[1]) + 0.7 * (r.l + r.b),
+         0.1 * ((0.3 * (i.y - r.s[1]) + 0.7 * (r.l + r.b)) - r.l)
+           + 0.9 * r.b,
+         list_append(r.s[2:7],
+           0.2 * (i.y - (0.3 * (i.y - r.s[1]) + 0.7 * (r.l + r.b)))
+             + 0.8 * r.s[1]),
+         r.l + r.b + r.s[1],
+         i.y
+  FROM rec r JOIN idx i ON i.event_type = r.event_type AND i.t = r.t + 1
+)
+SELECT event_type, CAST(t AS INTEGER) AS t, y,
+       ROUND(fitted, 6) AS fitted,
+       ROUND(l, 6) AS level, ROUND(b, 6) AS trend
+FROM rec WHERE t >= 8
+ORDER BY event_type, t
+"""
+
+
+@register(
+    "events_holt_winters_additive",
+    oracle=_HW_ORACLE,
+    tags=("events", "timeseries", "forecast", "pandas-udf", "sequential"),
+    description="Holt-Winters additive smoothing (period 7) per event type",
+)
+def events_holt_winters_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triple exponential smoothing with additive weekly
+    seasonality (α=0.3 β=0.1 γ=0.2, period 7) over each type's
+    daily count series — level + trend + a 7-slot seasonal register,
+    the recurrence family a forecasting pipeline actually runs.
+    Initialization is the textbook one: level = mean of week 1,
+    trend = (mean of week 2 − mean of week 1)/7, seasonals = week-1
+    deviations. Spark side is an applyInPandas grouped map (pre-
+    aggregated to ~30 rows per group; per-group state is the 9
+    floats); the oracle replays the identical IEEE expression tree
+    in a DuckDB recursive CTE whose seasonal register travels as a
+    LIST column rotated each step — both engines emit the one-step-
+    ahead fit l+b+s_prev before updating. Constants are written
+    literally (0.7, 0.9, 0.8), never 1−α, so the multiplications
+    are the same doubles on both sides."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        y = [int(v) for v in pdf["y"].tolist()]
+        et = pdf["event_type"].iloc[0]
+        if len(y) < 15:
+            return pd.DataFrame(
+                columns=["event_type", "t", "y", "fitted", "level", "trend"]
+            )
+        sa = sum(y[0:7])
+        sb = sum(y[7:14])
+        l = sa / 7
+        b = (sb / 7 - sa / 7) / 7
+        s = [y[i] - sa / 7 for i in range(7)]
+        rows = []
+        for t in range(8, len(y) + 1):
+            yt = y[t - 1]
+            s_prev = s[0]
+            fitted = l + b + s_prev
+            l_new = 0.3 * (yt - s_prev) + 0.7 * (l + b)
+            b_new = 0.1 * (l_new - l) + 0.9 * b
+            s_new = 0.2 * (yt - l_new) + 0.8 * s_prev
+            s = s[1:] + [s_new]
+            l, b = l_new, b_new
+            rows.append(
+                {
+                    "event_type": et,
+                    "t": t,
+                    "y": yt,
+                    "fitted": round(fitted, 6),
+                    "level": round(l, 6),
+                    "trend": round(b, 6),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    out_schema = (
+        "event_type string, t int, y long, fitted double, "
+        "level double, trend double"
+    )
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(hw, schema=out_schema)
+        .orderBy("event_type", "t")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality (3-hop horizon) over the part co-occurrence graph
+# ---------------------------------------------------------------------------
+
+_HARMONIC_ORACLE = """
+WITH RECURSIVE base AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+pairs AS (
+  SELECT a.pk AS pa, b.pk AS pb
+  FROM base a JOIN base b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+),
+edges AS (
+  SELECT pa AS u, pb AS w FROM pairs
+  UNION ALL
+  SELECT pb AS u, pa AS w FROM pairs
+),
+nodes AS (SELECT DISTINCT u AS node FROM edges),
+walk AS (
+  SELECT node AS src, node, 0 AS d FROM nodes
+  UNION ALL
+  SELECT walk.src, e.w, walk.d + 1
+  FROM walk JOIN edges e ON walk.node = e.u
+  WHERE walk.d < 3
+),
+dist AS (
+  SELECT src, node, MIN(d) AS d FROM walk
+  WHERE src <> node GROUP BY src, node
+),
+cent AS (
+  SELECT src AS part, CAST(COUNT(*) AS BIGINT) AS n_reach3,
+         CAST(SUM(6 // d) AS BIGINT) AS harmonic_x6
+  FROM dist GROUP BY src
+)
+SELECT part, n_reach3, harmonic_x6,
+       ROUND(CAST(harmonic_x6 AS DOUBLE) / 6, 6) AS harmonic
+FROM cent
+ORDER BY harmonic_x6 DESC, part
+LIMIT 20
+"""
+
+
+@register(
+    "graph_harmonic_centrality",
+    oracle=_HARMONIC_ORACLE,
+    tags=("graph", "centrality", "iterative", "join"),
+    description="3-hop harmonic centrality over the part co-occurrence graph",
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality Σ 1/d(u,v), truncated at a 3-hop horizon
+    (the standard bounded variant — at web scale nobody runs full
+    APSP; hop-limited harmonic is what HyperBall computes with
+    sketches). Distances come from the same unrolled-frontier BFS
+    as the single-source query but seeded with EVERY node (src
+    travels with the frontier, so it is one plan, not |V| jobs).
+    Determinism: d ∈ {1,2,3}, so 6/d is an exact integer — the
+    centrality is summed as harmonic_x6 ∈ ℕ and divided once.
+    Top-20 by exact integer key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = base.select("ok", F.col("pk").alias("pa"))
+    b = base.select("ok", F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(
+        F.col("pa").alias("u"), F.col("pb").alias("w")
+    ).unionAll(pairs.select(F.col("pb").alias("u"), F.col("pa").alias("w")))
+    edges = edges.cache()
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    frontier = nodes.select(
+        F.col("node").alias("src"), "node", F.lit(0).alias("d")
+    )
+    walk = frontier
+    for _ in range(3):
+        frontier = (
+            frontier.join(edges, frontier.node == edges.u)
+            .select("src", F.col("w").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        walk = walk.unionAll(frontier)
+    dist = (
+        walk.filter(F.col("src") != F.col("node"))
+        .groupBy("src", "node")
+        .agg(F.min("d").alias("d"))
+    )
+    cent = dist.groupBy(F.col("src").alias("part")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_reach3"),
+        F.sum(F.expr("6 div d")).cast("long").alias("harmonic_x6"),
+    )
+    return (
+        cent.select(
+            "part",
+            "n_reach3",
+            "harmonic_x6",
+            F.round(F.col("harmonic_x6").cast("double") / 6, 6).alias(
+                "harmonic"
+            ),
+        )
+        .orderBy(F.col("harmonic_x6").desc(), "part")
+        .limit(20)
+    )

@@ -8,6 +8,7 @@ from wilayah_aceh_etl_spark.streaming.windows import (
 from wilayah_aceh_etl_spark.streaming.stateful import (
     dedup_exact_replay,
     dedup_first_per_key,
+    running_user_ewma,
     running_user_totals,
 )
 from wilayah_aceh_etl_spark.streaming.joins import (
@@ -25,5 +26,6 @@ __all__ = [
     "session_counts",
     "dedup_exact_replay",
     "dedup_first_per_key",
+    "running_user_ewma",
     "running_user_totals",
 ]

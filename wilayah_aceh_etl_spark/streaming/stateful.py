@@ -96,3 +96,72 @@ def dedup_exact_replay(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+_EWMA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma_02", T.DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+
+
+def running_user_ewma(
+    events: DataFrame, watermark: str = "10 minutes", alpha: float = 0.2
+) -> DataFrame:
+    """Stateful streaming EWMA (applyInPandasWithState): per user,
+    e_t = alpha*x_t + (1-alpha)*e_{t-1} over the event-time-ordered
+    value series, state = (count, last ewma). Unlike the running-
+    totals op the recurrence is ORDER-SENSITIVE, so each micro-batch
+    sorts its slice by (ts, event_id) before folding — the composed
+    result equals the batch recurrence as long as batches arrive in
+    event-time order (the availableNow single-batch case trivially,
+    and in production a watermark-sized sorter would front this).
+    State is O(1) per user; the float ops are written literally
+    (0.2 * x + 0.8 * e) to match the batch/oracle expression tree
+    bit-for-bit."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        n, e = (0, None)
+        if state.exists:
+            n, e = state.get
+        chunks = [pdf for pdf in pdf_iter]
+        if chunks:
+            # caller pre-rounds `value` engine-side (Spark ROUND is
+            # half-up like DuckDB's; pandas .round is half-even and
+            # would diverge on exact .005 boundaries)
+            batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for x in batch["value"].tolist():
+                e = float(x) if e is None else 0.2 * x + 0.8 * e
+                n += 1
+        state.update((n, e if e is not None else 0.0))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "ewma_02": [e],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_EWMA_OUT_SCHEMA,
+            stateStructType=_EWMA_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
