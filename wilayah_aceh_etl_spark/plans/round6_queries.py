@@ -22,6 +22,7 @@ construction, independent of fact-table size).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401  (pandas_udf type hints resolve at module scope)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -2276,3 +2277,484 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("harmonic_x6").desc(), "part")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# LISTAGG WITHIN GROUP (ordered string aggregation, SQL:2016)
+# ---------------------------------------------------------------------------
+
+_LISTAGG_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+),
+k AS (
+  SELECT o_orderstatus,
+         CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT d.o_orderpriority,
+       listagg(d.o_orderstatus, ',' ORDER BY d.o_orderstatus)
+         AS statuses,
+       listagg(CAST(k.first_key AS VARCHAR), '|'
+               ORDER BY d.o_orderstatus) AS first_keys
+FROM d JOIN k ON k.o_orderstatus = d.o_orderstatus
+GROUP BY d.o_orderpriority
+ORDER BY d.o_orderpriority
+"""
+
+
+@register(
+    "sql_listagg_within_group",
+    oracle=_LISTAGG_ORACLE,
+    tags=("sql-surface", "agg", "listagg"),
+    description="LISTAGG ... WITHIN GROUP ordered string aggregation",
+)
+def sql_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 LISTAGG through the Spark 4 SQL front-end — ordered,
+    delimiter-joined string aggregation WITHIN GROUP, the
+    report-formatting aggregate (and the only ISO-standard ordered
+    aggregate besides the percentile family). The input is first
+    reduced to the distinct grain so the aggregated strings stay
+    bounded — the discipline that keeps LISTAGG usable at scale,
+    where concatenating raw fact rows would OOM the aggregate
+    buffer."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+WITH d AS (
+  SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+),
+k AS (
+  SELECT o_orderstatus,
+         CAST(MIN(o_orderkey) AS BIGINT) AS first_key
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT d.o_orderpriority,
+       listagg(d.o_orderstatus, ',')
+         WITHIN GROUP (ORDER BY d.o_orderstatus) AS statuses,
+       listagg(CAST(k.first_key AS STRING), '|')
+         WITHIN GROUP (ORDER BY d.o_orderstatus) AS first_keys
+FROM d JOIN k ON k.o_orderstatus = d.o_orderstatus
+GROUP BY d.o_orderpriority
+ORDER BY d.o_orderpriority
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Named WINDOW clause (one spec, many functions)
+# ---------------------------------------------------------------------------
+
+_NAMED_WINDOW_SQL = """
+SELECT o_orderkey, o_orderstatus,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+            AS BIGINT) AS running_cents,
+       CAST(LAG(o_orderkey) OVER w AS BIGINT) AS prev_key
+FROM orders
+WHERE o_orderkey < 500
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey)
+ORDER BY o_orderstatus, rn
+"""
+
+
+@register(
+    "sql_named_window_clause",
+    oracle=_NAMED_WINDOW_SQL,
+    tags=("sql-surface", "window"),
+    description="named WINDOW clause: one spec shared by 3 functions",
+)
+def sql_named_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL WINDOW clause: one named specification referenced by
+    ROW_NUMBER, a running SUM, and LAG. Besides the syntax surface,
+    the named spec is a physical contract — all three functions
+    share ONE sort+partition pass in the plan (a single WindowExec),
+    where three inline specs risk three sorts; at 100 TB that's the
+    difference between one shuffle and three."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_NAMED_WINDOW_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Regexp function battery
+# ---------------------------------------------------------------------------
+
+_REGEXP_ORACLE = """
+SELECT p_partkey, p_name,
+       regexp_extract(p_name, '[a-z]+', 0) AS first_word_rx,
+       CASE WHEN regexp_extract(p_name, '[aeiou][a-z]*', 0) = '' THEN 0
+            ELSE strpos(p_name, regexp_extract(p_name, '[aeiou][a-z]*', 0))
+       END AS vowel_word_pos,
+       array_to_string(regexp_extract_all(p_name, '([a-z]+)', 1), '|')
+         AS all_words,
+       CAST(len(regexp_extract_all(p_name, '([aeiou])', 1)) AS INTEGER)
+         AS n_vowels,
+       regexp_replace(p_name, '^([a-z]+) ([a-z]+)$', '\\2 \\1')
+         AS swapped,
+       CASE WHEN regexp_matches(p_name, '^(red|blue|green)') THEN 1 ELSE 0
+       END AS is_color_prefixed
+FROM part WHERE p_partkey < 200
+ORDER BY p_partkey
+"""
+
+
+@register(
+    "regexp_functions_battery",
+    oracle=_REGEXP_ORACLE,
+    tags=("functions", "regexp", "string"),
+    description="regexp battery: substr/instr/extract_all/backref-replace",
+)
+def regexp_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full regexp surface beyond plain regexp_extract:
+    regexp_substr (first match or empty), match position, extract-
+    all folded to a joined string, vectorized match counting,
+    capture-group backreference replacement (Java $2/$1, RE2 \\2\\1
+    — same semantics, different spelling, the oracle uses its
+    dialect's), and anchored alternation predicates. All codegen
+    scalar ops — regex at 100 TB is CPU-bound scan work that scales
+    linearly with cores, which is why it stays JVM-side, never in a
+    Python UDF."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    first_vowel_word = F.regexp_substr("p_name", F.lit("[aeiou][a-z]*"))
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.coalesce(F.regexp_substr("p_name", F.lit("[a-z]+")), F.lit("")).alias(
+            "first_word_rx"
+        ),
+        F.when(first_vowel_word.isNull(), 0)
+        .otherwise(F.instr(F.col("p_name"), first_vowel_word))
+        .cast("int")
+        .alias("vowel_word_pos"),
+        F.array_join(
+            F.regexp_extract_all("p_name", F.lit("([a-z]+)"), F.lit(1)), "|"
+        ).alias("all_words"),
+        F.regexp_count("p_name", F.lit("[aeiou]")).cast("int").alias(
+            "n_vowels"
+        ),
+        F.regexp_replace(
+            "p_name", r"^([a-z]+) ([a-z]+)$", r"$2 $1"
+        ).alias("swapped"),
+        F.when(F.col("p_name").rlike("^(red|blue|green)"), 1)
+        .otherwise(0)
+        .alias("is_color_prefixed"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksums (cross-system reconciliation)
+# ---------------------------------------------------------------------------
+
+
+def _cksum_sql(table: str, keyexpr: str) -> str:
+    return f"""
+SELECT '{table}' AS tbl,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(('0x' || substr(md5({keyexpr}), 1, 10))::BIGINT)
+            AS BIGINT) AS checksum
+FROM {table}
+"""
+
+
+_CKSUM_TABLES = (
+    ("orders", "CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus"
+               " || '|' || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+               " AS VARCHAR)"),
+    ("customer", "CAST(c_custkey AS VARCHAR) || '|' || c_mktsegment"),
+    ("nation", "CAST(n_nationkey AS VARCHAR) || '|' || n_name"),
+)
+
+
+@register(
+    "table_checksum_star",
+    oracle="SELECT * FROM ("
+    + " UNION ALL ".join(_cksum_sql(t, k) for t, k in _CKSUM_TABLES)
+    + ") ORDER BY tbl",
+    tags=("ext", "data-quality", "checksum"),
+    description="order-independent md5-sum table fingerprints",
+)
+def table_checksum_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-system table fingerprinting: per table, SUM over rows
+    of a 40-bit integer slice of md5(canonical row string). The sum
+    is commutative, so the checksum is independent of row order,
+    partitioning, and engine — the property that lets two systems
+    (here literally Spark and DuckDB; in production a warehouse and
+    its replica) verify a copy without transferring rows. 40-bit
+    slices keep 2³⁹·n far from BIGINT overflow at any realistic row
+    count while a single bit flip still shifts the sum. One scan,
+    one scalar aggregate per table."""
+    parts = []
+    for tbl, keyexpr in _CKSUM_TABLES:
+        load_table(spark, sf_dir, tbl).createOrReplaceTempView(tbl)
+        spark_key = keyexpr.replace("VARCHAR", "STRING")
+        parts.append(
+            spark.sql(
+                f"""
+SELECT '{tbl}' AS tbl,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(conv(substr(md5({spark_key}), 1, 10), 16, 10)
+                     AS BIGINT)) AS BIGINT) AS checksum
+FROM {tbl}
+"""
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("tbl")
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands over the order-key sequence
+# ---------------------------------------------------------------------------
+
+_GAPS_SQL = """
+k AS (SELECT DISTINCT o_orderkey AS key FROM orders
+      WHERE o_orderpriority = '1-URGENT'),
+isl AS (
+  SELECT key, key - ROW_NUMBER() OVER (ORDER BY key) AS grp
+  FROM k
+),
+islands AS (
+  SELECT CAST(MIN(key) AS BIGINT) AS island_start,
+         CAST(MAX(key) AS BIGINT) AS island_end,
+         CAST(COUNT(*) AS BIGINT) AS island_len
+  FROM isl GROUP BY grp
+),
+gaps AS (
+  SELECT island_end + 1 AS gap_start,
+         LEAD(island_start) OVER (ORDER BY island_start) - 1 AS gap_end
+  FROM islands
+)
+SELECT CAST(gap_start AS BIGINT) AS gap_start,
+       CAST(gap_end AS BIGINT) AS gap_end,
+       CAST(gap_end - gap_start + 1 AS BIGINT) AS gap_len
+FROM gaps WHERE gap_end IS NOT NULL
+ORDER BY gap_len DESC, gap_start
+LIMIT 10
+"""
+
+
+@register(
+    "orders_key_gaps_islands",
+    oracle="WITH " + _GAPS_SQL,
+    tags=("window", "gaps-islands", "data-quality"),
+    description="top-10 gaps in the URGENT-order key sequence (gaps & islands)",
+)
+def orders_key_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic gaps-and-islands decomposition on a numeric key:
+    consecutive runs collapse via the key − row_number() constant-
+    group trick, gaps fall out between island boundaries with LEAD.
+    The audit every ingest pipeline runs on an allegedly-dense
+    surrogate key (missing ranges = lost batches). One global sort
+    over the DISTINCT key set — at scale, run it per key-range
+    partition and stitch the per-partition boundary islands."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("WITH " + _GAPS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Scalar pandas UDF (Arrow-vectorized z-score)
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)
+                  * CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS ss
+  FROM orders
+)
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice) AS BIGINT) AS dollars,
+       ROUND((CAST(ROUND(o_totalprice) AS BIGINT)
+              - CAST(m.s AS DOUBLE) / m.n)
+             / sqrt(CAST(m.ss AS DOUBLE) / m.n
+                    - (CAST(m.s AS DOUBLE) / m.n)
+                      * (CAST(m.s AS DOUBLE) / m.n)), 6) AS z
+FROM orders CROSS JOIN m
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "pandas_scalar_udf_zscore",
+    oracle=_ZSCORE_ORACLE,
+    tags=("pandas-udf", "scalar", "udf-surface"),
+    description="Arrow-vectorized scalar pandas UDF: z-score normalization",
+)
+def pandas_scalar_udf_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALAR pandas UDF class (the one UDF shape this registry
+    hadn't pinned: grouped-map, cogrouped-map, mapInPandas,
+    mapInArrow, applyInPandasWithState and UDTFs all have entries).
+    Batches cross the JVM→Python boundary as Arrow record batches
+    and the z-score is computed vectorized on the whole pandas
+    Series — the 10-100x-over-row-UDF path when Python is
+    unavoidable. The global moments arrive as broadcast columns
+    (exact integer sums), so the UDF itself is pure elementwise
+    arithmetic, written with the same expression tree the SQL
+    oracle uses."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def zscore(dollars: pd.Series, s: pd.Series, ss: pd.Series, n: pd.Series) -> pd.Series:
+        mean = s / n
+        return ((dollars - mean) / ((ss / n - mean * mean) ** 0.5)).round(6)
+
+    o = load_table(spark, sf_dir, "orders")
+    dollars = F.round(F.col("o_totalprice")).cast("long")
+    m = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dollars).cast("long").alias("s"),
+        F.sum(dollars * dollars).cast("long").alias("ss"),
+    )
+    return (
+        o.filter(F.col("o_orderkey") < 500)
+        .select("o_orderkey", dollars.alias("dollars"))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "o_orderkey",
+            "dollars",
+            zscore(
+                F.col("dollars").cast("double"),
+                F.col("s").cast("double"),
+                F.col("ss").cast("double"),
+                F.col("n").cast("double"),
+            ).alias("z"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness: Fano factor of per-minute arrival counts
+# ---------------------------------------------------------------------------
+
+_FANO_SQL = """
+per_min AS (
+  SELECT event_type,
+         epoch_us(ts) // 60000000 AS minute,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+mom AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_minutes,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM per_min GROUP BY event_type
+)
+SELECT event_type, n_minutes,
+       ROUND(CAST(s AS DOUBLE) / n_minutes, 6) AS mean_per_min,
+       ROUND((CAST(ss AS DOUBLE) / n_minutes
+              - (CAST(s AS DOUBLE) / n_minutes)
+                * (CAST(s AS DOUBLE) / n_minutes))
+             / (CAST(s AS DOUBLE) / n_minutes), 6) AS fano_factor,
+       ROUND((sqrt(CAST(ss AS DOUBLE) / n_minutes
+                   - (CAST(s AS DOUBLE) / n_minutes)
+                     * (CAST(s AS DOUBLE) / n_minutes))
+              - CAST(s AS DOUBLE) / n_minutes)
+             / (sqrt(CAST(ss AS DOUBLE) / n_minutes
+                     - (CAST(s AS DOUBLE) / n_minutes)
+                       * (CAST(s AS DOUBLE) / n_minutes))
+                + CAST(s AS DOUBLE) / n_minutes), 6) AS burstiness_b
+FROM mom
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_burstiness_fano",
+    oracle="WITH " + _FANO_SQL,
+    tags=("ext", "events", "timeseries", "burstiness"),
+    description="Fano factor + burstiness index of per-minute arrivals",
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival burstiness per event type: the Fano factor
+    (variance/mean of per-minute counts; 1 = Poisson, >1 =
+    clustered) and the Goh-Barabási burstiness index
+    B = (σ−μ)/(σ+μ). This pair is what capacity planning actually
+    needs beyond a mean rate — a B≈0 stream provisions for the
+    mean, a bursty one for the tail. Counts bucket on integral
+    epoch-minutes (micros divided as integers, so both engines bin
+    identically); moments are exact ints; only minutes WITH events
+    enter the bucket set (the shared convention both sides use)."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_min = e.groupBy(
+        "event_type", F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 60000000"
+        ).alias("minute")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    mom = per_min.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_minutes"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_minutes")
+    var = F.col("ss").cast("double") / F.col("n_minutes") - mean * mean
+    return mom.select(
+        "event_type",
+        "n_minutes",
+        F.round(mean, 6).alias("mean_per_min"),
+        F.round(var / mean, 6).alias("fano_factor"),
+        F.round(
+            (F.sqrt(var) - mean) / (F.sqrt(var) + mean), 6
+        ).alias("burstiness_b"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# XPath battery over synthesized XML
+# ---------------------------------------------------------------------------
+
+_XPATH_ORACLE = """
+SELECT p_partkey,
+       '<part><name>' || p_name || '</name><size>' || p_size
+         || '</size><brand>' || replace(p_brand, '#', '_')
+         || '</brand></part>' AS xml,
+       p_name AS x_name,
+       CAST(p_size AS BIGINT) AS x_size,
+       replace(p_brand, '#', '_') AS x_brand,
+       CASE WHEN p_size > 25 THEN 1 ELSE 0 END AS x_large
+FROM part WHERE p_partkey < 200
+ORDER BY p_partkey
+"""
+
+
+@register(
+    "xpath_battery",
+    oracle=_XPATH_ORACLE,
+    tags=("functions", "xml", "xpath"),
+    description="xpath_string/xpath_long/xpath_boolean over built XML",
+)
+def xpath_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The XML extraction surface: documents synthesized from
+    columns, then torn back apart with xpath_string / xpath_long /
+    xpath_boolean (including a predicate expression). The oracle
+    reconstructs the expected values straight from the source
+    columns — round-trip proof, not parser echo. XML columns are a
+    legacy-feed reality in enterprise lakes; like the regex battery,
+    extraction is scalar scan work that parallelizes linearly."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    xml = F.concat(
+        F.lit("<part><name>"),
+        F.col("p_name"),
+        F.lit("</name><size>"),
+        F.col("p_size").cast("string"),
+        F.lit("</size><brand>"),
+        F.translate("p_brand", "#", "_"),
+        F.lit("</brand></part>"),
+    )
+    u = p.select("p_partkey", xml.alias("xml"))
+    return u.select(
+        "p_partkey",
+        "xml",
+        F.expr("xpath_string(xml, '/part/name')").alias("x_name"),
+        F.expr("xpath_long(xml, '/part/size')").alias("x_size"),
+        F.expr("xpath_string(xml, '/part/brand')").alias("x_brand"),
+        F.expr("CASE WHEN xpath_boolean(xml, '/part/size > 25') THEN 1 "
+               "ELSE 0 END").alias("x_large"),
+    ).orderBy("p_partkey")
