@@ -1,0 +1,276 @@
+"""Semantic unit tests for the round-6 operators on hand-built
+inputs where the expected outcome is known by construction. Parity
+(tools/parity.py) separately pins each against DuckDB on the driver
+corpus; these pin the operator DEFINITIONS.
+
+Each test writes a tiny table into tmp_path under the driver's
+table-naming contract and calls the registered query with that
+directory — the full production code path, not a reimplementation.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+
+def _write(spark, tmp_path, name: str, rows, schema: str) -> str:
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{tmp_path}/{name}.parquet")
+    return str(tmp_path)
+
+
+def _ts(day: int, hour: int = 0, minute: int = 0, second: int = 0):
+    return dt.datetime(2024, 1, day, hour, minute, second)
+
+
+# ---------------------------------------------------------------------------
+# exact two-pass median == sorted-middle element
+# ---------------------------------------------------------------------------
+
+
+def test_exact_median_two_pass_known_values(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        exact_median_two_pass,
+    )
+
+    # flag A: 1..5 dollars → lower median 3.00 → 300 cents
+    # flag B: {10, 20, 30, 40} → lower median (n+1)//2 = 2nd → 20.00
+    rows = [("A", float(v)) for v in (1, 2, 3, 4, 5)] + [
+        ("B", float(v)) for v in (10, 20, 30, 40)
+    ]
+    sf = _write(
+        spark,
+        tmp_path,
+        "lineitem",
+        rows,
+        "l_returnflag string, l_extendedprice double",
+    )
+    got = {
+        r["l_returnflag"]: (r["n"], r["median_cents"])
+        for r in exact_median_two_pass(spark, sf).collect()
+    }
+    assert got == {"A": (5, 300), "B": (4, 2000)}
+
+
+# ---------------------------------------------------------------------------
+# table checksum is independent of row order
+# ---------------------------------------------------------------------------
+
+
+def test_table_checksum_order_independent(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        table_checksum_star,
+    )
+
+    orders = [(i, "O" if i % 2 else "F", 100.0 + i) for i in range(50)]
+    cust = [(i, "BUILDING" if i % 3 else "MACHINERY") for i in range(20)]
+    nat = [(i, f"NATION_{i}") for i in range(5)]
+
+    d1 = tmp_path / "fwd"
+    d2 = tmp_path / "rev"
+    for d, o_rows, c_rows, n_rows in (
+        (d1, orders, cust, nat),
+        (d2, orders[::-1], cust[::-1], nat[::-1]),
+    ):
+        d.mkdir()
+        _write(
+            spark, d, "orders", o_rows,
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+        _write(spark, d, "customer", c_rows,
+               "c_custkey long, c_mktsegment string")
+        _write(spark, d, "nation", n_rows,
+               "n_nationkey int, n_name string")
+
+    r1 = {r["tbl"]: r["checksum"] for r in
+          table_checksum_star(spark, str(d1)).collect()}
+    r2 = {r["tbl"]: r["checksum"] for r in
+          table_checksum_star(spark, str(d2)).collect()}
+    assert r1 == r2
+    assert set(r1) == {"orders", "customer", "nation"}
+
+
+def test_table_checksum_detects_single_value_change(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        table_checksum_star,
+    )
+
+    base = [(i, "O", 100.0) for i in range(10)]
+    changed = list(base)
+    changed[3] = (3, "F", 100.0)  # one status flipped
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    for d, o_rows in ((d1, base), (d2, changed)):
+        d.mkdir()
+        _write(
+            spark, d, "orders", o_rows,
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        )
+        _write(spark, d, "customer", [(1, "BUILDING")],
+               "c_custkey long, c_mktsegment string")
+        _write(spark, d, "nation", [(1, "X")],
+               "n_nationkey int, n_name string")
+    c1 = {r["tbl"]: r["checksum"] for r in
+          table_checksum_star(spark, str(d1)).collect()}
+    c2 = {r["tbl"]: r["checksum"] for r in
+          table_checksum_star(spark, str(d2)).collect()}
+    assert c1["orders"] != c2["orders"]
+    assert c1["customer"] == c2["customer"]
+
+
+# ---------------------------------------------------------------------------
+# CEP regex funnel on constructed user paths
+# ---------------------------------------------------------------------------
+
+
+def test_cep_funnel_classifies_paths(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        events_cep_funnel_regex,
+    )
+
+    rows = []
+    eid = 0
+
+    def add(user, minute, etype):
+        nonlocal eid
+        rows.append((eid, _ts(1, 0, minute), user, etype, 1.0, "{}"))
+        eid += 1
+
+    # user 1: clean conversion (signup → click → purchase)
+    add(1, 0, "signup"); add(1, 1, "click"); add(1, 2, "purchase")
+    # user 2: error before converting (signup → error → click → purchase)
+    add(2, 0, "signup"); add(2, 1, "error"); add(2, 2, "click")
+    add(2, 3, "purchase")
+    # user 3: no conversion at all
+    add(3, 0, "view"); add(3, 1, "view")
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = events_cep_funnel_regex(spark, sf).collect()[0]
+    assert r["n_users"] == 3
+    assert r["n_clean_convert"] == 1
+    assert r["n_error_recovered"] == 1
+
+
+# ---------------------------------------------------------------------------
+# decision stump finds the perfectly separating split
+# ---------------------------------------------------------------------------
+
+
+def test_decision_stump_perfect_split(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        decision_stump_discount_returns,
+    )
+
+    # discount 0% → never returned; 10% → always returned
+    rows = [(0.0, "N")] * 20 + [(0.10, "R")] * 20
+    sf = _write(
+        spark, tmp_path, "lineitem", rows,
+        "l_discount double, l_returnflag string",
+    )
+    out = decision_stump_discount_returns(spark, sf).collect()
+    best = [r for r in out if r["is_best"] == 1]
+    assert len(best) == 1
+    assert best[0]["threshold"] == 0
+    assert best[0]["weighted_gini"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters on a constant series fits the constant with zero trend
+# ---------------------------------------------------------------------------
+
+
+def test_holt_winters_constant_series(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        events_holt_winters_additive,
+    )
+
+    rows = [
+        (d, _ts(d), 1, "click", 1.0, "{}") for d in range(1, 21)
+    ]  # one event per day → constant daily count 1
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = events_holt_winters_additive(spark, sf).collect()
+    assert len(out) == 13  # t = 8..20
+    for r in out:
+        assert r["fitted"] == 1.0
+        assert r["trend"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# lateness profiler: an in-order stream has zero lateness
+# ---------------------------------------------------------------------------
+
+
+def test_lateness_zero_for_ordered_stream(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        events_watermark_lateness_profile,
+    )
+
+    rows = [
+        (i, _ts(1, 0, i), 1, "click", 1.0, "{}") for i in range(30)
+    ]  # event_id order == ts order
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = events_watermark_lateness_profile(spark, sf).collect()[0]
+    assert r["n_out_of_order"] == 0
+    assert r["max_late_s"] == 0
+    assert r["n_dropped_by_10min_watermark"] == 0
+
+
+def test_lateness_detects_late_row(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        events_watermark_lateness_profile,
+    )
+
+    rows = [
+        (0, _ts(1, 1, 0), 1, "click", 1.0, "{}"),
+        (1, _ts(1, 0, 0), 1, "click", 1.0, "{}"),  # 1 h late vs running max
+        (2, _ts(1, 2, 0), 1, "click", 1.0, "{}"),
+    ]
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = events_watermark_lateness_profile(spark, sf).collect()[0]
+    assert r["n_out_of_order"] == 1
+    assert r["max_late_s"] == 3600
+    assert r["n_dropped_by_10min_watermark"] == 1
+
+
+# ---------------------------------------------------------------------------
+# harmonic centrality on a hand-built path graph a—b—c
+# ---------------------------------------------------------------------------
+
+
+def test_harmonic_centrality_path_graph(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        graph_harmonic_centrality,
+    )
+
+    rows = []
+    # parts 1-2 co-occur in orders 10,11,12; parts 2-3 in orders 20,21,22
+    for ok in (10, 11, 12):
+        rows += [(ok, 1), (ok, 2)]
+    for ok in (20, 21, 22):
+        rows += [(ok, 2), (ok, 3)]
+    sf = _write(
+        spark, tmp_path, "lineitem", rows, "l_orderkey long, l_partkey long"
+    )
+    got = {
+        r["part"]: (r["n_reach3"], r["harmonic_x6"])
+        for r in graph_harmonic_centrality(spark, sf).collect()
+    }
+    # center reaches both ends at d=1 (6+6); ends reach center at 1 and
+    # far end at 2 (6+3)
+    assert got == {1: (2, 9), 2: (2, 12), 3: (2, 9)}
