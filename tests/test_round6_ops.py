@@ -274,3 +274,28 @@ def test_harmonic_centrality_path_graph(spark, tmp_path):
     # center reaches both ends at d=1 (6+6); ends reach center at 1 and
     # far end at 2 (6+3)
     assert got == {1: (2, 9), 2: (2, 12), 3: (2, 9)}
+
+
+# ---------------------------------------------------------------------------
+# pHash near-dup: duplicate payloads are detected at hamming 0
+# ---------------------------------------------------------------------------
+
+
+def test_phash_detects_duplicate_payloads(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        multimodal_phash_near_dup,
+    )
+
+    rows = [
+        (1, "the exact same payload bytes"),
+        (2, "the exact same payload bytes"),   # dup of 1
+        (3, "a completely different payload"),
+        (4, "the exact same payload bytes"),   # dup of 1 and 2
+    ]
+    sf = _write(spark, tmp_path, "documents", rows,
+                "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in multimodal_phash_near_dup(spark, sf).collect()
+    }
+    assert got == {(1, 2): 0, (1, 4): 0, (2, 4): 0}

@@ -2758,3 +2758,587 @@ def xpath_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CASE WHEN xpath_boolean(xml, '/part/size > 25') THEN 1 "
                "ELSE 0 END").alias("x_large"),
     ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 state dwell-time analysis
+# ---------------------------------------------------------------------------
+
+_DWELL_SQL = """
+ordered AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_type, ts,
+         CASE WHEN prev_type IS NULL OR prev_type <> event_type
+              THEN 1 ELSE 0 END AS is_change
+  FROM ordered
+),
+islands AS (
+  SELECT user_id, event_type, ts,
+         SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+intervals AS (
+  SELECT user_id, event_type, island,
+         CAST(MIN(epoch_us(ts)) AS BIGINT) AS start_us
+  FROM islands GROUP BY user_id, event_type, island
+),
+with_end AS (
+  SELECT user_id, event_type, start_us,
+         LEAD(start_us) OVER (PARTITION BY user_id
+                              ORDER BY start_us) AS end_us
+  FROM intervals
+),
+gmax AS (SELECT CAST(MAX(epoch_us(ts)) AS BIGINT) AS tmax FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(COALESCE(end_us, g.tmax) - start_us) // 1000000 AS BIGINT)
+         AS total_dwell_s,
+       ROUND(CAST(SUM(COALESCE(end_us, g.tmax) - start_us) AS DOUBLE)
+             / COUNT(*) / 1000000, 3) AS avg_dwell_s
+FROM with_end CROSS JOIN gmax g
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "scd2_state_dwell_time",
+    oracle="WITH " + _DWELL_SQL,
+    tags=("events", "scd2", "temporal", "window"),
+    description="per-state dwell-time totals from SCD2 validity intervals",
+)
+def scd2_state_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream of the SCD2 build: how long does each state last?
+    Same-state runs collapse to [valid_from, valid_to) intervals
+    (open tails clipped at the global max event time), then dwell
+    time aggregates per state — the state-occupancy analysis that
+    prices support capacity or session stickiness. All arithmetic
+    on exact integral microseconds (seconds by integer division;
+    the mean is the single closed double division). One shuffle on
+    user_id feeds every window; the per-state aggregate is the only
+    other exchange."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.when(
+            F.lag("event_type").over(wu).isNull()
+            | (F.lag("event_type").over(wu) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_change"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("is_change")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("island"),
+    )
+    intervals = islands.groupBy("user_id", "event_type", "island").agg(
+        F.min(us).cast("long").alias("start_us")
+    )
+    with_end = intervals.select(
+        "user_id",
+        "event_type",
+        "start_us",
+        F.lead("start_us")
+        .over(Window.partitionBy("user_id").orderBy("start_us"))
+        .alias("end_us"),
+    )
+    gmax = e.agg(F.max(us).cast("long").alias("tmax"))
+    dwell = F.coalesce(F.col("end_us"), F.col("tmax")) - F.col("start_us")
+    return (
+        with_end.crossJoin(F.broadcast(gmax))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.expr(
+                "CAST(SUM(COALESCE(end_us, tmax) - start_us) div 1000000"
+                " AS BIGINT)"
+            ).alias("total_dwell_s"),
+            F.round(
+                F.sum(dwell).cast("double") / F.count(F.lit(1)) / 1000000,
+                3,
+            ).alias("avg_dwell_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mahalanobis outliers in (balance, spend) space
+# ---------------------------------------------------------------------------
+
+_MAHA_SQL = """
+f AS (
+  SELECT c.c_custkey,
+         CAST(ROUND(c.c_acctbal) AS BIGINT) AS x,
+         CAST(COALESCE(ROUND(o.cents / 100.0), 0) AS BIGINT) AS y
+  FROM customer c
+  LEFT JOIN (
+    SELECT o_custkey,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders GROUP BY o_custkey
+  ) o ON o.o_custkey = c.c_custkey
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM f
+),
+c AS (
+  SELECT n,
+         CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+         CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+           * (CAST(sx AS DOUBLE) / n) AS cxx,
+         CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n)
+           * (CAST(sy AS DOUBLE) / n) AS cyy,
+         CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+           * (CAST(sy AS DOUBLE) / n) AS cxy
+  FROM m
+),
+scored AS (
+  SELECT f.c_custkey, f.x, f.y,
+         (c.cyy * (f.x - c.mx) * (f.x - c.mx)
+          - 2 * c.cxy * (f.x - c.mx) * (f.y - c.my)
+          + c.cxx * (f.y - c.my) * (f.y - c.my))
+         / (c.cxx * c.cyy - c.cxy * c.cxy) AS d2
+  FROM f CROSS JOIN c
+)
+SELECT c_custkey, x AS balance_dollars, y AS spend_dollars,
+       ROUND(d2, 6) AS mahalanobis_sq
+FROM scored
+ORDER BY d2 DESC, c_custkey
+LIMIT 10
+"""
+
+
+@register(
+    "customer_mahalanobis_outliers_2d",
+    oracle="WITH " + _MAHA_SQL,
+    tags=("ext", "stats", "outliers", "anomaly"),
+    description="top-10 Mahalanobis outliers in (balance, spend) space",
+)
+def customer_mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier detection done the closed-form way:
+    Mahalanobis distance in (account balance, total spend) space
+    with the 2x2 covariance inverted symbolically — no matrix
+    library, no iteration. The five moments are exact BIGINT sums
+    (whole dollars keep squares far from overflow), the quadratic
+    form is a single expression per row, and the broadcast 1-row
+    moment table means the fact table is scanned once and never
+    shuffled. The metric axis-rescales automatically (unlike
+    per-axis z-scores) and catches the 'high spend for its balance'
+    diagonal — the fraud-screen shape."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    f = cust.join(F.broadcast(spend), "c_custkey", "left").select(
+        "c_custkey",
+        F.round(F.col("c_acctbal")).cast("long").alias("x"),
+        F.coalesce(F.round(F.col("cents") / 100.0), F.lit(0))
+        .cast("long")
+        .alias("y"),
+    )
+    m = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    mx = F.col("sx").cast("double") / F.col("n")
+    my = F.col("sy").cast("double") / F.col("n")
+    c = m.select(
+        "n",
+        mx.alias("mx"),
+        my.alias("my"),
+        (F.col("sxx").cast("double") / F.col("n") - mx * mx).alias("cxx"),
+        (F.col("syy").cast("double") / F.col("n") - my * my).alias("cyy"),
+        (F.col("sxy").cast("double") / F.col("n") - mx * my).alias("cxy"),
+    )
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    d2 = (
+        F.col("cyy") * dx * dx
+        - 2 * F.col("cxy") * dx * dy
+        + F.col("cxx") * dy * dy
+    ) / (F.col("cxx") * F.col("cyy") - F.col("cxy") * F.col("cxy"))
+    return (
+        f.crossJoin(F.broadcast(c))
+        .select(
+            "c_custkey",
+            F.col("x").alias("balance_dollars"),
+            F.col("y").alias("spend_dollars"),
+            d2.alias("d2"),
+        )
+        .orderBy(F.col("d2").desc(), "c_custkey")
+        .limit(10)
+        .select(
+            "c_custkey",
+            "balance_dollars",
+            "spend_dollars",
+            F.round("d2", 6).alias("mahalanobis_sq"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-log price elasticity per brand (order-deterministic accumulation)
+# ---------------------------------------------------------------------------
+
+_ELASTICITY_SQL = """
+pp AS (
+  SELECT p.p_brand, l.l_partkey,
+         CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS q,
+         CAST(MAX(CAST(ROUND(p.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+           AS p_cents
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, l.l_partkey
+),
+vals AS (
+  SELECT p_brand, l_partkey,
+         ln(CAST(p_cents AS DOUBLE) / 100) AS x,
+         ln(CAST(q AS DOUBLE)) AS y
+  FROM pp
+),
+acc AS (
+  SELECT p_brand,
+         ROW_NUMBER() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY p_brand) AS n,
+         SUM(x) OVER w AS cx, SUM(y) OVER w AS cy,
+         SUM(x * y) OVER w AS cxy, SUM(x * x) OVER w AS cxx
+  FROM vals
+  WINDOW w AS (PARTITION BY p_brand ORDER BY l_partkey
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n_parts,
+       ROUND((n * cxy - cx * cy) / (n * cxx - cx * cx), 6)
+         AS elasticity
+FROM acc WHERE rn = n
+ORDER BY p_brand
+"""
+
+
+@register(
+    "brand_price_elasticity_loglog",
+    oracle="WITH " + _ELASTICITY_SQL,
+    tags=("ext", "stats", "economics", "window"),
+    description="log-log price elasticity of demand per brand",
+)
+def brand_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand the econometric way: per brand,
+    the OLS slope of ln(quantity) on ln(price) across its parts —
+    the %-demand-change per %-price-change. Because ln() values are
+    irrational doubles, the four sums are accumulated via an ORDERED
+    window (partkey order) and the last row taken, so the float
+    addition order is identical on both engines — the same
+    determinism device as average precision, here applied to a
+    regression. The fact table reduces to one row per (brand, part)
+    first; the windows run over ~80-row groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    pp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(F.round("l_quantity").cast("long")).cast("long").alias("q"),
+            F.max(F.round(F.col("p_retailprice") * 100).cast("long"))
+            .cast("long")
+            .alias("p_cents"),
+        )
+    )
+    vals = pp.select(
+        "p_brand",
+        "l_partkey",
+        F.log(F.col("p_cents").cast("double") / 100).alias("x"),
+        F.log(F.col("q").cast("double")).alias("y"),
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("p_brand")
+    acc = vals.select(
+        "p_brand",
+        F.row_number().over(
+            Window.partitionBy("p_brand").orderBy("l_partkey")
+        ).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("x").over(w).alias("cx"),
+        F.sum("y").over(w).alias("cy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("cxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("cxx"),
+    )
+    return (
+        acc.filter(F.col("rn") == F.col("n"))
+        .select(
+            "p_brand",
+            F.col("n").cast("long").alias("n_parts"),
+            F.round(
+                (F.col("n") * F.col("cxy") - F.col("cx") * F.col("cy"))
+                / (F.col("n") * F.col("cxx") - F.col("cx") * F.col("cx")),
+                6,
+            ).alias("elasticity"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection on opaque binary payloads
+# ---------------------------------------------------------------------------
+
+_PHASH_SQL = """
+WITH h AS (
+  SELECT doc_id, md5(text) AS hx FROM documents
+),
+v AS (
+  SELECT doc_id, hx,
+         ('0x' || substr(hx, 1, 15))::BIGINT AS ph
+  FROM h
+),
+bands AS (
+  SELECT doc_id, ph, b.b AS band_no, substr(hx, 1 + 4 * (b.b - 1), 4)
+           AS band_val
+  FROM v CROSS JOIN generate_series(1, 4) b(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.ph AS pa, b.ph AS pb
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(xor(pa, pb)) <= 6
+ORDER BY doc_a, doc_b
+"""
+
+
+@register(
+    "multimodal_phash_near_dup",
+    oracle=_PHASH_SQL,
+    tags=("ext", "multimodal", "dedup", "phash"),
+    description="banded pHash near-dup pairs over opaque binary payloads",
+)
+def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash dedup plumbing for media columns: a 60-bit
+    fingerprint per payload (here md5-derived — a real image pHash
+    drops in at exactly this seam; this container has no codecs, per
+    the multimodal convention), pigeonhole-banded so candidate
+    generation is an equi-join on 16-bit band values — NEVER an
+    all-pairs scan — then exact Hamming distance (XOR + popcount)
+    filters candidates to ≤6 bits. At 100 TB this is the image-dedup
+    shape: fingerprints shuffle (60 bits/row), payloads never move.
+    With a content hash standing in for the perceptual hash, the
+    survivors are the exact-duplicate payloads (hamming 0) — the
+    banding+popcount machinery is what this query pins."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        "doc_id",
+        F.md5("text").alias("hx"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("ph"),
+    )
+    bands = v.select(
+        "doc_id",
+        "ph",
+        F.explode(F.array(*[F.lit(b) for b in (1, 2, 3, 4)])).alias(
+            "band_no"
+        ),
+        "hx",
+    ).select(
+        "doc_id",
+        "ph",
+        "band_no",
+        F.expr("substr(hx, 1 + 4 * (band_no - 1), 4)").alias("band_val"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("ph").alias("pa"),
+        "band_no",
+        "band_val",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ph").alias("pb"),
+        "band_no",
+        "band_val",
+    )
+    cand = (
+        a.join(b, ["band_no", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("pa ^ pb"))
+    return (
+        cand.filter(hamming <= 6)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SELECT * EXCEPT (schema-evolution-friendly projection)
+# ---------------------------------------------------------------------------
+
+_STAR_EXCEPT_ORACLE = """
+SELECT * EXCLUDE (o_totalprice, o_orderdate),
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders WHERE o_orderkey < 100
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "sql_select_star_except",
+    oracle=_STAR_EXCEPT_ORACLE,
+    tags=("sql-surface", "project"),
+    description="SELECT * EXCEPT projection (DuckDB EXCLUDE twin)",
+)
+def sql_select_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-subtraction projection: SELECT * EXCEPT (...) — the
+    schema-evolution-friendly way to drop a column without
+    enumerating the survivors (Spark's EXCEPT, DuckDB's EXCLUDE —
+    same semantics, dialect spelling differs and the oracle uses
+    its own). Still a plain column-pruned scan underneath: the
+    ReadSchema shows only surviving columns, so the convenience
+    syntax costs nothing at scale."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+SELECT * EXCEPT (o_totalprice, o_orderdate),
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+FROM orders WHERE o_orderkey < 100
+ORDER BY o_orderkey
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# approx_top_k — exact in the small-cardinality regime, proven
+# ---------------------------------------------------------------------------
+
+_TOPK_SKETCH_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type
+ORDER BY n DESC, event_type
+LIMIT 3
+"""
+
+
+@register(
+    "approx_top_k_event_types",
+    oracle=_TOPK_SKETCH_ORACLE,
+    tags=("sketch", "approx", "topk"),
+    description="approx_top_k heavy hitters, exact-verified at low cardinality",
+)
+def approx_top_k_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approx_top_k sketch (Spark 4's heavy-hitter aggregate)
+    run where its accuracy contract is PROVABLE: with 5 distinct
+    keys and the default 10k tracked items the sketch is exact, so
+    the DuckDB oracle is plain GROUP BY + LIMIT — unlike the other
+    sketch queries (HLL/CMS, rows-only), this one hash-matches. At
+    100 TB cardinality the same call degrades gracefully to
+    approximate counts while the full GROUP BY would shuffle every
+    distinct key; this query pins the API and its exact regime."""
+    e = load_table(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events")
+    return spark.sql(
+        """
+SELECT item AS event_type, CAST(count AS BIGINT) AS n
+FROM (SELECT inline(approx_top_k(event_type, 3)) FROM events)
+ORDER BY n DESC, event_type
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hourly top-k users (the windowed-leaderboard shape)
+# ---------------------------------------------------------------------------
+
+_HOURLY_TOPK_SQL = """
+hc AS (
+  SELECT date_trunc('hour', ts) AS hour_start, user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT hour_start, user_id, n_events,
+         ROW_NUMBER() OVER (PARTITION BY hour_start
+                            ORDER BY n_events DESC, user_id) AS rk
+  FROM hc
+)
+SELECT hour_start, CAST(rk AS INTEGER) AS rk, user_id, n_events
+FROM r WHERE rk <= 3
+ORDER BY hour_start, rk
+"""
+
+
+@register(
+    "events_hourly_topk_users",
+    oracle="WITH " + _HOURLY_TOPK_SQL,
+    tags=("events", "topk", "window", "leaderboard"),
+    description="top-3 users per hour (windowed leaderboard)",
+)
+def events_hourly_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed leaderboard: per hour, the top-3 users by event
+    count with deterministic tie-breaks — the shape every realtime
+    dashboard keeps hot. Aggregate-then-rank: the rank window runs
+    over the (hour, user) AGGREGATE (already one row per pair), so
+    the expensive stage is one hash aggregate with map-side combine
+    and the window partitions are hour-sized — bounded regardless of
+    fact volume, and incrementally maintainable hour by hour."""
+    e = load_table(spark, sf_dir, "events")
+    hc = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    r = hc.select(
+        "hour_start",
+        "user_id",
+        "n_events",
+        F.row_number()
+        .over(
+            Window.partitionBy("hour_start").orderBy(
+                F.col("n_events").desc(), "user_id"
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        r.filter(F.col("rk") <= 3)
+        .select("hour_start", F.col("rk").cast("int").alias("rk"),
+                "user_id", "n_events")
+        .orderBy("hour_start", "rk")
+    )
