@@ -3342,3 +3342,337 @@ def events_hourly_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id", "n_events")
         .orderBy("hour_start", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF (the UDAF class)
+# ---------------------------------------------------------------------------
+
+_UDAF_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+       ROUND(CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                      * CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS DOUBLE)
+             / SUM(CAST(ROUND(l_quantity) AS BIGINT)), 4)
+         AS wavg_price_cents
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "pandas_grouped_agg_udaf",
+    oracle=_UDAF_ORACLE,
+    tags=("pandas-udf", "udaf", "agg", "udf-surface"),
+    description="grouped-agg pandas UDF (UDAF): quantity-weighted mean price",
+)
+def pandas_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UDAF class — a GROUPED_AGG pandas UDF (Series → scalar)
+    used inside groupBy().agg() beside built-in aggregates, the way
+    a custom aggregate actually deploys. The weighted mean is
+    computed over int64 inputs (exact integer sums inside pandas,
+    one final division), so the result is independent of the
+    nondeterministic partition order pandas receives — the same
+    exactness discipline the JVM-side aggregates follow. Arrow
+    moves each group's columns in one batch; partial aggregation
+    doesn't apply to arbitrary Python UDAFs (documented trade vs
+    built-ins, which is why the engine keeps them off hot paths)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wavg(qty: pd.Series, cents: pd.Series) -> float:
+        return round(float((qty * cents).sum()) / float(qty.sum()), 4)
+
+    @pandas_udf("long")
+    def total(qty: pd.Series) -> int:
+        return int(qty.sum())
+
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.round("l_quantity").cast("long")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one
+    # agg() — both outputs come from the UDAF class here
+    return (
+        li.select("l_returnflag", qty.alias("qty"), cents.alias("cents"))
+        .groupBy("l_returnflag")
+        .agg(
+            total("qty").alias("total_qty"),
+            wavg("qty", "cents").alias("wavg_price_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXECUTE IMMEDIATE (dynamic SQL with bound parameters)
+# ---------------------------------------------------------------------------
+
+_EXEC_IMM_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "sql_execute_immediate",
+    oracle=_EXEC_IMM_ORACLE,
+    tags=("sql-surface", "dynamic-sql"),
+    description="EXECUTE IMMEDIATE dynamic SQL with USING parameter binding",
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic SQL done safely: EXECUTE IMMEDIATE with a
+    placeholder bound via USING — the injection-proof way to run a
+    query whose text arrives at runtime (the reference
+    string-interpolates SQL in server.js; parameter binding is the
+    correction, SURVEY §3). The bound plan is identical to the
+    static one — Catalyst sees a literal after binding, so pushdown
+    and pruning are unaffected."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+EXECUTE IMMEDIATE
+  'SELECT o_orderpriority,
+          CAST(COUNT(*) AS BIGINT) AS n_orders,
+          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS revenue_cents
+   FROM orders WHERE o_orderstatus = ?
+   GROUP BY o_orderpriority ORDER BY o_orderpriority'
+  USING 'O'
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interchange-format roundtrip (csv / json / orc / xml vs parquet truth)
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_cksum(df):
+    key = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        "o_orderstatus",
+        F.col("cents").cast("string"),
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.conv(F.substring(F.md5(key), 1, 10), 16, 10).cast("long"))
+        .cast("long")
+        .alias("checksum"),
+    )
+
+
+_ROUNDTRIP_FMTS = ("parquet", "csv", "json", "orc", "xml")
+
+_ROUNDTRIP_ORACLE = (
+    "SELECT fmt, n_rows, checksum FROM ("
+    + " UNION ALL ".join(
+        f"""
+SELECT '{fmt}' AS fmt, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|'
+                 || o_orderstatus || '|'
+                 || CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR)), 1, 10))::BIGINT) AS BIGINT)
+         AS checksum
+FROM orders
+"""
+        for fmt in _ROUNDTRIP_FMTS
+    )
+    + ") ORDER BY fmt"
+)
+
+
+@register(
+    "source_interchange_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    tags=("sources", "formats", "checksum"),
+    description="csv/json/orc/xml write+read roundtrip, checksum-verified",
+)
+def source_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every interchange format the engine speaks, proven lossless
+    in one query: the orders key/status/cents projection is written
+    to csv, json-lines, orc and native XML, read back
+    schema-explicit, and each copy's order-independent checksum must
+    equal the parquet original's (the oracle expects five IDENTICAL
+    (n, checksum) rows — a formatting loss in any format breaks the
+    hash). Text formats carry longs and strings only (doubles are
+    pre-reduced to exact cents BEFORE serialization — the rule that
+    makes text formats safe), and reads never infer schemas."""
+    import hashlib
+    import os
+    import tempfile
+
+    from wilayah_aceh_etl_spark.sources.formats import (
+        read_table,
+        write_table,
+    )
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf_dir}:{mtime}:rt".encode()).hexdigest()[:10]
+    base = os.path.join(tempfile.gettempdir(), f"wilayah_spark_rt_{tag}")
+
+    proj = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    schema = "o_orderkey long, o_orderstatus string, cents long"
+    outs = []
+    for fmt in _ROUNDTRIP_FMTS:
+        path = os.path.join(base, fmt)
+        if fmt == "parquet":
+            df = proj
+        else:
+            if not os.path.exists(path):
+                write_table(proj, path, fmt)
+            df = read_table(spark, path, fmt, schema=schema)
+        outs.append(
+            _roundtrip_cksum(df).select(
+                F.lit(fmt).alias("fmt"), "n_rows", "checksum"
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("fmt")
+
+
+# ---------------------------------------------------------------------------
+# Partitioned-layout write + partition-pruned read-back
+# ---------------------------------------------------------------------------
+
+_PARTITION_PRUNE_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE o_orderstatus IN ('O', 'F')
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "layout_partition_prune_roundtrip",
+    oracle=_PARTITION_PRUNE_ORACLE,
+    tags=("sources", "layout", "partition-pruning"),
+    description="hive-partitioned write, pruned read-back, value-verified",
+)
+def layout_partition_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout operation that replaces the reference's B-tree on
+    level (SURVEY §4 X1): write the table hive-partitioned by
+    status, read it back with a partition filter, and verify the
+    values against the unpartitioned truth. The IN-filter resolves
+    at PLANNING time against directory names — pruned partitions
+    are never listed, let alone read (PartitionFilters in the scan
+    node; the layout tests assert it). This is the 100 TB access
+    path: partition prune → row-group prune (min/max) → column
+    prune, before a single byte of data decompresses."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf_dir}:{mtime}:pp".encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(), f"wilayah_spark_part_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load_table(spark, sf_dir, "orders").write.mode(
+            "overwrite"
+        ).partitionBy("o_orderstatus").parquet(path)
+    part = spark.read.parquet(path)
+    return (
+        part.filter(F.col("o_orderstatus").isin("O", "F"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch keyed-upsert sink (streaming S9)
+# ---------------------------------------------------------------------------
+
+_FOREACHBATCH_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, ROUND(value, 2) AS last_value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, last_value
+FROM ranked WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+@register(
+    "streaming_foreachbatch_upsert",
+    oracle=_FOREACHBATCH_ORACLE,
+    tags=("streaming", "sink", "upsert", "foreachBatch"),
+    description="foreachBatch keyed-upsert sink, last-wins verified",
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming UPSERT SINK in the correctness gate: events
+    stream through foreachBatch into a keyed parquet table where
+    the greatest (ts, event_id) wins per user — the streaming twin
+    of the reference's ON CONFLICT upsert (S9), storage-format-free
+    (with Delta/Iceberg the batch body collapses to MERGE INTO).
+    Each micro-batch merge is staged-then-atomically-swapped so the
+    table is always a consistent snapshot, and the checkpoint makes
+    replays idempotent. The oracle is the batch last-wins window
+    over the same events."""
+    import os
+    import tempfile
+    import uuid
+
+    from wilayah_aceh_etl_spark.plans.events_queries import _stage_events
+    from wilayah_aceh_etl_spark.streaming import read_event_stream
+    from wilayah_aceh_etl_spark.streaming.sinks import upsert_stream
+
+    staged = _stage_events(spark, sf_dir)
+    run = uuid.uuid4().hex[:8]
+    table = os.path.join(
+        tempfile.gettempdir(), f"wilayah_spark_upsert_{run}"
+    )
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"wilayah_spark_upsert_ck_{run}"
+    )
+    src = read_event_stream(spark, staged).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round("value", 2).alias("last_value"),
+    )
+    sq = (
+        upsert_stream(
+            src, table, ckpt, keys=["user_id"], order_cols=["ts", "event_id"]
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return (
+        spark.read.parquet(table)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            "last_value",
+        )
+        .orderBy("user_id")
+    )
