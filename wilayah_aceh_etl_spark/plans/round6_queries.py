@@ -3676,3 +3676,497 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative k-means: 3 Lloyd iterations, deterministic across engines
+# ---------------------------------------------------------------------------
+
+
+def _km_step_sql(i: int) -> str:
+    """One unrolled Lloyd step (assign against c{i}, emit a{i}, d{i}s,
+    c{i+1}) in DuckDB SQL."""
+    return f"""
+s{i} AS (
+  SELECT v.vec_id, c.centroid_id,
+         list_dot_product(v.e, v.e) - 2 * list_dot_product(v.e, c.ce)
+           + list_dot_product(c.ce, c.ce) AS d2
+  FROM v CROSS JOIN c{i} c
+),
+a{i} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT vec_id, centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY d2, centroid_id) AS rk
+    FROM s{i}
+  ) WHERE rk = 1
+),
+d{i}s AS (
+  SELECT a.centroid_id, u.pos,
+         CAST(SUM(CAST(ROUND(u.val * 16777216) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM a{i} a JOIN u ON u.vec_id = a.vec_id
+  GROUP BY a.centroid_id, u.pos
+),
+c{i + 1} AS (
+  SELECT centroid_id,
+         list(CAST(s AS DOUBLE) / n / 16777216 ORDER BY pos) AS ce
+  FROM d{i}s GROUP BY centroid_id
+)"""
+
+
+_KMEANS3_ORACLE = (
+    """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+u AS (
+  SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM v
+),
+c1 AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+"""
+    + ",".join(_km_step_sql(i) for i in (1, 2, 3))
+    + """,
+m2 AS (
+  SELECT CAST(SUM(CASE WHEN x.centroid_id <> y.centroid_id
+                       THEN 1 ELSE 0 END) AS BIGINT) AS mv
+  FROM a1 x JOIN a2 y ON x.vec_id = y.vec_id
+),
+m3 AS (
+  SELECT CAST(SUM(CASE WHEN x.centroid_id <> y.centroid_id
+                       THEN 1 ELSE 0 END) AS BIGINT) AS mv
+  FROM a2 x JOIN a3 y ON x.vec_id = y.vec_id
+)
+SELECT * FROM (
+  SELECT 1 AS iter, CAST(centroid_id AS INTEGER) AS centroid_id,
+         CAST(COUNT(*) AS BIGINT) AS n_assigned,
+         CAST(NULL AS BIGINT) AS moved_total
+  FROM a1 GROUP BY centroid_id
+  UNION ALL
+  SELECT 2, CAST(centroid_id AS INTEGER), CAST(COUNT(*) AS BIGINT),
+         (SELECT mv FROM m2)
+  FROM a2 GROUP BY centroid_id
+  UNION ALL
+  SELECT 3, CAST(centroid_id AS INTEGER), CAST(COUNT(*) AS BIGINT),
+         (SELECT mv FROM m3)
+  FROM a3 GROUP BY centroid_id
+)
+ORDER BY iter, centroid_id
+"""
+)
+
+
+@register(
+    "embedding_kmeans_3iter",
+    oracle=_KMEANS3_ORACLE,
+    tags=("ext", "embedding", "clustering", "kmeans", "iterative"),
+    description="3 Lloyd iterations with convergence tracking, k=8",
+)
+def embedding_kmeans_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A genuinely ITERATIVE algorithm through the gate: three full
+    Lloyd iterations (k=8, seeded with the first 8 vectors), with
+    per-iteration cluster sizes and the number of vectors that
+    changed assignment — the convergence trace a clustering job
+    monitors. Cross-engine determinism for the chained float
+    decisions comes from QUANTIZED means: per-dimension sums are
+    exact integers of ROUND(val·2²⁴), so every new centroid
+    coordinate is one division of exact ints and assignment
+    comparisons can never diverge between engines — the device that
+    lets a multi-round float algorithm hash-match bit-for-bit.
+    Scale: per round, state is k×dims (the broadcast centroids);
+    the corpus is scanned once per round (assignment) plus one
+    posexplode aggregate (means) — the canonical distributed
+    k-means, checkpointable between rounds."""
+    from wilayah_aceh_etl_spark.functions import vectors as V
+
+    Q = 16777216
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", V.as_double(F.col("embedding")).alias("e"))
+    u = v.select("vec_id", F.posexplode("e").alias("pos0", "val")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "val"
+    )
+    cent = v.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
+
+    def assign(c):
+        d2 = (
+            V.dot(F.col("e"), F.col("e"))
+            - 2 * V.dot(F.col("e"), F.col("ce"))
+            + V.dot(F.col("ce"), F.col("ce"))
+        )
+        scored = v.crossJoin(F.broadcast(c)).select(
+            "vec_id", "centroid_id", d2.alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "centroid_id")
+        return (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "centroid_id")
+        )
+
+    def recompute(a):
+        ds = (
+            a.join(u, "vec_id")
+            .groupBy("centroid_id", "pos")
+            .agg(
+                F.sum(F.round(F.col("val") * Q).cast("long"))
+                .cast("long")
+                .alias("s"),
+                F.count(F.lit(1)).cast("long").alias("n"),
+            )
+        )
+        return (
+            ds.select(
+                "centroid_id",
+                "pos",
+                (F.col("s").cast("double") / F.col("n") / Q).alias("cv"),
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda st: st["cv"],
+                ).alias("ce")
+            )
+        )
+
+    a1 = assign(cent).persist()
+    c2 = recompute(a1)
+    a2 = assign(c2).persist()
+    c3 = recompute(a2)
+    a3 = assign(c3).persist()
+
+    def sizes(a, it, moved):
+        g = a.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_assigned")
+        )
+        if moved is None:
+            return g.select(
+                F.lit(it).alias("iter"),
+                F.col("centroid_id").cast("int").alias("centroid_id"),
+                "n_assigned",
+                F.lit(None).cast("long").alias("moved_total"),
+            )
+        return g.crossJoin(F.broadcast(moved)).select(
+            F.lit(it).alias("iter"),
+            F.col("centroid_id").cast("int").alias("centroid_id"),
+            "n_assigned",
+            F.col("mv").alias("moved_total"),
+        )
+
+    def moved(prev, cur):
+        p = prev.select("vec_id", F.col("centroid_id").alias("pc"))
+        return (
+            cur.join(p, "vec_id")
+            .agg(
+                F.sum(
+                    F.when(F.col("centroid_id") != F.col("pc"), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("mv")
+            )
+        )
+
+    out = (
+        sizes(a1, 1, None)
+        .unionAll(sizes(a2, 2, moved(a1, a2)))
+        .unionAll(sizes(a3, 3, moved(a2, a3)))
+        .orderBy("iter", "centroid_id")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Time-based train/test split with leakage audit
+# ---------------------------------------------------------------------------
+
+_TIMESPLIT_SQL = """
+lab AS (
+  SELECT user_id, event_id,
+         CASE WHEN ts < TIMESTAMP '2024-01-22' THEN 'train' ELSE 'test' END
+           AS split
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_test
+  FROM lab GROUP BY user_id
+)
+SELECT CAST(SUM(n_train) AS BIGINT) AS n_train_events,
+       CAST(SUM(n_test) AS BIGINT) AS n_test_events,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_users_in_both,
+       ROUND(CAST(SUM(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0
+                      END) AS DOUBLE) / COUNT(*), 6) AS user_overlap_rate
+FROM per_user
+"""
+
+
+@register(
+    "split_time_based_train_test",
+    oracle="WITH " + _TIMESPLIT_SQL,
+    tags=("ext", "ml", "split", "leakage"),
+    description="time-based train/test split + entity-leakage audit",
+)
+def split_time_based_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The split a production model actually needs: TIME-based
+    (train strictly before the cutoff, test after — random splits
+    leak the future), plus the entity-leakage audit: how many users
+    appear on both sides (the overlap that makes per-user
+    memorization look like generalization). Counts are exact; the
+    audit is one aggregate over the per-user split histogram. The
+    deterministic-hash splits (split_train_val_test) and this
+    temporal split are the two split disciplines a pipeline offers;
+    choosing wrong is the classic eval bug."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-22").cast("timestamp")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    both = (F.col("n_train") > 0) & (F.col("n_test") > 0)
+    return per_user.agg(
+        F.sum("n_train").cast("long").alias("n_train_events"),
+        F.sum("n_test").cast("long").alias("n_test_events"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(both, 1).otherwise(0)).cast("long").alias(
+            "n_users_in_both"
+        ),
+        F.round(
+            F.sum(F.when(both, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("user_overlap_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+_VOCAB_SQL = """
+toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents WHERE length(trim(text)) > 0
+),
+freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+),
+ranked AS (
+  SELECT tok, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rk
+  FROM freq
+),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_types FROM freq),
+ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (10), (25), (50)) t(k))
+SELECT ks.k AS vocab_size,
+       CAST(SUM(CASE WHEN r.rk <= ks.k THEN r.cnt ELSE 0 END) AS BIGINT)
+         AS tokens_covered,
+       CAST(MAX(t.total) AS BIGINT) AS tokens_total,
+       CAST(MAX(t.n_types) AS BIGINT) AS n_types,
+       ROUND(CAST(SUM(CASE WHEN r.rk <= ks.k THEN r.cnt ELSE 0 END)
+                  AS DOUBLE) / MAX(t.total), 6) AS coverage
+FROM ranked r CROSS JOIN tot t CROSS JOIN ks
+GROUP BY ks.k
+ORDER BY vocab_size
+"""
+
+
+@register(
+    "tokenizer_vocab_coverage",
+    oracle="WITH " + _VOCAB_SQL,
+    tags=("ext", "text", "tokenizer", "vocab"),
+    description="corpus coverage of top-K vocabularies (K=10/25/50)",
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer design data: what fraction of all token
+    occurrences does a top-K vocabulary cover? (The OOV-rate curve
+    that sizes a vocab before training one.) Token frequencies are
+    one hash aggregate over the exploded corpus; the coverage curve
+    is a 3-row dimension crossed with the ranked frequency table —
+    coverage per K from exact integer counts. On a 100 TB corpus
+    the frequency table (vocab-sized, heavy-tailed) is the only
+    state; the corpus is touched once."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = d.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    ranked = freq.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "tok"))
+        .alias("rk"),
+    )
+    tot = freq.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(10), F.lit(25), F.lit(50))).alias("k")
+    )
+    covered = F.sum(
+        F.when(F.col("rk") <= F.col("k"), F.col("cnt")).otherwise(0)
+    ).cast("long")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ks))
+        .groupBy(F.col("k").cast("long").alias("vocab_size"))
+        .agg(
+            covered.alias("tokens_covered"),
+            F.max("total").cast("long").alias("tokens_total"),
+            F.max("n_types").cast("long").alias("n_types"),
+            F.round(
+                covered.cast("double") / F.max("total"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differential-privacy prep: per-entity contribution bounding
+# ---------------------------------------------------------------------------
+
+_DP_BOUND_SQL = """
+ranked AS (
+  SELECT event_type, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS raw_count,
+       CAST(SUM(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS bounded_count,
+       CAST(COUNT(*) - SUM(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS clipped_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_contributors
+FROM ranked
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "dp_contribution_bounded_counts",
+    oracle="WITH " + _DP_BOUND_SQL,
+    tags=("ext", "privacy", "dp", "window"),
+    description="DP prep: per-user contribution bounding (C=10) before counts",
+)
+def dp_contribution_bounded_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic half of differentially-private aggregation:
+    before any noise is added, each user's contribution per
+    statistic must be BOUNDED (here: first 10 events per (type,
+    user) by event time) so the sensitivity of the count is a known
+    constant — without this clamp the Laplace/Gaussian noise scale
+    is unbounded and the DP guarantee is void. One window ranks
+    contributions per entity; the clipped mass is reported so the
+    utility cost of the bound is visible. (Noise itself is
+    deliberately out of scope: it is nondeterministic by design and
+    would be injected at release time, after this exact pipeline.)"""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    ranked = e.select(
+        "event_type",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("raw_count"),
+            F.sum(F.when(F.col("rn") <= 10, 1).otherwise(0))
+            .cast("long")
+            .alias("bounded_count"),
+            (
+                F.count(F.lit(1))
+                - F.sum(F.when(F.col("rn") <= 10, 1).otherwise(0))
+            )
+            .cast("long")
+            .alias("clipped_rows"),
+            F.countDistinct("user_id").cast("long").alias("n_contributors"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class-balance audit with effective-number weights
+# ---------------------------------------------------------------------------
+
+_CLASS_BALANCE_SQL = """
+counts AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+  FROM embeddings GROUP BY label
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(MAX(n) AS BIGINT) AS nmax
+  FROM counts
+)
+SELECT CAST(c.label AS INTEGER) AS label, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / t.total, 6) AS share,
+       ROUND(CAST(t.nmax AS DOUBLE) / c.n, 6) AS imbalance_ratio,
+       ROUND((1 - power(0.99, c.n)) / (1 - 0.99), 6) AS effective_n,
+       ROUND((1 - 0.99) / (1 - power(0.99, c.n)), 6) AS cb_weight
+FROM counts c CROSS JOIN tot t
+ORDER BY label
+"""
+
+
+@register(
+    "class_balance_effective_weights",
+    oracle="WITH " + _CLASS_BALANCE_SQL,
+    tags=("ext", "ml", "class-balance"),
+    description="class-balance audit + effective-number (CB) weights",
+)
+def class_balance_effective_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-imbalance accounting for a labeled training set: per
+    label, the share, the imbalance ratio against the largest
+    class, and the class-balanced weighting of Cui et al. (CVPR'19)
+    — effective number (1−β^n)/(1−β) with β=0.99 and its inverse as
+    the loss weight. One hash aggregate to label counts; everything
+    else is scalar math over k rows, so the audit costs the same at
+    any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counts.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.max("n").cast("long").alias("nmax"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("label").cast("int").alias("label"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+                "share"
+            ),
+            F.round(F.col("nmax").cast("double") / F.col("n"), 6).alias(
+                "imbalance_ratio"
+            ),
+            F.round(
+                (1 - F.pow(F.lit(0.99), F.col("n"))) / (1 - 0.99), 6
+            ).alias("effective_n"),
+            F.round(
+                (1 - 0.99) / (1 - F.pow(F.lit(0.99), F.col("n"))), 6
+            ).alias("cb_weight"),
+        )
+        .orderBy("label")
+    )
