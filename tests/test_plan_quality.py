@@ -75,6 +75,26 @@ NLJ_ALLOWED = {
     "embedding_power_iteration",  # 1-row vector-norm broadcast
     # 16-row centroid broadcast (the kmeans assignment shape)
     "embedding_cluster_silhouette",
+    # --- round 6 (same bounded-build-side shapes, documented in SCALE.md §7) ---
+    "class_balance_effective_weights",  # 1-row (total, nmax) broadcast
+    "customer_mahalanobis_outliers_2d",  # 1-row moment-table broadcast
+    # k-row centroid broadcast per Lloyd round (k=8, three rounds)
+    "embedding_kmeans_3iter",
+    "events_ccf_lead_lag",  # 7-row lag dim × 30-row daily aggregate
+    "events_hurst_rs_clicks",  # 3-row block-size dim × 30-row daily series
+    "events_sequential_pattern_support",  # 1-row distinct-user total
+    # 25-row capitals dim, all-pairs by construction (k² = 625)
+    "geo_haversine_nearest_capitals",
+    "orders_totalprice_reconciliation",  # 1-row orphan-count broadcast
+    "pandas_scalar_udf_zscore",  # 1-row global-moment broadcast
+    "retrieval_ndcg_label_eval",  # 1-row ideal-DCG broadcast
+    "scd2_state_dwell_time",  # 1-row global-max-ts broadcast (tail clip)
+    "stats_bootstrap_ci_daily_value",  # 1-row point-estimate broadcast
+    # contingency cells × 1-row cardinality row per pair (≤15 cells)
+    "stats_cramers_v_pairs",
+    # 25-row aggregated nation metrics, pairwise by construction
+    "stats_kendall_tau_nation_counts",
+    "tokenizer_vocab_coverage",  # 1-row corpus total × 3-row K dim
 }
 
 

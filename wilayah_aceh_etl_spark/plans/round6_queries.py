@@ -4170,3 +4170,681 @@ def class_balance_effective_weights(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Haversine nearest-neighbor over synthesized capitals
+# ---------------------------------------------------------------------------
+
+_HAVERSINE_EXPR = (
+    "ROUND(2 * 6371.0088 * asin(sqrt("
+    "power(sin(radians(({lat2}) - ({lat1})) / 2), 2)"
+    " + cos(radians({lat1})) * cos(radians({lat2}))"
+    " * power(sin(radians(({lon2}) - ({lon1})) / 2), 2))), 3)"
+)
+
+_CAPITALS_CTE = """
+caps AS (
+  SELECT n_nationkey AS k, n_name,
+         -50.0 + (n_nationkey * 7) % 100 AS lat,
+         -180.0 + (n_nationkey * 29) % 360 AS lon
+  FROM nation
+)
+"""
+
+_HAVERSINE_ORACLE = (
+    "WITH "
+    + _CAPITALS_CTE
+    + """
+, d AS (
+  SELECT a.n_name AS from_name, b.n_name AS to_name,
+         """
+    + _HAVERSINE_EXPR.format(
+        lat1="a.lat", lon1="a.lon", lat2="b.lat", lon2="b.lon"
+    )
+    + """ AS dist_km
+  FROM caps a JOIN caps b ON a.k <> b.k
+),
+r AS (
+  SELECT from_name, to_name, dist_km,
+         ROW_NUMBER() OVER (PARTITION BY from_name
+                            ORDER BY dist_km, to_name) AS rk
+  FROM d
+)
+SELECT from_name, CAST(rk AS INTEGER) AS rk, to_name, dist_km
+FROM r WHERE rk <= 3
+ORDER BY from_name, rk
+"""
+)
+
+
+@register(
+    "geo_haversine_nearest_capitals",
+    oracle=_HAVERSINE_ORACLE,
+    tags=("geo", "haversine", "knn"),
+    description="haversine 3-nearest-neighbors between synthesized capitals",
+)
+def geo_haversine_nearest_capitals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle distance as a pure column expression — the
+    geo-join primitive under store-assignment / coverage queries:
+    deterministic capitals synthesized from nation keys, all-pairs
+    haversine over the 25-row dim (pairing AGGREGATED entities, the
+    same discipline as Kendall tau), 3 nearest per capital. At real
+    scale the all-pairs step is replaced by a geohash bucket join
+    (geo_geohash_bucketing is that operator); rounding to meters
+    absorbs any last-ulp libm divergence between engines."""
+    nat = load_table(spark, sf_dir, "nation")
+    caps = nat.select(
+        F.col("n_nationkey").alias("k"),
+        "n_name",
+        (-50.0 + (F.col("n_nationkey") * 7) % 100).alias("lat"),
+        (-180.0 + (F.col("n_nationkey") * 29) % 360).alias("lon"),
+    )
+    a = caps.select(
+        F.col("k").alias("ka"),
+        F.col("n_name").alias("from_name"),
+        F.col("lat").alias("lat1"),
+        F.col("lon").alias("lon1"),
+    )
+    b = caps.select(
+        F.col("k").alias("kb"),
+        F.col("n_name").alias("to_name"),
+        F.col("lat").alias("lat2"),
+        F.col("lon").alias("lon2"),
+    )
+    d = (
+        a.join(F.broadcast(b), F.col("ka") != F.col("kb"))
+        .select(
+            "from_name",
+            "to_name",
+            F.expr(
+                _HAVERSINE_EXPR.format(
+                    lat1="lat1", lon1="lon1", lat2="lat2", lon2="lon2"
+                )
+            ).alias("dist_km"),
+        )
+    )
+    r = d.select(
+        "from_name",
+        "to_name",
+        "dist_km",
+        F.row_number()
+        .over(
+            Window.partitionBy("from_name").orderBy("dist_km", "to_name")
+        )
+        .alias("rk"),
+    )
+    return (
+        r.filter(F.col("rk") <= 3)
+        .select("from_name", F.col("rk").cast("int").alias("rk"),
+                "to_name", "dist_km")
+        .orderBy("from_name", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern support (A happens-before B, per user)
+# ---------------------------------------------------------------------------
+
+_SEQPAT_SQL = """
+spans AS (
+  SELECT user_id, event_type,
+         MIN(epoch_us(ts)) AS first_us, MAX(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id, event_type
+),
+pairs AS (
+  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+         CAST(COUNT(*) AS BIGINT) AS support_users
+  FROM spans a JOIN spans b
+    ON a.user_id = b.user_id AND a.event_type <> b.event_type
+   AND a.first_us < b.last_us
+  GROUP BY a.event_type, b.event_type
+),
+tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events)
+SELECT antecedent, consequent, support_users,
+       ROUND(CAST(support_users AS DOUBLE) / t.n_users, 6) AS support_rate
+FROM pairs CROSS JOIN tot t
+ORDER BY antecedent, consequent
+"""
+
+
+@register(
+    "events_sequential_pattern_support",
+    oracle="WITH " + _SEQPAT_SQL,
+    tags=("ext", "events", "sequence-mining"),
+    description="length-2 sequential pattern support (A happens-before B)",
+)
+def events_sequential_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining at the length-2 grain (the
+    PrefixSpan base case): for every ordered type pair (A, B), how
+    many users exhibit A-then-eventually-B? The happens-before test
+    needs only each user's FIRST occurrence of A and LAST of B —
+    so the fact table reduces to (user × type) span rows first and
+    the quadratic pairing runs over ≤5 rows per user. This is the
+    reduction that keeps sequence mining feasible at 100 TB: the
+    raw timeline never self-joins."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    spans = e.groupBy("user_id", "event_type").agg(
+        F.min(us).alias("first_us"), F.max(us).alias("last_us")
+    )
+    a = spans.select(
+        "user_id",
+        F.col("event_type").alias("antecedent"),
+        "first_us",
+    )
+    b = spans.select(
+        "user_id",
+        F.col("event_type").alias("consequent"),
+        "last_us",
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("antecedent") != F.col("consequent"))
+            & (F.col("first_us") < F.col("last_us"))
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("support_users"))
+    )
+    tot = e.agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "support_users",
+            F.round(
+                F.col("support_users").cast("double") / F.col("n_users"), 6
+            ).alias("support_rate"),
+        )
+        .orderBy("antecedent", "consequent")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Right-outer join (completing the join-type inventory)
+# ---------------------------------------------------------------------------
+
+_RIGHTOUTER_ORACLE = """
+SELECT s.s_suppkey, s.s_name,
+       CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lineitems,
+       CAST(COALESCE(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_cents
+FROM (SELECT * FROM lineitem WHERE l_quantity > 45) l
+RIGHT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY s.s_suppkey
+"""
+
+
+@register(
+    "rightouter_supplier_lineitems",
+    oracle=_RIGHTOUTER_ORACLE,
+    tags=("join", "outer"),
+    description="right-outer join: every supplier, even with no matching lines",
+)
+def rightouter_supplier_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The right-outer join — the one outer variant the registry
+    hadn't pinned (left/full are covered): every supplier survives
+    even when the filtered fact side has no rows for it, with
+    COUNT(col) correctly counting 0 over the null-extended rows.
+    Catalyst canonicalizes right-outer to left-outer with sides
+    swapped, so the physical plan broadcasts the supplier dim
+    exactly like the left-outer twin — the query pins the SEMANTIC
+    surface, the plan is shared."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 45
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    j = li.join(
+        supp, li.l_suppkey == supp.s_suppkey, "right_outer"
+    )
+    return (
+        j.groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count("l_orderkey").cast("long").alias("n_lineitems"),
+            F.coalesce(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# unionByName with missing columns (schema evolution)
+# ---------------------------------------------------------------------------
+
+_UNION_EVOLVE_ORACLE = """
+SELECT o_orderkey, o_orderstatus, cents, src FROM (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(NULL AS BIGINT) AS cents, 'v1' AS src
+  FROM orders WHERE o_orderkey < 100
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents, 'v2' AS src
+  FROM orders WHERE o_orderkey >= 100 AND o_orderkey < 200
+)
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "union_by_name_schema_evolution",
+    oracle=_UNION_EVOLVE_ORACLE,
+    tags=("setop", "schema-evolution"),
+    description="unionByName(allowMissingColumns): v1 rows null-fill new column",
+)
+def union_by_name_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the union seam: an old snapshot written
+    before the `cents` column existed unions with the new snapshot
+    via unionByName(allowMissingColumns=True) — columns align BY
+    NAME (positional UNION would silently mis-align), and the
+    missing column null-fills on the old side. This is the append
+    pattern every long-lived table needs once its schema grows; the
+    oracle spells out the null-extended union explicitly."""
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") < 100).select(
+        "o_orderkey", "o_orderstatus", F.lit("v1").alias("src")
+    )
+    v2 = o.filter(
+        (F.col("o_orderkey") >= 100) & (F.col("o_orderkey") < 200)
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit("v2").alias("src"),
+    )
+    return (
+        v1.unionByName(v2, allowMissingColumns=True)
+        .select("o_orderkey", "o_orderstatus", "cents", "src")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+_NULLSAFE_ORACLE = """
+WITH l AS (
+  SELECT o_orderkey, NULLIF(o_orderstatus, 'P') AS k FROM orders
+  WHERE o_orderkey < 300
+),
+r AS (
+  SELECT DISTINCT NULLIF(o_orderstatus, 'P') AS k, o_orderpriority
+  FROM orders WHERE o_orderkey < 50
+)
+SELECT l.o_orderkey, COALESCE(l.k, '<NULL>') AS join_key,
+       r.o_orderpriority
+FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+ORDER BY l.o_orderkey, r.o_orderpriority
+"""
+
+
+@register(
+    "nullsafe_join_on_nullable_keys",
+    oracle=_NULLSAFE_ORACLE,
+    tags=("join", "null-semantics"),
+    description="null-safe equi-join: <=> matches NULL keys to NULL keys",
+)
+def nullsafe_join_on_nullable_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The null-safe equality join: `<=>` (IS NOT DISTINCT FROM)
+    treats NULL as a joinable value instead of three-valued-logic
+    dropping every NULL-keyed row — the semantics reconciliations
+    and SCD merges actually want when the business key is nullable.
+    Catalyst plans `<=>` as a HASHED equi-join key (null-safe keys
+    still hash-partition), not a nested-loop residual — nullable
+    keys cost nothing at scale."""
+    o = load_table(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderkey") < 300).select(
+        "o_orderkey", F.nullif("o_orderstatus", F.lit("P")).alias("k")
+    )
+    right = (
+        o.filter(F.col("o_orderkey") < 50)
+        .select(
+            F.nullif("o_orderstatus", F.lit("P")).alias("rk"),
+            "o_orderpriority",
+        )
+        .distinct()
+    )
+    return (
+        left.join(right, F.col("k").eqNullSafe(F.col("rk")))
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("k"), F.lit("<NULL>")).alias("join_key"),
+            "o_orderpriority",
+        )
+        .orderBy("o_orderkey", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Timezone conversion battery
+# ---------------------------------------------------------------------------
+
+_TZ_ORACLE = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_wall,
+       strftime(timezone('Asia/Jakarta', ts AT TIME ZONE 'UTC'),
+                '%Y-%m-%d %H:%M:%S') AS jakarta_wall,
+       strftime(timezone('America/New_York', ts AT TIME ZONE 'UTC'),
+                '%Y-%m-%d %H:%M:%S') AS newyork_wall,
+       CAST(hour(timezone('Asia/Jakarta', ts AT TIME ZONE 'UTC'))
+            AS INTEGER) AS jakarta_hour,
+       CAST(CASE WHEN CAST(timezone('Asia/Jakarta', ts AT TIME ZONE 'UTC')
+                           AS DATE) <> CAST(ts AS DATE)
+                 THEN 1 ELSE 0 END AS INTEGER) AS crosses_midnight
+FROM events WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+@register(
+    "timezone_conversion_battery",
+    oracle=_TZ_ORACLE,
+    tags=("functions", "timezone", "temporal"),
+    description="from_utc_timestamp wall-clock battery (Jakarta / New York)",
+)
+def timezone_conversion_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-aware wall-clock conversion — the reference's domain
+    is Indonesian administrative data, so Asia/Jakarta rendering is
+    the natural presentation layer (reference stores naive
+    CURRENT_TIMESTAMP, SURVEY §1.2; an engine must be explicit
+    instead): from_utc_timestamp into a +07:00 zone and a
+    DST-observing one, wall-clock strings, local hour extraction,
+    and a date-boundary-crossing flag (the aggregation-bucket
+    pitfall: UTC days ≠ local days). Both engines resolve the same
+    IANA tzdata; outputs are formatted strings so the comparison is
+    calendar-exact, not epoch-exact."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    ts = F.col("ts").cast("timestamp")
+    jak = F.from_utc_timestamp(ts, "Asia/Jakarta")
+    ny = F.from_utc_timestamp(ts, "America/New_York")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return e.select(
+        "event_id",
+        F.date_format(ts, fmt).alias("utc_wall"),
+        F.date_format(jak, fmt).alias("jakarta_wall"),
+        F.date_format(ny, fmt).alias("newyork_wall"),
+        F.hour(jak).cast("int").alias("jakarta_hour"),
+        F.when(jak.cast("date") != ts.cast("date"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("crosses_midnight"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Nested-struct battery (withField / dropFields / struct-array JSON)
+# ---------------------------------------------------------------------------
+
+_NESTED_ORACLE = """
+WITH lines AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, qty) AS rn
+  FROM lineitem
+),
+line_json AS (
+  SELECT l_orderkey,
+         '[' || string_agg('{"ln":' || l_linenumber || ',"qty":' || qty
+                           || '}', ',' ORDER BY l_linenumber, qty) || ']'
+           AS first2_lines_json
+  FROM lines WHERE rn <= 2 GROUP BY l_orderkey
+)
+SELECT o.o_orderkey,
+       '{"status":"' || o.o_orderstatus || '","cents":'
+         || CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+         || ',"is_open":' || CASE WHEN o.o_orderstatus = 'O'
+                                  THEN 'true' ELSE 'false' END || '}'
+         AS order_struct_json,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents_out,
+       lj.first2_lines_json
+FROM orders o JOIN line_json lj ON lj.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey < 100
+ORDER BY o.o_orderkey
+"""
+
+
+@register(
+    "nested_struct_battery",
+    oracle=_NESTED_ORACLE,
+    tags=("functions", "struct", "nested"),
+    description="withField/dropFields + sorted struct-array JSON assembly",
+)
+def nested_struct_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nested-type manipulation surface: build a struct, evolve
+    it in place with withField (add a computed flag) and dropFields
+    (retire a column) — the Column-level schema-evolution ops that
+    avoid unpack/repack —, extract by dot path, and assemble a
+    bounded, deterministically-sorted array-of-structs from the
+    detail table rendered to JSON (the reference's envelope shape,
+    SURVEY P3, generalized). The oracle builds every JSON string by
+    hand, proving serialization layout. Arrays are bounded to the
+    first 2 lines so collected state stays O(1) per key."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    s2 = s.withField(
+        "is_open", F.col("o_orderstatus") == "O"
+    ).dropFields("priority")
+    lines = li.select(
+        "l_orderkey",
+        F.struct(
+            F.col("l_linenumber").alias("ln"),
+            F.round("l_quantity").cast("long").alias("qty"),
+        ).alias("line"),
+    )
+    first2 = lines.groupBy("l_orderkey").agg(
+        F.to_json(
+            F.slice(F.array_sort(F.collect_list("line")), 1, 2)
+        ).alias("first2_lines_json")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            F.to_json(s2).alias("order_struct_json"),
+            s2.getField("cents").alias("cents_out"),
+        )
+        .join(first2, o.o_orderkey == first2.l_orderkey)
+        .select(
+            "o_orderkey",
+            "order_struct_json",
+            "cents_out",
+            "first2_lines_json",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON functions battery over the props column
+# ---------------------------------------------------------------------------
+
+_JSONFN_ORACLE = """
+SELECT event_id, props,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       CASE WHEN json_valid(props) THEN 1 ELSE 0 END AS is_valid,
+       'STRUCT<k: BIGINT>' AS inferred_schema,
+       '{"event_id":' || event_id || ',"k":'
+         || json_extract_string(props, '$.k') || '}' AS enriched_json
+FROM events WHERE event_id < 200
+ORDER BY event_id
+"""
+
+
+@register(
+    "json_functions_battery",
+    oracle=_JSONFN_ORACLE,
+    tags=("functions", "json", "semi-structured"),
+    description="get_json_object / from_json / schema_of_json / to_json battery",
+)
+def json_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The string-JSON surface (complementing the VARIANT query):
+    path extraction with get_json_object, typed parse through
+    from_json with an EXPLICIT schema (the 100 TB rule — inference
+    is a second full scan), schema_of_json shown on a sample row
+    (what you run once during development to WRITE that explicit
+    schema), validity probing, and re-serialization of an enriched
+    struct. The oracle recomputes every output from DuckDB's JSON
+    primitives — extraction semantics, not echo."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    parsed = F.from_json("props", "k INT")
+    return e.select(
+        "event_id",
+        "props",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        parsed.getField("k").cast("long").alias("k_int"),
+        F.when(parsed.isNotNull(), 1).otherwise(0).alias("is_valid"),
+        F.schema_of_json(F.lit('{"k": 69}')).alias("inferred_schema"),
+        F.to_json(
+            F.struct(
+                F.col("event_id"),
+                parsed.getField("k").alias("k"),
+            )
+        ).alias("enriched_json"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Rounding-modes battery (round / bround / floor / ceil / truncate)
+# ---------------------------------------------------------------------------
+
+_ROUNDING_ORACLE = """
+SELECT o_orderkey, o_totalprice,
+       ROUND(o_totalprice, 1) AS half_up_1,
+       CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10
+             + CASE WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT) % 10 > 5
+                    THEN 1
+                    WHEN CAST(ROUND(o_totalprice * 100) AS BIGINT) % 10 < 5
+                    THEN 0
+                    ELSE (CAST(ROUND(o_totalprice * 100) AS BIGINT) // 10)
+                         % 2 END) AS DOUBLE) / 10 AS half_even_1,
+       ROUND(o_totalprice, -2) AS to_hundreds,
+       floor(o_totalprice * 10) / 10 AS floor_1,
+       ceil(o_totalprice * 10) / 10 AS ceil_1,
+       trunc(o_totalprice * 10) / 10 AS trunc_1
+FROM orders WHERE o_orderkey < 300
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "rounding_modes_battery",
+    oracle=_ROUNDING_ORACLE,
+    tags=("functions", "numeric", "rounding"),
+    description="round / bround(half-even) / scale floor-ceil / truncation",
+)
+def rounding_modes_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every rounding discipline the engine offers, side by side:
+    HALF_UP round (= DuckDB's half-away for positives), banker's
+    bround (= round_even — the mode that de-biases summed money),
+    negative-scale rounding to hundreds, scale-preserving
+    floor/ceil, and cast-truncation toward zero. Financial
+    pipelines break exactly at these seams (the repo-wide
+    exact-cents convention exists BECAUSE repeated half-up rounding
+    biases upward; this battery pins each mode's behavior on real
+    prices)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    x = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round(x, 1).alias("half_up_1"),
+        F.bround(x.cast("decimal(14,2)"), 1).cast("double").alias(
+            "half_even_1"
+        ),
+        F.round(x, -2).alias("to_hundreds"),
+        (F.floor(x * 10) / 10).alias("floor_1"),
+        (F.ceil(x * 10) / 10).alias("ceil_1"),
+        ((x * 10).cast("long").cast("double") / 10).alias("trunc_1"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Array functions battery II (exists/forall/sequence/slice/zip/position)
+# ---------------------------------------------------------------------------
+
+_ARRAY2_ORACLE = """
+WITH t AS (
+  SELECT p_partkey, p_size,
+         string_split(p_name, ' ') AS toks
+  FROM part WHERE p_partkey < 100
+)
+SELECT p_partkey,
+       CASE WHEN len(list_filter(toks, x -> length(x) > 4)) > 0
+            THEN 1 ELSE 0 END AS has_long_token,
+       CASE WHEN len(list_filter(toks, x -> length(x) >= 3)) = len(toks)
+            THEN 1 ELSE 0 END AS all_tokens_3plus,
+       CAST(list_position(toks, 'red') AS INTEGER) AS red_pos,
+       array_to_string(list_sort(list_distinct(toks)), ',')
+         AS distinct_sorted,
+       array_to_string(list_transform(range(1, p_size % 5 + 2),
+                                      x -> CAST(x AS VARCHAR)), ',')
+         AS seq_str,
+       array_to_string(toks[1:2], ',') AS first2,
+       array_to_string(list_concat(toks, toks), ',') AS doubled,
+       CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+         AS total_chars
+FROM t
+ORDER BY p_partkey
+"""
+
+
+@register(
+    "array_functions_battery2",
+    oracle=_ARRAY2_ORACLE,
+    tags=("functions", "array", "hof"),
+    description="exists/forall/position/sequence/slice/concat/fold battery II",
+)
+def array_functions_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second array battery — the predicates and constructors
+    the first one (filter/transform/fold/zip) left unpinned:
+    exists / forall quantifiers, element position (1-based, 0 when
+    absent — both engines agree), distinct+sort normalization,
+    sequence generation from data, slicing, self-concat, and an
+    aggregate fold (total chars). DuckDB's list_* dialect computes
+    every expected value independently. All codegen'd per-row
+    expressions; array columns never leave the row."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    toks = F.split("p_name", " ")
+    t = p.select("p_partkey", "p_size", toks.alias("toks"))
+    return t.select(
+        "p_partkey",
+        F.when(F.exists("toks", lambda x: F.length(x) > 4), 1)
+        .otherwise(0)
+        .alias("has_long_token"),
+        F.when(F.forall("toks", lambda x: F.length(x) >= 3), 1)
+        .otherwise(0)
+        .alias("all_tokens_3plus"),
+        F.array_position("toks", "red").cast("int").alias("red_pos"),
+        F.array_join(F.array_sort(F.array_distinct("toks")), ",").alias(
+            "distinct_sorted"
+        ),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.col("p_size") % 5 + 1),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("seq_str"),
+        F.array_join(F.slice("toks", 1, 2), ",").alias("first2"),
+        F.array_join(F.concat("toks", "toks"), ",").alias("doubled"),
+        F.aggregate(
+            "toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+    ).orderBy("p_partkey")
