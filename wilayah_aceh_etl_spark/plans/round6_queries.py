@@ -4848,3 +4848,202 @@ def array_functions_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
         ).alias("total_chars"),
     ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource (geojson_features) through the oracle gate
+# ---------------------------------------------------------------------------
+
+_PDS_ORACLE = """
+SELECT lpad(CAST(r.r_regionkey AS VARCHAR), 2, '0') || '.'
+         || lpad(CAST(n.n_nationkey AS VARCHAR), 2, '0') AS kode,
+       n.n_name AS nama,
+       CAST(2 AS INTEGER) AS level,
+       CAST(0 AS INTEGER) AS feature_index
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_regionkey = 1
+ORDER BY kode
+"""
+
+
+@register(
+    "wilayah_geojson_pds_roundtrip",
+    oracle=_PDS_ORACLE,
+    tags=("wilayah", "sources", "datasource", "pds"),
+    description="Python DataSource read + filename pushdown + code derivation",
+)
+def wilayah_geojson_pds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pluggable geojson_features connector (Spark 4 Python
+    DataSource API) inside the correctness gate: kabupaten-style
+    FeatureCollection files are staged from the nation dim under
+    the reference's exact filename/property conventions
+    (`RR.NN_Name.geojson`, kd_propinsi/kd_dati2 props — SURVEY
+    §1.1/§1.3), then read back through the custom format with the
+    region-01 prefix pushed via option("code") — pruned files are
+    never OPENED (pushFilters resolves against filenames at
+    planning). Feature explosion and P1 code derivation run on the
+    connector's output; the oracle recomputes the expected rows
+    relationally. Staging writes the 25-file corpus once per
+    (sf_dir, mtime) — dimension-sized, like every seed fixture."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    from wilayah_aceh_etl_spark.sources.geojson_datasource import (
+        register_geojson_datasource,
+    )
+
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    src = os.path.join(sf_dir, "nation.parquet")
+    mtime = int(os.path.getmtime(src)) if os.path.exists(src) else 0
+    tag = hashlib.md5(f"{sf_dir}:{mtime}:pds".encode()).hexdigest()[:10]
+    staged = os.path.join(tempfile.gettempdir(), f"wilayah_spark_gj_{tag}")
+    if not os.path.exists(os.path.join(staged, "_STAGED")):
+        os.makedirs(staged, exist_ok=True)
+        rows = (
+            nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .select("r_regionkey", "n_nationkey", "n_name")
+            .collect()  # 25-row dimension: seed-fixture staging, not data flow
+        )
+        for r in rows:
+            rr = f"{r['r_regionkey']:02d}"
+            nn = f"{r['n_nationkey']:02d}"
+            doc = {
+                "type": "FeatureCollection",
+                "features": [
+                    {
+                        "type": "Feature",
+                        "properties": {
+                            "kd_propinsi": rr,
+                            "kd_dati2": nn,
+                            "nm_dati2": r["n_name"],
+                        },
+                        "geometry": None,
+                    }
+                ],
+            }
+            name = f"{rr}.{nn}_{r['n_name'].replace(' ', '-')}.geojson"
+            with open(os.path.join(staged, name), "w") as fh:
+                _json.dump(doc, fh, separators=(",", ":"))
+        open(os.path.join(staged, "_STAGED"), "w").close()
+
+    register_geojson_datasource(spark)
+    feats = (
+        spark.read.format("geojson_features")
+        .option("code", "01.")  # filename-prefix pushdown: region 01 only
+        .load(staged)
+    )
+    p = F.col("props")
+    return feats.select(
+        F.concat(p["kd_propinsi"], F.lit("."), p["kd_dati2"]).alias("kode"),
+        p["nm_dati2"].alias("nama"),
+        F.col("level").cast("int").alias("level"),
+        F.col("feature_index").cast("int").alias("feature_index"),
+    ).select("kode", "nama", "level", "feature_index").orderBy("kode")
+
+
+# ---------------------------------------------------------------------------
+# MLlib pipeline (CountVectorizer + IDF) through the oracle gate
+# ---------------------------------------------------------------------------
+
+_MLLIB_TFIDF_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+n_docs AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM docs),
+tf AS (
+  SELECT d.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM docs d, UNNEST(d.toks) AS u(tok)
+  JOIN (VALUES ('table'), ('spark'), ('merge')) t(tok) ON u.tok = t.tok
+  GROUP BY d.doc_id, t.tok
+),
+df AS (
+  SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (SELECT d.doc_id, u.tok FROM docs d, UNNEST(d.toks) AS u(tok))
+  WHERE tok IN ('table', 'spark', 'merge')
+  GROUP BY tok
+)
+SELECT t.doc_id, t.tok AS term, t.tf, f.df,
+       ROUND(ln((CAST(n.m AS DOUBLE) + 1) / (f.df + 1)), 6) AS idf,
+       ROUND(t.tf * ln((CAST(n.m AS DOUBLE) + 1) / (f.df + 1)), 6)
+         AS tfidf
+FROM tf t JOIN df f ON f.tok = t.tok CROSS JOIN n_docs n
+ORDER BY t.doc_id, term
+"""
+
+
+@register(
+    "mllib_tfidf_pipeline",
+    oracle=_MLLIB_TFIDF_ORACLE,
+    tags=("ext", "mllib", "pipeline", "tfidf"),
+    description="MLlib CountVectorizer+IDF Pipeline, formula-verified",
+)
+def mllib_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pyspark.ml Pipeline surface in the correctness gate: a
+    deterministic CountVectorizerModel built from an explicitly
+    SORTED vocabulary (from_vocabulary — no tie-dependent vocab
+    selection), IDF fit over the corpus, vectors unpacked back to
+    relational rows with vector_to_array. The oracle recomputes
+    tf·ln((m+1)/(df+1)) — MLlib's exact smoothing — from SQL, so
+    this checks the library's formula, not just its plumbing. The
+    model-fit is one aggregate over the corpus; transform is a
+    per-row map — the same scan/shuffle profile as any TF-IDF
+    query, with Vector columns as the interchange type the rest of
+    pyspark.ml expects."""
+    from pyspark.ml.feature import CountVectorizerModel, IDF
+    from pyspark.ml.functions import vector_to_array
+
+    vocab = ["merge", "spark", "table"]  # sorted, fixed
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0
+    )
+    toks = d.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    cv = CountVectorizerModel.from_vocabulary(
+        vocab, inputCol="toks", outputCol="tf_vec"
+    )
+    tf = cv.transform(toks)
+    idf_model = IDF(inputCol="tf_vec", outputCol="tfidf_vec").fit(tf)
+    out = idf_model.transform(tf)
+    arr_tf = vector_to_array("tf_vec")
+    arr_ti = vector_to_array("tfidf_vec")
+    m = toks.count()  # doc count: the same single scalar the fit used
+    parts = []
+    for i, term in enumerate(vocab):
+        parts.append(
+            out.select(
+                "doc_id",
+                F.lit(term).alias("term"),
+                arr_tf[i].cast("long").alias("tf"),
+                F.round(arr_ti[i], 6).alias("tfidf"),
+            ).filter(F.col("tf") > 0)
+        )
+    df_long = parts[0]
+    for pdf in parts[1:]:
+        df_long = df_long.unionAll(pdf)
+    dfreq = (
+        toks.select(
+            "doc_id", F.explode(F.array_distinct("toks")).alias("term")
+        )
+        .filter(F.col("term").isin(*vocab))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    )
+    return (
+        df_long.join(F.broadcast(dfreq), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.log((F.lit(float(m)) + 1) / (F.col("df") + 1)), 6
+            ).alias("idf"),
+            "tfidf",
+        )
+        .orderBy("doc_id", "term")
+    )
