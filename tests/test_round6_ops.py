@@ -299,3 +299,85 @@ def test_phash_detects_duplicate_payloads(spark, tmp_path):
         for r in multimodal_phash_near_dup(spark, sf).collect()
     }
     assert got == {(1, 2): 0, (1, 4): 0, (2, 4): 0}
+
+
+# ---------------------------------------------------------------------------
+# k-means 3-iter: well-separated clusters converge (no moves by iter 3)
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_3iter_converges_on_separated_clusters(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        embedding_kmeans_3iter,
+    )
+
+    rows = []
+    # 8 seed vectors (vec_id 0..7): two tight blobs around +10 and -10
+    # in dim 0, plus 24 more members of each blob
+    for i in range(40):
+        base = 10.0 if i % 2 == 0 else -10.0
+        jitter = (i % 5) * 0.01
+        rows.append((i, [float(base + jitter), 1.0], int(i % 2)))
+    sf = _write(
+        spark, tmp_path, "embeddings", rows,
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = embedding_kmeans_3iter(spark, sf).collect()
+    it3 = [r for r in out if r["iter"] == 3]
+    assert it3, "iteration 3 missing"
+    assert it3[0]["moved_total"] == 0  # converged: no reassignment
+    assert sum(r["n_assigned"] for r in it3) == 40
+
+
+# ---------------------------------------------------------------------------
+# sequential pattern support on a constructed happens-before case
+# ---------------------------------------------------------------------------
+
+
+def test_sequential_pattern_happens_before(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        events_sequential_pattern_support,
+    )
+
+    rows = [
+        # user 1: signup then purchase (pattern holds)
+        (0, _ts(1, 0), 1, "signup", 1.0, "{}"),
+        (1, _ts(1, 1), 1, "purchase", 1.0, "{}"),
+        # user 2: purchase then signup (reverse only)
+        (2, _ts(1, 0), 2, "purchase", 1.0, "{}"),
+        (3, _ts(1, 1), 2, "signup", 1.0, "{}"),
+    ]
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["antecedent"], r["consequent"]): r["support_users"]
+        for r in events_sequential_pattern_support(spark, sf).collect()
+    }
+    assert got[("signup", "purchase")] == 1
+    assert got[("purchase", "signup")] == 1  # user 2's ordering
+
+
+# ---------------------------------------------------------------------------
+# rounding battery: banker's vs half-up on exact .X5 boundaries
+# ---------------------------------------------------------------------------
+
+
+def test_rounding_modes_banker_boundaries(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        rounding_modes_battery,
+    )
+
+    # 100.25 and 100.35: half-up takes both up; half-even takes
+    # .25→.2 (2 even) and .35→.4 (3 odd → up)
+    rows = [(1, 100.25), (2, 100.35)]
+    sf = _write(spark, tmp_path, "orders", rows,
+                "o_orderkey long, o_totalprice double")
+    got = {
+        r["o_orderkey"]: (r["half_up_1"], r["half_even_1"])
+        for r in rounding_modes_battery(spark, sf).collect()
+    }
+    assert got[1] == (100.3, 100.2)
+    assert got[2] == (100.4, 100.4)
