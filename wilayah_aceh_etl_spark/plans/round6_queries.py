@@ -5047,3 +5047,402 @@ def mllib_tfidf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# try_* error-handling battery (ANSI-safe ingestion arithmetic)
+# ---------------------------------------------------------------------------
+
+_TRY_ORACLE = """
+SELECT p_partkey,
+       TRY_CAST(p_name AS INTEGER) AS bad_int_cast,
+       TRY_CAST(CAST(p_size AS VARCHAR) AS INTEGER) AS good_int_cast,
+       CAST(NULL AS TIMESTAMP) AS bad_ts_parse,
+       CASE WHEN p_size - 5 = 0 THEN NULL
+            ELSE ROUND(CAST(p_retailprice AS DOUBLE) / (p_size - 5), 4)
+       END AS safe_div,
+       CAST(NULL AS VARCHAR) AS oob_element,
+       split_part(p_name, ' ', 1) AS first_elem
+FROM part WHERE p_partkey < 200
+ORDER BY p_partkey
+"""
+
+
+@register(
+    "try_error_handling_battery",
+    oracle=_TRY_ORACLE,
+    tags=("functions", "ansi", "error-handling"),
+    description="try_cast / try_to_timestamp / try_divide / try_element_at",
+)
+def try_error_handling_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error-tolerant ingestion surface under ANSI mode: every
+    try_* form returns NULL where the strict form would kill the
+    job — a malformed cast, an unparseable timestamp, a zero
+    divisor, an out-of-bounds array index. This is how a 100 TB
+    ingest survives the 0.0001% of garbage rows without disabling
+    ANSI for the 99.9999%: the NULLs flow to a quarantine filter
+    instead of an executor exception. The oracle states each
+    expected NULL/value explicitly."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    toks = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.expr("try_cast(p_name AS INT)").alias("bad_int_cast"),
+        F.expr("try_cast(CAST(p_size AS STRING) AS INT)").alias(
+            "good_int_cast"
+        ),
+        F.expr("try_to_timestamp(p_name, 'yyyy-MM-dd')").alias(
+            "bad_ts_parse"
+        ),
+        F.round(
+            F.expr("try_divide(CAST(p_retailprice AS DOUBLE), p_size - 5)"),
+            4,
+        ).alias("safe_div"),
+        F.expr("try_element_at(split(p_name, ' '), 99)").alias(
+            "oob_element"
+        ),
+        F.element_at(toks, 1).alias("first_elem"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Unicode string battery (codepoints vs bytes)
+# ---------------------------------------------------------------------------
+
+_UNICODE_ORACLE = """
+WITH u AS (
+  SELECT p_partkey,
+         p_name || ' — ' || 'café № ' || CAST(p_size AS VARCHAR) AS s
+  FROM part WHERE p_partkey < 100
+)
+SELECT p_partkey, s,
+       CAST(length(s) AS INTEGER) AS n_chars,
+       CAST(octet_length(encode(s)) AS INTEGER) AS n_bytes,
+       upper(s) AS upper_s,
+       substr(s, length(s) - 4, 5) AS last5_chars,
+       CASE WHEN contains(s, '№') THEN 1 ELSE 0 END AS has_numero_sign
+FROM u
+ORDER BY p_partkey
+"""
+
+
+@register(
+    "unicode_string_battery",
+    oracle=_UNICODE_ORACLE,
+    tags=("functions", "string", "unicode"),
+    description="codepoint vs byte semantics on multibyte strings",
+)
+def unicode_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multibyte correctness: strings containing em-dash, é and №
+    (1-3 UTF-8 bytes per char) exercise length (CODEPOINTS) vs
+    octet_length (BYTES), codepoint-addressed substr from the tail,
+    unicode-aware case mapping, and substring containment. The
+    char/byte distinction is exactly where a multilingual 100 TB
+    corpus silently corrupts if an operator is byte-addressed;
+    both engines agree on UTF-8 codepoint semantics and the oracle
+    re-derives every value."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    s = F.concat(
+        F.col("p_name"),
+        F.lit(" — café № "),
+        F.col("p_size").cast("string"),
+    )
+    u = p.select("p_partkey", s.alias("s"))
+    return u.select(
+        "p_partkey",
+        "s",
+        F.length("s").cast("int").alias("n_chars"),
+        F.octet_length("s").cast("int").alias("n_bytes"),
+        F.upper("s").alias("upper_s"),
+        F.substring(F.col("s"), F.length("s") - 4, F.lit(5)).alias(
+            "last5_chars"
+        ),
+        F.when(F.contains("s", F.lit("№")), 1)
+        .otherwise(0)
+        .alias("has_numero_sign"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Skewness / kurtosis from exact integer moments
+# ---------------------------------------------------------------------------
+
+_SKEWKURT_SQL = """
+m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(q) AS BIGINT) AS s1,
+         CAST(SUM(q * q) AS BIGINT) AS s2,
+         CAST(SUM(q * q * q) AS BIGINT) AS s3,
+         CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+  FROM (SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) AS q
+        FROM lineitem)
+  GROUP BY l_returnflag
+),
+c AS (
+  SELECT l_returnflag, n,
+         CAST(s1 AS DOUBLE) / n AS mu,
+         CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+           * (CAST(s1 AS DOUBLE) / n) AS m2,
+         CAST(s3 AS DOUBLE) / n
+           - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+           + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s1 AS DOUBLE) / n) AS m3,
+         CAST(s4 AS DOUBLE) / n
+           - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+           + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s2 AS DOUBLE) / n)
+           - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+             * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS m4
+  FROM m
+)
+SELECT l_returnflag, n,
+       ROUND(mu, 6) AS mean_qty,
+       ROUND(sqrt(m2), 6) AS std_pop,
+       ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness_g1,
+       ROUND(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis_g2
+FROM c
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "stats_skewness_kurtosis_moments",
+    oracle="WITH " + _SKEWKURT_SQL,
+    tags=("ext", "stats", "moments"),
+    description="population skewness + excess kurtosis from exact moments",
+)
+def stats_skewness_kurtosis_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third and fourth standardized moments — the distribution-
+    shape diagnostics (asymmetry, tail weight) — computed the
+    exact-moment way: four integer power sums per group (quantity ≤
+    50 keeps q⁴ sums far from overflow), central moments by the
+    standard expansion, one closed-form division each. Built-in
+    skewness/kurtosis differ between engines in both accumulation
+    AND definition (sample vs population corrections); the moment
+    route is definition-explicit and engine-exact, and it
+    partial-aggregates map-side like every moment statistic here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.round("l_quantity").cast("long")
+    m = li.select("l_returnflag", q.alias("q")).groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q"))
+        .cast("long")
+        .alias("s3"),
+        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q"))
+        .cast("long")
+        .alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n") - mu * mu
+    m3 = (
+        F.col("s3").cast("double") / F.col("n")
+        - 3 * mu * (F.col("s2").cast("double") / F.col("n"))
+        + 2 * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4").cast("double") / F.col("n")
+        - 4 * mu * (F.col("s3").cast("double") / F.col("n"))
+        + 6 * mu * mu * (F.col("s2").cast("double") / F.col("n"))
+        - 3 * mu * mu * mu * mu
+    )
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(mu, 6).alias("mean_qty"),
+        F.round(F.sqrt(m2), 6).alias("std_pop"),
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness_g1"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis_g2"),
+    ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# regr_* linear-regression aggregate family
+# ---------------------------------------------------------------------------
+
+_REGR_ORACLE = """
+SELECT l_returnflag,
+       CAST(regr_count(y, x) AS BIGINT) AS n,
+       ROUND(regr_avgx(y, x), 6) AS avg_x,
+       ROUND(regr_avgy(y, x), 6) AS avg_y,
+       ROUND(regr_slope(y, x), 6) AS slope,
+       ROUND(regr_intercept(y, x), 6) AS intercept,
+       ROUND(regr_r2(y, x), 6) AS r2
+FROM (
+  SELECT l_returnflag,
+         CAST(CAST(ROUND(l_discount * 100) AS BIGINT) AS DOUBLE) AS x,
+         CAST(CAST(ROUND(l_quantity) AS BIGINT) AS DOUBLE) AS y
+  FROM lineitem
+)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "regr_family_battery",
+    oracle=_REGR_ORACLE,
+    tags=("functions", "agg", "regression"),
+    description="SQL regr_* aggregate family (count/avg/slope/intercept/r2)",
+)
+def regr_family_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI linear-regression aggregate family — regr_count /
+    avgx / avgy / slope / intercept / r2 — the one-pass bivariate
+    fit both engines implement natively (the engine's own REGR
+    implementation was already pinned once via the grouped-map
+    trend twin; this battery pins the WHOLE family). Inputs are
+    exact integers promoted to double, so the accumulated moments
+    agree to rounding precision across partial-aggregation orders.
+    One hash aggregate; map-side combine applies."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        "l_returnflag",
+        F.round(F.col("l_discount") * 100)
+        .cast("long")
+        .cast("double")
+        .alias("x"),
+        F.round("l_quantity").cast("long").cast("double").alias("y"),
+    )
+    t.createOrReplaceTempView("regr_in")
+    return spark.sql(
+        """
+SELECT l_returnflag,
+       CAST(regr_count(y, x) AS BIGINT) AS n,
+       ROUND(regr_avgx(y, x), 6) AS avg_x,
+       ROUND(regr_avgy(y, x), 6) AS avg_y,
+       ROUND(regr_slope(y, x), 6) AS slope,
+       ROUND(regr_intercept(y, x), 6) AS intercept,
+       ROUND(regr_r2(y, x), 6) AS r2
+FROM regr_in
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generator battery: stack / str_to_map / posexplode_outer
+# ---------------------------------------------------------------------------
+
+_GENERATOR_ORACLE = """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey < 50
+),
+stacked AS (
+  SELECT o_orderkey, 'status' AS attr, o_orderstatus AS val FROM base
+  UNION ALL
+  SELECT o_orderkey, 'priority', o_orderpriority FROM base
+  UNION ALL
+  SELECT o_orderkey, 'cents', CAST(cents AS VARCHAR) FROM base
+)
+SELECT o_orderkey, attr, val,
+       'priority=' || (SELECT o_orderpriority FROM base b
+                       WHERE b.o_orderkey = s.o_orderkey)
+         || ',status=' || (SELECT o_orderstatus FROM base b
+                           WHERE b.o_orderkey = s.o_orderkey)
+         AS kv_roundtrip
+FROM stacked s
+ORDER BY o_orderkey, attr
+"""
+
+
+@register(
+    "generator_stack_battery",
+    oracle=_GENERATOR_ORACLE,
+    tags=("functions", "generator", "wide-to-long"),
+    description="stack() wide-to-long + str_to_map KV parsing roundtrip",
+)
+def generator_stack_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generator surface beyond explode: stack(n, ...) turns
+    columns into attribute/value rows inline (wide-to-long without
+    an UNPIVOT clause — useful inside SELECT), and str_to_map
+    parses delimited key-value text back into a map, roundtripped
+    to a sorted entries string. Generators multiply rows INSIDE the
+    scan stage (no shuffle); the oracle builds the long form via
+    UNION ALL and the map roundtrip via correlated lookups."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 50)
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    m = F.expr(
+        "str_to_map(concat('status:', o_orderstatus, ',priority:', "
+        "o_orderpriority), ',', ':')"
+    )
+    entries = F.array_join(
+        F.array_sort(
+            F.transform(
+                F.map_entries(m),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+            )
+        ),
+        ",",
+    )
+    stacked = base.select(
+        "o_orderkey",
+        F.expr(
+            "stack(3, 'status', o_orderstatus, 'priority', "
+            "o_orderpriority, 'cents', CAST(cents AS STRING)) AS "
+            "(attr, val)"
+        ),
+        entries.alias("kv_roundtrip"),
+    )
+    return stacked.select(
+        "o_orderkey", "attr", "val", "kv_roundtrip"
+    ).orderBy("o_orderkey", "attr")
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP with grouping() / grouping_id() labels
+# ---------------------------------------------------------------------------
+
+_GROUPING_ID_ORACLE = """
+SELECT COALESCE(o_orderstatus, '<ALL>') AS status,
+       COALESCE(o_orderpriority, '<ALL>') AS priority,
+       CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'grand_total'
+            WHEN GROUPING(o_orderpriority) = 1 THEN 'status_subtotal'
+            ELSE 'detail' END AS row_kind,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority, status, priority
+"""
+
+
+@register(
+    "rollup_grouping_id_labels",
+    oracle=_GROUPING_ID_ORACLE,
+    tags=("agg", "rollup", "grouping-id"),
+    description="ROLLUP with grouping() flags distinguishing NULL vs subtotal",
+)
+def rollup_grouping_id_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouping() disambiguator the plain ROLLUP query omits:
+    a NULL produced by rolling up is indistinguishable from a NULL
+    in the data unless grouping(col) flags it — the correctness
+    trap of every subtotal report over nullable dimensions. Each
+    row self-describes as detail / subtotal / grand total. Same
+    single-Expand single-shuffle plan as any rollup."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+SELECT COALESCE(o_orderstatus, '<ALL>') AS status,
+       COALESCE(o_orderpriority, '<ALL>') AS priority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       CASE WHEN grouping(o_orderstatus) = 1 THEN 'grand_total'
+            WHEN grouping(o_orderpriority) = 1 THEN 'status_subtotal'
+            ELSE 'detail' END AS row_kind,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_priority, status, priority
+"""
+    )
