@@ -95,6 +95,8 @@ NLJ_ALLOWED = {
     # 25-row aggregated nation metrics, pairwise by construction
     "stats_kendall_tau_nation_counts",
     "tokenizer_vocab_coverage",  # 1-row corpus total × 3-row K dim
+    "allocation_largest_remainder",  # 1-row total + 1-row shortfall broadcasts
+    "weights_raking_ipf",  # 1-row margin-target broadcast over ≤25 cells
 }
 
 

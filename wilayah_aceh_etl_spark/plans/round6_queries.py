@@ -5446,3 +5446,560 @@ GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 ORDER BY g_status, g_priority, status, priority
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval coalescing: merge overlapping coverage windows
+# ---------------------------------------------------------------------------
+
+_COALESCE_SQL = """
+iv AS (
+  SELECT l_suppkey,
+         CAST(l_shipdate AS DATE) AS d0,
+         CAST(l_shipdate AS DATE) + 7 AS d1
+  FROM lineitem WHERE l_suppkey < 100
+),
+m AS (
+  SELECT l_suppkey, d0, d1,
+         MAX(d1) OVER (PARTITION BY l_suppkey ORDER BY d0, d1
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM iv
+),
+flagged AS (
+  SELECT l_suppkey, d0, d1,
+         CASE WHEN prev_max IS NULL OR d0 > prev_max THEN 1 ELSE 0 END
+           AS new_island
+  FROM m
+),
+islands AS (
+  SELECT l_suppkey, d0, d1,
+         SUM(new_island) OVER (PARTITION BY l_suppkey ORDER BY d0, d1
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+),
+merged AS (
+  SELECT l_suppkey, island,
+         MIN(d0) AS m0, MAX(d1) AS m1
+  FROM islands GROUP BY l_suppkey, island
+)
+SELECT l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_merged_intervals,
+       CAST(SUM(date_diff('day', m0, m1)) AS BIGINT) AS covered_days
+FROM merged
+GROUP BY l_suppkey
+ORDER BY l_suppkey
+"""
+
+
+@register(
+    "intervals_coalesce_coverage",
+    oracle="WITH " + _COALESCE_SQL,
+    tags=("window", "intervals", "sweep-line"),
+    description="merge overlapping 7-day ship windows into coverage intervals",
+)
+def intervals_coalesce_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-overlapping-intervals classic as a distributed
+    sweep: each shipment opens a 7-day service window; per
+    supplier, overlapping windows coalesce via the running-max
+    island trick (an interval starts a new island iff it begins
+    after every prior window has closed), then coverage is the sum
+    of merged lengths. One shuffle on the key; the sweep is a
+    per-key sort window — same movement profile as
+    sessionization, because it IS generalized sessionization over
+    intervals rather than points. All arithmetic on exact day
+    integers."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey") < 100
+    )
+    iv = li.select(
+        "l_suppkey",
+        F.col("l_shipdate").cast("date").alias("d0"),
+        F.date_add(F.col("l_shipdate").cast("date"), 7).alias("d1"),
+    )
+    wseq = Window.partitionBy("l_suppkey").orderBy("d0", "d1")
+    m = iv.withColumn(
+        "prev_max",
+        F.max("d1").over(
+            wseq.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    flagged = m.withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max").isNull() | (F.col("d0") > F.col("prev_max")),
+            1,
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(
+            wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    merged = islands.groupBy("l_suppkey", "island").agg(
+        F.min("d0").alias("m0"), F.max("d1").alias("m1")
+    )
+    return (
+        merged.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_merged_intervals"),
+            F.sum(F.datediff("m1", "m0")).cast("long").alias("covered_days"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder (Hamilton) proportional allocation
+# ---------------------------------------------------------------------------
+
+_ALLOC_SQL = """
+rev AS (
+  SELECT n.n_name, CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev),
+quota AS (
+  SELECT r.n_name, r.cents,
+         CAST(r.cents * 1000 // t.t AS BIGINT) AS base_seats,
+         CAST(r.cents * 1000 % t.t AS BIGINT) AS remainder
+  FROM rev r CROSS JOIN tot t
+),
+short AS (
+  SELECT CAST(1000 - SUM(base_seats) AS BIGINT) AS extra FROM quota
+),
+ranked AS (
+  SELECT q.*, s.extra,
+         ROW_NUMBER() OVER (ORDER BY q.remainder DESC, q.n_name) AS rk
+  FROM quota q CROSS JOIN short s
+)
+SELECT n_name, cents AS revenue_cents,
+       CAST(base_seats + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+         AS seats,
+       base_seats, remainder
+FROM ranked
+ORDER BY n_name
+"""
+
+
+@register(
+    "allocation_largest_remainder",
+    oracle="WITH " + _ALLOC_SQL,
+    tags=("ext", "allocation", "apportionment"),
+    description="Hamilton largest-remainder allocation of 1000 slots by revenue",
+)
+def allocation_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional apportionment done exactly: 1000 budget slots
+    split across nations by revenue share using Hamilton's
+    largest-remainder method — floor quotas first (cents·1000 DIV
+    total: EXACT integer arithmetic, no float shares anywhere),
+    leftover slots to the largest integer remainders with a
+    deterministic name tie-break. The allocation always sums to
+    exactly 1000 — the property float-rounded shares violate.
+    This is the budget/sampling-quota splitter a data-mixture
+    pipeline needs (cf. data_mixture_rates, which reports float
+    rates; this one emits integer quotas)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    tot = rev.agg(F.sum("cents").cast("long").alias("t"))
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        "cents",
+        F.expr("CAST(cents * 1000 div t AS BIGINT)").alias("base_seats"),
+        F.expr("CAST(cents * 1000 % t AS BIGINT)").alias("remainder"),
+    )
+    short = quota.agg(
+        (F.lit(1000) - F.sum("base_seats")).cast("long").alias("extra")
+    )
+    ranked = quota.crossJoin(F.broadcast(short)).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("remainder").desc(), "n_name")
+        ),
+    )
+    return ranked.select(
+        "n_name",
+        F.col("cents").alias("revenue_cents"),
+        (
+            F.col("base_seats")
+            + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("seats"),
+        "base_seats",
+        "remainder",
+    ).orderBy("n_name")
+
+
+# ---------------------------------------------------------------------------
+# Classification metrics: precision / recall / F1 on en-vs-other
+# ---------------------------------------------------------------------------
+
+_PRF_SQL = """
+pred AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y_true,
+         CASE WHEN n_chars % 3 = 0 OR lang = 'en' THEN 1 ELSE 0 END
+           AS y_pred
+  FROM documents
+),
+cm AS (
+  SELECT
+    CAST(SUM(CASE WHEN y_true = 1 AND y_pred = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN y_true = 0 AND y_pred = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN y_true = 1 AND y_pred = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN y_true = 0 AND y_pred = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS tn
+  FROM pred
+)
+SELECT tp, fp, fn, tn,
+       ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision_en,
+       ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall_en,
+       ROUND(2.0 * tp / (2.0 * tp + fp + fn), 6) AS f1_en,
+       ROUND(CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn), 6) AS accuracy
+FROM cm
+"""
+
+
+@register(
+    "model_eval_precision_recall_f1",
+    oracle="WITH " + _PRF_SQL,
+    tags=("ext", "model-eval", "classification"),
+    description="confusion matrix + precision/recall/F1/accuracy",
+)
+def model_eval_precision_recall_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classification-metrics quartet the eval family still
+    lacked (AUC, AP, lift and calibration are threshold-free; these
+    are the THRESHOLDED metrics a deployed binary classifier
+    reports): confusion counts and precision/recall/F1/accuracy for
+    an 'is-English' task against a deterministic rule predictor
+    (perfect recall, deliberate false positives — so every cell of
+    the matrix is non-trivially exercised). One scan, one four-cell
+    aggregate; the metrics are single divisions of exact counts."""
+    d = load_table(spark, sf_dir, "documents")
+    y_true = F.when(F.col("lang") == "en", 1).otherwise(0)
+    y_pred = F.when(
+        (F.col("n_chars") % 3 == 0) | (F.col("lang") == "en"), 1
+    ).otherwise(0)
+    cm = d.select(y_true.alias("y_true"), y_pred.alias("y_pred")).agg(
+        F.sum(F.when((F.col("y_true") == 1) & (F.col("y_pred") == 1), 1)
+              .otherwise(0)).cast("long").alias("tp"),
+        F.sum(F.when((F.col("y_true") == 0) & (F.col("y_pred") == 1), 1)
+              .otherwise(0)).cast("long").alias("fp"),
+        F.sum(F.when((F.col("y_true") == 1) & (F.col("y_pred") == 0), 1)
+              .otherwise(0)).cast("long").alias("fn"),
+        F.sum(F.when((F.col("y_true") == 0) & (F.col("y_pred") == 0), 1)
+              .otherwise(0)).cast("long").alias("tn"),
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")), 6
+        ).alias("precision_en"),
+        F.round(
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")), 6
+        ).alias("recall_en"),
+        F.round(
+            2.0 * F.col("tp") / (2.0 * F.col("tp") + F.col("fp") + F.col("fn")),
+            6,
+        ).alias("f1_en"),
+        F.round(
+            (F.col("tp") + F.col("tn")).cast("double")
+            / (F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")),
+            6,
+        ).alias("accuracy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IPF raking (one row pass + one column pass) to uniform margins
+# ---------------------------------------------------------------------------
+
+_RAKING_SQL = """
+obs AS (
+  SELECT c.c_mktsegment AS seg, n.n_regionkey AS reg,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY c.c_mktsegment, n.n_regionkey
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+               CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_seg,
+               CAST(COUNT(DISTINCT reg) AS BIGINT) AS n_reg
+        FROM obs),
+rowpass AS (
+  SELECT o.seg, o.reg, o.n,
+         o.n * (CAST(t.t AS DOUBLE) / t.n_seg)
+           / SUM(o.n) OVER (PARTITION BY o.seg) AS w1
+  FROM obs o CROSS JOIN tot t
+),
+colpass AS (
+  SELECT seg, reg, n,
+         w1 * ((SELECT CAST(t.t AS DOUBLE) / t.n_reg FROM tot t)
+               / SUM(w1) OVER (PARTITION BY reg)) AS w2
+  FROM rowpass
+)
+SELECT seg, CAST(reg AS INTEGER) AS reg, n,
+       ROUND(w2, 4) AS raked_weighted_count,
+       ROUND(w2 / n, 6) AS unit_weight
+FROM colpass
+ORDER BY seg, reg
+"""
+
+
+@register(
+    "weights_raking_ipf",
+    oracle="WITH " + _RAKING_SQL,
+    tags=("ext", "weighting", "raking", "window"),
+    description="IPF raking: one row pass + one column pass to uniform margins",
+)
+def weights_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) — the survey/panel
+    reweighting that scales a crosstab to match target margins:
+    one row pass (each segment scaled to an equal-share target)
+    then one column pass (each region likewise), emitting the raked
+    cell weights and per-unit weights. Each pass is a window sum
+    over the AGGREGATED crosstab (≤25 cells), so raking costs
+    nothing after the one fact-table aggregate regardless of data
+    volume — further IPF rounds iterate the same two windows.
+    This is how a training-data pipeline reweights a skewed corpus
+    to a target demographic/source mix without resampling."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    obs = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("n_regionkey").alias("reg"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = obs.agg(
+        F.sum("n").cast("long").alias("t"),
+        F.countDistinct("seg").cast("long").alias("n_seg"),
+        F.countDistinct("reg").cast("long").alias("n_reg"),
+    )
+    rowpass = obs.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "reg",
+        "n",
+        "t",
+        "n_reg",
+        (
+            F.col("n")
+            * (F.col("t").cast("double") / F.col("n_seg"))
+            / F.sum("n").over(Window.partitionBy("seg"))
+        ).alias("w1"),
+    )
+    colpass = rowpass.select(
+        "seg",
+        "reg",
+        "n",
+        (
+            F.col("w1")
+            * (
+                (F.col("t").cast("double") / F.col("n_reg"))
+                / F.sum("w1").over(Window.partitionBy("reg"))
+            )
+        ).alias("w2"),
+    )
+    return colpass.select(
+        "seg",
+        F.col("reg").cast("int").alias("reg"),
+        "n",
+        F.round("w2", 4).alias("raked_weighted_count"),
+        F.round(F.col("w2") / F.col("n"), 6).alias("unit_weight"),
+    ).orderBy("seg", "reg")
+
+
+# ---------------------------------------------------------------------------
+# Alarm hysteresis (debounced threshold state machine via LOCF)
+# ---------------------------------------------------------------------------
+
+_HYSTERESIS_SQL = """
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+crossings AS (
+  SELECT event_type, h, c,
+         CASE WHEN c >= 20 THEN 'on' WHEN c <= 10 THEN 'off' END
+           AS crossing
+  FROM hourly
+),
+state AS (
+  SELECT event_type, h, c,
+         COALESCE(
+           last_value(crossing IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS UNBOUNDED PRECEDING), 'off') AS alarm_state
+  FROM crossings
+),
+trans AS (
+  SELECT event_type, h, c, alarm_state,
+         CASE WHEN alarm_state = 'on'
+                   AND COALESCE(lag(alarm_state) OVER (
+                         PARTITION BY event_type ORDER BY h), 'off')
+                       = 'off'
+              THEN 1 ELSE 0 END AS fired
+  FROM state
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(CASE WHEN alarm_state = 'on' THEN 1 ELSE 0 END) AS BIGINT)
+         AS alarm_hours,
+       CAST(SUM(fired) AS BIGINT) AS n_alarms_fired
+FROM trans
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "events_alarm_hysteresis",
+    oracle="WITH " + _HYSTERESIS_SQL,
+    tags=("ext", "events", "monitoring", "hysteresis"),
+    description="debounced alarm state machine (on≥20 / off≤10) via LOCF",
+)
+def events_alarm_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A thresholded alarm with HYSTERESIS — fire at ≥20 events/hour,
+    clear only at ≤10, hold state in the deadband — the debouncing
+    that stops a noisy metric from flapping a pager. The state
+    machine needs no recursion: state changes only at threshold
+    crossings, so between crossings it is literally
+    last-observation-carried-forward over the crossing events (one
+    IGNORE NULLS window). Reported per type: hours in alarm and
+    distinct alarm activations. Same one-shuffle window profile as
+    every LOCF operator here; the streaming twin would be
+    applyInPandasWithState with the state tuple being one enum."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    crossing = F.when(F.col("c") >= 20, "on").when(
+        F.col("c") <= 10, "off"
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    state = hourly.withColumn("crossing", crossing).withColumn(
+        "alarm_state",
+        F.coalesce(
+            F.last("crossing", ignorenulls=True).over(w), F.lit("off")
+        ),
+    )
+    prev = F.coalesce(
+        F.lag("alarm_state").over(
+            Window.partitionBy("event_type").orderBy("h")
+        ),
+        F.lit("off"),
+    )
+    trans = state.withColumn(
+        "fired",
+        F.when((F.col("alarm_state") == "on") & (prev == "off"), 1).otherwise(
+            0
+        ),
+    )
+    return (
+        trans.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum(F.when(F.col("alarm_state") == "on", 1).otherwise(0))
+            .cast("long")
+            .alias("alarm_hours"),
+            F.sum("fired").cast("long").alias("n_alarms_fired"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Web URL canonicalization + duplicate collapse
+# ---------------------------------------------------------------------------
+
+_URL_CANON_ORACLE = """
+WITH expected AS (
+  SELECT 'https://shop.example.com/item/'
+           || CAST(p_partkey % 50 AS VARCHAR) AS canonical_url,
+         p_partkey
+  FROM part
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       CAST(MIN(p_partkey) AS BIGINT) AS first_partkey
+FROM expected
+GROUP BY canonical_url
+ORDER BY canonical_url
+"""
+
+
+@register(
+    "web_url_canonical_dedup",
+    oracle=_URL_CANON_ORACLE,
+    tags=("ext", "web", "dedup", "url"),
+    description="URL canonicalization (case/port/query/fragment) + dedup",
+)
+def web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CommonCrawl-style URL normalizer: dirty URLs (mixed-case
+    scheme+host, explicit default port, tracking query params,
+    fragments, trailing slash) are canonicalized by a regex chain —
+    lowercase, strip :443, strip ?..., strip #..., strip trailing
+    slash — then collapsed per canonical form. The Spark side REALLY
+    parses the dirty strings it first synthesized (the oracle
+    derives the expected canonical set relationally, so a
+    canonicalizer bug cannot cancel itself out). Scalar regex work:
+    linear scan, shuffle only for the final collapse — the
+    first stage of any web-corpus dedup at 100 TB."""
+    p = load_table(spark, sf_dir, "part")
+    dirty = F.concat(
+        F.lit("HTTPS://Shop.Example.COM:443/item/"),
+        (F.col("p_partkey") % 50).cast("string"),
+        F.lit("/?utm_source=p"),
+        F.col("p_partkey").cast("string"),
+        F.lit("&ref=mail#sec"),
+        F.col("p_size").cast("string"),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(dirty), "#.*$", ""),
+                r"\?.*$",
+                "",
+            ),
+            ":443/",
+            "/",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        p.select(canon.alias("canonical_url"), "p_partkey")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("p_partkey").cast("long").alias("first_partkey"),
+        )
+        .orderBy("canonical_url")
+    )
