@@ -97,6 +97,8 @@ NLJ_ALLOWED = {
     "tokenizer_vocab_coverage",  # 1-row corpus total × 3-row K dim
     "allocation_largest_remainder",  # 1-row total + 1-row shortfall broadcasts
     "weights_raking_ipf",  # 1-row margin-target broadcast over ≤25 cells
+    "forecast_conformal_interval",  # 1-row calibration-quantile broadcast
+    "feature_quantile_normalization",  # 1-row pool-size broadcast
 }
 
 

@@ -6003,3 +6003,344 @@ def web_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (step interpolation over irregular samples)
+# ---------------------------------------------------------------------------
+
+_TWA_SQL = """
+s AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(ROUND(value * 100) AS BIGINT) AS v,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt_us
+  FROM events WHERE user_id < 50
+),
+seg AS (
+  SELECT user_id, v, (nxt_us - us) // 1000 AS dt_ms
+  FROM s WHERE nxt_us IS NOT NULL
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dt_ms) // 1000 AS BIGINT) AS span_s,
+       ROUND(CAST(SUM(v * dt_ms) AS DOUBLE) / SUM(dt_ms), 4)
+         AS twa_cents
+FROM seg
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "events_time_weighted_average",
+    oracle="WITH " + _TWA_SQL,
+    tags=("ext", "events", "timeseries", "twap"),
+    description="time-weighted average value (step-held) per user",
+)
+def events_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The time-weighted average — the IoT/finance aggregate a plain
+    AVG gets WRONG on irregularly-sampled series (a value held for
+    6 hours must weigh 360× one held for a minute): each sample is
+    step-held until the next (LEAD), weights are exact integral
+    millisecond durations, and TWA = Σ v·dt / Σ dt with both sums
+    exact BIGINTs — one division at the end. One shuffle on the
+    key; at 100 TB this is the hypertable time_weight() aggregate
+    rebuilt from a window + hash agg."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id",
+        us.alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.lead(us).over(w).alias("nxt_us"),
+    )
+    seg = s.filter(F.col("nxt_us").isNotNull()).select(
+        "user_id",
+        "v",
+        F.expr("(nxt_us - us) div 1000").alias("dt_ms"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.expr("CAST(SUM(dt_ms) div 1000 AS BIGINT)").alias("span_s"),
+            F.round(
+                F.sum(F.col("v") * F.col("dt_ms")).cast("double")
+                / F.sum("dt_ms"),
+                4,
+            ).alias("twa_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction (pre-period covariate adjustment)
+# ---------------------------------------------------------------------------
+
+_CUPED_SQL = """
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                       THEN CAST(ROUND(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM per_user
+),
+c AS (
+  SELECT n,
+         CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+           * (CAST(sx AS DOUBLE) / n) AS var_x,
+         CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n)
+           * (CAST(sy AS DOUBLE) / n) AS var_y,
+         CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+           * (CAST(sy AS DOUBLE) / n) AS cov_xy
+  FROM m
+)
+SELECT n,
+       ROUND(cov_xy / var_x, 6) AS theta,
+       ROUND(var_y, 4) AS var_y,
+       ROUND(var_y - (cov_xy / var_x) * (cov_xy / var_x) * var_x, 4)
+         AS var_y_cuped,
+       ROUND((cov_xy / var_x) * (cov_xy / var_x) * var_x / var_y, 6)
+         AS variance_reduction
+FROM c
+"""
+
+
+@register(
+    "ab_cuped_variance_reduction",
+    oracle="WITH " + _CUPED_SQL,
+    tags=("ext", "ab-testing", "cuped", "stats"),
+    description="CUPED pre-period adjustment: theta + variance reduction",
+)
+def ab_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (controlled-experiment using pre-experiment data) — the
+    variance-reduction device every mature A/B platform applies
+    before the t-test: per user, pre-period spend is the covariate
+    X for the experiment-period metric Y; θ = cov(X,Y)/var(X), and
+    the adjusted metric Y − θ(X−X̄) has variance var(Y) − θ²var(X).
+    The achievable reduction (=ρ²) falls out of the same five exact
+    integer moment sums as everything else in this family — one
+    scan, one shuffle to the user grain, one 1-row aggregate; the
+    sample size a reduction of r buys back is 1/(1−r)."""
+    e = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, cents).otherwise(0))
+        .cast("long")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, cents).otherwise(0))
+        .cast("long")
+        .alias("y"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    mx = F.col("sx").cast("double") / F.col("n")
+    my = F.col("sy").cast("double") / F.col("n")
+    var_x = F.col("sxx").cast("double") / F.col("n") - mx * mx
+    var_y = F.col("syy").cast("double") / F.col("n") - my * my
+    cov = F.col("sxy").cast("double") / F.col("n") - mx * my
+    theta = cov / var_x
+    return m.select(
+        "n",
+        F.round(theta, 6).alias("theta"),
+        F.round(var_y, 4).alias("var_y"),
+        F.round(var_y - theta * theta * var_x, 4).alias("var_y_cuped"),
+        F.round(theta * theta * var_x / var_y, 6).alias(
+            "variance_reduction"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals on the seasonal-naive forecast
+# ---------------------------------------------------------------------------
+
+_CONFORMAL_SQL = """
+daily AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS d,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+paired AS (
+  SELECT a.d, a.y, b.y AS forecast
+  FROM daily a JOIN daily b ON b.d = a.d - 7
+),
+calib AS (
+  SELECT CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY abs(y - forecast))
+              AS BIGINT) AS q90
+  FROM paired WHERE d BETWEEN 7 AND 22
+)
+SELECT p.d, p.y AS actual_cents, p.forecast AS forecast_cents,
+       p.forecast - c.q90 AS lo_cents,
+       p.forecast + c.q90 AS hi_cents,
+       CAST(CASE WHEN abs(p.y - p.forecast) <= c.q90 THEN 1 ELSE 0 END
+            AS INTEGER) AS covered
+FROM paired p CROSS JOIN calib c
+WHERE p.d >= 23
+ORDER BY p.d
+"""
+
+
+@register(
+    "forecast_conformal_interval",
+    oracle="WITH " + _CONFORMAL_SQL,
+    tags=("ext", "forecast", "conformal", "uncertainty"),
+    description="split-conformal 90% intervals on the seasonal-naive forecast",
+)
+def forecast_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free uncertainty for ANY point forecaster:
+    split-conformal intervals — calibrate the 90th-percentile
+    absolute residual of the seasonal-naive (t−7) forecast on a
+    held-out window, then attach ±q to each later forecast and
+    report per-day coverage. The guarantee needs no model refit and
+    no distributional assumption, which is why it's the modern
+    default for forecast bands. Everything is exact integer cents
+    plus one discrete percentile; the calibration constant is a
+    1-row broadcast — conformalizing a 100 TB forecast pipeline
+    costs one aggregate over its residuals."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y")
+    )
+    a = daily.alias("a")
+    b = daily.select(
+        (F.col("d") + 7).alias("d"), F.col("y").alias("forecast")
+    )
+    paired = a.join(b, "d")
+    calib = (
+        paired.filter((F.col("d") >= 7) & (F.col("d") <= 22))
+        .agg(
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP "
+                "(ORDER BY abs(y - forecast))"
+            )
+            .cast("long")
+            .alias("q90")
+        )
+    )
+    return (
+        paired.filter(F.col("d") >= 23)
+        .crossJoin(F.broadcast(calib))
+        .select(
+            "d",
+            F.col("y").alias("actual_cents"),
+            F.col("forecast").alias("forecast_cents"),
+            (F.col("forecast") - F.col("q90")).alias("lo_cents"),
+            (F.col("forecast") + F.col("q90")).alias("hi_cents"),
+            F.when(
+                F.abs(F.col("y") - F.col("forecast")) <= F.col("q90"), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("covered"),
+        )
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization of per-source score distributions
+# ---------------------------------------------------------------------------
+
+_QNORM_SQL = """
+scored AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS raw,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r,
+         COUNT(*) OVER (PARTITION BY source) AS n_s
+  FROM documents
+),
+pool AS (
+  SELECT CAST(n_chars AS BIGINT) AS v,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS pr,
+         COUNT(*) OVER () AS n_pool
+  FROM documents
+),
+mapped AS (
+  SELECT s.doc_id, s.source, s.raw,
+         CAST((s.r * (SELECT MAX(n_pool) FROM pool) + s.n_s - 1) // s.n_s
+              AS BIGINT) AS target_rank
+  FROM scored s
+)
+SELECT m.doc_id, m.source, m.raw, p.v AS normalized
+FROM mapped m JOIN pool p ON p.pr = m.target_rank
+ORDER BY m.doc_id
+"""
+
+
+@register(
+    "feature_quantile_normalization",
+    oracle="WITH " + _QNORM_SQL,
+    tags=("ext", "feature", "normalization", "window"),
+    description="quantile-normalize per-source scores to the pooled distribution",
+)
+def feature_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization — force every source's score
+    distribution onto the pooled reference (the cross-source
+    calibration trick from genomics, equally at home normalizing
+    per-domain quality scores before a corpus-wide threshold): each
+    doc's within-source rank maps to the pooled value at the
+    ceiling-scaled rank ⌈r·N/n_s⌉, ALL in exact integer rank
+    arithmetic — no float quantiles, so both engines land on the
+    identical pooled element. Two rank windows + one equi-join on
+    rank; the pooled table is corpus-sized but carries only
+    (value, rank)."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("raw"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("n_chars", "doc_id"))
+        .alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("n_s"),
+    )
+    pool = d.select(
+        F.col("n_chars").cast("long").alias("v"),
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("pr"),
+    )
+    n_pool = d.agg(F.count(F.lit(1)).cast("long").alias("n_pool"))
+    mapped = scored.crossJoin(F.broadcast(n_pool)).select(
+        "doc_id",
+        "source",
+        "raw",
+        F.expr(
+            "CAST((r * n_pool + n_s - 1) div n_s AS BIGINT)"
+        ).alias("target_rank"),
+    )
+    return (
+        mapped.join(pool, mapped.target_rank == pool.pr)
+        .select("doc_id", "source", "raw", F.col("v").alias("normalized"))
+        .orderBy("doc_id")
+    )
