@@ -6344,3 +6344,299 @@ def feature_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFram
         .select("doc_id", "source", "raw", F.col("v").alias("normalized"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (pre/post × treated/control)
+# ---------------------------------------------------------------------------
+
+_DID_SQL = """
+cells AS (
+  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END
+           AS treated,
+         CASE WHEN o.o_orderdate >= TIMESTAMP '1996-07-01' THEN 1 ELSE 0
+           END AS post,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+means AS (
+  SELECT
+    MAX(CASE WHEN treated = 1 AND post = 1
+             THEN CAST(cents AS DOUBLE) / n END) AS t_post,
+    MAX(CASE WHEN treated = 1 AND post = 0
+             THEN CAST(cents AS DOUBLE) / n END) AS t_pre,
+    MAX(CASE WHEN treated = 0 AND post = 1
+             THEN CAST(cents AS DOUBLE) / n END) AS c_post,
+    MAX(CASE WHEN treated = 0 AND post = 0
+             THEN CAST(cents AS DOUBLE) / n END) AS c_pre,
+    CAST(SUM(n) AS BIGINT) AS n_orders
+  FROM cells
+)
+SELECT n_orders,
+       ROUND(t_pre, 4) AS treated_pre_mean,
+       ROUND(t_post, 4) AS treated_post_mean,
+       ROUND(c_pre, 4) AS control_pre_mean,
+       ROUND(c_post, 4) AS control_post_mean,
+       ROUND((t_post - t_pre) - (c_post - c_pre), 4) AS did_estimate_cents
+FROM means
+"""
+
+
+@register(
+    "ab_difference_in_differences",
+    oracle="WITH " + _DID_SQL,
+    tags=("ext", "ab-testing", "causal", "did"),
+    description="difference-in-differences: BUILDING segment, 1996-H2 cutoff",
+)
+def ab_difference_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The workhorse quasi-experimental estimator: treated group
+    (BUILDING segment) vs control, before vs after a policy cutoff —
+    DiD = (T_post − T_pre) − (C_post − C_pre), which differences
+    away both the group's fixed level and the common time trend.
+    Four cell means from exact integer cents (each a single
+    division), so the estimate carries no float-accumulation
+    ambiguity. One scan, one 4-cell aggregate — causal inference at
+    100 TB is cheap once the design is right; it's the DESIGN, not
+    the compute, that carries the assumptions (parallel trends,
+    documented here as everywhere)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    treated = F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0)
+    post = F.when(
+        F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"), 1
+    ).otherwise(0)
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(treated.alias("treated"), post.alias("post"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    mean = F.col("cents").cast("double") / F.col("n")
+
+    def cell(t, p):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p), mean
+            )
+        )
+
+    means = cells.agg(
+        cell(1, 1).alias("t_post"),
+        cell(1, 0).alias("t_pre"),
+        cell(0, 1).alias("c_post"),
+        cell(0, 0).alias("c_pre"),
+        F.sum("n").cast("long").alias("n_orders"),
+    )
+    return means.select(
+        "n_orders",
+        F.round("t_pre", 4).alias("treated_pre_mean"),
+        F.round("t_post", 4).alias("treated_post_mean"),
+        F.round("c_pre", 4).alias("control_pre_mean"),
+        F.round("c_post", 4).alias("control_post_mean"),
+        F.round(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")),
+            4,
+        ).alias("did_estimate_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed COUNT DISTINCT via the dense_rank trick
+# ---------------------------------------------------------------------------
+
+_WCD_SQL = """
+SELECT DISTINCT l_suppkey,
+       CAST(COUNT(*) OVER (PARTITION BY l_suppkey) AS BIGINT)
+         AS n_lineitems,
+       CAST((SELECT COUNT(DISTINCT l2.l_partkey) FROM lineitem l2
+             WHERE l2.l_suppkey = l.l_suppkey) AS BIGINT)
+         AS n_distinct_parts
+FROM lineitem l
+WHERE l_suppkey < 100
+ORDER BY l_suppkey
+"""
+
+
+@register(
+    "window_count_distinct_trick",
+    oracle=_WCD_SQL,
+    tags=("window", "distinct", "pattern"),
+    description="windowed COUNT(DISTINCT) via the dense_rank maximum trick",
+)
+def window_count_distinct_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) OVER (...) is unsupported in Spark's window
+    functions — this query pins the standard workaround: the
+    per-partition MAXIMUM of dense_rank over the value order equals
+    the distinct count, computed as a window column WITHOUT
+    collapsing the rows (the property a groupBy can't give you when
+    downstream columns must survive). Two window passes over ONE
+    hash partitioning on the key; the oracle brute-forces the same
+    count with a correlated COUNT(DISTINCT). At scale this is the
+    device for per-entity cardinality features inside a wide
+    feature-builder projection."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey") < 100
+    )
+    wd = Window.partitionBy("l_suppkey").orderBy("l_partkey")
+    wall = Window.partitionBy("l_suppkey")
+    enriched = li.select(
+        "l_suppkey",
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_lineitems"),
+        F.max(F.dense_rank().over(wd))
+        .over(wall)
+        .cast("long")
+        .alias("n_distinct_parts"),
+    )
+    return enriched.distinct().orderBy("l_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# Bot-detection heuristics (composite behavioral rules)
+# ---------------------------------------------------------------------------
+
+_BOT_SQL = """
+per_min AS (
+  SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+burst AS (
+  SELECT user_id, CAST(MAX(c) AS BIGINT) AS max_per_min FROM per_min
+  GROUP BY user_id
+),
+gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) // 1000000
+           AS gap_s
+  FROM events
+),
+gap_mom AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+         CAST(SUM(gap_s) AS BIGINT) AS s1,
+         CAST(SUM(gap_s * gap_s) AS BIGINT) AS s2
+  FROM gaps WHERE gap_s IS NOT NULL
+  GROUP BY user_id HAVING COUNT(*) >= 3
+),
+profile AS (
+  SELECT g.user_id, b.max_per_min, g.n_gaps,
+         sqrt(CAST(g.s2 AS DOUBLE) / g.n_gaps
+              - (CAST(g.s1 AS DOUBLE) / g.n_gaps)
+                * (CAST(g.s1 AS DOUBLE) / g.n_gaps))
+           / (CAST(g.s1 AS DOUBLE) / g.n_gaps) AS gap_cv,
+         t.n_types
+  FROM gap_mom g
+  JOIN burst b ON b.user_id = g.user_id
+  JOIN (SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT)
+               AS n_types FROM events GROUP BY user_id) t
+    ON t.user_id = g.user_id
+)
+SELECT user_id, max_per_min, n_gaps, ROUND(gap_cv, 6) AS gap_cv, n_types,
+       CAST(CASE WHEN max_per_min >= 2 THEN 1 ELSE 0 END
+            + CASE WHEN gap_cv < 0.85 THEN 1 ELSE 0 END
+            + CASE WHEN n_types <= 4 THEN 1 ELSE 0 END AS INTEGER)
+         AS bot_score
+FROM profile
+WHERE CASE WHEN max_per_min >= 2 THEN 1 ELSE 0 END
+      + CASE WHEN gap_cv < 0.85 THEN 1 ELSE 0 END
+      + CASE WHEN n_types <= 4 THEN 1 ELSE 0 END >= 1
+ORDER BY bot_score DESC, user_id
+LIMIT 50
+"""
+
+
+@register(
+    "events_bot_detection_rules",
+    oracle="WITH " + _BOT_SQL,
+    tags=("ext", "events", "abuse", "bot-detection"),
+    description="composite bot heuristics: burst rate, gap regularity, type breadth",
+)
+def events_bot_detection_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based bot scoring — the abuse-filter stage a web-scale
+    training pipeline runs before any content filter: per user, the
+    peak per-minute burst rate, the coefficient of variation of
+    inter-arrival gaps (machines are REGULAR: low CV), and
+    event-type breadth; each rule contributes one point. Gap CV
+    comes from exact integer microsecond moments; every rule
+    threshold is explicit and the composite is an integer. Three
+    aggregates over one shuffle grain (user), joined broadcast-
+    small at the profile level; top-50 suspects by score."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per_min = e.groupBy(
+        "user_id", F.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 60000000"
+        ).alias("minute")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    burst = per_min.groupBy("user_id").agg(
+        F.max("c").cast("long").alias("max_per_min")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) - lag(unix_micros("
+            "CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) div 1000000"
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    gap_mom = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.sum("gap_s").cast("long").alias("s1"),
+            F.sum(F.col("gap_s") * F.col("gap_s"))
+            .cast("long")
+            .alias("s2"),
+        )
+        .filter(F.col("n_gaps") >= 3)
+    )
+    types = e.groupBy("user_id").agg(
+        F.countDistinct("event_type").cast("long").alias("n_types")
+    )
+    mean_gap = F.col("s1").cast("double") / F.col("n_gaps")
+    cv = (
+        F.sqrt(
+            F.col("s2").cast("double") / F.col("n_gaps")
+            - mean_gap * mean_gap
+        )
+        / mean_gap
+    )
+    profile = (
+        gap_mom.join(burst, "user_id")
+        .join(types, "user_id")
+        .select(
+            "user_id",
+            "max_per_min",
+            "n_gaps",
+            cv.alias("gap_cv"),
+            "n_types",
+        )
+    )
+    score = (
+        F.when(F.col("max_per_min") >= 2, 1).otherwise(0)
+        + F.when(F.col("gap_cv") < 0.85, 1).otherwise(0)
+        + F.when(F.col("n_types") <= 4, 1).otherwise(0)
+    )
+    return (
+        profile.withColumn("bot_score", score.cast("int"))
+        .filter(F.col("bot_score") >= 1)
+        .select(
+            "user_id",
+            "max_per_min",
+            "n_gaps",
+            F.round("gap_cv", 6).alias("gap_cv"),
+            "n_types",
+            "bot_score",
+        )
+        .orderBy(F.col("bot_score").desc(), "user_id")
+        .limit(50)
+    )
