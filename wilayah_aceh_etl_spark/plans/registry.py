@@ -130,19 +130,23 @@ GATE_PRIORITY: tuple[str, ...] = (
     # analytics extensions (round 4)
     "skyline_parts_price_size",
     "basket_association_rules",
-    "weighted_median_price_by_flag",
-    "histogram_equi_depth_prices",
     "data_quality_expectations",
     "graph_bfs_part_cooccurrence",
+    # round-6 flagships (one per new family)
+    "exact_median_two_pass",
+    "table_checksum_star",
+    "embedding_kmeans_3iter",
+    "events_holt_winters_additive",
+    "streaming_ewma_per_user",
+    "retrieval_ndcg_label_eval",
+    "stats_ols_two_feature_lineitem",
+    "wilayah_geojson_pds_roundtrip",
     # training-data pipeline operators
     "dedup_exact_stats",
     "dedup_minhash_lsh_pairs",
-    "dedup_incremental_admission",
     "dedup_duplicate_span_fraction",
     "similarity_topk_bruteforce",
     "similarity_ivf_topk",
-    "similarity_pq_adc_topk",
-    "retrieval_rrf_fusion",
     "text_quality_scores",
     "pipeline_training_prep",
 )
