@@ -99,6 +99,7 @@ NLJ_ALLOWED = {
     "weights_raking_ipf",  # 1-row margin-target broadcast over ≤25 cells
     "forecast_conformal_interval",  # 1-row calibration-quantile broadcast
     "feature_quantile_normalization",  # 1-row pool-size broadcast
+    "orders_chain_ladder_forecast",  # 1-row development-factor broadcast
 }
 
 

@@ -6640,3 +6640,403 @@ def events_bot_detection_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bot_score").desc(), "user_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_SQL = """
+qi AS (
+  SELECT c.c_custkey, c.c_mktsegment AS seg, n.n_name AS nation,
+         CAST(ROUND(c.c_acctbal) AS BIGINT) // 2000 AS bal_band
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+sens AS (
+  SELECT o_custkey AS c_custkey, o_orderpriority FROM orders
+),
+groups AS (
+  SELECT q.seg, q.nation, q.bal_band,
+         CAST(COUNT(DISTINCT q.c_custkey) AS BIGINT) AS k,
+         CAST(COUNT(DISTINCT s.o_orderpriority) AS BIGINT) AS l
+  FROM qi q LEFT JOIN sens s ON s.c_custkey = q.c_custkey
+  GROUP BY q.seg, q.nation, q.bal_band
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_qi_groups,
+       CAST(MIN(k) AS BIGINT) AS k_anonymity,
+       CAST(MIN(CASE WHEN l > 0 THEN l END) AS BIGINT) AS l_diversity,
+       CAST(SUM(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_below_k5,
+       CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+         AS users_needing_suppression,
+       ROUND(CAST(SUM(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+             / SUM(k), 6) AS suppression_rate
+FROM groups
+"""
+
+
+@register(
+    "privacy_k_anonymity_audit",
+    oracle="WITH " + _KANON_SQL,
+    tags=("ext", "privacy", "k-anonymity"),
+    description="k-anonymity + l-diversity audit over (segment, nation, balance-band)",
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-readiness audit for a quasi-identified extract: with
+    QI = (segment, nation, $2000 balance band), report the dataset's
+    k-anonymity (smallest QI-group size), l-diversity of the
+    sensitive attribute (order priority) within groups, and the
+    suppression cost of enforcing k≥5 — the redaction arithmetic a
+    privacy review actually asks for, and the deterministic
+    complement of the DP contribution-bounding operator. One
+    groupBy over the QI tuple; the audit output is O(1)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    qi = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("n_name").alias("nation"),
+        F.expr("CAST(ROUND(c_acctbal) AS BIGINT) div 2000").alias(
+            "bal_band"
+        ),
+    )
+    sens = o.select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderpriority"
+    )
+    groups = (
+        qi.join(sens, "c_custkey", "left")
+        .groupBy("seg", "nation", "bal_band")
+        .agg(
+            F.countDistinct("c_custkey").cast("long").alias("k"),
+            F.countDistinct("o_orderpriority").cast("long").alias("l"),
+        )
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_qi_groups"),
+        F.min("k").cast("long").alias("k_anonymity"),
+        F.min(F.when(F.col("l") > 0, F.col("l")))
+        .cast("long")
+        .alias("l_diversity"),
+        F.sum(F.when(F.col("k") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_below_k5"),
+        F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("users_needing_suppression"),
+        F.round(
+            F.sum(F.when(F.col("k") < 5, F.col("k")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("k"),
+            6,
+        ).alias("suppression_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet decomposition of the daily count series
+# ---------------------------------------------------------------------------
+
+_HAAR_SQL = """
+daily AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-29'
+  GROUP BY 1
+),
+l1 AS (
+  SELECT d // 2 AS i,
+         (SUM(CASE WHEN d % 2 = 0 THEN CAST(x AS DOUBLE) END)
+          + SUM(CASE WHEN d % 2 = 1 THEN CAST(x AS DOUBLE) END)) / 2
+           AS approx,
+         (SUM(CASE WHEN d % 2 = 0 THEN CAST(x AS DOUBLE) END)
+          - SUM(CASE WHEN d % 2 = 1 THEN CAST(x AS DOUBLE) END)) / 2
+           AS detail
+  FROM daily GROUP BY d // 2
+),
+l2 AS (
+  SELECT i // 2 AS i,
+         (SUM(CASE WHEN i % 2 = 0 THEN approx END)
+          + SUM(CASE WHEN i % 2 = 1 THEN approx END)) / 2 AS approx,
+         (SUM(CASE WHEN i % 2 = 0 THEN approx END)
+          - SUM(CASE WHEN i % 2 = 1 THEN approx END)) / 2 AS detail
+  FROM l1 GROUP BY i // 2
+)
+SELECT * FROM (
+  SELECT 1 AS level, CAST(i AS INTEGER) AS idx,
+         ROUND(approx, 4) AS approx, ROUND(detail, 4) AS detail
+  FROM l1
+  UNION ALL
+  SELECT 2, CAST(i AS INTEGER), ROUND(approx, 4), ROUND(detail, 4)
+  FROM l2
+)
+ORDER BY level, idx
+"""
+
+
+@register(
+    "events_haar_wavelet_daily",
+    oracle="WITH " + _HAAR_SQL,
+    tags=("ext", "events", "timeseries", "wavelet"),
+    description="2-level Haar wavelet decomposition of the daily view series",
+)
+def events_haar_wavelet_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet decomposition — the multiresolution transform
+    under time-series compression and change localization: level 1
+    halves the 28-day series into pairwise means (approximation)
+    and half-differences (detail); level 2 repeats on the
+    approximations. With integer inputs every coefficient is an
+    exact dyadic rational (sums divided by powers of two — no
+    rounding drift), so both engines agree bit-for-bit. Each level
+    is one hash aggregate on the halved index — log₂(n) passes
+    total, each over a series that halves, the textbook
+    MapReduce-friendly transform."""
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "view")
+        & (F.col("ts") < F.lit("2024-01-29").cast("timestamp"))
+    )
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+
+    def level(df, idx_col, val_col):
+        even = F.sum(
+            F.when(F.col(idx_col) % 2 == 0, F.col(val_col).cast("double"))
+        )
+        odd = F.sum(
+            F.when(F.col(idx_col) % 2 == 1, F.col(val_col).cast("double"))
+        )
+        return df.groupBy(
+            F.expr(f"{idx_col} div 2").alias("i")
+        ).agg(
+            ((even + odd) / 2).alias("approx"),
+            ((even - odd) / 2).alias("detail"),
+        )
+
+    l1 = level(daily, "d", "x")
+    l2 = level(l1.select(F.col("i").alias("d"), F.col("approx").alias("x")),
+               "d", "x")
+    out1 = l1.select(
+        F.lit(1).alias("level"),
+        F.col("i").cast("int").alias("idx"),
+        F.round("approx", 4).alias("approx"),
+        F.round("detail", 4).alias("detail"),
+    )
+    out2 = l2.select(
+        F.lit(2).alias("level"),
+        F.col("i").cast("int").alias("idx"),
+        F.round("approx", 4).alias("approx"),
+        F.round("detail", 4).alias("detail"),
+    )
+    return out1.unionAll(out2).orderBy("level", "idx")
+
+
+# ---------------------------------------------------------------------------
+# Lateral column aliases (Spark 4 SQL surface)
+# ---------------------------------------------------------------------------
+
+_LCA_SQL = """
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+       cents // 100 AS dollars,
+       dollars // 1000 AS kilodollar_band,
+       CASE WHEN kilodollar_band >= 200 THEN 'large' ELSE 'regular' END
+         AS size_class
+FROM orders WHERE o_orderkey < 300
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "sql_lateral_column_alias",
+    oracle=_LCA_SQL,
+    tags=("sql-surface", "project"),
+    description="lateral column aliases: each SELECT item builds on the last",
+)
+def sql_lateral_column_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases — referencing an alias defined earlier
+    in the SAME select list (cents → dollars → band → class), the
+    Spark 4 / modern-SQL convenience that otherwise forces nested
+    subqueries or repeated expressions. The analyzer inlines the
+    chain, so the physical plan is one projection — zero cost, pure
+    ergonomics, and the derivation chain stays single-sourced (the
+    maintainability point: change the cents rule once)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+SELECT o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+       cents div 100 AS dollars,
+       dollars div 1000 AS kilodollar_band,
+       CASE WHEN kilodollar_band >= 200 THEN 'large' ELSE 'regular' END
+         AS size_class
+FROM orders WHERE o_orderkey < 300
+ORDER BY o_orderkey
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chain-ladder development forecast (actuarial triangle)
+# ---------------------------------------------------------------------------
+
+_CHAIN_SQL = """
+paid AS (
+  SELECT (year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS am,
+         (year(l.l_shipdate) * 12 + month(l.l_shipdate))
+           - (year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS dev,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS cents
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-07-01'
+    AND l.l_shipdate < TIMESTAMP '1996-10-01'
+),
+tri AS (
+  SELECT am, dev, CAST(SUM(cents) AS BIGINT) AS inc
+  FROM paid WHERE dev BETWEEN 0 AND 5 GROUP BY am, dev
+),
+cum AS (
+  SELECT am, dev,
+         CAST(SUM(inc) OVER (PARTITION BY am ORDER BY dev) AS BIGINT) AS c
+  FROM tri
+),
+latest AS (
+  SELECT am, MAX(dev) AS last_dev FROM cum GROUP BY am
+),
+factors AS (
+  SELECT a.dev AS k,
+         CAST(SUM(b.c) AS DOUBLE) / SUM(a.c) AS f
+  FROM cum a JOIN cum b ON b.am = a.am AND b.dev = a.dev + 1
+  GROUP BY a.dev
+),
+f AS (
+  SELECT
+    MAX(CASE WHEN k = 0 THEN f END) AS f0,
+    MAX(CASE WHEN k = 1 THEN f END) AS f1,
+    MAX(CASE WHEN k = 2 THEN f END) AS f2,
+    MAX(CASE WHEN k = 3 THEN f END) AS f3,
+    MAX(CASE WHEN k = 4 THEN f END) AS f4
+  FROM factors
+)
+SELECT c.am AS accident_month,
+       CAST(l.last_dev AS INTEGER) AS last_dev,
+       c.c AS latest_cents,
+       ROUND(c.c
+             * (CASE WHEN l.last_dev <= 0 THEN f.f0 ELSE 1 END)
+             * (CASE WHEN l.last_dev <= 1 THEN f.f1 ELSE 1 END)
+             * (CASE WHEN l.last_dev <= 2 THEN f.f2 ELSE 1 END)
+             * (CASE WHEN l.last_dev <= 3 THEN f.f3 ELSE 1 END)
+             * (CASE WHEN l.last_dev <= 4 THEN f.f4 ELSE 1 END), 2)
+         AS ultimate_cents
+FROM latest l
+JOIN cum c ON c.am = l.am AND c.dev = l.last_dev
+CROSS JOIN f
+ORDER BY accident_month
+"""
+
+
+@register(
+    "orders_chain_ladder_forecast",
+    oracle="WITH " + _CHAIN_SQL,
+    tags=("ext", "actuarial", "forecast", "triangle"),
+    description="chain-ladder ultimate forecast from the ship-lag triangle",
+)
+def orders_chain_ladder_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chain-ladder method — actuarial reserving's workhorse,
+    equally the model for any cohort whose value DEVELOPS over
+    observable lags: H1-1996 order cohorts accumulate shipped value
+    by development month (the run-off triangle, censored at the
+    valuation date so younger cohorts are shorter); volume-weighted
+    development factors f_k = ΣC_{k+1}/ΣC_k come from cohorts
+    observed at both ages; each cohort's ultimate = latest ×
+    remaining factors, applied in a FIXED multiply order (explicit
+    f0..f4 columns from a 1-row broadcast) so the chained-double
+    product is engine-exact. Triangle cells are exact integer
+    cents; the whole method is two aggregates and a self-join of a
+    cohort×dev grid that is O(months²), independent of fact
+    volume."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    am = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("am")
+    dev = (
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        - (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+    ).alias("dev")
+    paid = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        .select(
+            am,
+            dev,
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .filter((F.col("dev") >= 0) & (F.col("dev") <= 5))
+    )
+    tri = paid.groupBy("am", "dev").agg(
+        F.sum("cents").cast("long").alias("inc")
+    )
+    cum = tri.select(
+        "am",
+        "dev",
+        F.sum("inc")
+        .over(
+            Window.partitionBy("am")
+            .orderBy("dev")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    latest = cum.groupBy("am").agg(F.max("dev").alias("last_dev"))
+    a = cum.alias("a")
+    b = cum.select(
+        F.col("am").alias("am_b"),
+        (F.col("dev") - 1).alias("dev_b"),
+        F.col("c").alias("c_next"),
+    )
+    factors = (
+        a.join(
+            b,
+            (F.col("a.am") == F.col("am_b"))
+            & (F.col("a.dev") == F.col("dev_b")),
+        )
+        .groupBy(F.col("a.dev").alias("k"))
+        .agg(
+            (F.sum("c_next").cast("double") / F.sum("a.c")).alias("f")
+        )
+    )
+    f = factors.agg(
+        *[
+            F.max(F.when(F.col("k") == k, F.col("f"))).alias(f"f{k}")
+            for k in range(5)
+        ]
+    )
+    ult = F.col("c")
+    for k in range(5):
+        ult = ult * F.when(
+            F.col("last_dev") <= k, F.col(f"f{k}")
+        ).otherwise(F.lit(1.0))
+    return (
+        latest.join(
+            cum,
+            (latest.am == cum.am) & (latest.last_dev == cum.dev),
+        )
+        .drop(cum.am)
+        .crossJoin(F.broadcast(f))
+        .select(
+            F.col("am").alias("accident_month"),
+            F.col("last_dev").cast("int").alias("last_dev"),
+            F.col("c").alias("latest_cents"),
+            F.round(ult, 2).alias("ultimate_cents"),
+        )
+        .orderBy("accident_month")
+    )
