@@ -100,6 +100,8 @@ NLJ_ALLOWED = {
     "forecast_conformal_interval",  # 1-row calibration-quantile broadcast
     "feature_quantile_normalization",  # 1-row pool-size broadcast
     "orders_chain_ladder_forecast",  # 1-row development-factor broadcast
+    "ope_ips_policy_value",  # 1-row log-size broadcast (propensity denom)
+    "events_evt_peaks_over_threshold",  # 1-row threshold broadcast
 }
 
 

@@ -7040,3 +7040,395 @@ def orders_chain_ladder_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("accident_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Off-policy evaluation: IPS / SNIPS value of a target policy
+# ---------------------------------------------------------------------------
+
+_IPS_SQL = """
+logged AS (
+  SELECT event_type AS action,
+         CAST(ROUND(value * 100) AS BIGINT) AS reward_cents
+  FROM events
+),
+prop AS (
+  SELECT action, CAST(COUNT(*) AS BIGINT) AS n_a FROM logged GROUP BY action
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM logged),
+scored AS (
+  SELECT l.reward_cents,
+         CASE WHEN l.action = 'purchase' THEN 1 ELSE 0 END AS match_pi,
+         CAST(p.n_a AS DOUBLE) / t.n AS propensity
+  FROM logged l JOIN prop p ON p.action = l.action CROSS JOIN tot t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_logged,
+       ROUND(AVG(CAST(reward_cents AS DOUBLE)), 4) AS logged_value_cents,
+       ROUND(SUM(match_pi * reward_cents / propensity) / COUNT(*), 4)
+         AS ips_value_cents,
+       ROUND(SUM(match_pi * reward_cents / propensity)
+             / SUM(match_pi / propensity), 4) AS snips_value_cents,
+       ROUND(SUM(match_pi / propensity) / COUNT(*), 6)
+         AS importance_weight_mean
+FROM scored
+"""
+
+
+@register(
+    "ope_ips_policy_value",
+    oracle="WITH " + _IPS_SQL,
+    tags=("ext", "model-eval", "off-policy", "ips"),
+    description="off-policy evaluation: IPS + SNIPS value of 'always purchase'",
+)
+def ope_ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation — pricing a NEW policy on OLD logs
+    without deploying it: the logged stream's actions (event types)
+    get empirical propensities; the target policy ('always
+    purchase') is valued by inverse-propensity scoring, plus the
+    self-normalized variant (SNIPS) that trades a little bias for
+    much less variance, plus the mean importance weight (≈1 is the
+    standard diagnostic that propensities are calibrated). AVG and
+    the IPS sums are plain aggregates over exact cents with a
+    broadcast propensity table — the counterfactual estimate costs
+    one scan, which is the whole point of OPE at log scale."""
+    e = load_table(spark, sf_dir, "events")
+    logged = e.select(
+        F.col("event_type").alias("action"),
+        F.round(F.col("value") * 100).cast("long").alias("reward_cents"),
+    )
+    prop = logged.groupBy("action").agg(
+        F.count(F.lit(1)).cast("long").alias("n_a")
+    )
+    tot = logged.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = (
+        logged.join(F.broadcast(prop), "action")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "reward_cents",
+            F.when(F.col("action") == "purchase", 1)
+            .otherwise(0)
+            .alias("match_pi"),
+            (F.col("n_a").cast("double") / F.col("n")).alias("propensity"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_logged"),
+        F.round(F.avg(F.col("reward_cents").cast("double")), 4).alias(
+            "logged_value_cents"
+        ),
+        F.round(
+            F.sum(
+                F.col("match_pi") * F.col("reward_cents") / F.col("propensity")
+            )
+            / F.count(F.lit(1)),
+            4,
+        ).alias("ips_value_cents"),
+        F.round(
+            F.sum(
+                F.col("match_pi") * F.col("reward_cents") / F.col("propensity")
+            )
+            / F.sum(F.col("match_pi") / F.col("propensity")),
+            4,
+        ).alias("snips_value_cents"),
+        F.round(
+            F.sum(F.col("match_pi") / F.col("propensity"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("importance_weight_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SPRT sequential test on the daily urgent-order share
+# ---------------------------------------------------------------------------
+
+_SPRT_SQL = """
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1
+),
+walk AS (
+  SELECT d,
+         CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+         CAST(SUM(k) OVER w AS BIGINT) AS cum_k,
+         SUM(k) OVER w * ln(0.25 / 0.2)
+           + (SUM(n) OVER w - SUM(k) OVER w) * ln(0.75 / 0.8) AS llr
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS UNBOUNDED PRECEDING)
+),
+flagged AS (
+  SELECT d, cum_n, cum_k, llr,
+         CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
+              WHEN llr <= ln(1.0 / 19.0) THEN 'accept_h0'
+              ELSE 'continue' END AS decision
+  FROM walk
+)
+SELECT strftime(d, '%Y-%m-%d') AS d, cum_n, cum_k,
+       ROUND(llr, 6) AS llr, decision,
+       CASE WHEN ROW_NUMBER() OVER (
+              PARTITION BY CASE WHEN decision <> 'continue' THEN 1 ELSE 0
+                           END ORDER BY d) = 1
+                 AND decision <> 'continue'
+            THEN 1 ELSE 0 END AS is_first_decision
+FROM flagged
+ORDER BY d
+"""
+
+
+@register(
+    "ab_sprt_sequential_test",
+    oracle="WITH " + _SPRT_SQL,
+    tags=("ext", "ab-testing", "sequential", "sprt"),
+    description="Wald SPRT walk: urgent-share 20% vs 25%, 5% error bounds",
+)
+def ab_sprt_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability-ratio test — the always-valid
+    monitor that lets an experiment STOP EARLY without p-hacking:
+    the cumulative binomial log-likelihood ratio of H1 (urgent
+    share 25%) vs H0 (20%) walks day by day; crossing ln(19)
+    accepts H1, ln(1/19) accepts H0 (α=β=5%), in-between keeps
+    sampling — with the first-crossing day flagged. The LLR is
+    integer counts times two log constants (each row independently
+    computed from exact cumulative counts, so the walk is
+    engine-exact). One ordered window over the daily aggregate."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    import math
+
+    la = math.log(0.25 / 0.2)
+    lb = math.log(0.75 / 0.8)
+    walk = daily.select(
+        "d",
+        F.sum("n").over(w).cast("long").alias("cum_n"),
+        F.sum("k").over(w).cast("long").alias("cum_k"),
+        (
+            F.sum("k").over(w) * F.expr("ln(0.25 / 0.2)")
+            + (F.sum("n").over(w) - F.sum("k").over(w))
+            * F.expr("ln(0.75 / 0.8)")
+        ).alias("llr"),
+    )
+    decision = (
+        F.when(F.col("llr") >= F.expr("ln(19.0)"), "accept_h1")
+        .when(F.col("llr") <= F.expr("ln(1.0 / 19.0)"), "accept_h0")
+        .otherwise("continue")
+    )
+    flagged = walk.withColumn("decision", decision)
+    first = F.when(
+        (
+            F.row_number().over(
+                Window.partitionBy(
+                    F.when(F.col("decision") != "continue", 1).otherwise(0)
+                ).orderBy("d")
+            )
+            == 1
+        )
+        & (F.col("decision") != "continue"),
+        1,
+    ).otherwise(0)
+    return flagged.select(
+        F.col("d").cast("string").alias("d"),
+        "cum_n",
+        "cum_k",
+        F.round("llr", 6).alias("llr"),
+        "decision",
+        first.alias("is_first_decision"),
+    ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Delta-method CI for a ratio metric (revenue per event)
+# ---------------------------------------------------------------------------
+
+_DELTA_SQL = """
+per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS x,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM per_user
+),
+c AS (
+  SELECT n,
+         CAST(sy AS DOUBLE) / sx AS r,
+         CAST(sx AS DOUBLE) / n AS mx,
+         (CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n)
+            * (CAST(sy AS DOUBLE) / n)
+          - 2 * (CAST(sy AS DOUBLE) / sx)
+            * (CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+               * (CAST(sy AS DOUBLE) / n))
+          + (CAST(sy AS DOUBLE) / sx) * (CAST(sy AS DOUBLE) / sx)
+            * (CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+               * (CAST(sx AS DOUBLE) / n))) AS var_num
+  FROM m
+)
+SELECT n,
+       ROUND(r, 6) AS ratio_cents_per_event,
+       ROUND(sqrt(var_num / n) / mx, 6) AS se_delta,
+       ROUND(r - 1.96 * sqrt(var_num / n) / mx, 6) AS ci_lo,
+       ROUND(r + 1.96 * sqrt(var_num / n) / mx, 6) AS ci_hi
+FROM c
+"""
+
+
+@register(
+    "ab_delta_method_ratio_ci",
+    oracle="WITH " + _DELTA_SQL,
+    tags=("ext", "ab-testing", "delta-method", "stats"),
+    description="delta-method CI for the ratio metric revenue-per-event",
+)
+def ab_delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta method for RATIO metrics — the fix for the classic
+    A/B mistake of treating revenue-per-event as an average of
+    per-user ratios (sessions per user vary, so the naive SE is
+    wrong): Var(Ȳ/X̄) ≈ (σ²_y − 2r·σ_xy + r²σ²_x)/(n·x̄²), all from
+    the six exact integer moment sums over the USER grain (the unit
+    of randomization). Output: the ratio, its delta-method standard
+    error, and the 95% CI — one scan, one shuffle to users, one
+    1-row aggregate, same as every estimator in this family."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("y"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    r = F.col("sy").cast("double") / F.col("sx")
+    mx = F.col("sx").cast("double") / F.col("n")
+    my = F.col("sy").cast("double") / F.col("n")
+    var_y = F.col("syy").cast("double") / F.col("n") - my * my
+    cov = F.col("sxy").cast("double") / F.col("n") - mx * my
+    var_x = F.col("sxx").cast("double") / F.col("n") - mx * mx
+    var_num = var_y - 2 * r * cov + r * r * var_x
+    se = F.sqrt(var_num / F.col("n")) / mx
+    return m.select(
+        "n",
+        F.round(r, 6).alias("ratio_cents_per_event"),
+        F.round(se, 6).alias("se_delta"),
+        F.round(r - 1.96 * se, 6).alias("ci_lo"),
+        F.round(r + 1.96 * se, 6).alias("ci_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extreme-value tail: peaks-over-threshold with GPD moment fit
+# ---------------------------------------------------------------------------
+
+_EVT_SQL = """
+base AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+thr AS (
+  SELECT CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)
+              AS BIGINT) AS u
+  FROM base
+),
+exc AS (
+  SELECT b.cents - t.u AS z
+  FROM base b CROSS JOIN thr t WHERE b.cents > t.u
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_exc,
+         CAST(SUM(z) AS BIGINT) AS s1,
+         CAST(SUM(z * z) AS BIGINT) AS s2,
+         CAST(MAX(z) AS BIGINT) AS max_excess
+  FROM exc
+),
+fit AS (
+  SELECT n_exc, max_excess,
+         CAST(s1 AS DOUBLE) / n_exc AS mean_exc,
+         CAST(s2 AS DOUBLE) / n_exc - (CAST(s1 AS DOUBLE) / n_exc)
+           * (CAST(s1 AS DOUBLE) / n_exc) AS var_exc
+  FROM m
+)
+SELECT t.u AS threshold_cents, f.n_exc, f.max_excess,
+       ROUND(f.mean_exc, 4) AS mean_excess_cents,
+       ROUND(0.5 * (f.mean_exc * f.mean_exc / f.var_exc - 1) * -1 + 0.5,
+             6) AS gpd_xi_moment,
+       ROUND(0.5 * f.mean_exc * (f.mean_exc * f.mean_exc / f.var_exc + 1),
+             4) AS gpd_beta_moment
+FROM fit f CROSS JOIN thr t
+"""
+
+
+@register(
+    "events_evt_peaks_over_threshold",
+    oracle="WITH " + _EVT_SQL,
+    tags=("ext", "stats", "extreme-value", "tail-risk"),
+    description="peaks-over-threshold GPD moment fit on order totals",
+)
+def events_evt_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value tail modelling — peaks over the p95 threshold
+    with the generalized-Pareto MOMENT estimators ξ = ½(1 − m²/s²)
+    and β = ½m(m²/s² + 1) — the closed-form fit a risk monitor runs
+    before quoting tail quantiles beyond the observed range. The
+    threshold is a discrete percentile (both engines cut the same
+    cent), excesses are exact integers, and the two moments are
+    single divisions — the whole EVT fit is one scan + one
+    broadcast threshold + one 1-row aggregate, so it runs per
+    window at stream scale."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    thr = base.agg(
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("u")
+    )
+    exc = (
+        base.crossJoin(F.broadcast(thr))
+        .filter(F.col("cents") > F.col("u"))
+        .select((F.col("cents") - F.col("u")).alias("z"), "u")
+    )
+    m = exc.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exc"),
+        F.sum("z").cast("long").alias("s1"),
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("s2"),
+        F.max("z").cast("long").alias("max_excess"),
+    )
+    mean_exc = F.col("s1").cast("double") / F.col("n_exc")
+    var_exc = (
+        F.col("s2").cast("double") / F.col("n_exc") - mean_exc * mean_exc
+    )
+    ratio = mean_exc * mean_exc / var_exc
+    return m.select(
+        F.col("u").alias("threshold_cents"),
+        "n_exc",
+        "max_excess",
+        F.round(mean_exc, 4).alias("mean_excess_cents"),
+        F.round(0.5 * (ratio - 1) * -1 + 0.5, 6).alias("gpd_xi_moment"),
+        F.round(0.5 * mean_exc * (ratio + 1), 4).alias("gpd_beta_moment"),
+    )
