@@ -7432,3 +7432,238 @@ def events_evt_peaks_over_threshold(spark: SparkSession, sf_dir: str) -> DataFra
         F.round(0.5 * (ratio - 1) * -1 + 0.5, 6).alias("gpd_xi_moment"),
         F.round(0.5 * mean_exc * (ratio + 1), 4).alias("gpd_beta_moment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Business-day latency (weekday-only date arithmetic)
+# ---------------------------------------------------------------------------
+
+_BUSDAY_ORACLE = """
+WITH first_ship AS (
+  SELECT l_orderkey, MIN(CAST(l_shipdate AS DATE)) AS ship_d
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_d, f.ship_d
+  FROM orders o JOIN first_ship f ON f.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey < 500 AND f.ship_d >= CAST(o.o_orderdate AS DATE)
+),
+expanded AS (
+  SELECT j.o_orderkey, j.order_d, j.ship_d,
+         j.order_d + CAST(g.i AS INTEGER) AS d
+  FROM j CROSS JOIN generate_series(0, 3000) g(i)
+  WHERE j.order_d + CAST(g.i AS INTEGER) < j.ship_d
+)
+SELECT e.o_orderkey,
+       strftime(e.order_d, '%Y-%m-%d') AS order_d,
+       strftime(e.ship_d, '%Y-%m-%d') AS ship_d,
+       CAST(date_diff('day', e.order_d, e.ship_d) AS BIGINT)
+         AS calendar_days,
+       CAST(SUM(CASE WHEN dayofweek(e.d) NOT IN (0, 6) THEN 1 ELSE 0 END)
+            AS BIGINT) AS business_days
+FROM expanded e
+GROUP BY e.o_orderkey, e.order_d, e.ship_d
+ORDER BY e.o_orderkey
+"""
+
+
+@register(
+    "orders_business_day_latency",
+    oracle=_BUSDAY_ORACLE,
+    tags=("functions", "temporal", "business-days"),
+    description="order→first-ship latency in business days (weekdays only)",
+)
+def orders_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day arithmetic — the SLA math contracts are written
+    in (weekends excluded): per order, the count of weekdays
+    strictly between order date and first ship date, alongside
+    calendar days. The Spark side expands each bounded date range
+    with sequence()+explode and filters weekday — declarative,
+    codegen'd, and immune to the off-by-one minefield of
+    closed-form weekday formulas; the oracle does the same
+    expansion relationally. Ranges are span-bounded (≤3000 days here), so
+    the expansion is O(orders × latency), not unbounded —
+    the explicit trade documented for at-scale use (a closed-form
+    rewrite drops the expansion if latencies ever grow)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    li = load_table(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("ship_d")
+    )
+    j = (
+        o.join(first_ship, o.o_orderkey == first_ship.l_orderkey)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_d"),
+            "ship_d",
+        )
+        .filter(F.col("ship_d") >= F.col("order_d"))
+    )
+    days = j.select(
+        "o_orderkey",
+        "order_d",
+        "ship_d",
+        F.explode(
+            F.sequence(
+                F.col("order_d"), F.date_sub(F.col("ship_d"), 1)
+            )
+        ).alias("d"),
+    ).filter(F.col("d") < F.col("ship_d"))
+    return (
+        days.groupBy("o_orderkey", "order_d", "ship_d")
+        .agg(
+            F.sum(
+                F.when(~F.dayofweek("d").isin(1, 7), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("business_days")
+        )
+        .select(
+            "o_orderkey",
+            F.col("order_d").cast("string").alias("order_d"),
+            F.col("ship_d").cast("string").alias("ship_d"),
+            F.datediff("ship_d", "order_d").cast("long").alias(
+                "calendar_days"
+            ),
+            "business_days",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Segmented regression at a known breakpoint
+# ---------------------------------------------------------------------------
+
+_SEGREG_SQL = """
+daily AS (
+  SELECT CAST(date_diff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS t,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1
+),
+seg AS (
+  SELECT CASE WHEN t < 15 THEN 'before' ELSE 'after' END AS segment,
+         t, y FROM daily
+),
+m AS (
+  SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(t * t) AS BIGINT) AS sxx,
+         CAST(SUM(t * y) AS BIGINT) AS sxy
+  FROM seg GROUP BY segment
+)
+SELECT segment, n,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+         AS slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+                * sx) / n, 6) AS intercept,
+       ROUND(((CAST(sy AS DOUBLE)
+               - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                  / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+                 * sx) / n)
+             + ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+               * 15, 6) AS fit_at_break
+FROM m
+ORDER BY segment
+"""
+
+
+@register(
+    "stats_segmented_regression_known_break",
+    oracle="WITH " + _SEGREG_SQL,
+    tags=("ext", "stats", "regression", "changepoint"),
+    description="two-segment OLS around a known breakpoint (day 15)",
+)
+def stats_segmented_regression_known_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted-time-series analysis: fit separate OLS lines
+    before and after a KNOWN intervention day and evaluate both at
+    the breakpoint — the discontinuity (level shift) and the slope
+    change are the two causal readouts of a policy's effect on a
+    trend (the CUSUM operator FINDS candidate breaks; this one
+    QUANTIFIES a hypothesized one). Per-segment closed-form slopes
+    from exact integer moments, projected to the break from both
+    sides. One scan to the daily grain, one 2-row aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("t")
+    ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+    seg = daily.select(
+        F.when(F.col("t") < 15, "before").otherwise("after").alias(
+            "segment"
+        ),
+        "t",
+        "y",
+    )
+    m = seg.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("sxx"),
+        F.sum(F.col("t") * F.col("y")).cast("long").alias("sxy"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx")) / F.col(
+        "n"
+    )
+    return m.select(
+        "segment",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(intercept + slope * 15, 6).alias("fit_at_break"),
+    ).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Map explode (entries → rows generator)
+# ---------------------------------------------------------------------------
+
+_MAP_EXPLODE_ORACLE = """
+SELECT o_orderkey, mk, mv FROM (
+  SELECT o_orderkey, 'priority' AS mk, o_orderpriority AS mv
+  FROM orders WHERE o_orderkey < 100
+  UNION ALL
+  SELECT o_orderkey, 'status', o_orderstatus
+  FROM orders WHERE o_orderkey < 100
+)
+ORDER BY o_orderkey, mk
+"""
+
+
+@register(
+    "map_explode_entries",
+    oracle=_MAP_EXPLODE_ORACLE,
+    tags=("functions", "map", "generator"),
+    description="explode a map column into (key, value) rows",
+)
+def map_explode_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map generator: explode(map) yields one (key, value) row
+    per entry — the EAV pivot for map-typed attribute bags (the
+    read-side complement of str_to_map and map_concat elsewhere in
+    the registry). Output is sorted on (row key, map key) because
+    map iteration order is an implementation detail no result may
+    depend on. Generator inside the scan stage; zero shuffle before
+    the presentation sort."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    m = F.create_map(
+        F.lit("status"),
+        F.col("o_orderstatus"),
+        F.lit("priority"),
+        F.col("o_orderpriority"),
+    )
+    return (
+        o.select("o_orderkey", F.explode(m).alias("mk", "mv"))
+        .orderBy("o_orderkey", "mk")
+    )
