@@ -381,3 +381,137 @@ def test_rounding_modes_banker_boundaries(spark, tmp_path):
     }
     assert got[1] == (100.3, 100.2)
     assert got[2] == (100.4, 100.4)
+
+
+# ---------------------------------------------------------------------------
+# largest-remainder allocation always sums to exactly 1000
+# ---------------------------------------------------------------------------
+
+
+def test_largest_remainder_sums_to_budget(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        allocation_largest_remainder,
+    )
+
+    # revenues deliberately NOT divisible: floor quotas undershoot
+    nat = [(i, f"N{i}") for i in range(3)]
+    cust = [(i, i % 3) for i in range(9)]
+    orders = [(i, i % 9, 100.0 + (i % 7)) for i in range(33)]
+    _write(spark, tmp_path, "nation", nat, "n_nationkey int, n_name string")
+    _write(spark, tmp_path, "customer", cust,
+           "c_custkey long, c_nationkey int")
+    _write(spark, tmp_path, "orders", orders,
+           "o_orderkey long, o_custkey long, o_totalprice double")
+    out = allocation_largest_remainder(spark, str(tmp_path)).collect()
+    assert sum(r["seats"] for r in out) == 1000
+    assert all(r["seats"] >= r["base_seats"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# interval coalescing merges overlaps and keeps disjoint windows apart
+# ---------------------------------------------------------------------------
+
+
+def test_intervals_coalesce_micro(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        intervals_coalesce_coverage,
+    )
+
+    rows = [
+        # supplier 1: ships on day 1 and day 3 → windows [1,8) and
+        # [3,10) overlap → ONE merged interval of 9 days
+        (1, dt.datetime(2024, 1, 1)),
+        (1, dt.datetime(2024, 1, 3)),
+        # supplier 2: day 1 and day 20 → disjoint → two intervals,
+        # 7 days each
+        (2, dt.datetime(2024, 1, 1)),
+        (2, dt.datetime(2024, 1, 20)),
+    ]
+    sf = _write(spark, tmp_path, "lineitem", rows,
+                "l_suppkey long, l_shipdate timestamp")
+    got = {
+        r["l_suppkey"]: (r["n_merged_intervals"], r["covered_days"])
+        for r in intervals_coalesce_coverage(spark, sf).collect()
+    }
+    assert got == {1: (1, 9), 2: (2, 14)}
+
+
+# ---------------------------------------------------------------------------
+# business days: a full Mon→Mon week has exactly 5
+# ---------------------------------------------------------------------------
+
+
+def test_business_days_full_week(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        orders_business_day_latency,
+    )
+
+    # 2024-01-01 is a Monday; ship the next Monday → 5 weekdays
+    _write(spark, tmp_path, "orders", [(1, dt.datetime(2024, 1, 1))],
+           "o_orderkey long, o_orderdate timestamp")
+    _write(spark, tmp_path, "lineitem", [(1, dt.datetime(2024, 1, 8))],
+           "l_orderkey long, l_shipdate timestamp")
+    r = orders_business_day_latency(spark, str(tmp_path)).collect()[0]
+    assert r["calendar_days"] == 7
+    assert r["business_days"] == 5
+
+
+# ---------------------------------------------------------------------------
+# Haar wavelet: constant series has zero detail everywhere
+# ---------------------------------------------------------------------------
+
+
+def test_haar_constant_series_zero_detail(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        events_haar_wavelet_daily,
+    )
+
+    rows = [
+        (d, dt.datetime(2024, 1, d), 1, "view", 1.0, "{}")
+        for d in range(1, 29)
+    ]  # constant 1/day over 28 days
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = events_haar_wavelet_daily(spark, sf).collect()
+    assert all(r["detail"] == 0.0 for r in out)
+    assert all(r["approx"] == 1.0 for r in out)
+
+
+# ---------------------------------------------------------------------------
+# alarm hysteresis: deadband holds the previous state
+# ---------------------------------------------------------------------------
+
+
+def test_alarm_hysteresis_deadband_holds(spark, tmp_path):
+    from wilayah_aceh_etl_spark.plans.round6_queries import (
+        events_alarm_hysteresis,
+    )
+
+    rows = []
+    eid = 0
+
+    def hour_burst(hour, n):
+        nonlocal eid
+        for i in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1, hour, i % 60), 1,
+                 "click", 1.0, "{}")
+            )
+            eid += 1
+
+    hour_burst(0, 25)   # >= 20 → alarm ON
+    hour_burst(1, 15)   # deadband (10 < 15 < 20) → still ON
+    hour_burst(2, 5)    # <= 10 → OFF
+    hour_burst(3, 15)   # deadband → still OFF
+    sf = _write(
+        spark, tmp_path, "events", rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = events_alarm_hysteresis(spark, sf).collect()[0]
+    assert r["n_hours"] == 4
+    assert r["alarm_hours"] == 2   # hours 0 and 1
+    assert r["n_alarms_fired"] == 1
