@@ -7667,3 +7667,177 @@ def map_explode_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select("o_orderkey", F.explode(m).alias("mk", "mv"))
         .orderBy("o_orderkey", "mk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Open-order aging waterfall at a valuation date
+# ---------------------------------------------------------------------------
+
+_AGING_SQL = """
+open_orders AS (
+  SELECT o.o_orderkey, o.o_orderpriority,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+         date_diff('day', CAST(o.o_orderdate AS DATE), DATE '1997-01-01')
+           AS age_days
+  FROM orders o
+  WHERE o.o_orderstatus = 'O' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+),
+bucketed AS (
+  SELECT o_orderpriority,
+         CASE WHEN age_days <= 30 THEN '0-030'
+              WHEN age_days <= 90 THEN '031-090'
+              WHEN age_days <= 180 THEN '091-180'
+              ELSE '181+' END AS age_bucket,
+         cents
+  FROM open_orders
+)
+SELECT o_orderpriority, age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS open_cents
+FROM bucketed
+GROUP BY o_orderpriority, age_bucket
+ORDER BY o_orderpriority, age_bucket
+"""
+
+
+@register(
+    "orders_aging_waterfall",
+    oracle="WITH " + _AGING_SQL,
+    tags=("agg", "aging", "finance"),
+    description="open-order aging waterfall (0-30/31-90/91-180/181+) per priority",
+)
+def orders_aging_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accounts-receivable aging report transplanted to open
+    orders: everything still open at the valuation date bucketed by
+    age band, counts and exact open cents per (priority, band) —
+    the report every finance close runs and every ops review reads.
+    Age bands are CASE ladders over exact day integers (zero
+    ambiguity at band edges); one filtered scan + one hash
+    aggregate, with the valuation date a literal the caller
+    parameterizes."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    age = F.datediff(
+        F.lit("1997-01-01").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(age <= 30, "0-030")
+        .when(age <= 90, "031-090")
+        .when(age <= 180, "091-180")
+        .otherwise("181+")
+    )
+    return (
+        o.groupBy("o_orderpriority", bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("open_cents"),
+        )
+        .orderBy("o_orderpriority", "age_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting: new / retained / resurrected per day
+# ---------------------------------------------------------------------------
+
+_GROWTH_SQL = """
+activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+lagged AS (
+  SELECT user_id, d,
+         MIN(d) OVER (PARTITION BY user_id) AS first_day,
+         LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_day
+  FROM activity
+),
+classed AS (
+  SELECT d,
+         CASE WHEN d = first_day THEN 'new'
+              WHEN date_diff('day', prev_day, d) = 1 THEN 'retained'
+              WHEN date_diff('day', prev_day, d) >= 7 THEN 'resurrected'
+              ELSE 'returning' END AS klass
+  FROM lagged
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN klass = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN klass = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(SUM(CASE WHEN klass = 'returning' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_returning,
+       CAST(SUM(CASE WHEN klass = 'resurrected' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resurrected,
+       CAST(COUNT(*) AS BIGINT) AS dau
+FROM classed
+GROUP BY d
+ORDER BY day
+"""
+
+
+@register(
+    "events_growth_accounting_daily",
+    oracle="WITH " + _GROWTH_SQL,
+    tags=("ext", "events", "growth-accounting", "window"),
+    description="daily growth accounting: new / retained / returning / resurrected",
+)
+def events_growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the DAU decomposition every product
+    review starts with: each active (user, day) is NEW (first day
+    ever), RETAINED (also active yesterday), RESURRECTED (back
+    after a ≥7-day absence) or merely returning. The classifier is
+    two windows over the distinct (user, day) grid — bounded by
+    users × days, not events — and the daily report is one
+    aggregate; the identity n_new+retained+returning+resurrected =
+    DAU is structural. At 100 TB the activity grid is the only
+    state, partitioned by user for the windows, re-shuffled once to
+    days for the report."""
+    e = load_table(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    wu = Window.partitionBy("user_id")
+    wseq = Window.partitionBy("user_id").orderBy("d")
+    lagged = activity.select(
+        "user_id",
+        "d",
+        F.min("d").over(wu).alias("first_day"),
+        F.lag("d").over(wseq).alias("prev_day"),
+    )
+    klass = (
+        F.when(F.col("d") == F.col("first_day"), "new")
+        .when(F.datediff("d", "prev_day") == 1, "retained")
+        .when(F.datediff("d", "prev_day") >= 7, "resurrected")
+        .otherwise("returning")
+    )
+    return (
+        lagged.select(F.col("d"), klass.alias("klass"))
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("klass") == "new", 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("klass") == "retained", 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.sum(F.when(F.col("klass") == "returning", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returning"),
+            F.sum(F.when(F.col("klass") == "resurrected", 1).otherwise(0))
+            .cast("long")
+            .alias("n_resurrected"),
+            F.count(F.lit(1)).cast("long").alias("dau"),
+        )
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "n_new",
+            "n_retained",
+            "n_returning",
+            "n_resurrected",
+            "dau",
+        )
+        .orderBy("day")
+    )
