@@ -2766,20 +2766,20 @@ def xpath_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DWELL_SQL = """
 ordered AS (
-  SELECT user_id, event_type, ts,
+  SELECT user_id, event_type, ts, event_id,
          lag(event_type) OVER (PARTITION BY user_id
                                ORDER BY ts, event_id) AS prev_type
   FROM events
 ),
 flagged AS (
-  SELECT user_id, event_type, ts,
+  SELECT user_id, event_type, ts, event_id,
          CASE WHEN prev_type IS NULL OR prev_type <> event_type
               THEN 1 ELSE 0 END AS is_change
   FROM ordered
 ),
 islands AS (
   SELECT user_id, event_type, ts,
-         SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_change) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS island
   FROM flagged
 ),
@@ -2830,6 +2830,7 @@ def scd2_state_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "ts",
+        "event_id",
         F.when(
             F.lag("event_type").over(wu).isNull()
             | (F.lag("event_type").over(wu) != F.col("event_type")),
@@ -2838,6 +2839,8 @@ def scd2_state_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_change"),
     )
+    # (ts, event_id) tiebreak matches the is_change window's order, so
+    # island assignment is total-ordered even with tied timestamps.
     islands = flagged.select(
         "user_id",
         "event_type",
@@ -2845,7 +2848,7 @@ def scd2_state_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_change")
         .over(
             Window.partitionBy("user_id")
-            .orderBy("ts")
+            .orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         .alias("island"),
@@ -7497,7 +7500,10 @@ def orders_business_day_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("order_d"),
             "ship_d",
         )
-        .filter(F.col("ship_d") >= F.col("order_d"))
+        # Strictly-greater mirrors the oracle's empty expansion for
+        # same-day orders: sequence(d, d-1) would otherwise descend and
+        # emit a spurious d-1 row that survives the d < ship_d filter.
+        .filter(F.col("ship_d") > F.col("order_d"))
     )
     days = j.select(
         "o_orderkey",

@@ -125,10 +125,14 @@ def running_user_ewma(
     result equals the batch recurrence as long as batches arrive in
     event-time order (the availableNow single-batch case trivially,
     and in production a watermark-sized sorter would front this).
-    State is O(1) per user; the float ops are written literally
-    (0.2 * x + 0.8 * e) to match the batch/oracle expression tree
-    bit-for-bit."""
+    State is O(1) per user. For the default alpha=0.2 the float ops
+    are written literally (0.2 * x + 0.8 * e) to match the
+    batch/oracle expression tree bit-for-bit; any other alpha uses
+    the generic (alpha, 1-alpha) fold (the output column name stays
+    ewma_02 only on the default path's oracle contract)."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    a, b = (0.2, 0.8) if alpha == 0.2 else (float(alpha), 1.0 - float(alpha))
 
     def update(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -143,7 +147,7 @@ def running_user_ewma(
             # would diverge on exact .005 boundaries)
             batch = pd.concat(chunks).sort_values(["ts", "event_id"])
             for x in batch["value"].tolist():
-                e = float(x) if e is None else 0.2 * x + 0.8 * e
+                e = float(x) if e is None else a * x + b * e
                 n += 1
         state.update((n, e if e is not None else 0.0))
         yield pd.DataFrame(
