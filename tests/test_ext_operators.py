@@ -107,10 +107,51 @@ def test_multimodal_pipeline_shape(spark, docs):
     assert all(again[r.media_id] == (r.width, r.height) for r in rows)
 
 
-def test_multimodal_real_decode_is_explicit_stub(spark, docs):
+def test_multimodal_real_decode_unknown_format_is_explicit_seam(spark, docs):
+    """A non-image payload (utf-8 text here) must fail loudly at the
+    codec seam, not silently fall back to fake metadata."""
     media = M.attach_fake_payload(docs.limit(5), "doc_id")
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+    with pytest.raises(Exception, match="NotImplementedError|not PNG"):
         M.decode_media(media, real=True).collect()
+
+
+def test_parse_image_header_four_formats():
+    """Pure parser on handcrafted, spec-valid headers of all four
+    supported containers — no Spark, no image libraries."""
+    import struct
+
+    # PNG via our own encoder
+    assert M.parse_image_header(M.make_png(33, 47, 9)) == (33, 47, 1)
+    # JPEG: SOI + APP0 + SOF0 (h=120, w=80, 3 components)
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", 120, 80) + b"\x03" + b"\x00" * 9
+    )
+    assert M.parse_image_header(jpeg) == (80, 120, 3)
+    # GIF89a logical screen 200x100
+    gif = b"GIF89a" + struct.pack("<HH", 200, 100) + b"\x00\x00\x00"
+    assert M.parse_image_header(gif) == (200, 100, 3)
+    # BMP with top-down (negative) height
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 4
+    assert M.parse_image_header(bmp) == (640, 480, 3)
+    # junk → None (the seam)
+    assert M.parse_image_header(b"not an image") is None
+    assert M.parse_image_header(b"") is None
+
+
+def test_real_png_roundtrip_decode(spark, docs):
+    """End-to-end: synthesize genuine PNGs, decode via header parse,
+    dimensions must equal the arithmetic the payloads were built
+    from."""
+    media = M.attach_png_payload(docs.limit(30), "doc_id")
+    rows = M.decode_media(media, real=True).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.width == 1 + r.media_id % 64
+        assert r.height == 1 + (r.media_id * 7) % 64
+        assert r.n_channels == 1
 
 
 def test_resize_and_frames(spark, docs):
@@ -270,3 +311,20 @@ def test_cms_heavy_hitters_error_bounds(spark):
     for r in rows:
         assert r.est_n >= r.exact_n, r
         assert r.est_n - r.exact_n <= max(1, int(0.001 * n_total)), r
+
+
+def test_mapside_near_dup_matches_persisted_path(spark, docs):
+    """The two pipeline shapes (persisted shingle relation vs
+    map-side signatures + candidate-scoped verify) must be
+    output-identical — the choice between them is a shuffle-budget
+    trade, never a semantics change."""
+    a = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.verified_near_dup_pairs(docs, threshold=0.5).collect()
+    )
+    b = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in D.verified_near_dup_pairs_mapside(docs, threshold=0.5).collect()
+    )
+    assert a == b
+    assert len(a) > 0

@@ -72,22 +72,92 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, str]:
     return width, height, channels, digest
 
 
+# PNG color type → samples per pixel (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG SOFn markers that carry frame dimensions (all except DHT/DAC)
+_JPEG_SOF = frozenset(
+    [0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF]
+)
+
+
+def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
+    """(width, height, n_channels) from real image bytes — pure-Python
+    container-header parse, no codec library needed. Handles the four
+    formats that cover the overwhelming majority of web-crawl media:
+
+      PNG  — IHDR chunk is mandatory-first (spec §5.6): width/height
+             big-endian u32 at offsets 16/20, channels from color type.
+      JPEG — walk marker segments to the first SOFn frame header:
+             height/width big-endian u16 at +5/+7, components at +9.
+      GIF  — logical screen descriptor: width/height LE u16 at 6/8.
+      BMP  — BITMAPINFOHEADER: width/height LE i32 at 18/22.
+
+    Returns None for anything else (the seam where a full codec —
+    pixel decode, EXIF rotation, CMYK JPEGs — would plug in)."""
+    import struct
+
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if payload[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", payload[16:24])
+            color_type = payload[25] if len(payload) > 25 else 0
+            return int(w), int(h), _PNG_CHANNELS.get(color_type, 1)
+        return None
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":  # JPEG SOI
+        i = 2
+        while i + 9 < len(payload):
+            if payload[i] != 0xFF:
+                return None  # desynced — not a marker where expected
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return int(w), int(h), int(payload[i + 9])
+            i += 2 + seg_len
+        return None
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return int(w), int(h), 3
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        w, h = struct.unpack("<ii", payload[18:26])
+        return int(w), abs(int(h)), 3  # negative height = top-down rows
+    return None
+
+
 def decode_media(df: DataFrame, real: bool = False) -> DataFrame:
     """Arrow-batched decode: mapInPandas so each task decodes a
     columnar batch of payloads without JVM round-trips per row. The
     output drops the payload column — downstream metadata queries
-    never re-read the bytes."""
+    never re-read the bytes.
+
+    real=True parses the actual container headers (PNG/JPEG/GIF/BMP,
+    pure Python — see parse_image_header); a payload in any other
+    format raises NotImplementedError at the codec seam. real=False
+    keeps the md5-seeded deterministic fake for pipeline-shape tests."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in it:
-            if real:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg (unavailable "
-                    "in this environment); wire the codec in here"
-                )
-            meta = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            meta = []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                if real:
+                    parsed = parse_image_header(b)
+                    if parsed is None:
+                        raise NotImplementedError(
+                            "payload is not PNG/JPEG/GIF/BMP; full pixel "
+                            "decode requires PIL/ffmpeg (unavailable in "
+                            "this environment); wire the codec in here"
+                        )
+                    meta.append((*parsed, hashlib.md5(b).hexdigest()))
+                else:
+                    meta.append(_fake_decode(b))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -101,6 +171,66 @@ def decode_media(df: DataFrame, real: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+def make_png(width: int, height: int, gray: int = 128) -> bytes:
+    """A genuine, spec-valid grayscale PNG built with stdlib only
+    (struct + zlib + binascii.crc32): signature, IHDR, one IDAT of
+    filter-0 scanlines, IEND. Used to feed REAL image bytes through
+    the decode path in environments without image libraries."""
+    import binascii
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", binascii.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = (b"\x00" + bytes([gray % 256]) * width) * height
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def attach_png_payload(
+    df: DataFrame, id_col: str, max_side: int = 64
+) -> DataFrame:
+    """Media table whose payloads are REAL PNG bytes: dimensions are
+    a deterministic function of the id (width = 1 + id % max_side,
+    height = 1 + (id * 7) % max_side, gray = id % 256), so an oracle
+    can predict the decoded metadata without parsing PNGs itself.
+    Built in mapInPandas — payload synthesis is the stand-in for the
+    fetch/read stage of a real crawl pipeline."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids = [int(v) for v in pdf["_mid"]]
+            payloads = [
+                make_png(1 + i % max_side, 1 + (i * 7) % max_side, i % 256)
+                for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": payloads,
+                    "mime": ["image/png"] * len(ids),
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("_mid")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = T.StructType(

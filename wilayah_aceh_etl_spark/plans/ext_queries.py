@@ -773,6 +773,42 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_header_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(1 + doc_id % 64 AS INTEGER) AS width,
+       CAST(1 + (doc_id * 7) % 64 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       'image/png' AS mime
+FROM documents WHERE doc_id < 200
+ORDER BY media_id
+""",
+    tags=("ext", "multimodal", "decode", "png"),
+    description="REAL PNG bytes decoded by the pure-Python header parser",
+)
+def multimodal_png_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real-decode path, no longer a stub: payloads are genuine
+    spec-valid PNGs (stdlib zlib encoder, operators/multimodal.py
+    make_png) whose dimensions are an arithmetic function of doc_id;
+    decode_media(real=True) parses the actual IHDR bytes back out.
+    The oracle predicts the metadata from the arithmetic alone — so a
+    hash match proves the Spark side round-tripped real image bytes
+    through encode → header parse, not that both sides share a fake.
+    n_bytes is excluded from the output on purpose: IDAT length
+    depends on the zlib build, and the decoded METADATA is the
+    contract here."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = M.attach_png_payload(docs, "doc_id")
+    return (
+        M.decode_media(media, real=True)
+        .select("media_id", "width", "height", "n_channels", "mime")
+        .orderBy("media_id")
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
 WITH m AS (

@@ -107,8 +107,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "events_topk_users",
     "events_weekly_retention",
     "cdc_last_writer_apply",
-    "events_m4_downsample",
     "streaming_stateful_user_totals",
+    # real-PNG decode through the pure-Python header parser (r4)
+    "multimodal_png_header_decode",
     # training-data pipeline (dedup / text / similarity / packing)
     "dedup_simhash_near_pairs",
     "dedup_incremental_admission",
