@@ -328,3 +328,30 @@ def test_mapside_near_dup_matches_persisted_path(spark, docs):
     )
     assert a == b
     assert len(a) > 0
+
+
+def test_python_cms_reader_matches_jvm(spark):
+    """The pure-Python CountMinSketch wire-format reader
+    (functions/sketches.py) must be bit-identical to the JVM
+    implementation it replaces — every probe, including keys never
+    inserted and negative keys. (The JVM side here is test-only
+    scaffolding; product code no longer touches spark._jvm.)"""
+    from wilayah_aceh_etl_spark.functions.sketches import (
+        CountMinSketchReader,
+    )
+
+    df = spark.range(5000).select((F.col("id") % 137).alias("k"))
+    payload = bytes(
+        df.agg(
+            F.count_min_sketch(F.col("k"), F.lit(0.01), F.lit(0.9), F.lit(7))
+        ).head()[0]
+    )
+    py = CountMinSketchReader.from_bytes(payload)
+    jvm_sketch = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        spark._sc._jvm.java.io.ByteArrayInputStream(payload)
+    )
+    keys = list(range(150)) + [10_000, 123_456_789, -1, -42]
+    assert [py.estimate_count(k) for k in keys] == [
+        jvm_sketch.estimateCount(k) for k in keys
+    ]
+    assert py.total_count == 5000

@@ -105,6 +105,54 @@ NLJ_ALLOWED = {
 }
 
 
+# Queries allowed a partition-less Window over NON-aggregated input.
+# Everything else with a global window must feed it post-aggregation
+# (bounded series: daily grids, ≤25 cells), which the guard detects
+# structurally. These six are definitionally-global-rank shapes, each
+# documenting its at-scale substitute in its docstring:
+GLOBAL_WINDOW_ALLOWED = {
+    # ground truth for approx_percentile_prices; NTILE is total-order
+    "histogram_equi_depth_prices",
+    # Spearman needs global average ranks by definition; sort-bound
+    "stats_spearman_part_size_price",
+    # quantile normalization maps to the pooled global rank lattice
+    "feature_quantile_normalization",
+    # systematic PPS: cumulative weights along one global order
+    "sample_weighted_pps",
+    # nulls-placement battery over a ≤3-user filtered slice
+    "sort_nulls_placement_battery",
+    # running max over arrival order = the lateness definition;
+    # docstring prescribes per-ingest-partition profiling at scale
+    "events_watermark_lateness_profile",
+}
+
+
+def _walk_logical(node):
+    yield node
+    for i in range(node.children().size()):
+        yield from _walk_logical(node.children().apply(i))
+
+
+def _global_window_over_raw_input(df) -> bool:
+    """True iff the optimized plan has a Window with an empty
+    partition spec whose subtree contains no Aggregate — i.e. a
+    single-partition sort over potentially unbounded input (the
+    WindowExec: 'No Partition Defined' warning class from the r3
+    judge parity run)."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    for node in _walk_logical(plan):
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+        ):
+            if not any(
+                n.getClass().getSimpleName() == "Aggregate"
+                for n in _walk_logical(node)
+            ):
+                return True
+    return False
+
+
 def _plan(spark, df) -> str:
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
@@ -119,11 +167,19 @@ def _plan(spark, df) -> str:
 @pytest.mark.parametrize("name", sorted(all_specs()))
 def test_no_plan_antipatterns(spark, name):
     spec = all_specs()[name]
-    plan = _plan(spark, spec.fn(spark, SF_SMOKE))
+    df = spec.fn(spark, SF_SMOKE)
+    plan = _plan(spark, df)
     assert "CartesianProduct" not in plan, f"{name}: cartesian product"
     if name not in NLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: nested-loop join crept in"
+        )
+    if name not in GLOBAL_WINDOW_ALLOWED:
+        assert not _global_window_over_raw_input(df), (
+            f"{name}: partition-less Window over non-aggregated input "
+            "— single-partition sort that cannot scale; aggregate "
+            "first, partition the window, or whitelist with a bounded-"
+            "input justification"
         )
 
 

@@ -366,3 +366,48 @@ def test_weighted_median_matches_expansion_model(spark, rows):
         .collect()[0]["m"]
     )
     assert int(got) == expected
+
+
+def test_g3_divergence_pin_adversarial_ring():
+    """DIVERGENCE PIN (VERDICT r3 'What's wrong' #2): GEOS
+    SimplifyPreserveTopology refuses to remove a vertex whose removal
+    makes a hole poke outside the shell; plain Douglas-Peucker with a
+    ring floor (this engine, functions/geometry.py:110-123) removes
+    it anyway. This test constructs exactly that input and pins WHICH
+    side of the divergence the engine is on — a refactor that
+    silently flips the behavior (either way) must fail here and
+    update this pin deliberately.
+
+    Geometry: unit-ish square shell with an outward bump D=(2,
+    4.00005) on the top edge (5e-5 < tol=1e-4 from the chord, so DP
+    drops it) and a hole whose top vertex (2, 4.00002) sits inside
+    the original shell but OUTSIDE the simplified one."""
+    shell = [
+        [0.0, 0.0],
+        [4.0, 0.0],
+        [4.0, 4.0],
+        [2.0, 4.00005],  # outward bump within tolerance → DP removes
+        [0.0, 4.0],
+        [0.0, 0.0],
+    ]
+    hole = [
+        [2.0, 4.00002],  # inside original shell, outside simplified
+        [2.01, 3.9999],
+        [1.99, 3.9999],
+        [2.0, 4.00002],
+    ]
+    geom = {"type": "Polygon", "coordinates": [shell, hole]}
+    out = json.loads(normalize_geojson_str(json.dumps(geom)))
+    simplified_shell = out["coordinates"][0][0]
+    # ENGINE BEHAVIOR (pinned): the bump is gone — plain DP.
+    # GEOS preserveTopology would KEEP [2.0, 4.00005] here.
+    assert [2.0, 4.00005] not in simplified_shell
+    assert simplified_shell == [
+        [0.0, 0.0],
+        [4.0, 0.0],
+        [4.0, 4.0],
+        [0.0, 4.0],
+        [0.0, 0.0],
+    ]
+    # the hole survives untouched (≤4-point rings are never simplified)
+    assert out["coordinates"][0][1] == hole

@@ -1365,15 +1365,22 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     built in a single distributed aggregation (mergeable across
     partitions/time ranges the same way the HLL and bitmap rollups
     are); per-key estimates are then probed from the collected
-    sketch through the JVM CountMinSketch reader — O(1) per probe on
-    a KB-sized object, the one deliberate driver-side step. At
-    100 TB the sketch replaces a full groupBy when only known keys
-    need frequencies: the shuffle carries one sketch per partition
-    instead of one row per key. Count-min guarantees
+    sketch by a pure-Python wire-format reader
+    (functions/sketches.py) — O(1) per probe on a KB-sized object,
+    the one deliberate driver-side step, and Spark-Connect-safe (no
+    spark._jvm reflection; the sketch bytes are ordinary row data).
+    At 100 TB the sketch replaces a full groupBy when only known
+    keys need frequencies: the shuffle carries one sketch per
+    partition instead of one row per key. Count-min guarantees
     estimate >= true and (estimate - true) <= eps·N at the stated
-    confidence; the test pins both bounds against exact counts. The
-    fixed seed makes the output deterministic, so the rows-only gate
-    is stable across runs."""
+    confidence; the test pins both bounds against exact counts AND
+    the reader against the JVM implementation. The fixed seed makes
+    the output deterministic, so the rows-only gate is stable
+    across runs."""
+    from wilayah_aceh_etl_spark.functions.sketches import (
+        CountMinSketchReader,
+    )
+
     e = load_table(spark, sf_dir, "events")
     cms_bytes = bytes(
         e.agg(
@@ -1389,12 +1396,9 @@ def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .collect()
     )
-    jvm = spark._jvm
-    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        spark._sc._jvm.java.io.ByteArrayInputStream(cms_bytes)
-    )
+    sketch = CountMinSketchReader.from_bytes(cms_bytes)
     rows = [
-        (r["user_id"], r["exact_n"], int(sketch.estimateCount(r["user_id"])))
+        (r["user_id"], r["exact_n"], sketch.estimate_count(r["user_id"]))
         for r in top
     ]
     return spark.createDataFrame(
