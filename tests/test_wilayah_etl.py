@@ -315,3 +315,53 @@ def test_upsert_partition_scoped_rewrite(spark, tmp_path):
     assert [r.updated_at for r in upd] == [later]
     kept = t.filter("level = 1").select("updated_at").collect()[0].updated_at
     assert kept == CLOCK
+
+
+def test_upsert_file_scoped_rewrite(spark, tmp_path):
+    """Within an affected level partition, only files whose footer
+    kode range intersects a batch key are rewritten — a
+    single-kelurahan sync must leave sibling level-4 files
+    byte-identical (Delta add-file pruning, sourced from Parquet
+    footers)."""
+    path = str(tmp_path / "file_scoped")
+    W.sync(spark, GEOJSON_DIR, path, code="11", clock=CLOCK)
+    before = _partition_file_stats(path)
+    n_l4_files = len(before["level=4"])
+    assert n_l4_files >= 2, "range layout should split level 4"
+
+    later = datetime.datetime(2026, 7, 1)
+    one_key = (
+        W.load_wilayah(spark, path)
+        .filter("level = 4")
+        .select("kode_wilayah_kemendagri")
+        .orderBy("kode_wilayah_kemendagri")
+        .limit(1)
+        .collect()[0][0]
+    )
+    batch = W.ingest_features(spark, GEOJSON_DIR, clock=later).filter(
+        F.col("kode_wilayah_kemendagri") == one_key
+    )
+    assert W.upsert(spark, path, batch, clock=later) == 1
+
+    after = _partition_file_stats(path)
+    # untouched levels stay whole directories of identical files
+    for d in ("level=1", "level=2", "level=3"):
+        assert after[d] == before[d], f"{d} was rewritten"
+    # level 4: at least one sibling file survived untouched
+    kept = set(before["level=4"].items()) & set(after["level=4"].items())
+    assert kept, "single-key sync rewrote every level-4 file"
+    assert before["level=4"] != after["level=4"]
+
+    # semantics: full table intact, exactly the one key updated
+    t = W.load_wilayah(spark, path)
+    assert t.count() == 388
+    row = t.filter(F.col("kode_wilayah_kemendagri") == one_key).collect()[0]
+    assert row.updated_at == later and row.created_at == CLOCK
+    others = (
+        t.filter("level = 4")
+        .filter(F.col("kode_wilayah_kemendagri") != one_key)
+        .select("updated_at")
+        .distinct()
+        .collect()
+    )
+    assert [r.updated_at for r in others] == [CLOCK]

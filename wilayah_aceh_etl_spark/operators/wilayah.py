@@ -118,20 +118,33 @@ def upsert(
     totalProcessed++ (server.js:357,374) and of Delta's
     operationMetrics.numOutputRows.
 
-    Scale design — PARTITION-SCOPED MERGE, not a table rewrite: the
-    table is laid out `partitionBy(level)` and `kode` determines
-    `level` by construction (code-length dispatch, SURVEY §2.7), so a
-    batch can only conflict with existing rows inside its own level
-    partitions. The merge therefore (1) probes the batch's distinct
-    levels (≤4 values — the driver-side collect is bounded by the
-    domain, not the data), (2) reads ONLY those partitions of the
-    existing table (partition pruning at the scan), (3) re-windows and
-    rewrites ONLY those `level=N` directories, leaving every other
-    partition's files untouched on disk. This is what Delta MERGE does
-    with its touched-file pre-join, expressed against plain Parquet.
-    At 100 TB a single-kecamatan sync rewrites one partition, not the
-    world. (A key-range row-group refinement within a level would
-    shrink the rewrite further; level is the coarsest correct scope.)
+    Scale design — FILE-SCOPED MERGE (Delta's add-file pruning on
+    plain Parquet), not a table rewrite:
+
+      1. probe the batch's distinct levels (≤4 values, a domain
+         bound) — a batch can only conflict inside its own level
+         partitions because `kode` determines `level` by construction
+         (code-length dispatch, SURVEY §2.7);
+      2. read each candidate file's `kode` min/max from its Parquet
+         FOOTER (metadata-scale: one row per file, no data read) and
+         join that stats relation against the batch's distinct keys —
+         only files whose key range intersects a batch key are
+         "affected" (a file with absent/truncated stats is treated as
+         affected, conservatively);
+      3. union the batch with ONLY the affected files (basePath read
+         keeps the partition column), re-window last-wins, and write
+         replacement files range-partitioned on (level, kode) so
+         future merges prune tightly;
+      4. swap at FILE granularity: delete the affected files, move
+         the staged files in. Every other file in the table — even
+         inside the batch's own level partition — keeps its bytes and
+         inode (asserted by tests).
+
+    At 100 TB a single-kelurahan sync rewrites one file, not a
+    partition and not the world. The per-batch driver cost is one
+    footer read per candidate file plus one metadata-scale join —
+    exactly the add-file pruning a Delta MERGE does from its
+    transaction log, sourced from footers instead.
     """
     from pyspark.sql import Observation
     from pyspark.sql.window import Window
@@ -140,23 +153,23 @@ def upsert(
     batch = batch.observe(obs, F.count(F.lit(1)).alias("n_batch"))
     batch = batch.withColumn("_prio", F.lit(1)).persist()
     try:
+        affected: list[str] | None = None
         if _table_exists(table_path):
-            # scope: the batch's own level partitions only (bounded
-            # domain — at most 4 distinct levels exist)
             levels = [
                 r["level"]
                 for r in batch.select("level").distinct().collect()
             ]
             if not levels:  # empty batch: nothing to rewrite
                 return int(obs.get["n_batch"])
+            affected = _affected_files(spark, table_path, levels, batch)
+        if affected:
             existing = (
-                spark.read.parquet(table_path)
-                .filter(F.col("level").isin(levels))
+                spark.read.option("basePath", table_path)
+                .parquet(*affected)
                 .withColumn("_prio", F.lit(0))
             )
             merged = batch.unionByName(existing)
         else:
-            levels = None
             merged = batch
         w = Window.partitionBy(_KODE).orderBy(F.col("_prio").desc())
         winners = (
@@ -164,12 +177,13 @@ def upsert(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # preserve created_at of pre-existing keys (scoped scan again:
-        # a key can only pre-exist inside the batch's own partitions)
-        if _table_exists(table_path):
+        # preserve created_at of pre-existing keys: a matched key
+        # always lives in an affected file (its own footer range
+        # contains it), so the slice is sufficient
+        if affected:
             old_created = (
-                spark.read.parquet(table_path)
-                .filter(F.col("level").isin(levels))
+                spark.read.option("basePath", table_path)
+                .parquet(*affected)
                 .groupBy(_KODE)
                 .agg(F.min("created_at").alias("_old_created"))
             )
@@ -182,49 +196,133 @@ def upsert(
                 .drop("_old_created")
             )
         out = winners.select(*TABLE_COLUMNS)
-        # write-stage layout: partition pruning on level, kode-sorted
-        # row groups for min/max pruning on prefix predicates
+        # write-stage layout: partition pruning on level; disjoint
+        # kode ranges per file + kode-sorted row groups, so both
+        # min/max pruning on prefix predicates AND the next merge's
+        # file scoping stay tight
         tmp = table_path + "._staged"
         (
-            out.repartition("level")
-            .sortWithinPartitions(_KODE)
+            out.repartitionByRange(
+                UPSERT_RANGE_PARTITIONS, F.col("level"), F.col(_KODE)
+            )
+            .sortWithinPartitions("level", _KODE)
             .write.mode("overwrite")
             .partitionBy("level")
             .parquet(tmp)
         )
-        _swap_partitions(table_path, tmp, levels)
+        _swap_files(table_path, tmp, affected)
         return int(obs.get["n_batch"])
     finally:
         batch.unpersist()
+
+
+# Staged-write fan-out. At test scale this simply yields a handful of
+# kode-ranged files per level; at 100 TB size it as
+# ceil(merged_bytes / target_file_bytes) (e.g. 512 MB targets).
+UPSERT_RANGE_PARTITIONS = 8
 
 
 def _table_exists(path: str) -> bool:
     return os.path.exists(path)
 
 
-def _swap_partitions(
-    path: str, tmp: str, levels: list | None
+def _file_kode_stats(
+    table_path: str, levels: list
+) -> list[tuple[str, int, str | None, str | None]]:
+    """(path, level, kode_min, kode_max) per data file in the given
+    level partitions, from Parquet footers only. None stats mean
+    'unknown' → the caller treats the file as affected."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for lv in levels:
+        d = os.path.join(table_path, f"level={lv}")
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            path = os.path.join(d, f)
+            kmin = kmax = None
+            try:
+                md = pq.ParquetFile(path).metadata
+                idx = md.schema.names.index(_KODE)
+                mins, maxs = [], []
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        mins = []
+                        break
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                if mins:
+                    kmin, kmax = min(mins), max(maxs)
+            except Exception:
+                pass  # unreadable footer → conservative (affected)
+            out.append((path, int(lv), kmin, kmax))
+    return out
+
+
+def _affected_files(
+    spark: SparkSession, table_path: str, levels: list, batch: DataFrame
+) -> list[str]:
+    """Delta-style file pruning: the footer-stats relation (one row
+    per candidate file) range-joined against the batch's distinct
+    keys. Both sides are metadata-scale; the collect returns only the
+    files that must be rewritten."""
+    stats = _file_kode_stats(table_path, levels)
+    if not stats:
+        return []
+    no_stats = [p for p, _, kmin, _ in stats if kmin is None]
+    with_stats = [s for s in stats if s[2] is not None]
+    if not with_stats:
+        return no_stats
+    stats_df = spark.createDataFrame(
+        with_stats, "path string, level int, kmin string, kmax string"
+    )
+    keys = batch.select(F.col(_KODE).alias("_k"), F.col("level").alias("_lv"))
+    hit = (
+        F.broadcast(stats_df)
+        .join(
+            keys,
+            (stats_df.level == keys._lv)
+            & (keys._k >= stats_df.kmin)
+            & (keys._k <= stats_df.kmax),
+            "left_semi",
+        )
+        .select("path")
+        .collect()
+    )
+    return no_stats + [r["path"] for r in hit]
+
+
+def _swap_files(
+    path: str, tmp: str, affected: list[str] | None
 ) -> None:
-    """Move staged `level=N` directories into the table, replacing
-    only the partitions the merge touched. `levels is None` means
-    initial load → the staged tree becomes the table wholesale.
-    Untouched partition directories keep their existing files
-    byte-identical (same inodes — asserted by the upsert tests)."""
+    """Move staged data files into their level directories, deleting
+    exactly the affected files they replace. `affected is None` means
+    initial load → the staged tree becomes the table wholesale. Spark
+    part filenames embed the write-job UUID, so staged names never
+    collide with kept files."""
     import shutil
 
-    if levels is None or not os.path.exists(path):
+    if affected is None or not os.path.exists(path):
         if os.path.exists(path):
             shutil.rmtree(path)
         os.rename(tmp, path)
         return
+    for old in affected:
+        if os.path.exists(old):
+            os.remove(old)
     for entry in os.listdir(tmp):
         src = os.path.join(tmp, entry)
         if not (entry.startswith("level=") and os.path.isdir(src)):
             continue
-        dst = os.path.join(path, entry)
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
-        os.rename(src, dst)
+        dst_dir = os.path.join(path, entry)
+        os.makedirs(dst_dir, exist_ok=True)
+        for f in os.listdir(src):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(src, f), os.path.join(dst_dir, f))
     shutil.rmtree(tmp)
 
 
