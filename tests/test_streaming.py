@@ -423,3 +423,48 @@ def test_dedup_within_watermark_undoes_replay(spark, event_files, tmp_path):
     got = spark.table(name)
     assert got.count() == e.count()
     assert got.select("event_id").distinct().count() == e.count()
+
+
+def test_ewma_custom_alpha_used_in_fold(spark, event_files):
+    """Regression for the r3 advisory: running_user_ewma(alpha=0.5)
+    must actually fold with 0.5/0.5 — compared against the batch
+    recurrence computed in plain Python from the same ordered
+    slice."""
+    from wilayah_aceh_etl_spark.streaming import (
+        read_event_stream,
+        running_user_ewma,
+    )
+
+    stream = read_event_stream(spark, event_files).filter(
+        F.col("user_id") < 5
+    )
+    q = (
+        running_user_ewma(stream, alpha=0.5)
+        .writeStream.format("memory")
+        .queryName("ewma_alpha05")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, r.ewma_02)
+        for r in spark.table("ewma_alpha05").collect()
+    }
+
+    rows = (
+        load_table(spark, SF_SMOKE, "events")
+        .filter(F.col("user_id") < 5)
+        .select("user_id", "ts", "event_id", "value")
+        .orderBy("user_id", "ts", "event_id")
+        .collect()
+    )
+    expect = {}
+    for r in rows:
+        n, e = expect.get(r.user_id, (0, None))
+        e = float(r.value) if e is None else 0.5 * r.value + 0.5 * e
+        expect[r.user_id] = (n + 1, e)
+    assert set(got) == set(expect)
+    for uid, (n, e) in expect.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - e) < 1e-9

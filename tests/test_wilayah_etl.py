@@ -365,3 +365,26 @@ def test_upsert_file_scoped_rewrite(spark, tmp_path):
         .collect()
     )
     assert [r.updated_at for r in others] == [CLOCK]
+
+
+def test_upsert_into_new_level_partition(spark, tmp_path):
+    """A batch for a level with no existing partition directory is a
+    pure insert: no files are affected, the new level=N directory
+    appears, and the existing partitions stay byte-identical."""
+    path = str(tmp_path / "new_level")
+    assert W.seed_if_empty(spark, GEOJSON_DIR, path, clock=CLOCK) is True
+    before = _partition_file_stats(path)
+    assert set(before) == {"level=1"}
+
+    later = datetime.datetime(2026, 8, 1)
+    batch = W.ingest_features(spark, GEOJSON_DIR, clock=later).filter(
+        F.col("level") == 2
+    )
+    assert W.upsert(spark, path, batch, clock=later) == 18
+
+    after = _partition_file_stats(path)
+    assert after["level=1"] == before["level=1"]
+    assert "level=2" in after and after["level=2"]
+    t = W.load_wilayah(spark, path)
+    assert t.count() == 19
+    assert t.filter("level = 2").count() == 18
