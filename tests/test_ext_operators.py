@@ -355,3 +355,21 @@ def test_python_cms_reader_matches_jvm(spark):
         jvm_sketch.estimateCount(k) for k in keys
     ]
     assert py.total_count == 5000
+
+
+def test_segment_dedup_keep_first_semantics(spark):
+    """Planted duplicate segment: doc 1 owns the first occurrence,
+    doc 2's copy counts as duplicated; unique segments stay kept."""
+    ten_a = " ".join(f"a{i}" for i in range(10))
+    ten_b = " ".join(f"b{i}" for i in range(10))
+    ten_c = " ".join(f"c{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, f"{ten_a} {ten_b}"), (2, f"{ten_a} {ten_c}")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: (r.n_segments, r.n_kept, r.dup_ratio)
+        for r in D.segment_dedup_stats(df).collect()
+    }
+    assert rows[1] == (2, 2, 0.0)  # first occurrence keeps both
+    assert rows[2] == (2, 1, 0.5)  # the shared segment is a dup here

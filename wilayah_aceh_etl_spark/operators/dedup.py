@@ -548,3 +548,62 @@ def incremental_near_dup_filter(
             ).alias("kept"),
         )
     )
+
+
+def segment_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 10,
+) -> DataFrame:
+    """Line/paragraph-level exact dedup across the corpus — the
+    CCNet/RefinedWeb shape: hash each segment, keep only the FIRST
+    corpus-wide occurrence (order = (doc_id, seg_idx)), report the
+    per-document retained fraction. The corpus here carries no
+    newlines, so 'lines' are fixed windows of `seg_tokens` whitespace
+    tokens — the segmentation function is the pluggable part, the
+    dedup topology is the point.
+
+    Scale: segments shuffle as (md5, doc_id, seg_idx) triples — the
+    segment TEXT never leaves the map side. One shuffle, partitioned
+    by segment hash (md5-uniform, no skew); the keep-first rule is a
+    row_number window on that same partitioning, so no second
+    exchange; the per-doc rollup shuffles one row per document.
+    Cleaned-text reconstruction (not emitted here) joins the kept
+    (doc_id, seg_idx) set back to a fresh map-side segmentation —
+    bodies still never shuffle."""
+    from pyspark.sql.window import Window
+
+    segs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.expr(
+                "transform("
+                f"  sequence(0, CAST((size(split({text_col}, ' ')) - 1) "
+                f"                   / {seg_tokens} AS INT)),"
+                f"  i -> array_join(slice(split({text_col}, ' '),"
+                f"                        i * {seg_tokens} + 1, {seg_tokens}),"
+                "                   ' '))"
+            )
+        ).alias("seg_idx", "seg"),
+    ).select("doc_id", "seg_idx", F.md5(F.col("seg")).alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
+    kept = segs.select(
+        "doc_id",
+        (F.row_number().over(w) == 1).cast("int").alias("is_first"),
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("is_first").cast("long").alias("n_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_kept",
+            F.round(
+                1.0 - F.col("n_kept") / F.col("n_segments"), 4
+            ).alias("dup_ratio"),
+        )
+    )

@@ -189,6 +189,45 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_segment_level_ccnet",
+    oracle="""
+WITH segs AS (
+  SELECT doc_id, CAST(t.i AS INTEGER) AS seg_idx,
+         md5(array_to_string(
+               list_slice(string_split(text, ' '),
+                          t.i * 10 + 1, t.i * 10 + 10), ' ')) AS h
+  FROM documents,
+       UNNEST(range(0, (len(string_split(text, ' ')) - 1) // 10 + 1))
+         AS t(i)
+),
+kept AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY h
+                                      ORDER BY doc_id, seg_idx) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM segs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(is_first) AS BIGINT) AS n_kept,
+       ROUND(1.0 - CAST(SUM(is_first) AS DOUBLE) / COUNT(*), 4)
+         AS dup_ratio
+FROM kept GROUP BY doc_id ORDER BY doc_id
+""",
+    tags=("ext", "dedup", "ccnet", "segment"),
+    description="CCNet-style segment-hash dedup: per-doc retained fraction",
+)
+def dedup_segment_level_ccnet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line/paragraph-level exact dedup (CCNet/RefinedWeb): hash
+    each 10-token segment, keep only the first corpus-wide
+    occurrence, report per-doc duplication. Segment text never
+    shuffles — only (md5, doc_id, seg_idx) triples; see
+    operators/dedup.py:segment_dedup_stats for the scale notes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.segment_dedup_stats(docs).orderBy("doc_id")
+
+
+@register(
     "dedup_ngram_jaccard_pairs",
     oracle="WITH "
     + _SHINGLE_CTE
