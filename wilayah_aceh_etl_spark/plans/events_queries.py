@@ -1066,6 +1066,94 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("click_id", "purchase_id")
 
 
+_STREAM_LOJ_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click' AND user_id < 30
+),
+purch AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase' AND user_id < 30
+)
+SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts, p.purchase_ts
+FROM clicks c
+LEFT JOIN purch p
+  ON p.user_id = c.user_id
+ AND c.click_ts < p.purchase_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+ORDER BY click_id, purchase_id
+"""
+
+
+@register(
+    "streaming_stream_stream_left_outer",
+    oracle=_STREAM_LOJ_ORACLE,
+    tags=("streaming", "events", "stream-stream-join", "outer"),
+    description="LEFT OUTER stream-stream join drained by watermark, oracle-checked",
+)
+def streaming_stream_stream_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The null-emitting stream-stream class, end-to-end: unmatched
+    clicks may only emit once the cross-side watermark PROVES no
+    match can still arrive, so a single availableNow pass is not
+    enough — the query runs the production two-trigger protocol
+    (parquet sink + checkpoint): pass 1 over the real slice emits
+    matches (and whatever lates the in-data watermark already
+    closed), then a far-future sentinel batch on BOTH types advances
+    the min-watermark past every click's horizon and pass 2 drains
+    the remaining null-padded rows from state. The cumulative sink
+    must then equal the batch LEFT JOIN exactly — which is the whole
+    point: watermark expiry is observable output, held to a DuckDB
+    oracle. State is bounded by (watermark + horizon) per side at
+    any corpus rate; the user_id<30 slice keeps the gate run small."""
+    import datetime as _dt
+    import os
+    import tempfile
+    import uuid
+
+    from wilayah_aceh_etl_spark.streaming import (
+        click_purchase_attribution_outer,
+        read_event_stream,
+    )
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    max_ts = e.agg(F.max("ts")).head()[0]
+    run_id = uuid.uuid4().hex[:10]
+    base = os.path.join(tempfile.gettempdir(), f"wilayah_spark_loj_{run_id}")
+    src, ckpt, out = (os.path.join(base, d) for d in ("src", "ckpt", "out"))
+
+    def run_pass():
+        q = (
+            click_purchase_attribution_outer(read_event_stream(spark, src))
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    e.coalesce(4).write.mode("overwrite").parquet(src)
+    run_pass()
+    flush_ts = max_ts + _dt.timedelta(days=30)
+    spark.createDataFrame(
+        [
+            (999_998, flush_ts, 9_998, "click", 0.0, "{}"),
+            (999_999, flush_ts, 9_999, "purchase", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_pass()
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") < 30)  # drop the sentinel rows
+        .orderBy("click_id", "purchase_id")
+    )
+
+
 _STATEFUL_TOTALS_ORACLE = """
 SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
