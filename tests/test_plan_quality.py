@@ -102,6 +102,7 @@ NLJ_ALLOWED = {
     "orders_chain_ladder_forecast",  # 1-row development-factor broadcast
     "ope_ips_policy_value",  # 1-row log-size broadcast (propensity denom)
     "events_evt_peaks_over_threshold",  # 1-row threshold broadcast
+    "layout_zorder_morton",  # 1-row global min/max bounds broadcast
 }
 
 

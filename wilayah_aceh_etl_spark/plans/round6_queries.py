@@ -3608,6 +3608,93 @@ def layout_partition_prune_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 # ---------------------------------------------------------------------------
+# Z-order (Morton) clustering codes
+# ---------------------------------------------------------------------------
+
+
+def _zorder_oracle() -> str:
+    from wilayah_aceh_etl_spark.functions.zorder import (
+        morton_interleave_sql,
+        quantize_minmax_sql,
+    )
+
+    qx = quantize_minmax_sql("l_partkey", "pmin", "pmax", 8)
+    qy = quantize_minmax_sql("l_suppkey", "smin", "smax", 8)
+    z = morton_interleave_sql("qx", "qy", 8)
+    return f"""
+WITH b AS (
+  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+  FROM lineitem
+),
+q AS (
+  SELECT {qx} AS qx, {qy} AS qy
+  FROM lineitem CROSS JOIN b
+),
+z AS (SELECT qx, qy, {z} AS zval FROM q)
+SELECT CAST((zval - (zval % 1024)) / 1024 AS BIGINT) AS z_block,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(qx) AS BIGINT) AS qx_min, CAST(MAX(qx) AS BIGINT) AS qx_max,
+       CAST(MIN(qy) AS BIGINT) AS qy_min, CAST(MAX(qy) AS BIGINT) AS qy_max
+FROM z GROUP BY z_block ORDER BY z_block
+"""
+
+
+@register(
+    "layout_zorder_morton",
+    oracle=_zorder_oracle(),
+    tags=("layout", "zorder", "data-skipping"),
+    description="Z-order (Morton) codes over (partkey, suppkey), block-boxed",
+)
+def layout_zorder_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZORDER BY (l_partkey, l_suppkey) as pure Catalyst bit
+    arithmetic (functions/zorder.py): quantize each key to 8 bits
+    against its global min/max (one 1-row broadcast aggregate),
+    interleave into a 16-bit Morton code, and report per-1024-code
+    block the bounding box of both quantized keys. The small per-
+    block qx/qy ranges in the output ARE the property that makes the
+    layout useful: a file written per block carries tight min/max
+    footer stats on BOTH columns, so scans filtering on either key
+    skip most files (the re-layout write itself is exercised and
+    footer-verified in tests/test_bucketing.py). The oracle recomputes
+    the identical codes from the shared SQL fragments — bit-exact
+    across engines."""
+    from wilayah_aceh_etl_spark.functions.zorder import (
+        morton_interleave,
+        quantize_minmax,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+    q = li.crossJoin(F.broadcast(bounds)).select(
+        quantize_minmax(
+            F.col("l_partkey"), F.col("pmin"), F.col("pmax"), 8
+        ).alias("qx"),
+        quantize_minmax(
+            F.col("l_suppkey"), F.col("smin"), F.col("smax"), 8
+        ).alias("qy"),
+    )
+    z = q.select("qx", "qy", morton_interleave(F.col("qx"), F.col("qy"), 8).alias("zval"))
+    zb = F.col("zval") - F.col("zval") % 1024
+    return (
+        z.groupBy(((zb) / 1024).cast("long").alias("z_block"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("qx").cast("long").alias("qx_min"),
+            F.max("qx").cast("long").alias("qx_max"),
+            F.min("qy").cast("long").alias("qy_min"),
+            F.max("qy").cast("long").alias("qy_max"),
+        )
+        .orderBy("z_block")
+    )
+
+
+# ---------------------------------------------------------------------------
 # foreachBatch keyed-upsert sink (streaming S9)
 # ---------------------------------------------------------------------------
 
