@@ -388,3 +388,54 @@ def test_upsert_into_new_level_partition(spark, tmp_path):
     t = W.load_wilayah(spark, path)
     assert t.count() == 19
     assert t.filter("level = 2").count() == 18
+
+
+def test_compact_table_bin_packs_small_files(spark, tmp_path):
+    """Three single-key upserts leave a trail of small files; OPTIMIZE
+    merges exactly the small ones (content-invariant, kode-sorted),
+    leaves at-size files alone, and a second run is a no-op."""
+    path = str(tmp_path / "compact")
+    W.sync(spark, GEOJSON_DIR, path, code="11", clock=CLOCK)
+    keys = [
+        r[0]
+        for r in W.load_wilayah(spark, path)
+        .filter("level = 4")
+        .select("kode_wilayah_kemendagri")
+        .orderBy("kode_wilayah_kemendagri")
+        .limit(3)
+        .collect()
+    ]
+    later = datetime.datetime(2026, 7, 15)
+    for k in keys:
+        batch = W.ingest_features(spark, GEOJSON_DIR, clock=later).filter(
+            F.col("kode_wilayah_kemendagri") == k
+        )
+        W.upsert(spark, path, batch, clock=later)
+
+    import os
+
+    l4 = os.path.join(path, "level=4")
+    n_before = len([f for f in os.listdir(l4) if f.endswith(".parquet")])
+    before_rows = sorted(
+        W.load_wilayah(spark, path)
+        .select(*W.TABLE_COLUMNS)
+        .collect()
+    )
+
+    report = W.compact_table(spark, path)  # every file here is "small"
+    assert 4 in report
+    n_after = len([f for f in os.listdir(l4) if f.endswith(".parquet")])
+    assert n_after < n_before
+    assert report[4] == (n_before, n_after)
+
+    after_rows = sorted(
+        W.load_wilayah(spark, path)
+        .select(*W.TABLE_COLUMNS)
+        .collect()
+    )
+    assert after_rows == before_rows  # content-invariant
+
+    # at-size files untouched: rerun with a tiny threshold → no-op
+    stats0 = _partition_file_stats(path)
+    assert W.compact_table(spark, path, small_bytes=10) == {}
+    assert _partition_file_stats(path) == stats0

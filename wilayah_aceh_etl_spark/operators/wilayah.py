@@ -326,6 +326,63 @@ def _swap_files(
     shutil.rmtree(tmp)
 
 
+def compact_table(
+    spark: SparkSession,
+    table_path: str,
+    small_bytes: int = 8 * 1024 * 1024,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict[int, tuple[int, int]]:
+    """OPTIMIZE: bin-pack the small files that file-scoped upserts
+    accumulate. Per level partition, every data file under
+    `small_bytes` is read back and rewritten as
+    ceil(total_small_bytes / target_bytes) kode-sorted files; files
+    already at size are NOT touched (same bytes, same inodes). Row
+    content is invariant — compaction moves bytes, never changes
+    them. Returns {level: (n_files_before, n_files_after)} for the
+    compacted levels.
+
+    Scale notes: the decision input is pure file metadata (one stat
+    per file); each level compacts independently, so a 100 TB table's
+    maintenance job parallelizes per partition and a partition with
+    one big file costs nothing. The small-file rewrite pays the same
+    one coalesce shuffle OPTIMIZE pays anywhere. Defaults: compact
+    below 8 MB, aim for 128 MB outputs (one input split)."""
+    report: dict[int, tuple[int, int]] = {}
+    if not _table_exists(table_path):
+        return report
+    for entry in sorted(os.listdir(table_path)):
+        d = os.path.join(table_path, entry)
+        if not (entry.startswith("level=") and os.path.isdir(d)):
+            continue
+        files = [
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+        small = [f for f in files if os.path.getsize(f) < small_bytes]
+        if len(small) < 2:
+            continue  # nothing to gain from rewriting 0-1 files
+        level = int(entry.split("=", 1)[1])
+        total = sum(os.path.getsize(f) for f in small)
+        n_out = max(1, -(-total // target_bytes))
+        tmp = table_path + f"._compact_{level}"
+        (
+            spark.read.option("basePath", table_path)
+            .parquet(*small)
+            .coalesce(n_out)
+            .sortWithinPartitions(_KODE)
+            .write.mode("overwrite")
+            .partitionBy("level")
+            .parquet(tmp)
+        )
+        _swap_files(table_path, tmp, small)
+        n_after = len(
+            [f for f in os.listdir(d) if f.endswith(".parquet")]
+        )
+        report[level] = (len(files), n_after)
+    return report
+
+
 def sync(
     spark: SparkSession,
     geojson_dir: str,
