@@ -411,3 +411,59 @@ def test_g3_divergence_pin_adversarial_ring():
     ]
     # the hole survives untouched (≤4-point rings are never simplified)
     assert out["coordinates"][0][1] == hole
+
+
+def _py_morton(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i + 1)
+        z |= ((y >> i) & 1) << (2 * i)
+    return z
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=20, suppress_health_check=[HealthCheck.too_slow])
+def test_morton_sql_fragment_matches_python(pairs):
+    """The portable SQL interleave fragment (DuckDB oracle side) is
+    bit-identical to the reference Python implementation — and a
+    bijection on the 8-bit grid (distinct pairs → distinct codes)."""
+    import duckdb
+
+    from wilayah_aceh_etl_spark.functions.zorder import morton_interleave_sql
+
+    con = duckdb.connect()
+    values = ", ".join(f"({x}, {y})" for x, y in pairs)
+    got = con.sql(
+        f"SELECT x, y, {morton_interleave_sql('x', 'y', 8)} AS z "
+        f"FROM (VALUES {values}) t(x, y) ORDER BY x, y"
+    ).fetchall()
+    codes = set()
+    for x, y, z in got:
+        assert z == _py_morton(x, y, 8)
+        codes.add(z)
+    assert len(codes) == len(pairs)  # bijective on the grid
+
+
+def test_morton_catalyst_matches_python(spark):
+    """The Catalyst bit-expression interleave equals the reference
+    Python implementation over an exhaustive 32x32 grid corner."""
+    from pyspark.sql import functions as F
+
+    from wilayah_aceh_etl_spark.functions.zorder import morton_interleave
+
+    df = (
+        spark.range(32 * 32)
+        .select(
+            (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+        )
+        .select("x", "y", morton_interleave(F.col("x"), F.col("y"), 8).alias("z"))
+    )
+    for r in df.collect():
+        assert r.z == _py_morton(r.x, r.y, 8), (r.x, r.y)
