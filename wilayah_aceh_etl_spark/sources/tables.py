@@ -60,10 +60,21 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     no matter how wide the cluster. At real scale the scan already
     has ≥cores partitions and this is a no-op — the shuffle only
     happens when the input is small enough that shuffling it is
-    cheap by construction."""
-    sc = df.sparkSession.sparkContext
+    cheap by construction.
+
+    Under Spark Connect the partition probe (RDD API) does not
+    exist; the helper then returns the input unchanged — the
+    conservative choice, since the alternative (unconditional
+    repartition) would shuffle a full-size scan, and on a real
+    cluster input splitting already provides the parallelism this
+    guard exists to recover."""
+    try:
+        sc = df.sparkSession.sparkContext
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no sparkContext / RDD surface
+        return df
     goal = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < goal:
+    if n_parts < goal:
         return df.repartition(goal)
     return df
 
