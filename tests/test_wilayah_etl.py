@@ -439,3 +439,23 @@ def test_compact_table_bin_packs_small_files(spark, tmp_path):
     stats0 = _partition_file_stats(path)
     assert W.compact_table(spark, path, small_bytes=10) == {}
     assert _partition_file_stats(path) == stats0
+
+
+def test_vacuum_staging_removes_only_orphans(spark, tmp_path):
+    """Simulated mid-swap crash leaves a staging tree; vacuum removes
+    it (and compaction leftovers) without touching the table."""
+    import os
+
+    path = str(tmp_path / "vac")
+    W.sync(spark, GEOJSON_DIR, path, code="11", clock=CLOCK)
+    before = _partition_file_stats(path)
+
+    os.makedirs(path + "._staged/level=4", exist_ok=True)
+    os.makedirs(path + "._compact_4", exist_ok=True)
+    (tmp_path / "vac._staged" / "level=4" / "junk.parquet").write_bytes(b"x")
+
+    removed = W.vacuum_staging(path)
+    assert sorted(removed) == sorted([path + "._staged", path + "._compact_4"])
+    assert not os.path.exists(path + "._staged")
+    assert _partition_file_stats(path) == before
+    assert W.vacuum_staging(path) == []  # idempotent

@@ -383,6 +383,29 @@ def compact_table(
     return report
 
 
+def vacuum_staging(table_path: str) -> list[str]:
+    """VACUUM: remove orphaned staging trees (`._staged`,
+    `._compact_*`) left behind if a merge or compaction died between
+    its write and its swap. Safe at any time — the table directory
+    proper is never written in place, so a staging tree is garbage
+    the moment no upsert/compact call is running. Returns the paths
+    removed. (The committed table needs no vacuum: swaps delete
+    replaced files immediately rather than tombstoning them.)"""
+    import shutil
+
+    parent = os.path.dirname(table_path) or "."
+    base = os.path.basename(table_path)
+    removed = []
+    if not os.path.isdir(parent):
+        return removed
+    for entry in os.listdir(parent):
+        if entry == f"{base}._staged" or entry.startswith(f"{base}._compact_"):
+            full = os.path.join(parent, entry)
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(full)
+    return removed
+
+
 def sync(
     spark: SparkSession,
     geojson_dir: str,
