@@ -459,3 +459,42 @@ def test_vacuum_staging_removes_only_orphans(spark, tmp_path):
     assert not os.path.exists(path + "._staged")
     assert _partition_file_stats(path) == before
     assert W.vacuum_staging(path) == []  # idempotent
+
+
+def test_delete_keys_file_scoped(spark, tmp_path):
+    """Erasure is the anti-merge: deleting two level-4 keys rewrites
+    only the files whose footer range contains them; the rest of the
+    table — including sibling level-4 files — keeps its inodes."""
+    path = str(tmp_path / "erasure")
+    W.sync(spark, GEOJSON_DIR, path, code="11", clock=CLOCK)
+    before = _partition_file_stats(path)
+
+    victims = (
+        W.load_wilayah(spark, path)
+        .filter("level = 4")
+        .select("kode_wilayah_kemendagri", "level")
+        .orderBy("kode_wilayah_kemendagri")
+        .limit(2)
+    )
+    victim_keys = [r[0] for r in victims.collect()]
+    assert W.delete_keys(spark, path, victims) == 2
+
+    after = _partition_file_stats(path)
+    for d in ("level=1", "level=2", "level=3"):
+        assert after[d] == before[d]
+    kept = set(before["level=4"].items()) & set(after["level=4"].items())
+    assert kept, "delete rewrote every level-4 file"
+
+    t = W.load_wilayah(spark, path)
+    assert t.count() == 386
+    assert (
+        t.filter(F.col("kode_wilayah_kemendagri").isin(victim_keys)).count()
+        == 0
+    )
+    # deleting absent keys is a no-op (fresh keys frame — the original
+    # victims lineage would replay a scan of the now-deleted file)
+    gone = spark.createDataFrame(
+        [(k, 4) for k in victim_keys],
+        "kode_wilayah_kemendagri string, level int",
+    )
+    assert W.delete_keys(spark, path, gone) == 0

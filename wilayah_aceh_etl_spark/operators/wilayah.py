@@ -383,6 +383,65 @@ def compact_table(
     return report
 
 
+def delete_keys(
+    spark: SparkSession, table_path: str, keys: DataFrame
+) -> int:
+    """DELETE WHERE key IN (...) at file scope — the erasure
+    counterpart of the file-scoped MERGE (and the right-to-be-
+    forgotten primitive at 100 TB): footer-stats pruning finds the
+    files that can contain the keys, ONLY those are rewritten with an
+    anti-join, every other file keeps its bytes and inode. Returns
+    the number of rows actually deleted (Observation-free: the count
+    is the difference of two metadata-cheap aggregates over the
+    affected slice only).
+
+    `keys` must carry the table's key column (kode_wilayah_kemendagri)
+    and `level` (derivable from the kode by the length dispatch —
+    callers can use `F.length` mapping if they only hold kodes).
+
+    Isolation caveat (applies to every file-scoped rewrite here,
+    merge included): plain Parquet has no snapshot isolation, so a
+    DataFrame resolved against the OLD file set fails with
+    FILE_NOT_EXIST if executed after a rewrite replaced those files.
+    Re-resolve (re-read the path) after any merge/delete/compact —
+    the transaction log that would make old snapshots readable is
+    exactly what Delta adds on top of this layout."""
+    if not _table_exists(table_path):
+        return 0
+    keys = keys.select(_KODE, "level").distinct().persist()
+    try:
+        levels = [r["level"] for r in keys.select("level").distinct().collect()]
+        if not levels:
+            return 0
+        affected = _affected_files(spark, table_path, levels, keys)
+        if not affected:
+            return 0
+        existing = (
+            spark.read.option("basePath", table_path)
+            .parquet(*affected)
+            .persist()
+        )
+        survivors = existing.join(keys, [_KODE, "level"], "left_anti")
+        n_before = existing.count()
+        n_survivors = survivors.count()  # slice-sized; reuses the cache
+        tmp = table_path + "._staged"
+        (
+            survivors.select(*TABLE_COLUMNS)
+            .repartitionByRange(
+                UPSERT_RANGE_PARTITIONS, F.col("level"), F.col(_KODE)
+            )
+            .sortWithinPartitions("level", _KODE)
+            .write.mode("overwrite")
+            .partitionBy("level")
+            .parquet(tmp)
+        )
+        existing.unpersist()
+        _swap_files(table_path, tmp, affected)
+        return int(n_before - n_survivors)
+    finally:
+        keys.unpersist()
+
+
 def vacuum_staging(table_path: str) -> list[str]:
     """VACUUM: remove orphaned staging trees (`._staged`,
     `._compact_*`) left behind if a merge or compaction died between
