@@ -373,3 +373,58 @@ def test_segment_dedup_keep_first_semantics(spark):
     }
     assert rows[1] == (2, 2, 0.0)  # first occurrence keeps both
     assert rows[2] == (2, 1, 0.5)  # the shared segment is a dup here
+
+
+def test_png_pixel_roundtrip_all_filters():
+    """decode_png_pixels must invert encode_png_pixels for every
+    scanline filter the spec defines (None/Sub/Up/Average/Paeth),
+    every supported channel count, and non-square shapes — pure
+    Python, no Spark."""
+    import random
+
+    rng = random.Random(42)
+    for channels in (1, 2, 3, 4):
+        for ft in (0, 1, 2, 3, 4):
+            w, h = rng.randint(1, 9), rng.randint(1, 9)
+            px = bytes(rng.randrange(256) for _ in range(w * h * channels))
+            payload = M.encode_png_pixels(px, w, h, channels, filter_type=ft)
+            # header parser agrees on the way through
+            assert M.parse_image_header(payload) == (w, h, channels)
+            got = M.decode_png_pixels(payload)
+            assert got == (w, h, channels, px), (channels, ft, w, h)
+
+
+def test_png_pixel_decode_unsupported_is_explicit_seam():
+    import struct
+    import zlib
+
+    # palette (color type 3) must hit the seam, not mis-decode
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2))
+        + M._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError):
+        M.decode_png_pixels(pal)
+    with pytest.raises(NotImplementedError):
+        M.decode_png_pixels(b"GIF89a not a png")
+
+
+def test_real_resize_downsamples_pixels(spark, docs):
+    """resize_media(real=True): output PNGs re-decode to the reduced
+    dimensions with intensities drawn from the source image (constant
+    here, so exactly preserved)."""
+    media = M.attach_png_payload(docs.limit(10), "doc_id", max_side=64)
+    rows = M.resize_media(media, max_side=16, real=True).collect()
+    assert len(rows) == 10
+    for r in rows:
+        w, h, ch, px = M.decode_png_pixels(bytes(r.payload))
+        assert (w, h) == (r.width, r.height)
+        assert max(w, h) <= 16
+        orig_w = 1 + r.media_id % 64
+        orig_h = 1 + (r.media_id * 7) % 64
+        s = max(1.0, max(orig_w, orig_h) / 16)
+        assert w == max(1, int(orig_w / s)) and h == max(1, int(orig_h / s))
+        assert set(px) == {r.media_id % 256}  # constant image preserved

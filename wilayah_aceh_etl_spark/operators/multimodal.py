@@ -173,31 +173,162 @@ def decode_media(df: DataFrame, real: bool = False) -> DataFrame:
     return df.mapInPandas(batches, DECODED_SCHEMA)
 
 
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import binascii
+    import struct
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", binascii.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
 def make_png(width: int, height: int, gray: int = 128) -> bytes:
     """A genuine, spec-valid grayscale PNG built with stdlib only
     (struct + zlib + binascii.crc32): signature, IHDR, one IDAT of
     filter-0 scanlines, IEND. Used to feed REAL image bytes through
     the decode path in environments without image libraries."""
-    import binascii
     import struct
     import zlib
-
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + tag
-            + data
-            + struct.pack(">I", binascii.crc32(tag + data) & 0xFFFFFFFF)
-        )
 
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
     raw = (b"\x00" + bytes([gray % 256]) * width) * height
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, 6))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
     )
+
+
+# PNG scanline filter ids (spec §9): None, Sub, Up, Average, Paeth
+_PNG_FILTERS = (0, 1, 2, 3, 4)
+
+
+def encode_png_pixels(
+    pixels: bytes, width: int, height: int, channels: int = 1,
+    filter_type: int = 0,
+) -> bytes:
+    """Encode raw 8-bit pixels (row-major, `channels` samples per
+    pixel: 1=gray, 2=gray+alpha, 3=RGB, 4=RGBA) as a spec-valid PNG,
+    applying the SAME scanline filter to every row. Exists so the
+    decoder's un-filtering of all five filter types can be
+    property-tested against a known pixel buffer."""
+    import struct
+    import zlib
+
+    if filter_type not in _PNG_FILTERS:
+        raise ValueError(f"bad filter {filter_type}")
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    assert len(pixels) == stride * height
+    out = bytearray()
+    prev = bytes(stride)
+    for r in range(height):
+        row = pixels[r * stride : (r + 1) * stride]
+        out.append(filter_type)
+        for i in range(stride):
+            x = row[i]
+            a = row[i - channels] if i >= channels else 0  # left
+            b = prev[i]  # up
+            c = prev[i - channels] if i >= channels else 0  # up-left
+            if filter_type == 0:
+                f = x
+            elif filter_type == 1:
+                f = (x - a) & 0xFF
+            elif filter_type == 2:
+                f = (x - b) & 0xFF
+            elif filter_type == 3:
+                f = (x - (a + b) // 2) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                f = (x - pred) & 0xFF
+            out.append(f)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """FULL pixel decode of a PNG in pure Python: chunk walk → IDAT
+    concat → zlib inflate → per-scanline UN-filtering of all five
+    spec filters (None/Sub/Up/Average/Paeth). Supports the common
+    web case — 8-bit depth, color types 0/2/4/6 (gray, RGB,
+    gray+alpha, RGBA), no interlace — and raises NotImplementedError
+    at the seam for palette/16-bit/Adam7 (where a full codec library
+    would take over). Returns (width, height, channels, raw pixels
+    row-major)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError("not a PNG")
+    pos, idat, meta = 8, bytearray(), None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            meta = (w, h, depth, color, interlace)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise NotImplementedError("PNG without IHDR")
+    w, h, depth, color, interlace = meta
+    channels = _PNG_CHANNELS.get(color)
+    if depth != 8 or interlace != 0 or color == 3 or channels is None:
+        raise NotImplementedError(
+            "pure-Python PNG decode covers 8-bit non-interlaced "
+            "gray/RGB/+alpha; palette/16-bit/Adam7 need a codec library"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != (stride + 1) * h:
+        raise NotImplementedError("unexpected PNG data length")
+    out = bytearray(stride * h)
+    prev = bytes(stride)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        row = bytearray(raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            raise NotImplementedError(f"PNG filter {ft}")
+        out[r * stride : (r + 1) * stride] = row
+        prev = bytes(row)
+    return w, h, channels, bytes(out)
 
 
 def attach_png_payload(
@@ -243,26 +374,113 @@ RESIZED_SCHEMA = T.StructType(
 )
 
 
-def resize_media(df: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize stub: scales the fake dimensions, passes payload
-    through (a real impl transcodes in the same batch loop)."""
+def resize_media(
+    df: DataFrame, max_side: int = 256, real: bool = False
+) -> DataFrame:
+    """Resize in the Arrow batch loop. real=True performs an ACTUAL
+    nearest-neighbor resample: pure-Python PNG pixel decode →
+    index-sampled rows/columns → PNG re-encode (stdlib zlib). The
+    default stub path scales the fake dimensions and passes payload
+    through — kept for pipeline-shape tests on non-PNG payloads."""
 
     def batches(it):
         import pandas as pd
 
         for pdf in it:
-            meta = [_fake_decode(bytes(p)) for p in pdf["payload"]]
-            scale = [max(1.0, max(m[0], m[1]) / max_side) for m in meta]
+            ids, ws, hs, payloads = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(p)
+                if real:
+                    w, h, ch, px = decode_png_pixels(b)
+                    s = max(1.0, max(w, h) / max_side)
+                    nw, nh = max(1, int(w / s)), max(1, int(h / s))
+                    stride = w * ch
+                    out = bytearray(nw * nh * ch)
+                    for r in range(nh):
+                        sr = min(h - 1, int(r * s))
+                        for c in range(nw):
+                            sc = min(w - 1, int(c * s))
+                            o = (r * nw + c) * ch
+                            i = sr * stride + sc * ch
+                            out[o : o + ch] = px[i : i + ch]
+                    ids.append(mid)
+                    ws.append(nw)
+                    hs.append(nh)
+                    payloads.append(
+                        encode_png_pixels(bytes(out), nw, nh, ch)
+                    )
+                else:
+                    m = _fake_decode(b)
+                    s = max(1.0, max(m[0], m[1]) / max_side)
+                    ids.append(mid)
+                    ws.append(int(m[0] / s))
+                    hs.append(int(m[1] / s))
+                    payloads.append(b)
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"],
-                    "width": [int(m[0] / s) for m, s in zip(meta, scale)],
-                    "height": [int(m[1] / s) for m, s in zip(meta, scale)],
-                    "payload": pdf["payload"],
+                    "media_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "payload": payloads,
                 }
             )
 
     return df.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("min_intensity", T.IntegerType()),
+        T.StructField("max_intensity", T.IntegerType()),
+    ]
+)
+
+
+def png_pixel_stats(df: DataFrame) -> DataFrame:
+    """Feature extraction through the FULL pixel decode: per media,
+    the intensity profile of the first channel. This is the operator
+    shape of any image featurizer (decode → per-pixel reduce) with
+    the decode genuinely executed — not header-only, not faked."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, ch, px = decode_png_pixels(bytes(p))
+                first = px[::ch] if ch > 1 else px
+                n = w * h
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        n,
+                        round(sum(first) / n, 4),
+                        min(first),
+                        max(first),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_pixels",
+                    "mean_intensity",
+                    "min_intensity",
+                    "max_intensity",
+                ],
+            )
+
+    return df.mapInPandas(batches, PIXEL_STATS_SCHEMA)
 
 
 FRAMES_SCHEMA = T.StructType(

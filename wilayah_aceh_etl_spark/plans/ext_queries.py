@@ -848,6 +848,47 @@ def multimodal_png_header_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_pixel_stats",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST((1 + doc_id % 64) * (1 + (doc_id * 7) % 64) AS BIGINT)
+         AS n_pixels,
+       ROUND(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_intensity,
+       CAST(doc_id % 256 AS INTEGER) AS min_intensity,
+       CAST(doc_id % 256 AS INTEGER) AS max_intensity
+FROM documents WHERE doc_id < 100
+ORDER BY media_id
+""",
+    tags=("ext", "multimodal", "decode", "pixels"),
+    description="FULL PNG pixel decode (pure Python) → intensity features",
+)
+def multimodal_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pixel path, end to end: synthesize genuine PNGs
+    (constant intensity id%256, dimensions from id arithmetic),
+    zlib-inflate + un-filter every scanline in pure Python
+    (operators/multimodal.py:decode_png_pixels — all five spec
+    filters), and reduce to per-image intensity features. The oracle
+    predicts every output from the construction arithmetic, so a
+    hash match proves actual pixels flowed through decode — the
+    multimodal 'codec stubbed' caveat is closed for PNG."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.attach_png_payload(docs, "doc_id")
+    return (
+        M.png_pixel_stats(media)
+        .select(
+            "media_id",
+            "n_pixels",
+            "mean_intensity",
+            "min_intensity",
+            "max_intensity",
+        )
+        .orderBy("media_id")
+    )
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
 WITH m AS (
