@@ -15,6 +15,13 @@ Scale: the quantization bounds come from one tiny min/max aggregate
 a re-layout job is the repartitionByRange on the code — exactly the
 shuffle any global sort pays, but paid once at write time to make
 every future scan prune.
+
+Relationship to `sources/maintenance.zorder_key`: that is the
+generic N-column WRITE-path variant (float min-max scaling — fine
+for layout, where only locality matters). This module is the
+integer-exact 2-column variant whose arithmetic is reproducible
+bit-for-bit by the DuckDB oracle (`layout_zorder_morton`), which
+float scaling cannot guarantee; both interleaves are property-tested.
 """
 
 from __future__ import annotations

@@ -346,7 +346,14 @@ def compact_table(
     maintenance job parallelizes per partition and a partition with
     one big file costs nothing. The small-file rewrite pays the same
     one coalesce shuffle OPTIMIZE pays anywhere. Defaults: compact
-    below 8 MB, aim for 128 MB outputs (one input split)."""
+    below 8 MB, aim for 128 MB outputs (one input split).
+
+    Relationship to `sources/maintenance.compact_table`: that is the
+    generic whole-table re-layout (rewrites everything at a target
+    size, any parquet table). This is the MANAGED-table OPTIMIZE:
+    scoped to small files only, inode-preserving for at-size files,
+    aware of the level partitioning and kode sort the merge/delete
+    paths maintain."""
     report: dict[int, tuple[int, int]] = {}
     if not _table_exists(table_path):
         return report
