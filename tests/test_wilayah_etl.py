@@ -498,3 +498,60 @@ def test_delete_keys_file_scoped(spark, tmp_path):
         "kode_wilayah_kemendagri string, level int",
     )
     assert W.delete_keys(spark, path, gone) == 0
+
+
+def test_commit_log_time_travel(spark, tmp_path):
+    """Delta-lite log: every mutation commits a version; plain reads
+    see only the latest; read_table_version reconstructs any prior
+    snapshot from live + history files; vacuum enforces retention."""
+    path = str(tmp_path / "travel")
+    W.sync(spark, GEOJSON_DIR, path, code="11", clock=CLOCK)  # v0
+    assert W.table_version(path) == 0
+
+    key = (
+        W.load_wilayah(spark, path)
+        .filter("level = 4")
+        .select("kode_wilayah_kemendagri")
+        .orderBy("kode_wilayah_kemendagri")
+        .limit(1)
+        .collect()[0][0]
+    )
+    later = datetime.datetime(2026, 8, 1)
+    batch = W.ingest_features(spark, GEOJSON_DIR, clock=later).filter(
+        F.col("kode_wilayah_kemendagri") == key
+    )
+    W.upsert(spark, path, batch, clock=later)  # v1 (merge)
+    gone = spark.createDataFrame(
+        [(key, 4)], "kode_wilayah_kemendagri string, level int"
+    )
+    assert W.delete_keys(spark, path, gone) == 1  # v2 (delete)
+    assert W.table_version(path) == 2
+
+    hist = W.table_history(path)
+    assert [h["action"] for h in hist] == ["merge", "merge", "delete"]
+    assert all(h["n_files"] > 0 for h in hist)
+
+    # plain read = latest: the key is gone
+    t = W.load_wilayah(spark, path)
+    assert t.count() == 387
+    # v0 snapshot: original row with the original timestamp
+    v0 = W.read_table_version(spark, path, 0)
+    assert v0.count() == 388
+    r0 = v0.filter(F.col("kode_wilayah_kemendagri") == key).collect()[0]
+    assert r0.updated_at == CLOCK
+    # v1 snapshot: updated row present
+    v1 = W.read_table_version(spark, path, 1)
+    assert v1.count() == 388
+    r1 = v1.filter(F.col("kode_wilayah_kemendagri") == key).collect()[0]
+    assert r1.updated_at == later
+    # default = latest
+    assert W.read_table_version(spark, path).count() == 387
+
+    # vacuum with retention 0: all history gone, old snapshots raise
+    removed = W.vacuum_history(path, keep_versions=0)
+    assert removed
+    assert W.read_table_version(spark, path).count() == 387  # latest fine
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="vacuumed"):
+        W.read_table_version(spark, path, 0).count()

@@ -210,7 +210,7 @@ def upsert(
             .partitionBy("level")
             .parquet(tmp)
         )
-        _swap_files(table_path, tmp, affected)
+        _swap_files(table_path, tmp, affected, action="merge")
         return int(obs.get["n_batch"])
     finally:
         batch.unpersist()
@@ -296,24 +296,125 @@ def _affected_files(
     return no_stats + [r["path"] for r in hit]
 
 
+# ---------------------------------------------------------------------------
+# Commit log (Delta-lite): versioned manifests + time travel
+# ---------------------------------------------------------------------------
+#
+# Every mutation commits `_log/v{N}.json` holding the FULL relative-
+# path manifest after the commit (at 100 TB you would log deltas and
+# checkpoint periodically — the small-table simplification is the
+# manifest-per-commit). Files a commit removes are MOVED to
+# `_history/v{N}/...` instead of deleted: the underscore prefix hides
+# them from plain `spark.read.parquet(table)` (which therefore always
+# sees exactly the LATEST version), while `read_table_version`
+# resolves any manifest against live + history files for snapshot
+# reads. `vacuum_history` enforces retention. Single-writer, like the
+# rest of the table; a real multi-writer log needs the atomic
+# rename-if-absent Delta builds on.
+
+_LOG_DIR = "_log"
+_HISTORY_DIR = "_history"
+
+
+def _log_dir(table_path: str) -> str:
+    return os.path.join(table_path, _LOG_DIR)
+
+
+def table_version(table_path: str) -> int | None:
+    """Latest committed version, or None for a pre-log/absent table."""
+    d = _log_dir(table_path)
+    if not os.path.isdir(d):
+        return None
+    versions = [
+        int(f[1:-5])
+        for f in os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    return max(versions) if versions else None
+
+
+def _read_commit(table_path: str, version: int) -> dict:
+    import json
+
+    with open(os.path.join(_log_dir(table_path), f"v{version:06d}.json")) as f:
+        return json.load(f)
+
+
+def _commit(
+    table_path: str,
+    action: str,
+    added: list[str],
+    removed: list[str],
+    version: int | None = None,
+) -> int:
+    import json
+
+    prev = table_version(table_path)
+    if version is None:
+        version = 0 if prev is None else prev + 1
+    prev_manifest = (
+        _read_commit(table_path, prev)["manifest"] if prev is not None else []
+    )
+    gone = set(removed)
+    manifest = [p for p in prev_manifest if p not in gone] + sorted(added)
+    os.makedirs(_log_dir(table_path), exist_ok=True)
+    record = {
+        "version": version,
+        "action": action,
+        "manifest": manifest,
+        "added": sorted(added),
+        "removed": sorted(removed),
+    }
+    final = os.path.join(_log_dir(table_path), f"v{version:06d}.json")
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(record, f)
+    os.rename(tmp, final)  # atomic publish of the commit record
+    return version
+
+
+def _live_files(path: str) -> list[str]:
+    out = []
+    for entry in sorted(os.listdir(path)):
+        d = os.path.join(path, entry)
+        if entry.startswith("level=") and os.path.isdir(d):
+            out += [
+                f"{entry}/{f}"
+                for f in sorted(os.listdir(d))
+                if f.endswith(".parquet")
+            ]
+    return out
+
+
 def _swap_files(
-    path: str, tmp: str, affected: list[str] | None
-) -> None:
-    """Move staged data files into their level directories, deleting
-    exactly the affected files they replace. `affected is None` means
-    initial load → the staged tree becomes the table wholesale. Spark
-    part filenames embed the write-job UUID, so staged names never
-    collide with kept files."""
+    path: str, tmp: str, affected: list[str] | None, action: str = "write"
+) -> int:
+    """Move staged data files into their level directories, retiring
+    exactly the affected files they replace into `_history/v{N}/`
+    (hidden from plain reads, kept for time travel), and commit the
+    new manifest. `affected is None` means initial load → the staged
+    tree becomes version 0 wholesale. Spark part filenames embed the
+    write-job UUID, so staged names never collide with kept files.
+    Returns the committed version."""
     import shutil
 
     if affected is None or not os.path.exists(path):
         if os.path.exists(path):
             shutil.rmtree(path)
         os.rename(tmp, path)
-        return
+        return _commit(path, action, _live_files(path), [])
+    prev = table_version(path)
+    version = 0 if prev is None else prev + 1
+    hist = os.path.join(path, _HISTORY_DIR, f"v{version:06d}")
+    removed_rel = []
     for old in affected:
         if os.path.exists(old):
-            os.remove(old)
+            rel = os.path.relpath(old, path)
+            dst = os.path.join(hist, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(old, dst)
+            removed_rel.append(rel)
+    added_rel = []
     for entry in os.listdir(tmp):
         src = os.path.join(tmp, entry)
         if not (entry.startswith("level=") and os.path.isdir(src)):
@@ -323,7 +424,90 @@ def _swap_files(
         for f in os.listdir(src):
             if f.endswith(".parquet"):
                 os.rename(os.path.join(src, f), os.path.join(dst_dir, f))
+                added_rel.append(f"{entry}/{f}")
     shutil.rmtree(tmp)
+    return _commit(path, action, added_rel, removed_rel, version)
+
+
+def read_table_version(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot (time-travel) read: reconstruct the file set of
+    `version` from its manifest, resolving each entry against the
+    live tree first and `_history/v*/` second (where later commits
+    retired it). The `level` partition column is rebuilt from the
+    manifest paths, so live and historical files read identically.
+    Raises if a needed file was vacuumed."""
+    import glob as _glob
+
+    from functools import reduce
+
+    v = table_version(table_path) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no commit log at {table_path}")
+    manifest = _read_commit(table_path, v)["manifest"]
+    by_level: dict[int, list[str]] = {}
+    for rel in manifest:
+        level_dir, name = rel.split("/", 1)
+        lv = int(level_dir.split("=", 1)[1])
+        live = os.path.join(table_path, rel)
+        if os.path.exists(live):
+            by_level.setdefault(lv, []).append(live)
+            continue
+        hits = _glob.glob(
+            os.path.join(table_path, _HISTORY_DIR, "v*", level_dir, name)
+        )
+        if not hits:
+            raise FileNotFoundError(
+                f"{rel} of version {v} has been vacuumed"
+            )
+        by_level.setdefault(lv, []).append(hits[0])
+    parts = [
+        spark.read.parquet(*files).withColumn("level", F.lit(lv))
+        for lv, files in sorted(by_level.items())
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def table_history(table_path: str) -> list[dict]:
+    """The commit log, oldest first: version, action, file deltas."""
+    v = table_version(table_path)
+    if v is None:
+        return []
+    out = []
+    for i in range(v + 1):
+        c = _read_commit(table_path, i)
+        out.append(
+            {
+                "version": c["version"],
+                "action": c["action"],
+                "n_files": len(c["manifest"]),
+                "n_added": len(c["added"]),
+                "n_removed": len(c["removed"]),
+            }
+        )
+    return out
+
+
+def vacuum_history(table_path: str, keep_versions: int = 2) -> list[str]:
+    """Retention: drop `_history/v{N}` trees retired more than
+    `keep_versions` commits ago. Versions whose files are vacuumed
+    remain listed in the log but raise on read — same contract as
+    Delta's VACUUM vs its retained log."""
+    import shutil
+
+    current = table_version(table_path)
+    hist_root = os.path.join(table_path, _HISTORY_DIR)
+    removed = []
+    if current is None or not os.path.isdir(hist_root):
+        return removed
+    cutoff = current - keep_versions
+    for entry in sorted(os.listdir(hist_root)):
+        if entry.startswith("v") and int(entry[1:]) <= cutoff:
+            full = os.path.join(hist_root, entry)
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(full)
+    return removed
 
 
 def compact_table(
@@ -382,7 +566,7 @@ def compact_table(
             .partitionBy("level")
             .parquet(tmp)
         )
-        _swap_files(table_path, tmp, small)
+        _swap_files(table_path, tmp, small, action=f"compact(level={level})")
         n_after = len(
             [f for f in os.listdir(d) if f.endswith(".parquet")]
         )
@@ -443,7 +627,7 @@ def delete_keys(
             .parquet(tmp)
         )
         existing.unpersist()
-        _swap_files(table_path, tmp, affected)
+        _swap_files(table_path, tmp, affected, action="delete")
         return int(n_before - n_survivors)
     finally:
         keys.unpersist()
