@@ -591,12 +591,12 @@ def delete_keys(
     callers can use `F.length` mapping if they only hold kodes).
 
     Isolation caveat (applies to every file-scoped rewrite here,
-    merge included): plain Parquet has no snapshot isolation, so a
-    DataFrame resolved against the OLD file set fails with
-    FILE_NOT_EXIST if executed after a rewrite replaced those files.
-    Re-resolve (re-read the path) after any merge/delete/compact —
-    the transaction log that would make old snapshots readable is
-    exactly what Delta adds on top of this layout."""
+    merge included): a plain-read DataFrame resolved against the OLD
+    file set fails with FILE_NOT_EXIST if executed after a rewrite
+    retired those files. Either re-resolve (re-read the path) after
+    any merge/delete/compact, or read through the commit log —
+    `read_table_version` pins a snapshot whose files survive until
+    `vacuum_history` drops them."""
     if not _table_exists(table_path):
         return 0
     keys = keys.select(_KODE, "level").distinct().persist()
