@@ -468,3 +468,52 @@ def test_ewma_custom_alpha_used_in_fold(spark, event_files):
     for uid, (n, e) in expect.items():
         assert got[uid][0] == n
         assert abs(got[uid][1] - e) < 1e-9
+
+
+def test_merge_last_wins_is_file_scoped(spark, tmp_path):
+    """The generic streaming merge reads and rewrites only the files
+    whose footer key-range intersects the batch — a narrow batch must
+    leave the other range-files' inodes untouched."""
+    import os
+
+    from wilayah_aceh_etl_spark.streaming.sinks import merge_last_wins
+
+    path = str(tmp_path / "scoped_merge")
+    base = spark.range(10_000).select(
+        F.col("id").alias("k"),
+        F.lit(0).alias("ver"),
+        (F.col("id") * 2).alias("v"),
+    )
+    merge_last_wins(spark, path, base, ["k"], ["ver"])
+
+    def stats():
+        return {
+            f: (os.stat(os.path.join(path, f)).st_ino,
+                os.stat(os.path.join(path, f)).st_mtime_ns)
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        }
+
+    before = stats()
+    assert len(before) >= 4  # range layout split the table
+
+    narrow = spark.createDataFrame(
+        [(17, 1, 999), (18, 1, 998)], "k long, ver long, v long"
+    )
+    merge_last_wins(spark, path, narrow, ["k"], ["ver"])
+    after = stats()
+    kept = set(before.items()) & set(after.items())
+    assert kept, "narrow merge rewrote every file"
+    assert before != after
+
+    t = spark.read.parquet(path)
+    assert t.count() == 10_000
+    got = {r.k: (r.ver, r.v) for r in t.filter("k in (17, 18, 19)").collect()}
+    assert got == {17: (1, 999), 18: (1, 998), 19: (0, 38)}
+
+    # event-time truth: an OLDER version never overwrites a newer one
+    stale = spark.createDataFrame([(17, 0, 1)], "k long, ver long, v long")
+    merge_last_wins(spark, path, stale, ["k"], ["ver"])
+    assert (
+        spark.read.parquet(path).filter("k = 17").collect()[0].ver == 1
+    )

@@ -4,14 +4,18 @@ Structured Streaming's file sinks are append-only; an upserted table
 (the reference's S9 semantics, SURVEY §2.1) needs foreachBatch + the
 same last-wins window rewrite the batch engine uses
 (operators/wilayah.py::upsert). Each micro-batch is merged
-transactionally (staged write + atomic swap), so the table is always
-a consistent snapshot; the checkpoint makes re-processing idempotent
-— a replayed batch produces the same winners.
+transactionally (staged write + swap), so the table is always a
+consistent snapshot; the checkpoint makes re-processing idempotent —
+a replayed batch produces the same winners.
 
-At scale the rewrite's shuffle is keyed on the merge key; AQE sizes
-the post-shuffle partitions. (With a Delta/Iceberg table this whole
-module collapses to MERGE INTO — this is the storage-format-free
-equivalent.)
+Scale: like the wilayah MERGE, the generic merge is FILE-SCOPED —
+the table is kept range-sorted on the merge key, each batch reads
+only the files whose footer key-range intersects its keys, and only
+those files are replaced. A micro-batch therefore costs
+O(files-containing-its-keys), not O(table) — the property that makes
+a continuous upsert stream sustainable at 100 TB. (With a
+Delta/Iceberg table this whole module collapses to MERGE INTO — this
+is the storage-format-free equivalent.)
 """
 
 from __future__ import annotations
@@ -21,6 +25,74 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# staged-write fan-out; at scale size as merged_bytes / target_file_bytes
+MERGE_RANGE_PARTITIONS = 8
+
+
+def _key_file_stats(table_path: str, key_col: str):
+    """(path, kmin, kmax) per data file from parquet footers; None
+    stats mean unknown → the caller treats the file as affected."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in os.listdir(table_path):
+        if not f.endswith(".parquet"):
+            continue
+        path = os.path.join(table_path, f)
+        kmin = kmax = None
+        try:
+            md = pq.ParquetFile(path).metadata
+            idx = md.schema.names.index(key_col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                kmin, kmax = min(mins), max(maxs)
+        except Exception:
+            pass
+        out.append((path, kmin, kmax))
+    return out
+
+
+def _affected_by_key(
+    spark: SparkSession, table_path: str, batch: DataFrame, key_col: str
+) -> list[str]:
+    """Footer-range pruning on the leading merge key. Scoping on the
+    FIRST key component alone is sound for composite keys: every file
+    whose range contains a batch row's leading key is included, so
+    the merge window still sees every row of every touched key."""
+    stats = _key_file_stats(table_path, key_col)
+    if not stats:
+        return []
+    no_stats = [p for p, kmin, _ in stats if kmin is None]
+    with_stats = [s for s in stats if s[1] is not None]
+    if not with_stats:
+        return no_stats
+    sample = with_stats[0][1]
+    if isinstance(sample, bool) or not isinstance(sample, (int, str)):
+        return [p for p, _, _ in stats]  # unsupported key type: no pruning
+    sql_t = "bigint" if isinstance(sample, int) else "string"
+    stats_df = spark.createDataFrame(
+        with_stats, f"path string, kmin {sql_t}, kmax {sql_t}"
+    )
+    keys = batch.select(F.col(key_col).alias("_k")).distinct()
+    hit = (
+        F.broadcast(stats_df)
+        .join(
+            keys,
+            (keys._k >= stats_df.kmin) & (keys._k <= stats_df.kmax),
+            "left_semi",
+        )
+        .select("path")
+        .collect()
+    )
+    return no_stats + [r["path"] for r in hit]
 
 
 def merge_last_wins(
@@ -33,13 +105,20 @@ def merge_last_wins(
     """Generic keyed last-wins merge into a parquet table: the
     greatest `order_cols` value wins per key (event-time truth — a
     late-arriving older row never overwrites a newer one); batch rows
-    win exact order ties against existing rows. One shuffle on the
-    key."""
+    win exact order ties against existing rows.
+
+    File-scoped like the wilayah MERGE: only files whose footer
+    range on the leading key intersects the batch are read, merged,
+    and replaced; the staged output is range-sorted on the keys so
+    the NEXT batch prunes just as tightly. One shuffle on the key."""
     from pyspark.sql.window import Window
 
     batch = batch.withColumn("_prio", F.lit(1))
+    affected: list[str] | None = None
     if os.path.exists(table_path):
-        existing = spark.read.parquet(table_path).withColumn(
+        affected = _affected_by_key(spark, table_path, batch, keys[0])
+    if affected:
+        existing = spark.read.parquet(*affected).withColumn(
             "_prio", F.lit(0)
         )
         merged = batch.unionByName(existing)
@@ -54,10 +133,24 @@ def merge_last_wins(
         .drop("_rn", "_prio")
     )
     tmp = table_path + "._staged"
-    winners.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(table_path):
-        shutil.rmtree(table_path)
-    os.rename(tmp, table_path)
+    (
+        winners.repartitionByRange(MERGE_RANGE_PARTITIONS, *keys)
+        .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    if affected is None or not os.path.exists(table_path):
+        if os.path.exists(table_path):
+            shutil.rmtree(table_path)
+        os.rename(tmp, table_path)
+        return
+    for old in affected:
+        if os.path.exists(old):
+            os.remove(old)
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(tmp, f), os.path.join(table_path, f))
+    shutil.rmtree(tmp)
 
 
 def upsert_stream(
