@@ -822,3 +822,112 @@ def wilayah_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+# ---------------------------------------------------------------------------
+# Commit log + time travel through the gate (S9 storage layer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "wilayah_commit_log_time_travel",
+    oracle="""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS total,
+         CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS low5,
+         CAST(SUM(CASE WHEN n_nationkey % 7 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS del7,
+         CAST(SUM(CASE WHEN n_nationkey % 5 = 0 AND n_nationkey % 7 <> 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS low_after
+  FROM nation
+)
+SELECT * FROM (
+  SELECT 0 AS version, 'merge' AS action, total AS n_rows,
+         CAST(0 AS BIGINT) AS n_lower FROM m
+  UNION ALL
+  SELECT 1, 'merge', total, low5 FROM m
+  UNION ALL
+  SELECT 2, 'delete', total - del7, low_after FROM m
+) ORDER BY version
+""",
+    tags=("wilayah", "storage", "commit-log", "time-travel"),
+    description="commit-log snapshots: row counts per version via time travel",
+)
+def wilayah_commit_log_time_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The storage layer's version history as observable output: a
+    managed table built from the nation dim goes through merge →
+    targeted merge → targeted delete (three commits), then every
+    version is read back THROUGH THE LOG (read_table_version resolves
+    live + retired files) and profiled. The oracle derives the same
+    per-version row/lowercased counts relationally — a hash match
+    certifies that snapshot reads return exactly the pre-mutation
+    states, i.e. that the commit log actually isolates versions."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from wilayah_aceh_etl_spark.operators import wilayah as W
+
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    clock = _dt.datetime(2026, 1, 1)
+    kode = F.concat_ws(
+        ".", _lpad2(F.col("r_regionkey")), _lpad2(F.col("n_nationkey"))
+    )
+    base = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            kode.alias("kode_wilayah_kemendagri"),
+            F.col("n_name").alias("nama_wilayah_kemendagri"),
+            F.lit(2).alias("level"),
+            F.lit("{}").alias("geometry"),
+            F.lit(clock.isoformat()).cast("timestamp").alias("created_at"),
+            F.lit(clock.isoformat()).cast("timestamp").alias("updated_at"),
+            F.col("n_nationkey").alias("_nk"),
+        )
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"wilayah_spark_tt_{uuid.uuid4().hex[:10]}"
+    )
+    try:
+        W.upsert(spark, path, base.drop("_nk"), clock=clock)  # v0
+        lowered = (
+            base.filter(F.col("_nk") % 5 == 0)
+            .withColumn(
+                "nama_wilayah_kemendagri",
+                F.lower("nama_wilayah_kemendagri"),
+            )
+            .drop("_nk")
+        )
+        W.upsert(spark, path, lowered, clock=clock)  # v1
+        victims = base.filter(F.col("_nk") % 7 == 0).select(
+            "kode_wilayah_kemendagri", "level"
+        )
+        W.delete_keys(spark, path, victims)  # v2
+        rows = []
+        for h in W.table_history(path):
+            snap = W.read_table_version(spark, path, h["version"])
+            profile = snap.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(
+                    (
+                        F.col("nama_wilayah_kemendagri")
+                        == F.lower("nama_wilayah_kemendagri")
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("n_lower"),
+            ).head()
+            rows.append(
+                (h["version"], h["action"], profile.n_rows, profile.n_lower)
+            )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version int, action string, n_rows long, n_lower long"
+    ).orderBy("version")
