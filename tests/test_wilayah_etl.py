@@ -555,3 +555,27 @@ def test_commit_log_time_travel(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="vacuumed"):
         W.read_table_version(spark, path, 0).count()
+
+
+def test_commit_lock_blocks_second_writer(spark, tmp_path):
+    """A held commit lock makes a concurrent mutation fail fast with
+    ConcurrentWriteError (single-writer enforced, not assumed);
+    vacuum_staging clears a stale lock after a crash."""
+    import os
+
+    path = str(tmp_path / "locked")
+    W.sync(spark, GEOJSON_DIR, path, code="11.01", clock=CLOCK)
+
+    lock = path + "._commit_lock"
+    os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+    later = datetime.datetime(2026, 9, 1)
+    batch = W.ingest_features(spark, GEOJSON_DIR, clock=later).filter(
+        F.col("level") == 2
+    )
+    with pytest.raises(W.ConcurrentWriteError, match="another writer"):
+        W.upsert(spark, path, batch, clock=later)
+
+    # crash recovery: vacuum clears the stale lock, writes proceed
+    removed = W.vacuum_staging(path)
+    assert lock in removed and not os.path.exists(lock)
+    assert W.upsert(spark, path, batch, clock=later) > 0

@@ -386,16 +386,62 @@ def _live_files(path: str) -> list[str]:
     return out
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted to mutate the table while a commit
+    was in flight."""
+
+
+class _commit_lock:
+    """Single-writer ENFORCEMENT (not just an assumption): an
+    O_CREAT|O_EXCL lock file taken for the swap-and-commit critical
+    section. Works on any POSIX filesystem; on object stores the
+    equivalent primitive is the atomic put-if-absent Delta builds its
+    multi-writer protocol on. A crashed writer leaves the lock behind
+    — `vacuum_staging` clears it along with the orphaned staging
+    trees."""
+
+    def __init__(self, table_path: str):
+        self._path = table_path + "._commit_lock"
+        self._fd = None
+
+    def __enter__(self):
+        try:
+            self._fd = os.open(
+                self._path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+            )
+        except FileExistsError:
+            raise ConcurrentWriteError(
+                f"another writer holds {self._path}; if it crashed, "
+                "run vacuum_staging() to clear the stale lock"
+            ) from None
+        return self
+
+    def __exit__(self, *exc):
+        if self._fd is not None:
+            os.close(self._fd)
+            os.remove(self._path)
+        return False
+
+
 def _swap_files(
     path: str, tmp: str, affected: list[str] | None, action: str = "write"
 ) -> int:
     """Move staged data files into their level directories, retiring
     exactly the affected files they replace into `_history/v{N}/`
     (hidden from plain reads, kept for time travel), and commit the
-    new manifest. `affected is None` means initial load → the staged
-    tree becomes version 0 wholesale. Spark part filenames embed the
-    write-job UUID, so staged names never collide with kept files.
-    Returns the committed version."""
+    new manifest — all under the commit lock. `affected is None`
+    means initial load → the staged tree becomes version 0 wholesale.
+    Spark part filenames embed the write-job UUID, so staged names
+    never collide with kept files. Returns the committed version."""
+    import shutil
+
+    with _commit_lock(path):
+        return _swap_files_locked(path, tmp, affected, action)
+
+
+def _swap_files_locked(
+    path: str, tmp: str, affected: list[str] | None, action: str
+) -> int:
     import shutil
 
     if affected is None or not os.path.exists(path):
@@ -635,12 +681,12 @@ def delete_keys(
 
 def vacuum_staging(table_path: str) -> list[str]:
     """VACUUM: remove orphaned staging trees (`._staged`,
-    `._compact_*`) left behind if a merge or compaction died between
-    its write and its swap. Safe at any time — the table directory
-    proper is never written in place, so a staging tree is garbage
-    the moment no upsert/compact call is running. Returns the paths
-    removed. (The committed table needs no vacuum: swaps delete
-    replaced files immediately rather than tombstoning them.)"""
+    `._compact_*`) and a stale `._commit_lock` left behind if a merge
+    or compaction died mid-flight. Safe when no writer is running —
+    the table directory proper is never written in place, so staging
+    artifacts are garbage the moment no upsert/compact call is live.
+    Returns the paths removed. (Retired data files live under
+    `_history/` and are governed by vacuum_history instead.)"""
     import shutil
 
     parent = os.path.dirname(table_path) or "."
@@ -649,9 +695,12 @@ def vacuum_staging(table_path: str) -> list[str]:
     if not os.path.isdir(parent):
         return removed
     for entry in os.listdir(parent):
+        full = os.path.join(parent, entry)
         if entry == f"{base}._staged" or entry.startswith(f"{base}._compact_"):
-            full = os.path.join(parent, entry)
             shutil.rmtree(full, ignore_errors=True)
+            removed.append(full)
+        elif entry == f"{base}._commit_lock":
+            os.remove(full)
             removed.append(full)
     return removed
 
