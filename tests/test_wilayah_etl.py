@@ -579,3 +579,38 @@ def test_commit_lock_blocks_second_writer(spark, tmp_path):
     removed = W.vacuum_staging(path)
     assert lock in removed and not os.path.exists(lock)
     assert W.upsert(spark, path, batch, clock=later) > 0
+
+
+def test_restore_table_rolls_back_and_keeps_history(spark, tmp_path):
+    """RESTORE: the target version's file set becomes the new latest
+    as a NEW commit; intermediate snapshots stay readable; restores
+    are themselves restorable."""
+    path = str(tmp_path / "restore")
+    W.sync(spark, GEOJSON_DIR, path, code="11", clock=CLOCK)  # v0: 388
+    key = (
+        W.load_wilayah(spark, path)
+        .filter("level = 4")
+        .select("kode_wilayah_kemendagri")
+        .orderBy("kode_wilayah_kemendagri")
+        .limit(1)
+        .collect()[0][0]
+    )
+    gone = spark.createDataFrame(
+        [(key, 4)], "kode_wilayah_kemendagri string, level int"
+    )
+    assert W.delete_keys(spark, path, gone) == 1  # v1: 387
+
+    new_v = W.restore_table(path, 0)  # v2 == v0 content
+    assert new_v == 2
+    t = W.load_wilayah(spark, path)
+    assert t.count() == 388
+    assert (
+        t.filter(F.col("kode_wilayah_kemendagri") == key).count() == 1
+    )
+    # the deleted state (v1) is still snapshot-readable
+    assert W.read_table_version(spark, path, 1).count() == 387
+    hist = W.table_history(path)
+    assert hist[-1]["action"] == "restore(v0)"
+    # restore of the restore: back to the deleted state
+    assert W.restore_table(path, 1) == 3
+    assert W.load_wilayah(spark, path).count() == 387

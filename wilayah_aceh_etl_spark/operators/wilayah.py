@@ -535,6 +535,57 @@ def table_history(table_path: str) -> list[dict]:
     return out
 
 
+def restore_table(table_path: str, version: int) -> int:
+    """RESTORE (Delta-style rollback): make `version`'s file set the
+    new LATEST, as a new commit — history is never rewritten, so
+    every intermediate version stays readable and a restore is
+    itself restorable. Mechanics: files of the target manifest that
+    were retired are COPIED back from `_history/` to their original
+    live paths (copy, not move — the history copy keeps serving older
+    snapshot reads); live files not in the target manifest are
+    retired. Also the crash-recovery tool: after a writer died
+    mid-swap, restoring the last committed version reassembles
+    exactly its file set. Returns the new version number."""
+    import glob as _glob
+    import shutil
+
+    with _commit_lock(table_path):
+        target = _read_commit(table_path, version)["manifest"]
+        prev = table_version(table_path)
+        new_version = prev + 1
+        hist = os.path.join(table_path, _HISTORY_DIR, f"v{new_version:06d}")
+        target_set = set(target)
+        added = []
+        for rel in target:
+            live = os.path.join(table_path, rel)
+            if os.path.exists(live):
+                continue
+            level_dir, name = rel.split("/", 1)
+            hits = _glob.glob(
+                os.path.join(table_path, _HISTORY_DIR, "v*", level_dir, name)
+            )
+            if not hits:
+                raise FileNotFoundError(
+                    f"{rel} of version {version} has been vacuumed — "
+                    "cannot restore"
+                )
+            os.makedirs(os.path.dirname(live), exist_ok=True)
+            shutil.copy2(hits[0], live)
+            added.append(rel)
+        removed = []
+        for rel in _live_files(table_path):
+            if rel in target_set:
+                continue
+            src = os.path.join(table_path, rel)
+            dst = os.path.join(hist, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            removed.append(rel)
+        return _commit(
+            table_path, f"restore(v{version})", added, removed, new_version
+        )
+
+
 def vacuum_history(table_path: str, keep_versions: int = 2) -> list[str]:
     """Retention: drop `_history/v{N}` trees retired more than
     `keep_versions` commits ago. Versions whose files are vacuumed
