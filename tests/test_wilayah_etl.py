@@ -614,3 +614,95 @@ def test_restore_table_rolls_back_and_keeps_history(spark, tmp_path):
     # restore of the restore: back to the deleted state
     assert W.restore_table(path, 1) == 3
     assert W.load_wilayah(spark, path).count() == 387
+
+
+def test_storage_layer_model_interleaving(spark, tmp_path):
+    """Model-based check of the whole storage layer: a fixed
+    interleaving of merge / delete / compact / restore is mirrored
+    in a plain Python dict; after EVERY commit the plain read, the
+    dict model, and the per-version snapshots must agree."""
+    import os
+
+    path = str(tmp_path / "model")
+    base = (
+        W.ingest_features(spark, GEOJSON_DIR, clock=CLOCK)
+        .filter(F.col("level").isin(3, 4))
+        .select(*W.TABLE_COLUMNS)
+        .collect()
+    )
+    rows = {r[0]: r for r in base}
+    keys = sorted(rows)
+
+    def batch_of(ks, clock):
+        data = [
+            (k, rows[k][1], rows[k][2], rows[k][3], clock, clock)
+            for k in ks
+        ]
+        return spark.createDataFrame(data, schema=W.TABLE_COLUMNS)
+
+    model: dict[str, object] = {}
+    snapshots: list[set] = []
+
+    def check():
+        got = {
+            r[0]
+            for r in W.load_wilayah(spark, path)
+            .select("kode_wilayah_kemendagri")
+            .collect()
+        }
+        assert got == set(model), "plain read diverged from model"
+        snapshots.append(set(model))
+        for v, snap in enumerate(snapshots):
+            got_v = {
+                r[0]
+                for r in W.read_table_version(spark, path, v)
+                .select("kode_wilayah_kemendagri")
+                .collect()
+            }
+            assert got_v == snap, f"snapshot v{v} diverged"
+
+    t0 = datetime.datetime(2026, 3, 1)
+    # v0: initial merge of the first 200 keys
+    W.upsert(spark, path, batch_of(keys[:200], t0), clock=t0)
+    model.update({k: True for k in keys[:200]})
+    check()
+    # v1: merge 100 more (50 overlapping)
+    W.upsert(spark, path, batch_of(keys[150:250], t0), clock=t0)
+    model.update({k: True for k in keys[150:250]})
+    check()
+    # v2: delete every 7th key
+    victims = [k for i, k in enumerate(keys[:250]) if i % 7 == 0]
+    vdf = spark.createDataFrame(
+        [(k, rows[k][2]) for k in victims],
+        "kode_wilayah_kemendagri string, level int",
+    )
+    W.delete_keys(spark, path, vdf)
+    for k in victims:
+        model.pop(k, None)
+    check()
+    # v3+: compaction commits (content-invariant, may be several levels)
+    W.compact_table(spark, path)
+    v = W.table_version(path)
+    while len(snapshots) <= v:
+        snapshots.append(set(model))  # compact commits don't change rows
+    check_rows = {
+        r[0]
+        for r in W.load_wilayah(spark, path)
+        .select("kode_wilayah_kemendagri")
+        .collect()
+    }
+    assert check_rows == set(model)
+    # restore to v1: model returns to the pre-delete state
+    W.restore_table(path, 1)
+    model = {k: True for k in snapshots[1]}
+    got = {
+        r[0]
+        for r in W.load_wilayah(spark, path)
+        .select("kode_wilayah_kemendagri")
+        .collect()
+    }
+    assert got == set(model)
+    # actions recorded coherently
+    actions = [h["action"] for h in W.table_history(path)]
+    assert actions[0] == "merge" and actions[-1] == "restore(v1)"
+    assert "delete" in actions
