@@ -517,3 +517,29 @@ def test_merge_last_wins_is_file_scoped(spark, tmp_path):
     assert (
         spark.read.parquet(path).filter("k = 17").collect()[0].ver == 1
     )
+
+
+def test_merge_last_wins_schema_evolution(spark, tmp_path):
+    """A batch carrying a NEW column merges without a table rewrite:
+    touched files gain the column, untouched files are filled with
+    nulls at read time (mergeSchema)."""
+    from wilayah_aceh_etl_spark.streaming.sinks import merge_last_wins
+
+    path = str(tmp_path / "evolve")
+    base = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("ver"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    merge_last_wins(spark, path, base, ["k"], ["ver"])
+
+    evolved = spark.createDataFrame(
+        [(5, 1, 2, "tagged")], "k long, ver long, v long, tag string"
+    )
+    merge_last_wins(spark, path, evolved, ["k"], ["ver"])
+
+    t = spark.read.option("mergeSchema", True).parquet(path)
+    assert "tag" in t.columns
+    assert t.count() == 1000
+    got = {r.k: (r.ver, r.tag) for r in t.filter("k in (5, 6)").collect()}
+    assert got == {5: (1, "tagged"), 6: (0, None)}

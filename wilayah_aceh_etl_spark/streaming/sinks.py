@@ -110,7 +110,16 @@ def merge_last_wins(
     File-scoped like the wilayah MERGE: only files whose footer
     range on the leading key intersects the batch are read, merged,
     and replaced; the staged output is range-sorted on the keys so
-    the NEXT batch prunes just as tightly. One shuffle on the key."""
+    the NEXT batch prunes just as tightly. One shuffle on the key.
+
+    Schema evolution (Delta's mergeSchema): a batch may carry columns
+    the table lacks and vice versa — the union fills either side with
+    nulls, so adding a field to the stream never requires a table
+    rewrite. NOTE the interaction with file scoping: untouched files
+    keep their old physical schema and the default parquet reader
+    errors on missing columns, so tables that evolve must be read
+    with spark.read.option("mergeSchema", True) (or be compacted,
+    which rewrites stragglers onto the current schema)."""
     from pyspark.sql.window import Window
 
     batch = batch.withColumn("_prio", F.lit(1))
@@ -121,7 +130,7 @@ def merge_last_wins(
         existing = spark.read.parquet(*affected).withColumn(
             "_prio", F.lit(0)
         )
-        merged = batch.unionByName(existing)
+        merged = batch.unionByName(existing, allowMissingColumns=True)
     else:
         merged = batch
     w = Window.partitionBy(*keys).orderBy(
