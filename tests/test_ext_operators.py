@@ -428,3 +428,38 @@ def test_real_resize_downsamples_pixels(spark, docs):
         s = max(1.0, max(orig_w, orig_h) / 16)
         assert w == max(1, int(orig_w / s)) and h == max(1, int(orig_h / s))
         assert set(px) == {r.media_id % 256}  # constant image preserved
+
+
+@pytest.mark.parametrize(
+    "eps,conf,seed",
+    [(0.01, 0.9, 7), (0.001, 0.99, 42), (0.05, 0.8, 0), (0.002, 0.95, 12345)],
+)
+def test_python_cms_reader_across_parameters(spark, eps, conf, seed):
+    """Wire-format parse must hold for every (depth, width) geometry
+    the (eps, confidence) surface produces, not just one sketch."""
+    from wilayah_aceh_etl_spark.functions.sketches import (
+        CountMinSketchReader,
+    )
+
+    df = spark.range(2000).select((F.col("id") % 61).alias("k"))
+    payload = bytes(
+        df.agg(
+            F.count_min_sketch(
+                F.col("k"), F.lit(eps), F.lit(conf), F.lit(seed)
+            )
+        ).head()[0]
+    )
+    py = CountMinSketchReader.from_bytes(payload)
+    jvm_sketch = (
+        spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            spark._sc._jvm.java.io.ByteArrayInputStream(payload)
+        )
+    )
+    assert (py.depth, py.width) == (
+        jvm_sketch.depth(),
+        jvm_sketch.width(),
+    )
+    keys = list(range(70)) + [-3, 10**12]
+    assert [py.estimate_count(k) for k in keys] == [
+        jvm_sketch.estimateCount(k) for k in keys
+    ]
