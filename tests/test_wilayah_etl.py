@@ -706,3 +706,35 @@ def test_storage_layer_model_interleaving(spark, tmp_path):
     actions = [h["action"] for h in W.table_history(path)]
     assert actions[0] == "merge" and actions[-1] == "restore(v1)"
     assert "delete" in actions
+
+
+def test_merge_pruning_uses_log_stats_not_footers(spark, tmp_path, monkeypatch):
+    """After the first commit, merge pruning must be served entirely
+    from the commit log's stats — footer reads on the merge path are
+    forbidden (monkeypatched to explode)."""
+    path = str(tmp_path / "logstats")
+    W.sync(spark, GEOJSON_DIR, path, code="11", clock=CLOCK)
+
+    def boom(*a, **k):
+        raise AssertionError("footer read on the merge path")
+
+    monkeypatch.setattr(W, "_file_kode_stats", boom)
+    later = datetime.datetime(2026, 10, 1)
+    key = (
+        W.load_wilayah(spark, path)
+        .filter("level = 4")
+        .select("kode_wilayah_kemendagri")
+        .orderBy("kode_wilayah_kemendagri")
+        .limit(1)
+        .collect()[0][0]
+    )
+    batch = W.ingest_features(spark, GEOJSON_DIR, clock=later).filter(
+        F.col("kode_wilayah_kemendagri") == key
+    )
+    assert W.upsert(spark, path, batch, clock=later) == 1
+    row = (
+        W.load_wilayah(spark, path)
+        .filter(F.col("kode_wilayah_kemendagri") == key)
+        .collect()[0]
+    )
+    assert row.updated_at == later and row.created_at == CLOCK

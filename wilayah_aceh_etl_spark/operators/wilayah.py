@@ -263,14 +263,43 @@ def _file_kode_stats(
     return out
 
 
+def _log_kode_stats(
+    table_path: str, levels: list
+) -> list[tuple[str, int, str | None, str | None]] | None:
+    """The same (path, level, kmin, kmax) relation sourced from the
+    latest commit record's stats — zero footer reads. None when the
+    table predates the log or the log is missing stats."""
+    v = table_version(table_path)
+    if v is None:
+        return None
+    rec = _read_commit(table_path, v)
+    stats = rec.get("stats")
+    if stats is None:
+        return None
+    lv_set = {int(x) for x in levels}
+    out = []
+    for rel in rec["manifest"]:
+        lv = int(rel.split("/", 1)[0].split("=", 1)[1])
+        if lv not in lv_set:
+            continue
+        s = stats.get(rel)
+        kmin, kmax = (s[0], s[1]) if s else (None, None)
+        out.append((os.path.join(table_path, rel), lv, kmin, kmax))
+    return out
+
+
 def _affected_files(
     spark: SparkSession, table_path: str, levels: list, batch: DataFrame
 ) -> list[str]:
-    """Delta-style file pruning: the footer-stats relation (one row
-    per candidate file) range-joined against the batch's distinct
-    keys. Both sides are metadata-scale; the collect returns only the
-    files that must be rewritten."""
-    stats = _file_kode_stats(table_path, levels)
+    """Delta-style file pruning: the file-stats relation (one row per
+    candidate file) range-joined against the batch's distinct keys.
+    Stats come from the COMMIT LOG when available (captured once at
+    write time — no footer I/O on the merge path) and fall back to
+    footer reads for pre-log tables. Both sides are metadata-scale;
+    the collect returns only the files that must be rewritten."""
+    stats = _log_kode_stats(table_path, levels)
+    if stats is None:
+        stats = _file_kode_stats(table_path, levels)
     if not stats:
         return []
     no_stats = [p for p, _, kmin, _ in stats if kmin is None]
@@ -340,6 +369,35 @@ def _read_commit(table_path: str, version: int) -> dict:
         return json.load(f)
 
 
+def _footer_stats_for(table_path: str, rel_paths: list[str]) -> dict:
+    """{relpath: [kode_min, kode_max] | None} read once at commit
+    time so the LOG carries the pruning stats (Delta's add-file
+    stats) and later merges never re-open footers."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for rel in rel_paths:
+        full = os.path.join(table_path, rel)
+        stat = None
+        try:
+            md = pq.ParquetFile(full).metadata
+            idx = md.schema.names.index(_KODE)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    mins = []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            if mins:
+                stat = [min(mins), max(maxs)]
+        except Exception:
+            pass
+        out[rel] = stat
+    return out
+
+
 def _commit(
     table_path: str,
     action: str,
@@ -352,11 +410,13 @@ def _commit(
     prev = table_version(table_path)
     if version is None:
         version = 0 if prev is None else prev + 1
-    prev_manifest = (
-        _read_commit(table_path, prev)["manifest"] if prev is not None else []
-    )
+    prev_rec = _read_commit(table_path, prev) if prev is not None else {}
+    prev_manifest = prev_rec.get("manifest", [])
     gone = set(removed)
     manifest = [p for p in prev_manifest if p not in gone] + sorted(added)
+    prev_stats = prev_rec.get("stats", {})
+    stats = {p: s for p, s in prev_stats.items() if p not in gone}
+    stats.update(_footer_stats_for(table_path, sorted(added)))
     os.makedirs(_log_dir(table_path), exist_ok=True)
     record = {
         "version": version,
@@ -364,6 +424,7 @@ def _commit(
         "manifest": manifest,
         "added": sorted(added),
         "removed": sorted(removed),
+        "stats": stats,
     }
     final = os.path.join(_log_dir(table_path), f"v{version:06d}.json")
     tmp = final + ".tmp"
