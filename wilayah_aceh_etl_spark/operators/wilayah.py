@@ -494,8 +494,6 @@ def _swap_files(
     means initial load → the staged tree becomes version 0 wholesale.
     Spark part filenames embed the write-job UUID, so staged names
     never collide with kept files. Returns the committed version."""
-    import shutil
-
     with _commit_lock(path):
         return _swap_files_locked(path, tmp, affected, action)
 

@@ -148,18 +148,25 @@ def merge_last_wins(
         .write.mode("overwrite")
         .parquet(tmp)
     )
-    if affected is None or not os.path.exists(table_path):
-        if os.path.exists(table_path):
-            shutil.rmtree(table_path)
-        os.rename(tmp, table_path)
-        return
-    for old in affected:
-        if os.path.exists(old):
-            os.remove(old)
-    for f in os.listdir(tmp):
-        if f.endswith(".parquet"):
-            os.rename(os.path.join(tmp, f), os.path.join(table_path, f))
-    shutil.rmtree(tmp)
+    # same single-writer enforcement as the managed wilayah table:
+    # staging is optimistic, the swap runs under the commit lock
+    from wilayah_aceh_etl_spark.operators.wilayah import _commit_lock
+
+    with _commit_lock(table_path):
+        if affected is None or not os.path.exists(table_path):
+            if os.path.exists(table_path):
+                shutil.rmtree(table_path)
+            os.rename(tmp, table_path)
+            return
+        for old in affected:
+            if os.path.exists(old):
+                os.remove(old)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, f), os.path.join(table_path, f)
+                )
+        shutil.rmtree(tmp)
 
 
 def upsert_stream(
