@@ -7934,3 +7934,71 @@ def events_growth_accounting_daily(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native grouped map (applyInArrow — the no-pandas UDF surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "arrow_grouped_map_segment_stats",
+    oracle="""
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("arrow", "grouped-map", "udf-surface"),
+    description="applyInArrow grouped map: per-segment exact order stats",
+)
+def arrow_grouped_map_segment_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark 4's Arrow-NATIVE grouped map (applyInArrow): the UDF
+    receives a pyarrow.Table per group — no pandas materialization,
+    no copy out of Arrow memory — the right surface when the Python
+    side only aggregates columnar buffers. Work per group is
+    pyarrow.compute kernels (C++), so this is the fastest Python-UDF
+    class Spark offers; the exact-integer-cents contract keeps it
+    hash-identical to the relational oracle. (Sibling surfaces:
+    grouped_map_segment_trend = applyInPandas,
+    multimodal_chunks_arrow = mapInArrow.)"""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        seg = table.column("c_mktsegment")[0].as_py()
+        return pa.Table.from_pydict(
+            {
+                "c_mktsegment": [seg],
+                "n_orders": [table.num_rows],
+                "revenue_cents": [pc.sum(table.column("cents")).as_py()],
+            },
+            schema=pa.schema(
+                [
+                    ("c_mktsegment", pa.string()),
+                    ("n_orders", pa.int64()),
+                    ("revenue_cents", pa.int64()),
+                ]
+            ),
+        )
+
+    return (
+        joined.groupBy("c_mktsegment")
+        .applyInArrow(
+            stats,
+            "c_mktsegment string, n_orders long, revenue_cents long",
+        )
+        .orderBy("c_mktsegment")
+    )
