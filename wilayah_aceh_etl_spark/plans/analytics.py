@@ -3132,3 +3132,191 @@ def orders_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Frequent triples (the a-priori step above pair mining)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "basket_triples_support",
+    oracle="""
+WITH b AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+t AS (
+  SELECT a.p AS p1, b2.p AS p2, c.p AS p3
+  FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+           JOIN b c  ON a.o = c.o  AND b2.p < c.p
+)
+SELECT p1, p2, p3, CAST(COUNT(*) AS BIGINT) AS support
+FROM t GROUP BY p1, p2, p3
+HAVING COUNT(*) >= 2
+ORDER BY support DESC, p1, p2, p3
+""",
+    tags=("baskets", "apriori", "triples"),
+    description="frequent part triples (support>=2) via ordered self-joins",
+)
+def basket_triples_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k=3 a-priori layer: two ordered equi-self-joins on the
+    basket key. Both joins hash on l_orderkey, so the blow-up is
+    bounded by lines-per-order³ — a per-basket constant — and the
+    intermediate scales linearly with orders, never with the part
+    catalog. (At real scale the k=2 support filter would prune the
+    join inputs first — classic a-priori — which only SHRINKS this
+    plan; the unpruned form is the worst case and still basket-
+    bounded.)"""
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b2, c = b.alias("a"), b.alias("b2"), b.alias("c")
+    triples = (
+        a.join(
+            b2,
+            (F.col("a.o") == F.col("b2.o")) & (F.col("a.p") < F.col("b2.p")),
+        )
+        .join(
+            c,
+            (F.col("a.o") == F.col("c.o")) & (F.col("b2.p") < F.col("c.p")),
+        )
+        .select(
+            F.col("a.p").alias("p1"),
+            F.col("b2.p").alias("p2"),
+            F.col("c.p").alias("p3"),
+        )
+    )
+    return (
+        triples.groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= 2)
+        .orderBy(F.col("support").desc(), "p1", "p2", "p3")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregation with RETRACTIONS (CDC-friendly rollup)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "incremental_rollup_retractions",
+    oracle="""
+WITH base AS (
+  SELECT o_orderstatus AS status,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders WHERE o_orderkey % 10 <> 0
+  GROUP BY o_orderstatus
+),
+delta AS (
+  -- upserted rows arrive as (+1), replaced versions as (-1)
+  SELECT o_orderstatus AS status, CAST(op AS BIGINT) AS op,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders CROSS JOIN (VALUES (1), (-1)) v(op)
+  WHERE (op = 1  AND o_orderkey % 10 = 0)
+     OR (op = -1 AND o_orderkey % 20 = 5)
+),
+dagg AS (
+  SELECT status, CAST(SUM(op) AS BIGINT) AS dn,
+         CAST(SUM(op * cents) AS BIGINT) AS dcents
+  FROM delta GROUP BY status
+),
+merged AS (
+  SELECT COALESCE(b.status, d.status) AS status,
+         COALESCE(b.n, 0) + COALESCE(d.dn, 0) AS n,
+         COALESCE(b.cents, 0) + COALESCE(d.dcents, 0) AS cents
+  FROM base b FULL OUTER JOIN dagg d ON b.status = d.status
+),
+truth AS (
+  SELECT o_orderstatus AS status,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders WHERE o_orderkey % 20 <> 5
+  GROUP BY o_orderstatus
+)
+SELECT m.status, CAST(m.n AS BIGINT) AS n, CAST(m.cents AS BIGINT) AS cents,
+       CAST(m.n = t.n AND m.cents = t.cents AS BOOLEAN) AS matches_truth
+FROM merged m JOIN truth t ON t.status = m.status
+ORDER BY m.status
+""",
+    tags=("incremental", "cdc", "retraction", "rollup"),
+    description="rollup merged with +1/-1 retraction deltas == recomputed truth",
+)
+def incremental_rollup_retractions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Retractable incremental view maintenance: the materialized
+    per-status rollup absorbs a CDC delta stream where inserts carry
+    op=+1 and replaced/deleted versions op=-1 — count and sum are
+    ABELIAN-GROUP aggregates, so the merge is pure addition and never
+    re-reads the base fact table (the property that makes streaming
+    MV maintenance O(delta) at 100 TB; max/min are NOT retractable
+    this way and need the full-group fallback). The query certifies
+    the merged state equals the from-scratch recomputation via an
+    in-row boolean."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = (
+        o.filter(F.col("o_orderkey") % 10 != 0)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(cents).cast("long").alias("cents"),
+        )
+    )
+    inserts = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderstatus").alias("status"),
+        F.lit(1).cast("long").alias("op"),
+        cents.alias("cents"),
+    )
+    retracts = o.filter(F.col("o_orderkey") % 20 == 5).select(
+        F.col("o_orderstatus").alias("status"),
+        F.lit(-1).cast("long").alias("op"),
+        cents.alias("cents"),
+    )
+    dagg = (
+        inserts.unionByName(retracts)
+        .groupBy("status")
+        .agg(
+            F.sum("op").cast("long").alias("dn"),
+            F.sum(F.col("op") * F.col("cents")).cast("long").alias("dcents"),
+        )
+    )
+    merged = (
+        base.join(dagg, "status", "full_outer")
+        .select(
+            "status",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias(
+                "n"
+            ),
+            (
+                F.coalesce("cents", F.lit(0)) + F.coalesce("dcents", F.lit(0))
+            ).alias("cents"),
+        )
+    )
+    truth = (
+        o.filter(F.col("o_orderkey") % 20 != 5)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("t_n"),
+            F.sum(cents).cast("long").alias("t_cents"),
+        )
+    )
+    return (
+        merged.join(truth, "status")
+        .select(
+            "status",
+            F.col("n").cast("long").alias("n"),
+            F.col("cents").cast("long").alias("cents"),
+            (
+                (F.col("n") == F.col("t_n"))
+                & (F.col("cents") == F.col("t_cents"))
+            ).alias("matches_truth"),
+        )
+        .orderBy("status")
+    )
