@@ -2247,3 +2247,61 @@ def events_dow_hour_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-length distribution (the engagement histogram)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_session_length_histogram",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL '10 minutes'
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT n_events AS session_length,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events_total
+FROM sessions GROUP BY n_events ORDER BY session_length
+""",
+    tags=("events", "session", "histogram", "engagement"),
+    description="distribution of session lengths (10-min-gap sessions)",
+)
+def events_session_length_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Engagement profile: sessionize with the native session_window
+    (same merging-state op the streaming path uses), then histogram
+    the per-session event counts. Two aggregations — the session
+    build shuffles on user_id, the histogram on the (small) length
+    domain; nothing scales with anything but the event count."""
+    e = load_table(spark, sf_dir, "events")
+    sessions = e.groupBy(
+        F.session_window("ts", "10 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    return (
+        sessions.groupBy(F.col("n_events").alias("session_length"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum("n_events").cast("long").alias("n_events_total"),
+        )
+        .orderBy("session_length")
+    )

@@ -3376,3 +3376,54 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(F.log("n"), F.log("rnk")), 4).alias("zipf_slope"),
         F.round(F.regr_r2(F.log("n"), F.log("rnk")), 4).alias("fit_r2"),
     )
+
+
+@register(
+    "dedup_group_size_profile",
+    oracle="""
+WITH g AS (
+  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM documents GROUP BY md5(text)
+)
+SELECT group_size,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(COUNT(*) * group_size AS BIGINT) AS n_docs,
+       CAST(COUNT(*) * group_size * (group_size - 1) / 2 AS BIGINT)
+         AS n_dup_pairs
+FROM g GROUP BY group_size ORDER BY group_size
+""",
+    tags=("ext", "dedup", "profile", "histogram"),
+    description="exact-duplicate group-size histogram + implied pair counts",
+)
+def dedup_group_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile WITHOUT materializing any pair:
+    hash-group sizes → histogram → the implied duplicate-pair count
+    per size via n·(n−1)/2. Two aggregations on short keys — the
+    O(pairs) blow-up every pairwise dedup pays is replaced by the
+    closed-form count, which is all a corpus health dashboard needs
+    (the actual pair/cluster materialization stays in the dedicated
+    dedup operators)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return (
+        g.groupBy("group_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+        .select(
+            "group_size",
+            "n_groups",
+            (F.col("n_groups") * F.col("group_size"))
+            .cast("long")
+            .alias("n_docs"),
+            (
+                F.col("n_groups")
+                * F.col("group_size")
+                * (F.col("group_size") - 1)
+                / 2
+            )
+            .cast("long")
+            .alias("n_dup_pairs"),
+        )
+        .orderBy("group_size")
+    )
