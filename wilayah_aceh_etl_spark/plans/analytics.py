@@ -3320,3 +3320,46 @@ def incremental_rollup_retractions(
         )
         .orderBy("status")
     )
+
+
+# ---------------------------------------------------------------------------
+# Supply-chain resilience: supplier redundancy per part
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "part_supplier_redundancy",
+    oracle="""
+WITH sp AS (
+  SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT n_suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS single_sourced
+FROM sp GROUP BY n_suppliers ORDER BY n_suppliers
+""",
+    tags=("analytics", "supply-chain", "histogram"),
+    description="supplier-redundancy histogram: single-sourced part risk",
+)
+def part_supplier_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sourcing-risk profile: distinct observed suppliers per part,
+    histogrammed — the single-sourced bucket is the resilience red
+    flag. A count-distinct then a tiny-domain histogram: the first
+    aggregation shuffles on partkey with map-side partial distinct,
+    the second is broadcast-scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sp = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("n_suppliers")
+    )
+    return (
+        sp.groupBy("n_suppliers")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum((F.col("n_suppliers") == 1).cast("long"))
+            .cast("long")
+            .alias("single_sourced"),
+        )
+        .orderBy("n_suppliers")
+    )

@@ -3427,3 +3427,40 @@ def dedup_group_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_size")
     )
+
+
+@register(
+    "text_length_profile_by_lang",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    tags=("ext", "text", "profile", "data-card"),
+    description="per-language corpus size/length profile (data-card row)",
+)
+def text_length_profile_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The per-language slice of a training-data card: document,
+    character, and token volumes per declared language — the numbers
+    a mixture designer weights against. One shuffle on the tiny lang
+    domain; token counts pipeline map-side through the split."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(F.size(F.split("text", " ")))
+            .cast("long")
+            .alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
