@@ -3464,3 +3464,50 @@ def text_length_profile_by_lang(
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_heaps_law_curve",
+    oracle="""
+WITH first_seen AS (
+  SELECT t.tok, MIN(d.doc_id) AS first_doc
+  FROM documents d, UNNEST(string_split(d.text, ' ')) AS t(tok)
+  GROUP BY t.tok
+),
+checkpoints AS (SELECT UNNEST([50, 100, 200, 300, 400, 500]) AS n_docs)
+SELECT c.n_docs,
+       CAST(SUM(CASE WHEN f.first_doc < c.n_docs THEN 1 ELSE 0 END)
+            AS BIGINT) AS vocab_size
+FROM checkpoints c CROSS JOIN first_seen f
+GROUP BY c.n_docs ORDER BY c.n_docs
+""",
+    tags=("ext", "text", "vocabulary", "heaps-law"),
+    description="vocabulary growth at corpus-prefix checkpoints (Heaps' law)",
+)
+def text_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve in ONE corpus pass: the naive form
+    recounts distinct tokens per checkpoint (k passes); instead each
+    token's FIRST-occurrence doc id is aggregated once, and vocab at
+    checkpoint N is just 'first occurrence < N' — the k checkpoints
+    become a tiny broadcast dim against a |vocab|-sized relation.
+    This is the curve that calibrates tokenizer-vocab and dedup
+    decisions as a corpus grows (Heaps' law fit)."""
+    docs = load_table(spark, sf_dir, "documents")
+    first_seen = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    checkpoints = spark.createDataFrame(
+        [(n,) for n in (50, 100, 200, 300, 400, 500)], "n_docs long"
+    )
+    return (
+        first_seen.crossJoin(F.broadcast(checkpoints))
+        .groupBy("n_docs")
+        .agg(
+            F.sum((F.col("first_doc") < F.col("n_docs")).cast("long"))
+            .cast("long")
+            .alias("vocab_size")
+        )
+        .orderBy("n_docs")
+    )
