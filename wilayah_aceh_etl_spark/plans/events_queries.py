@@ -2305,3 +2305,94 @@ def events_session_length_histogram(
         )
         .orderBy("session_length")
     )
+
+
+# ---------------------------------------------------------------------------
+# Concurrency sweepline: peak simultaneous sessions per day
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_peak_concurrent_sessions",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER w > INTERVAL '10 minutes'
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_id, MIN(ts) AS s,
+         MAX(ts) + INTERVAL '10 minutes' AS e
+  FROM numbered GROUP BY user_id, session_id
+),
+pts AS (
+  SELECT s AS t, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT e AS t, -1 AS delta FROM sessions
+),
+run AS (
+  SELECT t, SUM(delta) OVER (ORDER BY t, delta
+                             ROWS UNBOUNDED PRECEDING) AS conc
+  FROM pts
+)
+SELECT strftime(date_trunc('day', t), '%Y-%m-%d') AS day,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrent
+FROM run GROUP BY 1 ORDER BY day
+""",
+    tags=("events", "session", "sweepline", "concurrency"),
+    description="peak simultaneous sessions per day (interval sweepline)",
+)
+def events_peak_concurrent_sessions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Capacity question: how many sessions overlap at the worst
+    moment of each day? Session intervals become ±1 boundary points;
+    one global-ordered running sum (the sweepline) yields concurrency
+    at every boundary. The partition-less window is fed by the
+    SESSION AGGREGATE (2 rows per session, not per event), which is
+    what keeps a global sort viable — and at true scale the sweepline
+    shards by day with carry-in offsets (the two-phase prefix-sum
+    pattern used by the watermark-lateness audit). Ends sort before
+    starts at equal timestamps (delta −1 < +1): half-open intervals,
+    so back-to-back sessions never double-count."""
+    e = load_table(spark, sf_dir, "events")
+    sessions = e.groupBy(
+        F.session_window("ts", "10 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    pts = sessions.select(
+        F.col("w.start").alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(F.col("w.end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    run = pts.select(
+        "t",
+        F.sum("delta")
+        .over(
+            Window.orderBy("t", "delta").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("conc"),
+    )
+    return (
+        run.groupBy(
+            F.date_format(F.date_trunc("day", "t"), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(F.max("conc").cast("long").alias("peak_concurrent"))
+        .orderBy("day")
+    )
