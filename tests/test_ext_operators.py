@@ -139,6 +139,15 @@ def test_parse_image_header_four_formats():
     # junk → None (the seam)
     assert M.parse_image_header(b"not an image") is None
     assert M.parse_image_header(b"") is None
+    # ADVICE r4 (low): truncated/corrupt JPEG streams must hit the
+    # None seam, never raise struct.error from an executor task —
+    # every prefix of a valid stream, and streams cut within the
+    # length bytes of a sized marker (e.g. right after EOI)
+    for cut in range(len(jpeg)):
+        assert M.parse_image_header(jpeg[:cut]) in (None, (80, 120, 3))
+    assert M.parse_image_header(b"\xff\xd8\xff\xd9\xff\xfe") is None
+    assert M.parse_image_header(b"\xff\xd8\xff\xe0\x00") is None
+    assert M.parse_image_header(b"\xff\xd8\xff\xc0\x00\x11\x08\x00") is None
 
 
 def test_real_png_roundtrip_decode(spark, docs):

@@ -543,3 +543,105 @@ def test_merge_last_wins_schema_evolution(spark, tmp_path):
     assert t.count() == 1000
     got = {r.k: (r.ver, r.tag) for r in t.filter("k in (5, 6)").collect()}
     assert got == {5: (1, "tagged"), 6: (0, None)}
+
+
+def test_merge_schema_evolution_not_erased_by_later_merge(spark, tmp_path):
+    """ADVICE r4 (medium): a merge whose affected slice spans BOTH an
+    evolved file (new column) and a pre-evolution file must read the
+    slice with mergeSchema — otherwise Spark infers the schema from
+    one file and can permanently erase the evolved column's values."""
+    from wilayah_aceh_etl_spark.streaming.sinks import merge_last_wins
+
+    path = str(tmp_path / "evolve_keep")
+    base = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("ver"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    merge_last_wins(spark, path, base, ["k"], ["ver"])
+
+    evolved = spark.createDataFrame(
+        [(5, 1, 2, "tagged")], "k long, ver long, v long, tag string"
+    )
+    merge_last_wins(spark, path, evolved, ["k"], ["ver"])
+
+    # a wide batch forces every file (evolved + stragglers) into the
+    # affected slice, but touches only OTHER keys — k=5 must keep tag
+    wide = spark.createDataFrame(
+        [(0, 1, 10), (999, 1, 10)], "k long, ver long, v long"
+    )
+    merge_last_wins(spark, path, wide, ["k"], ["ver"])
+
+    t = spark.read.option("mergeSchema", True).parquet(path)
+    assert t.count() == 1000
+    assert t.filter("k = 5").collect()[0].tag == "tagged"
+    got = {r.k: r.v for r in t.filter("k in (0, 999)").collect()}
+    assert got == {0: 10, 999: 10}
+
+
+def test_merge_crashed_swap_is_recoverable(spark, tmp_path):
+    """ADVICE r4 (medium): the file swap retires old files to
+    _retired/<token>/ instead of deleting them; a crash between
+    retirement and staging leaves every pre-existing row on disk,
+    and the next merge (the checkpoint replays the batch) restores
+    + re-merges back to the correct winners."""
+    import os
+    import shutil
+
+    from wilayah_aceh_etl_spark.streaming import sinks as S
+
+    path = str(tmp_path / "crashy")
+    base = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("ver"),
+        (F.col("id") * 2).alias("v"),
+    )
+    S.merge_last_wins(spark, path, base, ["k"], ["ver"])
+
+    # crash DURING the swap: monkeypatch-free fault injection — run
+    # the merge but blow up on the staged-files rename loop by
+    # making the staged dir read-only is platform-brittle; instead
+    # reconstruct the exact on-disk crash state: affected files
+    # moved to an unsealed _retired token, staged winners NOT in.
+    batch = spark.createDataFrame(
+        [(17, 1, 999)], "k long, ver long, v long"
+    )
+    affected = S._affected_by_key(spark, path, batch, "k")
+    assert affected
+    token_dir = os.path.join(path, S._RETIRED_DIR, "deadbeef")
+    os.makedirs(token_dir)
+    for f in affected:
+        os.rename(f, os.path.join(token_dir, os.path.basename(f)))
+    # no _committed marker = crash before winners were staged in
+
+    # plain read now transiently misses the retired rows ...
+    assert spark.read.parquet(path).count() < 1000
+    # ... but NO row was deleted; the replayed batch heals the table
+    S.merge_last_wins(spark, path, batch, ["k"], ["ver"])
+    t = spark.read.parquet(path)
+    assert t.count() == 1000
+    got = {r.k: (r.ver, r.v) for r in t.filter("k in (17, 18)").collect()}
+    assert got == {17: (1, 999), 18: (0, 36)}
+    assert not os.path.isdir(os.path.join(path, S._RETIRED_DIR))
+
+    # sealed-token case: marker present → swap completed, retired
+    # files are superseded and must be DROPPED, not restored
+    sealed = os.path.join(path, S._RETIRED_DIR, "cafebabe")
+    os.makedirs(sealed)
+    some = [
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    ][0]
+    shutil.copy(
+        os.path.join(path, some), os.path.join(sealed, "stale.parquet")
+    )
+    open(os.path.join(sealed, "_committed"), "w").close()
+    S.merge_last_wins(
+        spark,
+        spark_table_path := path,
+        spark.createDataFrame([(18, 2, 777)], "k long, ver long, v long"),
+        ["k"],
+        ["ver"],
+    )
+    t = spark.read.parquet(spark_table_path)
+    assert t.count() == 1000  # stale copy dropped, not re-ingested
+    assert t.filter("k = 18").collect()[0].v == 777

@@ -738,3 +738,65 @@ def test_merge_pruning_uses_log_stats_not_footers(spark, tmp_path, monkeypatch):
         .collect()[0]
     )
     assert row.updated_at == later and row.created_at == CLOCK
+
+
+def test_pre_log_upgrade_seeds_full_manifest(spark, tmp_path):
+    """ADVICE r4 (high): the first commit on a PRE-LOG table (exists
+    on disk, no _log) must seed v0's manifest from the FULL live
+    tree, not just the commit's own delta. Otherwise untouched
+    legacy files never become pruning candidates (_log_kode_stats is
+    authoritative once a log exists) and their stale rows silently
+    survive later merges."""
+    import shutil
+
+    path = str(tmp_path / "pre_log")
+    W.sync(spark, GEOJSON_DIR, path, code="11", clock=CLOCK)
+    total = W.load_wilayah(spark, path).count()
+    # simulate a table created before the commit-log feature
+    shutil.rmtree(path + "/_log")
+    shutil.rmtree(path + "/_history", ignore_errors=True)
+    assert W.table_version(path) is None
+
+    # first post-upgrade commit touches ONLY level 4
+    t1 = datetime.datetime(2026, 6, 1)
+    b1 = W.ingest_features(spark, GEOJSON_DIR, clock=t1).filter(
+        F.col("level") == 4
+    )
+    W.upsert(spark, path, b1, clock=t1)
+    v0 = W.table_version(path)
+    assert v0 is not None
+    manifest = W._read_commit(path, v0)["manifest"]
+    # v0 must cover the untouched legacy level-1/2/3 files too
+    assert {m.split("/")[0] for m in manifest} >= {
+        "level=1",
+        "level=2",
+        "level=3",
+        "level=4",
+    }
+    # ... and carry pruning stats for all of them
+    stats = W._read_commit(path, v0)["stats"]
+    assert set(stats) == set(manifest)
+
+    # second commit touches a LEGACY (level-1) key: before the fix
+    # its file was invisible to log-sourced pruning, so the stale
+    # row survived next to the new one
+    t2 = datetime.datetime(2026, 7, 1)
+    b2 = W.ingest_features(spark, GEOJSON_DIR, clock=t2).filter(
+        F.col("level") == 1
+    )
+    W.upsert(spark, path, b2, clock=t2)
+    t = W.load_wilayah(spark, path)
+    assert t.count() == total, "stale legacy rows duplicated keys"
+    dup = (
+        t.groupBy("kode_wilayah_kemendagri")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup == 0
+    assert (
+        t.filter("level = 1").select("updated_at").distinct().collect()[0][0]
+        == t2
+    )
+    # snapshot read of v0 resolves legacy files too
+    assert W.read_table_version(spark, path, v0).count() == total

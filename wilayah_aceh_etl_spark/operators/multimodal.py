@@ -104,7 +104,7 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
         return None
     if len(payload) >= 4 and payload[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
-        while i + 9 < len(payload):
+        while i + 1 < len(payload):
             if payload[i] != 0xFF:
                 return None  # desynced — not a marker where expected
             marker = payload[i + 1]
@@ -114,8 +114,15 @@ def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue
+            # every slice below is bounds-checked first: a truncated
+            # or corrupt stream must hit the documented None seam,
+            # never raise struct.error from inside an executor task
+            if i + 4 > len(payload):
+                return None  # length bytes of a sized marker cut off
             seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
             if marker in _JPEG_SOF:
+                if i + 10 > len(payload):
+                    return None  # SOF dimensions truncated
                 h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
                 return int(w), int(h), int(payload[i + 9])
             i += 2 + seg_len

@@ -531,6 +531,17 @@ def _swap_files_locked(
                 os.rename(os.path.join(src, f), os.path.join(dst_dir, f))
                 added_rel.append(f"{entry}/{f}")
     shutil.rmtree(tmp)
+    if prev is None:
+        # Pre-log upgrade: the table existed before the commit log,
+        # so v0's manifest must cover the FULL live tree, not just
+        # this commit's delta — otherwise untouched pre-existing
+        # files never appear in _log_kode_stats, are never pruning
+        # candidates for later merges, and their stale rows silently
+        # survive last-wins MERGE / delete_keys (and read_table_version
+        # loses them). _live_files runs after the moves, so it sees
+        # the added files plus every untouched legacy file; _commit
+        # captures footer stats for all of them.
+        return _commit(path, action, _live_files(path), [], version)
     return _commit(path, action, added_rel, removed_rel, version)
 
 

@@ -29,6 +29,43 @@ from pyspark.sql import functions as F
 # staged-write fan-out; at scale size as merged_bytes / target_file_bytes
 MERGE_RANGE_PARTITIONS = 8
 
+# underscore prefix hides retired files from plain spark.read.parquet
+_RETIRED_DIR = "_retired"
+
+
+def _recover_crashed_swap(table_path: str) -> None:
+    """Heal a swap that crashed mid-flight (call under the commit
+    lock, before footer pruning). Per leftover _retired/<token>/:
+
+    - `_committed` marker present → the staged winners all made it
+      in; the retired originals are superseded → drop the dir.
+    - no marker → the swap died before (or while) staging winners
+      in; restore the retired originals into the table. Partially
+      staged winner files may coexist with the restored originals,
+      giving transient duplicate keys — sound, because the replayed
+      micro-batch's key range covers them, so _affected_by_key picks
+      BOTH generations and the last-wins window collapses them to a
+      single winner again.
+    """
+    root = os.path.join(table_path, _RETIRED_DIR)
+    if not os.path.isdir(root):
+        return
+    for token in os.listdir(root):
+        d = os.path.join(root, token)
+        if not os.path.isdir(d):
+            continue
+        if not os.path.exists(os.path.join(d, "_committed")):
+            for f in os.listdir(d):
+                if f.endswith(".parquet"):
+                    os.rename(
+                        os.path.join(d, f), os.path.join(table_path, f)
+                    )
+        shutil.rmtree(d)
+    try:
+        os.rmdir(root)
+    except OSError:
+        pass
+
 
 def _key_file_stats(table_path: str, key_col: str):
     """(path, kmin, kmax) per data file from parquet footers; None
@@ -125,10 +162,20 @@ def merge_last_wins(
     batch = batch.withColumn("_prio", F.lit(1))
     affected: list[str] | None = None
     if os.path.exists(table_path):
+        from wilayah_aceh_etl_spark.operators.wilayah import _commit_lock
+
+        with _commit_lock(table_path):
+            _recover_crashed_swap(table_path)
         affected = _affected_by_key(spark, table_path, batch, keys[0])
     if affected:
-        existing = spark.read.parquet(*affected).withColumn(
-            "_prio", F.lit(0)
+        # mergeSchema: with schema evolution on, affected files can
+        # have heterogeneous physical schemas; a single-file-inferred
+        # schema would silently drop an evolved column's values from
+        # the rewritten winners.
+        existing = (
+            spark.read.option("mergeSchema", True)
+            .parquet(*affected)
+            .withColumn("_prio", F.lit(0))
         )
         merged = batch.unionByName(existing, allowMissingColumns=True)
     else:
@@ -158,15 +205,36 @@ def merge_last_wins(
                 shutil.rmtree(table_path)
             os.rename(tmp, table_path)
             return
+        # Crash-recoverable swap (mirrors the wilayah _history
+        # retirement): affected files are MOVED to a hidden
+        # _retired/<token>/ dir (never deleted in place), staged
+        # winners are renamed in, a _committed marker seals the swap,
+        # and only then is anything cleaned up. A crash at any point
+        # leaves every pre-existing row on disk; the next merge's
+        # _recover_crashed_swap restores unsealed retirements and the
+        # replayed batch re-merges to the same winners.
+        import uuid
+
+        retire_dir = os.path.join(table_path, _RETIRED_DIR, uuid.uuid4().hex)
+        os.makedirs(retire_dir)
         for old in affected:
             if os.path.exists(old):
-                os.remove(old)
+                os.rename(
+                    old, os.path.join(retire_dir, os.path.basename(old))
+                )
         for f in os.listdir(tmp):
             if f.endswith(".parquet"):
                 os.rename(
                     os.path.join(tmp, f), os.path.join(table_path, f)
                 )
+        with open(os.path.join(retire_dir, "_committed"), "w"):
+            pass  # marker: staged files are all in place
         shutil.rmtree(tmp)
+        shutil.rmtree(retire_dir)
+        try:
+            os.rmdir(os.path.join(table_path, _RETIRED_DIR))
+        except OSError:
+            pass  # another leftover token dir still pending recovery
 
 
 def upsert_stream(
