@@ -4,16 +4,26 @@ Convention: media travels as an opaque `binary` payload column plus a
 typed metadata struct — the schema a 100 TB training-data lake uses
 so Parquet can columnar-skip payloads when only metadata is queried.
 
-The Spark-side plumbing (schemas, Arrow-batched mapInPandas
-transforms, partition behavior) is real and tested; the actual codec
-calls are STUBBED deterministically because no image/audio libraries
-exist in this container:
+What is REAL here (pure Python, no image/audio libraries needed,
+proven through DuckDB oracle gates):
 
-  * `decode_media(..., real=True)` raises NotImplementedError at the
-    exact seam where PIL/ffmpeg would be called;
-  * the default fake decoder derives stable pseudo-metadata from the
-    payload bytes (md5-seeded), so tests pin the full pipeline shape
-    end-to-end.
+  * PNG: full encode (`make_png`/`encode_png_pixels`) and full pixel
+    DECODE through all five spec scanline filters
+    (`decode_png_pixels`), nearest-neighbor resize, header parse;
+  * container header parse for PNG/JPEG/GIF/BMP
+    (`parse_image_header`) — dimensions + channel count from the
+    actual bytes, bounds-checked so truncated streams return None;
+  * WAV: PCM encode (`make_wav`) and full sample decode
+    (`decode_wav_samples`) via a RIFF chunk walk — 8/16-bit,
+    multi-channel;
+  * payload chunking, frame sampling, Arrow-batched mapInPandas
+    plumbing, the binary+metadata column convention.
+
+What is SEAMED (raises NotImplementedError at the exact call site a
+real codec would plug into, because PIL/ffmpeg are not in this
+container): JPEG *pixel* decode, lossy-audio decode (mp3/ogg), video
+frame decode. `decode_media(..., real=False)` keeps an md5-seeded
+deterministic fake for pipeline-shape tests of those paths.
 """
 
 from __future__ import annotations
@@ -624,3 +634,210 @@ def chunk_payload_arrow(df: DataFrame, chunk_bytes: int = 1000) -> DataFrame:
             )
 
     return df.mapInArrow(batches, CHUNKED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM): real pure-Python encode + decode — the audio twin
+# of the PNG stack. Same design: payloads are genuine spec-valid
+# container bytes, the decoder walks the actual chunk structure, and
+# the oracle predicts the decoded SAMPLES from construction
+# arithmetic, so a hash match proves real audio bytes round-tripped.
+# ---------------------------------------------------------------------------
+
+
+def make_wav(
+    samples: list[int],
+    sample_rate: int = 8000,
+    n_channels: int = 1,
+    bits: int = 16,
+) -> bytes:
+    """Spec-valid RIFF/WAVE PCM bytes. `samples` is the flat
+    interleaved sample stream (frame-major): len must be a multiple
+    of n_channels. bits=16 → signed little-endian, bits=8 →
+    unsigned (offset-binary), per the WAV spec."""
+    import struct
+
+    if len(samples) % n_channels:
+        raise ValueError("sample count not a multiple of n_channels")
+    if bits == 16:
+        data = struct.pack(f"<{len(samples)}h", *samples)
+    elif bits == 8:
+        data = bytes(s & 0xFF for s in samples)
+    else:
+        raise ValueError("PCM bits must be 8 or 16")
+    block_align = n_channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH",
+        1,  # audio_format = PCM
+        n_channels,
+        sample_rate,
+        sample_rate * block_align,
+        block_align,
+        bits,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_wav_header(
+    payload: bytes,
+) -> tuple[int, int, int, int] | None:
+    """(sample_rate, n_channels, bits, n_frames) from the RIFF chunk
+    walk, or None for non-WAV/truncated/compressed payloads (the
+    seam). Unknown chunks (LIST, fact, ...) are skipped by their
+    declared size — the walk handles real-world WAVs, not just ours.
+    Every slice is bounds-checked: malformed bytes return None, they
+    never raise from an executor task."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i = 12
+    fmt = None
+    while i + 8 <= len(payload):
+        tag = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        body = payload[i + 8 : i + 8 + size]
+        if tag == b"fmt ":
+            if len(body) < 16:
+                return None
+            audio_format, n_ch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_format != 1 or bits not in (8, 16) or n_ch == 0:
+                return None  # compressed / exotic PCM → seam
+            fmt = (rate, n_ch, bits)
+        elif tag == b"data":
+            if fmt is None or len(body) < size:
+                return None  # data before fmt, or truncated payload
+            rate, n_ch, bits = fmt
+            n_frames = size // (n_ch * bits // 8)
+            return rate, n_ch, bits, n_frames
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    return None
+
+
+def decode_wav_samples(
+    payload: bytes,
+) -> tuple[int, int, int, list[int]] | None:
+    """(sample_rate, n_channels, bits, flat interleaved samples) —
+    the full PCM decode. 16-bit → signed ints, 8-bit → unsigned."""
+    import struct
+
+    meta = parse_wav_header(payload)
+    if meta is None:
+        return None
+    rate, n_ch, bits, n_frames = meta
+    # re-walk to the data chunk body (parse proved it exists intact)
+    i = 12
+    while True:
+        tag = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if tag == b"data":
+            body = payload[i + 8 : i + 8 + size]
+            break
+        i += 8 + size + (size & 1)
+    n = n_frames * n_ch
+    if bits == 16:
+        samples = list(struct.unpack(f"<{n}h", body[: 2 * n]))
+    else:
+        samples = list(body[:n])
+    return rate, n_ch, bits, samples
+
+
+def attach_wav_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Media table whose payloads are REAL WAV bytes with samples an
+    arithmetic function of the id — flat sample k of media m is
+    ((m*31 + k*17) % 65536) - 32768 — so a SQL oracle can recompute
+    the decoded waveform without parsing RIFF itself. n_frames =
+    50 + id%200, stereo for odd ids, 8 kHz/16 kHz by id parity."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids = [int(v) for v in pdf["_mid"]]
+            rows = []
+            for m in ids:
+                n_frames = 50 + m % 200
+                n_ch = 1 + m % 2
+                rate = 8000 if m % 2 == 0 else 16000
+                flat = [
+                    ((m * 31 + k * 17) % 65536) - 32768
+                    for k in range(n_frames * n_ch)
+                ]
+                p = make_wav(flat, rate, n_ch, 16)
+                rows.append((m, p, "audio/wav", len(p)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "mime", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("_mid")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sum_amp", T.LongType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("min_amp", T.IntegerType()),
+        T.StructField("max_amp", T.IntegerType()),
+    ]
+)
+
+
+def wav_sample_stats(df: DataFrame) -> DataFrame:
+    """Waveform featurization through the FULL PCM decode: per
+    media, amplitude profile of channel 0 — the operator shape of
+    any audio featurizer (decode → per-sample reduce), with the
+    decode genuinely executed on real RIFF bytes."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_wav_samples(bytes(p))
+                if decoded is None:
+                    continue  # non-PCM payloads: skip, don't crash
+                rate, n_ch, _bits, flat = decoded
+                ch0 = flat[::n_ch]
+                n = len(ch0)
+                s = sum(ch0)
+                rows.append(
+                    (
+                        mid,
+                        n,
+                        rate,
+                        n_ch,
+                        s,  # exact integer: the hash-stable statistic
+                        round(s / n, 4),
+                        min(ch0),
+                        max(ch0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "sample_rate",
+                    "n_channels",
+                    "sum_amp",
+                    "mean_amp",
+                    "min_amp",
+                    "max_amp",
+                ],
+            )
+
+    return df.mapInPandas(batches, WAV_STATS_SCHEMA)

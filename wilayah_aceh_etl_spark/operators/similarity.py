@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from wilayah_aceh_etl_spark.functions.vectors import (
     as_double,
     cosine,
+    dot,
     l2_norm,
     sign_lsh_bucket,
 )
@@ -177,14 +178,24 @@ def ivf_topk(
     evaluate interpreted per element, while the expanded join runs
     whole-stage-codegen'd on flat rows; prefer the flat form until
     Spark codegens lambda bodies.)"""
-    from pyspark.sql.window import Window
-
     c = _prep(corpus, id_col, vec_col)
     cent = F.broadcast(
         c.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
         )
     )
+    q = _prep(queries, id_col, vec_col)
+    return _ivf_search(c, cent, q, k, n_probe)
+
+
+def _ivf_search(
+    c: DataFrame, cent: DataFrame, q: DataFrame, k: int, n_probe: int
+) -> DataFrame:
+    """The IVF read path, independent of how the coarse quantizer
+    was trained: `cent` is any broadcastable (cid, cvec) relation —
+    first-C-by-id (ivf_topk) or Lloyd-trained (ivf_kmeans_topk) —
+    and the plan is byte-identical either way."""
+    from pyspark.sql.window import Window
 
     # inverted lists: nearest centroid per corpus vector (tie → low
     # cid, encoded as max of (cos, -cid) so one aggregate carries both
@@ -212,7 +223,7 @@ def ivf_topk(
     )
 
     # probe set: n_probe nearest centroids per query
-    q = _prep(queries, id_col, vec_col).select(
+    q = q.select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
     w_probe = Window.partitionBy("query_id").orderBy(
@@ -243,6 +254,116 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id", F.round("_cos", 6).alias("cos_sim"), "rk")
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-trained coarse quantizer for IVF: (cid, cvec) after
+    `n_iter` k-means iterations, seeded with the first `n_centroids`
+    vectors by id (deterministic). Cross-engine determinism for the
+    chained float decisions uses the repo's QUANTIZED-mean device
+    (plans/round6_queries.py::embedding_kmeans_3iter): per-dimension
+    sums are exact integers of ROUND(val·2²⁴), so every trained
+    coordinate is one division of exact ints and assignment
+    comparisons can never diverge between engines.
+
+    SPHERICAL k-means: assignment maximizes COSINE, not L2 — the
+    same rule the IVF read path uses to build inverted lists and
+    route probes. Training objective == search metric is what makes
+    the trained quantizer beat the seeded one on recall; an L2-
+    trained quantizer searched by cosine was measured WORSE than the
+    first-C seed on this corpus (0.85 vs 0.90 recall@10 at
+    probe 4/16 — metric mismatch, not a k-means failure).
+
+    Scale: per iteration the corpus is scanned once — assignment is
+    a broadcast join + map-side max-struct aggregate (N rows
+    shuffled, not N·C), means are one posexplode aggregate keyed by
+    (cid, pos) (≤ C·dims groups). State between iterations is the
+    C×dims centroid table (broadcast), never the corpus."""
+    Q = 16777216
+    v = _prep(corpus, id_col, vec_col)
+    u = v.select("vec_id", F.posexplode("vec").alias("pos0", "val")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "val"
+    )
+    cent = v.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
+    )
+    for _ in range(n_iter):
+        scored = v.join(F.broadcast(cent)).select(
+            "vec_id",
+            "cid",
+            cosine(F.col("vec"), F.col("cvec")).alias("_cos"),
+        )
+        # argmax cosine, tie → low cid: map-side-combining max-struct
+        a = (
+            scored.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("_cos"),
+                        (-F.col("cid")).alias("_nc"),
+                    )
+                ).alias("_m")
+            )
+            .select("vec_id", (-F.col("_m._nc")).cast("long").alias("cid"))
+        )
+        cent = (
+            a.join(u, "vec_id")
+            .groupBy("cid", "pos")
+            .agg(
+                F.sum(F.round(F.col("val") * Q).cast("long"))
+                .cast("long")
+                .alias("_s"),
+                F.count(F.lit(1)).cast("long").alias("_n"),
+            )
+            .select(
+                "cid",
+                "pos",
+                (F.col("_s").cast("double") / F.col("_n") / Q).alias("_cv"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "_cv"))),
+                    lambda st: st["_cv"],
+                ).alias("cvec")
+            )
+        )
+    return cent
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivf_topk with a Lloyd-TRAINED coarse quantizer instead of the
+    first-C-by-id seed: centroids adapt to the data distribution, so
+    probes land where neighbors actually are. Measured recall@10 at
+    probe 4/16, sf0.01, on queries DISJOINT from the seed ids:
+    seeded 0.40 vs trained 0.55 (tests/test_round5_ops.py). Caveat
+    that measurement surfaced: the original recall meter queried
+    vec_id<5 — vectors that ARE seed centroids of the first-16
+    quantizer, so each probed its own Voronoi cell and inflated
+    seeded recall to ~0.90; always evaluate ANN recall on queries
+    outside the training seed. The read path is _ivf_search,
+    byte-identical to ivf_topk's."""
+    c = _prep(corpus, id_col, vec_col)
+    cent = F.broadcast(
+        kmeans_centroids(corpus, n_centroids, n_iter, id_col, vec_col)
+    )
+    q = _prep(queries, id_col, vec_col)
+    return _ivf_search(c, cent, q, k, n_probe)
 
 
 def quantize_int8(

@@ -3511,3 +3511,282 @@ def text_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_docs")
     )
+
+
+@register(
+    "multimodal_wav_sample_stats",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         50 + doc_id % 200 AS n_frames,
+         1 + doc_id % 2 AS n_channels
+  FROM documents WHERE doc_id < 100
+),
+s AS (
+  SELECT media_id, n_frames, n_channels,
+         ((media_id * 31 + (i * n_channels) * 17) % 65536) - 32768 AS amp
+  FROM m, UNNEST(range(n_frames)) AS t(i)
+)
+SELECT media_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(CASE WHEN media_id % 2 = 0 THEN 8000 ELSE 16000 END AS INTEGER)
+         AS sample_rate,
+       CAST(n_channels AS INTEGER) AS n_channels,
+       CAST(SUM(amp) AS BIGINT) AS sum_amp,
+       CAST(MIN(amp) AS INTEGER) AS min_amp,
+       CAST(MAX(amp) AS INTEGER) AS max_amp
+FROM s
+GROUP BY media_id, n_frames, n_channels
+ORDER BY media_id
+""",
+    tags=("ext", "multimodal", "decode", "audio", "wav"),
+    description="FULL WAV PCM decode (pure Python RIFF walk) → waveform stats",
+)
+def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of multimodal_png_pixel_stats: payloads are
+    genuine spec-valid RIFF/WAVE PCM bytes (make_wav), samples an
+    arithmetic function of the media id; decode_wav_samples walks
+    the actual chunk structure and unpacks every 16-bit sample; the
+    reduce emits channel-0 amplitude features. The oracle recomputes
+    the waveform from the construction arithmetic alone, so a hash
+    match proves real audio bytes flowed through the decoder — the
+    'audio is stubbed' caveat is closed for PCM WAV. mean_amp is
+    excluded from the gate output on purpose: sum_amp is the exact
+    integer statistic (float rounding never flaps the hash)."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.attach_wav_payload(docs, "doc_id")
+    return (
+        M.wav_sample_stats(media)
+        .select(
+            "media_id",
+            "n_frames",
+            "sample_rate",
+            "n_channels",
+            "sum_amp",
+            "min_amp",
+            "max_amp",
+        )
+        .orderBy("media_id")
+    )
+
+
+def _ivf_km_step_sql(i: int) -> str:
+    """One SPHERICAL Lloyd iteration as DuckDB CTEs (cosine
+    assignment — the IVF read path's own rule — plus quantized
+    means; mirrors plans/round6_queries.py::_km_step_sql except for
+    the metric and k=16 / cid naming)."""
+    cos_expr = _COS.format(a="v.e", b="c.ce")
+    return f"""
+s{i} AS (
+  SELECT v.vec_id, c.cid, {cos_expr} AS cs
+  FROM v CROSS JOIN c{i} c
+),
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rk
+    FROM s{i}
+  ) WHERE rk = 1
+),
+m{i} AS (
+  SELECT a.cid, u.pos,
+         CAST(SUM(CAST(ROUND(u.val * 16777216) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM a{i} a JOIN u ON u.vec_id = a.vec_id
+  GROUP BY a.cid, u.pos
+),
+c{i + 1} AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / n / 16777216 ORDER BY pos) AS ce
+  FROM m{i} GROUP BY cid
+)"""
+
+
+_IVF_KMEANS_ORACLE = (
+    "WITH "
+    + _VEC_CTE
+    + """,
+u AS (
+  SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM v
+),
+c1 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+"""
+    + ",".join(_ivf_km_step_sql(i) for i in (1, 2))
+    + """,
+lists AS (
+  SELECT vec_id, e, cid AS centroid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY """
+    + _COS.format(a="v.e", b="c.ce")
+    + """ DESC, c.cid
+           ) AS rn
+    FROM v, c3 c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qe, cid AS centroid FROM (
+    SELECT v.vec_id AS query_id, v.e AS qe, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY """
+    + _COS.format(a="v.e", b="c.ce")
+    + """ DESC, c.cid
+           ) AS rn
+    FROM v, c3 c WHERE v.vec_id < 5
+  ) WHERE rn <= 4
+),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+  FROM (
+    SELECT p.query_id, l.vec_id, """
+    + _COS.format(a="p.qe", b="l.e")
+    + """ AS c
+    FROM probes p JOIN lists l USING (centroid)
+    WHERE p.query_id != l.vec_id
+  )
+)
+SELECT query_id, vec_id, ROUND(c, 6) AS cos_sim, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 10
+ORDER BY query_id, rk
+"""
+)
+
+
+@register(
+    "similarity_ivf_kmeans_topk",
+    oracle=_IVF_KMEANS_ORACLE,
+    tags=("ext", "similarity", "ivf", "ann", "kmeans"),
+    description="IVF top-10 with a Lloyd-TRAINED coarse quantizer (2 iters)",
+)
+def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """similarity_ivf_topk upgraded per the r4 verdict: the coarse
+    quantizer is the engine's own deterministic quantized-mean
+    k-means (operators/similarity.py::kmeans_centroids, 2 Lloyd
+    iterations seeded first-16-by-id) instead of first-16-by-id
+    directly. The oracle re-derives the trained centroids AND the
+    probe/search ranking in SQL, so a hash match pins training and
+    read path together. The read plan is _ivf_search — byte-identical
+    to the benched ivf_topk plan shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (
+        S.ivf_kmeans_topk(
+            emb, queries, k=10, n_centroids=16, n_probe=4, n_iter=2
+        )
+        .withColumn("rk", F.col("rk").cast("int"))
+        .orderBy("query_id", "rk")
+    )
+
+
+_IVF_KMEANS_RECALL_ORACLE = (
+    "WITH "
+    + _VEC_CTE
+    + """,
+u AS (
+  SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM v
+),
+c1 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+"""
+    + ",".join(_ivf_km_step_sql(i) for i in (1, 2))
+    + """,
+q AS (SELECT vec_id AS query_id, e AS qe FROM v
+      WHERE vec_id BETWEEN 200 AND 219),
+bf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+    FROM (SELECT query_id, vec_id, """
+    + _COS.format(a="qe", b="e")
+    + """ AS c
+          FROM q, v WHERE vec_id != query_id)
+  ) WHERE rk <= 10
+),
+lists AS (
+  SELECT vec_id, e, cid AS centroid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY """
+    + _COS.format(a="v.e", b="c.ce")
+    + """ DESC, c.cid
+           ) AS rn
+    FROM v, c3 c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qe, cid AS centroid FROM (
+    SELECT query_id, qe, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY """
+    + _COS.format(a="qe", b="c.ce")
+    + """ DESC, c.cid
+           ) AS rn
+    FROM q, c3 c
+  ) WHERE rn <= 4
+),
+ivf AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+    FROM (
+      SELECT p.query_id, l.vec_id, """
+    + _COS.format(a="p.qe", b="l.e")
+    + """ AS c
+      FROM probes p JOIN lists l USING (centroid)
+      WHERE p.query_id != l.vec_id
+    )
+  ) WHERE rk <= 10
+)
+SELECT bf.query_id,
+       CAST(COUNT(ivf.vec_id) AS BIGINT) AS n_hits,
+       ROUND(COUNT(ivf.vec_id) / 10.0, 2) AS recall_at_10
+FROM bf
+LEFT JOIN ivf ON bf.query_id = ivf.query_id AND bf.vec_id = ivf.vec_id
+GROUP BY bf.query_id
+ORDER BY bf.query_id
+"""
+)
+
+
+@register(
+    "similarity_ivf_kmeans_recall",
+    oracle=_IVF_KMEANS_RECALL_ORACLE,
+    tags=("ext", "similarity", "ivf", "ann", "kmeans", "quality"),
+    description="recall@10 of the TRAINED IVF path, seed-disjoint queries",
+)
+def similarity_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recall meter for the Lloyd-trained IVF path, measured the
+    RIGHT way: queries (vec_id 200-219) are disjoint from the seed
+    ids. Building this surfaced a measurement artifact in
+    similarity_ivf_recall: its vec_id<5 queries are themselves seed
+    centroids of the first-16 quantizer, so each probes its own
+    Voronoi cell and the seeded recall reads ~0.90 where its
+    seed-disjoint recall is ~0.40 (30 random 16-centroid inits:
+    mean 0.44). On seed-disjoint queries the trained quantizer wins
+    (~0.55 vs ~0.40 at probe 4/16, sf0.01) — pinned by
+    tests/test_round5_ops.py. Both meters stay registered: the old
+    one documents the trap, this one is the honest number."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").between(200, 219))
+    bf = S.brute_force_topk(emb, queries, k=10).select("query_id", "vec_id")
+    ivf = S.ivf_kmeans_topk(
+        emb, queries, k=10, n_centroids=16, n_probe=4, n_iter=2
+    ).select(F.col("query_id").alias("i_qid"), F.col("vec_id").alias("i_vid"))
+    return (
+        bf.join(
+            ivf,
+            (bf.query_id == F.col("i_qid")) & (bf.vec_id == F.col("i_vid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("i_vid").alias("n_hits"),
+            F.round(F.count("i_vid") / 10.0, 2).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )
