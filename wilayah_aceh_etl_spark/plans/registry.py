@@ -84,71 +84,74 @@ def _load_all() -> None:
 # round's CORRECTNESS_r{N}.json is rotated OUT and 50 never-
 # driver-verified names rotated IN, one representative slice per
 # module, so cumulative driver-verified coverage grows ~50/round.
-# Rounds 1–3 verified 85 distinct queries (the union of
-# CORRECTNESS_r01/02/03.json); this round-4 window is drawn from the
-# 294 oracle-backed queries that have never produced a driver row.
-# All rotated-out queries are still exercised every round by
+# Rounds 1–4 verified 135 distinct queries (the union of
+# CORRECTNESS_r01..04.json); this round-5 window is drawn from the
+# 259 oracle-backed queries that have never produced a driver row,
+# weighted (per the r4 verdict) toward the storage/commit-log,
+# streaming, round-5/6 stats, and format-battery families, plus the
+# two queries NEW this round (WAV PCM decode, k-means IVF). All
+# rotated-out queries are still exercised every round by
 # tools/parity.py locally and by the test suite.
 GATE_PRIORITY: tuple[str, ...] = (
+    # wilayah reference domain + storage/commit-log
+    "wilayah_commit_log_time_travel",
+    "wilayah_counts_pivot",
+    "wilayah_seed_probe",
+    "wilayah_level_labels_sizes",
+    "wilayah_sql_udf_labels",
+    "wilayah_orphan_audit",
     # analytics
-    "stats_corr_battery",
-    "bloom_filter_semi_prune",
-    "lateral_topk_per_segment",
-    "customer_rfm_segments",
-    "orders_backlog_sweepline",
-    # wilayah (reference domain)
-    "wilayah_length_dispatch",
-    "wilayah_parent_child_join",
-    "wilayah_envelope_children",
-    "wilayah_recursive_descendants",
-    # events / temporal / streaming
-    "events_rolling_1h_user_window",
-    "events_funnel_signup_click_purchase",
-    "events_topk_users",
-    "events_weekly_retention",
-    "cdc_last_writer_apply",
-    "streaming_stateful_user_totals",
-    # real-PNG decode through the pure-Python header parser (r4)
-    "multimodal_png_header_decode",
-    # training-data pipeline (dedup / text / similarity / packing)
-    "dedup_simhash_near_pairs",
-    "dedup_incremental_admission",
-    "dedup_connected_components",
-    "dedup_ngram_jaccard_pairs",
-    "text_token_counts",
-    "text_langid_heuristic",
-    "text_bm25_search",
-    "similarity_lsh_bucketed_pairs",
-    "embedding_quantize_int8",
-    "pack_documents_into_sequences",
-    # TPC-H shapes not yet driver-verified
-    "tpch_q2_min_cost_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "tpch_q14_promo_share",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q20_excess_stock_suppliers",
+    "incremental_rollup_retractions",
+    "graph_triangle_count",
+    # events / streaming
+    "streaming_session_windows",
+    "streaming_stream_stream_left_outer",
+    "streaming_dedup_within_watermark",
+    "streaming_m4_downsample",
+    "udtf_event_runs",
+    "events_mad_outliers",
+    "events_peak_concurrent_sessions",
+    # training-data pipeline (dedup / text / multimodal / sampling)
+    "dedup_minhash_signatures",
+    "dedup_segment_level_ccnet",
+    "dedup_simhash_fingerprints",
+    "text_winnowing_fingerprints",
+    "text_pii_redaction",
+    "multimodal_png_pixel_stats",
+    "embedding_kmeans_iteration",
+    "split_train_val_test",
+    # NEW this round: real WAV decode + trained-quantizer IVF
+    "multimodal_wav_sample_stats",
+    "similarity_ivf_kmeans_topk",
     # round-4 family
-    "similarity_pq_adc_topk",
-    "customer_quintile_migration",
-    "decimal_exact_money_agg",
-    "events_attribution_last_touch",
-    "histogram_equi_depth_prices",
-    "retrieval_rrf_fusion",
+    "events_watermark_late_audit",
+    "events_cross_correlation_matrix",
+    "sql_named_parameters",
+    "dedup_containment_pairs",
     # round-5 family
-    "feature_woe_binning",
-    "events_holt_linear_smoothing",
-    "model_eval_roc_auc_rank_sum",
-    "audit_join_key_skew",
-    "graph_2core_peeling",
-    "events_ks_two_sample",
-    # round-6 family
-    "stats_kendall_tau_nation_counts",
-    "orders_business_day_latency",
-    "scd2_state_dwell_time",
-    "events_haar_wavelet_daily",
-    "layout_partition_prune_roundtrip",
-    "intervals_coalesce_coverage",
+    "feature_kfold_assignment",
+    "events_welch_t_test",
+    "orders_kaplan_meier_ship",
+    "model_eval_calibration_bins",
+    "window_range_interval_frame",
+    "array_setops_battery",
+    "events_drift_psi_value",
+    "graph_label_propagation",
+    # round-6 family (stats, format batteries, layout, streaming sink)
+    "layout_zorder_morton",
+    "streaming_foreachbatch_upsert",
+    "split_time_based_train_test",
+    "xpath_battery",
+    "json_functions_battery",
+    "timezone_conversion_battery",
+    "stats_bootstrap_ci_daily_value",
+    "regr_family_battery",
+    "nullsafe_join_on_nullable_keys",
+    "arrow_grouped_map_segment_stats",
+    # TPC-H shapes not yet driver-verified
+    "tpch_q5_local_supplier_volume",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_pushdown",
 )
 
 # The driver's gate records only the first 50 registration-order
