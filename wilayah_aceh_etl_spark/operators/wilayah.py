@@ -865,6 +865,20 @@ def seed_if_empty(
 
 
 def load_wilayah(spark: SparkSession, table_path: str) -> DataFrame:
+    """Default read path. When the table has a commit log, the file
+    set is resolved from the LATEST committed manifest
+    (read_table_version) instead of a directory listing — so a
+    reader that races a writer's post-lock swap still sees exactly
+    the last committed snapshot (retired-but-not-yet-replaced files
+    resolve through _history/, not-yet-committed staged files are
+    invisible), closing the crash window STORAGE.md documents.
+    Pre-log tables fall back to the plain directory read.
+
+    At 100 TB this is exactly Delta/Iceberg's reader contract:
+    manifest-resolved reads are the default, directory listing is
+    never trusted for a mutating table."""
+    if table_version(table_path) is not None:
+        return read_table_version(spark, table_path)
     return spark.read.parquet(table_path)
 
 
