@@ -645,3 +645,72 @@ def test_merge_crashed_swap_is_recoverable(spark, tmp_path):
     t = spark.read.parquet(spark_table_path)
     assert t.count() == 1000  # stale copy dropped, not re-ingested
     assert t.filter("k = 18").collect()[0].v == 777
+
+
+def test_transform_with_state_probe(spark, tmp_path):
+    """r4 verdict ask #7: per-round availability probe for
+    transformWithStateInPandas. The API needs protobuf for state
+    serialization; this container lacks it (SURVEY §8). The probe
+    auto-UNSKIPS the real end-to-end check the moment the dependency
+    appears — the skip reason is re-confirmed, not assumed."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas requires protobuf; "
+        "container lacks it (re-probed every run)",
+    )
+    # dependency present → drive the REAL API: running count per key
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._count = handle.getValueState(
+                "count", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = sum(len(pdf) for pdf in rows)
+            prev = self._count.get()[0] if self._count.exists() else 0
+            self._count.update((prev + n,))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [prev + n]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12)], "user_id long, v long"
+    ).write.parquet(src)
+    out = (
+        spark.readStream.schema("user_id long, v long")
+        .parquet(src)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningCount(),
+            outputStructType="user_id long, n_events long",
+            outputMode="Update",
+            timeMode="None",
+        )
+        .writeStream.format("memory")
+        .queryName("tws_probe")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(120)
+    got = {
+        r.user_id: r.n_events
+        for r in spark.sql("SELECT * FROM tws_probe").collect()
+    }
+    assert got == {1: 2, 2: 1}
