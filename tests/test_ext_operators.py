@@ -472,3 +472,50 @@ def test_python_cms_reader_across_parameters(spark, eps, conf, seed):
     assert [py.estimate_count(k) for k in keys] == [
         jvm_sketch.estimateCount(k) for k in keys
     ]
+
+
+def test_bmp_gif_pixel_decoders_pure():
+    """Pure-Python BMP/GIF pixel decoders on handcrafted images —
+    order-sensitive probes for BMP's bottom-up storage and a KwKwK
+    LZW case for GIF (no Spark)."""
+    # BMP gradient round trip incl. a width that forces row padding
+    for m, w, h in [(9, 3, 4), (0, 1, 1), (250, 7, 5)]:
+        p = M.make_bmp(w, h, lambda x, y, m=m: (m + x + 2 * y) % 256)
+        W, H, px = M.decode_bmp_pixels(p)
+        assert (W, H) == (w, h)
+        assert px == [(m + x + 2 * y) % 256 for y in range(h) for x in range(w)]
+    # top-down (negative height) BMP variant
+    import struct
+
+    p = M.make_bmp(3, 4, lambda x, y: x + 10 * y)
+    W, H, up = M.decode_bmp_pixels(p)
+    neg = bytearray(p)
+    neg[22:26] = struct.pack("<i", -4)
+    # same bytes flagged top-down: the decoder must NOT flip, so the
+    # logical rows come out in reverse order vs the bottom-up read
+    W2, H2, td = M.decode_bmp_pixels(bytes(neg))
+    assert (W2, H2) == (3, 4)
+    rows_up = [up[r * 3 : (r + 1) * 3] for r in range(4)]
+    rows_td = [td[r * 3 : (r + 1) * 3] for r in range(4)]
+    assert rows_td == rows_up[::-1]
+    # GIF: real LZW with table growth + KwKwK ('abababab', mcs=7)
+    CLEAR, END = 128, 129
+    codes = [CLEAR, ord("a"), ord("b"), 130, 132, END]  # a b ab aba
+    acc = nb = 0
+    stream = bytearray()
+    width = 8
+    for c in codes:
+        acc |= c << nb
+        nb += width
+        while nb >= 8:
+            stream.append(acc & 255)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        stream.append(acc & 255)
+    out = M._lzw_decode(bytes(stream), 7, 7)
+    assert bytes(out) == b"abababa"
+    # truncated LZW → None, not an exception
+    assert M._lzw_decode(bytes(stream[:2]), 7, 7) is None
+    # corrupt: code far beyond table → None
+    assert M._lzw_decode(b"\xff\xff\xff", 2, 9) is None

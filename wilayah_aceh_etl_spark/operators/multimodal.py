@@ -16,6 +16,11 @@ proven through DuckDB oracle gates):
   * WAV: PCM encode (`make_wav`) and full sample decode
     (`decode_wav_samples`) via a RIFF chunk walk — 8/16-bit,
     multi-channel;
+  * BMP: 24-bit encode + pixel decode (`decode_bmp_pixels`) with
+    bottom-up/top-down row handling and stride padding;
+  * GIF: encode + pixel decode (`decode_gif_pixels`) through a
+    REAL LZW decompressor (`_lzw_decode` — variable code width,
+    table growth, clear/end, KwKwK);
   * payload chunking, frame sampling, Arrow-batched mapInPandas
     plumbing, the binary+metadata column convention.
 
@@ -841,3 +846,373 @@ def wav_sample_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, WAV_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# BMP: real encode + pixel decode (BITMAPINFOHEADER, 24-bit BGR,
+# bottom-up rows, 4-byte row padding — the parts a naive decoder
+# gets wrong and stats alone can't catch; corner probes pin the
+# row flip).
+# ---------------------------------------------------------------------------
+
+
+def make_bmp(width: int, height: int, blue_of) -> bytes:
+    """Spec-valid 24-bit BMP. `blue_of(x, y)` gives the blue channel
+    of the pixel at (x, y) in TOP-DOWN coordinates; red/green are 0.
+    Rows are stored BOTTOM-UP with 4-byte padding, per the format."""
+    import struct
+
+    row_bytes = width * 3
+    pad = (4 - row_bytes % 4) % 4
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up storage
+        for x in range(width):
+            body += bytes((blue_of(x, y) & 0xFF, 0, 0))  # B, G, R
+        body += b"\x00" * pad
+    data_off = 14 + 40
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(body), 0, 0, data_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+            2835, 2835, 0, 0,
+        )
+    )
+    return header + bytes(body)
+
+
+def decode_bmp_pixels(
+    payload: bytes,
+) -> tuple[int, int, list[int]] | None:
+    """(width, height, blue-channel pixels in TOP-DOWN row-major
+    order) from a 24-bit uncompressed BMP — handles bottom-up AND
+    top-down (negative height) storage and row padding. None for
+    other depths/compressions (the seam)."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    w, h_raw = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    compression = struct.unpack("<I", payload[30:34])[0]
+    if bpp != 24 or compression != 0 or planes != 1 or w <= 0:
+        return None
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    row_bytes = w * 3
+    stride = row_bytes + (4 - row_bytes % 4) % 4
+    if data_off + stride * h > len(payload):
+        return None  # truncated
+    px = []
+    for y in range(h):
+        src_y = y if top_down else h - 1 - y
+        base = data_off + src_y * stride
+        row = payload[base : base + row_bytes]
+        px.extend(row[0::3])  # blue channel
+    return w, h, px
+
+
+BMP_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_blue", T.LongType()),
+        T.StructField("min_blue", T.IntegerType()),
+        T.StructField("max_blue", T.IntegerType()),
+        T.StructField("top_left", T.IntegerType()),
+        T.StructField("bottom_left", T.IntegerType()),
+    ]
+)
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str, max_side: int = 32) -> DataFrame:
+    """Media table with REAL BMP bytes: width = 1 + id % max_side,
+    height = 1 + (id * 5) % max_side, blue(x, y) = (id + x + 2*y) %
+    256 — a gradient, so the corner probes distinguish a correct
+    bottom-up un-flip from a naive row order."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for m in (int(v) for v in pdf["_mid"]):
+                w = 1 + m % max_side
+                h = 1 + (m * 5) % max_side
+                p = make_bmp(w, h, lambda x, y, m=m: (m + x + 2 * y) % 256)
+                rows.append((m, p, "image/bmp", len(p)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "mime", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("_mid")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
+
+
+def bmp_pixel_stats(df: DataFrame) -> DataFrame:
+    """Featurization through the full BMP decode: blue-channel
+    profile plus the (0,0) and (0,h-1) corner probes that pin the
+    bottom-up row un-flip."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_bmp_pixels(bytes(p))
+                if decoded is None:
+                    continue
+                w, h, px = decoded
+                rows.append(
+                    (
+                        mid, w, h, w * h, sum(px), min(px), max(px),
+                        px[0], px[(h - 1) * w],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels", "sum_blue",
+                    "min_blue", "max_blue", "top_left", "bottom_left",
+                ],
+            )
+
+    return df.mapInPandas(batches, BMP_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF: real encode + pixel decode. The decoder is a genuine LZW
+# decompressor (variable-width codes, clear/end handling, the
+# KwKwK case) — not a header skim; the encoder emits spec-valid
+# 9-bit-code LZW streams (clear-flush before the table would grow
+# past 9 bits, the classic "uncompressed GIF" device).
+# ---------------------------------------------------------------------------
+
+
+def make_gif(width: int, height: int, index_of) -> bytes:
+    """Spec-valid GIF89a, 256-entry grayscale global palette
+    (palette[i] = (i,i,i)); `index_of(x, y)` gives the palette index
+    (= gray value) of the pixel at (x, y) top-down."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes((0xF7, 0, 0))  # GCT present, 256 entries
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out += bytes((8,))  # LZW minimum code size
+
+    # 9-bit literal LZW: CLEAR, ≤254 literals, repeat, END
+    CLEAR, END = 256, 257
+    codes = []
+    pending = 0
+    codes.append(CLEAR)
+    for y in range(height):
+        for x in range(width):
+            if pending == 254:
+                codes.append(CLEAR)
+                pending = 0
+            codes.append(index_of(x, y) & 0xFF)
+            pending += 1
+    codes.append(END)
+    # pack codes LSB-first at a fixed 9 bits (valid: the table never
+    # reaches 512 between clears, so the width never grows)
+    acc = n_bits = 0
+    stream = bytearray()
+    for c in codes:
+        acc |= c << n_bits
+        n_bits += 9
+        while n_bits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    if n_bits:
+        stream.append(acc & 0xFF)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes((len(chunk),)) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int):
+    """Generic GIF LZW decode → list of palette indices, or None on
+    a corrupt stream. Full algorithm: variable code width, table
+    growth to 12 bits, clear/end codes, first-code and KwKwK cases."""
+    CLEAR = 1 << min_code_size
+    END = CLEAR + 1
+
+    def fresh_table():
+        return {i: (i,) for i in range(CLEAR)}
+
+    table = fresh_table()
+    next_code = END + 1
+    width = min_code_size + 1
+    acc = n_bits = pos = 0
+    prev = None
+    out = []
+    while len(out) < n_pixels:
+        while n_bits < width:
+            if pos >= len(data):
+                return None  # truncated stream
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == CLEAR:
+            table = fresh_table()
+            next_code = END + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == END:
+            break
+        if prev is None:
+            if code not in table:
+                return None
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+        elif code == next_code:  # KwKwK
+            entry = prev + (prev[0],)
+            table[next_code] = entry
+            next_code += 1
+        else:
+            return None  # corrupt: code beyond table
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        out.extend(entry)
+        prev = entry
+    return out[:n_pixels]
+
+
+def decode_gif_pixels(
+    payload: bytes,
+) -> tuple[int, int, list[int]] | None:
+    """(width, height, palette-index pixels top-down row-major) of
+    the FIRST image in a GIF, via real LZW decode. None for
+    interlaced images, local palettes, or malformed streams (the
+    seam). With a grayscale palette the indices ARE the gray
+    values."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = payload[10]
+    i = 13
+    if flags & 0x80:  # global color table
+        i += 3 * (2 << (flags & 0x07))
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x21:  # extension: skip sub-blocks
+            i += 2
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:  # image descriptor
+            if i + 10 > len(payload):
+                return None
+            w, h = struct.unpack("<HH", payload[i + 5 : i + 9])
+            iflags = payload[i + 9]
+            if iflags & 0xC0:  # local palette / interlace → seam
+                return None
+            i += 10
+            if i >= len(payload):
+                return None
+            min_code = payload[i]
+            i += 1
+            data = bytearray()
+            while i < len(payload) and payload[i] != 0:
+                n = payload[i]
+                data += payload[i + 1 : i + 1 + n]
+                i += 1 + n
+            px = _lzw_decode(bytes(data), min_code, w * h)
+            if px is None or len(px) < w * h:
+                return None
+            return w, h, px
+        elif b == 0x3B:
+            return None  # trailer before any image
+        else:
+            return None  # desynced
+    return None
+
+
+def attach_gif_payload(df: DataFrame, id_col: str, max_side: int = 24) -> DataFrame:
+    """Media table with REAL GIF bytes: width = 1 + id % max_side,
+    height = 1 + (id * 3) % max_side, index(x, y) = (id + 3*x + y) %
+    256 — enough structure that only a correct LZW decode + row
+    order reproduces the corner probes."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for m in (int(v) for v in pdf["_mid"]):
+                w = 1 + m % max_side
+                h = 1 + (m * 3) % max_side
+                p = make_gif(w, h, lambda x, y, m=m: (m + 3 * x + y) % 256)
+                rows.append((m, p, "image/gif", len(p)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "mime", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("_mid")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
+
+
+GIF_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_index", T.LongType()),
+        T.StructField("min_index", T.IntegerType()),
+        T.StructField("max_index", T.IntegerType()),
+        T.StructField("top_left", T.IntegerType()),
+        T.StructField("bottom_right", T.IntegerType()),
+    ]
+)
+
+
+def gif_pixel_stats(df: DataFrame) -> DataFrame:
+    """Featurization through the full GIF LZW decode: palette-index
+    profile + corner probes."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_gif_pixels(bytes(p))
+                if decoded is None:
+                    continue
+                w, h, px = decoded
+                rows.append(
+                    (
+                        mid, w, h, w * h, sum(px), min(px), max(px),
+                        px[0], px[-1],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels", "sum_index",
+                    "min_index", "max_index", "top_left", "bottom_right",
+                ],
+            )
+
+    return df.mapInPandas(batches, GIF_STATS_SCHEMA)

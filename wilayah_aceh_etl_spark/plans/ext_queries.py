@@ -3790,3 +3790,105 @@ def similarity_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "multimodal_bmp_pixel_stats",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         1 + doc_id % 32 AS w,
+         1 + (doc_id * 5) % 32 AS h
+  FROM documents WHERE doc_id < 100
+),
+px AS (
+  SELECT media_id, w, h, (media_id + x.i + 2 * y.i) % 256 AS blue
+  FROM m, UNNEST(range(w)) AS x(i), UNNEST(range(h)) AS y(i)
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(blue) AS BIGINT) AS sum_blue,
+       CAST(MIN(blue) AS INTEGER) AS min_blue,
+       CAST(MAX(blue) AS INTEGER) AS max_blue,
+       CAST(media_id % 256 AS INTEGER) AS top_left,
+       CAST((media_id + 2 * (h - 1)) % 256 AS INTEGER) AS bottom_left
+FROM px
+GROUP BY media_id, w, h
+ORDER BY media_id
+""",
+    tags=("ext", "multimodal", "decode", "pixels", "bmp"),
+    description="FULL BMP pixel decode (bottom-up un-flip pinned by corners)",
+)
+def multimodal_bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real 24-bit BMP bytes decoded end to end — including the
+    bottom-up row storage and 4-byte row padding the format
+    mandates. The gradient payload makes order-sensitive corner
+    probes possible: top_left/bottom_left only come out right if the
+    decoder actually un-flips the rows (order-invariant stats alone
+    could not catch a naive top-down read)."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.attach_bmp_payload(docs, "doc_id")
+    return (
+        M.bmp_pixel_stats(media)
+        .select(
+            "media_id", "width", "height", "n_pixels", "sum_blue",
+            "min_blue", "max_blue", "top_left", "bottom_left",
+        )
+        .orderBy("media_id")
+    )
+
+
+@register(
+    "multimodal_gif_pixel_stats",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         1 + doc_id % 24 AS w,
+         1 + (doc_id * 3) % 24 AS h
+  FROM documents WHERE doc_id < 100
+),
+px AS (
+  SELECT media_id, w, h, (media_id + 3 * x.i + y.i) % 256 AS idx
+  FROM m, UNNEST(range(w)) AS x(i), UNNEST(range(h)) AS y(i)
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(SUM(idx) AS BIGINT) AS sum_index,
+       CAST(MIN(idx) AS INTEGER) AS min_index,
+       CAST(MAX(idx) AS INTEGER) AS max_index,
+       CAST(media_id % 256 AS INTEGER) AS top_left,
+       CAST((media_id + 3 * (w - 1) + (h - 1)) % 256 AS INTEGER)
+         AS bottom_right
+FROM px
+GROUP BY media_id, w, h
+ORDER BY media_id
+""",
+    tags=("ext", "multimodal", "decode", "pixels", "gif", "lzw"),
+    description="FULL GIF pixel decode through a real LZW decompressor",
+)
+def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF89a bytes decoded end to end: the payload's image
+    data is a spec-valid LZW stream (9-bit codes, clear-flushed) and
+    the decoder is a full LZW decompressor — variable code width,
+    table growth, clear/end, the KwKwK case (KwKwK unit-pinned in
+    tests). The oracle recomputes every pixel from the construction
+    arithmetic, so a hash match proves actual LZW decompression ran
+    on every payload."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.attach_gif_payload(docs, "doc_id")
+    return (
+        M.gif_pixel_stats(media)
+        .select(
+            "media_id", "width", "height", "n_pixels", "sum_index",
+            "min_index", "max_index", "top_left", "bottom_right",
+        )
+        .orderBy("media_id")
+    )
