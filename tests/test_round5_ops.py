@@ -540,3 +540,39 @@ def test_decode_media_real_routes_to_real_parser(spark):
     fake = M._fake_decode(payload)
     assert (row.width, row.height) != (fake[0], fake[1])
     assert M.parse_image_header(payload) == (row.width, row.height, 1)
+
+
+def test_logreg_trainer_learns_separable_data(spark, tmp_path):
+    """On linearly separable data the quantized GD trainer must
+    reach 100% training accuracy within a few iterations, from the
+    registered query's own code path."""
+    from pyspark.sql import functions as F
+
+    from wilayah_aceh_etl_spark.operators.ml_train import (
+        logreg_train_quantized,
+    )
+
+    # y = 1 iff x0 > 0, with margin; 2-dim, 40 rows
+    rows = [
+        (i, [1.0 + (i % 7) * 0.1, ((i * 13) % 5 - 2) * 0.3], 1)
+        for i in range(20)
+    ] + [
+        (20 + i, [-1.0 - (i % 7) * 0.1, ((i * 7) % 5 - 2) * 0.3], 0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, y int"
+    )
+    out = {
+        r["iter"]: r["n_correct"]
+        for r in logreg_train_quantized(df, n_iter=4, lr=1.0).collect()
+    }
+    assert out[4] == 40, out
+    # monotone non-decreasing accuracy on this easy problem
+    assert out[1] <= out[2] <= out[3] <= out[4]
+    # determinism: re-running gives the identical trajectory
+    again = {
+        r["iter"]: r["n_correct"]
+        for r in logreg_train_quantized(df, n_iter=4, lr=1.0).collect()
+    }
+    assert again == out

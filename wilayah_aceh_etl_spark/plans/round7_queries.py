@@ -1,0 +1,123 @@
+"""Round-7 query family: distributed model training and the other
+operators added in build round 5 (continuing the roundN_queries
+naming run). Every query carries a DuckDB oracle unless noted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wilayah_aceh_etl_spark.plans.registry import register
+from wilayah_aceh_etl_spark.sources.tables import load_table
+
+
+def _lr_step_sql(i: int) -> str:
+    """One full-batch GD iteration as DuckDB CTEs, mirroring
+    operators/ml_train.py::logreg_train_quantized bit for bit:
+    rational sigmoid, quantized (·2²⁴) exact-integer gradient sums,
+    identical update operation order."""
+    return f"""
+mar{i} AS (
+  SELECT v.vec_id, v.y,
+         list_dot_product(v.x, (SELECT w FROM w{i - 1})) +
+           (SELECT b FROM w{i - 1}) AS m
+  FROM v
+),
+err{i} AS (
+  SELECT vec_id, y, 0.5 + m / (2.0 * (1.0 + abs(m))) - y AS e FROM mar{i}
+),
+gw{i} AS (
+  SELECT u.pos,
+         CAST(SUM(CAST(ROUND(e.e * u.val * 16777216) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM err{i} e JOIN u ON u.vec_id = e.vec_id
+  GROUP BY u.pos
+),
+gb{i} AS (
+  SELECT CAST(SUM(CAST(ROUND(e * 16777216) AS BIGINT)) AS BIGINT) AS s
+  FROM err{i}
+),
+w{i} AS (
+  SELECT
+    (SELECT list(
+        wl.wj - 0.5 * (CAST(COALESCE(g.s, 0) AS DOUBLE) / 16777216 /
+                       (SELECT n FROM nn))
+        ORDER BY wl.pos)
+     FROM (SELECT unnest(w) AS wj, generate_subscripts(w, 1) AS pos
+           FROM w{i - 1}) wl
+     LEFT JOIN gw{i} g ON g.pos = wl.pos) AS w,
+    (SELECT b FROM w{i - 1}) -
+      0.5 * (CAST((SELECT s FROM gb{i}) AS DOUBLE) / 16777216 /
+             (SELECT n FROM nn)) AS b
+),
+met{i} AS (
+  SELECT {i} AS iter,
+         CAST(SUM(CASE WHEN (m2 > 0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+         CAST(ROUND((SELECT b FROM w{i}) * 16777216) AS BIGINT) AS b_q,
+         (SELECT CAST(SUM(CAST(ROUND(wj * 16777216) AS BIGINT)) AS BIGINT)
+          FROM (SELECT unnest(w) AS wj FROM w{i}))
+           AS w_checksum
+  FROM (
+    SELECT v.y,
+           list_dot_product(v.x, (SELECT w FROM w{i})) +
+             (SELECT b FROM w{i}) AS m2
+    FROM v
+  )
+)"""
+
+
+_LOGREG_ORACLE = (
+    """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+u AS (
+  SELECT vec_id, unnest(x) AS val, generate_subscripts(x, 1) AS pos FROM v
+),
+w0 AS (
+  SELECT (SELECT list(0.0) FROM range(64)) AS w, 0.0 AS b
+),
+"""
+    + ",".join(_lr_step_sql(i) for i in (1, 2, 3))
+    + """
+SELECT iter, n_correct, b_q, w_checksum
+FROM (SELECT * FROM met1 UNION ALL SELECT * FROM met2
+      UNION ALL SELECT * FROM met3)
+ORDER BY iter
+"""
+)
+
+
+@register(
+    "ml_logreg_train_quantized",
+    oracle=_LOGREG_ORACLE,
+    tags=("ext", "ml", "training", "iterative", "gradient-descent"),
+    description="3 full-batch GD iterations of logistic regression, hash-pinned",
+)
+def ml_logreg_train_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed binary logistic regression (is the embedding's
+    label < 5?) through the gate: three full-batch gradient-descent
+    iterations whose ENTIRE trajectory — per-iteration accuracy,
+    quantized bias, quantized weight checksum — hash-matches a SQL
+    re-derivation. The training shape is the one that scales:
+    broadcast weights into a map-side expression, per-row gradient
+    contributions quantized to exact integers, one partial-combining
+    aggregate keyed by feature position (65 groups), driver applies
+    the update (operators/ml_train.py). Rational sigmoid for
+    cross-engine determinism — see the module docstring for the
+    exp() trade-off."""
+    from wilayah_aceh_etl_spark.operators.ml_train import (
+        logreg_train_quantized,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    return logreg_train_quantized(emb, n_iter=3, lr=0.5).orderBy("iter")
