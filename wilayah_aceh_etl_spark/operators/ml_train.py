@@ -132,3 +132,174 @@ def logreg_train_quantized(
         )
     finally:
         v.unpersist()
+
+
+def perceptron_train_integer(
+    df: DataFrame,
+    n_iter: int = 3,
+    q_bits: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "y",
+) -> DataFrame:
+    """Batch perceptron where EVERY quantity is an exact integer —
+    the strongest determinism device in the repo (the logistic
+    trainer still carries doubles between iterations; here nothing
+    does). Features are quantized once to ROUND(x·2^q_bits); the
+    update is the classic  w += Σ_{y·m ≤ 0} y·xq  with no learning
+    rate to round. q_bits=12 keeps |margin| < 2^42 after 3
+    iterations on this corpus — far from int64 overflow (2^24 would
+    not: w grows to ~2^33 and the margin dot to ~2^63).
+
+    Returns (iter, n_misclassified under the PRE-update weights,
+    b, w_checksum) — all BIGINT, hash-stable by construction.
+
+    Scale shape: identical to the logistic trainer — weights are
+    d+1 integers broadcast into a map-side expression; the update is
+    one filtered aggregate keyed by feature position."""
+    qf = float(1 << q_bits)
+    v = df.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("x"),
+        F.when(F.col(label_col).cast("int") == 1, 1)
+        .otherwise(-1)
+        .alias("ypm"),
+    )
+    u = (
+        v.select("vec_id", "ypm", F.posexplode("x").alias("pos0", "xv"))
+        .select(
+            "vec_id",
+            "ypm",
+            (F.col("pos0") + 1).alias("pos"),
+            F.round(F.col("xv") * qf).cast("long").alias("xq"),
+        )
+        .persist()
+    )
+    try:
+        d = int(v.select(F.size("x")).first()[0])
+        w = [0] * d
+        b = 0
+        out_rows = []
+        for it in range(1, n_iter + 1):
+            warr = F.array(*[F.lit(int(wj)) for wj in w])
+            m = (
+                u.groupBy("vec_id", "ypm")
+                .agg(
+                    F.sum(
+                        F.element_at(warr, F.col("pos")) * F.col("xq")
+                    ).alias("wdot")
+                )
+                .select(
+                    "vec_id",
+                    "ypm",
+                    (F.col("wdot") + F.lit(int(b))).alias("m"),
+                )
+            )
+            mis = m.filter(F.col("ypm") * F.col("m") <= 0).select(
+                "vec_id", "ypm"
+            )
+            n_mis = mis.count()
+            upd = (
+                u.join(mis, ["vec_id", "ypm"])
+                .groupBy("pos")
+                .agg(F.sum(F.col("ypm") * F.col("xq")).alias("s"))
+                .collect()
+            )
+            sums = {r["pos"]: r["s"] for r in upd}
+            w = [w[j] + int(sums.get(j + 1, 0)) for j in range(d)]
+            b = b + int(
+                mis.agg(F.sum("ypm").alias("s")).first()["s"] or 0
+            )
+            out_rows.append((it, int(n_mis), int(b), int(sum(w))))
+        return v.sparkSession.createDataFrame(
+            out_rows,
+            "iter int, n_misclassified bigint, b bigint, w_checksum bigint",
+        )
+    finally:
+        u.unpersist()
+
+
+def logreg_fit(
+    df: DataFrame,
+    n_iter: int = 3,
+    lr: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "y",
+) -> tuple[list[float], float]:
+    """The fit loop of logreg_train_quantized without the
+    per-iteration metric passes: returns (w, b) after n_iter
+    updates, for callers that score a DIFFERENT dataset (holdout
+    evaluation). Identical update arithmetic — a trajectory trained
+    here hash-matches one trained by logreg_train_quantized."""
+    v = df.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("x"),
+        F.col(label_col).cast("int").alias("y"),
+    ).persist()
+    try:
+        n = v.count()
+        d = int(v.select(F.size("x")).first()[0])
+        u = v.select(
+            "vec_id", "y", F.posexplode("x").alias("pos0", "val")
+        ).select("vec_id", "y", (F.col("pos0") + 1).alias("pos"), "val")
+        w = [0.0] * d
+        b = 0.0
+        for _ in range(n_iter):
+            m = _margin(w, b)
+            sig = F.lit(0.5) + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
+            err_by_id = v.select("vec_id", (sig - F.col("y")).alias("e"))
+            gw = (
+                u.join(err_by_id, "vec_id")
+                .groupBy("pos")
+                .agg(
+                    F.sum(
+                        F.round(F.col("e") * F.col("val") * Q).cast("long")
+                    ).alias("s")
+                )
+                .collect()
+            )
+            gb = err_by_id.agg(
+                F.sum(F.round(F.col("e") * Q).cast("long")).alias("s")
+            ).first()["s"]
+            sums = {r["pos"]: r["s"] for r in gw}
+            w = [
+                w[j] - lr * (float(sums.get(j + 1, 0)) / Q / n)
+                for j in range(d)
+            ]
+            b = b - lr * (float(gb) / Q / n)
+        return w, b
+    finally:
+        v.unpersist()
+
+
+def score_confusion(
+    df: DataFrame,
+    w: list[float],
+    b: float,
+    vec_col: str = "embedding",
+    label_col: str = "y",
+) -> DataFrame:
+    """One-row confusion matrix of sign(w·x + b) against the binary
+    label — the holdout-evaluation counterpart of logreg_fit."""
+    v = df.select(
+        as_double(F.col(vec_col)).alias("x"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    m = _margin(w, b)
+    pred = (m > 0).cast("int")
+    return v.select(pred.alias("p"), "y").agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.sum(((F.col("p") == 1) & (F.col("y") == 1)).cast("int"))
+        .cast("long")
+        .alias("tp"),
+        F.sum(((F.col("p") == 1) & (F.col("y") == 0)).cast("int"))
+        .cast("long")
+        .alias("fp"),
+        F.sum(((F.col("p") == 0) & (F.col("y") == 0)).cast("int"))
+        .cast("long")
+        .alias("tn"),
+        F.sum(((F.col("p") == 0) & (F.col("y") == 1)).cast("int"))
+        .cast("long")
+        .alias("fn"),
+    )

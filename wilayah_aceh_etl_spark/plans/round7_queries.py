@@ -121,3 +121,155 @@ def ml_logreg_train_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
     )
     return logreg_train_quantized(emb, n_iter=3, lr=0.5).orderBy("iter")
+
+
+def _perc_step_sql(i: int) -> str:
+    """One batch-perceptron iteration as DuckDB CTEs — INTEGER
+    arithmetic only, mirroring
+    operators/ml_train.py::perceptron_train_integer."""
+    return f"""
+mar{i} AS (
+  SELECT u.vec_id, u.ypm,
+         CAST(SUM(w.wv * u.xq) AS BIGINT) + (SELECT b FROM b{i - 1}) AS m
+  FROM u JOIN w{i - 1} w ON w.pos = u.pos
+  GROUP BY u.vec_id, u.ypm
+),
+mis{i} AS (SELECT vec_id, ypm FROM mar{i} WHERE ypm * m <= 0),
+upd{i} AS (
+  SELECT u.pos, CAST(SUM(u.ypm * u.xq) AS BIGINT) AS s
+  FROM u JOIN mis{i} USING (vec_id)
+  GROUP BY u.pos
+),
+w{i} AS (
+  SELECT w.pos, w.wv + COALESCE(s.s, 0) AS wv
+  FROM w{i - 1} w LEFT JOIN upd{i} s USING (pos)
+),
+b{i} AS (
+  SELECT (SELECT b FROM b{i - 1}) +
+         COALESCE((SELECT CAST(SUM(ypm) AS BIGINT) FROM mis{i}), 0) AS b
+),
+met{i} AS (
+  SELECT {i} AS iter,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM mis{i}) AS n_misclassified,
+         (SELECT b FROM b{i}) AS b,
+         (SELECT CAST(SUM(wv) AS BIGINT) FROM w{i}) AS w_checksum
+)"""
+
+
+_PERCEPTRON_ORACLE = (
+    """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+         CASE WHEN label < 5 THEN 1 ELSE -1 END AS ypm
+  FROM embeddings
+),
+u AS (
+  SELECT vec_id, ypm,
+         generate_subscripts(x, 1) AS pos,
+         CAST(ROUND(unnest(x) * 4096) AS BIGINT) AS xq
+  FROM v
+),
+w0 AS (SELECT i AS pos, CAST(0 AS BIGINT) AS wv FROM range(1, 65) t(i)),
+b0 AS (SELECT CAST(0 AS BIGINT) AS b),
+"""
+    + ",".join(_perc_step_sql(i) for i in (1, 2, 3))
+    + """
+SELECT iter, n_misclassified, b, w_checksum
+FROM (SELECT * FROM met1 UNION ALL SELECT * FROM met2
+      UNION ALL SELECT * FROM met3)
+ORDER BY iter
+"""
+)
+
+
+@register(
+    "ml_perceptron_train_integer",
+    oracle=_PERCEPTRON_ORACLE,
+    tags=("ext", "ml", "training", "iterative", "integer-exact"),
+    description="3 batch-perceptron iterations, all-integer (no float anywhere)",
+)
+def ml_perceptron_train_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The all-integer companion to ml_logreg_train_quantized:
+    features quantized once to ROUND(x·2¹²), then the whole training
+    loop — margins, misclassification set, updates, checksums — runs
+    in exact int64 arithmetic on BOTH engines; there is no float
+    anywhere a hash could flap on
+    (operators/ml_train.py::perceptron_train_integer, incl. the
+    overflow-headroom analysis for q_bits)."""
+    from wilayah_aceh_etl_spark.operators.ml_train import (
+        perceptron_train_integer,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    return perceptron_train_integer(emb, n_iter=3, q_bits=12).orderBy("iter")
+
+
+_LOGREG_HOLDOUT_ORACLE = (
+    """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings WHERE vec_id % 5 != 0
+),
+vt AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+u AS (
+  SELECT vec_id, unnest(x) AS val, generate_subscripts(x, 1) AS pos FROM v
+),
+w0 AS (
+  SELECT (SELECT list(0.0) FROM range(64)) AS w, 0.0 AS b
+),
+"""
+    + ",".join(_lr_step_sql(i) for i in (1, 2, 3))
+    + """,
+scored AS (
+  SELECT vt.y,
+         CASE WHEN list_dot_product(vt.x, (SELECT w FROM w3)) +
+                   (SELECT b FROM w3) > 0 THEN 1 ELSE 0 END AS p
+  FROM vt
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(CASE WHEN p = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN p = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN p = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       CAST(SUM(CASE WHEN p = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+FROM scored
+"""
+)
+
+
+@register(
+    "ml_logreg_holdout_confusion",
+    oracle=_LOGREG_HOLDOUT_ORACLE,
+    tags=("ext", "ml", "training", "evaluation", "holdout"),
+    description="train on 4/5 split, confusion matrix on the 1/5 holdout",
+)
+def ml_logreg_holdout_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The train/evaluate separation every real pipeline needs:
+    fit on the vec_id%5!=0 split (same quantized GD as
+    ml_logreg_train_quantized), score the UNSEEN vec_id%5=0 split,
+    emit the confusion matrix — all integers, hash-pinned, with the
+    oracle re-deriving the trained weights before scoring. The
+    modulo split keeps the oracle focused on the eval logic; swap in
+    the split_train_val_test hash split for production (same
+    shape)."""
+    from wilayah_aceh_etl_spark.operators.ml_train import (
+        logreg_fit,
+        score_confusion,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    w, b = logreg_fit(emb.filter(F.col("vec_id") % 5 != 0), n_iter=3, lr=0.5)
+    return score_confusion(emb.filter(F.col("vec_id") % 5 == 0), w, b)
