@@ -26,6 +26,9 @@ NLJ_ALLOWED = {
     # composes the two shapes above (BF ground truth × IVF), so it
     # inherits both documented broadcast products
     "similarity_ivf_recall",
+    # same composition, trained quantizer + seed-disjoint queries
+    # (20-row broadcast side vs corpus — the definitional BF truth)
+    "similarity_ivf_kmeans_recall",
     # broadcast of a single-row global-total aggregate: the build side is
     # exactly 1 row regardless of data size, so the NLJ is O(buckets)
     "data_mixture_rates",

@@ -273,3 +273,231 @@ def ml_logreg_holdout_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w, b = logreg_fit(emb.filter(F.col("vec_id") % 5 != 0), n_iter=3, lr=0.5)
     return score_confusion(emb.filter(F.col("vec_id") % 5 == 0), w, b)
+
+
+# ---------------------------------------------------------------------------
+# Sketch GUARANTEE audits: the four approximation queries are
+# rows-only by nature (the estimate is engine-specific), but each
+# sketch's CONTRACT is exactly checkable. These companions compute
+# the estimate AND the exact value in one query and emit the
+# contract verdict + exact context — so the sketches get a real
+# hash gate after all, on the property that matters.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_percentile_rank_bound_audit",
+    oracle="""
+SELECT o_orderstatus, p,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       TRUE AS rank_within_eps
+FROM orders
+CROSS JOIN (VALUES (0.25), (0.5), (0.75)) AS t(p)
+GROUP BY o_orderstatus, p
+ORDER BY o_orderstatus, p
+""",
+    tags=("ext", "sketch", "percentile", "audit"),
+    description="GK sketch rank-error guarantee audited against exact ranks",
+)
+def approx_percentile_rank_bound_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Greenwald-Khanna's HARD guarantee — the returned element's
+    rank is within ±εN of the target (ε = 1/accuracy) — checked
+    against the exact data: per status and quantile, the estimate's
+    rank window [count(x<est), count(x≤est)] must intersect
+    [(p−ε)N, (p+ε)N]. The oracle fixes the exact group sizes and
+    pins the verdict TRUE, so a sketch regression (or a broken rank
+    computation) flips the hash. This is the audit a pipeline runs
+    before trusting approx_percentile_prices at 100 TB."""
+    eps = 1.0 / 10000
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    est = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75], 10000
+            ).alias("_q"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            F.posexplode("_q").alias("_i", "_est"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            F.element_at(F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+                         F.col("_i") + 1).alias("p"),
+            "_est",
+        )
+    )
+    ranks = (
+        o.join(F.broadcast(est), "o_orderstatus")
+        .groupBy("o_orderstatus", "p", "n_orders", "_est")
+        .agg(
+            F.sum((F.col("o_totalprice") < F.col("_est")).cast("long"))
+            .alias("_lo"),
+            F.sum((F.col("o_totalprice") <= F.col("_est")).cast("long"))
+            .alias("_hi"),
+        )
+    )
+    ok = (
+        F.col("_hi") >= F.floor((F.col("p") - eps) * F.col("n_orders"))
+    ) & (F.col("_lo") <= F.ceil((F.col("p") + eps) * F.col("n_orders")))
+    return ranks.select(
+        "o_orderstatus", "p", "n_orders", ok.alias("rank_within_eps")
+    ).orderBy("o_orderstatus", "p")
+
+
+@register(
+    "approx_distinct_rsd_audit",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS within_5x_rsd
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("ext", "sketch", "hll", "audit"),
+    description="HLL++ estimate audited within 5× its advertised rsd",
+)
+def approx_distinct_rsd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ has no hard error bound (it is probabilistic),
+    but a DETERMINISTIC dataset gives a deterministic estimate — so
+    the audit 'estimate within 5× the advertised rsd of exact' is a
+    stable, meaningful gate: it fails if the sketch implementation
+    regresses materially or the rsd plumbing breaks, while tolerating
+    the advertised noise. Exact and approximate distinct run in the
+    SAME aggregate pass (two agg expressions, one shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").cast("long").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_est"),
+    )
+    ok = (
+        F.abs(F.col("_est") - F.col("exact_orders"))
+        <= 0.05 * F.col("exact_orders")
+    )
+    return g.select(
+        "l_returnflag", "exact_orders", ok.alias("within_5x_rsd")
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "events_hll_merge_identity_audit",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour,
+       CAST(COUNT(DISTINCT date_trunc('minute', ts)) AS BIGINT) AS n_minutes,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS merge_equals_direct,
+       TRUE AS within_rsd
+FROM events
+GROUP BY 1
+ORDER BY hour
+""",
+    tags=("ext", "sketch", "hll", "mergeable", "audit"),
+    description="HLL partial-merge == direct-sketch identity, per hour",
+)
+def events_hll_merge_identity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """THE property that makes sketch rollups valid at 100 TB:
+    merging per-minute sketches must yield the same estimate as
+    sketching the hour directly (registers update by max, so the
+    sketch is a pure function of the distinct set). This audit
+    computes both paths and pins their equality per hour — plus the
+    estimate staying within 5% of the exact count. If Spark's
+    hll_union_agg ever stopped being merge-exact, this hash gate
+    catches it; events_hll_rollup's docstring claim becomes
+    driver-checkable instead of test-only."""
+    e = load_table(spark, sf_dir, "events")
+    per_minute = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.date_trunc("minute", F.col("ts")).alias("minute"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = per_minute.groupBy("hour").agg(
+        F.count(F.lit(1)).alias("n_minutes"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est_merged"),
+    )
+    direct = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("_est_direct"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+    )
+    j = merged.join(direct, "hour")
+    return j.select(
+        "hour",
+        "n_minutes",
+        "exact_users",
+        (F.col("_est_merged") == F.col("_est_direct")).alias(
+            "merge_equals_direct"
+        ),
+        (
+            F.abs(F.col("_est_direct") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_rsd"),
+    ).orderBy("hour")
+
+
+@register(
+    "events_cms_guarantee_audit",
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n,
+       TRUE AS never_underestimates,
+       TRUE AS within_eps_n
+FROM events
+GROUP BY user_id
+ORDER BY exact_n DESC, user_id
+LIMIT 20
+""",
+    tags=("ext", "sketch", "cms", "audit"),
+    description="count-min contract (est ≥ exact, est ≤ exact + εN) audited",
+)
+def events_cms_guarantee_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min's one-sided contract, hash-gated: for the 20
+    heaviest users, the sketch estimate must never underestimate
+    (hard guarantee) and must stay within exact + ε·N (holds at the
+    sketch's 99% confidence; deterministic here because the seed is
+    fixed). Same probe path as events_cms_heavy_hitters — the
+    pure-Python wire-format reader over the collected KB-sized
+    sketch."""
+    from wilayah_aceh_etl_spark.functions.sketches import (
+        CountMinSketchReader,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    cms_bytes = bytes(
+        e.agg(
+            F.count_min_sketch(
+                F.col("user_id"), F.lit(0.001), F.lit(0.99), F.lit(42)
+            ).alias("cms")
+        ).head()[0]
+    )
+    n_total = e.count()
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(20)
+        .collect()
+    )
+    sketch = CountMinSketchReader.from_bytes(cms_bytes)
+    eps_n = 0.001 * n_total
+    rows = [
+        (
+            r["user_id"],
+            r["exact_n"],
+            sketch.estimate_count(r["user_id"]) >= r["exact_n"],
+            sketch.estimate_count(r["user_id"]) <= r["exact_n"] + eps_n,
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(
+        rows,
+        "user_id long, exact_n long, never_underestimates boolean,"
+        " within_eps_n boolean",
+    ).orderBy(F.col("exact_n").desc(), "user_id")
