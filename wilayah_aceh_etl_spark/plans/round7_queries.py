@@ -501,3 +501,162 @@ def events_cms_guarantee_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id long, exact_n long, never_underestimates boolean,"
         " within_eps_n boolean",
     ).orderBy(F.col("exact_n").desc(), "user_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup admission against a persistent index
+# ---------------------------------------------------------------------------
+
+
+def _adm_step_sql(k: int) -> str:
+    """One micro-batch of the streaming admission pipeline as DuckDB
+    CTEs: batch k (doc_id % 4 = k) is verdicted against the union of
+    all docs KEPT by batches < k — the sequential semantics of the
+    foreachBatch index exactly."""
+    exist = (
+        "SELECT doc_id FROM documents WHERE FALSE"
+        if k == 0
+        else f"SELECT doc_id FROM exist{k - 1} "
+        f"UNION ALL SELECT doc_id FROM ver{k - 1} WHERE kept"
+    )
+    return f"""
+exist{k} AS ({exist}),
+cand{k} AS (
+  SELECT DISTINCT i.doc_id AS doc_a, e.doc_id AS doc_b
+  FROM bands i
+  JOIN bands e ON i.band_id = e.band_id AND i.band_hash = e.band_hash
+  WHERE i.doc_id % 4 = {k}
+    AND e.doc_id IN (SELECT doc_id FROM exist{k})
+),
+inter{k} AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand{k} c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+near{k} AS (
+  SELECT doc_a, MIN(doc_b) AS near_dup_of
+  FROM inter{k}
+  JOIN adm_sizes sa ON doc_a = sa.doc_id
+  JOIN adm_sizes sb ON doc_b = sb.doc_id
+  WHERE ROUND(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.5
+  GROUP BY doc_a
+),
+exh{k} AS (
+  SELECT DISTINCT md5(text) AS h FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM exist{k})
+),
+ver{k} AS (
+  SELECT d.doc_id,
+         (exh{k}.h IS NOT NULL) AS is_exact_dup,
+         near{k}.near_dup_of,
+         (exh{k}.h IS NULL AND near{k}.near_dup_of IS NULL) AS kept
+  FROM documents d
+  LEFT JOIN exh{k} ON md5(d.text) = exh{k}.h
+  LEFT JOIN near{k} ON near{k}.doc_a = d.doc_id
+  WHERE d.doc_id % 4 = {k}
+)"""
+
+
+def _admission_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.ext_queries import (
+        _BANDS_CTE,
+        _SHINGLE_CTE,
+        _SIGS_CTE,
+    )
+
+    return (
+        "WITH "
+        + _SHINGLE_CTE
+        + ", "
+        + _SIGS_CTE
+        + ", "
+        + _BANDS_CTE
+        + """,
+adm_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+"""
+        + ",".join(_adm_step_sql(k) for k in range(4))
+        + """
+SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS batch_tag,
+       is_exact_dup, near_dup_of, kept
+FROM (SELECT * FROM ver0 UNION ALL SELECT * FROM ver1
+      UNION ALL SELECT * FROM ver2 UNION ALL SELECT * FROM ver3)
+ORDER BY doc_id
+"""
+    )
+
+
+@register(
+    "streaming_dedup_admission_index",
+    oracle=_admission_oracle(),
+    tags=("streaming", "dedup", "minhash", "lsh", "index", "foreachBatch"),
+    description="continuous corpus ingestion: near-dup admission vs a growing index",
+)
+def streaming_dedup_admission_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production corpus-growth loop through the REAL streaming
+    path: documents arrive as four mtime-ordered micro-batches
+    (doc_id % 4); each batch is admitted against the docs already
+    KEPT by earlier batches (exact md5 + banded-MinHash candidates →
+    verified Jaccard ≥ 0.5), and admissions append to the index the
+    next batch reads (streaming/dedup_admission.py). The oracle
+    replays the same four sequential rounds in SQL, so the hash pins
+    batch ordering, index growth, and both dedup paths at once —
+    dedup_incremental_admission promoted from a one-shot batch to
+    the continuously-running form."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents")
+    run = uuid.uuid4().hex[:8]
+    base = os.path.join(tempfile.gettempdir(), f"wilayah_adm_src_{run}")
+    os.makedirs(base)
+    for k in range(4):
+        tmp = base + f"_stage{k}"
+        docs.filter(F.col("doc_id") % 4 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(base, f"batch{k}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        t = 1_600_000_000 + k * 1000  # distinct mtimes fix batch order
+        os.utime(dst, (t, t))
+    admitted = os.path.join(
+        tempfile.gettempdir(), f"wilayah_adm_idx_{run}"
+    )
+    verdicts = os.path.join(
+        tempfile.gettempdir(), f"wilayah_adm_out_{run}"
+    )
+    ckpt = os.path.join(tempfile.gettempdir(), f"wilayah_adm_ck_{run}")
+
+    from wilayah_aceh_etl_spark.streaming.dedup_admission import (
+        admission_stream,
+    )
+
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    sq = (
+        admission_stream(src, admitted, verdicts, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(600)
+    return (
+        spark.read.parquet(verdicts)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 4).cast("int").alias("batch_tag"),
+            "is_exact_dup",
+            "near_dup_of",
+            "kept",
+        )
+        .orderBy("doc_id")
+    )

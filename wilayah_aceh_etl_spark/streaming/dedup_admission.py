@@ -1,0 +1,82 @@
+"""Continuous corpus ingestion with near-dup admission control —
+the streaming composition of the dedup index pattern.
+
+Production shape: documents arrive as micro-batches; each batch is
+admitted only where it is neither an exact copy nor a verified
+near-dup (MinHash band candidates → exact Jaccard) of the ALREADY
+ADMITTED corpus; admitted docs (and, at scale, their signatures)
+are appended to the index the NEXT batch dedups against. This is
+how a training-corpus lake actually grows — dedup_incremental_
+admission run forever, with the "existing" side persisted between
+batches instead of recomputed.
+
+Scale notes: here the admitted table stores (doc_id, text) and each
+batch re-derives the existing side's shingles/signatures — correct
+and simple at test scale. At 100 TB the index table stores the BAND
+HASHES (doc_id, band_id, band_hash — what the candidate join
+actually consumes, ~bands×32 B/doc) plus md5(text); the batch body
+is unchanged except the existing side reads the index instead of
+re-shingling. Verdicts/kept rows are collected per batch before
+either table is appended — the admitted table MUST NOT be re-read
+lazily after it has been appended within the same batch (a lazy
+plan would see the batch's own admissions and self-dedup); at
+production batch sizes, persist + localCheckpoint instead of
+collect.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from wilayah_aceh_etl_spark.operators.dedup import (
+    incremental_near_dup_filter,
+)
+
+VERDICT_SCHEMA = (
+    "doc_id long, is_exact_dup boolean, near_dup_of long, kept boolean"
+)
+
+
+def admission_stream(
+    stream: DataFrame,
+    admitted_table: str,
+    verdicts_table: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+):
+    """writeStream builder: per micro-batch, run the incremental
+    near-dup filter against the admitted table, append the verdicts,
+    append the kept documents. Returns the unstarted writeStream
+    (caller picks trigger/awaits)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(admitted_table):
+            existing = spark.read.parquet(admitted_table).select(
+                *batch_df.columns
+            )
+        else:
+            existing = spark.createDataFrame([], batch_df.schema)
+        verdicts = incremental_near_dup_filter(
+            existing, batch_df, threshold=threshold
+        )
+        rows = verdicts.collect()  # materialize BEFORE any append
+        kept_ids = [r["doc_id"] for r in rows if r["kept"]]
+        spark.createDataFrame(
+            [
+                (r["doc_id"], r["is_exact_dup"], r["near_dup_of"], r["kept"])
+                for r in rows
+            ],
+            VERDICT_SCHEMA,
+        ).write.mode("append").parquet(verdicts_table)
+        if kept_ids:
+            batch_df.filter(
+                F.col("doc_id").isin(kept_ids)
+            ).write.mode("append").parquet(admitted_table)
+
+    return stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint
+    )
