@@ -714,3 +714,76 @@ def test_transform_with_state_probe(spark, tmp_path):
         for r in spark.sql("SELECT * FROM tws_probe").collect()
     }
     assert got == {1: 2, 2: 1}
+
+
+def test_admission_stream_sequential_semantics(spark, tmp_path):
+    """Hand-built 3-batch admission run: a batch-2 copy of a KEPT
+    batch-1 doc is rejected; a batch-3 copy of that REJECTED doc is
+    still rejected (it matches the INDEXED original, not the
+    rejected copy); and a doc similar only to a rejected,
+    never-indexed doc IS admitted — the property that distinguishes
+    index-based admission from global pairwise dedup."""
+    import os
+
+    from wilayah_aceh_etl_spark.streaming.dedup_admission import (
+        admission_stream,
+    )
+
+    base_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq = "one two three four five six seven eight nine ten"
+    # batch 0: original A(1) + unrelated U(2)
+    # batch 1: exact copy of A (3, rejected-exact) + near-copy of A
+    #          (4, rejected-near) + brand-new V (5, kept)
+    # batch 2: exact copy of doc 4 (6) — doc 4 was REJECTED, so 6 is
+    #          not an exact dup of the INDEX; but it near-dups A → rejected-near;
+    #          plus a fresh doc (7, kept)
+    near_a = base_text.replace("kappa", "lambda")
+    batches = {
+        0: [(1, base_text), (2, uniq)],
+        1: [(3, base_text), (4, near_a), (5, "red orange yellow green blue indigo violet pink brown black")],
+        2: [(6, near_a), (7, "cat dog bird fish horse cow sheep goat duck hen")],
+    }
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for k, rows in batches.items():
+        tmp = str(tmp_path / f"stage{k}")
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"b{k}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        t = 1_600_000_000 + k * 1000
+        os.utime(dst, (t, t))
+    admitted = str(tmp_path / "admitted")
+    verdicts = str(tmp_path / "verdicts")
+    sq = (
+        admission_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src),
+            admitted,
+            verdicts,
+            str(tmp_path / "ck"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    v = {
+        r.doc_id: (r.is_exact_dup, r.near_dup_of, r.kept)
+        for r in spark.read.parquet(verdicts).collect()
+    }
+    assert v[1] == (False, None, True)
+    assert v[2] == (False, None, True)
+    assert v[3][0] is True and v[3][2] is False      # exact copy of A
+    assert v[4] == (False, 1, False)                 # near-dup of A
+    assert v[5][2] is True
+    # doc 6 = copy of the REJECTED doc 4: not an exact dup of the
+    # index (4 was never admitted), but near-dups the indexed A
+    assert v[6] == (False, 1, False)
+    assert v[7][2] is True
+    kept_ids = {
+        r.doc_id for r in spark.read.parquet(admitted).collect()
+    }
+    assert kept_ids == {1, 2, 5, 7}
