@@ -660,3 +660,190 @@ def streaming_dedup_admission_index(
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "data_mixture_temperature_epochs",
+    oracle="""
+WITH s AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS chars,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, chars, n_docs,
+         CAST(ROUND(sqrt(chars) * 16777216) AS BIGINT) AS wq
+  FROM s
+),
+t AS (SELECT CAST(SUM(wq) AS BIGINT) AS tot, CAST(SUM(chars) AS BIGINT)
+             AS all_chars FROM q)
+SELECT source, chars, n_docs,
+       ROUND(CAST(wq AS DOUBLE) / (SELECT tot FROM t), 6) AS mix_weight,
+       ROUND((CAST(wq AS DOUBLE) / (SELECT tot FROM t))
+             * (SELECT all_chars FROM t) / chars, 4) AS epochs_at_budget
+FROM q
+ORDER BY source
+""",
+    tags=("ext", "mixture", "sampling", "training"),
+    description="temperature τ=0.5 mixture weights and per-source epochs",
+)
+def data_mixture_temperature_epochs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based source reweighting (the XLM-R/mT5 device):
+    sampling weight p_s ∝ size_s^τ with τ=0.5 upsamples small
+    sources; epochs_at_budget = p_s·B/size_s (B = total corpus
+    chars) says how many passes over each source one full-budget
+    epoch implies — >1 means repetition, the quantity a training
+    run monitors for memorization risk. Determinism: τ=0.5 makes
+    the power a SQRT (correctly rounded per IEEE-754, so both
+    engines agree to the bit) and the normalizing sum runs over
+    QUANTIZED integers (ROUND(sqrt·2²⁴)) — order-independent, so
+    the ratio is identical however partial aggregates combine. One
+    shuffle (groupBy source); everything after is metadata-scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("chars"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    q = s.withColumn(
+        "_wq", F.round(F.sqrt(F.col("chars")) * 16777216).cast("long")
+    )
+    t = q.agg(
+        F.sum("_wq").cast("long").alias("_tot"),
+        F.sum("chars").cast("long").alias("_all"),
+    )
+    return (
+        q.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "chars",
+            "n_docs",
+            F.round(F.col("_wq").cast("double") / F.col("_tot"), 6).alias(
+                "mix_weight"
+            ),
+            F.round(
+                (F.col("_wq").cast("double") / F.col("_tot"))
+                * F.col("_all")
+                / F.col("chars"),
+                4,
+            ).alias("epochs_at_budget"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "csv_malformed_modes_battery",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey < 1000
+),
+good AS (SELECT * FROM base WHERE o_orderkey % 97 != 0)
+SELECT * FROM (
+  SELECT 'DROPMALFORMED' AS mode,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM good) AS n_rows,
+         CAST(0 AS BIGINT) AS n_corrupt,
+         (SELECT CAST(SUM(o_custkey) AS BIGINT) FROM good) AS sum_cust,
+         FALSE AS read_raised
+  UNION ALL
+  SELECT 'FAILFAST', NULL, NULL, NULL, TRUE
+  UNION ALL
+  SELECT 'PERMISSIVE',
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM base),
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM base)
+           - (SELECT CAST(COUNT(*) AS BIGINT) FROM good),
+         (SELECT CAST(SUM(o_custkey) AS BIGINT) FROM good),
+         FALSE
+)
+ORDER BY mode
+""",
+    tags=("format", "csv", "malformed", "battery"),
+    description="CSV parse modes on injected-corruption data, derived oracle",
+)
+def csv_malformed_modes_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-input semantics, pinned: orders rows are serialized to
+    CSV with every 97th key's custkey corrupted to a non-integer;
+    the battery reads the file back under all three parse modes and
+    emits what each mode yields — PERMISSIVE keeps every line and
+    flags the corrupt ones (n_corrupt from the corrupt-record
+    column), DROPMALFORMED silently drops exactly them, FAILFAST
+    raises on the first. The oracle DERIVES every count/sum from
+    the same modulo arithmetic on orders, so this is behavior
+    verification, not constant-pinning — the contract an ingest
+    pipeline relies on when upstream data goes bad."""
+    import os
+    import tempfile
+    import uuid
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_custkey")
+    )
+    line = F.when(
+        F.col("o_orderkey") % 97 == 0,
+        F.concat_ws(",", F.col("o_orderkey"), F.lit("X")),
+    ).otherwise(F.concat_ws(",", F.col("o_orderkey"), F.col("o_custkey")))
+    path = os.path.join(
+        tempfile.gettempdir(), f"wilayah_csv_modes_{uuid.uuid4().hex[:8]}"
+    )
+    o.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(
+        path
+    )
+    schema = "o_orderkey long, o_custkey long, _corrupt string"
+    perm = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    perm_row = perm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("_corrupt").cast("long").alias("n_corrupt"),
+        F.sum("o_custkey").cast("long").alias("sum_cust"),
+    ).first()
+    drop = (
+        spark.read.schema("o_orderkey long, o_custkey long")
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    drop_row = drop.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("o_custkey").cast("long").alias("sum_cust"),
+    ).first()
+    raised = False
+    try:
+        # .count() would skip column parsing (CSV count optimization)
+        # and never hit the malformed field — force a full parse
+        (
+            spark.read.schema("o_orderkey long, o_custkey long")
+            .option("mode", "FAILFAST")
+            .csv(path)
+            .agg(F.sum("o_custkey"))
+            .collect()
+        )
+    except Exception:
+        raised = True
+    rows = [
+        (
+            "DROPMALFORMED",
+            drop_row["n_rows"],
+            0,
+            drop_row["sum_cust"],
+            False,
+        ),
+        ("FAILFAST", None, None, None, raised),
+        (
+            "PERMISSIVE",
+            perm_row["n_rows"],
+            perm_row["n_corrupt"],
+            perm_row["sum_cust"],
+            False,
+        ),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "mode string, n_rows bigint, n_corrupt bigint, sum_cust bigint,"
+        " read_raised boolean",
+    ).orderBy("mode")
