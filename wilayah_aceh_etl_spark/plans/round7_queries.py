@@ -847,3 +847,146 @@ def csv_malformed_modes_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mode string, n_rows bigint, n_corrupt bigint, sum_cust bigint,"
         " read_raised boolean",
     ).orderBy("mode")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training — the real iterative loop
+# ---------------------------------------------------------------------------
+
+
+def _bpe_step_sql(i: int) -> str:
+    """One BPE training iteration as DuckDB CTEs: overlapping pair
+    counts weighted by word frequency → argmax (count desc, pair
+    asc) → left-greedy merge via string replace (replace() scans
+    left-to-right over non-overlapping occurrences on both engines,
+    which IS the classic BPE merge application)."""
+    return f"""
+p{i} AS (
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+    SELECT freq, arr[k] AS a, arr[k + 1] AS b
+    FROM (SELECT freq, string_split(s, '|') AS arr FROM w{i - 1}),
+         UNNEST(range(1, len(arr))) AS t(k)
+  ) GROUP BY a, b
+),
+best{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+w{i} AS (
+  SELECT w, freq,
+         replace(s, (SELECT a || '|' || b FROM best{i}),
+                    (SELECT a || b FROM best{i})) AS s
+  FROM w{i - 1}
+),
+met{i} AS (
+  SELECT {i} AS iter, a AS merge_left, b AS merge_right,
+         cnt AS pair_count,
+         (SELECT CAST(SUM(freq * len(string_split(s, '|'))) AS BIGINT)
+          FROM w{i}) AS total_tokens_after
+  FROM best{i}
+)"""
+
+
+_BPE_ORACLE = (
+    """
+WITH vocab AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+  GROUP BY w
+),
+w0 AS (
+  SELECT w, freq, array_to_string(string_split(w, ''), '|') AS s FROM vocab
+),
+"""
+    + ",".join(_bpe_step_sql(i) for i in (1, 2, 3))
+    + """
+SELECT iter, merge_left, merge_right, pair_count, total_tokens_after
+FROM (SELECT * FROM met1 UNION ALL SELECT * FROM met2
+      UNION ALL SELECT * FROM met3)
+ORDER BY iter
+"""
+)
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_BPE_ORACLE,
+    tags=("ext", "text", "bpe", "tokenizer", "iterative", "training"),
+    description="3 real BPE merge-training iterations over the corpus vocab",
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING, not just pair counting (completes
+    text_bpe_pair_counts into the actual loop a tokenizer build
+    runs): per iteration, count adjacent token pairs over the
+    frequency-weighted word vocabulary, pick the most frequent pair
+    (ties: lexicographic), and MERGE it everywhere. The learned
+    merge table plus the corpus token count after each merge is
+    hash-pinned across engines. Two devices make the chained loop
+    deterministic: tokenizations live as '|'-joined strings, and the
+    merge is a literal string replace — both engines scan
+    left-to-right over non-overlapping occurrences, which is exactly
+    the classic greedy BPE merge (runs of an identical token merge
+    floor(k/2) times from the left). Scale: state is (word, freq,
+    tokenization) — the DISTINCT vocabulary, not the corpus; each
+    iteration is one explode + one aggregate + a map-side replace,
+    and the argmax is a 1-row collect (MapReduce BPE, as in
+    sentencepiece's distributed mode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+        )
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    state = vocab.select(
+        "w",
+        "freq",
+        F.regexp_replace(F.col("w"), "(?<=.)(?=.)", "|").alias("s"),
+    ).persist()
+    try:
+        out = []
+        for it in range(1, 4):
+            arr = F.split(F.col("s"), "\\|")
+            pairs = F.transform(
+                F.sequence(F.lit(0), F.size(arr) - 2),
+                lambda k: F.struct(
+                    F.element_at(arr, k + 1).alias("a"),
+                    F.element_at(arr, k + 2).alias("b"),
+                ),
+            )
+            best = (
+                state.select("freq", F.explode(pairs).alias("p"))
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("freq").cast("long").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "a", "b")
+                .limit(1)
+                .collect()[0]
+            )
+            new_state = state.select(
+                "w",
+                "freq",
+                F.replace(
+                    F.col("s"),
+                    F.lit(best["a"] + "|" + best["b"]),
+                    F.lit(best["a"] + best["b"]),
+                ).alias("s"),
+            ).persist()
+            n_after = new_state.agg(
+                F.sum(
+                    F.col("freq") * F.size(F.split(F.col("s"), "\\|"))
+                )
+                .cast("long")
+                .alias("n")
+            ).first()["n"]
+            out.append(
+                (it, best["a"], best["b"], int(best["cnt"]), int(n_after))
+            )
+            state.unpersist()
+            state = new_state
+        return spark.createDataFrame(
+            out,
+            "iter int, merge_left string, merge_right string,"
+            " pair_count bigint, total_tokens_after bigint",
+        ).orderBy("iter")
+    finally:
+        state.unpersist()
