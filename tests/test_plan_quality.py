@@ -23,6 +23,8 @@ NLJ_ALLOWED = {
     # non-equi join condition (re-rank stage after the ANN path)
     "embedding_hard_negatives",
     "similarity_ivf_topk",
+    # same 16-row broadcast centroid build, Lloyd-trained quantizer
+    "similarity_ivf_kmeans_topk",
     # composes the two shapes above (BF ground truth × IVF), so it
     # inherits both documented broadcast products
     "similarity_ivf_recall",
@@ -32,6 +34,7 @@ NLJ_ALLOWED = {
     # broadcast of a single-row global-total aggregate: the build side is
     # exactly 1 row regardless of data size, so the NLJ is O(buckets)
     "data_mixture_rates",
+    "data_mixture_temperature_epochs",  # same 1-row totals broadcast
     "text_unigram_logprob",
     "events_m4_downsample",  # 1-row global [min,max] span broadcast
     "sample_weighted_pps",  # 1-row total-weight broadcast
