@@ -280,61 +280,84 @@ def kmeans_centroids(
     first-C seed on this corpus (0.85 vs 0.90 recall@10 at
     probe 4/16 — metric mismatch, not a k-means failure).
 
-    Scale: per iteration the corpus is scanned once — assignment is
-    a broadcast join + map-side max-struct aggregate (N rows
-    shuffled, not N·C), means are one posexplode aggregate keyed by
-    (cid, pos) (≤ C·dims groups). State between iterations is the
-    C×dims centroid table (broadcast), never the corpus."""
+    Scale: the MLlib shape — centroids live on the DRIVER (C×d
+    doubles, collected once per iteration) and are embedded as
+    literal arrays in a pure MAP-SIDE assignment expression (argmax
+    over C cosines via greatest-of-structs, no join, no shuffle);
+    the mean recompute is ONE aggregate keyed by cid whose d
+    quantized column-sums partial-combine map-side, so the trainer's
+    only shuffle per iteration is partitions × C × (d+1) longs —
+    independent of N. (First version joined an exploded (vec_id,
+    pos, val) relation against the assignment — tools/shuffle_audit
+    measured ~140 KB/iteration extra even at 500×64; at 10⁹ vectors
+    that join is the difference between a KB-scale and a TB-scale
+    iteration. The residual movement the audit shows for
+    similarity_ivf_kmeans_topk is the SEARCH stage's inverted-lists
+    aggregate, the form ivf_topk's docstring A/B-justifies.)"""
     Q = 16777216
     v = _prep(corpus, id_col, vec_col)
-    u = v.select("vec_id", F.posexplode("vec").alias("pos0", "val")).select(
-        "vec_id", (F.col("pos0") + 1).alias("pos"), "val"
-    )
-    cent = v.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
-    )
+    d = len(v.select("vec").first()["vec"])
+    import math
+
+    def _py_dot(a, b):
+        # engine-identical sequential fold: (((0+a0*b0)+a1*b1)+...)
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    # centroids live on the driver, keyed by their ORIGINAL cid so
+    # tie-breaks stay aligned with the SQL oracle even if a cluster
+    # empties mid-training
+    cents = {
+        int(r["vec_id"]): list(r["vec"])
+        for r in v.filter(F.col("vec_id") < n_centroids).collect()
+    }
+    spark = corpus.sparkSession
     for _ in range(n_iter):
-        scored = v.join(F.broadcast(cent)).select(
-            "vec_id",
-            "cid",
-            cosine(F.col("vec"), F.col("cvec")).alias("_cos"),
-        )
-        # argmax cosine, tie → low cid: map-side-combining max-struct
-        a = (
-            scored.groupBy("vec_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("_cos"),
-                        (-F.col("cid")).alias("_nc"),
-                    )
-                ).alias("_m")
+        # map-side assignment: argmax cosine, tie -> low cid
+        choices = []
+        for cid in sorted(cents):
+            cv = cents[cid]
+            carr = F.array(*[F.lit(float(x)) for x in cv])
+            cos_c = dot(F.col("vec"), carr) / (
+                F.sqrt(dot(F.col("vec"), F.col("vec")))
+                * F.lit(float(math.sqrt(_py_dot(cv, cv))))
             )
-            .select("vec_id", (-F.col("_m._nc")).cast("long").alias("cid"))
-        )
-        cent = (
-            a.join(u, "vec_id")
-            .groupBy("cid", "pos")
-            .agg(
-                F.sum(F.round(F.col("val") * Q).cast("long"))
-                .cast("long")
-                .alias("_s"),
-                F.count(F.lit(1)).cast("long").alias("_n"),
+            choices.append(
+                F.struct(
+                    cos_c.alias("c"), F.lit(-cid).cast("long").alias("n")
+                )
             )
-            .select(
-                "cid",
-                "pos",
-                (F.col("_s").cast("double") / F.col("_n") / Q).alias("_cv"),
-            )
+        cid_expr = (-F.greatest(*choices)["n"]).cast("long")
+        sums = (
+            v.select(cid_expr.alias("cid"), "vec")
             .groupBy("cid")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "_cv"))),
-                    lambda st: st["_cv"],
-                ).alias("cvec")
+                F.count(F.lit(1)).cast("long").alias("_n"),
+                *[
+                    F.sum(
+                        F.round(F.element_at("vec", j + 1) * Q).cast("long")
+                    )
+                    .cast("long")
+                    .alias(f"_s{j}")
+                    for j in range(d)
+                ],
             )
+            .collect()
         )
-    return cent
+        # empty clusters simply have no row, exactly like GROUP BY
+        # on the oracle side
+        cents = {
+            int(r["cid"]): [
+                float(r[f"_s{j}"]) / r["_n"] / Q for j in range(d)
+            ]
+            for r in sums
+        }
+    return spark.createDataFrame(
+        [(cid, cents[cid]) for cid in sorted(cents)],
+        "cid long, cvec array<double>",
+    )
 
 
 def ivf_kmeans_topk(
