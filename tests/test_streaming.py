@@ -787,3 +787,29 @@ def test_admission_stream_sequential_semantics(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(admitted).collect()
     }
     assert kept_ids == {1, 2, 5, 7}
+
+
+def test_merge_stale_lock_cleared_by_vacuum_staging(spark, tmp_path):
+    """A writer that died holding the commit lock blocks merges with
+    ConcurrentWriteError; vacuum_staging (path-generic) clears the
+    stale lock and staging so the stream can resume."""
+    from wilayah_aceh_etl_spark.operators.wilayah import (
+        ConcurrentWriteError,
+        vacuum_staging,
+    )
+    from wilayah_aceh_etl_spark.streaming.sinks import merge_last_wins
+
+    path = str(tmp_path / "locked")
+    base = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 20)], "k long, ver long, v long"
+    )
+    merge_last_wins(spark, path, base, ["k"], ["ver"])
+    open(path + "._commit_lock", "w").close()  # simulated dead writer
+    nxt = spark.createDataFrame([(1, 1, 99)], "k long, ver long, v long")
+    with pytest.raises(ConcurrentWriteError):
+        merge_last_wins(spark, path, nxt, ["k"], ["ver"])
+    removed = vacuum_staging(path)
+    assert any(p.endswith("._commit_lock") for p in removed)
+    merge_last_wins(spark, path, nxt, ["k"], ["ver"])
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: 99, 2: 20}

@@ -16,6 +16,14 @@ O(files-containing-its-keys), not O(table) — the property that makes
 a continuous upsert stream sustainable at 100 TB. (With a
 Delta/Iceberg table this whole module collapses to MERGE INTO — this
 is the storage-format-free equivalent.)
+
+Crash recovery: a writer that dies mid-swap leaves its retired
+files under `_retired/<token>/` — the next merge's
+_recover_crashed_swap restores or drops them by the `_committed`
+marker. A writer that dies while HOLDING the commit lock leaves
+`<table>._commit_lock`; clear it (plus any orphaned staging) with
+operators.wilayah.vacuum_staging(table_path), which is
+path-pattern-generic and covers these sink tables too.
 """
 
 from __future__ import annotations
