@@ -307,3 +307,99 @@ def score_confusion(
         .cast("long")
         .alias("fn"),
     )
+
+
+def logreg_sgd_minibatch(
+    df: DataFrame,
+    n_batches: int = 4,
+    lr: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "y",
+) -> DataFrame:
+    """ONE EPOCH of deterministic mini-batch SGD: batch k is the
+    vec_id % n_batches == k slice, applied in order — the regime
+    that actually trains large models (full-batch GD touches the
+    whole corpus per update; SGD updates n_batches times per epoch
+    for the same scan cost). Same determinism devices as the
+    full-batch trainer (rational sigmoid, quantized exact-integer
+    gradient sums), gradient normalized by the BATCH size. Returns
+    per step: (step, batch_tag, n_batch, n_correct on the FULL set
+    with the post-update weights, w_checksum, b_q)."""
+    v = df.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("x"),
+        F.col(label_col).cast("int").alias("y"),
+    ).persist()
+    try:
+        d = int(v.select(F.size("x")).first()[0])
+        u = v.select(
+            "vec_id", "y", F.posexplode("x").alias("pos0", "val")
+        ).select("vec_id", "y", (F.col("pos0") + 1).alias("pos"), "val")
+        w = [0.0] * d
+        b = 0.0
+        out_rows = []
+        for k in range(n_batches):
+            vb = v.filter(F.col("vec_id") % n_batches == k)
+            nb = vb.count()
+            m = _margin(w, b)
+            sig = F.lit(0.5) + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
+            err_by_id = vb.select("vec_id", (sig - F.col("y")).alias("e"))
+            gw = (
+                u.join(err_by_id, "vec_id")
+                .groupBy("pos")
+                .agg(
+                    F.sum(
+                        F.round(F.col("e") * F.col("val") * Q).cast("long")
+                    ).alias("s")
+                )
+                .collect()
+            )
+            gb = err_by_id.agg(
+                F.sum(F.round(F.col("e") * Q).cast("long")).alias("s")
+            ).first()["s"]
+            sums = {r["pos"]: r["s"] for r in gw}
+            w = [
+                w[j] - lr * (float(sums.get(j + 1, 0)) / Q / nb)
+                for j in range(d)
+            ]
+            b = b - lr * (float(gb) / Q / nb)
+            m2 = _margin(w, b)
+            n_correct = v.agg(
+                F.sum(
+                    F.when((m2 > 0) == (F.col("y") == 1), 1).otherwise(0)
+                )
+                .cast("long")
+                .alias("c")
+            ).first()["c"]
+            chk = (
+                v.sparkSession.range(1)
+                .select(
+                    sum(
+                        [
+                            F.round(F.lit(float(wj)) * Q).cast("long")
+                            for wj in w
+                        ],
+                        start=F.lit(0).cast("long"),
+                    ).alias("wc"),
+                    F.round(F.lit(float(b)) * Q).cast("long").alias("bq"),
+                )
+                .first()
+            )
+            out_rows.append(
+                (
+                    k + 1,
+                    k,
+                    int(nb),
+                    int(n_correct),
+                    int(chk["bq"]),
+                    int(chk["wc"]),
+                )
+            )
+        return v.sparkSession.createDataFrame(
+            out_rows,
+            "step int, batch_tag int, n_batch bigint, n_correct bigint,"
+            " b_q bigint, w_checksum bigint",
+        )
+    finally:
+        v.unpersist()

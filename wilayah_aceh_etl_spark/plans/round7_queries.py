@@ -18,13 +18,13 @@ def _lr_step_sql(i: int) -> str:
     rational sigmoid, quantized (·2²⁴) exact-integer gradient sums,
     identical update operation order."""
     return f"""
-mar{i} AS (
+mar{i} AS MATERIALIZED (
   SELECT v.vec_id, v.y,
          list_dot_product(v.x, (SELECT w FROM w{i - 1})) +
            (SELECT b FROM w{i - 1}) AS m
   FROM v
 ),
-err{i} AS (
+err{i} AS MATERIALIZED (
   SELECT vec_id, y, 0.5 + m / (2.0 * (1.0 + abs(m))) - y AS e FROM mar{i}
 ),
 gw{i} AS (
@@ -38,7 +38,7 @@ gb{i} AS (
   SELECT CAST(SUM(CAST(ROUND(e * 16777216) AS BIGINT)) AS BIGINT) AS s
   FROM err{i}
 ),
-w{i} AS (
+w{i} AS MATERIALIZED (
   SELECT
     (SELECT list(
         wl.wj - 0.5 * (CAST(COALESCE(g.s, 0) AS DOUBLE) / 16777216 /
@@ -990,3 +990,109 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).orderBy("iter")
     finally:
         state.unpersist()
+
+
+def _sgd_step_sql(i: int) -> str:
+    """One mini-batch SGD step (batch = vec_id % 4 == i-1) as DuckDB
+    CTEs, mirroring ml_train.py::logreg_sgd_minibatch."""
+    k = i - 1
+    return f"""
+vb{i} AS (SELECT * FROM v WHERE vec_id % 4 = {k}),
+nb{i} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM vb{i}),
+mar{i} AS MATERIALIZED (
+  SELECT vb.vec_id, vb.y,
+         list_dot_product(vb.x, (SELECT w FROM w{i - 1})) +
+           (SELECT b FROM w{i - 1}) AS m
+  FROM vb{i} vb
+),
+err{i} AS MATERIALIZED (
+  SELECT vec_id, y, 0.5 + m / (2.0 * (1.0 + abs(m))) - y AS e FROM mar{i}
+),
+gw{i} AS (
+  SELECT u.pos,
+         CAST(SUM(CAST(ROUND(e.e * u.val * 16777216) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM err{i} e JOIN u ON u.vec_id = e.vec_id
+  GROUP BY u.pos
+),
+gb{i} AS (
+  SELECT CAST(SUM(CAST(ROUND(e * 16777216) AS BIGINT)) AS BIGINT) AS s
+  FROM err{i}
+),
+w{i} AS MATERIALIZED (
+  SELECT
+    (SELECT list(
+        wl.wj - 0.5 * (CAST(COALESCE(g.s, 0) AS DOUBLE) / 16777216 /
+                       (SELECT n FROM nb{i}))
+        ORDER BY wl.pos)
+     FROM (SELECT unnest(w) AS wj, generate_subscripts(w, 1) AS pos
+           FROM w{i - 1}) wl
+     LEFT JOIN gw{i} g ON g.pos = wl.pos) AS w,
+    (SELECT b FROM w{i - 1}) -
+      0.5 * (CAST((SELECT s FROM gb{i}) AS DOUBLE) / 16777216 /
+             (SELECT n FROM nb{i})) AS b
+),
+met{i} AS (
+  SELECT {i} AS step, {k} AS batch_tag,
+         (SELECT n FROM nb{i}) AS n_batch,
+         (SELECT CAST(SUM(CASE WHEN (list_dot_product(v.x,
+                    (SELECT w FROM w{i})) + (SELECT b FROM w{i}) > 0)
+                    = (v.y = 1) THEN 1 ELSE 0 END) AS BIGINT) FROM v)
+           AS n_correct,
+         CAST(ROUND((SELECT b FROM w{i}) * 16777216) AS BIGINT) AS b_q,
+         (SELECT CAST(SUM(CAST(ROUND(wj * 16777216) AS BIGINT)) AS BIGINT)
+          FROM (SELECT unnest(w) AS wj FROM w{i})) AS w_checksum
+)"""
+
+
+_SGD_ORACLE = (
+    """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+u AS (
+  SELECT vec_id, unnest(x) AS val, generate_subscripts(x, 1) AS pos FROM v
+),
+w0 AS (
+  SELECT (SELECT list(0.0) FROM range(64)) AS w, 0.0 AS b
+),
+"""
+    + ",".join(_sgd_step_sql(i) for i in (1, 2, 3, 4))
+    + """
+SELECT step, batch_tag, n_batch, n_correct, b_q, w_checksum
+FROM (SELECT * FROM met1 UNION ALL SELECT * FROM met2
+      UNION ALL SELECT * FROM met3 UNION ALL SELECT * FROM met4)
+ORDER BY step
+"""
+)
+
+
+@register(
+    "ml_logreg_sgd_minibatch_epoch",
+    oracle=_SGD_ORACLE,
+    tags=("ext", "ml", "training", "iterative", "sgd"),
+    description="one epoch of 4-mini-batch SGD, full trajectory hash-pinned",
+)
+def ml_logreg_sgd_minibatch_epoch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The training regime large models actually use, through the
+    gate: one epoch of mini-batch SGD (batch k = vec_id % 4 == k,
+    applied in order) — four weight updates for the same corpus-
+    scan cost as ONE full-batch GD step. The oracle replays the
+    sequential batch order exactly; full-set accuracy is re-measured
+    after every update, so the hash pins the entire optimization
+    path, not just the destination
+    (operators/ml_train.py::logreg_sgd_minibatch)."""
+    from wilayah_aceh_etl_spark.operators.ml_train import (
+        logreg_sgd_minibatch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    return logreg_sgd_minibatch(emb, n_batches=4, lr=0.5).orderBy("step")
