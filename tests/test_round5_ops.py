@@ -576,3 +576,39 @@ def test_logreg_trainer_learns_separable_data(spark, tmp_path):
         for r in logreg_train_quantized(df, n_iter=4, lr=1.0).collect()
     }
     assert again == out
+
+
+def test_bpe_trainer_learns_known_merges(spark, tmp_path):
+    """Hand-built corpus with merges known by construction,
+    including a run of identical tokens (left-greedy floor(k/2))
+    and early exhaustion (fewer possible merges than iterations)."""
+    from wilayah_aceh_etl_spark.plans.round7_queries import (
+        text_bpe_train_merges,
+    )
+
+    # 'aaaa' x3 + 'ab' x1: pair (a,a) counted overlapping = 3*3=9;
+    # merge1 = (a,a) -> 'aa|aa' (greedy, 2 merges per word);
+    # then (aa,aa) count 3 -> merge2; then (a,b) count 1 -> merge3
+    rows = [(i, "aaaa aaaa aaaa ab") for i in range(1)]
+    sf = _write(
+        spark, tmp_path, "documents", rows, "doc_id long, text string"
+    )
+    got = [
+        (r.iter, r.merge_left, r.merge_right, r.pair_count)
+        for r in text_bpe_train_merges(spark, sf).collect()
+    ]
+    assert got == [
+        (1, "a", "a", 9),
+        (2, "aa", "aa", 3),
+        (3, "a", "b", 1),
+    ]
+
+    # exhaustion: single two-char word -> only one merge possible
+    sf2 = _write(
+        spark, tmp_path / "d2", "documents", [(0, "xy xy")],
+        "doc_id long, text string",
+    )
+    got2 = text_bpe_train_merges(spark, str(tmp_path / "d2")).collect()
+    assert [(r.iter, r.merge_left, r.merge_right) for r in got2] == [
+        (1, "x", "y")
+    ]

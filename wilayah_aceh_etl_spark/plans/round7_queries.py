@@ -954,14 +954,21 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.element_at(arr, k + 2).alias("b"),
                 ),
             )
-            best = (
-                state.select("freq", F.explode(pairs).alias("p"))
+            top = (
+                # single-token words have no pairs — and sequence(0,
+                # size-2) would DESCEND for them (size-2 = -1) and
+                # index out of bounds inside transform
+                state.filter(F.size(arr) >= 2)
+                .select("freq", F.explode(pairs).alias("p"))
                 .groupBy("p.a", "p.b")
                 .agg(F.sum("freq").cast("long").alias("cnt"))
                 .orderBy(F.col("cnt").desc(), "a", "b")
                 .limit(1)
-                .collect()[0]
+                .collect()
             )
+            if not top:  # vocabulary fully merged — mirror the
+                break    # oracle's empty met{i} rows
+            best = top[0]
             new_state = state.select(
                 "w",
                 "freq",
