@@ -813,3 +813,63 @@ def test_merge_stale_lock_cleared_by_vacuum_staging(spark, tmp_path):
     merge_last_wins(spark, path, nxt, ["k"], ["ver"])
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got == {1: 99, 2: 20}
+
+
+def test_compact_sink_table_packs_and_heals_schema(spark, tmp_path):
+    """Sink OPTIMIZE: many per-batch small files bin-pack into few
+    range-sorted files with rows invariant; pre-evolution stragglers
+    are rewritten onto the current schema so a PLAIN read (no
+    mergeSchema) sees the evolved column afterwards."""
+    import os
+
+    from wilayah_aceh_etl_spark.streaming.sinks import (
+        compact_sink_table,
+        merge_last_wins,
+    )
+
+    path = str(tmp_path / "sinkopt")
+    merge_last_wins(
+        spark,
+        path,
+        spark.range(500).select(
+            F.col("id").alias("k"),
+            F.lit(0).cast("long").alias("ver"),
+            F.lit(1).cast("long").alias("v"),
+        ),
+        ["k"],
+        ["ver"],
+    )
+    # evolve schema + create extra small files via narrow merges
+    for i in range(3):
+        merge_last_wins(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(1000 + i, 1, 2, f"t{i}")],
+                "k long, ver long, v long, tag string",
+            ),
+            ["k"],
+            ["ver"],
+        )
+    before = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    n_before, n_after = compact_sink_table(spark, path, ["k"])
+    assert n_before == before and n_after < n_before
+    t = spark.read.parquet(path)  # PLAIN read — no mergeSchema
+    assert "tag" in t.columns
+    assert t.count() == 503
+    got = {r.k: r.tag for r in t.filter("k >= 1000").collect()}
+    assert got == {1000: "t0", 1001: "t1", 1002: "t2"}
+    # merge still works after compaction (footer pruning intact)
+    merge_last_wins(
+        spark,
+        path,
+        spark.createDataFrame([(1000, 2, 9, "z")],
+                              "k long, ver long, v long, tag string"),
+        ["k"],
+        ["ver"],
+    )
+    assert (
+        spark.read.parquet(path).filter("k = 1000").collect()[0].tag == "z"
+    )

@@ -266,3 +266,76 @@ def upsert_stream(
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def compact_sink_table(
+    spark: SparkSession,
+    table_path: str,
+    keys: list[str],
+    small_bytes: int = 8 * 1024 * 1024,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> tuple[int, int]:
+    """OPTIMIZE for merge_last_wins tables: a continuous upsert
+    stream accumulates one small file set per micro-batch; this
+    bin-packs every data file under `small_bytes` into
+    ceil(total/target_bytes) files, RANGE-SORTED on the merge keys
+    so the footer pruning the next merge relies on stays tight —
+    and rewrites stragglers onto the CURRENT schema (mergeSchema),
+    which is how an evolved table sheds its pre-evolution physical
+    schemas. At-size files keep their bytes and inodes.
+
+    Crash-safe via the same _retired/<token> + _committed protocol
+    as the merge swap; a crash at any point is healed by the next
+    merge's recovery. Returns (n_files_before, n_files_after)."""
+    import uuid
+
+    if not os.path.isdir(table_path):
+        return (0, 0)
+    files = [
+        os.path.join(table_path, f)
+        for f in os.listdir(table_path)
+        if f.endswith(".parquet")
+    ]
+    small = [f for f in files if os.path.getsize(f) < small_bytes]
+    if len(small) < 2:
+        return (len(files), len(files))
+    total = sum(os.path.getsize(f) for f in small)
+    n_out = max(1, -(-total // target_bytes))
+    tmp = table_path + "._staged_compact"
+    (
+        spark.read.option("mergeSchema", True)
+        .parquet(*small)
+        .repartitionByRange(n_out, *keys)
+        .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    from wilayah_aceh_etl_spark.operators.wilayah import _commit_lock
+
+    with _commit_lock(table_path):
+        retire_dir = os.path.join(
+            table_path, _RETIRED_DIR, uuid.uuid4().hex
+        )
+        os.makedirs(retire_dir)
+        for old in small:
+            if os.path.exists(old):
+                os.rename(
+                    old, os.path.join(retire_dir, os.path.basename(old))
+                )
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, f), os.path.join(table_path, f)
+                )
+        with open(os.path.join(retire_dir, "_committed"), "w"):
+            pass
+        shutil.rmtree(tmp)
+        shutil.rmtree(retire_dir)
+        try:
+            os.rmdir(os.path.join(table_path, _RETIRED_DIR))
+        except OSError:
+            pass
+    n_after = len(
+        [f for f in os.listdir(table_path) if f.endswith(".parquet")]
+    )
+    return (len(files), n_after)
