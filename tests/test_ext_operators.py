@@ -519,3 +519,29 @@ def test_bmp_gif_pixel_decoders_pure():
     assert M._lzw_decode(bytes(stream[:2]), 7, 7) is None
     # corrupt: code far beyond table → None
     assert M._lzw_decode(b"\xff\xff\xff", 2, 9) is None
+
+
+def test_animated_gif_frames_pure():
+    """Animated-GIF decode: all frames recovered exactly; truncation
+    and hostile-dimension payloads hit the None seam."""
+    import struct
+
+    m, w, h, nf = 7, 6, 3, 4
+    p = M.make_gif_animated(w, h, nf, lambda f, x, y: (m + 5 * f + 3 * x + y) % 256)
+    frames = M.decode_gif_frames(p)
+    assert [fr[:2] for fr in frames] == [(w, h)] * nf
+    for f, (_, _, px) in enumerate(frames):
+        assert px == [
+            (m + 5 * f + 3 * x + y) % 256 for y in range(h) for x in range(w)
+        ]
+    # first-frame reader agrees
+    assert M.decode_gif_pixels(p)[2] == frames[0][2]
+    # truncation sweep never raises
+    for cut in range(0, len(p), 5):
+        M.decode_gif_frames(p[:cut])
+    # hostile dims: descriptor claiming 65535x65535 → None, fast
+    bad = bytearray(p)
+    off = 13 + 768 + 19 + 8  # header+palette+netscape+gce → descriptor
+    assert bad[off] == 0x2C
+    bad[off + 5 : off + 9] = struct.pack("<HH", 65535, 65535)
+    assert M.decode_gif_frames(bytes(bad)) is None

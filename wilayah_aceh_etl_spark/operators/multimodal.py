@@ -20,14 +20,19 @@ proven through DuckDB oracle gates):
     bottom-up/top-down row handling and stride padding;
   * GIF: encode + pixel decode (`decode_gif_pixels`) through a
     REAL LZW decompressor (`_lzw_decode` — variable code width,
-    table growth, clear/end, KwKwK);
+    table growth, clear/end, KwKwK), including ANIMATED multi-frame
+    streams (`make_gif_animated`/`decode_gif_frames`) — so frame
+    sampling (`sample_gif_frames`) runs on genuinely decoded
+    frames, the video-analog path;
   * payload chunking, frame sampling, Arrow-batched mapInPandas
     plumbing, the binary+metadata column convention.
 
 What is SEAMED (raises NotImplementedError at the exact call site a
 real codec would plug into, because PIL/ffmpeg are not in this
-container): JPEG *pixel* decode, lossy-audio decode (mp3/ogg), video
-frame decode. `decode_media(..., real=False)` keeps an md5-seeded
+container): JPEG *pixel* decode, lossy-audio decode (mp3/ogg),
+video-codec (h264-class) frame decode — animated GIF covers the
+multi-frame pipeline shape with a real decoder.
+`decode_media(..., real=False)` keeps an md5-seeded
 deterministic fake for pipeline-shape tests of those paths.
 """
 
@@ -1126,6 +1131,8 @@ def decode_gif_pixels(
             iflags = payload[i + 9]
             if iflags & 0xC0:  # local palette / interlace → seam
                 return None
+            if w * h > (1 << 22):
+                return None  # corrupt/hostile dims: bound the decode
             i += 10
             if i >= len(payload):
                 return None
@@ -1216,3 +1223,163 @@ def gif_pixel_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, GIF_STATS_SCHEMA)
+
+
+def make_gif_animated(
+    width: int, height: int, n_frames: int, index_of
+) -> bytes:
+    """Spec-valid ANIMATED GIF89a: NETSCAPE loop extension + per-
+    frame graphics-control extension + one full-frame image per
+    frame. `index_of(f, x, y)` gives frame f's palette index at
+    (x, y)."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes((0xF7, 0, 0))
+    for i in range(256):
+        out += bytes((i, i, i))
+    # NETSCAPE2.0 looping application extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for f in range(n_frames):
+        # graphics control: 4/100 s delay, no transparency
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"
+        frame = make_gif(width, height, lambda x, y, f=f: index_of(f, x, y))
+        # splice the image block (descriptor..data) out of the
+        # single-frame encoder's output. The block starts at the
+        # FIXED offset 6 (header) + 7 (screen descriptor) + 768
+        # (palette) = 781 — searching for the 0x2C descriptor byte
+        # is wrong, the grayscale palette contains 0x2C at entry 44.
+        out += frame[781:-1]  # drop the 0x3b trailer
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(
+    payload: bytes, max_frames: int = 64
+) -> list[tuple[int, int, list[int]]] | None:
+    """ALL frames of a GIF via real LZW decode, in stream order —
+    the video-analog decode path. Each entry is (width, height,
+    palette-index pixels top-down). None for malformed/interlaced/
+    local-palette payloads (the seam). Frames beyond `max_frames`
+    are ignored (bounded memory per task)."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    flags = payload[10]
+    i = 13
+    if flags & 0x80:
+        i += 3 * (2 << (flags & 0x07))
+    frames: list[tuple[int, int, list[int]]] = []
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x21:  # extension
+            i += 2
+            while i < len(payload) and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+        elif b == 0x2C:
+            if i + 10 > len(payload):
+                return None
+            w, h = struct.unpack("<HH", payload[i + 5 : i + 9])
+            iflags = payload[i + 9]
+            if iflags & 0xC0:
+                return None
+            if w * h > (1 << 22):
+                return None  # corrupt/hostile dims: bound the decode
+            i += 10
+            if i >= len(payload):
+                return None
+            min_code = payload[i]
+            i += 1
+            data = bytearray()
+            while i < len(payload) and payload[i] != 0:
+                n = payload[i]
+                data += payload[i + 1 : i + 1 + n]
+                i += 1 + n
+            i += 1  # block terminator
+            if len(frames) < max_frames:
+                px = _lzw_decode(bytes(data), min_code, w * h)
+                if px is None or len(px) < w * h:
+                    return None
+                frames.append((w, h, px))
+        elif b == 0x3B:
+            break
+        else:
+            return None
+    return frames if frames else None
+
+
+def attach_animated_gif_payload(
+    df: DataFrame, id_col: str, max_side: int = 12
+) -> DataFrame:
+    """Media table with REAL animated-GIF bytes: w = 1 + id %
+    max_side, h = 1 + (id * 3) % max_side, n_frames = 2 + id % 7,
+    frame f's index(x, y) = (id + 5*f + 3*x + y) % 256."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for m in (int(v) for v in pdf["_mid"]):
+                w = 1 + m % max_side
+                h = 1 + (m * 3) % max_side
+                nf = 2 + m % 7
+                p = make_gif_animated(
+                    w, h, nf,
+                    lambda f, x, y, m=m: (m + 5 * f + 3 * x + y) % 256,
+                )
+                rows.append((m, p, "image/gif", len(p)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "mime", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("_mid")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
+
+
+GIF_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sum_index", T.LongType()),
+        T.StructField("first_pixel", T.IntegerType()),
+    ]
+)
+
+
+def sample_gif_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """REAL frame sampling (upgrades the digest-fake sample_frames):
+    decode every frame of each animated GIF through the LZW path,
+    keep frames where index % every_n == 0, and emit per-frame
+    features — the decode → temporal-subsample → featurize shape of
+    a video pipeline, with the decode genuinely executed."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_gif_frames(bytes(p))
+                if frames is None:
+                    continue
+                for fi, (w, h, px) in enumerate(frames):
+                    if fi % every_n:
+                        continue
+                    rows.append(
+                        (mid, fi, len(frames), sum(px), px[0])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_index", "n_frames",
+                    "sum_index", "first_pixel",
+                ],
+            )
+
+    return df.mapInPandas(batches, GIF_FRAME_SCHEMA)

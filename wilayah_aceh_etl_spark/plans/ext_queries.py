@@ -3892,3 +3892,56 @@ def multimodal_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "multimodal_gif_frame_sample",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         1 + doc_id % 12 AS w,
+         1 + (doc_id * 3) % 12 AS h,
+         2 + doc_id % 7 AS nf
+  FROM documents WHERE doc_id < 100
+),
+fr AS (
+  SELECT media_id, w, h, nf, f.i AS frame_index
+  FROM m, UNNEST(range(nf)) AS f(i)
+  WHERE f.i % 2 = 0
+),
+px AS (
+  SELECT media_id, frame_index, nf,
+         (media_id + 5 * frame_index + 3 * x.i + y.i) % 256 AS idx,
+         x.i AS xx, y.i AS yy
+  FROM fr, UNNEST(range(w)) AS x(i), UNNEST(range(h)) AS y(i)
+)
+SELECT media_id,
+       CAST(frame_index AS INTEGER) AS frame_index,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(SUM(idx) AS BIGINT) AS sum_index,
+       CAST((media_id + 5 * frame_index) % 256 AS INTEGER) AS first_pixel
+FROM px
+GROUP BY media_id, frame_index, nf
+ORDER BY media_id, frame_index
+""",
+    tags=("ext", "multimodal", "video", "frames", "gif", "lzw"),
+    description="REAL frame sampling: animated-GIF decode → every-2nd-frame stats",
+)
+def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video pipeline shape with the decode GENUINELY executed
+    (upgrades the digest-fake multimodal_frame_sample): payloads are
+    real animated GIF89a streams (NETSCAPE loop block, per-frame
+    graphics-control extensions, one LZW-compressed image block per
+    frame); every frame is decompressed through the full LZW path,
+    every 2nd frame is kept, and per-frame features come from the
+    actual pixels. The oracle recomputes each sampled frame's pixel
+    sum and first pixel from the construction arithmetic, so a hash
+    match proves real multi-frame decompression ran per payload."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.attach_animated_gif_payload(docs, "doc_id")
+    return (
+        M.sample_gif_frames(media, every_n=2)
+        .orderBy("media_id", "frame_index")
+    )
