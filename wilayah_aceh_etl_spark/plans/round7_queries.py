@@ -1103,3 +1103,115 @@ def ml_logreg_sgd_minibatch_epoch(
         F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
     )
     return logreg_sgd_minibatch(emb, n_batches=4, lr=0.5).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# Trained quality-classifier corpus filter (the fastText-style loop)
+# ---------------------------------------------------------------------------
+
+_QC_FEATURES_SQL = """
+feat AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         [CAST(n_chars AS DOUBLE) / 1000,
+          CAST(len(string_split(text, ' ')) AS DOUBLE) / 100,
+          CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')) / 10,
+          CAST(len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to','in','is','it')))
+            AS DOUBLE) / len(string_split(text, ' '))] AS x
+  FROM documents
+)
+"""
+
+_QC_ORACLE = (
+    "WITH "
+    + _QC_FEATURES_SQL
+    + """,
+v AS (SELECT doc_id AS vec_id, x, y FROM feat),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+u AS (
+  SELECT vec_id, unnest(x) AS val, generate_subscripts(x, 1) AS pos FROM v
+),
+w0 AS (
+  SELECT (SELECT list(0.0) FROM range(4)) AS w, 0.0 AS b
+),
+"""
+    + ",".join(_lr_step_sql(i) for i in (1, 2))
+    + """
+SELECT f.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN list_dot_product(f.x, (SELECT w FROM w2)) +
+                          (SELECT b FROM w2) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM feat f
+GROUP BY f.lang
+ORDER BY f.lang
+"""
+)
+
+
+@register(
+    "pipeline_quality_classifier_filter",
+    oracle=_QC_ORACLE,
+    tags=("ext", "ml", "pipeline", "quality", "classifier"),
+    description="train a weak-label quality classifier, score the corpus per lang",
+)
+def pipeline_quality_classifier_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The fastText-style corpus-filter loop, end to end and
+    hash-pinned: derive cheap text features per document (length,
+    word count, mean word length, English-stopword ratio — all
+    exact-integer counts divided in a fixed order), take a weak
+    label (is the doc English), TRAIN the engine's own quantized
+    logistic regression on them (2 GD iterations, d=4), then score
+    EVERY document with the trained weights and report flag rates
+    per language. The oracle re-derives features, training and
+    scoring — so the hash pins the entire learn-then-filter loop,
+    which is how production quality/language filters
+    (CCNet/fastText) are actually built and applied."""
+    from wilayah_aceh_etl_spark.operators.ml_train import (
+        Q as _Q,  # noqa: F401  (documents the shared quantization)
+        logreg_fit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop = F.filter(
+        words,
+        lambda x: x.isin(
+            "the", "a", "of", "and", "to", "in", "is", "it"
+        ),
+    )
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.array(
+            F.col("n_chars").cast("double") / 1000,
+            F.size(words).cast("double") / 100,
+            F.col("n_chars").cast("double") / F.size(words) / 10,
+            F.size(stop).cast("double") / F.size(words),
+        ).alias("x"),
+    ).persist()
+    try:
+        w, b = logreg_fit(
+            feat.select(F.col("doc_id").alias("vec_id"), "x", "y"),
+            n_iter=2,
+            lr=0.5,
+            vec_col="x",
+        )
+        from wilayah_aceh_etl_spark.functions.vectors import dot
+
+        warr = F.array(*[F.lit(float(v)) for v in w])
+        score = dot(F.col("x"), warr) + F.lit(float(b))
+        return (
+            feat.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum((score > 0).cast("int")).cast("long").alias("n_flagged"),
+            )
+            .orderBy("lang")
+        )
+    finally:
+        feat.unpersist()
