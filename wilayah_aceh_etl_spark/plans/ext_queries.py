@@ -3945,3 +3945,78 @@ def multimodal_gif_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.sample_gif_frames(media, every_n=2)
         .orderBy("media_id", "frame_index")
     )
+
+
+@register(
+    "contamination_semantic_embedding",
+    oracle="WITH "
+    + _VEC_CTE
+    + """,
+b AS (SELECT vec_id, label, e, """
+    + _BUCKET
+    + """ AS bucket FROM v),
+test AS (SELECT * FROM b WHERE vec_id < 50),
+train AS (SELECT * FROM b WHERE vec_id >= 50),
+cand AS (
+  SELECT tr.vec_id, tr.label, """
+    + _COS.format(a="tr.e", b="te.e")
+    + """ AS c
+  FROM train tr JOIN test te ON tr.bucket = te.bucket
+),
+hits AS (
+  SELECT DISTINCT vec_id FROM cand WHERE c >= 0.2
+)
+SELECT tr.label,
+       CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN h.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated
+FROM train tr LEFT JOIN hits h ON h.vec_id = tr.vec_id
+GROUP BY tr.label
+ORDER BY tr.label
+""",
+    tags=("ext", "contamination", "similarity", "lsh", "decontamination"),
+    description="semantic decontamination: train vecs near any test vec, per label",
+)
+def contamination_semantic_embedding(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Eval decontamination by SEMANTIC similarity (the companion to
+    contamination_ngram_overlap's lexical check): a training vector
+    is contaminated if any held-out test vector (vec_id < 50) lies
+    within cosine ≥ 0.2 of it. Candidates come from the sign-LSH
+    bucket equi-join — train×test never materializes; exact cosine
+    runs on same-bucket candidates only — so the check costs
+    O(Σ bucket_train × bucket_test), the shape that survives a
+    billion-vector corpus against a fixed eval set (at scale the
+    test side is tiny and broadcast). Reports contamination counts
+    per label for the removal decision."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = S.bucket_assignments(emb, 8).join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    test = b.filter(F.col("vec_id") < 50).select(
+        F.col("bucket").alias("t_bucket"), F.col("vec").alias("t_vec")
+    )
+    train = b.filter(F.col("vec_id") >= 50)
+    from wilayah_aceh_etl_spark.functions.vectors import cosine
+
+    hits = (
+        train.join(
+            F.broadcast(test), F.col("bucket") == F.col("t_bucket")
+        )
+        .filter(cosine(F.col("vec"), F.col("t_vec")) >= 0.2)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        train.join(hits, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_train"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .orderBy("label")
+    )
