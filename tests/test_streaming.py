@@ -873,3 +873,57 @@ def test_compact_sink_table_packs_and_heals_schema(spark, tmp_path):
     assert (
         spark.read.parquet(path).filter("k = 1000").collect()[0].tag == "z"
     )
+
+
+def test_crashed_compaction_rolls_back_staged_files(spark, tmp_path):
+    """Compaction crash mid-stage-in: recovery must DELETE the
+    partially staged compact outputs (recorded in _staged_names)
+    BEFORE restoring originals — otherwise the restored rows
+    coexist with their compacted copies and plain reads double-count
+    (no batch replay exists to re-merge a compaction)."""
+    import os
+
+    from wilayah_aceh_etl_spark.streaming import sinks as S
+
+    path = str(tmp_path / "crashy_compact")
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("ver"),
+        (F.col("id") * 3).alias("v"),
+    )
+    S.merge_last_wins(spark, path, base, ["k"], ["ver"])
+    files = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    assert len(files) >= 2
+
+    # reconstruct the exact crash state: originals retired with a
+    # staged-names record, ONE staged file already moved in (it
+    # duplicates the retired rows), no _committed marker
+    token = os.path.join(path, S._RETIRED_DIR, "feedc0de")
+    os.makedirs(token)
+    staged_name = "part-staged-partial.parquet"
+    with open(os.path.join(token, "_staged_names"), "w") as fh:
+        fh.write(staged_name + "\n" + "part-never-arrived.parquet")
+    import shutil
+
+    # the "compacted" partial output = a copy of the first file
+    shutil.copy(
+        os.path.join(path, files[0]), os.path.join(path, staged_name)
+    )
+    for f in files:
+        os.rename(os.path.join(path, f), os.path.join(token, f))
+
+    # next merge heals: rollback staged partials, restore originals
+    S.merge_last_wins(
+        spark,
+        path,
+        spark.createDataFrame([(5, 1, 999)], "k long, ver long, v long"),
+        ["k"],
+        ["ver"],
+    )
+    t = spark.read.parquet(path)
+    assert t.count() == 100, "rollback must not double-count rows"
+    got = {r.k: r.v for r in t.filter("k in (5, 6)").collect()}
+    assert got == {5: 999, 6: 18}
+    assert not os.path.isdir(os.path.join(path, S._RETIRED_DIR))

@@ -45,15 +45,17 @@ def _recover_crashed_swap(table_path: str) -> None:
     """Heal a swap that crashed mid-flight (call under the commit
     lock, before footer pruning). Per leftover _retired/<token>/:
 
-    - `_committed` marker present → the staged winners all made it
-      in; the retired originals are superseded → drop the dir.
-    - no marker → the swap died before (or while) staging winners
-      in; restore the retired originals into the table. Partially
-      staged winner files may coexist with the restored originals,
-      giving transient duplicate keys — sound, because the replayed
-      micro-batch's key range covers them, so _affected_by_key picks
-      BOTH generations and the last-wins window collapses them to a
-      single winner again.
+    - `_committed` marker present → the staged files all made it in;
+      the retired originals are superseded → drop the dir.
+    - no marker → the swap died before completion: first DELETE any
+      partially staged-in files (their names were recorded in the
+      token's `_staged_names` before any move), then restore the
+      retired originals — the table returns to its exact pre-swap
+      state. The rollback-first order matters for COMPACTION swaps,
+      where staged files duplicate the retired rows and no
+      micro-batch replay exists to re-merge them; for merge swaps it
+      also spares the replayed batch a transient two-generation
+      merge.
     """
     root = os.path.join(table_path, _RETIRED_DIR)
     if not os.path.isdir(root):
@@ -63,6 +65,13 @@ def _recover_crashed_swap(table_path: str) -> None:
         if not os.path.isdir(d):
             continue
         if not os.path.exists(os.path.join(d, "_committed")):
+            names_file = os.path.join(d, "_staged_names")
+            if os.path.exists(names_file):
+                with open(names_file) as fh:
+                    for name in fh.read().splitlines():
+                        staged = os.path.join(table_path, name)
+                        if name and os.path.exists(staged):
+                            os.remove(staged)
             for f in os.listdir(d):
                 if f.endswith(".parquet"):
                     os.rename(
@@ -73,6 +82,39 @@ def _recover_crashed_swap(table_path: str) -> None:
         os.rmdir(root)
     except OSError:
         pass
+
+
+def _swap_with_retirement(
+    table_path: str, tmp: str, affected: list[str]
+) -> None:
+    """The shared crash-safe file swap (call under the commit lock):
+    record staged names, retire affected originals to
+    _retired/<token>/, move staged files in, seal with `_committed`,
+    clean up. Any crash point is recoverable by
+    _recover_crashed_swap to either the pre-swap or post-swap
+    state — never a mixed one."""
+    import uuid
+
+    retire_dir = os.path.join(table_path, _RETIRED_DIR, uuid.uuid4().hex)
+    os.makedirs(retire_dir)
+    staged = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+    with open(os.path.join(retire_dir, "_staged_names"), "w") as fh:
+        fh.write("\n".join(staged))
+    for old in affected:
+        if os.path.exists(old):
+            os.rename(
+                old, os.path.join(retire_dir, os.path.basename(old))
+            )
+    for f in staged:
+        os.rename(os.path.join(tmp, f), os.path.join(table_path, f))
+    with open(os.path.join(retire_dir, "_committed"), "w"):
+        pass  # marker: staged files are all in place
+    shutil.rmtree(tmp)
+    shutil.rmtree(retire_dir)
+    try:
+        os.rmdir(os.path.join(table_path, _RETIRED_DIR))
+    except OSError:
+        pass  # another leftover token dir still pending recovery
 
 
 def _key_file_stats(table_path: str, key_col: str):
@@ -218,31 +260,9 @@ def merge_last_wins(
         # _retired/<token>/ dir (never deleted in place), staged
         # winners are renamed in, a _committed marker seals the swap,
         # and only then is anything cleaned up. A crash at any point
-        # leaves every pre-existing row on disk; the next merge's
-        # _recover_crashed_swap restores unsealed retirements and the
-        # replayed batch re-merges to the same winners.
-        import uuid
-
-        retire_dir = os.path.join(table_path, _RETIRED_DIR, uuid.uuid4().hex)
-        os.makedirs(retire_dir)
-        for old in affected:
-            if os.path.exists(old):
-                os.rename(
-                    old, os.path.join(retire_dir, os.path.basename(old))
-                )
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                os.rename(
-                    os.path.join(tmp, f), os.path.join(table_path, f)
-                )
-        with open(os.path.join(retire_dir, "_committed"), "w"):
-            pass  # marker: staged files are all in place
-        shutil.rmtree(tmp)
-        shutil.rmtree(retire_dir)
-        try:
-            os.rmdir(os.path.join(table_path, _RETIRED_DIR))
-        except OSError:
-            pass  # another leftover token dir still pending recovery
+        # is rolled back or completed by the next merge's
+        # _recover_crashed_swap.
+        _swap_with_retirement(table_path, tmp, affected)
 
 
 def upsert_stream(
@@ -285,10 +305,10 @@ def compact_sink_table(
     schemas. At-size files keep their bytes and inodes.
 
     Crash-safe via the same _retired/<token> + _committed protocol
-    as the merge swap; a crash at any point is healed by the next
-    merge's recovery. Returns (n_files_before, n_files_after)."""
-    import uuid
-
+    as the merge swap (with staged-name rollback, which compaction
+    NEEDS: its staged files duplicate retired rows and no batch
+    replay exists to re-merge a half-applied swap). Returns
+    (n_files_before, n_files_after)."""
     if not os.path.isdir(table_path):
         return (0, 0)
     files = [
@@ -313,28 +333,8 @@ def compact_sink_table(
     from wilayah_aceh_etl_spark.operators.wilayah import _commit_lock
 
     with _commit_lock(table_path):
-        retire_dir = os.path.join(
-            table_path, _RETIRED_DIR, uuid.uuid4().hex
-        )
-        os.makedirs(retire_dir)
-        for old in small:
-            if os.path.exists(old):
-                os.rename(
-                    old, os.path.join(retire_dir, os.path.basename(old))
-                )
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                os.rename(
-                    os.path.join(tmp, f), os.path.join(table_path, f)
-                )
-        with open(os.path.join(retire_dir, "_committed"), "w"):
-            pass
-        shutil.rmtree(tmp)
-        shutil.rmtree(retire_dir)
-        try:
-            os.rmdir(os.path.join(table_path, _RETIRED_DIR))
-        except OSError:
-            pass
+        _recover_crashed_swap(table_path)
+        _swap_with_retirement(table_path, tmp, small)
     n_after = len(
         [f for f in os.listdir(table_path) if f.endswith(".parquet")]
     )
