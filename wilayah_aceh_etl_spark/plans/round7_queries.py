@@ -1222,3 +1222,75 @@ def pipeline_quality_classifier_filter(
         )
     finally:
         feat.unpersist()
+
+
+@register(
+    "data_curriculum_interleave",
+    oracle="""
+WITH sdim AS (
+  SELECT source,
+         ROW_NUMBER() OVER (ORDER BY source) AS sidx,
+         (SELECT COUNT(DISTINCT source) FROM documents) AS n_sources
+  FROM (SELECT DISTINCT source FROM documents)
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT CAST((r.rk - 1) * s.n_sources + s.sidx AS BIGINT) AS position,
+       r.doc_id, r.source, CAST(r.rk AS INTEGER) AS rank_in_source
+FROM ranked r JOIN sdim s USING (source)
+WHERE r.rk <= 5
+ORDER BY position
+""",
+    tags=("ext", "curriculum", "ordering", "training"),
+    description="curriculum order: round-robin interleave of per-source quality ranks",
+)
+def data_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-order construction: rank documents within each
+    source by a quality proxy (length desc), then interleave sources
+    round-robin — every source's best doc first, then every
+    second-best, ... (the ordering curriculum/source-mixing
+    schedulers emit). The global position is the CLOSED FORM
+    (rank-1)·n_sources + source_index rather than a corpus-wide
+    window: per-source ranking partitions by source, the source
+    index comes from a 20-row aggregated dim, and no single-task
+    global sort exists anywhere in the plan — the detail that makes
+    the ordering computable for a 10⁹-doc corpus (writers then
+    range-partition on `position`)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sdim = (
+        docs.select("source")
+        .distinct()
+        .withColumn(
+            "sidx", F.row_number().over(Window.orderBy("source"))
+        )
+    )
+    n_sources = sdim.count()
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(
+            Window.partitionBy("source").orderBy(
+                F.col("n_chars").desc(), "doc_id"
+            )
+        )
+        .alias("rk"),
+    ).filter(F.col("rk") <= 5)
+    return (
+        ranked.join(F.broadcast(sdim), "source")
+        .select(
+            ((F.col("rk") - 1) * n_sources + F.col("sidx"))
+            .cast("long")
+            .alias("position"),
+            "doc_id",
+            "source",
+            F.col("rk").cast("int").alias("rank_in_source"),
+        )
+        .orderBy("position")
+    )
