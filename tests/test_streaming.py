@@ -927,3 +927,47 @@ def test_crashed_compaction_rolls_back_staged_files(spark, tmp_path):
     got = {r.k: r.v for r in t.filter("k in (5, 6)").collect()}
     assert got == {5: 999, 6: 18}
     assert not os.path.isdir(os.path.join(path, S._RETIRED_DIR))
+
+
+def test_admission_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying a batch whose writes
+    already landed (crash before checkpoint commit) must converge to
+    the identical tables — per-batch partition overwrite, and the
+    existing side excludes the batch's own prior admissions so docs
+    are not flagged as dups of themselves on replay."""
+    from wilayah_aceh_etl_spark.streaming.dedup_admission import (
+        apply_admission_batch,
+    )
+
+    admitted = str(tmp_path / "admitted")
+    verdicts = str(tmp_path / "verdicts")
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon zeta"),  # dup of 1
+         (4, "red orange yellow green blue indigo")],
+        "doc_id long, text string",
+    )
+    apply_admission_batch(b0, 0, admitted, verdicts)
+    apply_admission_batch(b1, 1, admitted, verdicts)
+
+    def snapshot():
+        v = {
+            (r.doc_id, r.is_exact_dup, r.near_dup_of, r.kept)
+            for r in spark.read.parquet(verdicts).collect()
+        }
+        a = {r.doc_id for r in spark.read.parquet(admitted).collect()}
+        return v, a
+
+    before = snapshot()
+    # replay BOTH batches (writes landed, checkpoint didn't)
+    apply_admission_batch(b1, 1, admitted, verdicts)
+    apply_admission_batch(b1, 1, admitted, verdicts)
+    assert snapshot() == before
+    v, a = before
+    assert a == {1, 2, 4}
+    # identical text: exact dup AND verified near-dup of doc 1
+    assert (3, True, 1, False) in v

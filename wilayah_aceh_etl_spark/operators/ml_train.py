@@ -42,6 +42,57 @@ def _margin(w: list[float], b: float):
     return dot(F.col("x"), warr) + F.lit(float(b))
 
 
+def _prep_vu(df, id_col, vec_col, label_col):
+    """(v, u): the id/features/label relation and its posexploded
+    (vec_id, y, pos, val) twin — shared by every GD-family trainer."""
+    v = df.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("x"),
+        F.col(label_col).cast("int").alias("y"),
+    )
+    u = v.select(
+        "vec_id", "y", F.posexplode("x").alias("pos0", "val")
+    ).select("vec_id", "y", (F.col("pos0") + 1).alias("pos"), "val")
+    return v, u
+
+
+def _gd_step(vb, u, w, b, lr, n):
+    """ONE quantized gradient-descent update — the single source of
+    truth for the step arithmetic, so every trainer that composes it
+    (full-batch, fit-only, mini-batch SGD) is bit-identical by
+    construction (the docstrings' cross-trainer trajectory claims
+    depend on this). `vb` is the batch relation (vec_id, x, y), `n`
+    its row count. n == 0 → weights returned unchanged (an empty
+    batch contributes no gradient; the caller decides whether that
+    is an error)."""
+    if n == 0:
+        return list(w), b
+    m = _margin(w, b)
+    sig = F.lit(0.5) + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
+    err_by_id = vb.select("vec_id", (sig - F.col("y")).alias("e"))
+    gw = (
+        u.join(err_by_id, "vec_id")
+        .groupBy("pos")
+        .agg(
+            F.sum(
+                F.round(F.col("e") * F.col("val") * Q).cast("long")
+            ).alias("s")
+        )
+        .collect()
+    )
+    gb = err_by_id.agg(
+        F.sum(F.round(F.col("e") * Q).cast("long")).alias("s")
+    ).first()["s"]
+    sums = {r["pos"]: r["s"] for r in gw}
+    d = len(w)
+    # identical op order to the oracle: (s/Q)/n, then w - lr*g
+    w = [
+        w[j] - lr * (float(sums.get(j + 1, 0)) / Q / n) for j in range(d)
+    ]
+    b = b - lr * (float(gb or 0) / Q / n)
+    return w, b
+
+
 def logreg_train_quantized(
     df: DataFrame,
     n_iter: int = 3,
@@ -65,47 +116,18 @@ def logreg_train_quantized(
     against 14.3 MB input, zero spill — the gradient reduce
     partial-combines map-side down to the 65 feature groups, so the
     movement is O(d·partitions), independent of N."""
-    v = df.select(
-        F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("x"),
-        F.col(label_col).cast("int").alias("y"),
-    ).persist()
+    v, u = _prep_vu(df, id_col, vec_col, label_col)
+    v = v.persist()
     try:
         n = v.count()
+        if n == 0:
+            raise ValueError("cannot train on an empty DataFrame")
         d = int(v.select(F.size("x")).first()[0])
-        u = v.select(
-            "vec_id", "y", F.posexplode("x").alias("pos0", "val")
-        ).select("vec_id", "y", (F.col("pos0") + 1).alias("pos"), "val")
-
         w = [0.0] * d
         b = 0.0
         out_rows = []
         for it in range(1, n_iter + 1):
-            m = _margin(w, b)
-            sig = F.lit(0.5) + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
-            err_by_id = v.select(
-                "vec_id", (sig - F.col("y")).alias("e")
-            )
-            gw = (
-                u.join(err_by_id, "vec_id")
-                .groupBy("pos")
-                .agg(
-                    F.sum(
-                        F.round(F.col("e") * F.col("val") * Q).cast("long")
-                    ).alias("s")
-                )
-                .collect()
-            )
-            gb = err_by_id.agg(
-                F.sum(F.round(F.col("e") * Q).cast("long")).alias("s")
-            ).first()["s"]
-            sums = {r["pos"]: r["s"] for r in gw}
-            # identical op order to the oracle: (s/Q)/n, then w - lr*g
-            w = [
-                w[j] - lr * (float(sums.get(j + 1, 0)) / Q / n)
-                for j in range(d)
-            ]
-            b = b - lr * (float(gb) / Q / n)
+            w, b = _gd_step(v, u, w, b, lr, n)
 
             # post-update metrics, computed ENGINE-side so rounding
             # follows SQL semantics on both sides
@@ -199,21 +221,32 @@ def perceptron_train_integer(
                     (F.col("wdot") + F.lit(int(b))).alias("m"),
                 )
             )
-            mis = m.filter(F.col("ypm") * F.col("m") <= 0).select(
-                "vec_id", "ypm"
+            # persist: `mis` derives from a full aggregate over the
+            # exploded relation and is consumed twice (stats + the
+            # update join) — uncached it would recompute that
+            # shuffle per consumer
+            mis = (
+                m.filter(F.col("ypm") * F.col("m") <= 0)
+                .select("vec_id", "ypm")
+                .persist()
             )
-            n_mis = mis.count()
-            upd = (
-                u.join(mis, ["vec_id", "ypm"])
-                .groupBy("pos")
-                .agg(F.sum(F.col("ypm") * F.col("xq")).alias("s"))
-                .collect()
-            )
+            try:
+                stats = mis.agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.sum("ypm").alias("s"),
+                ).first()
+                n_mis = stats["c"]
+                upd = (
+                    u.join(mis, ["vec_id", "ypm"])
+                    .groupBy("pos")
+                    .agg(F.sum(F.col("ypm") * F.col("xq")).alias("s"))
+                    .collect()
+                )
+            finally:
+                mis.unpersist()
             sums = {r["pos"]: r["s"] for r in upd}
             w = [w[j] + int(sums.get(j + 1, 0)) for j in range(d)]
-            b = b + int(
-                mis.agg(F.sum("ypm").alias("s")).first()["s"] or 0
-            )
+            b = b + int(stats["s"] or 0)
             out_rows.append((it, int(n_mis), int(b), int(sum(w))))
         return v.sparkSession.createDataFrame(
             out_rows,
@@ -236,42 +269,17 @@ def logreg_fit(
     updates, for callers that score a DIFFERENT dataset (holdout
     evaluation). Identical update arithmetic — a trajectory trained
     here hash-matches one trained by logreg_train_quantized."""
-    v = df.select(
-        F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("x"),
-        F.col(label_col).cast("int").alias("y"),
-    ).persist()
+    v, u = _prep_vu(df, id_col, vec_col, label_col)
+    v = v.persist()
     try:
         n = v.count()
+        if n == 0:
+            raise ValueError("cannot train on an empty DataFrame")
         d = int(v.select(F.size("x")).first()[0])
-        u = v.select(
-            "vec_id", "y", F.posexplode("x").alias("pos0", "val")
-        ).select("vec_id", "y", (F.col("pos0") + 1).alias("pos"), "val")
         w = [0.0] * d
         b = 0.0
         for _ in range(n_iter):
-            m = _margin(w, b)
-            sig = F.lit(0.5) + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
-            err_by_id = v.select("vec_id", (sig - F.col("y")).alias("e"))
-            gw = (
-                u.join(err_by_id, "vec_id")
-                .groupBy("pos")
-                .agg(
-                    F.sum(
-                        F.round(F.col("e") * F.col("val") * Q).cast("long")
-                    ).alias("s")
-                )
-                .collect()
-            )
-            gb = err_by_id.agg(
-                F.sum(F.round(F.col("e") * Q).cast("long")).alias("s")
-            ).first()["s"]
-            sums = {r["pos"]: r["s"] for r in gw}
-            w = [
-                w[j] - lr * (float(sums.get(j + 1, 0)) / Q / n)
-                for j in range(d)
-            ]
-            b = b - lr * (float(gb) / Q / n)
+            w, b = _gd_step(v, u, w, b, lr, n)
         return w, b
     finally:
         v.unpersist()
@@ -326,44 +334,22 @@ def logreg_sgd_minibatch(
     gradient sums), gradient normalized by the BATCH size. Returns
     per step: (step, batch_tag, n_batch, n_correct on the FULL set
     with the post-update weights, w_checksum, b_q)."""
-    v = df.select(
-        F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("x"),
-        F.col(label_col).cast("int").alias("y"),
-    ).persist()
+    v, u = _prep_vu(df, id_col, vec_col, label_col)
+    v = v.persist()
     try:
+        if v.count() == 0:
+            raise ValueError("cannot train on an empty DataFrame")
         d = int(v.select(F.size("x")).first()[0])
-        u = v.select(
-            "vec_id", "y", F.posexplode("x").alias("pos0", "val")
-        ).select("vec_id", "y", (F.col("pos0") + 1).alias("pos"), "val")
         w = [0.0] * d
         b = 0.0
         out_rows = []
         for k in range(n_batches):
             vb = v.filter(F.col("vec_id") % n_batches == k)
             nb = vb.count()
-            m = _margin(w, b)
-            sig = F.lit(0.5) + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
-            err_by_id = vb.select("vec_id", (sig - F.col("y")).alias("e"))
-            gw = (
-                u.join(err_by_id, "vec_id")
-                .groupBy("pos")
-                .agg(
-                    F.sum(
-                        F.round(F.col("e") * F.col("val") * Q).cast("long")
-                    ).alias("s")
-                )
-                .collect()
-            )
-            gb = err_by_id.agg(
-                F.sum(F.round(F.col("e") * Q).cast("long")).alias("s")
-            ).first()["s"]
-            sums = {r["pos"]: r["s"] for r in gw}
-            w = [
-                w[j] - lr * (float(sums.get(j + 1, 0)) / Q / nb)
-                for j in range(d)
-            ]
-            b = b - lr * (float(gb) / Q / nb)
+            # an empty residue class contributes no update (the
+            # oracle's gate data covers every residue; on data that
+            # does not, the step is a recorded no-op)
+            w, b = _gd_step(vb, u, w, b, lr, nb)
             m2 = _margin(w, b)
             n_correct = v.agg(
                 F.sum(

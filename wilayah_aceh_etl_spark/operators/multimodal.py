@@ -726,6 +726,8 @@ def parse_wav_header(
                 return None  # data before fmt, or truncated payload
             rate, n_ch, bits = fmt
             n_frames = size // (n_ch * bits // 8)
+            if n_frames == 0:
+                return None  # empty data chunk: no samples → seam
             return rate, n_ch, bits, n_frames
         i += 8 + size + (size & 1)  # chunks are word-aligned
     return None
@@ -903,6 +905,8 @@ def decode_bmp_pixels(
     compression = struct.unpack("<I", payload[30:34])[0]
     if bpp != 24 or compression != 0 or planes != 1 or w <= 0:
         return None
+    if h_raw == 0:
+        return None  # zero-height image: nothing to featurize → seam
     top_down = h_raw < 0
     h = abs(h_raw)
     row_bytes = w * 3
@@ -1131,8 +1135,8 @@ def decode_gif_pixels(
             iflags = payload[i + 9]
             if iflags & 0xC0:  # local palette / interlace → seam
                 return None
-            if w * h > (1 << 22):
-                return None  # corrupt/hostile dims: bound the decode
+            if w == 0 or h == 0 or w * h > (1 << 22):
+                return None  # zero/hostile dims: bound the decode
             i += 10
             if i >= len(payload):
                 return None
@@ -1286,8 +1290,8 @@ def decode_gif_frames(
             iflags = payload[i + 9]
             if iflags & 0xC0:
                 return None
-            if w * h > (1 << 22):
-                return None  # corrupt/hostile dims: bound the decode
+            if w == 0 or h == 0 or w * h > (1 << 22):
+                return None  # zero/hostile dims: bound the decode
             i += 10
             if i >= len(payload):
                 return None

@@ -48,35 +48,65 @@ def admission_stream(
     threshold: float = 0.5,
 ):
     """writeStream builder: per micro-batch, run the incremental
-    near-dup filter against the admitted table, append the verdicts,
-    append the kept documents. Returns the unstarted writeStream
-    (caller picks trigger/awaits)."""
+    near-dup filter against the admitted table, write the verdicts
+    and the kept documents. Returns the unstarted writeStream
+    (caller picks trigger/awaits).
+
+    REPLAY IDEMPOTENCY (foreachBatch is at-least-once — a crash
+    between the sink writes and the checkpoint commit re-executes
+    the batch): both tables are laid out as `<table>/batch=<id>/`
+    partitions written with mode=overwrite, so a replayed batch
+    OVERWRITES its own partitions instead of appending duplicates;
+    and the existing side excludes the current batch_id's partition,
+    so a replay whose admissions already landed does not flag the
+    batch's docs as dups of themselves. Replays therefore recompute
+    the identical verdicts and converge to the same tables."""
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if os.path.exists(admitted_table):
-            existing = spark.read.parquet(admitted_table).select(
-                *batch_df.columns
-            )
-        else:
-            existing = spark.createDataFrame([], batch_df.schema)
-        verdicts = incremental_near_dup_filter(
-            existing, batch_df, threshold=threshold
+        apply_admission_batch(
+            batch_df, batch_id, admitted_table, verdicts_table, threshold
         )
-        rows = verdicts.collect()  # materialize BEFORE any append
-        kept_ids = [r["doc_id"] for r in rows if r["kept"]]
-        spark.createDataFrame(
-            [
-                (r["doc_id"], r["is_exact_dup"], r["near_dup_of"], r["kept"])
-                for r in rows
-            ],
-            VERDICT_SCHEMA,
-        ).write.mode("append").parquet(verdicts_table)
-        if kept_ids:
-            batch_df.filter(
-                F.col("doc_id").isin(kept_ids)
-            ).write.mode("append").parquet(admitted_table)
 
     return stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint
+    )
+
+
+def apply_admission_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    admitted_table: str,
+    verdicts_table: str,
+    threshold: float = 0.5,
+) -> None:
+    """One micro-batch of the admission pipeline (module-level so
+    replay idempotency is directly testable: calling this twice with
+    the same arguments must leave both tables identical)."""
+    spark = batch_df.sparkSession
+    if os.path.exists(admitted_table):
+        existing = (
+            spark.read.option("basePath", admitted_table)
+            .parquet(admitted_table)
+            .filter(F.col("batch") != batch_id)
+            .select(*batch_df.columns)
+        )
+    else:
+        existing = spark.createDataFrame([], batch_df.schema)
+    verdicts = incremental_near_dup_filter(
+        existing, batch_df, threshold=threshold
+    )
+    rows = verdicts.collect()  # materialize BEFORE any write
+    kept_ids = [r["doc_id"] for r in rows if r["kept"]]
+    spark.createDataFrame(
+        [
+            (r["doc_id"], r["is_exact_dup"], r["near_dup_of"], r["kept"])
+            for r in rows
+        ],
+        VERDICT_SCHEMA,
+    ).write.mode("overwrite").parquet(
+        os.path.join(verdicts_table, f"batch={batch_id}")
+    )
+    kept = batch_df.filter(F.col("doc_id").isin(kept_ids or [-1]))
+    kept.write.mode("overwrite").parquet(
+        os.path.join(admitted_table, f"batch={batch_id}")
     )

@@ -307,35 +307,45 @@ def compact_sink_table(
     Crash-safe via the same _retired/<token> + _committed protocol
     as the merge swap (with staged-name rollback, which compaction
     NEEDS: its staged files duplicate retired rows and no batch
-    replay exists to re-merge a half-applied swap). Returns
-    (n_files_before, n_files_after)."""
+    replay exists to re-merge a half-applied swap).
+
+    Concurrency: the commit lock is held for the WHOLE operation —
+    recovery, file listing, the rewrite, and the swap. Listing or
+    staging outside the lock would let a racing micro-batch merge
+    replace some of the listed files mid-compaction, and the
+    compacted output would resurrect their pre-merge rows; and a
+    pending crashed swap must be healed BEFORE the listing, or the
+    listing reads half-applied state. A merge that arrives while
+    compaction holds the lock fails fast with ConcurrentWriteError
+    (retriable) instead of corrupting — schedule compaction between
+    micro-batches. Returns (n_files_before, n_files_after)."""
     if not os.path.isdir(table_path):
         return (0, 0)
-    files = [
-        os.path.join(table_path, f)
-        for f in os.listdir(table_path)
-        if f.endswith(".parquet")
-    ]
-    small = [f for f in files if os.path.getsize(f) < small_bytes]
-    if len(small) < 2:
-        return (len(files), len(files))
-    total = sum(os.path.getsize(f) for f in small)
-    n_out = max(1, -(-total // target_bytes))
-    tmp = table_path + "._staged_compact"
-    (
-        spark.read.option("mergeSchema", True)
-        .parquet(*small)
-        .repartitionByRange(n_out, *keys)
-        .sortWithinPartitions(*keys)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
     from wilayah_aceh_etl_spark.operators.wilayah import _commit_lock
 
     with _commit_lock(table_path):
         _recover_crashed_swap(table_path)
+        files = [
+            os.path.join(table_path, f)
+            for f in os.listdir(table_path)
+            if f.endswith(".parquet")
+        ]
+        small = [f for f in files if os.path.getsize(f) < small_bytes]
+        if len(small) < 2:
+            return (len(files), len(files))
+        total = sum(os.path.getsize(f) for f in small)
+        n_out = max(1, -(-total // target_bytes))
+        tmp = table_path + "._staged_compact"
+        (
+            spark.read.option("mergeSchema", True)
+            .parquet(*small)
+            .repartitionByRange(n_out, *keys)
+            .sortWithinPartitions(*keys)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
         _swap_with_retirement(table_path, tmp, small)
-    n_after = len(
-        [f for f in os.listdir(table_path) if f.endswith(".parquet")]
-    )
+        n_after = len(
+            [f for f in os.listdir(table_path) if f.endswith(".parquet")]
+        )
     return (len(files), n_after)
