@@ -545,3 +545,61 @@ def test_animated_gif_frames_pure():
     assert bad[off] == 0x2C
     bad[off + 5 : off + 9] = struct.pack("<HH", 65535, 65535)
     assert M.decode_gif_frames(bytes(bad)) is None
+
+
+def test_ivf_partitioned_layout_prunes(spark, tmp_path):
+    """The centroid-partitioned layout must turn probing into
+    STORAGE-level pruning: the probe plan carries a PartitionFilters
+    entry on `centroid`, scans only the probed directories' files,
+    and returns exactly what the logical ivf_topk returns."""
+    import re
+
+    from wilayah_aceh_etl_spark.operators.similarity import (
+        ivf_partitioned_topk,
+        ivf_topk,
+        write_ivf_layout,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    path = str(tmp_path / "ivf_layout")
+    write_ivf_layout(emb, path, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    got = ivf_partitioned_topk(spark, path, queries, k=10, n_probe=4)
+    want = {
+        (r.query_id, r.vec_id, r.cos_sim, r.rk)
+        for r in ivf_topk(emb, queries, k=10, n_probe=4).collect()
+    }
+    assert {
+        (r.query_id, r.vec_id, r.cos_sim, r.rk) for r in got.collect()
+    } == want
+
+    # the scan itself: partition filter present, fewer files read
+    # than the table holds
+    probed = spark.read.parquet(path).filter(
+        F.col("centroid").isin([0, 3, 7, 11])
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "centroid" in m.group(1), plan[:800]
+    import os
+
+    all_dirs = [
+        d for d in os.listdir(path) if d.startswith("centroid=")
+    ]
+    assert len(all_dirs) == 16
+    n_probed_files = probed.select(
+        F.input_file_name()
+    ).distinct().count()
+    n_all_files = (
+        spark.read.parquet(path)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert n_probed_files < n_all_files
+    probed_dirs = {
+        re.search(r"centroid=(\d+)", r[0]).group(1)
+        for r in probed.select(F.input_file_name()).distinct().collect()
+    }
+    assert probed_dirs == {"0", "3", "7", "11"}

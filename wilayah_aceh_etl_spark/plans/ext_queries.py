@@ -652,9 +652,8 @@ def similarity_lsh_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     return S.bucketed_pairs(emb, 0.15, n_bits=8).orderBy("vec_a", "vec_b")
 
 
-@register(
-    "similarity_ivf_topk",
-    oracle="WITH "
+_IVF_TOPK_ORACLE = (
+    "WITH "
     + _VEC_CTE
     + """,
 cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
@@ -696,7 +695,13 @@ ranked AS (
 SELECT query_id, vec_id, ROUND(c, 6) AS cos_sim, CAST(rk AS INTEGER) AS rk
 FROM ranked WHERE rk <= 10
 ORDER BY query_id, rk
-""",
+"""
+)
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=_IVF_TOPK_ORACLE,
     tags=("ext", "similarity", "ivf", "ann"),
     description="IVF approximate top-10: probe 4 of 16 inverted lists",
     bench=True,
@@ -4019,4 +4024,46 @@ def contamination_semantic_embedding(
             .alias("n_contaminated"),
         )
         .orderBy("label")
+    )
+
+
+@register(
+    "similarity_ivf_partitioned_topk",
+    # identical semantics to similarity_ivf_topk — the layout changes
+    # WHERE the bytes live, never what the query returns, so the
+    # oracle SQL is shared VERBATIM
+    oracle=_IVF_TOPK_ORACLE,
+    tags=("ext", "similarity", "ivf", "ann", "layout", "partitioning"),
+    description="IVF top-10 over the centroid-partitioned physical layout",
+)
+def similarity_ivf_partitioned_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The at-scale IVF read path made PHYSICAL: the corpus is
+    materialized once partitioned by inverted list
+    (operators/similarity.py::write_ivf_layout), and the probe reads
+    only its n_probe directories via a partition filter — the oracle
+    (shared verbatim with similarity_ivf_topk, same centroids, same
+    ranking) proves the layout changes I/O, not answers. Partition
+    pruning itself is pinned by
+    tests/test_ext_operators.py::test_ivf_partitioned_layout_prunes."""
+    import os
+    import tempfile
+    import uuid
+
+    from wilayah_aceh_etl_spark.operators.similarity import (
+        ivf_partitioned_topk,
+        write_ivf_layout,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        tempfile.gettempdir(), f"wilayah_ivf_layout_{uuid.uuid4().hex[:8]}"
+    )
+    write_ivf_layout(emb, path, n_centroids=16)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (
+        ivf_partitioned_topk(spark, path, queries, k=10, n_probe=4)
+        .withColumn("rk", F.col("rk").cast("int"))
+        .orderBy("query_id", "rk")
     )
