@@ -25,6 +25,8 @@ NLJ_ALLOWED = {
     "similarity_ivf_topk",
     # same 16-row broadcast centroid build, Lloyd-trained quantizer
     "similarity_ivf_kmeans_topk",
+    # same probe shape over the stored centroid table (16 rows)
+    "similarity_ivf_partitioned_topk",
     # composes the two shapes above (BF ground truth × IVF), so it
     # inherits both documented broadcast products
     "similarity_ivf_recall",
