@@ -1294,3 +1294,109 @@ def data_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("position")
     )
+
+
+@register(
+    "events_classical_decomposition_daily",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         dayofweek(date_trunc('day', ts)) AS dow
+  FROM events GROUP BY 1, 3
+),
+tr AS (
+  SELECT day, cents, dow,
+         CAST(SUM(cents) OVER w AS BIGINT) AS trend7,
+         COUNT(*) OVER w AS n_win
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+full_win AS (
+  SELECT day, cents, dow, trend7, 7 * cents - trend7 AS det7
+  FROM tr WHERE n_win = 7
+),
+seas AS (
+  SELECT dow, CAST(SUM(det7) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS c
+  FROM full_win GROUP BY dow
+),
+adj AS (
+  SELECT CAST(SUM(CAST(s AS DOUBLE) / c) AS DOUBLE) / 7 AS grand
+  FROM seas
+)
+SELECT strftime(f.day, '%Y-%m-%d') AS day, f.cents, f.trend7,
+       ROUND(CAST(se.s AS DOUBLE) / se.c - (SELECT grand FROM adj), 4)
+         AS seasonal7,
+       ROUND(CAST(f.det7 AS DOUBLE)
+             - (CAST(se.s AS DOUBLE) / se.c - (SELECT grand FROM adj)), 4)
+         AS resid7
+FROM full_win f JOIN seas se ON se.dow = f.dow
+ORDER BY f.day
+""",
+    tags=("ext", "timeseries", "decomposition", "stats"),
+    description="classical additive decomposition: 7-day trend, DOW seasonal, residual",
+)
+def events_classical_decomposition_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive decomposition of the daily value series
+    (the no-loess STL ancestor): trend = centered 7-day moving
+    average (full windows only), seasonal = per-day-of-week mean of
+    the detrended series re-centered to sum 0, residual = the rest.
+    Determinism devices: daily totals are EXACT cents
+    (Σ round(value·100)), the trend stays as the exact ×7 integer
+    sum (no division until output), detrended values are exact
+    integers, and the only doubles are two fixed-order divisions at
+    the end — so a chained stats pipeline hash-matches without a
+    single rounding judgment call. The trend window is
+    partition-less BUT runs over the ~30-row daily AGGREGATE, the
+    pattern the plan-quality guard endorses (aggregate first, then
+    the global series op)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.dayofweek(F.date_trunc("day", F.col("ts"))).alias("dow"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "cents",
+        "dow",
+        F.sum("cents").over(w).cast("long").alias("trend7"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    ).filter(F.col("n_win") == 7)
+    full_win = tr.withColumn(
+        "det7", 7 * F.col("cents") - F.col("trend7")
+    )
+    seas = full_win.groupBy("dow").agg(
+        F.sum("det7").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    grand = seas.agg(
+        (
+            F.sum(F.col("s").cast("double") / F.col("c")) / F.lit(7)
+        ).alias("grand")
+    )
+    seasonal = (
+        F.col("s").cast("double") / F.col("c") - F.col("grand")
+    )
+    return (
+        full_win.join(F.broadcast(seas), "dow")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "cents",
+            "trend7",
+            F.round(seasonal, 4).alias("seasonal7"),
+            F.round(
+                F.col("det7").cast("double") - seasonal, 4
+            ).alias("resid7"),
+        )
+        .orderBy("day")
+    )
