@@ -111,6 +111,8 @@ NLJ_ALLOWED = {
     "ope_ips_policy_value",  # 1-row log-size broadcast (propensity denom)
     "events_evt_peaks_over_threshold",  # 1-row threshold broadcast
     "layout_zorder_morton",  # 1-row global min/max bounds broadcast
+    # 1-row grand-seasonal-mean broadcast over the ~30-row daily agg
+    "events_classical_decomposition_daily",
     # 6-row checkpoint dim × vocab relation: checkpoints are a fixed
     # constant, so the product is O(vocab), the same as the input
     "text_heaps_law_curve",
