@@ -113,6 +113,8 @@ NLJ_ALLOWED = {
     "layout_zorder_morton",  # 1-row global min/max bounds broadcast
     # 1-row grand-seasonal-mean broadcast over the ~30-row daily agg
     "events_classical_decomposition_daily",
+    # 1-row mixture-total broadcast at the tail of the composed prep
+    "pipeline_training_prep_v2",
     # 6-row checkpoint dim × vocab relation: checkpoints are a fixed
     # constant, so the product is O(vocab), the same as the input
     "text_heaps_law_curve",

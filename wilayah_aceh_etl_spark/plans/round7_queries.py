@@ -1400,3 +1400,205 @@ def events_classical_decomposition_daily(
         )
         .orderBy("day")
     )
+
+
+_PREP_V2_ORACLE = (
+    "WITH "
+    + _QC_FEATURES_SQL.replace(
+        "FROM documents", "FROM documents WHERE doc_id >= 50"
+    )
+    + """,
+v AS (SELECT doc_id AS vec_id, x, y FROM feat),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+u AS (
+  SELECT vec_id, unnest(x) AS val, generate_subscripts(x, 1) AS pos FROM v
+),
+w0 AS (
+  SELECT (SELECT list(0.0) FROM range(4)) AS w, 0.0 AS b
+),
+"""
+    + ",".join(_lr_step_sql(i, lr="4.0") for i in range(1, 11))
+    + """,
+raw AS (
+  SELECT d.doc_id, d.source, d.text, d.n_chars
+  FROM documents d WHERE d.doc_id >= 50
+),
+q1 AS (
+  SELECT r.* FROM raw r JOIN feat f ON f.doc_id = r.doc_id
+  WHERE list_dot_product(f.x, (SELECT w FROM w10)) + (SELECT b FROM w10) > 0
+),
+q2 AS (
+  SELECT * FROM (
+    SELECT q1.*, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                    ORDER BY doc_id) AS rn
+    FROM q1
+  ) WHERE rn = 1
+),
+ve AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+vb AS (SELECT vec_id, e, """
+    + "(CASE WHEN e[1] > 0 THEN 1 ELSE 0 END)"
+    + " + ".join(
+        [""]
+        + [f"(CASE WHEN e[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)" for i in range(1, 8)]
+    )
+    + """ AS bucket FROM ve),
+test AS (SELECT * FROM vb WHERE vec_id < 50),
+contaminated AS (
+  SELECT DISTINCT tr.vec_id
+  FROM vb tr JOIN test te ON tr.bucket = te.bucket
+  WHERE tr.vec_id >= 50
+    AND list_dot_product(tr.e, te.e) /
+        (sqrt(list_dot_product(tr.e, tr.e)) *
+         sqrt(list_dot_product(te.e, te.e))) >= 0.2
+),
+q3 AS (
+  SELECT q2.* FROM q2
+  LEFT JOIN contaminated c ON c.vec_id = q2.doc_id
+  WHERE c.vec_id IS NULL
+),
+mix AS (
+  SELECT source,
+         CAST(SUM(n_chars) AS BIGINT) AS chars,
+         CAST(ROUND(sqrt(SUM(n_chars)) * 16777216) AS BIGINT) AS wq
+  FROM q3 GROUP BY source
+),
+tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS t FROM mix)
+SELECT r.source,
+       CAST(COUNT(DISTINCT r.doc_id) AS BIGINT) AS n_raw,
+       CAST(COUNT(DISTINCT q1.doc_id) AS BIGINT) AS n_quality,
+       CAST(COUNT(DISTINCT q2.doc_id) AS BIGINT) AS n_dedup,
+       CAST(COUNT(DISTINCT q3.doc_id) AS BIGINT) AS n_clean,
+       ROUND(CAST(ANY_VALUE(m.wq) AS DOUBLE) / (SELECT t FROM tot), 6)
+         AS mix_weight
+FROM raw r
+LEFT JOIN q1 ON q1.doc_id = r.doc_id
+LEFT JOIN q2 ON q2.doc_id = r.doc_id
+LEFT JOIN q3 ON q3.doc_id = r.doc_id
+LEFT JOIN mix m ON m.source = r.source
+GROUP BY r.source
+ORDER BY r.source
+"""
+)
+
+
+@register(
+    "pipeline_training_prep_v2",
+    oracle=_PREP_V2_ORACLE,
+    tags=("ext", "pipeline", "ml", "dedup", "decontamination", "mixture"),
+    description="full prep: trained quality filter → dedup → decontam → mixture",
+)
+def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete modern training-data prep, one composed plan,
+    hash-pinned end to end: (1) hold out docs 0-49 as the eval set;
+    (2) drop low-quality docs by the TRAINED classifier (the
+    pipeline_quality_classifier_filter model — 10 GD iterations,
+    the oracle retrains it); (3) exact-dedup survivors (keep lowest
+    id per md5); (4) drop docs semantically contaminated by the eval
+    set (LSH-bucketed cosine ≥ 0.2, candidates-only); (5) compute
+    temperature-τ=0.5 mixture weights over the clean corpus. The
+    per-source funnel (raw → quality → dedup → clean) plus the final
+    mixture weight is what a data-curation run reports. Every stage
+    is a previously-gated operator; the composition adds three
+    narrow joins and zero extra corpus shuffles beyond its stages."""
+    from wilayah_aceh_etl_spark.functions.vectors import cosine, dot
+    from wilayah_aceh_etl_spark.operators import similarity as SIM
+    from wilayah_aceh_etl_spark.operators.ml_train import logreg_fit
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= 50
+    )
+    words = F.split(F.col("text"), " ")
+    stop = F.filter(
+        words,
+        lambda x: x.isin("the", "a", "of", "and", "to", "in", "is", "it"),
+    )
+    feat = docs.select(
+        "doc_id",
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("y"),
+        F.array(
+            F.col("n_chars").cast("double") / 1000,
+            F.size(words).cast("double") / 100,
+            F.col("n_chars").cast("double") / F.size(words) / 10,
+            F.size(stop).cast("double") / F.size(words),
+        ).alias("x"),
+    ).persist()
+    try:
+        w, b = logreg_fit(
+            feat.select(F.col("doc_id").alias("vec_id"), "x", "y"),
+            n_iter=10,
+            lr=4.0,
+            vec_col="x",
+        )
+    finally:
+        feat.unpersist()
+    warr = F.array(*[F.lit(float(v)) for v in w])
+    score = dot(F.col("x"), warr) + F.lit(float(b))
+    scored = docs.join(
+        feat.select("doc_id", "x"), "doc_id"
+    ).withColumn("_keep_q", score > 0)
+    q1 = scored.filter("_keep_q").select(
+        "doc_id", "source", "text", "n_chars"
+    )
+    q2 = (
+        q1.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(F.md5("text")).orderBy("doc_id")
+            ),
+        )
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    vb = SIM.bucket_assignments(emb, 8)
+    test = vb.filter(F.col("vec_id") < 50).select(
+        F.col("bucket").alias("t_bucket"), F.col("vec").alias("t_vec")
+    )
+    contaminated = (
+        vb.filter(F.col("vec_id") >= 50)
+        .join(F.broadcast(test), F.col("bucket") == F.col("t_bucket"))
+        .filter(cosine(F.col("vec"), F.col("t_vec")) >= 0.2)
+        .select("vec_id")
+        .distinct()
+        .withColumn("_dirty", F.lit(True))
+    )
+    q3 = (
+        q2.join(contaminated, q2.doc_id == contaminated.vec_id, "left")
+        .filter(F.col("_dirty").isNull())
+        .select("doc_id", "source", "n_chars")
+    )
+    mix = q3.groupBy("source").agg(
+        F.round(F.sqrt(F.sum("n_chars")) * 16777216)
+        .cast("long")
+        .alias("_wq")
+    )
+    tot = mix.agg(F.sum("_wq").cast("long").alias("_t"))
+    funnel = (
+        docs.select("doc_id", "source")
+        .join(q1.select("doc_id", F.lit(1).alias("_q1")), "doc_id", "left")
+        .join(q2.select("doc_id", F.lit(1).alias("_q2")), "doc_id", "left")
+        .join(q3.select("doc_id", F.lit(1).alias("_q3")), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            F.count("_q1").cast("long").alias("n_quality"),
+            F.count("_q2").cast("long").alias("n_dedup"),
+            F.count("_q3").cast("long").alias("n_clean"),
+        )
+    )
+    return (
+        funnel.join(mix, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_raw",
+            "n_quality",
+            "n_dedup",
+            "n_clean",
+            F.round(F.col("_wq").cast("double") / F.col("_t"), 6).alias(
+                "mix_weight"
+            ),
+        )
+        .orderBy("source")
+    )
