@@ -467,3 +467,92 @@ def test_morton_catalyst_matches_python(spark):
     )
     for r in df.collect():
         assert r.z == _py_morton(r.x, r.y, 8), (r.x, r.y)
+
+
+# ---------------------------------------------------------------------------
+# Codec round-trips under random inputs (round 5): encode→decode must
+# be the identity for every valid input, and decode must never raise
+# on arbitrary byte prefixes.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.integers(1, 20),
+    st.integers(1, 20),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_random(w, h, seed):
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    def blue(x, y):
+        return (seed + 7 * x + 13 * y) % 256
+
+    p = M.make_bmp(w, h, blue)
+    W, H, px = M.decode_bmp_pixels(p)
+    assert (W, H) == (w, h)
+    assert px == [blue(x, y) for y in range(h) for x in range(w)]
+    # arbitrary truncation never raises
+    for cut in range(0, len(p), max(1, len(p) // 11)):
+        M.decode_bmp_pixels(p[:cut])
+
+
+@given(
+    st.integers(1, 16),
+    st.integers(1, 16),
+    st.integers(1, 5),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_gif_animated_roundtrip_random(w, h, nf, seed):
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    def idx(f, x, y):
+        return (seed + 11 * f + 3 * x + 5 * y) % 256
+
+    p = M.make_gif_animated(w, h, nf, idx)
+    frames = M.decode_gif_frames(p)
+    assert len(frames) == nf
+    for f, (W, H, px) in enumerate(frames):
+        assert (W, H) == (w, h)
+        assert px == [idx(f, x, y) for y in range(h) for x in range(w)]
+
+
+@given(
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=300),
+    st.sampled_from([8000, 16000, 44100]),
+    st.integers(1, 3),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_random(samples, rate, n_ch):
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    # pad to a whole number of frames
+    while len(samples) % n_ch:
+        samples.append(0)
+    p = M.make_wav(samples, rate, n_ch, 16)
+    got = M.decode_wav_samples(p)
+    assert got == (rate, n_ch, 16, samples)
+    for cut in range(0, len(p), max(1, len(p) // 9)):
+        M.parse_wav_header(p[:cut])
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=150, deadline=None)
+def test_decoders_never_raise_on_garbage(payload):
+    """Every decoder's malformed-input contract, fuzzed: arbitrary
+    bytes → None or a valid result, never an exception."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    M.parse_image_header(payload)
+    M.decode_bmp_pixels(payload)
+    M.decode_gif_pixels(payload)
+    M.decode_gif_frames(payload)
+    M.parse_wav_header(payload)
+    M.decode_wav_samples(payload)
+    # ... including garbage wrapped in valid magic prefixes
+    for magic in (b"BM", b"GIF89a", b"RIFF", b"\x89PNG\r\n\x1a\n", b"\xff\xd8"):
+        M.parse_image_header(magic + payload)
+        M.decode_bmp_pixels(magic + payload)
+        M.decode_gif_frames(magic + payload)
+        M.parse_wav_header(magic + payload)
