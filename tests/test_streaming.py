@@ -971,3 +971,118 @@ def test_admission_batch_replay_is_idempotent(spark, tmp_path):
     assert a == {1, 2, 4}
     # identical text: exact dup AND verified near-dup of doc 1
     assert (3, True, 1, False) in v
+
+
+def test_sink_swap_model_random_crashes(spark, tmp_path):
+    """Model-based check of the sink swap protocol: a scripted mix
+    of merges, compactions, and CRASHES injected at every possible
+    os.rename boundary inside the swap; after each recovery the
+    plain read must equal a Python dict model that applies a merge
+    iff its swap completed (raised mid-swap ⇒ rolled back)."""
+    import os
+
+    from wilayah_aceh_etl_spark.streaming import sinks as S
+
+    path = str(tmp_path / "model_sink")
+    model: dict[int, tuple[int, int]] = {}
+
+    def merge(rows):
+        df = spark.createDataFrame(rows, "k long, ver long, v long")
+        S.merge_last_wins(spark, path, df, ["k"], ["ver"])
+        for k, ver, v in rows:
+            if k not in model or ver >= model[k][0]:
+                model[k] = (ver, v)
+
+    def check():
+        got = {
+            r.k: (r.ver, r.v) for r in spark.read.parquet(path).collect()
+        }
+        assert got == model, (len(got), len(model))
+
+    class Boom(RuntimeError):
+        pass
+
+    def crash_merge(rows, fail_after):
+        """Run a merge whose swap dies after `fail_after` renames.
+        Returns True if the crash fired (merge must NOT apply)."""
+        df = spark.createDataFrame(rows, "k long, ver long, v long")
+        real_rename = os.rename
+        calls = {"n": 0}
+
+        def wrapped(src, dst):
+            # only count renames inside the table swap (src in the
+            # staged tmp or the table itself)
+            if path in src:
+                calls["n"] += 1
+                if calls["n"] > fail_after:
+                    raise Boom()
+            return real_rename(src, dst)
+
+        S.os.rename = wrapped
+        try:
+            S.merge_last_wins(spark, path, df, ["k"], ["ver"])
+            fired = False
+        except Boom:
+            fired = True
+        finally:
+            S.os.rename = real_rename
+        if not fired:
+            for k, ver, v in rows:
+                if k not in model or ver >= model[k][0]:
+                    model[k] = (ver, v)
+        return fired
+
+    def heal(seq):
+        """Any later merge runs recovery; use a fresh key."""
+        merge([(10_000 + seq, 0, seq)])
+
+    merge([(k, 0, k * 2) for k in range(60)])
+    check()
+    merge([(5, 1, 500), (61, 0, 610)])
+    check()
+
+    # crash at EVERY rename boundary of a 2-key merge, healing and
+    # model-checking after each
+    seq = 0
+    for fail_after in range(0, 8):
+        rows = [(7, 10 + fail_after, 7000 + fail_after),
+                (42, 10 + fail_after, 4200 + fail_after)]
+        crash_merge(rows, fail_after)
+        seq += 1
+        heal(seq)
+        check()
+
+    # compaction after all that, then a crash DURING compaction's
+    # swap, healed by the next merge
+    S.compact_sink_table(spark, path, ["k"])
+    check()
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    class Boom2(RuntimeError):
+        pass
+
+    def wrapped2(src, dst):
+        if path in src:
+            calls["n"] += 1
+            if calls["n"] > 2:
+                raise Boom2()
+        return real_rename(src, dst)
+
+    # force more small files first
+    for i in range(3):
+        seq += 1
+        heal(seq)
+    S.os.rename = wrapped2
+    try:
+        S.compact_sink_table(spark, path, ["k"])
+    except Boom2:
+        pass
+    finally:
+        S.os.rename = real_rename
+    seq += 1
+    heal(seq)  # recovery rolls the crashed compaction back
+    check()
+    # and a clean compaction converges
+    S.compact_sink_table(spark, path, ["k"])
+    check()
