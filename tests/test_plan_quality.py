@@ -140,6 +140,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # running max over arrival order = the lateness definition;
     # docstring prescribes per-ingest-partition profiling at scale
     "events_watermark_lateness_profile",
+    # ranks the trained model's weight table — d rows (64), a model
+    # constant created on the driver, never corpus-derived input
+    "ml_logreg_top_features",
 }
 
 

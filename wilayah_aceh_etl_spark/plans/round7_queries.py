@@ -1602,3 +1602,164 @@ def pipeline_training_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_TOP_FEATURES_ORACLE = (
+    """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+u AS (
+  SELECT vec_id, unnest(x) AS val, generate_subscripts(x, 1) AS pos FROM v
+),
+w0 AS (
+  SELECT (SELECT list(0.0) FROM range(64)) AS w, 0.0 AS b
+),
+"""
+    + ",".join(_lr_step_sql(i) for i in (1, 2, 3))
+    + """,
+wq AS (
+  SELECT pos, CAST(ROUND(wj * 16777216) AS BIGINT) AS w_q
+  FROM (SELECT unnest(w) AS wj, generate_subscripts(w, 1) AS pos FROM w3)
+)
+SELECT CAST(pos AS INTEGER) AS dim, w_q,
+       CAST(ROW_NUMBER() OVER (ORDER BY abs(w_q) DESC, pos) AS INTEGER)
+         AS importance_rank
+FROM wq
+ORDER BY importance_rank
+LIMIT 10
+"""
+)
+
+
+@register(
+    "ml_logreg_top_features",
+    oracle=_TOP_FEATURES_ORACLE,
+    tags=("ext", "ml", "training", "introspection"),
+    description="top-10 |weight| dimensions of the trained logistic model",
+)
+def ml_logreg_top_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model INTROSPECTION through the gate: after the 3-iteration
+    quantized GD training (same trajectory as
+    ml_logreg_train_quantized — the oracle retrains), rank embedding
+    dimensions by |weight|. The ranking compares QUANTIZED integer
+    weights (ROUND(w·2²⁴), ties → low dim), so feature-importance
+    order can never flap on a float — the report a feature-selection
+    pass consumes."""
+    from pyspark.sql.window import Window
+
+    from wilayah_aceh_etl_spark.operators.ml_train import Q, logreg_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    w, _b = logreg_fit(emb, n_iter=3, lr=0.5)
+    rows = [(j + 1, float(wj)) for j, wj in enumerate(w)]
+    wdf = spark.createDataFrame(rows, "dim int, wj double").select(
+        "dim", F.round(F.col("wj") * Q).cast("long").alias("w_q")
+    )
+    rk = Window.orderBy(F.abs(F.col("w_q")).desc(), "dim")
+    return (
+        wdf.withColumn(
+            "importance_rank", F.row_number().over(rk).cast("int")
+        )
+        .orderBy("importance_rank")
+        .limit(10)
+    )
+
+
+@register(
+    "multimodal_wav_decimate_stats",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         50 + doc_id % 200 AS n_frames,
+         1 + doc_id % 2 AS n_channels
+  FROM documents WHERE doc_id < 100
+),
+kept AS (
+  SELECT media_id, n_frames, n_channels, i AS frame
+  FROM m, UNNEST(range(n_frames)) AS t(i)
+  WHERE i % 4 = 0
+),
+s AS (
+  SELECT media_id, n_frames, n_channels,
+         ((media_id * 31 + (frame * n_channels) * 17) % 65536) - 32768 AS amp
+  FROM kept
+)
+SELECT media_id,
+       CAST(CASE WHEN media_id % 2 = 0 THEN 2000 ELSE 4000 END AS INTEGER)
+         AS out_rate,
+       CAST(COUNT(*) AS BIGINT) AS out_frames,
+       CAST(SUM(amp) AS BIGINT) AS sum_amp,
+       CAST(MIN(amp) AS INTEGER) AS min_amp,
+       CAST(MAX(amp) AS INTEGER) AS max_amp
+FROM s
+GROUP BY media_id
+ORDER BY media_id
+""",
+    tags=("ext", "multimodal", "audio", "wav", "resample"),
+    description="4x audio decimation through the real WAV decode",
+)
+def multimodal_wav_decimate_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Audio downsampling, the DSP-lite half of a speech pipeline's
+    front end: decode real PCM (decode_wav_samples), keep every 4th
+    frame of channel 0 (decimation without an anti-alias filter —
+    documented; a real front end low-passes first), emit the decimated
+    waveform's stats and the implied output rate. The oracle
+    recomputes the kept samples from the construction arithmetic, so
+    the hash proves the frame-stride arithmetic against real decoded
+    bytes."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.attach_wav_payload(docs, "doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("out_rate", T.IntegerType()),
+            T.StructField("out_frames", T.LongType()),
+            T.StructField("sum_amp", T.LongType()),
+            T.StructField("min_amp", T.IntegerType()),
+            T.StructField("max_amp", T.IntegerType()),
+        ]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                decoded = M.decode_wav_samples(bytes(p))
+                if decoded is None:
+                    continue
+                rate, n_ch, _bits, flat = decoded
+                ch0 = flat[::n_ch][::4]  # channel 0, every 4th frame
+                rows.append(
+                    (
+                        mid,
+                        rate // 4,
+                        len(ch0),
+                        sum(ch0),
+                        min(ch0),
+                        max(ch0),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "out_rate", "out_frames",
+                    "sum_amp", "min_amp", "max_amp",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema).orderBy("media_id")
