@@ -7,6 +7,16 @@ timed three times; the reported figure per query is the fastest of
 the timed runs (min-of-N — standard practice to strip scheduler/GC
 noise; measured run-to-run spread on this box is ±10%, so two
 samples were not enough), and `value` is the total across the set.
+
+A fixed CALIBRATION PROBE (constant-shape, data-independent
+`spark.range(10^8)` sum — pure whole-stage-codegen arithmetic, no
+IO, no shuffle beyond the final 1-row reduce) is timed the same
+min-of-3 way and reported as `calibration_sec`.  Because the probe's
+work never changes, round-over-round movement in `calibration_sec`
+measures AMBIENT MACHINE SPEED, not this repo's plans: if the
+headline total drifts +3% and the probe drifts +3%, that's load; if
+the total moves and the probe doesn't, that's a real plan change.
+`value_over_calibration` pre-divides for convenience.
 """
 
 from __future__ import annotations
@@ -36,6 +46,23 @@ def main() -> None:
     except ValueError:
         sf_val = None
 
+    def _calibrate() -> float:
+        """Constant-shape probe: min-of-3 wall time of a fixed
+        codegen-only job. Shape-invariant across rounds, so its
+        drift isolates ambient load from plan regressions."""
+        probe = lambda: spark.range(100_000_000).selectExpr(  # noqa: E731
+            "sum(id * (id % 7)) AS s"
+        ).collect()
+        probe()  # warm-up
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            probe()
+            best = min(best, time.time() - t0)
+        return round(best, 4)
+
+    calibration = _calibrate()
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, spec in sorted(specs.items()):
@@ -63,6 +90,10 @@ def main() -> None:
         "n_queries": len(timings),
         "cpus": int(cpus),
         "timing": "min_of_3_after_warmup",
+        "calibration_sec": calibration,
+        "value_over_calibration": (
+            round(sum(timings.values()) / calibration, 3) if calibration else None
+        ),
     }
     if errors:
         report["errors"] = errors

@@ -1086,3 +1086,68 @@ def test_sink_swap_model_random_crashes(spark, tmp_path):
     # and a clean compaction converges
     S.compact_sink_table(spark, path, ["k"])
     check()
+
+
+def test_merge_racing_compaction_never_duplicates(spark, tmp_path, monkeypatch):
+    """The r5-advice race: a merge lists `affected` and stages its
+    winners OUTSIDE the commit lock; a compaction that grabs the lock
+    in that window retires/rewrites those files. The old swap then
+    silently skipped the missing originals and installed winners that
+    DUPLICATE rows the compaction already rewrote. Pinned fix: the
+    swap validates every affected path under the final lock and
+    restarts the merge on conflict.
+
+    The compaction is injected at the exact hazard point — the
+    merge's swap-lock acquisition, identified by the staged tmp dir
+    existing — via a wrapped _commit_lock."""
+    import os
+    from contextlib import contextmanager
+
+    from wilayah_aceh_etl_spark.operators import wilayah as W
+    from wilayah_aceh_etl_spark.streaming import sinks as S
+
+    path = str(tmp_path / "race_sink")
+    base = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("ver"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    S.merge_last_wins(spark, path, base, ["k"], ["ver"])
+    n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_files >= 4  # range layout split the table
+
+    real_lock = W._commit_lock
+    state = {"armed": True, "compactions": 0}
+
+    @contextmanager
+    def hooked(p):
+        # the merge is about to take its SWAP lock exactly when its
+        # staged output dir exists; compact the whole table first,
+        # retiring every small file the merge listed as affected
+        if (
+            state["armed"]
+            and os.path.isdir(path + "._staged")
+            and state["compactions"] == 0
+        ):
+            state["compactions"] += 1
+            S.compact_sink_table(spark, path, ["k"])
+        with real_lock(p):
+            yield
+
+    monkeypatch.setattr(W, "_commit_lock", hooked)
+    batch = spark.createDataFrame(
+        [(10, 1, 99), (250, 1, 98)], "k long, ver long, v long"
+    )
+    S.merge_last_wins(spark, path, batch, ["k"], ["ver"])
+    state["armed"] = False
+
+    assert state["compactions"] == 1, "injected compaction never ran"
+    t = spark.read.parquet(path)
+    # the old code path leaves 502 rows here (two keys duplicated)
+    assert t.count() == 500
+    dup = (
+        t.groupBy("k").count().filter("count > 1").count()
+    )
+    assert dup == 0, "merge installed duplicates over compacted rows"
+    got = {r.k: (r.ver, r.v) for r in t.filter("k in (10, 250, 7)").collect()}
+    assert got == {10: (1, 99), 250: (1, 98), 7: (0, 1)}

@@ -3687,6 +3687,42 @@ def similarity_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_ivf_trained_topk",
+    oracle=_IVF_KMEANS_ORACLE,
+    tags=("ext", "similarity", "ivf", "ann", "kmeans", "serving"),
+    description="IVF top-10, trained quantizer priced as index build (memoized)",
+    bench=True,
+)
+def similarity_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SHIPPING IVF path, benched (r5 verdict ask #3): identical
+    semantics and oracle to similarity_ivf_kmeans_topk — the oracle
+    re-derives the 2-iteration Lloyd training AND the search — but
+    the quantizer is memoized per sf_dir as an INDEX-BUILD artifact
+    (operators/similarity.py::kmeans_centroids_cached), so the timed
+    bench runs measure the serving path against trained centroids,
+    the way ANN benchmarks separate index build from search latency.
+    A/B at sf0.1/local[32]: retrain-per-query 5.0 s vs seeded search
+    1.6 s; memoized-trained search benches within noise of the seeded
+    plan because the read plan (_ivf_search) is byte-identical —
+    only the centroid VALUES differ."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (
+        S.ivf_trained_topk(
+            emb,
+            queries,
+            cache_key=sf_dir,
+            k=10,
+            n_centroids=16,
+            n_probe=4,
+            n_iter=2,
+        )
+        .withColumn("rk", F.col("rk").cast("int"))
+        .orderBy("query_id", "rk")
+    )
+
+
 _IVF_KMEANS_RECALL_ORACLE = (
     "WITH "
     + _VEC_CTE

@@ -85,74 +85,80 @@ def _load_all() -> None:
 # round's CORRECTNESS_r{N}.json is rotated OUT and 50 never-
 # driver-verified names rotated IN, one representative slice per
 # module, so cumulative driver-verified coverage grows ~50/round.
-# Rounds 1–4 verified 135 distinct queries (the union of
-# CORRECTNESS_r01..04.json); this round-5 window is drawn from the
-# 259 oracle-backed queries that have never produced a driver row,
-# weighted (per the r4 verdict) toward the storage/commit-log,
-# streaming, round-5/6 stats, and format-battery families, plus the
-# two queries NEW this round (WAV PCM decode, k-means IVF). All
-# rotated-out queries are still exercised every round by
-# tools/parity.py locally and by the test suite.
+# Rounds 1–5 verified 185 distinct queries (the union of
+# CORRECTNESS_r01..05.json); this round-6 window is drawn from the
+# 235 oracle-backed queries that have never produced a driver row,
+# weighted (per the r5 verdict) toward the families with zero driver
+# rows so far: the distributed ML trainers, BPE merge training, the
+# composed training-prep-v2 / quality-classifier pipelines, the
+# GIF/BMP/WAV pixel-decode tail, partitioned/trained IVF, the four
+# sketch guarantee audits, the streaming tail, and the remaining
+# TPC-H topologies. All rotated-out queries are still exercised
+# every round by tools/parity.py locally and by the test suite.
 GATE_PRIORITY: tuple[str, ...] = (
-    # wilayah reference domain + storage/commit-log
-    "wilayah_commit_log_time_travel",
-    "wilayah_counts_pivot",
-    "wilayah_seed_probe",
-    "wilayah_level_labels_sizes",
-    "wilayah_sql_udf_labels",
-    "wilayah_orphan_audit",
-    # analytics
-    "incremental_rollup_retractions",
-    "graph_triangle_count",
-    # events / streaming
-    "streaming_session_windows",
-    "streaming_stream_stream_left_outer",
-    "streaming_dedup_within_watermark",
-    "streaming_m4_downsample",
-    "udtf_event_runs",
-    "events_mad_outliers",
-    "events_peak_concurrent_sessions",
-    # training-data pipeline (dedup / text / multimodal / sampling)
-    "dedup_minhash_signatures",
-    "dedup_segment_level_ccnet",
-    "dedup_simhash_fingerprints",
-    "text_winnowing_fingerprints",
-    "text_pii_redaction",
-    "multimodal_png_pixel_stats",
-    "embedding_kmeans_iteration",
-    "split_train_val_test",
-    # NEW this round: real WAV decode + trained-quantizer IVF
-    "multimodal_wav_sample_stats",
-    "similarity_ivf_kmeans_topk",
-    # round-4 family
-    "events_watermark_late_audit",
-    "events_cross_correlation_matrix",
-    "sql_named_parameters",
-    "dedup_containment_pairs",
-    # round-5 family
-    "feature_kfold_assignment",
-    "events_welch_t_test",
-    "orders_kaplan_meier_ship",
-    "model_eval_calibration_bins",
-    "window_range_interval_frame",
-    "array_setops_battery",
-    "events_drift_psi_value",
-    "graph_label_propagation",
-    # round-6 family (stats, format batteries, layout, streaming sink)
-    "layout_zorder_morton",
-    "streaming_foreachbatch_upsert",
-    "split_time_based_train_test",
-    "xpath_battery",
-    "json_functions_battery",
-    "timezone_conversion_battery",
-    "stats_bootstrap_ci_daily_value",
-    "regr_family_battery",
-    "nullsafe_join_on_nullable_keys",
-    "arrow_grouped_map_segment_stats",
-    # TPC-H shapes not yet driver-verified
-    "tpch_q5_local_supplier_volume",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_pushdown",
+    # distributed ML trainer family (zero driver rows before r6)
+    "ml_logreg_train_quantized",
+    "ml_perceptron_train_integer",
+    "ml_logreg_sgd_minibatch_epoch",
+    "ml_logreg_holdout_confusion",
+    "ml_logreg_top_features",
+    # BPE merge training
+    "text_bpe_train_merges",
+    "text_bpe_pair_counts",
+    # composed pipelines
+    "pipeline_training_prep_v2",
+    "pipeline_quality_classifier_filter",
+    # multimodal pixel-decode tail (real LZW / BMP / WAV decoders)
+    "multimodal_gif_pixel_stats",
+    "multimodal_gif_frame_sample",
+    "multimodal_bmp_pixel_stats",
+    "multimodal_wav_decimate_stats",
+    # IVF: trained quantizer recall + centroid-partitioned layout
+    "similarity_ivf_partitioned_topk",
+    "similarity_ivf_kmeans_recall",
+    # sketch guarantee audits (oracle-gated bounds for the 4 rows-only sketches)
+    "approx_distinct_rsd_audit",
+    "approx_percentile_rank_bound_audit",
+    "events_cms_guarantee_audit",
+    "events_hll_merge_identity_audit",
+    # streaming tail
+    "streaming_dedup_admission_index",
+    "streaming_stream_stream_join",
+    "streaming_sliding_window_rates",
+    # round-6 stats / curriculum tail named by the r5 verdict
+    "events_classical_decomposition_daily",
+    "contamination_semantic_embedding",
+    "data_curriculum_interleave",
+    "data_mixture_temperature_epochs",
+    "csv_malformed_modes_battery",
+    # TPC-H: clears every remaining never-verified topology
+    "tpch_q4_priority_with_returns",
+    "tpch_q7_nation_volume",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_ship_priority",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_variety",
+    "tpch_q22_idle_rich_customers",
+    # events slice
+    "events_asof_forward_next_click",
+    "events_hourly_anomaly",
+    "events_markov_conditional_entropy",
+    "events_m4_downsample",
+    # text slice
+    "text_tfidf_top_terms",
+    "text_clean_normalize",
+    "text_rake_keyphrases",
+    "text_zipf_slope",
+    # ext / similarity slice
+    "feature_target_encoding_loo",
+    "web_url_canonical_dedup",
+    "dedup_lsh_recall",
+    "similarity_matryoshka_recall",
+    # round-5/6 stats slice
+    "stats_cramers_v_pairs",
+    "weights_raking_ipf",
+    "privacy_k_anonymity_audit",
+    "orders_benford_digits",
 )
 
 # The driver's gate records only the first 50 registration-order

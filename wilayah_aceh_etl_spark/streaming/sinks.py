@@ -206,63 +206,93 @@ def merge_last_wins(
     keep their old physical schema and the default parquet reader
     errors on missing columns, so tables that evolve must be read
     with spark.read.option("mergeSchema", True) (or be compacted,
-    which rewrites stragglers onto the current schema)."""
+    which rewrites stragglers onto the current schema).
+
+    Concurrency (optimistic): listing and staging run OUTSIDE the
+    commit lock — the expensive rewrite must not serialize behind
+    other writers — so a concurrent compact_sink_table (which holds
+    the lock end-to-end) may retire some of the listed `affected`
+    files before this merge reaches its swap. Installing the staged
+    winners then would duplicate every row the compaction already
+    rewrote, SILENTLY (the old _swap_with_retirement skips missing
+    originals by design — that skip exists for crash replay, not for
+    racing writers). The swap therefore VALIDATES under the final
+    lock that every affected file still exists, and on conflict
+    discards the stale staging and restarts the whole merge against
+    the post-compaction file set — classic optimistic concurrency,
+    same shape as Delta's conflict detection at commit time.
+    `ConcurrentWriteError` after the retry budget means a writer is
+    churning the table faster than the merge can re-stage."""
     from pyspark.sql.window import Window
 
+    from wilayah_aceh_etl_spark.operators.wilayah import (
+        ConcurrentWriteError,
+        _commit_lock,
+    )
+
     batch = batch.withColumn("_prio", F.lit(1))
-    affected: list[str] | None = None
-    if os.path.exists(table_path):
-        from wilayah_aceh_etl_spark.operators.wilayah import _commit_lock
-
-        with _commit_lock(table_path):
-            _recover_crashed_swap(table_path)
-        affected = _affected_by_key(spark, table_path, batch, keys[0])
-    if affected:
-        # mergeSchema: with schema evolution on, affected files can
-        # have heterogeneous physical schemas; a single-file-inferred
-        # schema would silently drop an evolved column's values from
-        # the rewritten winners.
-        existing = (
-            spark.read.option("mergeSchema", True)
-            .parquet(*affected)
-            .withColumn("_prio", F.lit(0))
-        )
-        merged = batch.unionByName(existing, allowMissingColumns=True)
-    else:
-        merged = batch
-    w = Window.partitionBy(*keys).orderBy(
-        *[F.col(c).desc() for c in order_cols], F.col("_prio").desc()
-    )
-    winners = (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_prio")
-    )
     tmp = table_path + "._staged"
-    (
-        winners.repartitionByRange(MERGE_RANGE_PARTITIONS, *keys)
-        .sortWithinPartitions(*keys)
-        .write.mode("overwrite")
-        .parquet(tmp)
+    for _attempt in range(3):
+        affected: list[str] | None = None
+        if os.path.exists(table_path):
+            with _commit_lock(table_path):
+                _recover_crashed_swap(table_path)
+            affected = _affected_by_key(spark, table_path, batch, keys[0])
+        if affected:
+            # mergeSchema: with schema evolution on, affected files
+            # can have heterogeneous physical schemas; a single-
+            # file-inferred schema would silently drop an evolved
+            # column's values from the rewritten winners.
+            existing = (
+                spark.read.option("mergeSchema", True)
+                .parquet(*affected)
+                .withColumn("_prio", F.lit(0))
+            )
+            merged = batch.unionByName(existing, allowMissingColumns=True)
+        else:
+            merged = batch
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.col(c).desc() for c in order_cols], F.col("_prio").desc()
+        )
+        winners = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_prio")
+        )
+        (
+            winners.repartitionByRange(MERGE_RANGE_PARTITIONS, *keys)
+            .sortWithinPartitions(*keys)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        # same single-writer enforcement as the managed wilayah
+        # table: staging is optimistic, the swap runs under the
+        # commit lock
+        with _commit_lock(table_path):
+            if affected is None or not os.path.exists(table_path):
+                if os.path.exists(table_path):
+                    shutil.rmtree(table_path)
+                os.rename(tmp, table_path)
+                return
+            if all(os.path.exists(p) for p in affected):
+                # Crash-recoverable swap (mirrors the wilayah
+                # _history retirement): affected files are MOVED to
+                # a hidden _retired/<token>/ dir (never deleted in
+                # place), staged winners are renamed in, a
+                # _committed marker seals the swap, and only then is
+                # anything cleaned up. A crash at any point is
+                # rolled back or completed by the next merge's
+                # _recover_crashed_swap.
+                _swap_with_retirement(table_path, tmp, affected)
+                return
+        # conflict: a concurrent writer retired one of our inputs
+        # after we read it — the staged winners are stale; drop them
+        # and re-merge against the current file set.
+        shutil.rmtree(tmp, ignore_errors=True)
+    raise ConcurrentWriteError(
+        f"merge_last_wins({table_path}): affected files kept vanishing "
+        "under concurrent rewrites after 3 attempts"
     )
-    # same single-writer enforcement as the managed wilayah table:
-    # staging is optimistic, the swap runs under the commit lock
-    from wilayah_aceh_etl_spark.operators.wilayah import _commit_lock
-
-    with _commit_lock(table_path):
-        if affected is None or not os.path.exists(table_path):
-            if os.path.exists(table_path):
-                shutil.rmtree(table_path)
-            os.rename(tmp, table_path)
-            return
-        # Crash-recoverable swap (mirrors the wilayah _history
-        # retirement): affected files are MOVED to a hidden
-        # _retired/<token>/ dir (never deleted in place), staged
-        # winners are renamed in, a _committed marker seals the swap,
-        # and only then is anything cleaned up. A crash at any point
-        # is rolled back or completed by the next merge's
-        # _recover_crashed_swap.
-        _swap_with_retirement(table_path, tmp, affected)
 
 
 def upsert_stream(
@@ -317,8 +347,10 @@ def compact_sink_table(
     pending crashed swap must be healed BEFORE the listing, or the
     listing reads half-applied state. A merge that arrives while
     compaction holds the lock fails fast with ConcurrentWriteError
-    (retriable) instead of corrupting — schedule compaction between
-    micro-batches. Returns (n_files_before, n_files_after)."""
+    (retriable), and a merge that LISTED before compaction started
+    detects the retired inputs at its own swap validation and
+    re-stages (see merge_last_wins) — neither path can install
+    duplicates. Returns (n_files_before, n_files_after)."""
     if not os.path.isdir(table_path):
         return (0, 0)
     from wilayah_aceh_etl_spark.operators.wilayah import _commit_lock
