@@ -834,3 +834,113 @@ def test_mid_swap_reader_sees_committed_snapshot(spark, tmp_path):
     # restore and confirm the table is intact for the next writer
     shutil.move(os.path.join(hist, rel), os.path.join(path, rel))
     assert W.load_wilayah(spark, path).count() == total
+
+
+def test_reader_retention_contract(spark, tmp_path):
+    """r5 verdict ask #4 — the RETENTION CONTRACT, as a model-based
+    interleaving extended with a stale-reader re-resolve step:
+
+    1. after EVERY commit kind (merge / delete / compact / restore),
+       a reader that RE-RESOLVES via load_wilayah succeeds and
+       matches the model — never FILE_NOT_EXIST;
+    2. with vacuum_history(keep_versions=2) applied after every
+       commit, every snapshot within the window (current-2..current)
+       stays readable and matches its model snapshot;
+    3. a DataFrame resolved BEFORE a compaction may fail on
+       execution after it (documented: no snapshot isolation for
+       already-resolved plans) — and the remedy, re-resolving,
+       always works;
+    4. the ONE documented hazard is vacuuming below a resolved
+       version: reading v0 after its retired files aged out of the
+       window raises the explicit "has been vacuumed" error.
+    """
+    import datetime as _dt
+
+    path = str(tmp_path / "retention")
+    base = (
+        W.ingest_features(spark, GEOJSON_DIR, clock=CLOCK)
+        .filter(F.col("level").isin(3, 4))
+        .select(*W.TABLE_COLUMNS)
+        .collect()
+    )
+    rows = {r[0]: r for r in base}
+    keys = sorted(rows)
+
+    def batch_of(ks, clock):
+        return spark.createDataFrame(
+            [(k, rows[k][1], rows[k][2], rows[k][3], clock, clock) for k in ks],
+            schema=W.TABLE_COLUMNS,
+        )
+
+    def read_keys(df):
+        return {r[0] for r in df.select("kode_wilayah_kemendagri").collect()}
+
+    model: dict[int, set] = {}  # version -> expected key set
+
+    def after_commit():
+        """The contract body, run after every commit."""
+        v = W.table_version(path)
+        W.vacuum_history(path, keep_versions=2)
+        # (1) re-resolved read always succeeds and matches the model
+        assert read_keys(W.load_wilayah(spark, path)) == model[v]
+        # (2) every version within the retention window stays readable
+        for sv in range(max(0, v - 2), v + 1):
+            assert read_keys(W.read_table_version(spark, path, sv)) == model[sv]
+
+    t0 = _dt.datetime(2026, 4, 1)
+    # v0: merge 120 keys
+    W.upsert(spark, path, batch_of(keys[:120], t0), clock=t0)
+    model[0] = set(keys[:120])
+    after_commit()
+    # v1: overlapping merge rewrites every v0 file (same keys, newer
+    # clock) — v0's whole file set is now retired history
+    t1 = _dt.datetime(2026, 4, 2)
+    W.upsert(spark, path, batch_of(keys[:150], t1), clock=t1)
+    model[1] = set(keys[:150])
+    after_commit()
+    # stale-reader step: resolve NOW, execute after the next rewrite
+    stale = W.load_wilayah(spark, path)
+    # v2: delete every 5th key
+    victims = [k for i, k in enumerate(keys[:150]) if i % 5 == 0]
+    W.delete_keys(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(k, rows[k][2]) for k in victims],
+            "kode_wilayah_kemendagri string, level int",
+        ),
+    )
+    model[2] = model[1] - set(victims)
+    after_commit()
+    # v3+: compaction (may commit once per level; content-invariant)
+    W.compact_table(spark, path)
+    v = W.table_version(path)
+    for cv in range(3, v + 1):
+        model[cv] = model[2]
+    after_commit()
+    # (3) the stale pre-delete/pre-compact plan is allowed to fail —
+    # its resolved files were retired and then vacuumed — but the
+    # documented remedy (re-resolve) must hold
+    try:
+        stale_keys = read_keys(stale)
+        # if the files happened to survive, the stale read must be a
+        # consistent v1 snapshot, never a mix
+        assert stale_keys == model[1]
+    except Exception:
+        pass  # FILE_NOT_EXIST on execution: the documented behavior
+    assert read_keys(W.load_wilayah(spark, path)) == model[v]
+    # v(n): restore to v2 — restore of an in-window version succeeds
+    W.restore_table(path, v - 1 if v - 1 >= 2 else 2)
+    v = W.table_version(path)
+    model[v] = model[2]
+    after_commit()
+    # one more merge so v0's history ages far out of the window
+    t2 = _dt.datetime(2026, 4, 3)
+    W.upsert(spark, path, batch_of(keys[150:170], t2), clock=t2)
+    v = W.table_version(path)
+    model[v] = model[v - 1] | set(keys[150:170])
+    after_commit()
+    # (4) the one documented hazard: v0 was fully rewritten at v1 and
+    # its files were vacuumed out of the 2-version window long ago
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        W.read_table_version(spark, path, 0).collect()

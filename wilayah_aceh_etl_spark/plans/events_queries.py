@@ -1109,9 +1109,8 @@ def streaming_stream_stream_left_outer(
     any corpus rate; the user_id<30 slice keeps the gate run small."""
     import datetime as _dt
     import os
-    import tempfile
-    import uuid
 
+    from wilayah_aceh_etl_spark.scratch import scratch_dir
     from wilayah_aceh_etl_spark.streaming import (
         click_purchase_attribution_outer,
         read_event_stream,
@@ -1119,8 +1118,7 @@ def streaming_stream_stream_left_outer(
 
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
     max_ts = e.agg(F.max("ts")).head()[0]
-    run_id = uuid.uuid4().hex[:10]
-    base = os.path.join(tempfile.gettempdir(), f"wilayah_spark_loj_{run_id}")
+    base = scratch_dir("loj")
     src, ckpt, out = (os.path.join(base, d) for d in ("src", "ckpt", "out"))
 
     def run_pass():

@@ -4083,19 +4083,14 @@ def similarity_ivf_partitioned_topk(
     ranking) proves the layout changes I/O, not answers. Partition
     pruning itself is pinned by
     tests/test_ext_operators.py::test_ivf_partitioned_layout_prunes."""
-    import os
-    import tempfile
-    import uuid
-
     from wilayah_aceh_etl_spark.operators.similarity import (
         ivf_partitioned_topk,
         write_ivf_layout,
     )
+    from wilayah_aceh_etl_spark.scratch import scratch_dir
 
     emb = load_table(spark, sf_dir, "embeddings")
-    path = os.path.join(
-        tempfile.gettempdir(), f"wilayah_ivf_layout_{uuid.uuid4().hex[:8]}"
-    )
+    path = scratch_dir("ivf_layout", create=False)
     write_ivf_layout(emb, path, n_centroids=16)
     queries = emb.filter(F.col("vec_id") < 5)
     return (

@@ -3727,22 +3727,14 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     table is always a consistent snapshot, and the checkpoint makes
     replays idempotent. The oracle is the batch last-wins window
     over the same events."""
-    import os
-    import tempfile
-    import uuid
-
     from wilayah_aceh_etl_spark.plans.events_queries import _stage_events
+    from wilayah_aceh_etl_spark.scratch import scratch_dir
     from wilayah_aceh_etl_spark.streaming import read_event_stream
     from wilayah_aceh_etl_spark.streaming.sinks import upsert_stream
 
     staged = _stage_events(spark, sf_dir)
-    run = uuid.uuid4().hex[:8]
-    table = os.path.join(
-        tempfile.gettempdir(), f"wilayah_spark_upsert_{run}"
-    )
-    ckpt = os.path.join(
-        tempfile.gettempdir(), f"wilayah_spark_upsert_ck_{run}"
-    )
+    table = scratch_dir("upsert", create=False)
+    ckpt = scratch_dir("upsert_ck", create=False)
     src = read_event_stream(spark, staged).select(
         "user_id",
         "event_id",

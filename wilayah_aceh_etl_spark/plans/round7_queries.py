@@ -608,13 +608,11 @@ def streaming_dedup_admission_index(
     the continuously-running form."""
     import os
     import shutil
-    import tempfile
-    import uuid
+
+    from wilayah_aceh_etl_spark.scratch import scratch_dir
 
     docs = load_table(spark, sf_dir, "documents")
-    run = uuid.uuid4().hex[:8]
-    base = os.path.join(tempfile.gettempdir(), f"wilayah_adm_src_{run}")
-    os.makedirs(base)
+    base = scratch_dir("adm_src")
     for k in range(4):
         tmp = base + f"_stage{k}"
         docs.filter(F.col("doc_id") % 4 == k).coalesce(1).write.mode(
@@ -626,13 +624,9 @@ def streaming_dedup_admission_index(
         shutil.rmtree(tmp)
         t = 1_600_000_000 + k * 1000  # distinct mtimes fix batch order
         os.utime(dst, (t, t))
-    admitted = os.path.join(
-        tempfile.gettempdir(), f"wilayah_adm_idx_{run}"
-    )
-    verdicts = os.path.join(
-        tempfile.gettempdir(), f"wilayah_adm_out_{run}"
-    )
-    ckpt = os.path.join(tempfile.gettempdir(), f"wilayah_adm_ck_{run}")
+    admitted = scratch_dir("adm_idx", create=False)
+    verdicts = scratch_dir("adm_out", create=False)
+    ckpt = scratch_dir("adm_ck", create=False)
 
     from wilayah_aceh_etl_spark.streaming.dedup_admission import (
         admission_stream,
@@ -772,9 +766,7 @@ def csv_malformed_modes_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same modulo arithmetic on orders, so this is behavior
     verification, not constant-pinning — the contract an ingest
     pipeline relies on when upstream data goes bad."""
-    import os
-    import tempfile
-    import uuid
+    from wilayah_aceh_etl_spark.scratch import scratch_dir
 
     o = (
         load_table(spark, sf_dir, "orders")
@@ -785,9 +777,7 @@ def csv_malformed_modes_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey") % 97 == 0,
         F.concat_ws(",", F.col("o_orderkey"), F.lit("X")),
     ).otherwise(F.concat_ws(",", F.col("o_orderkey"), F.col("o_custkey")))
-    path = os.path.join(
-        tempfile.gettempdir(), f"wilayah_csv_modes_{uuid.uuid4().hex[:8]}"
-    )
+    path = scratch_dir("csv_modes", create=False)
     o.select(line.alias("value")).coalesce(1).write.mode("overwrite").text(
         path
     )

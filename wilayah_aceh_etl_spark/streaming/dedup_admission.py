@@ -16,12 +16,13 @@ and simple at test scale. At 100 TB the index table stores the BAND
 HASHES (doc_id, band_id, band_hash — what the candidate join
 actually consumes, ~bands×32 B/doc) plus md5(text); the batch body
 is unchanged except the existing side reads the index instead of
-re-shingling. Verdicts/kept rows are collected per batch before
-either table is appended — the admitted table MUST NOT be re-read
-lazily after it has been appended within the same batch (a lazy
-plan would see the batch's own admissions and self-dedup); at
-production batch sizes, persist + localCheckpoint instead of
-collect.
+re-shingling. The verdicts parquet write is each batch's
+materialization barrier — the kept set is derived by re-reading the
+sealed verdict partition, never from a lazy plan that could observe
+the admitted table after the batch's own append (a lazy plan would
+see the batch's own admissions and self-dedup). Nothing funnels
+through the driver: verdicts write distributed, kept docs are a
+left-semi join against them.
 """
 
 from __future__ import annotations
@@ -95,18 +96,31 @@ def apply_admission_batch(
     verdicts = incremental_near_dup_filter(
         existing, batch_df, threshold=threshold
     )
-    rows = verdicts.collect()  # materialize BEFORE any write
-    kept_ids = [r["doc_id"] for r in rows if r["kept"]]
-    spark.createDataFrame(
-        [
-            (r["doc_id"], r["is_exact_dup"], r["near_dup_of"], r["kept"])
-            for r in rows
-        ],
-        VERDICT_SCHEMA,
-    ).write.mode("overwrite").parquet(
-        os.path.join(verdicts_table, f"batch={batch_id}")
+    # The verdicts WRITE is the materialization barrier: it seals the
+    # verdict set on disk before the admitted table changes, and the
+    # kept set is then derived by re-reading that sealed partition —
+    # never from a lazy plan that could observe the batch's own
+    # admissions. No driver round-trip: the earlier form collected
+    # every verdict row and filtered kept docs via an isin() literal,
+    # which both funnels the batch through the driver and grows the
+    # plan linearly with batch size (r5 advice); a left-semi join
+    # against the written verdicts is O(1) plan size and stays
+    # distributed at production batch sizes.
+    verdict_part = os.path.join(verdicts_table, f"batch={batch_id}")
+    (
+        verdicts.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("is_exact_dup").cast("boolean").alias("is_exact_dup"),
+            F.col("near_dup_of").cast("long").alias("near_dup_of"),
+            F.col("kept").cast("boolean").alias("kept"),
+        )
+        .write.mode("overwrite")
+        .parquet(verdict_part)
     )
-    kept = batch_df.filter(F.col("doc_id").isin(kept_ids or [-1]))
+    kept_ids = (
+        spark.read.parquet(verdict_part).filter("kept").select("doc_id")
+    )
+    kept = batch_df.join(kept_ids, "doc_id", "left_semi")
     kept.write.mode("overwrite").parquet(
         os.path.join(admitted_table, f"batch={batch_id}")
     )
