@@ -556,3 +556,75 @@ def test_decoders_never_raise_on_garbage(payload):
         M.decode_bmp_pixels(magic + payload)
         M.decode_gif_frames(magic + payload)
         M.parse_wav_header(magic + payload)
+
+
+@given(
+    st.integers(1, 3),
+    st.integers(1, 3),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_lossless_roundtrip_random(bw, bh, seed):
+    """With an all-ones quantization table and smooth-but-arbitrary
+    gradients, decode(encode(img)) must stay within the ±4 rounding
+    bound everywhere — the AC Huffman path (runs, ZRL, big
+    magnitudes) fuzzed across block counts and NON-multiple-of-8
+    edges (crop path)."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    w = 8 * bw - seed % 5  # exercise edge-block crop
+    h = 8 * bh - (seed // 7) % 5
+    w, h = max(1, w), max(1, h)
+
+    def gray(x, y):
+        return (seed + 3 * x + 5 * y + (x * y) % 7) % 256
+
+    p = M.make_jpeg_gray(w, h, gray, qtable=[1] * 64)
+    W, H, px = M.decode_jpeg_gray_pixels(p)
+    assert (W, H) == (w, h)
+    orig = [gray(x, y) for y in range(h) for x in range(w)]
+    assert max(abs(a - b) for a, b in zip(px, orig)) <= 4
+    # arbitrary truncation never raises
+    for cut in range(0, len(p), max(1, len(p) // 11)):
+        M.decode_jpeg_gray_pixels(p[:cut])
+
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_jpeg_block_constant_closed_form(seed):
+    """Block-constant images decode to EXACTLY the integer closed
+    form the SQL oracle uses: clamp(128 + 3·rh((v−128)/3)) with the
+    q00=24 table — the float-robustness argument in
+    attach_jpeg_payload, property-checked."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    qt = list(M._JPEG_STD_QT)
+    qt[0] = 24
+    w = 8 * (1 + seed % 4)
+    h = 8 * (1 + (seed * 3) % 4)
+
+    def gray(x, y):
+        return (seed * 7 + 16 * (x // 8) + 31 * (y // 8)) % 256
+
+    def expected(v):
+        t = v - 128
+        rh3 = ((2 * abs(t) + 3) // 6) * (1 if t >= 0 else -1)
+        return max(0, min(255, 128 + 3 * rh3))
+
+    p = M.make_jpeg_gray(w, h, gray, qtable=qt)
+    W, H, px = M.decode_jpeg_gray_pixels(p)
+    assert (W, H) == (w, h)
+    assert px == [expected(gray(x, y)) for y in range(h) for x in range(w)]
+
+
+@given(st.binary(max_size=400))
+@settings(max_examples=100, deadline=None)
+def test_jpeg_decoder_never_raises_on_garbage(payload):
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    M.decode_jpeg_gray_pixels(payload)
+    M.decode_jpeg_gray_pixels(b"\xff\xd8" + payload)
+    # a valid header with a corrupted scan must also return None or
+    # a (possibly wrong-pixel) result, never raise
+    valid = M.make_jpeg_gray(8, 8, lambda x, y: (3 * x + 5 * y) % 256)
+    M.decode_jpeg_gray_pixels(valid[:-8] + payload[:8])

@@ -24,12 +24,19 @@ proven through DuckDB oracle gates):
     streams (`make_gif_animated`/`decode_gif_frames`) — so frame
     sampling (`sample_gif_frames`) runs on genuinely decoded
     frames, the video-analog path;
+  * JPEG: BASELINE GRAYSCALE encode (`make_jpeg_gray`) and full
+    pixel DECODE (`decode_jpeg_gray_pixels`) — FDCT/IDCT,
+    quantization, zigzag, DC differential prediction, canonical
+    Huffman coding with the tables rebuilt from the file's own DHT
+    segments, 0xFF byte stuffing;
   * payload chunking, frame sampling, Arrow-batched mapInPandas
     plumbing, the binary+metadata column convention.
 
-What is SEAMED (raises NotImplementedError at the exact call site a
-real codec would plug into, because PIL/ffmpeg are not in this
-container): JPEG *pixel* decode, lossy-audio decode (mp3/ogg),
+What is SEAMED (returns None / raises NotImplementedError at the
+exact call site a real codec would plug into, because PIL/ffmpeg are
+not in this container): COLOR and progressive JPEG pixel decode
+(chroma subsampling + YCbCr; the grayscale baseline above covers the
+entropy/transform pipeline), lossy-audio decode (mp3/ogg),
 video-codec (h264-class) frame decode — animated GIF covers the
 multi-frame pipeline shape with a real decoder.
 `decode_media(..., real=False)` keeps an md5-seeded
@@ -1387,3 +1394,606 @@ def sample_gif_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return df.mapInPandas(batches, GIF_FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG: real encode + pixel decode for BASELINE GRAYSCALE JFIF —
+# the full pipeline of the format: level shift, 8×8 FDCT,
+# quantization, zigzag, DC differential coding, run-length AC with
+# canonical Huffman tables, 0xFF byte stuffing. The decoder is not a
+# header skim: it rebuilds the Huffman tables from the file's own
+# DHT segments, entropy-decodes the bitstream (unstuffing, sign
+# extension, ZRL/EOB), dequantizes, and runs the IDCT. Color
+# (chroma-subsampled 3-component) and progressive JPEG remain the
+# documented seam — decode_jpeg_gray_pixels returns None for them,
+# exactly where a full codec would plug in.
+# ---------------------------------------------------------------------------
+
+# zigzag scan order: _JPEG_ZZ[k] = row-major index of the k-th
+# zigzag coefficient (ITU-T T.81 Figure 5)
+_JPEG_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# standard luminance quantization table (T.81 Annex K.1), row-major;
+# used as-is = the classic "quality 50" scaling
+_JPEG_STD_QT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+
+# standard Huffman tables (T.81 Annex K.3.3): BITS = #codes per code
+# length 1..16, HUFFVAL = symbol order
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_rh(x: float) -> int:
+    """Round half AWAY FROM ZERO — the rounding both the quantizer
+    and the IDCT output use, chosen because it is expressible in
+    pure integer SQL for the closed-form oracle:
+    rh(t/2) == sign(t) * ((|t| + 1) // 2) for integer t."""
+    import math
+
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+def _jpeg_build_codes(bits, vals):
+    """Canonical Huffman code assignment (T.81 Annex C):
+    {symbol: (length, code)}."""
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_cos_basis():
+    """8×8 DCT-II basis b[u][x] = C(u)·cos((2x+1)uπ/16) with
+    C(0)=1/√2, C(u>0)=1."""
+    import math
+
+    b = []
+    for u in range(8):
+        cu = 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+        b.append(
+            [cu * math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+        )
+    return b
+
+
+_JPEG_BASIS = _jpeg_cos_basis()
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF→0xFF00 byte stuffing."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)
+                self._acc = 0
+                self._n = 0
+
+    def flush(self) -> bytes:
+        if self._n:
+            self.put((1 << (8 - self._n)) - 1, 8 - self._n)  # pad with 1s
+        return bytes(self.out)
+
+
+def _jpeg_fdct_quant(block, qt):
+    """Level-shifted 8×8 FDCT then quantization; returns the 64
+    quantized coefficients in ROW-MAJOR order."""
+    s = [v - 128 for v in block]
+    # rows then columns (separable)
+    tmp = [0.0] * 64
+    for y in range(8):
+        for u in range(8):
+            acc = 0.0
+            bu = _JPEG_BASIS[u]
+            for x in range(8):
+                acc += s[y * 8 + x] * bu[x]
+            tmp[y * 8 + u] = acc
+    out = [0] * 64
+    for u in range(8):
+        for v in range(8):
+            acc = 0.0
+            bv = _JPEG_BASIS[v]
+            for y in range(8):
+                acc += tmp[y * 8 + u] * bv[y]
+            out[v * 8 + u] = _jpeg_rh(0.25 * acc / qt[v * 8 + u])
+    return out
+
+
+def _jpeg_dequant_idct(coefs, qt):
+    """Dequantize 64 row-major coefficients, IDCT, level un-shift,
+    clamp to [0, 255]; returns 64 row-major pixels."""
+    r = [coefs[i] * qt[i] for i in range(64)]
+    # columns then rows (separable inverse)
+    tmp = [0.0] * 64
+    for u in range(8):
+        for y in range(8):
+            acc = 0.0
+            for v in range(8):
+                acc += r[v * 8 + u] * _JPEG_BASIS[v][y]
+            tmp[y * 8 + u] = acc
+    px = [0] * 64
+    for y in range(8):
+        for x in range(8):
+            acc = 0.0
+            for u in range(8):
+                acc += tmp[y * 8 + u] * _JPEG_BASIS[u][x]
+            p = _jpeg_rh(0.25 * acc) + 128
+            px[y * 8 + x] = 0 if p < 0 else (255 if p > 255 else p)
+    return px
+
+
+def _jpeg_mag_bits(v: int) -> tuple[int, int]:
+    """(size, raw bits) for a DC diff / AC value: size = bit length
+    of |v|; negatives are stored as v + 2^size - 1 (T.81 F.1.2)."""
+    size = abs(v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def make_jpeg_gray(
+    width: int, height: int, value_of, qtable: list[int] | None = None
+) -> bytes:
+    """Spec-valid baseline grayscale JFIF: `value_of(x, y)` gives the
+    8-bit gray value at (x, y). Edge blocks are padded by edge
+    replication (the standard encoder trick); the decoder crops.
+    `qtable` (row-major, default = the Annex-K luminance table)
+    lands in the DQT segment in zigzag order."""
+    import struct
+
+    qt = list(qtable) if qtable is not None else list(_JPEG_STD_QT)
+    dc_codes = _jpeg_build_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_build_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    w = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = [
+                value_of(min(bx + i, width - 1), min(by + j, height - 1))
+                & 0xFF
+                for j in range(8)
+                for i in range(8)
+            ]
+            q = _jpeg_fdct_quant(block, qt)
+            zz = [q[_JPEG_ZZ[k]] for k in range(64)]
+            # DC: differential
+            size, bits = _jpeg_mag_bits(zz[0] - prev_dc)
+            prev_dc = zz[0]
+            length, code = dc_codes[size]
+            w.put(code, length)
+            if size:
+                w.put(bits, size)
+            # AC: run-length of zeros + magnitude, ZRL for 16 zeros
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = ac_codes[0xF0]  # ZRL
+                    w.put(code, length)
+                    run -= 16
+                size, bits = _jpeg_mag_bits(zz[k])
+                length, code = ac_codes[(run << 4) | size]
+                w.put(code, length)
+                w.put(bits, size)
+                run = 0
+            if run:
+                length, code = ac_codes[0x00]  # EOB
+                w.put(code, length)
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += seg(0xDB, bytes([0x00]) + bytes(qt[_JPEG_ZZ[k]] for k in range(64)))
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; raises ValueError past the end / at a marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated scan")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated scan")
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed
+                else:
+                    raise ValueError("marker inside scan")
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_decode_symbol(reader, table) -> int:
+    """Walk the canonical code bit by bit ({(length, code): symbol})."""
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(bits: int, size: int) -> int:
+    """Sign extension (T.81 F.2.2.1): values with a 0 top bit are
+    negative, stored as v + 2^size - 1."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def decode_jpeg_gray_pixels(
+    payload: bytes,
+) -> tuple[int, int, list[int]] | None:
+    """(width, height, row-major gray pixels) from a baseline
+    GRAYSCALE JFIF — full entropy decode with the Huffman tables
+    rebuilt from the file's own DHT segments, dequantize, IDCT,
+    edge-block crop. None at the documented seam: color /
+    progressive / arithmetic-coded / malformed streams."""
+    try:
+        if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+            return None
+        qtables: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        wid = hei = None
+        comp_qt = comp_dc = comp_ac = 0
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI before SOS
+                return None
+            seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            body = payload[pos + 4 : pos + 2 + seg_len]
+            if len(body) != seg_len - 2:
+                return None  # truncated segment
+            if marker == 0xDB:  # DQT (possibly several tables)
+                b = 0
+                while b < len(body):
+                    pq, tq = body[b] >> 4, body[b] & 0x0F
+                    if pq != 0 or b + 65 > len(body):
+                        return None  # 16-bit table: seam
+                    zz = list(body[b + 1 : b + 65])
+                    qt = [0] * 64
+                    for k in range(64):
+                        qt[_JPEG_ZZ[k]] = zz[k]
+                    qtables[tq] = qt
+                    b += 65
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                b = 0
+                while b + 17 <= len(body):
+                    tc, th = body[b] >> 4, body[b] & 0x0F
+                    bits = list(body[b + 1 : b + 17])
+                    n = sum(bits)
+                    vals = list(body[b + 17 : b + 17 + n])
+                    if len(vals) != n:
+                        return None
+                    table = {}
+                    code = 0
+                    k = 0
+                    for length in range(1, 17):
+                        for _ in range(bits[length - 1]):
+                            table[(length, code)] = vals[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+                    b += 17 + n
+            elif marker == 0xC0:  # SOF0 baseline
+                if body[0] != 8:
+                    return None
+                hei = int.from_bytes(body[1:3], "big")
+                wid = int.from_bytes(body[3:5], "big")
+                if body[5] != 1:
+                    return None  # color: the seam
+                if body[7] != 0x11:
+                    return None  # subsampled: the seam
+                comp_qt = body[8]
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
+                return None  # progressive/extended/arithmetic: seam
+            elif marker == 0xDA:  # SOS → entropy data follows
+                if body[0] != 1 or wid is None or hei is None:
+                    return None
+                comp_dc = body[2] >> 4
+                comp_ac = body[2] & 0x0F
+                pos = pos + 2 + seg_len
+                break
+            pos = pos + 2 + seg_len
+        else:
+            return None
+        if wid == 0 or hei == 0:
+            return None
+        qt = qtables.get(comp_qt)
+        dc = huff.get((0, comp_dc))
+        ac = huff.get((1, comp_ac))
+        if qt is None or dc is None or ac is None:
+            return None
+        reader = _JpegBitReader(payload, pos)
+        bw = (wid + 7) // 8
+        bh = (hei + 7) // 8
+        px = [0] * (wid * hei)
+        prev_dc = 0
+        for byi in range(bh):
+            for bxi in range(bw):
+                zz = [0] * 64
+                size = _jpeg_decode_symbol(reader, dc)
+                diff = _jpeg_extend(reader.bits(size), size)
+                prev_dc += diff
+                zz[0] = prev_dc
+                k = 1
+                while k < 64:
+                    rs = _jpeg_decode_symbol(reader, ac)
+                    if rs == 0x00:  # EOB
+                        break
+                    run, size = rs >> 4, rs & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            return None
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        return None
+                    zz[k] = _jpeg_extend(reader.bits(size), size)
+                    k += 1
+                coefs = [0] * 64
+                for k in range(64):
+                    coefs[_JPEG_ZZ[k]] = zz[k]
+                block = _jpeg_dequant_idct(coefs, qt)
+                for j in range(8):
+                    y = byi * 8 + j
+                    if y >= hei:
+                        break
+                    for i in range(8):
+                        x = bxi * 8 + i
+                        if x >= wid:
+                            break
+                        px[y * wid + x] = block[j * 8 + i]
+        return wid, hei, px
+    except (ValueError, IndexError):
+        return None
+
+
+JPEG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_gray", T.LongType()),
+        T.StructField("min_gray", T.IntegerType()),
+        T.StructField("max_gray", T.IntegerType()),
+        T.StructField("top_left", T.IntegerType()),
+        T.StructField("bottom_right", T.IntegerType()),
+    ]
+)
+
+
+def attach_jpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Media table with REAL baseline-JPEG bytes. The images are
+    BLOCK-CONSTANT — every 8×8 block holds one value
+    (id·7 + 16·bx + 31·by) mod 256 — which makes the lossy decode
+    CLOSED-FORM: a constant block's FDCT has only the DC coefficient
+    (8·(v−128) = 8s), so the decoded value is exactly
+    clamp(128 + 3·rh(s/3)) — pure integer arithmetic a SQL oracle
+    can re-derive while the ENGINE still runs the entire real
+    pipeline (Huffman, zigzag, quantizer, IDCT, stuffing).
+
+    The DC quantizer is 24 (rest of the table standard) because 24
+    makes BOTH rounding stages provably float-robust: 8s/24 = s/3
+    can never be a half-integer (2s ≡ 3 mod 6 is impossible), and
+    the reconstruction 24·c/8 = 3c is an exact integer — so the
+    ~1e-16 error from (1/√2)² in the float basis can never flip a
+    round-half decision. With the textbook q₀₀ = 16, odd s lands
+    exactly on .5 and the float epsilon's SIGN picks the pixel —
+    measured both ways on this box.
+    w = 8·(1 + id mod 4), h = 8·(1 + 3·id mod 4)."""
+
+    def batches(it):
+        import pandas as pd
+
+        qt = list(_JPEG_STD_QT)
+        qt[0] = 24
+        for pdf in it:
+            rows = []
+            for m in (int(v) for v in pdf["_mid"]):
+                w = 8 * (1 + m % 4)
+                h = 8 * (1 + (m * 3) % 4)
+                p = make_jpeg_gray(
+                    w,
+                    h,
+                    lambda x, y, m=m: (m * 7 + 16 * (x // 8) + 31 * (y // 8))
+                    % 256,
+                    qtable=qt,
+                )
+                rows.append((m, p, "image/jpeg", len(p)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "mime", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("_mid")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
+
+
+def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
+    """Featurization through the full JPEG decode: gray profile plus
+    the (0,0) and (w−1,h−1) corner probes that pin block order and
+    the DC differential chain (a wrong prev_dc corrupts every later
+    block, which the corners and sum expose immediately)."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_jpeg_gray_pixels(bytes(p))
+                if decoded is None:
+                    continue
+                w, h, px = decoded
+                rows.append(
+                    (
+                        mid, w, h, w * h, sum(px), min(px), max(px),
+                        px[0], px[h * w - 1],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels", "sum_gray",
+                    "min_gray", "max_gray", "top_left", "bottom_right",
+                ],
+            )
+
+    return df.mapInPandas(batches, JPEG_STATS_SCHEMA)
+
+
+JPEG_RT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("within_bound", T.BooleanType()),
+    ]
+)
+
+
+def jpeg_roundtrip_audit(
+    df: DataFrame, id_col: str, tol: int = 4
+) -> DataFrame:
+    """Oracle-gated GUARANTEE AUDIT for the lossy path on
+    NON-block-constant images (sketch-audit pattern): encode a
+    gradient image with an ALL-ONES quantization table — the only
+    loss left is coefficient rounding, whose worst-case pixel error
+    is bounded by ½·Σ|basis| < 4 — decode it, and emit whether
+    max|decoded − original| ≤ tol. This drives the AC Huffman path
+    hard (dozens of nonzero coefficients per block, runs, ZRL) where
+    the closed-form query exercises DC + EOB."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for m in (int(v) for v in pdf["_mid"]):
+                w = 8 * (1 + m % 3)
+                h = 8 * (1 + (m * 7) % 3)
+                orig = [
+                    (m + 3 * x + 5 * y) % 256
+                    for y in range(h)
+                    for x in range(w)
+                ]
+                p = make_jpeg_gray(
+                    w, h, lambda x, y, m=m: (m + 3 * x + 5 * y) % 256,
+                    qtable=[1] * 64,
+                )
+                decoded = decode_jpeg_gray_pixels(p)
+                if decoded is None:
+                    continue
+                _, _, px = decoded
+                err = max(abs(a - b) for a, b in zip(px, orig))
+                rows.append((m, w, h, w * h, bool(err <= tol)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels", "within_bound",
+                ],
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("_mid")).mapInPandas(
+        batches, JPEG_RT_SCHEMA
+    )

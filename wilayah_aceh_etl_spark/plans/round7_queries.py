@@ -1753,3 +1753,107 @@ def multimodal_wav_decimate_stats(
             )
 
     return media.mapInPandas(batches, schema).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# JPEG: the real baseline codec (build round 6 — closes the last
+# documented pixel-decode seam for the grayscale baseline case)
+# ---------------------------------------------------------------------------
+
+# closed-form decoded gray of a constant 8×8 block of value {v}, with
+# DC quantizer 24: clamp(128 + 3·rh((v-128)/3)); rh(t/3) in pure
+# integer arithmetic is sign(t)·((2|t|+3) DIV 6)
+_JPEG_G = (
+    "LEAST(255, GREATEST(0, 128 + 3 * ("
+    "CASE WHEN ({v}) >= 128 THEN (2 * (({v}) - 128) + 3) // 6 "
+    "ELSE -((2 * (128 - ({v})) + 3) // 6) END)))"
+)
+
+
+@register(
+    "multimodal_jpeg_pixel_stats",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         8 * (1 + doc_id % 4) AS w,
+         8 * (1 + (doc_id * 3) % 4) AS h
+  FROM documents WHERE doc_id < 100
+),
+blk AS (
+  SELECT media_id, w, h,
+         {_JPEG_G.format(v="(media_id * 7 + 16 * bx.i + 31 * by.i) % 256")} AS g
+  FROM m, UNNEST(range(w // 8)) AS bx(i), UNNEST(range(h // 8)) AS by(i)
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(64 * SUM(g) AS BIGINT) AS sum_gray,
+       CAST(MIN(g) AS INTEGER) AS min_gray,
+       CAST(MAX(g) AS INTEGER) AS max_gray,
+       CAST({_JPEG_G.format(v="(media_id * 7) % 256")} AS INTEGER)
+         AS top_left,
+       CAST({_JPEG_G.format(
+           v="(media_id * 7 + 16 * (w // 8 - 1) + 31 * (h // 8 - 1)) % 256"
+       )} AS INTEGER) AS bottom_right
+FROM blk
+GROUP BY media_id, w, h
+ORDER BY media_id
+""",
+    tags=("ext", "multimodal", "decode", "pixels", "jpeg"),
+    description="FULL baseline-JPEG pixel decode (closed-form lossy oracle)",
+)
+def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline grayscale JFIF decoded end to end — Huffman
+    tables rebuilt from the file's own DHT, DC differential chain,
+    zigzag, dequantize, IDCT. Block-constant payloads make the LOSSY
+    decode closed-form (operators/multimodal.py::attach_jpeg_payload
+    derives why q00=24 makes the two rounding stages float-robust),
+    so the oracle re-computes the exact decoded pixels in integer
+    SQL. The corner probes and sum pin block raster order and the
+    DC prediction chain — one wrong diff corrupts every later block."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.attach_jpeg_payload(docs, "doc_id")
+    return (
+        M.jpeg_pixel_stats(media)
+        .select(
+            "media_id", "width", "height", "n_pixels", "sum_gray",
+            "min_gray", "max_gray", "top_left", "bottom_right",
+        )
+        .orderBy("media_id")
+    )
+
+
+@register(
+    "multimodal_jpeg_roundtrip_audit",
+    oracle="""
+SELECT doc_id AS media_id,
+       CAST(8 * (1 + doc_id % 3) AS INTEGER) AS width,
+       CAST(8 * (1 + (doc_id * 7) % 3) AS INTEGER) AS height,
+       CAST(64 * (1 + doc_id % 3) * (1 + (doc_id * 7) % 3) AS BIGINT)
+         AS n_pixels,
+       TRUE AS within_bound
+FROM documents WHERE doc_id < 60
+ORDER BY media_id
+""",
+    tags=("ext", "multimodal", "jpeg", "audit"),
+    description="JPEG round-trip error bound audit (all-ones qtable, gradients)",
+)
+def multimodal_jpeg_roundtrip_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Guarantee AUDIT for the lossy path on NON-block-constant
+    gradients (the sketch-audit pattern: the engine computes the
+    quantity, the oracle gates the guarantee): with an all-ones
+    quantization table the only loss is coefficient rounding, whose
+    worst-case pixel error is bounded by ½·Σ|IDCT basis| < 4, so
+    every image must come back within ±4 of the original. This
+    drives the AC Huffman path hard — dozens of nonzero
+    coefficients, runs, ZRL — where the closed-form query above
+    exercises DC + EOB."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    return M.jpeg_roundtrip_audit(docs, "doc_id", tol=4).orderBy("media_id")
