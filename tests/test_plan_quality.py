@@ -25,6 +25,8 @@ NLJ_ALLOWED = {
     "similarity_ivf_topk",
     # same 16-row broadcast centroid build, Lloyd-trained quantizer
     "similarity_ivf_kmeans_topk",
+    # same shape, memoized trained centroids (the benched serving path)
+    "similarity_ivf_trained_topk",
     # same probe shape over the stored centroid table (16 rows)
     "similarity_ivf_partitioned_topk",
     # composes the two shapes above (BF ground truth × IVF), so it
@@ -118,6 +120,11 @@ NLJ_ALLOWED = {
     # 6-row checkpoint dim × vocab relation: checkpoints are a fixed
     # constant, so the product is O(vocab), the same as the input
     "text_heaps_law_curve",
+    # --- round 7/8 additions (bounded-build-side shapes) ---
+    # 3-row k dim × problems, plus 21-row factorial lookup
+    "model_eval_pass_at_k",
+    # 3-row class dim × labels, then two 1-row aggregates combined
+    "labels_cohens_kappa",
 }
 
 

@@ -920,6 +920,19 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the argmax is a 1-row collect (MapReduce BPE, as in
     sentencepiece's distributed mode)."""
     docs = load_table(spark, sf_dir, "documents")
+    out = _bpe_learn_merges(docs, n_iter=3)
+    return spark.createDataFrame(
+        out,
+        "iter int, merge_left string, merge_right string,"
+        " pair_count bigint, total_tokens_after bigint",
+    ).orderBy("iter")
+
+
+def _bpe_learn_merges(docs: DataFrame, n_iter: int) -> list[tuple]:
+    """The BPE training loop shared by text_bpe_train_merges and the
+    tokenizer-apply query: returns [(iter, a, b, pair_count,
+    total_tokens_after)] — O(n_iter) driver state, corpus never
+    leaves the cluster."""
     vocab = (
         docs.select(
             F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
@@ -935,7 +948,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     try:
         out = []
-        for it in range(1, 4):
+        for it in range(1, n_iter + 1):
             arr = F.split(F.col("s"), "\\|")
             pairs = F.transform(
                 F.sequence(F.lit(0), F.size(arr) - 2),
@@ -980,11 +993,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             state.unpersist()
             state = new_state
-        return spark.createDataFrame(
-            out,
-            "iter int, merge_left string, merge_right string,"
-            " pair_count bigint, total_tokens_after bigint",
-        ).orderBy("iter")
+        return out
     finally:
         state.unpersist()
 
