@@ -125,6 +125,9 @@ NLJ_ALLOWED = {
     "model_eval_pass_at_k",
     # 3-row class dim × labels, then two 1-row aggregates combined
     "labels_cohens_kappa",
+    # 16-row coarse-centroid and 64-row PQ-codebook broadcasts plus a
+    # 4-row subspace dim — every unconditioned join is O(16) build-side
+    "similarity_ivfadc_topk",
 }
 
 

@@ -405,3 +405,230 @@ def labels_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: coarse quantizer + product-quantized RESIDUALS + ADC —
+# the composed prune-and-compress ANN architecture
+# ---------------------------------------------------------------------------
+
+_DIFF64 = (
+    "list_transform(range(1, 65), i -> {a}[CAST(i AS BIGINT)]"
+    " - {b}[CAST(i AS BIGINT)])"
+)
+_DIFF16 = (
+    "list_transform(range(1, 17), i -> {a}[CAST(i AS BIGINT)]"
+    " - {b}[CAST(i AS BIGINT)])"
+)
+
+_IVFADC_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+cc AS (SELECT vec_id AS ccid, e AS ce FROM v WHERE vec_id < 16),
+ad AS MATERIALIZED (
+  SELECT v.vec_id, cc.ccid,
+         list_dot_product({_DIFF64.format(a='v.e', b='cc.ce')},
+                          {_DIFF64.format(a='v.e', b='cc.ce')}) AS d2
+  FROM v, cc
+),
+assign AS (SELECT vec_id, arg_min(ccid, d2) AS centroid FROM ad GROUP BY vec_id),
+resid AS MATERIALIZED (
+  SELECT a.vec_id, a.centroid,
+         {_DIFF64.format(a='v.e', b='cc.ce')} AS r
+  FROM assign a JOIN v USING (vec_id) JOIN cc ON cc.ccid = a.centroid
+),
+sub AS (SELECT UNNEST(range(4)) AS s),
+pqc AS MATERIALIZED (
+  SELECT r.vec_id - 16 AS cbid, sub.s,
+         r.r[CAST(sub.s * 16 + 1 AS BIGINT):CAST(sub.s * 16 + 16 AS BIGINT)]
+           AS cb
+  FROM resid r, sub WHERE r.vec_id BETWEEN 16 AND 31
+),
+rs AS (
+  SELECT vec_id, centroid, sub.s,
+         r[CAST(sub.s * 16 + 1 AS BIGINT):CAST(sub.s * 16 + 16 AS BIGINT)]
+           AS rv
+  FROM resid, sub
+),
+codes AS MATERIALIZED (
+  SELECT vec_id, centroid, s, arg_min(cbid, d2) AS code
+  FROM (
+    SELECT rs.vec_id, rs.centroid, rs.s, pqc.cbid,
+           list_dot_product({_DIFF16.format(a='rs.rv', b='pqc.cb')},
+                            {_DIFF16.format(a='rs.rv', b='pqc.cb')}) AS d2
+    FROM rs JOIN pqc ON rs.s = pqc.s
+  ) GROUP BY vec_id, centroid, s
+),
+probes AS (
+  SELECT vec_id AS query_id, ccid AS centroid FROM (
+    SELECT vec_id, ccid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, ccid) AS rn
+    FROM ad WHERE vec_id < 3
+  ) WHERE rn <= 4
+),
+qrs AS (
+  SELECT p.query_id, p.centroid, sub.s,
+         {_DIFF64.format(a='v.e', b='cc.ce')}
+           [CAST(sub.s * 16 + 1 AS BIGINT):CAST(sub.s * 16 + 16 AS BIGINT)]
+           AS rv
+  FROM probes p
+       JOIN v ON v.vec_id = p.query_id
+       JOIN cc ON cc.ccid = p.centroid, sub
+),
+lut AS MATERIALIZED (
+  SELECT qrs.query_id, qrs.centroid, qrs.s, pqc.cbid AS code,
+         CAST(ROUND(list_dot_product(
+             {_DIFF16.format(a='qrs.rv', b='pqc.cb')},
+             {_DIFF16.format(a='qrs.rv', b='pqc.cb')}) * 1000000) AS BIGINT)
+           AS d2_micro
+  FROM qrs JOIN pqc ON qrs.s = pqc.s
+),
+adc AS (
+  SELECT l.query_id, c.vec_id, CAST(SUM(l.d2_micro) AS BIGINT) AS adc_micro
+  FROM codes c
+  JOIN lut l ON l.centroid = c.centroid AND l.s = c.s AND l.code = c.code
+  WHERE c.vec_id != l.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, vec_id, adc_micro,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_micro, vec_id) AS rk
+  FROM adc
+)
+SELECT query_id, vec_id,
+       ROUND(adc_micro / 1000000.0, 4) AS adc_d2,
+       CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 10
+ORDER BY query_id, rk
+"""
+
+
+@register(
+    "similarity_ivfadc_topk",
+    oracle=_IVFADC_ORACLE,
+    tags=("ext", "similarity", "ann", "ivf", "pq", "ivfadc"),
+    description="IVFADC top-10: coarse prune + PQ'd residuals + ADC",
+)
+def similarity_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the composed billion-scale ANN architecture (coarse
+    inverted lists PRUNE the corpus, product-quantized RESIDUALS
+    compress what remains, asymmetric distance scores candidates
+    with a per-probe lookup table):
+
+      1. coarse quantizer: first 16 vectors by id (deterministic;
+         swap kmeans_centroids_cached in at no plan change), L2
+         assignment;
+      2. residual r = v − c(v) per vector; PQ codebook = the
+         residual subvectors of vecs 16..31 (4 subspaces × 16
+         codes; 16..31 because 0..15 ARE the coarse centroids and
+         self-residuals are zero);
+      3. each query probes its 4 nearest coarse lists, builds a
+         4×16 LUT of exact subspace distances against its
+         PER-PROBE residual, and scores candidates as 4 integer
+         lookups — never touching a full-precision candidate.
+
+    Storage at scale: 4 nibble codes + a centroid id per vector
+    (~5 B vs 256 B raw); the probe reads n_probe/16 of the codes
+    table; the LUT is a (queries × 4 probes × 64)-row broadcast.
+    Determinism: every distance is a sequential-fold dot product of
+    an elementwise difference (bit-identical in both engines), LUT
+    entries round to integer micro-units before the 4-way ADC sum,
+    ranks tie-break on vec_id. Composes the registry's ivf_topk
+    (prune) and similarity_pq_adc_topk (compress) into the
+    architecture FAISS ships as IndexIVFPQ."""
+    from pyspark.sql.window import Window
+
+    from wilayah_aceh_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", V.as_double(F.col("embedding")).alias("e"))
+    cc = F.broadcast(
+        v.filter(F.col("vec_id") < 16).select(
+            F.col("vec_id").alias("ccid"), F.col("e").alias("ce")
+        )
+    )
+    diff = F.zip_with(F.col("e"), F.col("ce"), lambda x, y: x - y)
+    ad = v.join(cc).select(
+        "vec_id", "ccid", V.dot(diff, diff).alias("d2")
+    )
+    assign = ad.groupBy("vec_id").agg(
+        F.min_by("ccid", "d2").alias("centroid")
+    )
+    resid = (
+        assign.join(v, "vec_id")
+        .join(cc, F.col("centroid") == F.col("ccid"))
+        .select("vec_id", "centroid", diff.alias("r"))
+    )
+    sub = F.broadcast(
+        spark.range(4).select(F.col("id").cast("int").alias("s"))
+    )
+    seg = lambda col: F.slice(col, F.col("s") * 16 + 1, 16)  # noqa: E731
+    pqc = (
+        resid.filter(
+            (F.col("vec_id") >= 16) & (F.col("vec_id") < 32)
+        )
+        .join(sub)
+        .select(
+            (F.col("vec_id") - 16).alias("cbid"),
+            "s",
+            seg(F.col("r")).alias("cb"),
+        )
+    )
+    rs = resid.join(sub).select(
+        "vec_id", "centroid", "s", seg(F.col("r")).alias("rv")
+    )
+    sd = F.zip_with(F.col("rv"), F.col("cb"), lambda x, y: x - y)
+    codes = (
+        rs.join(F.broadcast(pqc), "s")
+        .select("vec_id", "centroid", "s", "cbid", V.dot(sd, sd).alias("d2"))
+        .groupBy("vec_id", "centroid", "s")
+        .agg(F.min_by("cbid", "d2").alias("code"))
+    )
+    w_probe = Window.partitionBy("vec_id").orderBy("d2", "ccid")
+    probes = (
+        ad.filter(F.col("vec_id") < 3)
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= 4)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("ccid").alias("centroid")
+        )
+    )
+    qrs = (
+        probes.join(v, probes.query_id == v.vec_id)
+        .join(cc, F.col("centroid") == F.col("ccid"))
+        .select("query_id", "centroid", diff.alias("r"))
+        .join(sub)
+        .select("query_id", "centroid", "s", seg(F.col("r")).alias("rv"))
+    )
+    lut = (
+        qrs.join(F.broadcast(pqc), "s")
+        .select(
+            "query_id",
+            "centroid",
+            "s",
+            F.col("cbid").alias("code"),
+            F.round(V.dot(sd, sd) * 1000000, 0)
+            .cast("long")
+            .alias("d2_micro"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["centroid", "s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2_micro").cast("long").alias("adc_micro"))
+    )
+    w_rk = Window.partitionBy("query_id").orderBy("adc_micro", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w_rk).cast("int"))
+        .filter(F.col("rk") <= 10)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("adc_micro") / 1000000.0, 4).alias("adc_d2"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
+    )
