@@ -628,3 +628,33 @@ def test_jpeg_decoder_never_raises_on_garbage(payload):
     # a (possibly wrong-pixel) result, never raise
     valid = M.make_jpeg_gray(8, 8, lambda x, y: (3 * x + 5 * y) % 256)
     M.decode_jpeg_gray_pixels(valid[:-8] + payload[:8])
+
+
+@given(
+    st.integers(1, 4),
+    st.integers(1, 4),
+    st.integers(1, 9),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_restart_interval_decode_invariant(bw, bh, ri, seed):
+    """DRI/RSTn restart markers change the bitstream layout, never
+    the pixels: for any interval, decode(encode(img, ri)) must equal
+    decode(encode(img)) bit for bit — byte realignment and the DC
+    predictor reset both exercised at every segment boundary."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    w, h = 8 * bw, 8 * bh
+
+    def gray(x, y):
+        return (seed + 3 * x + 5 * y) % 256
+
+    base = M.decode_jpeg_gray_pixels(M.make_jpeg_gray(w, h, gray))
+    with_rst = M.decode_jpeg_gray_pixels(
+        M.make_jpeg_gray(w, h, gray, restart_interval=ri)
+    )
+    assert with_rst == base
+    # truncation inside the restart stream never raises
+    p = M.make_jpeg_gray(w, h, gray, restart_interval=ri)
+    for cut in range(0, len(p), max(1, len(p) // 7)):
+        M.decode_jpeg_gray_pixels(p[:cut])

@@ -1522,9 +1522,19 @@ class _JpegBitWriter:
                 self._acc = 0
                 self._n = 0
 
-    def flush(self) -> bytes:
+    def pad_to_byte(self) -> None:
+        """Pad the partial byte with 1-bits (T.81 restart alignment)."""
         if self._n:
-            self.put((1 << (8 - self._n)) - 1, 8 - self._n)  # pad with 1s
+            self.put((1 << (8 - self._n)) - 1, 8 - self._n)
+
+    def raw(self, data: bytes) -> None:
+        """Append marker bytes verbatim (NOT entropy data — no
+        stuffing); caller must have byte-aligned first."""
+        assert self._n == 0
+        self.out += data
+
+    def flush(self) -> bytes:
+        self.pad_to_byte()
         return bytes(self.out)
 
 
@@ -1583,13 +1593,25 @@ def _jpeg_mag_bits(v: int) -> tuple[int, int]:
 
 
 def make_jpeg_gray(
-    width: int, height: int, value_of, qtable: list[int] | None = None
+    width: int,
+    height: int,
+    value_of,
+    qtable: list[int] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Spec-valid baseline grayscale JFIF: `value_of(x, y)` gives the
     8-bit gray value at (x, y). Edge blocks are padded by edge
     replication (the standard encoder trick); the decoder crops.
     `qtable` (row-major, default = the Annex-K luminance table)
-    lands in the DQT segment in zigzag order."""
+    lands in the DQT segment in zigzag order.
+
+    `restart_interval` > 0 emits a DRI segment and RST0–7 markers
+    every that-many MCUs: the bitstream byte-aligns and the DC
+    predictor resets at each marker, which is what makes WITHIN-
+    payload parallel decode possible at scale — each restart segment
+    is independently decodable, so a 100 MB scan splits into
+    restart-bounded work units the same way a parquet file splits
+    into row groups."""
     import struct
 
     qt = list(qtable) if qtable is not None else list(_JPEG_STD_QT)
@@ -1597,8 +1619,16 @@ def make_jpeg_gray(
     ac_codes = _jpeg_build_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     w = _JpegBitWriter()
     prev_dc = 0
+    mcu = 0
+    rst = 0
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.pad_to_byte()
+                w.raw(bytes((0xFF, 0xD0 + rst)))
+                rst = (rst + 1) % 8
+                prev_dc = 0
+            mcu += 1
             block = [
                 value_of(min(bx + i, width - 1), min(by + j, height - 1))
                 & 0xFF
@@ -1651,6 +1681,8 @@ def make_jpeg_gray(
         bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
         + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
     )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += scan
     out += b"\xff\xd9"  # EOI
@@ -1692,6 +1724,20 @@ class _JpegBitReader:
             v = (v << 1) | self.bit()
         return v
 
+    def sync_restart(self, expect: int) -> None:
+        """Consume an RSTn marker at a restart boundary: drop the
+        padding bits of the current byte, then require FFD0+expect
+        (markers cycle 0–7, T.81 E.1.4)."""
+        self._n = 0  # discard byte-alignment padding
+        if self.pos + 2 > len(self.data):
+            raise ValueError("truncated at restart boundary")
+        if (
+            self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + expect
+        ):
+            raise ValueError("expected restart marker")
+        self.pos += 2
+
 
 def _jpeg_decode_symbol(reader, table) -> int:
     """Walk the canonical code bit by bit ({(length, code): symbol})."""
@@ -1728,6 +1774,7 @@ def decode_jpeg_gray_pixels(
         huff: dict[tuple[int, int], dict] = {}
         wid = hei = None
         comp_qt = comp_dc = comp_ac = 0
+        restart_interval = 0
         pos = 2
         while pos + 4 <= len(payload):
             if payload[pos] != 0xFF:
@@ -1783,6 +1830,10 @@ def decode_jpeg_gray_pixels(
                 comp_qt = body[8]
             elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
                 return None  # progressive/extended/arithmetic: seam
+            elif marker == 0xDD:  # DRI: restart interval in MCUs
+                if len(body) != 2:
+                    return None
+                restart_interval = int.from_bytes(body, "big")
             elif marker == 0xDA:  # SOS → entropy data follows
                 if body[0] != 1 or wid is None or hei is None:
                     return None
@@ -1805,8 +1856,15 @@ def decode_jpeg_gray_pixels(
         bh = (hei + 7) // 8
         px = [0] * (wid * hei)
         prev_dc = 0
+        mcu = 0
+        rst = 0
         for byi in range(bh):
             for bxi in range(bw):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    reader.sync_restart(rst)
+                    rst = (rst + 1) % 8
+                    prev_dc = 0  # predictor resets per segment
+                mcu += 1
                 zz = [0] * 64
                 size = _jpeg_decode_symbol(reader, dc)
                 diff = _jpeg_extend(reader.bits(size), size)
@@ -1861,7 +1919,9 @@ JPEG_STATS_SCHEMA = T.StructType(
 )
 
 
-def attach_jpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
+def attach_jpeg_payload(
+    df: DataFrame, id_col: str, restart_interval: int = 0
+) -> DataFrame:
     """Media table with REAL baseline-JPEG bytes. The images are
     BLOCK-CONSTANT — every 8×8 block holds one value
     (id·7 + 16·bx + 31·by) mod 256 — which makes the lossy decode
@@ -1897,6 +1957,7 @@ def attach_jpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
                     lambda x, y, m=m: (m * 7 + 16 * (x // 8) + 31 * (y // 8))
                     % 256,
                     qtable=qt,
+                    restart_interval=restart_interval,
                 )
                 rows.append((m, p, "image/jpeg", len(p)))
             yield pd.DataFrame(

@@ -1779,9 +1779,7 @@ _JPEG_G = (
 )
 
 
-@register(
-    "multimodal_jpeg_pixel_stats",
-    oracle=f"""
+_JPEG_STATS_ORACLE = f"""
 WITH m AS (
   SELECT doc_id AS media_id,
          8 * (1 + doc_id % 4) AS w,
@@ -1808,7 +1806,12 @@ SELECT media_id,
 FROM blk
 GROUP BY media_id, w, h
 ORDER BY media_id
-""",
+"""
+
+
+@register(
+    "multimodal_jpeg_pixel_stats",
+    oracle=_JPEG_STATS_ORACLE,
     tags=("ext", "multimodal", "decode", "pixels", "jpeg"),
     description="FULL baseline-JPEG pixel decode (closed-form lossy oracle)",
 )
@@ -1866,3 +1869,40 @@ def multimodal_jpeg_roundtrip_audit(
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     return M.jpeg_roundtrip_audit(docs, "doc_id", tol=4).orderBy("media_id")
+
+
+@register(
+    "multimodal_jpeg_restart_stats",
+    # oracle shared VERBATIM with multimodal_jpeg_pixel_stats:
+    # restart markers change the BITSTREAM LAYOUT, never the decoded
+    # pixels (same device as the partitioned-IVF query sharing the
+    # flat IVF oracle)
+    oracle=_JPEG_STATS_ORACLE,
+    tags=("ext", "multimodal", "decode", "pixels", "jpeg", "restart"),
+    description="JPEG decode through DRI/RSTn restart-marker bitstreams",
+)
+def multimodal_jpeg_restart_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same decode as multimodal_jpeg_pixel_stats but the
+    payloads are encoded with restart_interval=2: a DRI segment plus
+    an RST0–7 marker every 2 MCUs, byte-realignment, and a DC
+    predictor reset per segment. Restart markers are the format's
+    parallel-decode seam — each restart segment decodes
+    independently, which is how a single multi-GB scan becomes
+    splittable work at 100 TB — and a decoder that ignores the
+    predictor reset or the byte realignment corrupts every pixel
+    after the first marker, which the shared closed-form oracle
+    catches immediately."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.attach_jpeg_payload(docs, "doc_id", restart_interval=2)
+    return (
+        M.jpeg_pixel_stats(media)
+        .select(
+            "media_id", "width", "height", "n_pixels", "sum_gray",
+            "min_gray", "max_gray", "top_left", "bottom_right",
+        )
+        .orderBy("media_id")
+    )
