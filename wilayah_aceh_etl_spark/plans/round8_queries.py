@@ -632,3 +632,160 @@ def similarity_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bradley-Terry preference strengths (RLHF reward-model analytics)
+# ---------------------------------------------------------------------------
+
+def _bt_step_sql(t: int) -> str:
+    """One quantized MM iteration (Hunter 2004): per item i,
+    π ← W_i·2²⁴ / Σ_{j≠i} round(2²⁴·n_ij/(π_i+π_j)). Each summand is
+    quantized to an exact integer BEFORE the sum, so the float
+    accumulation order can never differ between engines — the same
+    device the quantized-GD trainers use."""
+    return f"""
+d{t} AS MATERIALIZED (
+  SELECT n.i,
+         CAST(SUM(CAST(ROUND(16777216.0 * n.n /
+               (pi_i.pi + pi_j.pi)) AS BIGINT)) AS BIGINT) AS denom
+  FROM n JOIN p{t - 1} pi_i ON pi_i.i = n.i
+         JOIN p{t - 1} pi_j ON pi_j.i = n.j
+  GROUP BY n.i
+),
+p{t} AS MATERIALIZED (
+  SELECT w.i, w.wins * 16777216.0 / d{t}.denom AS pi
+  FROM w JOIN d{t} USING (i)
+)"""
+
+
+_BT_ORACLE = (
+    """
+WITH duel AS (
+  SELECT o_orderkey % 5 AS a, (o_orderkey // 5) % 5 AS b,
+         CASE WHEN o_orderkey % 3 <> 0
+              THEN o_orderkey % 5 ELSE (o_orderkey // 5) % 5 END AS winner
+  FROM orders
+  WHERE o_orderkey % 5 <> (o_orderkey // 5) % 5
+),
+n AS MATERIALIZED (  -- games per UNORDERED pair, kept directional for the join
+  SELECT i, j, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+    SELECT a AS i, b AS j, COUNT(*) AS cnt FROM duel GROUP BY a, b
+    UNION ALL
+    SELECT b AS i, a AS j, COUNT(*) AS cnt FROM duel GROUP BY b, a
+  ) GROUP BY i, j
+),
+w AS MATERIALIZED (
+  SELECT winner AS i, CAST(COUNT(*) AS BIGINT) AS wins
+  FROM duel GROUP BY winner
+),
+p0 AS (SELECT i, 1.0 AS pi FROM w),
+"""
+    + ",".join(_bt_step_sql(t) for t in (1, 2))
+    + """
+SELECT p2.i AS item,
+       w.wins,
+       ROUND(p2.pi / (SELECT pi FROM p2 WHERE i = 0), 6) AS strength,
+       CAST(ROW_NUMBER() OVER (ORDER BY p2.pi DESC, p2.i) AS INTEGER) AS rk
+FROM p2 JOIN w USING (i)
+ORDER BY item
+"""
+)
+
+
+@register(
+    "ml_bradley_terry_strengths",
+    oracle=_BT_ORACLE,
+    tags=("ext", "ml", "rl", "preferences", "bradley-terry", "iterative"),
+    description="Bradley-Terry strengths: 2 quantized MM iterations over duels",
+)
+def ml_bradley_terry_strengths(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bradley-Terry preference-strength fitting — the model under
+    RLHF reward aggregation and chatbot-arena-style leaderboards —
+    via two MM iterations (Hunter 2004): π_i ← W_i / Σ_{j≠i}
+    n_ij/(π_i+π_j), scores reported relative to item 0 and ranked.
+
+    Duels derive deterministically from order keys (5 items, winner
+    biased by key arithmetic so a real preference gradient exists).
+    Determinism device: each MM summand quantizes to an exact
+    integer (·2²⁴) BEFORE the per-item sum, so float accumulation
+    order cannot diverge between engines — the quantized-GD
+    trainers' device applied to an MM loop.
+
+    Scale shape: the one corpus-sized operation is the duel count
+    aggregation (one shuffle over orders → O(items²) sufficient
+    statistics); the MM iterations run on the tiny (wins, n_ij)
+    relations — O(items²) driver-side state, exactly like the
+    kmeans/GD trainers keep O(C·d)/O(d). The comparison log never
+    moves twice."""
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 5).alias("a"),
+        ((F.col("o_orderkey") / 5).cast("long") % 5).alias("b"),
+        F.when(
+            F.col("o_orderkey") % 3 != 0, F.col("o_orderkey") % 5
+        )
+        .otherwise((F.col("o_orderkey") / 5).cast("long") % 5)
+        .alias("winner"),
+    ).filter(F.col("a") != F.col("b"))
+    duels = o.persist()
+    try:
+        n_dir = (
+            duels.groupBy("a", "b").count()
+            .select(F.col("a").alias("i"), F.col("b").alias("j"), "count")
+        )
+        n_rev = (
+            duels.groupBy("b", "a").count()
+            .select(F.col("b").alias("i"), F.col("a").alias("j"), "count")
+        )
+        n_pair = {
+            (r["i"], r["j"]): r["n"]
+            for r in n_dir.unionByName(n_rev)
+            .groupBy("i", "j")
+            .agg(F.sum("count").cast("long").alias("n"))
+            .collect()
+        }
+        wins = {
+            r["winner"]: r["w"]
+            for r in duels.groupBy("winner")
+            .agg(F.count(F.lit(1)).cast("long").alias("w"))
+            .collect()
+        }
+        Q = 16777216
+
+        def _rh(x: float) -> int:
+            # half-away-from-zero, matching DuckDB/Spark ROUND
+            # (Python's round() is banker's and would diverge at
+            # exact halves; iteration 1 divides by exactly 2.0, so
+            # halves are reachable there)
+            import math
+
+            return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+        pi = {i: 1.0 for i in wins}
+        for _ in range(2):
+            denom = {
+                i: sum(
+                    _rh(Q * n / (pi[i] + pi[j]))
+                    for (ii, j), n in n_pair.items()
+                    if ii == i
+                )
+                for i in pi
+            }
+            pi = {i: wins[i] * float(Q) / denom[i] for i in pi}
+        base = pi[0]
+        ranked = sorted(pi, key=lambda i: (-pi[i], i))
+        rk = {i: r + 1 for r, i in enumerate(ranked)}
+        return (
+            duels.sparkSession.createDataFrame(
+                [
+                    (int(i), int(wins[i]), round(pi[i] / base, 6), rk[i])
+                    for i in sorted(pi)
+                ],
+                "item long, wins bigint, strength double, rk int",
+            )
+            .orderBy("item")
+        )
+    finally:
+        duels.unpersist()
