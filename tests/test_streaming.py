@@ -1100,6 +1100,7 @@ def test_merge_racing_compaction_never_duplicates(spark, tmp_path, monkeypatch):
     The compaction is injected at the exact hazard point — the
     merge's swap-lock acquisition, identified by the staged tmp dir
     existing — via a wrapped _commit_lock."""
+    import glob
     import os
     from contextlib import contextmanager
 
@@ -1126,7 +1127,7 @@ def test_merge_racing_compaction_never_duplicates(spark, tmp_path, monkeypatch):
         # retiring every small file the merge listed as affected
         if (
             state["armed"]
-            and os.path.isdir(path + "._staged")
+            and glob.glob(path + "._staged*")
             and state["compactions"] == 0
         ):
             state["compactions"] += 1
@@ -1151,3 +1152,110 @@ def test_merge_racing_compaction_never_duplicates(spark, tmp_path, monkeypatch):
     assert dup == 0, "merge installed duplicates over compacted rows"
     got = {r.k: (r.ver, r.v) for r in t.filter("k in (10, 250, 7)").collect()}
     assert got == {10: (1, 99), 250: (1, 98), 7: (0, 1)}
+
+
+def test_merge_create_race_preserves_first_writer(spark, tmp_path, monkeypatch):
+    """r6 code-review finding: two merges racing to CREATE a table —
+    the loser listed the table as absent, then the winner committed.
+    The old swap branch rmtree'd the winner's committed batch; the
+    fixed swap treats 'table appeared since listing' as a conflict
+    and re-merges, so BOTH batches survive."""
+    import glob
+    import os
+    from contextlib import contextmanager
+
+    from wilayah_aceh_etl_spark.operators import wilayah as W
+    from wilayah_aceh_etl_spark.streaming import sinks as S
+
+    path = str(tmp_path / "create_race")
+    batch_a = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 20)], "k long, ver long, v long"
+    )
+    batch_b = spark.createDataFrame(
+        [(2, 1, 99), (3, 0, 30)], "k long, ver long, v long"
+    )
+    real_lock = W._commit_lock
+    state = {"fired": 0}
+
+    @contextmanager
+    def hooked(p):
+        # B has staged (its tmp exists) and is about to take its
+        # swap lock while the table still doesn't exist — inject A's
+        # full merge right there, creating the table first
+        if (
+            state["fired"] == 0
+            and glob.glob(path + "._staged*")
+            and not os.path.exists(path)
+        ):
+            state["fired"] = 1
+            S.merge_last_wins(spark, path, batch_a, ["k"], ["ver"])
+        with real_lock(p):
+            yield
+
+    monkeypatch.setattr(W, "_commit_lock", hooked)
+    S.merge_last_wins(spark, path, batch_b, ["k"], ["ver"])
+    assert state["fired"] == 1, "injected creator merge never ran"
+
+    t = spark.read.parquet(path)
+    got = {r.k: (r.ver, r.v) for r in t.collect()}
+    # old behavior: batch A's rows are gone (table rmtree'd); fixed:
+    # union with last-wins on the overlapping key
+    assert got == {1: (0, 10), 2: (1, 99), 3: (0, 30)}
+
+
+def test_merge_staging_file_vanish_retries(spark, tmp_path, monkeypatch):
+    """r6 code-review finding: an affected file retired between the
+    (locked) listing and the staging read used to surface as a raw
+    FileNotFound from the Spark job; the fixed merge classifies
+    file-vanished staging errors as conflicts and re-stages."""
+    import os
+
+    from wilayah_aceh_etl_spark.streaming import sinks as S
+
+    path = str(tmp_path / "vanish_race")
+    base = spark.range(300).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("ver"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    S.merge_last_wins(spark, path, base, ["k"], ["ver"])
+
+    import glob
+    from contextlib import contextmanager
+
+    from wilayah_aceh_etl_spark.operators import wilayah as W
+
+    real_lock = W._commit_lock
+    state = {"fired": 0}
+
+    @contextmanager
+    def hooked(p):
+        # identify the merge's LISTING lock (no staged dir yet); as
+        # soon as it releases — after the listing, before the staging
+        # job reads the listed files — inject a full compaction,
+        # which retires every listed file
+        is_listing = os.path.exists(path) and not glob.glob(
+            path + "._staged*"
+        )
+        with real_lock(p):
+            yield
+        if state["fired"] == 0 and is_listing:
+            state["fired"] = 1
+            S.compact_sink_table(spark, path, ["k"])
+
+    monkeypatch.setattr(W, "_commit_lock", hooked)
+    batch = spark.createDataFrame([(7, 1, 77)], "k long, ver long, v long")
+    S.merge_last_wins(spark, path, batch, ["k"], ["ver"])
+    assert state["fired"] == 1
+
+    t = spark.read.parquet(path)
+    assert t.count() == 300
+    assert t.groupBy("k").count().filter("count > 1").count() == 0
+    assert t.filter("k = 7").collect()[0].v == 77
+    # no orphaned staging left behind by the retried attempt
+    parent = os.path.dirname(path)
+    leftovers = [
+        e for e in os.listdir(parent)
+        if e.startswith(os.path.basename(path) + "._staged")
+    ]
+    assert leftovers == []

@@ -452,11 +452,15 @@ def test_vacuum_staging_removes_only_orphans(spark, tmp_path):
 
     os.makedirs(path + "._staged/level=4", exist_ok=True)
     os.makedirs(path + "._compact_4", exist_ok=True)
+    os.makedirs(path + "._staged_ab12cd34", exist_ok=True)  # merge staging
     (tmp_path / "vac._staged" / "level=4" / "junk.parquet").write_bytes(b"x")
 
     removed = W.vacuum_staging(path)
-    assert sorted(removed) == sorted([path + "._staged", path + "._compact_4"])
+    assert sorted(removed) == sorted(
+        [path + "._staged", path + "._compact_4", path + "._staged_ab12cd34"]
+    )
     assert not os.path.exists(path + "._staged")
+    assert not os.path.exists(path + "._staged_ab12cd34")
     assert _partition_file_stats(path) == before
     assert W.vacuum_staging(path) == []  # idempotent
 

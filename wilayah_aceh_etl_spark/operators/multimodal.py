@@ -1466,9 +1466,9 @@ def _jpeg_rh(x: float) -> int:
     and the IDCT output use, chosen because it is expressible in
     pure integer SQL for the closed-form oracle:
     rh(t/2) == sign(t) * ((|t| + 1) // 2) for integer t."""
-    import math
+    from wilayah_aceh_etl_spark.functions.numeric import round_half_away
 
-    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+    return round_half_away(x)
 
 
 def _jpeg_build_codes(bits, vals):

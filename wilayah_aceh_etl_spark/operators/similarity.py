@@ -415,7 +415,7 @@ def kmeans_centroids_cached(
     relation from the cached floats. Determinism is unaffected: the
     cached values ARE the quantized-mean training output, so a cold
     and a warm call return bit-identical centroids."""
-    key = (cache_key, n_centroids, n_iter)
+    key = (cache_key, n_centroids, n_iter, id_col, vec_col)
     if key not in _TRAINED_CENTROID_CACHE:
         rows = kmeans_centroids(
             corpus, n_centroids, n_iter, id_col, vec_col

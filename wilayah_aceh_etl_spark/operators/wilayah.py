@@ -817,7 +817,11 @@ def vacuum_staging(table_path: str) -> list[str]:
         return removed
     for entry in os.listdir(parent):
         full = os.path.join(parent, entry)
-        if entry == f"{base}._staged" or entry.startswith(f"{base}._compact_"):
+        if entry.startswith(f"{base}._staged") or entry.startswith(
+            f"{base}._compact_"
+        ):
+            # covers the fixed `._staged` dir, the per-invocation
+            # `._staged_<token>` merge stagings, and `._staged_compact`
             shutil.rmtree(full, ignore_errors=True)
             removed.append(full)
         elif entry == f"{base}._commit_lock":

@@ -752,17 +752,14 @@ def ml_bradley_terry_strengths(
             .agg(F.count(F.lit(1)).cast("long").alias("w"))
             .collect()
         }
+        # half-away-from-zero, matching DuckDB/Spark ROUND (Python's
+        # round() is banker's and would diverge at exact halves;
+        # iteration 1 divides by exactly 2.0, so halves are reachable)
+        from wilayah_aceh_etl_spark.functions.numeric import (
+            round_half_away as _rh,
+        )
+
         Q = 16777216
-
-        def _rh(x: float) -> int:
-            # half-away-from-zero, matching DuckDB/Spark ROUND
-            # (Python's round() is banker's and would diverge at
-            # exact halves; iteration 1 divides by exactly 2.0, so
-            # halves are reachable there)
-            import math
-
-            return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
-
         pi = {i: 1.0 for i in wins}
         for _ in range(2):
             denom = {

@@ -107,12 +107,17 @@ def apply_admission_batch(
     # against the written verdicts is O(1) plan size and stays
     # distributed at production batch sizes.
     verdict_part = os.path.join(verdicts_table, f"batch={batch_id}")
+    # the select list derives from VERDICT_SCHEMA so the constant
+    # stays the one authoritative definition of the verdict table
     (
         verdicts.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.col("is_exact_dup").cast("boolean").alias("is_exact_dup"),
-            F.col("near_dup_of").cast("long").alias("near_dup_of"),
-            F.col("kept").cast("boolean").alias("kept"),
+            *[
+                F.col(name).cast(typ).alias(name)
+                for name, typ in (
+                    c.strip().rsplit(" ", 1)
+                    for c in VERDICT_SCHEMA.split(",")
+                )
+            ]
         )
         .write.mode("overwrite")
         .parquet(verdict_part)

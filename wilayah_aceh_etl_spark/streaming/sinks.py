@@ -208,19 +208,27 @@ def merge_last_wins(
     with spark.read.option("mergeSchema", True) (or be compacted,
     which rewrites stragglers onto the current schema).
 
-    Concurrency (optimistic): listing and staging run OUTSIDE the
-    commit lock — the expensive rewrite must not serialize behind
-    other writers — so a concurrent compact_sink_table (which holds
-    the lock end-to-end) may retire some of the listed `affected`
-    files before this merge reaches its swap. Installing the staged
-    winners then would duplicate every row the compaction already
-    rewrote, SILENTLY (the old _swap_with_retirement skips missing
-    originals by design — that skip exists for crash replay, not for
-    racing writers). The swap therefore VALIDATES under the final
-    lock that every affected file still exists, and on conflict
-    discards the stale staging and restarts the whole merge against
-    the post-compaction file set — classic optimistic concurrency,
-    same shape as Delta's conflict detection at commit time.
+    Concurrency (optimistic, three guarantees):
+
+    1. The LISTING runs UNDER the commit lock (with crash recovery),
+       so it can never observe a torn mid-swap state — a racing
+       swap holds the lock from retire to install, and a listing
+       taken between those renames would miss keys on both sides.
+       Listing is cheap (footer stats), so serializing it is fine;
+       only the expensive staging rewrite stays outside the lock.
+    2. The SWAP validates under the final lock that every listed
+       affected file still exists AND that a table that was absent
+       at listing time is still absent; any violation discards the
+       stale staging and restarts the merge against the current
+       file set — classic optimistic concurrency, the same shape as
+       Delta's commit-time conflict detection. (Without the
+       absent-table check, two merges racing to CREATE a table
+       would let the loser rmtree the winner's committed batch.)
+    3. A conflict that lands DURING staging — an affected file
+       retired while the winners job is scanning it — surfaces as a
+       file-vanished error from Spark; it is caught and treated as
+       the same conflict: drop staging, re-list, re-stage.
+
     `ConcurrentWriteError` after the retry budget means a writer is
     churning the table faster than the merge can re-stage."""
     from pyspark.sql.window import Window
@@ -230,51 +238,84 @@ def merge_last_wins(
         _commit_lock,
     )
 
+    def _is_file_vanished(exc: Exception) -> bool:
+        s = str(exc)
+        return any(
+            m in s
+            for m in (
+                "FileNotFound",
+                "FILE_NOT_EXIST",
+                "PATH_NOT_FOUND",
+                "does not exist",
+            )
+        )
+
+    import uuid
+
     batch = batch.withColumn("_prio", F.lit(1))
-    tmp = table_path + "._staged"
+    # per-invocation staging dir: two merges racing on the same table
+    # must never scribble over each other's staged winners (the swap
+    # lock serializes installs, not staging). vacuum_staging's
+    # `._staged*` prefix covers these if a writer dies mid-flight.
+    tmp = table_path + f"._staged_{uuid.uuid4().hex[:8]}"
     for _attempt in range(3):
         affected: list[str] | None = None
         if os.path.exists(table_path):
             with _commit_lock(table_path):
                 _recover_crashed_swap(table_path)
-            affected = _affected_by_key(spark, table_path, batch, keys[0])
-        if affected:
-            # mergeSchema: with schema evolution on, affected files
-            # can have heterogeneous physical schemas; a single-
-            # file-inferred schema would silently drop an evolved
-            # column's values from the rewritten winners.
-            existing = (
-                spark.read.option("mergeSchema", True)
-                .parquet(*affected)
-                .withColumn("_prio", F.lit(0))
+                affected = _affected_by_key(
+                    spark, table_path, batch, keys[0]
+                )
+        try:
+            if affected:
+                # mergeSchema: with schema evolution on, affected
+                # files can have heterogeneous physical schemas; a
+                # single-file-inferred schema would silently drop an
+                # evolved column's values from the rewritten winners.
+                existing = (
+                    spark.read.option("mergeSchema", True)
+                    .parquet(*affected)
+                    .withColumn("_prio", F.lit(0))
+                )
+                merged = batch.unionByName(
+                    existing, allowMissingColumns=True
+                )
+            else:
+                merged = batch
+            w = Window.partitionBy(*keys).orderBy(
+                *[F.col(c).desc() for c in order_cols],
+                F.col("_prio").desc(),
             )
-            merged = batch.unionByName(existing, allowMissingColumns=True)
-        else:
-            merged = batch
-        w = Window.partitionBy(*keys).orderBy(
-            *[F.col(c).desc() for c in order_cols], F.col("_prio").desc()
-        )
-        winners = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_prio")
-        )
-        (
-            winners.repartitionByRange(MERGE_RANGE_PARTITIONS, *keys)
-            .sortWithinPartitions(*keys)
-            .write.mode("overwrite")
-            .parquet(tmp)
-        )
+            winners = (
+                merged.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn", "_prio")
+            )
+            (
+                winners.repartitionByRange(MERGE_RANGE_PARTITIONS, *keys)
+                .sortWithinPartitions(*keys)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+        except Exception as exc:  # noqa: BLE001
+            if _is_file_vanished(exc):
+                # guarantee 3: an affected file was retired while the
+                # staging job read it — conflict, not failure
+                shutil.rmtree(tmp, ignore_errors=True)
+                continue
+            raise
         # same single-writer enforcement as the managed wilayah
         # table: staging is optimistic, the swap runs under the
         # commit lock
         with _commit_lock(table_path):
-            if affected is None or not os.path.exists(table_path):
-                if os.path.exists(table_path):
-                    shutil.rmtree(table_path)
+            if not os.path.exists(table_path):
+                # new table (or externally deleted since listing):
+                # install the staged winners as the table
                 os.rename(tmp, table_path)
                 return
-            if all(os.path.exists(p) for p in affected):
+            if affected is not None and all(
+                os.path.exists(p) for p in affected
+            ):
                 # Crash-recoverable swap (mirrors the wilayah
                 # _history retirement): affected files are MOVED to
                 # a hidden _retired/<token>/ dir (never deleted in
@@ -285,9 +326,11 @@ def merge_last_wins(
                 # _recover_crashed_swap.
                 _swap_with_retirement(table_path, tmp, affected)
                 return
-        # conflict: a concurrent writer retired one of our inputs
-        # after we read it — the staged winners are stale; drop them
-        # and re-merge against the current file set.
+        # conflict: either a concurrent writer retired one of our
+        # inputs after we listed them, or the table appeared after
+        # we listed it as absent (affected is None but the path now
+        # exists — guarantee 2). The staged winners are stale; drop
+        # them and re-merge against the current file set.
         shutil.rmtree(tmp, ignore_errors=True)
     raise ConcurrentWriteError(
         f"merge_last_wins({table_path}): affected files kept vanishing "
