@@ -603,3 +603,102 @@ def test_ivf_partitioned_layout_prunes(spark, tmp_path):
         for r in probed.select(F.input_file_name()).distinct().collect()
     }
     assert probed_dirs == {"0", "3", "7", "11"}
+
+
+def test_jpeg_restart_segments_decode_independently():
+    """The scale claim behind restart markers, proven mechanically:
+    each restart segment of the entropy-coded scan is independently
+    decodable — a FRESH bit reader started at any segment boundary,
+    with DC prediction starting from 0, reproduces exactly that
+    segment's blocks. This is what lets a huge scan split into
+    parallel work units (the parquet-row-group analogy in the
+    encoder docstring)."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    w = h = 32  # 16 MCUs
+    ri = 3  # restart every 3 MCUs → 6 segments, last one ragged
+
+    def gray(x, y):
+        return (5 + 3 * x + 7 * y) % 256
+
+    p = M.make_jpeg_gray(w, h, gray, restart_interval=ri)
+    W, H, full = M.decode_jpeg_gray_pixels(p)
+    assert (W, H) == (w, h)
+
+    # locate the scan start (SOS segment end) and the RST markers;
+    # markers are byte-aligned and cannot appear inside entropy data
+    # (0xFF there is always stuffed as 0xFF 0x00)
+    sos = p.find(b"\xff\xda")
+    scan_start = sos + 2 + int.from_bytes(p[sos + 2 : sos + 4], "big")
+    boundaries = [scan_start]
+    i = scan_start
+    while i < len(p) - 1:
+        if p[i] == 0xFF and 0xD0 <= p[i + 1] <= 0xD7:
+            boundaries.append(i + 2)  # segment starts after the marker
+        i += 1
+    assert len(boundaries) == 6  # 16 MCUs / 3 per segment
+
+    # decode every segment with a FRESH reader and zero DC state
+    qt = [0] * 64
+    # the DQT segment carries the table in zigzag order
+    dqt = p.find(b"\xff\xdb")
+    zz = p[dqt + 5 : dqt + 69]
+    for k in range(64):
+        qt[M._JPEG_ZZ[k]] = zz[k]
+    dc_codes = {
+        (length, code): sym
+        for sym, (length, code) in M._jpeg_build_codes(
+            M._JPEG_DC_BITS, M._JPEG_DC_VALS
+        ).items()
+    }
+    ac_codes = {
+        (length, code): sym
+        for sym, (length, code) in M._jpeg_build_codes(
+            M._JPEG_AC_BITS, M._JPEG_AC_VALS
+        ).items()
+    }
+
+    def decode_segment(start: int, n_mcus: int) -> list[list[int]]:
+        reader = M._JpegBitReader(p, start)
+        prev_dc = 0
+        blocks = []
+        for _ in range(n_mcus):
+            zzc = [0] * 64
+            size = M._jpeg_decode_symbol(reader, dc_codes)
+            prev_dc += M._jpeg_extend(reader.bits(size), size)
+            zzc[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = M._jpeg_decode_symbol(reader, ac_codes)
+                if rs == 0x00:
+                    break
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    k += 16
+                    continue
+                k += run
+                zzc[k] = M._jpeg_extend(reader.bits(size), size)
+                k += 1
+            coefs = [0] * 64
+            for k in range(64):
+                coefs[M._JPEG_ZZ[k]] = zzc[k]
+            blocks.append(M._jpeg_dequant_idct(coefs, qt))
+        return blocks
+
+    # segments decoded OUT OF ORDER (reversed) — order independence
+    seg_blocks: dict[int, list] = {}
+    for si in reversed(range(6)):
+        n = 3 if si < 5 else 16 - 3 * 5
+        seg_blocks[si] = decode_segment(boundaries[si], n)
+    blocks = [b for si in range(6) for b in seg_blocks[si]]
+    assert len(blocks) == 16
+
+    # reassemble and compare to the sequential full decode
+    bw = w // 8
+    got = [0] * (w * h)
+    for bi, block in enumerate(blocks):
+        bx, by = bi % bw, bi // bw
+        for j in range(8):
+            for i2 in range(8):
+                got[(by * 8 + j) * w + (bx * 8 + i2)] = block[j * 8 + i2]
+    assert got == full
