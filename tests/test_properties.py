@@ -658,3 +658,29 @@ def test_jpeg_restart_interval_decode_invariant(bw, bh, ri, seed):
     p = M.make_jpeg_gray(w, h, gray, restart_interval=ri)
     for cut in range(0, len(p), max(1, len(p) // 7)):
         M.decode_jpeg_gray_pixels(p[:cut])
+
+
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_mulaw_companding_properties(samples):
+    """G.711 μ-law invariants under random PCM: (1) error bounded by
+    half the segment step (≤512 after clip); (2) decode∘encode is a
+    FIXPOINT on decoded values (re-encoding loses nothing more);
+    (3) sign preservation; (4) decode is total over arbitrary
+    bytes."""
+    from wilayah_aceh_etl_spark.operators.multimodal import (
+        mulaw_decode,
+        mulaw_encode,
+    )
+
+    dec = mulaw_decode(mulaw_encode(samples))
+    for d, o in zip(dec, samples):
+        clipped = max(-32635, min(32635, o))
+        assert abs(d - clipped) <= 512
+        if o > 0:
+            assert d >= 0
+        if o < 0:
+            assert d <= 0
+    assert mulaw_decode(mulaw_encode(dec)) == dec  # codec fixpoint
+    raw = bytes(b % 256 for b in samples)
+    assert len(mulaw_decode(raw)) == len(raw)  # total function

@@ -2058,3 +2058,103 @@ def jpeg_roundtrip_audit(
     return df.select(F.col(id_col).cast("long").alias("_mid")).mapInPandas(
         batches, JPEG_RT_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# G.711 μ-law: a REAL standardized lossy audio codec (ITU-T G.711,
+# the telephony PCMU format) — logarithmic companding of 16-bit PCM
+# to 8-bit codes. Entirely integer arithmetic, so unlike
+# transform-based lossy codecs the exact encode→decode chain is
+# closed-form re-derivable in SQL: this narrows the "lossy audio"
+# seam with a codec whose loss itself is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_ULAW_BIAS = 0x84  # 132
+_ULAW_CLIP = 32635
+
+
+def mulaw_encode(samples: list[int]) -> bytes:
+    """16-bit PCM → μ-law bytes (ITU-T G.711): clip to ±32635, add
+    the 132 bias, find the segment (exponent of the top magnitude
+    bit), keep a 4-bit mantissa, complement the code byte."""
+    out = bytearray()
+    for x in samples:
+        sign = 0x80 if x < 0 else 0x00
+        v = min(-x if x < 0 else x, _ULAW_CLIP) + _ULAW_BIAS
+        e = 7
+        mask = 0x4000
+        while e > 0 and not (v & mask):
+            mask >>= 1
+            e -= 1
+        m = (v >> (e + 3)) & 0x0F
+        out.append(~(sign | (e << 4) | m) & 0xFF)
+    return bytes(out)
+
+
+def mulaw_decode(payload: bytes) -> list[int]:
+    """μ-law bytes → 16-bit PCM. Total function: every byte value is
+    a valid code (garbage input decodes to noise, never raises) —
+    the property that makes raw μ-law streams chunkable anywhere."""
+    out = []
+    for code in payload:
+        u = ~code & 0xFF
+        sign = u & 0x80
+        e = (u >> 4) & 0x07
+        m = u & 0x0F
+        mag = (((m << 3) + _ULAW_BIAS) << e) - _ULAW_BIAS
+        out.append(-mag if sign else mag)
+    return out
+
+
+MULAW_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sum_decoded", T.LongType()),
+        T.StructField("min_decoded", T.IntegerType()),
+        T.StructField("max_decoded", T.IntegerType()),
+        T.StructField("max_abs_err", T.IntegerType()),
+    ]
+)
+
+
+def mulaw_roundtrip_stats(df: DataFrame, id_col: str) -> DataFrame:
+    """Per-stream companding round-trip through the REAL codec:
+    deterministic 16-bit samples ((id·31 + k·97) mod 65536 − 32768,
+    n = 50 + id mod 50) are μ-law encoded to a byte payload, decoded
+    back, and profiled — including max |decoded − original|, the
+    codec's actual loss, which the SQL oracle re-derives EXACTLY
+    because companding is pure integer arithmetic."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in (int(v) for v in pdf["_mid"]):
+                n = 50 + mid % 50
+                orig = [
+                    ((mid * 31 + k * 97) % 65536) - 32768 for k in range(n)
+                ]
+                dec = mulaw_decode(mulaw_encode(orig))
+                rows.append(
+                    (
+                        mid,
+                        n,
+                        sum(dec),
+                        min(dec),
+                        max(dec),
+                        max(abs(d - o) for d, o in zip(dec, orig)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "sum_decoded",
+                    "min_decoded", "max_decoded", "max_abs_err",
+                ],
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("_mid")).mapInPandas(
+        batches, MULAW_STATS_SCHEMA
+    )

@@ -786,3 +786,74 @@ def ml_bradley_terry_strengths(
         )
     finally:
         duels.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# G.711 μ-law companding: a real lossy audio codec, oracle-exact
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_mulaw_codec_stats",
+    oracle="""
+WITH m AS (
+  SELECT doc_id AS media_id, 50 + doc_id % 50 AS n
+  FROM documents WHERE doc_id < 150
+),
+s AS (
+  SELECT media_id, n, ((media_id * 31 + k.i * 97) % 65536) - 32768 AS x
+  FROM m, UNNEST(range(n)) AS k(i)
+),
+seg AS (
+  SELECT media_id, n, x,
+         CASE WHEN x < 0 THEN 1 ELSE 0 END AS neg,
+         v,
+         CASE WHEN v >= 16384 THEN 7 WHEN v >= 8192 THEN 6
+              WHEN v >= 4096 THEN 5 WHEN v >= 2048 THEN 4
+              WHEN v >= 1024 THEN 3 WHEN v >= 512 THEN 2
+              WHEN v >= 256 THEN 1 ELSE 0 END AS e
+  FROM (
+    SELECT media_id, n, x,
+           LEAST(CASE WHEN x < 0 THEN -x ELSE x END, 32635) + 132 AS v
+    FROM s
+  )
+),
+dec AS (
+  SELECT media_id, n, x,
+         CASE WHEN neg = 1 THEN -mag ELSE mag END AS d
+  FROM (
+    SELECT media_id, n, x, neg,
+           ((((v >> (e + 3)) & 15) * 8 + 132) << e) - 132 AS mag
+    FROM seg
+  )
+)
+SELECT media_id,
+       CAST(n AS INTEGER) AS n_samples,
+       CAST(SUM(d) AS BIGINT) AS sum_decoded,
+       CAST(MIN(d) AS INTEGER) AS min_decoded,
+       CAST(MAX(d) AS INTEGER) AS max_decoded,
+       CAST(MAX(CASE WHEN d - x < 0 THEN x - d ELSE d - x END) AS INTEGER)
+         AS max_abs_err
+FROM dec
+GROUP BY media_id, n
+ORDER BY media_id
+""",
+    tags=("ext", "multimodal", "audio", "codec", "g711", "lossy"),
+    description="G.711 mu-law companding round-trip, loss oracle-exact",
+)
+def multimodal_mulaw_codec_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A REAL standardized lossy audio codec through the engine:
+    ITU-T G.711 μ-law companding (telephony PCMU). Unlike
+    transform-based lossy codecs, companding is pure integer
+    arithmetic, so the oracle re-derives the exact encode→decode
+    chain — segment ladder, 4-bit mantissa, bias, complement — and
+    the codec's actual LOSS (max |decoded − original| per stream)
+    hash-matches. Decode is a total function over bytes (any stream
+    chunk decodes), which is what makes raw μ-law payloads
+    arbitrarily splittable at scale."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return M.mulaw_roundtrip_stats(docs, "doc_id").orderBy("media_id")
