@@ -684,3 +684,44 @@ def test_mulaw_companding_properties(samples):
     assert mulaw_decode(mulaw_encode(dec)) == dec  # codec fixpoint
     raw = bytes(b % 256 for b in samples)
     assert len(mulaw_decode(raw)) == len(raw)  # total function
+
+
+@given(
+    st.integers(1, 3),
+    st.integers(1, 3),
+    st.integers(0, 8),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_color_roundtrip_and_restarts(bw, bh, ri, seed):
+    """4:4:4 color: with all-ones quant tables every plane round-
+    trips within the ±4 coefficient-rounding bound, restart markers
+    never change pixels (ALL three DC predictors reset), and
+    truncation never raises."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    w, h = 8 * bw, 8 * bh
+
+    def ycbcr(x, y):
+        return (
+            (seed + 3 * x + 5 * y) % 256,
+            (seed // 3 + 7 * x + y) % 256,
+            (seed // 7 + x + 11 * y) % 256,
+        )
+
+    ones = [1] * 64
+    p0 = M.make_jpeg_ycbcr(w, h, ycbcr, qtable_y=ones, qtable_c=ones)
+    base = M.decode_jpeg_ycbcr_pixels(p0)
+    assert base is not None
+    W, H, yy, cb, cr = base
+    assert (W, H) == (w, h)
+    for ci, plane in enumerate((yy, cb, cr)):
+        orig = [ycbcr(x, y)[ci] for y in range(h) for x in range(w)]
+        assert max(abs(a - b) for a, b in zip(plane, orig)) <= 4
+    if ri:
+        p1 = M.make_jpeg_ycbcr(
+            w, h, ycbcr, qtable_y=ones, qtable_c=ones, restart_interval=ri
+        )
+        assert M.decode_jpeg_ycbcr_pixels(p1) == base
+        for cut in range(0, len(p1), max(1, len(p1) // 7)):
+            M.decode_jpeg_ycbcr_pixels(p1[:cut])

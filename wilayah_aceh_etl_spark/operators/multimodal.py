@@ -28,7 +28,12 @@ proven through DuckDB oracle gates):
     pixel DECODE (`decode_jpeg_gray_pixels`) — FDCT/IDCT,
     quantization, zigzag, DC differential prediction, canonical
     Huffman coding with the tables rebuilt from the file's own DHT
-    segments, 0xFF byte stuffing;
+    segments, 0xFF byte stuffing, and DRI/RSTn restart intervals
+    (byte realignment + per-segment DC reset — the parallel-decode
+    seam, segment independence test-pinned);
+  * G.711 μ-law companding (`mulaw_encode`/`mulaw_decode`) — a real
+    standardized LOSSY audio codec whose integer arithmetic makes
+    even its loss oracle-exact;
   * payload chunking, frame sampling, Arrow-batched mapInPandas
     plumbing, the binary+metadata column convention.
 
@@ -36,9 +41,10 @@ What is SEAMED (returns None / raises NotImplementedError at the
 exact call site a real codec would plug into, because PIL/ffmpeg are
 not in this container): COLOR and progressive JPEG pixel decode
 (chroma subsampling + YCbCr; the grayscale baseline above covers the
-entropy/transform pipeline), lossy-audio decode (mp3/ogg),
-video-codec (h264-class) frame decode — animated GIF covers the
-multi-frame pipeline shape with a real decoder.
+entropy/transform pipeline), transform-based lossy audio (mp3/ogg;
+μ-law covers the companding class), video-codec (h264-class) frame
+decode — animated GIF covers the multi-frame pipeline shape with a
+real decoder.
 `decode_media(..., real=False)` keeps an md5-seeded
 deterministic fake for pipeline-shape tests of those paths.
 """
@@ -1759,21 +1765,26 @@ def _jpeg_extend(bits: int, size: int) -> int:
     return bits
 
 
-def decode_jpeg_gray_pixels(
+def _decode_jpeg_planes(
     payload: bytes,
-) -> tuple[int, int, list[int]] | None:
-    """(width, height, row-major gray pixels) from a baseline
-    GRAYSCALE JFIF — full entropy decode with the Huffman tables
-    rebuilt from the file's own DHT segments, dequantize, IDCT,
-    edge-block crop. None at the documented seam: color /
-    progressive / arithmetic-coded / malformed streams."""
+) -> tuple[int, int, list[list[int]]] | None:
+    """Shared baseline-JPEG decode core: (width, height, one
+    row-major plane per component) for GRAYSCALE (1 component) or
+    4:4:4 COLOR (3 components, interleaved one block each per MCU,
+    per-component quant/Huffman tables and DC predictors). Huffman
+    tables come from the file's own DHT segments; restart markers
+    realign the reader and reset ALL predictors. None at the
+    documented seam: chroma-subsampled / progressive /
+    arithmetic-coded / malformed streams."""
     try:
         if len(payload) < 4 or payload[:2] != b"\xff\xd8":
             return None
         qtables: dict[int, list[int]] = {}
         huff: dict[tuple[int, int], dict] = {}
         wid = hei = None
-        comp_qt = comp_dc = comp_ac = 0
+        comp_qt: dict[int, int] = {}  # component id -> quant table id
+        comp_order: list[int] = []  # component ids in SOF order
+        scan_tabs: dict[int, tuple[int, int]] = {}  # id -> (dc, ac)
         restart_interval = 0
         pos = 2
         while pos + 4 <= len(payload):
@@ -1823,11 +1834,15 @@ def decode_jpeg_gray_pixels(
                     return None
                 hei = int.from_bytes(body[1:3], "big")
                 wid = int.from_bytes(body[3:5], "big")
-                if body[5] != 1:
-                    return None  # color: the seam
-                if body[7] != 0x11:
-                    return None  # subsampled: the seam
-                comp_qt = body[8]
+                ncomp = body[5]
+                if ncomp not in (1, 3):
+                    return None  # CMYK etc.: seam
+                for c in range(ncomp):
+                    cid = body[6 + 3 * c]
+                    if body[7 + 3 * c] != 0x11:
+                        return None  # subsampled: the seam
+                    comp_qt[cid] = body[8 + 3 * c]
+                    comp_order.append(cid)
             elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
                 return None  # progressive/extended/arithmetic: seam
             elif marker == 0xDD:  # DRI: restart interval in MCUs
@@ -1835,10 +1850,16 @@ def decode_jpeg_gray_pixels(
                     return None
                 restart_interval = int.from_bytes(body, "big")
             elif marker == 0xDA:  # SOS → entropy data follows
-                if body[0] != 1 or wid is None or hei is None:
+                if wid is None or hei is None:
                     return None
-                comp_dc = body[2] >> 4
-                comp_ac = body[2] & 0x0F
+                if body[0] != len(comp_order):
+                    return None  # partial-scan (progressive-ish): seam
+                for c in range(body[0]):
+                    cid = body[1 + 2 * c]
+                    scan_tabs[cid] = (
+                        body[2 + 2 * c] >> 4,
+                        body[2 + 2 * c] & 0x0F,
+                    )
                 pos = pos + 2 + seg_len
                 break
             pos = pos + 2 + seg_len
@@ -1846,16 +1867,21 @@ def decode_jpeg_gray_pixels(
             return None
         if wid == 0 or hei == 0:
             return None
-        qt = qtables.get(comp_qt)
-        dc = huff.get((0, comp_dc))
-        ac = huff.get((1, comp_ac))
-        if qt is None or dc is None or ac is None:
-            return None
+        comp_tabs = []
+        for cid in comp_order:
+            qt = qtables.get(comp_qt.get(cid))
+            if cid not in scan_tabs:
+                return None
+            dc = huff.get((0, scan_tabs[cid][0]))
+            ac = huff.get((1, scan_tabs[cid][1]))
+            if qt is None or dc is None or ac is None:
+                return None
+            comp_tabs.append((qt, dc, ac))
         reader = _JpegBitReader(payload, pos)
         bw = (wid + 7) // 8
         bh = (hei + 7) // 8
-        px = [0] * (wid * hei)
-        prev_dc = 0
+        planes = [[0] * (wid * hei) for _ in comp_order]
+        prev = [0] * len(comp_order)
         mcu = 0
         rst = 0
         for byi in range(bh):
@@ -1863,45 +1889,77 @@ def decode_jpeg_gray_pixels(
                 if restart_interval and mcu and mcu % restart_interval == 0:
                     reader.sync_restart(rst)
                     rst = (rst + 1) % 8
-                    prev_dc = 0  # predictor resets per segment
+                    prev = [0] * len(comp_order)  # ALL predictors reset
                 mcu += 1
-                zz = [0] * 64
-                size = _jpeg_decode_symbol(reader, dc)
-                diff = _jpeg_extend(reader.bits(size), size)
-                prev_dc += diff
-                zz[0] = prev_dc
-                k = 1
-                while k < 64:
-                    rs = _jpeg_decode_symbol(reader, ac)
-                    if rs == 0x00:  # EOB
-                        break
-                    run, size = rs >> 4, rs & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            return None
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        return None
-                    zz[k] = _jpeg_extend(reader.bits(size), size)
-                    k += 1
-                coefs = [0] * 64
-                for k in range(64):
-                    coefs[_JPEG_ZZ[k]] = zz[k]
-                block = _jpeg_dequant_idct(coefs, qt)
-                for j in range(8):
-                    y = byi * 8 + j
-                    if y >= hei:
-                        break
-                    for i in range(8):
-                        x = bxi * 8 + i
-                        if x >= wid:
+                for ci, (qt, dc, ac) in enumerate(comp_tabs):
+                    zz = [0] * 64
+                    size = _jpeg_decode_symbol(reader, dc)
+                    diff = _jpeg_extend(reader.bits(size), size)
+                    prev[ci] += diff
+                    zz[0] = prev[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_decode_symbol(reader, ac)
+                        if rs == 0x00:  # EOB
                             break
-                        px[y * wid + x] = block[j * 8 + i]
-        return wid, hei, px
+                        run, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                return None
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            return None
+                        zz[k] = _jpeg_extend(reader.bits(size), size)
+                        k += 1
+                    coefs = [0] * 64
+                    for k in range(64):
+                        coefs[_JPEG_ZZ[k]] = zz[k]
+                    block = _jpeg_dequant_idct(coefs, qt)
+                    px = planes[ci]
+                    for j in range(8):
+                        y = byi * 8 + j
+                        if y >= hei:
+                            break
+                        for i in range(8):
+                            x = bxi * 8 + i
+                            if x >= wid:
+                                break
+                            px[y * wid + x] = block[j * 8 + i]
+        return wid, hei, planes
     except (ValueError, IndexError):
         return None
+
+
+def decode_jpeg_gray_pixels(
+    payload: bytes,
+) -> tuple[int, int, list[int]] | None:
+    """(width, height, row-major gray pixels) from a baseline
+    GRAYSCALE JFIF — full entropy decode with the Huffman tables
+    rebuilt from the file's own DHT segments, dequantize, IDCT,
+    edge-block crop. None for color streams (use
+    decode_jpeg_ycbcr_pixels) and at the documented seam."""
+    decoded = _decode_jpeg_planes(payload)
+    if decoded is None or len(decoded[2]) != 1:
+        return None
+    w, h, planes = decoded
+    return w, h, planes[0]
+
+
+def decode_jpeg_ycbcr_pixels(
+    payload: bytes,
+) -> tuple[int, int, list[int], list[int], list[int]] | None:
+    """(width, height, Y, Cb, Cr row-major planes) from a baseline
+    4:4:4 COLOR JFIF. None for grayscale streams and at the seam
+    (chroma-subsampled / progressive). The RGB conversion is the
+    caller's pointwise business — this returns what the codec
+    actually stores."""
+    decoded = _decode_jpeg_planes(payload)
+    if decoded is None or len(decoded[2]) != 3:
+        return None
+    w, h, planes = decoded
+    return w, h, planes[0], planes[1], planes[2]
 
 
 JPEG_STATS_SCHEMA = T.StructType(
@@ -2158,3 +2216,261 @@ def mulaw_roundtrip_stats(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).cast("long").alias("_mid")).mapInPandas(
         batches, MULAW_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG color (4:4:4 YCbCr): the 3-component interleaved form — per-
+# MCU Y/Cb/Cr blocks, separate quantization tables, separate Huffman
+# table pairs, THREE independent DC prediction chains. This is the
+# JPEG-specific machinery of color; chroma SUBSAMPLING (4:2:0) and
+# progressive scans remain the documented seam.
+# ---------------------------------------------------------------------------
+
+# standard chroma quantization table (T.81 Annex K.2), row-major
+_JPEG_STD_QT_CHROMA = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# standard chroma Huffman tables (T.81 Annex K.3.3.2)
+_JPEG_DC_BITS_CHROMA = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS_CHROMA = list(range(12))
+_JPEG_AC_BITS_CHROMA = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119]
+_JPEG_AC_VALS_CHROMA = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_encode_block(w, block, qt, dc_codes, ac_codes, prev_dc):
+    """Entropy-encode one level-shifted 8×8 block; returns its DC."""
+    q = _jpeg_fdct_quant(block, qt)
+    zz = [q[_JPEG_ZZ[k]] for k in range(64)]
+    size, bits = _jpeg_mag_bits(zz[0] - prev_dc)
+    length, code = dc_codes[size]
+    w.put(code, length)
+    if size:
+        w.put(bits, size)
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_codes[0xF0]
+            w.put(code, length)
+            run -= 16
+        size, bits = _jpeg_mag_bits(zz[k])
+        length, code = ac_codes[(run << 4) | size]
+        w.put(code, length)
+        w.put(bits, size)
+        run = 0
+    if run:
+        length, code = ac_codes[0x00]
+        w.put(code, length)
+    return zz[0]
+
+
+def make_jpeg_ycbcr(
+    width: int,
+    height: int,
+    ycbcr_of,
+    qtable_y: list[int] | None = None,
+    qtable_c: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Spec-valid baseline COLOR JFIF, 4:4:4 (no chroma subsampling):
+    `ycbcr_of(x, y)` returns the (Y, Cb, Cr) triple at (x, y). Per
+    MCU the scan interleaves one Y, one Cb, one Cr block; Y uses
+    quant table 0 + Huffman pair 0, chroma uses table 1 + pair 1 —
+    THREE independent DC predictors, all reset at restart markers.
+    (The RGB↔YCbCr pointwise transform is deliberately outside this
+    function: callers supply YCbCr so the codec pipeline — the part
+    that is actually JPEG — stays closed-form testable.)"""
+    import struct
+
+    qty = list(qtable_y) if qtable_y is not None else list(_JPEG_STD_QT)
+    qtc = (
+        list(qtable_c)
+        if qtable_c is not None
+        else list(_JPEG_STD_QT_CHROMA)
+    )
+    dc0 = _jpeg_build_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac0 = _jpeg_build_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc1 = _jpeg_build_codes(_JPEG_DC_BITS_CHROMA, _JPEG_DC_VALS_CHROMA)
+    ac1 = _jpeg_build_codes(_JPEG_AC_BITS_CHROMA, _JPEG_AC_VALS_CHROMA)
+    w = _JpegBitWriter()
+    prev = [0, 0, 0]
+    mcu = 0
+    rst = 0
+    comp_tabs = [(qty, dc0, ac0), (qtc, dc1, ac1), (qtc, dc1, ac1)]
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.pad_to_byte()
+                w.raw(bytes((0xFF, 0xD0 + rst)))
+                rst = (rst + 1) % 8
+                prev = [0, 0, 0]
+            mcu += 1
+            pix = [
+                ycbcr_of(min(bx + i, width - 1), min(by + j, height - 1))
+                for j in range(8)
+                for i in range(8)
+            ]
+            for ci, (qt, dcc, acc) in enumerate(comp_tabs):
+                block = [p[ci] & 0xFF for p in pix]
+                prev[ci] = _jpeg_encode_block(
+                    w, block, qt, dcc, acc, prev[ci]
+                )
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += seg(
+        0xDB,
+        bytes([0x00]) + bytes(qty[_JPEG_ZZ[k]] for k in range(64))
+        + bytes([0x01]) + bytes(qtc[_JPEG_ZZ[k]] for k in range(64)),
+    )
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        + bytes([0x01]) + bytes(_JPEG_DC_BITS_CHROMA)
+        + bytes(_JPEG_DC_VALS_CHROMA)
+        + bytes([0x11]) + bytes(_JPEG_AC_BITS_CHROMA)
+        + bytes(_JPEG_AC_VALS_CHROMA),
+    )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+JPEG_COLOR_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("sum_y", T.LongType()),
+        T.StructField("sum_cb", T.LongType()),
+        T.StructField("sum_cr", T.LongType()),
+        T.StructField("y_top_left", T.IntegerType()),
+        T.StructField("cr_bottom_right", T.IntegerType()),
+    ]
+)
+
+
+def attach_color_jpeg_payload(
+    df: DataFrame, id_col: str, restart_interval: int = 0
+) -> DataFrame:
+    """Media table with REAL 4:4:4 color JPEG bytes, block-constant
+    per channel (Y/Cb/Cr get independent gradients over the block
+    grid), q00 = 24 on BOTH quant tables so every channel's decode
+    follows the same float-robust closed form as the grayscale
+    query. w = 8·(1 + id mod 3), h = 8·(1 + 5·id mod 3)."""
+
+    def batches(it):
+        import pandas as pd
+
+        qy = list(_JPEG_STD_QT)
+        qy[0] = 24
+        qc = list(_JPEG_STD_QT_CHROMA)
+        qc[0] = 24
+        for pdf in it:
+            rows = []
+            for m in (int(v) for v in pdf["_mid"]):
+                w = 8 * (1 + m % 3)
+                h = 8 * (1 + (m * 5) % 3)
+
+                def ycbcr(x, y, m=m):
+                    bx, by = x // 8, y // 8
+                    return (
+                        (m * 7 + 16 * bx + 31 * by) % 256,
+                        (m * 11 + 8 * bx + 23 * by) % 256,
+                        (m * 13 + 29 * bx + 5 * by) % 256,
+                    )
+
+                p = make_jpeg_ycbcr(
+                    w, h, ycbcr, qtable_y=qy, qtable_c=qc,
+                    restart_interval=restart_interval,
+                )
+                rows.append((m, p, "image/jpeg", len(p)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "payload", "mime", "n_bytes"]
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("_mid")).mapInPandas(
+        batches, MEDIA_SCHEMA
+    )
+
+
+def jpeg_color_pixel_stats(df: DataFrame) -> DataFrame:
+    """Featurization through the full COLOR decode: per-plane sums
+    plus corner probes on the FIRST (Y) and LAST (Cr) components —
+    the pair that catches a wrong component interleave order or a
+    cross-component DC predictor mix-up immediately."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                decoded = decode_jpeg_ycbcr_pixels(bytes(p))
+                if decoded is None:
+                    continue
+                w, h, yy, cb, cr = decoded
+                rows.append(
+                    (
+                        mid, w, h, w * h, sum(yy), sum(cb), sum(cr),
+                        yy[0], cr[h * w - 1],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_pixels",
+                    "sum_y", "sum_cb", "sum_cr",
+                    "y_top_left", "cr_bottom_right",
+                ],
+            )
+
+    return df.mapInPandas(batches, JPEG_COLOR_STATS_SCHEMA)

@@ -1906,3 +1906,65 @@ def multimodal_jpeg_restart_stats(
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "multimodal_jpeg_color_pixel_stats",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         8 * (1 + doc_id % 3) AS w,
+         8 * (1 + (doc_id * 5) % 3) AS h
+  FROM documents WHERE doc_id < 100
+),
+blk AS (
+  SELECT media_id, w, h,
+    {_JPEG_G.format(v="(media_id * 7 + 16 * bx.i + 31 * by.i) % 256")} AS gy,
+    {_JPEG_G.format(v="(media_id * 11 + 8 * bx.i + 23 * by.i) % 256")} AS gcb,
+    {_JPEG_G.format(v="(media_id * 13 + 29 * bx.i + 5 * by.i) % 256")} AS gcr
+  FROM m, UNNEST(range(w // 8)) AS bx(i), UNNEST(range(h // 8)) AS by(i)
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(64 * SUM(gy) AS BIGINT) AS sum_y,
+       CAST(64 * SUM(gcb) AS BIGINT) AS sum_cb,
+       CAST(64 * SUM(gcr) AS BIGINT) AS sum_cr,
+       CAST({_JPEG_G.format(v="(media_id * 7) % 256")} AS INTEGER)
+         AS y_top_left,
+       CAST({_JPEG_G.format(
+           v="(media_id * 13 + 29 * (w // 8 - 1) + 5 * (h // 8 - 1)) % 256"
+       )} AS INTEGER) AS cr_bottom_right
+FROM blk
+GROUP BY media_id, w, h
+ORDER BY media_id
+""",
+    tags=("ext", "multimodal", "decode", "pixels", "jpeg", "color"),
+    description="FULL 4:4:4 color-JPEG decode (3 planes, closed-form oracle)",
+)
+def multimodal_jpeg_color_pixel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Baseline COLOR JPEG (4:4:4 YCbCr) decoded end to end: per MCU
+    the scan interleaves Y, Cb, Cr blocks with separate quant
+    tables, separate Huffman pairs (standard luminance AND chroma
+    tables, both rebuilt from the file's DHT), and THREE independent
+    DC prediction chains. Payloads are block-constant per channel
+    with q00=24 on both tables, so each plane follows the same
+    float-robust closed form as the grayscale query; the Y-first /
+    Cr-last corner probes catch an interleave-order or predictor
+    mix-up immediately. Encoded with restart_interval=2 so the color
+    restart path (ALL three predictors reset) is the path driven."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.attach_color_jpeg_payload(docs, "doc_id", restart_interval=2)
+    return (
+        M.jpeg_color_pixel_stats(media)
+        .select(
+            "media_id", "width", "height", "n_pixels",
+            "sum_y", "sum_cb", "sum_cr", "y_top_left", "cr_bottom_right",
+        )
+        .orderBy("media_id")
+    )
