@@ -24,12 +24,14 @@ proven through DuckDB oracle gates):
     streams (`make_gif_animated`/`decode_gif_frames`) — so frame
     sampling (`sample_gif_frames`) runs on genuinely decoded
     frames, the video-analog path;
-  * JPEG: BASELINE GRAYSCALE encode (`make_jpeg_gray`) and full
-    pixel DECODE (`decode_jpeg_gray_pixels`) — FDCT/IDCT,
-    quantization, zigzag, DC differential prediction, canonical
-    Huffman coding with the tables rebuilt from the file's own DHT
+  * JPEG: baseline GRAYSCALE and 4:4:4 COLOR encode
+    (`make_jpeg_gray`/`make_jpeg_ycbcr`) and full pixel DECODE
+    (`decode_jpeg_gray_pixels`/`decode_jpeg_ycbcr_pixels`) —
+    FDCT/IDCT, quantization, zigzag, DC differential prediction
+    (one chain per component), canonical Huffman coding with the
+    luminance AND chroma tables rebuilt from the file's own DHT
     segments, 0xFF byte stuffing, and DRI/RSTn restart intervals
-    (byte realignment + per-segment DC reset — the parallel-decode
+    (byte realignment + all-predictor reset — the parallel-decode
     seam, segment independence test-pinned);
   * G.711 μ-law companding (`mulaw_encode`/`mulaw_decode`) — a real
     standardized LOSSY audio codec whose integer arithmetic makes
@@ -39,12 +41,12 @@ proven through DuckDB oracle gates):
 
 What is SEAMED (returns None / raises NotImplementedError at the
 exact call site a real codec would plug into, because PIL/ffmpeg are
-not in this container): COLOR and progressive JPEG pixel decode
-(chroma subsampling + YCbCr; the grayscale baseline above covers the
-entropy/transform pipeline), transform-based lossy audio (mp3/ogg;
-μ-law covers the companding class), video-codec (h264-class) frame
-decode — animated GIF covers the multi-frame pipeline shape with a
-real decoder.
+not in this container): chroma-SUBSAMPLED (4:2:0) and progressive
+JPEG decode (4:4:4 above covers the color entropy/transform
+pipeline; subsampling adds only the 2×2 MCU geometry),
+transform-based lossy audio (mp3/ogg; μ-law covers the companding
+class), video-codec (h264-class) frame decode — animated GIF covers
+the multi-frame pipeline shape with a real decoder.
 `decode_media(..., real=False)` keeps an md5-seeded
 deterministic fake for pipeline-shape tests of those paths.
 """
