@@ -725,3 +725,56 @@ def test_jpeg_color_roundtrip_and_restarts(bw, bh, ri, seed):
         assert M.decode_jpeg_ycbcr_pixels(p1) == base
         for cut in range(0, len(p1), max(1, len(p1) // 7)):
             M.decode_jpeg_ycbcr_pixels(p1[:cut])
+
+
+@given(
+    st.integers(1, 2),
+    st.integers(1, 2),
+    st.integers(0, 4),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_420_roundtrip_and_restarts(mw, mh, ri, seed):
+    """4:2:0: luma round-trips within the ±4 all-ones bound at full
+    resolution; chroma within the same bound against the point-
+    sampled even grid at half resolution; restart markers never
+    change pixels; truncation never raises; non-16-multiple dims
+    exercise the ragged-MCU crop."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    w = 16 * mw - seed % 7
+    h = 16 * mh - (seed // 5) % 7
+    w, h = max(2, w), max(2, h)
+
+    def ycbcr(x, y):
+        return (
+            (seed + 3 * x + 5 * y) % 256,
+            (seed // 3 + 7 * x + y) % 256,
+            (seed // 7 + x + 11 * y) % 256,
+        )
+
+    ones = [1] * 64
+    p0 = M.make_jpeg_ycbcr_420(w, h, ycbcr, qtable_y=ones, qtable_c=ones)
+    base = M.decode_jpeg_ycbcr420_pixels(p0)
+    assert base is not None
+    W, H, yy, cw, ch, cb, cr = base
+    assert (W, H) == (w, h) and (cw, ch) == (-(-w // 2), -(-h // 2))
+    orig_y = [ycbcr(x, y)[0] for y in range(h) for x in range(w)]
+    assert max(abs(a - b) for a, b in zip(yy, orig_y)) <= 4
+
+    def csample(plane_idx):
+        return [
+            ycbcr(min(2 * x, w - 1), min(2 * y, h - 1))[plane_idx]
+            for y in range(ch)
+            for x in range(cw)
+        ]
+
+    assert max(abs(a - b) for a, b in zip(cb, csample(1))) <= 4
+    assert max(abs(a - b) for a, b in zip(cr, csample(2))) <= 4
+    if ri:
+        p1 = M.make_jpeg_ycbcr_420(
+            w, h, ycbcr, qtable_y=ones, qtable_c=ones, restart_interval=ri
+        )
+        assert M.decode_jpeg_ycbcr420_pixels(p1) == base
+        for cut in range(0, len(p1), max(1, len(p1) // 7)):
+            M.decode_jpeg_ycbcr420_pixels(p1[:cut])

@@ -41,12 +41,13 @@ proven through DuckDB oracle gates):
 
 What is SEAMED (returns None / raises NotImplementedError at the
 exact call site a real codec would plug into, because PIL/ffmpeg are
-not in this container): chroma-SUBSAMPLED (4:2:0) and progressive
-JPEG decode (4:4:4 above covers the color entropy/transform
-pipeline; subsampling adds only the 2×2 MCU geometry),
-transform-based lossy audio (mp3/ogg; μ-law covers the companding
-class), video-codec (h264-class) frame decode — animated GIF covers
-the multi-frame pipeline shape with a real decoder.
+not in this container): PROGRESSIVE and arithmetic-coded JPEG
+(baseline grayscale, 4:4:4 color, and 4:2:0 chroma-subsampled —
+`make_jpeg_ycbcr_420`/`decode_jpeg_ycbcr420_pixels`, the
+camera-JPEG MCU geometry — are all REAL), transform-based lossy
+audio (mp3/ogg; μ-law covers the companding class), video-codec
+(h264-class) frame decode — animated GIF covers the multi-frame
+pipeline shape with a real decoder.
 `decode_media(..., real=False)` keeps an md5-seeded
 deterministic fake for pipeline-shape tests of those paths.
 """
@@ -1785,6 +1786,7 @@ def _decode_jpeg_planes(
         huff: dict[tuple[int, int], dict] = {}
         wid = hei = None
         comp_qt: dict[int, int] = {}  # component id -> quant table id
+        comp_hv: dict[int, tuple[int, int]] = {}  # id -> sampling (h, v)
         comp_order: list[int] = []  # component ids in SOF order
         scan_tabs: dict[int, tuple[int, int]] = {}  # id -> (dc, ac)
         restart_interval = 0
@@ -1841,8 +1843,11 @@ def _decode_jpeg_planes(
                     return None  # CMYK etc.: seam
                 for c in range(ncomp):
                     cid = body[6 + 3 * c]
-                    if body[7 + 3 * c] != 0x11:
-                        return None  # subsampled: the seam
+                    hv = body[7 + 3 * c]
+                    h_i, v_i = hv >> 4, hv & 0x0F
+                    if h_i not in (1, 2) or v_i not in (1, 2):
+                        return None  # exotic sampling: the seam
+                    comp_hv[cid] = (h_i, v_i)
                     comp_qt[cid] = body[8 + 3 * c]
                     comp_order.append(cid)
             elif marker in (0xC1, 0xC2, 0xC3, 0xC9, 0xCA, 0xCB):
@@ -1869,6 +1874,8 @@ def _decode_jpeg_planes(
             return None
         if wid == 0 or hei == 0:
             return None
+        max_h = max(comp_hv[cid][0] for cid in comp_order)
+        max_v = max(comp_hv[cid][1] for cid in comp_order)
         comp_tabs = []
         for cid in comp_order:
             qt = qtables.get(comp_qt.get(cid))
@@ -1878,58 +1885,75 @@ def _decode_jpeg_planes(
             ac = huff.get((1, scan_tabs[cid][1]))
             if qt is None or dc is None or ac is None:
                 return None
-            comp_tabs.append((qt, dc, ac))
+            h_i, v_i = comp_hv[cid]
+            # plane dims: the component's own sampling grid (spec
+            # A.1.1: ceil(dim * factor / max_factor)) — chroma comes
+            # back at ITS resolution; upsampling is display business
+            cw = -(-wid * h_i // max_h)
+            ch = -(-hei * v_i // max_v)
+            comp_tabs.append((qt, dc, ac, h_i, v_i, cw, ch))
         reader = _JpegBitReader(payload, pos)
-        bw = (wid + 7) // 8
-        bh = (hei + 7) // 8
-        planes = [[0] * (wid * hei) for _ in comp_order]
+        n_mcu_x = -(-wid // (8 * max_h))
+        n_mcu_y = -(-hei // (8 * max_v))
+        planes = [
+            [0] * (cw * ch) for (_, _, _, _, _, cw, ch) in comp_tabs
+        ]
+        dims = [(cw, ch) for (_, _, _, _, _, cw, ch) in comp_tabs]
         prev = [0] * len(comp_order)
         mcu = 0
         rst = 0
-        for byi in range(bh):
-            for bxi in range(bw):
+        for myi in range(n_mcu_y):
+            for mxi in range(n_mcu_x):
                 if restart_interval and mcu and mcu % restart_interval == 0:
                     reader.sync_restart(rst)
                     rst = (rst + 1) % 8
                     prev = [0] * len(comp_order)  # ALL predictors reset
                 mcu += 1
-                for ci, (qt, dc, ac) in enumerate(comp_tabs):
-                    zz = [0] * 64
-                    size = _jpeg_decode_symbol(reader, dc)
-                    diff = _jpeg_extend(reader.bits(size), size)
-                    prev[ci] += diff
-                    zz[0] = prev[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _jpeg_decode_symbol(reader, ac)
-                        if rs == 0x00:  # EOB
-                            break
-                        run, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if run != 15:
-                                return None
-                            k += 16  # ZRL
-                            continue
-                        k += run
-                        if k > 63:
-                            return None
-                        zz[k] = _jpeg_extend(reader.bits(size), size)
-                        k += 1
-                    coefs = [0] * 64
-                    for k in range(64):
-                        coefs[_JPEG_ZZ[k]] = zz[k]
-                    block = _jpeg_dequant_idct(coefs, qt)
-                    px = planes[ci]
-                    for j in range(8):
-                        y = byi * 8 + j
-                        if y >= hei:
-                            break
-                        for i in range(8):
-                            x = bxi * 8 + i
-                            if x >= wid:
-                                break
-                            px[y * wid + x] = block[j * 8 + i]
-        return wid, hei, planes
+                for ci, (qt, dc, ac, h_i, v_i, cw, ch) in enumerate(
+                    comp_tabs
+                ):
+                    for bv in range(v_i):
+                        for bu in range(h_i):
+                            zz = [0] * 64
+                            size = _jpeg_decode_symbol(reader, dc)
+                            diff = _jpeg_extend(reader.bits(size), size)
+                            prev[ci] += diff
+                            zz[0] = prev[ci]
+                            k = 1
+                            while k < 64:
+                                rs = _jpeg_decode_symbol(reader, ac)
+                                if rs == 0x00:  # EOB
+                                    break
+                                run, size = rs >> 4, rs & 0x0F
+                                if size == 0:
+                                    if run != 15:
+                                        return None
+                                    k += 16  # ZRL
+                                    continue
+                                k += run
+                                if k > 63:
+                                    return None
+                                zz[k] = _jpeg_extend(
+                                    reader.bits(size), size
+                                )
+                                k += 1
+                            coefs = [0] * 64
+                            for k in range(64):
+                                coefs[_JPEG_ZZ[k]] = zz[k]
+                            block = _jpeg_dequant_idct(coefs, qt)
+                            px = planes[ci]
+                            bx0 = (mxi * h_i + bu) * 8
+                            by0 = (myi * v_i + bv) * 8
+                            for j in range(8):
+                                y = by0 + j
+                                if y >= ch:
+                                    break
+                                for i in range(8):
+                                    x = bx0 + i
+                                    if x >= cw:
+                                        break
+                                    px[y * cw + x] = block[j * 8 + i]
+        return wid, hei, planes, dims
     except (ValueError, IndexError):
         return None
 
@@ -1945,7 +1969,9 @@ def decode_jpeg_gray_pixels(
     decoded = _decode_jpeg_planes(payload)
     if decoded is None or len(decoded[2]) != 1:
         return None
-    w, h, planes = decoded
+    w, h, planes, dims = decoded
+    if dims[0] != (w, h):
+        return None
     return w, h, planes[0]
 
 
@@ -1960,7 +1986,9 @@ def decode_jpeg_ycbcr_pixels(
     decoded = _decode_jpeg_planes(payload)
     if decoded is None or len(decoded[2]) != 3:
         return None
-    w, h, planes = decoded
+    w, h, planes, dims = decoded
+    if any(d != (w, h) for d in dims):
+        return None  # subsampled: use decode_jpeg_ycbcr420_pixels
     return w, h, planes[0], planes[1], planes[2]
 
 
@@ -2476,3 +2504,197 @@ def jpeg_color_pixel_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(batches, JPEG_COLOR_STATS_SCHEMA)
+
+
+def make_jpeg_ycbcr_420(
+    width: int,
+    height: int,
+    ycbcr_of,
+    qtable_y: list[int] | None = None,
+    qtable_c: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline color JFIF with 4:2:0 CHROMA SUBSAMPLING — the MCU
+    geometry virtually every camera JPEG uses: per 16×16 MCU the
+    scan carries FOUR Y blocks (raster order within the MCU) and ONE
+    8×8 block each of Cb/Cr sampled at half resolution. Chroma is
+    POINT-SAMPLED at the even pixel grid (the subsampling filter is
+    encoder's choice per the spec; point sampling keeps the
+    closed-form oracle exact — an averaging filter slots in here).
+    Edge MCUs pad by edge replication; the decoder crops. Restart
+    markers reset all three predictors, as in 4:4:4."""
+    import struct
+
+    qty = list(qtable_y) if qtable_y is not None else list(_JPEG_STD_QT)
+    qtc = (
+        list(qtable_c)
+        if qtable_c is not None
+        else list(_JPEG_STD_QT_CHROMA)
+    )
+    dc0 = _jpeg_build_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac0 = _jpeg_build_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc1 = _jpeg_build_codes(_JPEG_DC_BITS_CHROMA, _JPEG_DC_VALS_CHROMA)
+    ac1 = _jpeg_build_codes(_JPEG_AC_BITS_CHROMA, _JPEG_AC_VALS_CHROMA)
+    w = _JpegBitWriter()
+    prev = [0, 0, 0]
+    mcu = 0
+    rst = 0
+
+    def clamped(x, y):
+        return ycbcr_of(min(x, width - 1), min(y, height - 1))
+
+    for my in range(0, height, 16):
+        for mx in range(0, width, 16):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                w.pad_to_byte()
+                w.raw(bytes((0xFF, 0xD0 + rst)))
+                rst = (rst + 1) % 8
+                prev = [0, 0, 0]
+            mcu += 1
+            # four Y blocks, raster order within the MCU
+            for bv in range(2):
+                for bu in range(2):
+                    block = [
+                        clamped(mx + bu * 8 + i, my + bv * 8 + j)[0] & 0xFF
+                        for j in range(8)
+                        for i in range(8)
+                    ]
+                    prev[0] = _jpeg_encode_block(
+                        w, block, qty, dc0, ac0, prev[0]
+                    )
+            # one Cb + one Cr block, point-sampled every 2nd pixel
+            for ci in (1, 2):
+                block = [
+                    clamped(mx + 2 * i, my + 2 * j)[ci] & 0xFF
+                    for j in range(8)
+                    for i in range(8)
+                ]
+                prev[ci] = _jpeg_encode_block(
+                    w, block, qtc, dc1, ac1, prev[ci]
+                )
+    scan = w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += seg(
+        0xDB,
+        bytes([0x00]) + bytes(qty[_JPEG_ZZ[k]] for k in range(64))
+        + bytes([0x01]) + bytes(qtc[_JPEG_ZZ[k]] for k in range(64)),
+    )
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        + bytes([0x01]) + bytes(_JPEG_DC_BITS_CHROMA)
+        + bytes(_JPEG_DC_VALS_CHROMA)
+        + bytes([0x11]) + bytes(_JPEG_AC_BITS_CHROMA)
+        + bytes(_JPEG_AC_VALS_CHROMA),
+    )
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_ycbcr420_pixels(
+    payload: bytes,
+) -> tuple[int, int, list[int], int, int, list[int], list[int]] | None:
+    """(width, height, Y, chroma_w, chroma_h, Cb, Cr) from a 4:2:0
+    baseline color JFIF: the full-resolution luma plane plus the
+    chroma planes AT THEIR STORED half resolution — what the codec
+    actually keeps; upsampling (replication/bilinear) is display
+    business, not decode."""
+    decoded = _decode_jpeg_planes(payload)
+    if decoded is None or len(decoded[2]) != 3:
+        return None
+    w, h, planes, dims = decoded
+    if dims[0] != (w, h) or dims[1] != dims[2] or dims[1] == (w, h):
+        return None  # not the 4:2:0 layout
+    cw, ch = dims[1]
+    return w, h, planes[0], cw, ch, planes[1], planes[2]
+
+
+JPEG_420_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("chroma_w", T.IntegerType()),
+        T.StructField("chroma_h", T.IntegerType()),
+        T.StructField("sum_y", T.LongType()),
+        T.StructField("sum_cb", T.LongType()),
+        T.StructField("sum_cr", T.LongType()),
+        T.StructField("y_top_left", T.IntegerType()),
+        T.StructField("cb_bottom_right", T.IntegerType()),
+    ]
+)
+
+
+def jpeg_420_pixel_stats(df: DataFrame, id_col: str) -> DataFrame:
+    """End-to-end 4:2:0 pipeline: encode MCU-constant color images
+    (value grids keyed on the 16×16 MCU), decode through the
+    subsampled MCU geometry, profile all three planes at their
+    stored resolutions. w = 16·(1 + id mod 2), h = 16·(1 + 3·id
+    mod 2); Y/Cb/Cr grids as in attach_color_jpeg_payload but on the
+    MCU lattice; restart_interval=1 so every MCU boundary exercises
+    the all-predictor reset."""
+
+    def batches(it):
+        import pandas as pd
+
+        qy = list(_JPEG_STD_QT)
+        qy[0] = 24
+        qc = list(_JPEG_STD_QT_CHROMA)
+        qc[0] = 24
+        for pdf in it:
+            rows = []
+            for m in (int(v) for v in pdf["_mid"]):
+                w = 16 * (1 + m % 2)
+                h = 16 * (1 + (m * 3) % 2)
+
+                def ycbcr(x, y, m=m):
+                    bx, by = x // 16, y // 16
+                    return (
+                        (m * 7 + 16 * bx + 31 * by) % 256,
+                        (m * 11 + 8 * bx + 23 * by) % 256,
+                        (m * 13 + 29 * bx + 5 * by) % 256,
+                    )
+
+                p = make_jpeg_ycbcr_420(
+                    w, h, ycbcr, qtable_y=qy, qtable_c=qc,
+                    restart_interval=1,
+                )
+                decoded = decode_jpeg_ycbcr420_pixels(p)
+                if decoded is None:
+                    continue
+                W, H, yy, cw, ch, cb, cr = decoded
+                rows.append(
+                    (
+                        m, W, H, cw, ch, sum(yy), sum(cb), sum(cr),
+                        yy[0], cb[cw * ch - 1],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "chroma_w", "chroma_h",
+                    "sum_y", "sum_cb", "sum_cr",
+                    "y_top_left", "cb_bottom_right",
+                ],
+            )
+
+    return df.select(F.col(id_col).cast("long").alias("_mid")).mapInPandas(
+        batches, JPEG_420_STATS_SCHEMA
+    )

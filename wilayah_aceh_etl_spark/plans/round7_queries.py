@@ -1968,3 +1968,64 @@ def multimodal_jpeg_color_pixel_stats(
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "multimodal_jpeg_420_pixel_stats",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         16 * (1 + doc_id % 2) AS w,
+         16 * (1 + (doc_id * 3) % 2) AS h
+  FROM documents WHERE doc_id < 100
+),
+blk AS (
+  SELECT media_id, w, h,
+    {_JPEG_G.format(v="(media_id * 7 + 16 * bx.i + 31 * by.i) % 256")} AS gy,
+    {_JPEG_G.format(v="(media_id * 11 + 8 * bx.i + 23 * by.i) % 256")} AS gcb,
+    {_JPEG_G.format(v="(media_id * 13 + 29 * bx.i + 5 * by.i) % 256")} AS gcr
+  FROM m, UNNEST(range(w // 16)) AS bx(i), UNNEST(range(h // 16)) AS by(i)
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w // 2 AS INTEGER) AS chroma_w,
+       CAST(h // 2 AS INTEGER) AS chroma_h,
+       CAST(256 * SUM(gy) AS BIGINT) AS sum_y,
+       CAST(64 * SUM(gcb) AS BIGINT) AS sum_cb,
+       CAST(64 * SUM(gcr) AS BIGINT) AS sum_cr,
+       CAST({_JPEG_G.format(v="(media_id * 7) % 256")} AS INTEGER)
+         AS y_top_left,
+       CAST({_JPEG_G.format(
+           v="(media_id * 11 + 8 * (w // 16 - 1) + 23 * (h // 16 - 1)) % 256"
+       )} AS INTEGER) AS cb_bottom_right
+FROM blk
+GROUP BY media_id, w, h
+ORDER BY media_id
+""",
+    tags=("ext", "multimodal", "decode", "pixels", "jpeg", "subsampling"),
+    description="4:2:0 chroma-subsampled JPEG decode (camera-JPEG MCU geometry)",
+)
+def multimodal_jpeg_420_pixel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The camera-JPEG layout, decoded for real: 4:2:0 MCUs carry
+    FOUR luma blocks plus one half-resolution block each of Cb/Cr —
+    the decoder walks the interleave with per-component sampling
+    factors and emits chroma at its STORED resolution. MCU-constant
+    payloads (q00=24 both tables) keep every plane on the integer
+    closed form; restart_interval=1 resets all three predictors at
+    every MCU; the Y-first / Cb-last corner probes pin the
+    4-luma-then-chroma interleave. With this, the JPEG seam is down
+    to progressive scans."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return (
+        M.jpeg_420_pixel_stats(docs, "doc_id")
+        .select(
+            "media_id", "width", "height", "chroma_w", "chroma_h",
+            "sum_y", "sum_cb", "sum_cr", "y_top_left", "cb_bottom_right",
+        )
+        .orderBy("media_id")
+    )
