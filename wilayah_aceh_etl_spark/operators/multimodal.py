@@ -2698,3 +2698,80 @@ def jpeg_420_pixel_stats(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).cast("long").alias("_mid")).mapInPandas(
         batches, JPEG_420_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (DVI4): the classic 4-bit adaptive-differential audio
+# codec — SEQUENTIAL per-stream state (predictor + step index), the
+# codec counterpart of the engine's chained-iteration devices: the
+# oracle replays the exact state recursion in a recursive CTE.
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def ima_adpcm_encode(samples: list[int]) -> bytes:
+    """16-bit PCM → 4-bit IMA ADPCM codes (one code per byte's low
+    nibble here — byte-per-code keeps chunk arithmetic trivial; the
+    2-codes-per-byte packing is container business). The encoder
+    mirrors the decoder's state (predictor = the DECODED value), the
+    property that keeps the two from drifting apart."""
+    pred, idx = 0, 0
+    out = bytearray()
+    for x in samples:
+        step = _IMA_STEPS[idx]
+        diff = x - pred
+        sign = 8 if diff < 0 else 0
+        ad = -diff if diff < 0 else diff
+        delta = 0
+        vpdiff = step >> 3
+        if ad >= step:
+            delta = 4
+            ad -= step
+            vpdiff += step
+        if ad >= step >> 1:
+            delta |= 2
+            ad -= step >> 1
+            vpdiff += step >> 1
+        if ad >= step >> 2:
+            delta |= 1
+            vpdiff += step >> 2
+        pred += -vpdiff if sign else vpdiff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IMA_INDEX_ADJ[delta]))
+        out.append(sign | delta)
+    return bytes(out)
+
+
+def ima_adpcm_decode(payload: bytes) -> list[int]:
+    """4-bit IMA ADPCM codes → 16-bit PCM, replaying the exact state
+    recursion (step table walk, 3-bit magnitude reconstruction with
+    the step>>3 rounding term, predictor clamp, index clamp)."""
+    pred, idx = 0, 0
+    out = []
+    for code in payload:
+        code &= 0x0F
+        step = _IMA_STEPS[idx]
+        delta = code & 7
+        vpdiff = step >> 3
+        if delta & 4:
+            vpdiff += step
+        if delta & 2:
+            vpdiff += step >> 1
+        if delta & 1:
+            vpdiff += step >> 2
+        pred += -vpdiff if code & 8 else vpdiff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IMA_INDEX_ADJ[delta]))
+        out.append(pred)
+    return out

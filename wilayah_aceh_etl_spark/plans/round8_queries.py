@@ -857,3 +857,141 @@ def multimodal_mulaw_codec_stats(
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return M.mulaw_roundtrip_stats(docs, "doc_id").orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM: sequential codec state replayed by a recursive oracle
+# ---------------------------------------------------------------------------
+
+_IMA_STEPS_SQL = (
+    "[7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,"
+    "37,41,45,50,55,60,66,73,80,88,97,107,118,130,143,"
+    "157,173,190,209,230,253,279,307,337,371,408,449,494,"
+    "544,598,658,724,796,876,963,1060,1166,1282,1411,1552,"
+    "1707,1878,2066,2272,2499,2749,3024,3327,3660,4026,4428,"
+    "4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,"
+    "12635,13899,15289,16818,18500,20350,22385,24623,27086,"
+    "29794,32767]"
+)
+
+_IMA_ORACLE = f"""
+WITH RECURSIVE m AS (
+  SELECT doc_id AS media_id, 60 + doc_id % 40 AS n
+  FROM documents WHERE doc_id < 120
+),
+st AS (
+  SELECT media_id, n, -1 AS k,
+         0 AS pred, 0 AS idx,
+         CAST(0 AS BIGINT) AS sumdec, 0 AS maxerr
+  FROM m
+  UNION ALL
+  SELECT media_id, n, k,
+         GREATEST(-32768, LEAST(32767,
+           pred + CASE WHEN sign THEN -vpdiff ELSE vpdiff END)) AS pred,
+         GREATEST(0, LEAST(88,
+           idx + [-1,-1,-1,-1,2,4,6,8][delta + 1])) AS idx,
+         sumdec + GREATEST(-32768, LEAST(32767,
+           pred + CASE WHEN sign THEN -vpdiff ELSE vpdiff END)),
+         GREATEST(maxerr, ABS(x - GREATEST(-32768, LEAST(32767,
+           pred + CASE WHEN sign THEN -vpdiff ELSE vpdiff END))))
+  FROM (
+    SELECT media_id, n, k, pred, idx, sumdec, maxerr, x, sign, step, delta,
+           (step >> 3)
+           + CASE WHEN delta >= 4 THEN step ELSE 0 END
+           + CASE WHEN (delta % 4) >= 2 THEN step >> 1 ELSE 0 END
+           + CASE WHEN (delta % 2) = 1 THEN step >> 2 ELSE 0 END AS vpdiff
+    FROM (
+      SELECT media_id, n, k, pred, idx, sumdec, maxerr, x, sign, step,
+             CASE WHEN ad >= step THEN 4 ELSE 0 END
+             + CASE WHEN ad - CASE WHEN ad >= step THEN step ELSE 0 END
+                      >= (step >> 1) THEN 2 ELSE 0 END
+             + CASE WHEN ad - CASE WHEN ad >= step THEN step ELSE 0 END
+                      - CASE WHEN ad - CASE WHEN ad >= step THEN step
+                                       ELSE 0 END >= (step >> 1)
+                             THEN step >> 1 ELSE 0 END
+                      >= (step >> 2) THEN 1 ELSE 0 END AS delta
+      FROM (
+        SELECT st.media_id, st.n, st.k + 1 AS k,
+               st.pred, st.idx, st.sumdec, st.maxerr,
+               ((st.media_id * 13 + (st.k + 1) * 150) % 12000) - 6000 AS x,
+               {_IMA_STEPS_SQL}[st.idx + 1] AS step,
+               ((st.media_id * 13 + (st.k + 1) * 150) % 12000) - 6000
+                 - st.pred < 0 AS sign,
+               ABS(((st.media_id * 13 + (st.k + 1) * 150) % 12000) - 6000
+                   - st.pred) AS ad
+        FROM st WHERE st.k + 1 < st.n
+      )
+    )
+  )
+)
+SELECT media_id,
+       CAST(n AS INTEGER) AS n_samples,
+       CAST(sumdec AS BIGINT) AS sum_decoded,
+       CAST(maxerr AS INTEGER) AS max_abs_err,
+       CAST(pred AS INTEGER) AS last_decoded
+FROM st WHERE k = n - 1
+ORDER BY media_id
+"""
+
+
+@register(
+    "multimodal_ima_adpcm_codec_stats",
+    oracle=_IMA_ORACLE,
+    tags=("ext", "multimodal", "audio", "codec", "adpcm", "sequential"),
+    description="IMA ADPCM round-trip: sequential state vs a recursive oracle",
+)
+def multimodal_ima_adpcm_codec_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IMA ADPCM (DVI4), the classic 4-bit adaptive-differential
+    audio codec: per-stream SEQUENTIAL state (predictor + step
+    index) that every sample mutates — the codec counterpart of the
+    engine's chained-iteration devices, so the oracle replays the
+    exact encode/decode recursion in a RECURSIVE CTE (step-table
+    walk, 3-bit magnitude reconstruction with the step>>3 rounding
+    term, predictor clamp, index clamp). All integer arithmetic: the
+    per-stream sum/max-error/final-sample hash-match exactly.
+    Samples are a deterministic sawtooth (step 150, period 80) so
+    the adaptive step index actually travels. Scale: streams are
+    independent (one mapInPandas partition each side); within a
+    stream the recursion is inherently sequential — the parallel
+    axis is stream count, exactly like JPEG restart segments."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    schema = (
+        "media_id long, n_samples int, sum_decoded long, "
+        "max_abs_err int, last_decoded int"
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid in (int(v) for v in pdf["_mid"]):
+                n = 60 + mid % 40
+                orig = [
+                    ((mid * 13 + k * 150) % 12000) - 6000 for k in range(n)
+                ]
+                dec = M.ima_adpcm_decode(M.ima_adpcm_encode(orig))
+                rows.append(
+                    (
+                        mid, n, sum(dec),
+                        max(abs(d - o) for d, o in zip(dec, orig)),
+                        dec[-1],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "sum_decoded",
+                    "max_abs_err", "last_decoded",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("_mid"))
+        .mapInPandas(batches, schema)
+        .orderBy("media_id")
+    )
