@@ -128,6 +128,15 @@ NLJ_ALLOWED = {
     # 16-row coarse-centroid and 64-row PQ-codebook broadcasts plus a
     # 4-row subspace dim — every unconditioned join is O(16) build-side
     "similarity_ivfadc_topk",
+    # --- round 9 additions (bounded-build-side shapes) ---
+    # three 1-row corpus-total aggregates combined into the BLEU row
+    "eval_bleu2_corpus",
+    # 10-row confidence-bin aggregate × 1-row gap-total broadcast
+    "eval_calibration_ece",
+    # pairwise join over the DISTINCT VOCABULARY (31 terms, the
+    # aggregated small relation) — the standard fuzzy-join dedupe-
+    # to-terms trick; corpus rows never enter the quadratic side
+    "eval_levenshtein_battery",
 }
 
 

@@ -1,0 +1,965 @@
+"""Round-9 query family (build round 6, continued): the EVALUATION
+metrics of the LLM pipeline — corpus BLEU, ROUGE-N, chrF, SQuAD-style
+span F1, an edit-distance battery, reward-model calibration (ECE) —
+plus two published TRAINING-DATA quality operators: the Gopher
+quality-rule battery (Rae et al. 2021) and exact duplicated-n-gram
+span detection (the operator core of Lee et al. 2022's "Deduplicating
+Training Data Makes Language Models Better").
+
+Determinism contract (DETERMINISM.md): every metric is integer-first —
+exact match/total counts — and each emitted float is a SINGLE IEEE
+division (or sqrt, also correctly-rounded per IEEE-754) of exact
+integers, so Spark and DuckDB produce bit-identical doubles. No
+exp/log anywhere (the BLEU brevity penalty is designed out by making
+every candidate longer than its reference; the geometric mean of two
+precisions is one sqrt).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from wilayah_aceh_etl_spark.plans.registry import register
+from wilayah_aceh_etl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared pair construction: candidate = first 18 words of doc p,
+# reference = first 15 words of doc (p+1) % 150. Cross-doc pairing
+# over a closed vocabulary gives realistic partial n-gram overlap;
+# 18 > 15 keeps the BLEU brevity penalty at exactly 1 (c > r), which
+# removes the only exp() in the BLEU formula.
+# ---------------------------------------------------------------------------
+
+_N_PAIRS = 150
+_CAND_LEN = 18
+_REF_LEN = 15
+
+
+def _pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _N_PAIRS)
+        .select("doc_id", F.split("text", " ").alias("w"))
+    )
+    cand = d.select(
+        F.col("doc_id").alias("pid"),
+        F.slice("w", 1, _CAND_LEN).alias("cw"),
+    )
+    ref = d.select(
+        ((F.col("doc_id") + _N_PAIRS - 1) % _N_PAIRS).alias("pid"),
+        F.slice("w", 1, _REF_LEN).alias("rw"),
+    )
+    return cand.join(ref, "pid")
+
+
+_PAIRS_SQL = f"""
+d AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < {_N_PAIRS}
+),
+pairs AS (
+  SELECT c.doc_id AS pid, c.w[1:{_CAND_LEN}] AS cw, r.w[1:{_REF_LEN}] AS rw
+  FROM d c JOIN d r ON r.doc_id = (c.doc_id + 1) % {_N_PAIRS}
+)
+"""
+
+
+def _bigrams(col: str):
+    """1-based bigram list 'w[i] w[i+1]' from a word-array column."""
+    return F.expr(
+        f"transform(slice({col}, 1, size({col}) - 1),"
+        f" (x, i) -> concat(x, ' ', element_at({col}, i + 2)))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus BLEU-2
+# ---------------------------------------------------------------------------
+
+_BLEU_ORACLE = (
+    "WITH "
+    + _PAIRS_SQL
+    + """,
+cu AS (
+  SELECT pid, u AS g, CAST(COUNT(*) AS BIGINT) AS cc
+  FROM (SELECT pid, unnest(cw) AS u FROM pairs) GROUP BY pid, u
+),
+ru AS (
+  SELECT pid, u AS g, CAST(COUNT(*) AS BIGINT) AS rc
+  FROM (SELECT pid, unnest(rw) AS u FROM pairs) GROUP BY pid, u
+),
+cb AS (
+  SELECT pid, g, CAST(COUNT(*) AS BIGINT) AS cc
+  FROM (
+    SELECT pid, cw[i] || ' ' || cw[i + 1] AS g
+    FROM pairs, LATERAL (SELECT unnest(range(1, len(cw))) AS i) t
+  ) GROUP BY pid, g
+),
+rb AS (
+  SELECT pid, g, CAST(COUNT(*) AS BIGINT) AS rc
+  FROM (
+    SELECT pid, rw[i] || ' ' || rw[i + 1] AS g
+    FROM pairs, LATERAL (SELECT unnest(range(1, len(rw))) AS i) t
+  ) GROUP BY pid, g
+),
+tot AS (
+  SELECT CAST(SUM(len(cw)) AS BIGINT) AS t1,
+         CAST(SUM(len(cw) - 1) AS BIGINT) AS t2
+  FROM pairs
+),
+m1 AS (
+  SELECT CAST(COALESCE(SUM(LEAST(cc, rc)), 0) AS BIGINT) AS m1
+  FROM cu JOIN ru USING (pid, g)
+),
+m2 AS (
+  SELECT CAST(COALESCE(SUM(LEAST(cc, rc)), 0) AS BIGINT) AS m2
+  FROM cb JOIN rb USING (pid, g)
+)
+SELECT m1, t1, m2, t2,
+       sqrt((CAST(m1 AS DOUBLE) / t1) * (CAST(m2 AS DOUBLE) / t2)) AS bleu2
+FROM m1, m2, tot
+"""
+)
+
+
+@register(
+    "eval_bleu2_corpus",
+    oracle=_BLEU_ORACLE,
+    tags=("ext", "eval", "text", "bleu", "metric"),
+    description="corpus-level clipped BLEU-2 with exact integer n-gram counts",
+)
+def eval_bleu2_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus BLEU-2 (Papineni et al. 2002) over 150 candidate/
+    reference pairs: clipped modified n-gram precision for n=1,2
+    (matched = sum over shared n-grams of min(candidate count,
+    reference count) — the inner join IS the clip, since absent
+    n-grams contribute min(x,0)=0), then sqrt(p1*p2). Every
+    candidate (18 words) is longer than its reference (15), so the
+    brevity penalty is identically 1 and the score needs no exp().
+    The four count columns are exact BIGINTs; bleu2 is two IEEE
+    divisions, one multiply, one sqrt — bit-identical cross-engine.
+
+    Scale: n-gram counting is one explode + groupBy per side (the
+    classic map-side-combinable shape); the clip join is on
+    (pid, gram) — at 100 TB both sides partition by the same key, and
+    the final 1-row reduce is a tree aggregate. Nothing is ever
+    collected per-pair."""
+    pairs = _pairs_df(spark, sf_dir)
+    cu = (
+        pairs.select("pid", F.explode("cw").alias("g"))
+        .groupBy("pid", "g")
+        .agg(F.count("*").alias("cc"))
+    )
+    ru = (
+        pairs.select("pid", F.explode("rw").alias("g"))
+        .groupBy("pid", "g")
+        .agg(F.count("*").alias("rc"))
+    )
+    cb = (
+        pairs.select("pid", F.explode(_bigrams("cw")).alias("g"))
+        .groupBy("pid", "g")
+        .agg(F.count("*").alias("cc"))
+    )
+    rb = (
+        pairs.select("pid", F.explode(_bigrams("rw")).alias("g"))
+        .groupBy("pid", "g")
+        .agg(F.count("*").alias("rc"))
+    )
+    tot = pairs.agg(
+        F.sum(F.size("cw")).cast("long").alias("t1"),
+        F.sum(F.size("cw") - 1).cast("long").alias("t2"),
+    )
+    m1 = cu.join(ru, ["pid", "g"]).agg(
+        F.coalesce(F.sum(F.least("cc", "rc")), F.lit(0))
+        .cast("long")
+        .alias("m1")
+    )
+    m2 = cb.join(rb, ["pid", "g"]).agg(
+        F.coalesce(F.sum(F.least("cc", "rc")), F.lit(0))
+        .cast("long")
+        .alias("m2")
+    )
+    return (
+        m1.crossJoin(F.broadcast(m2))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "m1",
+            "t1",
+            "m2",
+            "t2",
+            F.sqrt(
+                (F.col("m1").cast("double") / F.col("t1"))
+                * (F.col("m2").cast("double") / F.col("t2"))
+            ).alias("bleu2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-1 / ROUGE-2 per pair
+# ---------------------------------------------------------------------------
+
+_ROUGE_ORACLE = (
+    "WITH "
+    + _PAIRS_SQL
+    + """,
+cu AS (
+  SELECT pid, u AS g, CAST(COUNT(*) AS BIGINT) AS cc
+  FROM (SELECT pid, unnest(cw) AS u FROM pairs) GROUP BY pid, u
+),
+ru AS (
+  SELECT pid, u AS g, CAST(COUNT(*) AS BIGINT) AS rc
+  FROM (SELECT pid, unnest(rw) AS u FROM pairs) GROUP BY pid, u
+),
+cb AS (
+  SELECT pid, g, CAST(COUNT(*) AS BIGINT) AS cc
+  FROM (
+    SELECT pid, cw[i] || ' ' || cw[i + 1] AS g
+    FROM pairs, LATERAL (SELECT unnest(range(1, len(cw))) AS i) t
+  ) GROUP BY pid, g
+),
+rb AS (
+  SELECT pid, g, CAST(COUNT(*) AS BIGINT) AS rc
+  FROM (
+    SELECT pid, rw[i] || ' ' || rw[i + 1] AS g
+    FROM pairs, LATERAL (SELECT unnest(range(1, len(rw))) AS i) t
+  ) GROUP BY pid, g
+),
+m1 AS (
+  SELECT pid, CAST(SUM(LEAST(cc, rc)) AS BIGINT) AS m1
+  FROM cu JOIN ru USING (pid, g) GROUP BY pid
+),
+m2 AS (
+  SELECT pid, CAST(SUM(LEAST(cc, rc)) AS BIGINT) AS m2
+  FROM cb JOIN rb USING (pid, g) GROUP BY pid
+),
+lens AS (
+  SELECT pid,
+         CAST(len(cw) AS BIGINT) AS ct1,
+         CAST(len(rw) AS BIGINT) AS rt1,
+         CAST(len(cw) - 1 AS BIGINT) AS ct2,
+         CAST(len(rw) - 1 AS BIGINT) AS rt2
+  FROM pairs
+)
+SELECT pid,
+       COALESCE(m1, 0) AS m1, ct1, rt1,
+       COALESCE(m2, 0) AS m2, ct2, rt2,
+       2.0 * COALESCE(m1, 0) / (ct1 + rt1) AS rouge1_f,
+       2.0 * COALESCE(m2, 0) / (ct2 + rt2) AS rouge2_f
+FROM lens LEFT JOIN m1 USING (pid) LEFT JOIN m2 USING (pid)
+ORDER BY pid
+"""
+)
+
+
+@register(
+    "eval_rouge_scores",
+    oracle=_ROUGE_ORACLE,
+    tags=("ext", "eval", "text", "rouge", "metric"),
+    description="per-pair ROUGE-1/ROUGE-2 F1 from exact clipped counts",
+)
+def eval_rouge_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair ROUGE-1 / ROUGE-2 (Lin 2004). The F1 uses the exact
+    identity 2PR/(P+R) = 2m/(tc+tr) — with P = m/tc and R = m/tr the
+    harmonic mean collapses to a SINGLE division of integers, so no
+    intermediate float ever feeds another operation. Counts are the
+    same clipped-overlap shape as eval_bleu2_corpus but kept per
+    pair (summarization eval reports per-example scores).
+
+    Scale: identical partitioning story to BLEU — everything keys on
+    (pid, gram) then pid; the per-pair output keeps rows independent
+    so 10^9 pairs is just a wider shuffle, no driver state."""
+    pairs = _pairs_df(spark, sf_dir)
+
+    def counts(col: str, out: str, gram_fn) -> DataFrame:
+        return (
+            pairs.select("pid", F.explode(gram_fn(col)).alias("g"))
+            .groupBy("pid", "g")
+            .agg(F.count("*").alias(out))
+        )
+
+    ident = lambda c: F.col(c)  # noqa: E731
+    m1 = (
+        counts("cw", "cc", ident)
+        .join(counts("rw", "rc", ident), ["pid", "g"])
+        .groupBy("pid")
+        .agg(F.sum(F.least("cc", "rc")).cast("long").alias("m1"))
+    )
+    m2 = (
+        counts("cw", "cc", _bigrams)
+        .join(counts("rw", "rc", _bigrams), ["pid", "g"])
+        .groupBy("pid")
+        .agg(F.sum(F.least("cc", "rc")).cast("long").alias("m2"))
+    )
+    lens = pairs.select(
+        "pid",
+        F.size("cw").cast("long").alias("ct1"),
+        F.size("rw").cast("long").alias("rt1"),
+        (F.size("cw") - 1).cast("long").alias("ct2"),
+        (F.size("rw") - 1).cast("long").alias("rt2"),
+    )
+    return (
+        lens.join(m1, "pid", "left")
+        .join(m2, "pid", "left")
+        .select(
+            "pid",
+            F.coalesce("m1", F.lit(0)).alias("m1"),
+            "ct1",
+            "rt1",
+            F.coalesce("m2", F.lit(0)).alias("m2"),
+            "ct2",
+            "rt2",
+            (
+                F.lit(2.0)
+                * F.coalesce("m1", F.lit(0))
+                / (F.col("ct1") + F.col("rt1"))
+            ).alias("rouge1_f"),
+            (
+                F.lit(2.0)
+                * F.coalesce("m2", F.lit(0))
+                / (F.col("ct2") + F.col("rt2"))
+            ).alias("rouge2_f"),
+        )
+        .orderBy("pid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# chrF2 per pair (character bigrams)
+# ---------------------------------------------------------------------------
+
+_CHRF_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, array_to_string(string_split(text, ' ')[1:10], ' ') AS s
+  FROM documents WHERE doc_id < {_N_PAIRS}
+),
+pairs AS (
+  SELECT c.doc_id AS pid, c.s AS cs, r.s AS rs
+  FROM d c JOIN d r ON r.doc_id = (c.doc_id + 1) % {_N_PAIRS}
+),
+cg AS (
+  SELECT pid, g, CAST(COUNT(*) AS BIGINT) AS cc
+  FROM (
+    SELECT pid, substring(cs, i, 2) AS g
+    FROM pairs, LATERAL (SELECT unnest(range(1, length(cs))) AS i) t
+  ) GROUP BY pid, g
+),
+rg AS (
+  SELECT pid, g, CAST(COUNT(*) AS BIGINT) AS rc
+  FROM (
+    SELECT pid, substring(rs, i, 2) AS g
+    FROM pairs, LATERAL (SELECT unnest(range(1, length(rs))) AS i) t
+  ) GROUP BY pid, g
+),
+m AS (
+  SELECT pid, CAST(SUM(LEAST(cc, rc)) AS BIGINT) AS m
+  FROM cg JOIN rg USING (pid, g) GROUP BY pid
+),
+lens AS (
+  SELECT pid,
+         CAST(length(cs) - 1 AS BIGINT) AS tc,
+         CAST(length(rs) - 1 AS BIGINT) AS tr
+  FROM pairs
+)
+SELECT pid, COALESCE(m, 0) AS m, tc, tr,
+       5.0 * COALESCE(m, 0) / (tc + 4 * tr) AS chrf2
+FROM lens LEFT JOIN m USING (pid)
+ORDER BY pid
+"""
+
+
+@register(
+    "eval_chrf_scores",
+    oracle=_CHRF_ORACLE,
+    tags=("ext", "eval", "text", "chrf", "metric"),
+    description="per-pair chrF2 from exact character-bigram counts",
+)
+def eval_chrf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF2 (Popovic 2015), the character-n-gram F-score used by WMT:
+    with P = m/tc, R = m/tr and beta = 2, the F-score
+    (1+4)PR/(R+4P) algebraically collapses to 5m/(tc+4tr) — again a
+    single IEEE division of exact integers. Character bigrams come
+    from the first 10 words of each side (spaces included, as chrF
+    specifies for word-boundary signal).
+
+    Scale: substring n-gram explosion multiplies rows by ~string
+    length — the shuffle key (pid, gram) keeps it combinable, and at
+    corpus scale the per-pair counting never crosses pairs."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _N_PAIRS)
+        .select(
+            "doc_id",
+            F.array_join(F.slice(F.split("text", " "), 1, 10), " ").alias(
+                "s"
+            ),
+        )
+    )
+    pairs = d.select(F.col("doc_id").alias("pid"), F.col("s").alias("cs")).join(
+        d.select(
+            ((F.col("doc_id") + _N_PAIRS - 1) % _N_PAIRS).alias("pid"),
+            F.col("s").alias("rs"),
+        ),
+        "pid",
+    )
+    chargrams = lambda c: F.expr(  # noqa: E731
+        f"transform(sequence(1, length({c}) - 1), i -> substring({c}, i, 2))"
+    )
+    cg = (
+        pairs.select("pid", F.explode(chargrams("cs")).alias("g"))
+        .groupBy("pid", "g")
+        .agg(F.count("*").alias("cc"))
+    )
+    rg = (
+        pairs.select("pid", F.explode(chargrams("rs")).alias("g"))
+        .groupBy("pid", "g")
+        .agg(F.count("*").alias("rc"))
+    )
+    m = (
+        cg.join(rg, ["pid", "g"])
+        .groupBy("pid")
+        .agg(F.sum(F.least("cc", "rc")).cast("long").alias("m"))
+    )
+    lens = pairs.select(
+        "pid",
+        (F.length("cs") - 1).cast("long").alias("tc"),
+        (F.length("rs") - 1).cast("long").alias("tr"),
+    )
+    return (
+        lens.join(m, "pid", "left")
+        .select(
+            "pid",
+            F.coalesce("m", F.lit(0)).alias("m"),
+            "tc",
+            "tr",
+            (
+                F.lit(5.0)
+                * F.coalesce("m", F.lit(0))
+                / (F.col("tc") + 4 * F.col("tr"))
+            ).alias("chrf2"),
+        )
+        .orderBy("pid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQuAD-style span F1 + exact match
+# ---------------------------------------------------------------------------
+
+_SPAN_F1_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < 150
+),
+spans AS (
+  SELECT doc_id, w[4:8] AS gold, w[6:10] AS pred FROM d
+),
+gu AS (
+  SELECT doc_id, u AS g, CAST(COUNT(*) AS BIGINT) AS gc
+  FROM (SELECT doc_id, unnest(gold) AS u FROM spans) GROUP BY doc_id, u
+),
+pu AS (
+  SELECT doc_id, u AS g, CAST(COUNT(*) AS BIGINT) AS pc
+  FROM (SELECT doc_id, unnest(pred) AS u FROM spans) GROUP BY doc_id, u
+),
+m AS (
+  SELECT doc_id, CAST(SUM(LEAST(gc, pc)) AS BIGINT) AS m
+  FROM gu JOIN pu USING (doc_id, g) GROUP BY doc_id
+)
+SELECT s.doc_id,
+       COALESCE(m, 0) AS overlap,
+       CAST(len(pred) AS BIGINT) AS len_pred,
+       CAST(len(gold) AS BIGINT) AS len_gold,
+       2.0 * COALESCE(m, 0) / (len(pred) + len(gold)) AS f1,
+       CAST(CASE WHEN pred = gold THEN 1 ELSE 0 END AS INTEGER) AS em
+FROM spans s LEFT JOIN m ON s.doc_id = m.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@register(
+    "eval_span_f1_qa",
+    oracle=_SPAN_F1_ORACLE,
+    tags=("ext", "eval", "text", "qa", "metric"),
+    description="SQuAD-style token-multiset span F1 + exact match per doc",
+)
+def eval_span_f1_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQuAD answer-span metric (Rajpurkar et al. 2016):
+    token-MULTISET overlap F1 between a predicted span (words 6-10)
+    and a gold span (words 4-8) of the same document, plus the
+    exact-match flag (whole-array equality — order matters for EM,
+    not for F1, and the repeated-word corpus makes the multiset clip
+    do real work). F1 = 2m/(|pred|+|gold|), one IEEE division.
+
+    Scale: per-example independence — group keys are doc_id; EM is a
+    narrow array comparison at the scan."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", F.split("text", " ").alias("w"))
+    )
+    spans = d.select(
+        "doc_id",
+        F.slice("w", 4, 5).alias("gold"),
+        F.slice("w", 6, 5).alias("pred"),
+    )
+    gu = (
+        spans.select("doc_id", F.explode("gold").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("gc"))
+    )
+    pu = (
+        spans.select("doc_id", F.explode("pred").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("pc"))
+    )
+    m = (
+        gu.join(pu, ["doc_id", "g"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.least("gc", "pc")).cast("long").alias("m"))
+    )
+    return (
+        spans.join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("m", F.lit(0)).alias("overlap"),
+            F.size("pred").cast("long").alias("len_pred"),
+            F.size("gold").cast("long").alias("len_gold"),
+            (
+                F.lit(2.0)
+                * F.coalesce("m", F.lit(0))
+                / (F.size("pred") + F.size("gold"))
+            ).alias("f1"),
+            F.when(F.col("pred") == F.col("gold"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("em"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance battery over the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+_LEVENSHTEIN_ORACLE = """
+WITH vocab AS (
+  SELECT DISTINCT u AS w
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS u FROM documents)
+  WHERE length(u) >= 1
+),
+prs AS (
+  SELECT a.w AS w1, b.w AS w2, levenshtein(a.w, b.w) AS dist
+  FROM vocab a JOIN vocab b ON a.w < b.w
+)
+SELECT dist,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MIN(w1 || '/' || w2) AS example_pair,
+       CAST(SUM(length(w1) + length(w2)) AS BIGINT) AS sum_lens
+FROM prs
+GROUP BY dist
+ORDER BY dist
+"""
+
+
+@register(
+    "eval_levenshtein_battery",
+    oracle=_LEVENSHTEIN_ORACLE,
+    tags=("ext", "eval", "text", "editdistance", "metric"),
+    description="pairwise vocab Levenshtein distance distribution",
+)
+def eval_levenshtein_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance histogram over all unordered pairs of the
+    corpus vocabulary — the primitive under fuzzy matching, OCR/typo
+    tolerance, and near-duplicate key joins. Both engines run their
+    native dynamic-programming levenshtein (exact integers), and the
+    distribution plus a deterministic example pair (lexicographic
+    MIN) hash-match.
+
+    Scale: the quadratic blowup is over the DISTINCT VOCABULARY (the
+    aggregated small relation), never the corpus — the standard trick
+    for fuzzy joins: dedupe to terms, pair terms, then semi-join back.
+    The vocab self-join broadcasts its smaller side."""
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .distinct()
+    )
+    a = vocab.select(F.col("w").alias("w1"))
+    b = vocab.select(F.col("w").alias("w2"))
+    prs = a.join(F.broadcast(b), F.col("w1") < F.col("w2")).select(
+        "w1", "w2", F.levenshtein("w1", "w2").alias("dist")
+    )
+    return (
+        prs.groupBy("dist")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.min(F.concat_ws("/", "w1", "w2")).alias("example_pair"),
+            F.sum(F.length("w1") + F.length("w2"))
+            .cast("long")
+            .alias("sum_lens"),
+        )
+        .orderBy("dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reward-model calibration: expected calibration error, integer-exact
+# ---------------------------------------------------------------------------
+
+_ECE_ORACLE = """
+WITH preds AS (
+  SELECT o_orderkey AS k,
+         (o_orderkey * 37) % 1000 AS milli_conf,
+         CASE WHEN (o_orderkey * 91) % 1000 < (o_orderkey * 37) % 1000
+              THEN 1 ELSE 0 END AS correct
+  FROM orders
+),
+bins AS (
+  SELECT milli_conf // 100 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(correct) AS BIGINT) AS sum_correct,
+         CAST(SUM(milli_conf) AS BIGINT) AS sum_milli
+  FROM preds GROUP BY bin
+),
+tot AS (
+  SELECT CAST(SUM(ABS(1000 * sum_correct - sum_milli)) AS BIGINT)
+           AS gap_total,
+         CAST(SUM(n) AS BIGINT) AS n_total
+  FROM bins
+)
+SELECT bin, n, sum_correct, sum_milli,
+       CAST(ABS(1000 * sum_correct - sum_milli) AS BIGINT) AS gap_scaled,
+       CAST(gap_total AS DOUBLE) / (1000 * n_total) AS ece
+FROM bins, tot
+ORDER BY bin
+"""
+
+
+@register(
+    "eval_calibration_ece",
+    oracle=_ECE_ORACLE,
+    tags=("ext", "eval", "ml", "calibration", "metric"),
+    description="expected calibration error with an exact integer numerator",
+)
+def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reward-model / classifier calibration (Guo et al. 2017): bin
+    predictions by confidence decile and measure ECE =
+    sum_b (n_b/N)|acc_b - conf_b|. The per-bin gap has the exact
+    integer form |1000*sum_correct - sum_milli_conf| (acc_b - conf_b
+    = (1000*sum_correct - sum_milli)/(1000*n_b), and the n_b/N weight
+    cancels the n_b), so ECE = sum(gaps)/(1000N) — integer numerator,
+    ONE division. Confidences are deterministic milli-probabilities
+    from the orderkey; correctness is Bernoulli(conf) by construction
+    (correct iff an independent hash falls below the confidence), so
+    the model is near-calibrated and the per-bin gaps are small but
+    non-zero — the statistic measures something real.
+
+    Scale: one groupBy over 10 bins with map-side combine; the 1-row
+    total broadcasts back. No row ever leaves its partition except
+    as a 10-key partial aggregate."""
+    preds = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") * 37 % 1000).alias("milli_conf"),
+        F.when(
+            F.col("o_orderkey") * 91 % 1000
+            < F.col("o_orderkey") * 37 % 1000,
+            1,
+        )
+        .otherwise(0)
+        .alias("correct"),
+    )
+    bins = preds.groupBy(
+        (F.col("milli_conf") / 100).cast("long").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("correct").cast("long").alias("sum_correct"),
+        F.sum("milli_conf").cast("long").alias("sum_milli"),
+    )
+    tot = bins.agg(
+        F.sum(F.abs(F.lit(1000) * F.col("sum_correct") - F.col("sum_milli")))
+        .cast("long")
+        .alias("gap_total"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "sum_correct",
+            "sum_milli",
+            F.abs(F.lit(1000) * F.col("sum_correct") - F.col("sum_milli"))
+            .cast("long")
+            .alias("gap_scaled"),
+            (
+                F.col("gap_total").cast("double")
+                / (F.lit(1000) * F.col("n_total"))
+            ).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule battery (Rae et al. 2021)
+# ---------------------------------------------------------------------------
+
+_GOPHER_ORACLE = """
+WITH per_doc AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS wc,
+         length(text) - len(string_split(text, ' ')) + 1 AS chars,
+         len(list_filter(string_split(text, ' '),
+                         x -> regexp_matches(x, '^[a-z]+$'))) AS alpha_wc,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+           AS stop_wc
+  FROM documents
+),
+top_word AS (
+  SELECT doc_id, MAX(c) AS top_cnt
+  FROM (
+    SELECT doc_id, u, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS u
+          FROM documents)
+    GROUP BY doc_id, u
+  )
+  GROUP BY doc_id
+),
+flags AS (
+  SELECT p.doc_id,
+         CASE WHEN wc BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_wc,
+         CASE WHEN 3 * wc <= chars AND chars <= 10 * wc
+              THEN 1 ELSE 0 END AS r_mwl,
+         CASE WHEN 5 * alpha_wc >= 4 * wc THEN 1 ELSE 0 END AS r_alpha,
+         CASE WHEN stop_wc >= 2 THEN 1 ELSE 0 END AS r_stop,
+         CASE WHEN 5 * top_cnt <= wc THEN 1 ELSE 0 END AS r_rep
+  FROM per_doc p JOIN top_word t USING (doc_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(r_wc) AS BIGINT) AS pass_word_count,
+       CAST(SUM(r_mwl) AS BIGINT) AS pass_mean_word_len,
+       CAST(SUM(r_alpha) AS BIGINT) AS pass_alpha_ratio,
+       CAST(SUM(r_stop) AS BIGINT) AS pass_stopwords,
+       CAST(SUM(r_rep) AS BIGINT) AS pass_repetition,
+       CAST(SUM(CASE WHEN r_wc + r_mwl + r_alpha + r_stop + r_rep = 5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+FROM flags
+"""
+
+
+@register(
+    "text_gopher_quality_rules",
+    oracle=_GOPHER_ORACLE,
+    tags=("ext", "text", "quality", "gopher", "filter"),
+    description="Gopher quality-rule battery with cross-multiplied ratios",
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality filters (Rae et al. 2021, table
+    A1) as one battery: word-count bounds [50, 100000], mean word
+    length in [3, 10], >=80% alphabetic words, >=2 stopwords, and a
+    repetition rule (top word <=20% of tokens). Every ratio threshold
+    is CROSS-MULTIPLIED into integer form (3*wc <= chars, not
+    chars/wc >= 3.0) so no float exists anywhere — the exactness
+    device the rest of the engine uses for ratio gates. chars counts
+    non-space characters via the single-space-join identity
+    length(text) - (wc - 1).
+
+    Scale: per-doc flags are scan-local (the top-word rule is one
+    (doc, word) combine), and the battery reduces to a single row —
+    the shape of a corpus-wide data-quality report at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    per_doc = docs.select(
+        "doc_id",
+        F.size(w).alias("wc"),
+        (F.length("text") - F.size(w) + 1).alias("chars"),
+        F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$"))).alias("alpha_wc"),
+        F.size(
+            F.filter(
+                w,
+                lambda x: x.isin("the", "a", "of", "and", "to", "in"),
+            )
+        ).alias("stop_wc"),
+    )
+    top_word = (
+        docs.select("doc_id", F.explode(w).alias("u"))
+        .groupBy("doc_id", "u")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    flags = per_doc.join(top_word, "doc_id").select(
+        F.when(F.col("wc").between(50, 100000), 1).otherwise(0).alias("r_wc"),
+        F.when(
+            (3 * F.col("wc") <= F.col("chars"))
+            & (F.col("chars") <= 10 * F.col("wc")),
+            1,
+        )
+        .otherwise(0)
+        .alias("r_mwl"),
+        F.when(5 * F.col("alpha_wc") >= 4 * F.col("wc"), 1)
+        .otherwise(0)
+        .alias("r_alpha"),
+        F.when(F.col("stop_wc") >= 2, 1).otherwise(0).alias("r_stop"),
+        F.when(5 * F.col("top_cnt") <= F.col("wc"), 1)
+        .otherwise(0)
+        .alias("r_rep"),
+    )
+    return flags.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("r_wc").cast("long").alias("pass_word_count"),
+        F.sum("r_mwl").cast("long").alias("pass_mean_word_len"),
+        F.sum("r_alpha").cast("long").alias("pass_alpha_ratio"),
+        F.sum("r_stop").cast("long").alias("pass_stopwords"),
+        F.sum("r_rep").cast("long").alias("pass_repetition"),
+        F.sum(
+            F.when(
+                F.col("r_wc")
+                + F.col("r_mwl")
+                + F.col("r_alpha")
+                + F.col("r_stop")
+                + F.col("r_rep")
+                == 5,
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("pass_all"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-n-gram spans (Lee et al. 2022, operator core)
+# ---------------------------------------------------------------------------
+
+_DUP_SPANS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < 250
+),
+grams AS (
+  SELECT doc_id, i,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+           || ' ' || w[i+4] AS g
+  FROM d, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) t
+),
+dup_g AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT doc_id, i, i + 4 AS j
+  FROM grams JOIN dup_g USING (g)
+),
+islands AS (
+  SELECT doc_id, i, j,
+         CASE WHEN i > COALESCE(MAX(j) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS is_start
+  FROM hits
+),
+numbered AS (
+  SELECT doc_id, i, j,
+         SUM(is_start) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM islands
+),
+spans AS (
+  SELECT doc_id, island,
+         MIN(i) AS span_start, MAX(j) AS span_end
+  FROM numbered GROUP BY doc_id, island
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+       CAST(MIN(len(w)) AS BIGINT) AS n_words
+FROM spans s JOIN d ON s.doc_id = d.doc_id
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@register(
+    "text_duplicate_ngram_spans",
+    oracle=_DUP_SPANS_ORACLE,
+    tags=("ext", "text", "dedup", "substring", "spans"),
+    description="maximal duplicated 5-gram spans per doc (exact substring dedup)",
+)
+def text_duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operator core of EXACT SUBSTRING deduplication (Lee et
+    al. 2022): find every 5-gram shared by >=2 distinct documents,
+    then merge each document's overlapping duplicated positions into
+    MAXIMAL spans (the island-and-gap pattern: a hit at i covering
+    [i, i+4] starts a new island iff i exceeds the running max end of
+    all earlier hits) and report per-doc span count and duplicated
+    token mass. This is the n-gram-join formulation; the paper's
+    suffix-array formulation finds arbitrary-length matches, but at
+    cluster scale the gram-join is the shape that partitions — grams
+    shard by hash, the dup set is the aggregated small side, and the
+    span merge is a per-doc sorted window (one shuffle by doc).
+
+    Integer-only output; window frames are identical in Spark and
+    DuckDB (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING running max)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", F.split("text", " ").alias("w"))
+    )
+    grams = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(slice(w, 1, greatest(size(w) - 4, 0)),"
+                " (x, k) -> struct(k + 1 as i,"
+                " concat_ws(' ', x, element_at(w, k + 2),"
+                " element_at(w, k + 3), element_at(w, k + 4),"
+                " element_at(w, k + 5)) as g))"
+            )
+        ).alias("_p", "s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.g").alias("g"))
+    dup_g = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(dup_g, "g").select(
+        "doc_id", "i", (F.col("i") + 4).alias("j")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = hits.withColumn(
+        "is_start",
+        F.when(
+            F.col("i") > F.coalesce(F.max("j").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn("island", F.sum("is_start").over(w_run))
+    spans = numbered.groupBy("doc_id", "island").agg(
+        F.min("i").alias("span_start"), F.max("j").alias("span_end")
+    )
+    return (
+        spans.join(d, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_dup_spans"),
+            F.sum(F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("dup_tokens"),
+            F.min(F.size("w")).cast("long").alias("n_words"),
+        )
+        .orderBy("doc_id")
+    )
