@@ -810,3 +810,71 @@ def test_ima_adpcm_state_recursion(samples):
     assert abs(cdec[-1] - 1000) <= 8
     # total over garbage
     assert len(ima_adpcm_decode(bytes(range(256)))) == 256
+
+
+@given(
+    st.lists(st.integers(-2048, 2047), min_size=4, max_size=64),
+    st.integers(1, 16),
+    st.integers(1, 16),
+)
+@settings(max_examples=60, deadline=None)
+def test_haar_subband_roundtrip_bounded(xs, q1, q2):
+    """The 2-level integer-Haar subband codec: q1=q2=1 must be
+    LOSSLESS (the S-transform is exactly invertible); for general
+    quantizers the reconstruction error is bounded by the deadzone
+    widths — |err| < q1 + q2 (level-1 detail loss plus propagated
+    level-2 loss, each strictly under its q)."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    xs = xs[: 4 * (len(xs) // 4)]
+    if not xs:
+        return
+    assert M.haar_subband_decode(M.haar_subband_encode(xs, 1, 1)) == xs
+    dec = M.haar_subband_decode(M.haar_subband_encode(xs, q1, q2))
+    assert len(dec) == len(xs)
+    assert max(abs(a - b) for a, b in zip(dec, xs)) < q1 + q2
+
+
+@given(st.integers(0, 2**31 - 1))
+@settings(max_examples=20, deadline=None)
+def test_video_mc_codec_matches_scalar_error_model(seed):
+    """The motion-compensated video codec on panning+brightening
+    content: the SAD search must find the true 2 px pan for EVERY
+    block (the gradient-step argument in the query docstring), and
+    the only loss must be the uniform brightness-quantization error
+    whose recursion e_t = (delta_t + e_{t-1}) mod 4 the SQL oracle
+    replays — both checked against the actual decode."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    mid = seed % 100000
+    W, H, FR = 32, 16, 5
+    frames = []
+    bright = 0
+    for t in range(FR):
+        if t > 0:
+            bright += 5 + ((mid + t) % 2)
+        frames.append(
+            [
+                ((((x - 2 * t - mid) % W) * 24 + y * 7 + mid * 3) % 200)
+                + bright
+                for y in range(H)
+                for x in range(W)
+            ]
+        )
+    p = M.video_mc_encode(frames, W, H)
+    w, h, dec = M.video_mc_decode(p)
+    assert (w, h) == (W, H)
+    # every P-frame block must carry the true motion (candidate idx 2)
+    off = 8 + W * H
+    for _t in range(1, FR):
+        for _b in range((W // 8) * (H // 8)):
+            assert p[off] == 2
+            off += 1 + 64
+    # scalar error recursion
+    e, tot = 0, 0
+    for t in range(1, FR):
+        e = (5 + ((mid + t) % 2) + e) % 4
+        tot += e
+    assert sum(
+        abs(a - b) for t in range(FR) for a, b in zip(dec[t], frames[t])
+    ) == W * H * tot

@@ -2775,3 +2775,194 @@ def ima_adpcm_decode(payload: bytes) -> list[int]:
         idx = max(0, min(88, idx + _IMA_INDEX_ADJ[delta]))
         out.append(pred)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Haar subband audio codec: the SUBBAND/WAVELET transform-coding
+# class (the architecture family of MPEG layer 1/2 and JPEG2000's
+# integer 5/3 path) in its exactly-invertible integer form. Two
+# S-transform (lifting Haar) levels split the signal into a coarse
+# band (kept exact) and two detail bands (deadzone-quantized, the
+# H.264-style q*trunc(d/q) quantizer), packed into a real bitstream.
+# Every operation is integer with TRUNCATING division — chosen to
+# match SQL `//` semantics so a DuckDB oracle replays the codec's
+# loss exactly (DETERMINISM.md: Python floor-div and SQL trunc-div
+# disagree on negatives; the codec standardizes on trunc).
+# ---------------------------------------------------------------------------
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — SQL `//`."""
+    q = abs(a) // b
+    return -q if a < 0 else q
+
+
+def haar_subband_encode(
+    samples: list[int], q1: int = 8, q2: int = 4
+) -> bytes:
+    """PCM → 2-level integer-Haar subband bitstream. n must be a
+    multiple of 4. Level 1: d1[i] = x[2i] - x[2i+1], s1[i] = x[2i+1]
+    + trunc(d1/2) (the S-transform — exactly invertible). Level 2
+    repeats on s1. The coarse band s2 is stored exact; the detail
+    bands are deadzone-quantized to trunc(d/q). Layout: magic 'HSB1',
+    n:u16, q1:u8, q2:u8, then s2 / dq2 / dq1 as int16 LE."""
+    n = len(samples)
+    if n % 4 != 0:
+        raise ValueError("haar_subband_encode: n must be divisible by 4")
+    d1, s1 = [], []
+    for i in range(n // 2):
+        a, b = samples[2 * i], samples[2 * i + 1]
+        d = a - b
+        d1.append(d)
+        s1.append(b + _tdiv(d, 2))
+    d2, s2 = [], []
+    for j in range(n // 4):
+        a, b = s1[2 * j], s1[2 * j + 1]
+        d = a - b
+        d2.append(d)
+        s2.append(b + _tdiv(d, 2))
+    import struct as _struct
+
+    out = bytearray(b"HSB1")
+    out += _struct.pack("<HBB", n, q1, q2)
+    for v in s2:
+        out += _struct.pack("<h", v)
+    for v in d2:
+        out += _struct.pack("<h", _tdiv(v, q2))
+    for v in d1:
+        out += _struct.pack("<h", _tdiv(v, q1))
+    return bytes(out)
+
+
+def haar_subband_decode(payload: bytes) -> list[int]:
+    """Haar subband bitstream → PCM. Dequantizes the detail bands as
+    q*dq (deadzone midpoint at zero) and inverts both lifting
+    levels: b = s - trunc(d/2), a = b + d."""
+    import struct as _struct
+
+    if payload[:4] != b"HSB1":
+        raise ValueError("bad magic")
+    n, q1, q2 = _struct.unpack_from("<HBB", payload, 4)
+    off = 8
+    n2, n4 = n // 2, n // 4
+    s2 = list(_struct.unpack_from(f"<{n4}h", payload, off))
+    off += 2 * n4
+    d2 = [v * q2 for v in _struct.unpack_from(f"<{n4}h", payload, off)]
+    off += 2 * n4
+    d1 = [v * q1 for v in _struct.unpack_from(f"<{n2}h", payload, off)]
+    s1 = []
+    for j in range(n4):
+        b = s2[j] - _tdiv(d2[j], 2)
+        s1.extend((b + d2[j], b))
+    out = []
+    for i in range(n2):
+        b = s1[i] - _tdiv(d1[i], 2)
+        out.extend((b + d1[i], b))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Motion-compensated video codec: the I/P-frame architecture of
+# MPEG-class video — a raw intra frame, then per 8x8 block a motion
+# SEARCH over horizontal candidates against the RECONSTRUCTED
+# previous frame (closed-loop prediction, the property that keeps
+# encoder and decoder state identical), a deadzone-quantized
+# residual, and a packed bitstream. Motion compensation addresses
+# the previous frame TOROIDALLY in x (documented deviation from
+# edge-clamping codecs: wrap keeps every candidate defined, which is
+# what makes the best-match argmin provable for the SQL oracle).
+# ---------------------------------------------------------------------------
+
+_VMC_CANDIDATES = (0, 1, 2, 3)  # horizontal shifts searched, in order
+_VMC_BLOCK = 8
+_VMC_Q = 4
+
+
+def video_mc_encode(frames: list[list[int]], w: int, h: int) -> bytes:
+    """Row-major grayscale frames → I/P bitstream. Frame 0 is stored
+    raw (one byte per pixel, so frame values must be 0..255). Each
+    P-frame stores, per 8x8 block in row-major block order: one mv
+    index byte (into the candidate shift table) chosen by exhaustive
+    SAD search against the reconstructed previous frame, then 64
+    residual bytes dq+128 with dq = trunc(r/4) (int8 range asserted
+    — this codec targets smooth synthetic content, not a clip-safe
+    general encoder). Layout: 'VMC1', w:u8, h:u8, n_frames:u8, 0."""
+    import struct as _struct
+
+    nb_x, nb_y = w // _VMC_BLOCK, h // _VMC_BLOCK
+    out = bytearray(b"VMC1")
+    out += _struct.pack("<BBBB", w, h, len(frames), 0)
+    recon = list(frames[0])
+    if any(p < 0 or p > 255 for p in recon):
+        raise ValueError("I-frame pixels must be bytes")
+    out += bytes(recon)
+    for t in range(1, len(frames)):
+        cur = frames[t]
+        new_recon = [0] * (w * h)
+        for by in range(nb_y):
+            for bx in range(nb_x):
+                best_mv, best_sad = 0, None
+                for mi, dx in enumerate(_VMC_CANDIDATES):
+                    sad = 0
+                    for yy in range(_VMC_BLOCK):
+                        y = by * _VMC_BLOCK + yy
+                        row = y * w
+                        for xx in range(_VMC_BLOCK):
+                            x = bx * _VMC_BLOCK + xx
+                            sad += abs(
+                                cur[row + x]
+                                - recon[row + (x - dx) % w]
+                            )
+                    if best_sad is None or sad < best_sad:
+                        best_mv, best_sad = mi, sad
+                dx = _VMC_CANDIDATES[best_mv]
+                out.append(best_mv)
+                for yy in range(_VMC_BLOCK):
+                    y = by * _VMC_BLOCK + yy
+                    row = y * w
+                    for xx in range(_VMC_BLOCK):
+                        x = bx * _VMC_BLOCK + xx
+                        pred = recon[row + (x - dx) % w]
+                        r = cur[row + x] - pred
+                        dq = _tdiv(r, _VMC_Q)
+                        if not -128 <= dq <= 127:
+                            raise ValueError("residual out of int8 range")
+                        out.append(dq + 128)
+                        new_recon[row + x] = pred + dq * _VMC_Q
+        recon = new_recon
+    return bytes(out)
+
+
+def video_mc_decode(payload: bytes) -> tuple[int, int, list[list[int]]]:
+    """I/P bitstream → (w, h, frames). Mirrors the encoder's
+    closed-loop state: each P-frame block is motion-compensated from
+    the reconstructed previous frame (toroidal x) plus q*dq."""
+    import struct as _struct
+
+    if payload[:4] != b"VMC1":
+        raise ValueError("bad magic")
+    w, h, nf, _ = _struct.unpack_from("<BBBB", payload, 4)
+    off = 8
+    recon = list(payload[off : off + w * h])
+    off += w * h
+    frames = [list(recon)]
+    nb_x, nb_y = w // _VMC_BLOCK, h // _VMC_BLOCK
+    for _t in range(1, nf):
+        new_recon = [0] * (w * h)
+        for by in range(nb_y):
+            for bx in range(nb_x):
+                dx = _VMC_CANDIDATES[payload[off]]
+                off += 1
+                for yy in range(_VMC_BLOCK):
+                    y = by * _VMC_BLOCK + yy
+                    row = y * w
+                    for xx in range(_VMC_BLOCK):
+                        x = bx * _VMC_BLOCK + xx
+                        dq = payload[off] - 128
+                        off += 1
+                        new_recon[row + x] = (
+                            recon[row + (x - dx) % w] + dq * _VMC_Q
+                        )
+        recon = new_recon
+        frames.append(list(recon))
+    return w, h, frames
