@@ -133,6 +133,8 @@ NLJ_ALLOWED = {
     "eval_bleu2_corpus",
     # 10-row confidence-bin aggregate × 1-row gap-total broadcast
     "eval_calibration_ece",
+    # 10-row decile aggregate × 1-row corpus-moment broadcast
+    "eval_brier_decomposition",
     # pairwise join over the DISTINCT VOCABULARY (31 terms, the
     # aggregated small relation) — the standard fuzzy-join dedupe-
     # to-terms trick; corpus rows never enter the quadratic side

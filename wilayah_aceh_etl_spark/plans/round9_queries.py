@@ -1227,3 +1227,400 @@ def multimodal_video_mc_codec_stats(
         .mapInPandas(batches, schema)
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC-ROC via the cumulative rank-free form
+# ---------------------------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH preds AS (
+  SELECT (o_orderkey * 37) % 1000 AS milli,
+         CASE WHEN (o_orderkey * 91) % 1000 < (o_orderkey * 37) % 1000
+              THEN 1 ELSE 0 END AS label
+  FROM orders
+),
+levels AS (
+  SELECT milli,
+         CAST(SUM(label) AS BIGINT) AS n_pos,
+         CAST(SUM(1 - label) AS BIGINT) AS n_neg
+  FROM preds GROUP BY milli
+),
+cum AS (
+  SELECT milli, n_pos, n_neg,
+         COALESCE(SUM(n_neg) OVER (
+           ORDER BY milli
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cumneg_lower
+  FROM levels
+)
+SELECT CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+       CAST(SUM(2 * n_pos * cumneg_lower + n_pos * n_neg) AS BIGINT) AS u2,
+       CAST(SUM(2 * n_pos * cumneg_lower + n_pos * n_neg) AS DOUBLE)
+         / (2.0 * SUM(n_pos) * SUM(n_neg)) AS auc
+FROM cum
+"""
+
+
+@register(
+    "eval_auc_roc_exact",
+    oracle=_AUC_ORACLE,
+    tags=("ext", "eval", "ml", "auc", "metric"),
+    description="exact AUC-ROC with tie handling, integer Mann-Whitney U",
+)
+def eval_auc_roc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact AUC-ROC as the normalized Mann-Whitney U statistic,
+    computed WITHOUT per-row ranking: group predictions into distinct
+    score levels, then one ordered pass over the levels accumulates
+    2U = sum(2*n_pos_l*cumneg_below + n_pos_l*n_neg_l) — the
+    pos-beats-neg pairs plus half-credit ties, kept doubled so every
+    intermediate is an exact integer. AUC = U2/(2*P*N), one IEEE
+    division. Same prediction stream as eval_calibration_ece (labels
+    are Bernoulli(conf) by construction), so AUC lands meaningfully
+    above 0.5.
+
+    Scale: the quadratic pair count never materializes — the level
+    relation is <=1000 rows regardless of input size (the window runs
+    over an AGGREGATED relation, which is why the single-partition
+    sort is safe), and the per-level reduce is map-side combinable."""
+    preds = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") * 37 % 1000).alias("milli"),
+        F.when(
+            F.col("o_orderkey") * 91 % 1000
+            < F.col("o_orderkey") * 37 % 1000,
+            1,
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    levels = preds.groupBy("milli").agg(
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("label")).cast("long").alias("n_neg"),
+    )
+    w = Window.orderBy("milli").rowsBetween(Window.unboundedPreceding, -1)
+    cum = levels.withColumn(
+        "cumneg_lower", F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+    )
+    u2 = (
+        F.lit(2) * F.col("n_pos") * F.col("cumneg_lower")
+        + F.col("n_pos") * F.col("n_neg")
+    )
+    return cum.agg(
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum("n_neg").cast("long").alias("n_neg"),
+        F.sum(u2).cast("long").alias("u2"),
+        (
+            F.sum(u2).cast("double")
+            / (F.lit(2.0) * F.sum("n_pos") * F.sum("n_neg"))
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval MRR + hits@k over a per-query ranking
+# ---------------------------------------------------------------------------
+
+# lcm(1..20): makes sum of reciprocal ranks an exact integer
+_MRR_LCM = 232792560
+
+_MRR_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id AS qid FROM documents WHERE doc_id < 100
+),
+cand AS (
+  SELECT qid, c,
+         (qid * 31 + c * 17) % 1000 AS score,
+         CASE WHEN c = (qid * 13) % 20 THEN 1 ELSE 0 END AS rel
+  FROM q, LATERAL (SELECT unnest(range(0, 20)) AS c) t
+),
+ranked AS (
+  SELECT qid, c, rel,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, c)
+           AS rnk
+  FROM cand
+),
+hit AS (
+  SELECT qid, rnk FROM ranked WHERE rel = 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_1,
+       CAST(SUM(CASE WHEN rnk <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_5,
+       CAST(SUM(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits_10,
+       CAST(SUM({_MRR_LCM} // rnk) AS BIGINT) AS rr_scaled,
+       CAST(SUM({_MRR_LCM} // rnk) AS DOUBLE)
+         / ({_MRR_LCM}.0 * COUNT(*)) AS mrr
+FROM hit
+"""
+
+
+@register(
+    "eval_mrr_hits_at_k",
+    oracle=_MRR_ORACLE,
+    tags=("ext", "eval", "retrieval", "mrr", "metric"),
+    description="MRR + hits@k with reciprocal ranks in exact lcm units",
+)
+def eval_mrr_hits_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval eval: mean reciprocal rank and hits@{1,5,10} over
+    100 queries x 20 ranked candidates. The ranking is a real
+    per-query window (ROW_NUMBER over score DESC with a
+    deterministic candidate tie-break); the relevant item's rank
+    feeds MRR in units of lcm(1..20) = 232792560, so the SUM of
+    reciprocal ranks is an exact integer and mrr is one IEEE
+    division. hits@k are plain integer counts.
+
+    Scale: the window partitions by query — unbounded query counts
+    parallelize; candidate lists are bounded by construction (top-k
+    retrieval output), so no per-query state exceeds k rows."""
+    q = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(F.col("doc_id").alias("qid"))
+    )
+    cand = q.select(
+        "qid", F.explode(F.sequence(F.lit(0), F.lit(19))).alias("c")
+    ).select(
+        "qid",
+        "c",
+        ((F.col("qid") * 31 + F.col("c") * 17) % 1000).alias("score"),
+        F.when(F.col("c") == (F.col("qid") * 13) % 20, 1)
+        .otherwise(0)
+        .alias("rel"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("c"))
+    hit = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rel") == 1)
+        .select("qid", "rnk")
+    )
+    return hit.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("rnk") <= 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hits_1"),
+        F.sum(F.when(F.col("rnk") <= 5, 1).otherwise(0))
+        .cast("long")
+        .alias("hits_5"),
+        F.sum(F.when(F.col("rnk") <= 10, 1).otherwise(0))
+        .cast("long")
+        .alias("hits_10"),
+        F.sum(F.expr(f"{_MRR_LCM} div rnk")).cast("long").alias("rr_scaled"),
+        (
+            F.sum(F.expr(f"{_MRR_LCM} div rnk")).cast("double")
+            / (F.lit(float(_MRR_LCM)) * F.count("*"))
+        ).alias("mrr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantized GAE: the RL advantage recursion as a Catalyst fold
+# ---------------------------------------------------------------------------
+
+_GAE_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS tid, 10 + doc_id % 6 AS t_len
+  FROM documents WHERE doc_id < 80
+),
+rw AS (
+  SELECT tid, t_len,
+         list_transform(range(0, t_len),
+                        t -> ((tid * 7 + t * 11) % 21) - 10) AS r
+  FROM m
+),
+adv AS (
+  SELECT tid, t_len,
+         list_transform(range(1, t_len + 1),
+           i -> list_reduce(list_reverse(r[i:t_len]),
+                            (acc, x) -> x + (acc * 3) // 4)) AS a
+  FROM rw
+)
+SELECT tid,
+       CAST(t_len AS INTEGER) AS n_steps,
+       CAST(a[1] AS BIGINT) AS a0,
+       CAST(list_aggregate(a, 'sum') AS BIGINT) AS adv_sum,
+       CAST(list_aggregate(a, 'max') AS BIGINT) AS adv_max,
+       CAST(list_aggregate(a, 'min') AS BIGINT) AS adv_min
+FROM adv
+ORDER BY tid
+"""
+
+
+@register(
+    "ml_gae_quantized_advantages",
+    oracle=_GAE_ORACLE,
+    tags=("ext", "ml", "rl", "gae", "sequential"),
+    description="quantized GAE advantage recursion as a pure Catalyst fold",
+)
+def ml_gae_quantized_advantages(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Generalized Advantage Estimation (Schulman et al. 2016), the
+    advantage estimator of PPO-family RLHF, in the engine's
+    quantized-exact form: A_t = r_t + trunc(3*A_{t+1}/4) — a
+    gamma*lambda = 3/4 discount with TRUNCATING division so every
+    advantage is an exact integer (Spark `div` and DuckDB `//` agree
+    on truncation toward zero; DETERMINISM.md). The backward
+    recursion is expressed as a higher-order AGGREGATE fold over the
+    reversed reward suffix — pure Catalyst, no UDF, no Python loop —
+    one fold per step giving the full advantage sequence.
+
+    Scale: trajectories are rows; the O(T^2) suffix folds are
+    row-local expression evaluation over bounded horizons (T<=15
+    here; real rollouts are bounded by the context window), so the
+    op is embarrassingly parallel with zero shuffle beyond the scan."""
+    m = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select(
+            F.col("doc_id").alias("tid"),
+            (10 + F.col("doc_id") % 6).cast("int").alias("t_len"),
+        )
+    )
+    adv = m.withColumn(
+        "r",
+        F.expr(
+            "transform(sequence(0, t_len - 1),"
+            " t -> CAST(((tid * 7 + t * 11) % 21) - 10 AS BIGINT))"
+        ),
+    ).withColumn(
+        "a",
+        F.expr(
+            "transform(sequence(1, t_len),"
+            " i -> aggregate(reverse(slice(r, i, t_len - i + 1)),"
+            " CAST(0 AS BIGINT), (acc, x) -> x + ((acc * 3) div 4)))"
+        ),
+    )
+    return adv.select(
+        "tid",
+        F.col("t_len").alias("n_steps"),
+        F.element_at("a", 1).cast("long").alias("a0"),
+        F.expr(
+            "aggregate(a, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("adv_sum"),
+        F.array_max("a").cast("long").alias("adv_max"),
+        F.array_min("a").cast("long").alias("adv_min"),
+    ).orderBy("tid")
+
+
+# ---------------------------------------------------------------------------
+# Brier score with Murphy decomposition, exact integer numerators
+# ---------------------------------------------------------------------------
+
+_BRIER_ORACLE = """
+WITH preds AS (
+  SELECT (o_orderkey * 37) % 1000 AS milli,
+         CASE WHEN (o_orderkey * 91) % 1000 < (o_orderkey * 37) % 1000
+              THEN 1 ELSE 0 END AS label
+  FROM orders
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+         CAST(SUM(label) AS BIGINT) AS base,
+         CAST(SUM((milli - 1000 * label) * (milli - 1000 * label))
+              AS BIGINT) AS brier_num
+  FROM preds
+),
+bins AS (
+  SELECT milli // 100 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(label) AS BIGINT) AS o_sum,
+         CAST(SUM(milli) AS BIGINT) AS milli_sum
+  FROM preds GROUP BY bin
+)
+SELECT bin, n, o_sum, milli_sum,
+       CAST((milli_sum - 1000 * o_sum) * (milli_sum - 1000 * o_sum)
+            AS BIGINT) AS rel_num,
+       CAST((o_sum * n_total - base * n) * (o_sum * n_total - base * n)
+            AS BIGINT) AS res_num,
+       CAST((milli_sum - 1000 * o_sum) * (milli_sum - 1000 * o_sum)
+            AS DOUBLE) / (1000000.0 * n) AS reliability,
+       CAST((o_sum * n_total - base * n) * (o_sum * n_total - base * n)
+            AS DOUBLE) / (CAST(n AS DOUBLE) * n_total * n_total)
+         AS resolution,
+       CAST(brier_num AS DOUBLE) / (1000000.0 * n_total) AS brier
+FROM bins, tot
+ORDER BY bin
+"""
+
+
+@register(
+    "eval_brier_decomposition",
+    oracle=_BRIER_ORACLE,
+    tags=("ext", "eval", "ml", "brier", "calibration"),
+    description="Brier score + Murphy reliability/resolution, integer numerators",
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Brier score and its Murphy (1973) decomposition —
+    reliability (calibration deficit) and resolution (sharpness) per
+    confidence decile. Every statistic has an exact BIGINT numerator:
+    the per-row squared error (milli - 1000*label)^2, the per-bin
+    reliability numerator (sum_milli - 1000*o_sum)^2, and the
+    resolution numerator (o_sum*N - base*n)^2 — denominators are
+    pushed into a single trailing IEEE division each. Companion to
+    eval_calibration_ece and eval_auc_roc_exact over the same
+    prediction stream: together they give the standard
+    proper-scoring-rule view of a reward model.
+
+    Scale: one 10-key groupBy with map-side combine plus a 1-row
+    broadcast — identical topology to the ECE query."""
+    preds = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") * 37 % 1000).alias("milli"),
+        F.when(
+            F.col("o_orderkey") * 91 % 1000
+            < F.col("o_orderkey") * 37 % 1000,
+            1,
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    tot = preds.agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.sum("label").cast("long").alias("base"),
+        F.sum(
+            (F.col("milli") - 1000 * F.col("label"))
+            * (F.col("milli") - 1000 * F.col("label"))
+        )
+        .cast("long")
+        .alias("brier_num"),
+    )
+    bins = preds.groupBy(
+        (F.col("milli") / 100).cast("long").alias("bin")
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("label").cast("long").alias("o_sum"),
+        F.sum("milli").cast("long").alias("milli_sum"),
+    )
+    rel_num = (F.col("milli_sum") - 1000 * F.col("o_sum")) * (
+        F.col("milli_sum") - 1000 * F.col("o_sum")
+    )
+    res_num = (
+        F.col("o_sum") * F.col("n_total") - F.col("base") * F.col("n")
+    ) * (F.col("o_sum") * F.col("n_total") - F.col("base") * F.col("n"))
+    return (
+        bins.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "o_sum",
+            "milli_sum",
+            rel_num.cast("long").alias("rel_num"),
+            res_num.cast("long").alias("res_num"),
+            (rel_num.cast("double") / (F.lit(1000000.0) * F.col("n"))).alias(
+                "reliability"
+            ),
+            (
+                res_num.cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n_total")
+                    * F.col("n_total")
+                )
+            ).alias("resolution"),
+            (
+                F.col("brier_num").cast("double")
+                / (F.lit(1000000.0) * F.col("n_total"))
+            ).alias("brier"),
+        )
+        .orderBy("bin")
+    )
