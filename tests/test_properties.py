@@ -878,3 +878,36 @@ def test_video_mc_codec_matches_scalar_error_model(seed):
     assert sum(
         abs(a - b) for t in range(FR) for a, b in zip(dec[t], frames[t])
     ) == W * H * tot
+
+
+@given(
+    st.integers(1, 3),
+    st.integers(1, 3),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_progressive_equals_baseline(bw, bh, seed):
+    """Progressive spectral selection reorders the bitstream, never
+    the quantized coefficients: decode(progressive(img)) must equal
+    decode(baseline(img)) EXACTLY, for arbitrary gradients, both
+    quantization tables, and non-multiple-of-8 edges. Arbitrary
+    truncation of the multi-scan stream never raises."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    w = max(1, 8 * bw - seed % 5)
+    h = max(1, 8 * bh - (seed // 7) % 5)
+
+    def gray(x, y):
+        return (seed + 3 * x + 5 * y + (x * y) % 7) % 256
+
+    for qt in ([1] * 64, None):
+        pb = M.make_jpeg_gray(w, h, gray, qtable=qt)
+        pp = M.make_jpeg_gray_progressive(w, h, gray, qtable=qt)
+        assert M.decode_jpeg_gray_progressive(pp) == (
+            M.decode_jpeg_gray_pixels(pb)
+        )
+        # each decoder rejects the other's mode (documented seams)
+        assert M.decode_jpeg_gray_pixels(pp) is None
+        assert M.decode_jpeg_gray_progressive(pb) is None
+    for cut in range(0, len(pp), max(1, len(pp) // 13)):
+        M.decode_jpeg_gray_progressive(pp[:cut])

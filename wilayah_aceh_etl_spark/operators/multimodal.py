@@ -41,13 +41,19 @@ proven through DuckDB oracle gates):
 
 What is SEAMED (returns None / raises NotImplementedError at the
 exact call site a real codec would plug into, because PIL/ffmpeg are
-not in this container): PROGRESSIVE and arithmetic-coded JPEG
-(baseline grayscale, 4:4:4 color, and 4:2:0 chroma-subsampled —
-`make_jpeg_ycbcr_420`/`decode_jpeg_ycbcr420_pixels`, the
-camera-JPEG MCU geometry — are all REAL), transform-based lossy
-audio (mp3/ogg; μ-law covers the companding class), video-codec
-(h264-class) frame decode — animated GIF covers the multi-frame
-pipeline shape with a real decoder.
+not in this container): successive-approximation progressive and
+arithmetic-coded JPEG (baseline grayscale, 4:4:4 color, 4:2:0
+chroma-subsampled — `make_jpeg_ycbcr_420`/
+`decode_jpeg_ycbcr420_pixels`, the camera-JPEG MCU geometry — and
+SPECTRAL-SELECTION PROGRESSIVE grayscale —
+`make_jpeg_gray_progressive`/`decode_jpeg_gray_progressive`, SOF2
+with DC + banded AC scans and general EOBn — are all REAL),
+perceptual transform-audio (mp3/ogg entropy layers; μ-law covers
+companding, the Haar subband codec covers the subband-transform
+class), and h264-class inter-frame video — though `video_mc_encode`/
+`video_mc_decode` implement the real I/P motion-compensation
+architecture (SAD search, closed-loop prediction, quantized
+residuals) and animated GIF covers multi-frame decode.
 `decode_media(..., real=False)` keeps an md5-seeded
 deterministic fake for pipeline-shape tests of those paths.
 """
@@ -2008,7 +2014,10 @@ JPEG_STATS_SCHEMA = T.StructType(
 
 
 def attach_jpeg_payload(
-    df: DataFrame, id_col: str, restart_interval: int = 0
+    df: DataFrame,
+    id_col: str,
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> DataFrame:
     """Media table with REAL baseline-JPEG bytes. The images are
     BLOCK-CONSTANT — every 8×8 block holds one value
@@ -2039,14 +2048,27 @@ def attach_jpeg_payload(
             for m in (int(v) for v in pdf["_mid"]):
                 w = 8 * (1 + m % 4)
                 h = 8 * (1 + (m * 3) % 4)
-                p = make_jpeg_gray(
-                    w,
-                    h,
-                    lambda x, y, m=m: (m * 7 + 16 * (x // 8) + 31 * (y // 8))
-                    % 256,
-                    qtable=qt,
-                    restart_interval=restart_interval,
-                )
+                if progressive:
+                    p = make_jpeg_gray_progressive(
+                        w,
+                        h,
+                        lambda x, y, m=m: (
+                            m * 7 + 16 * (x // 8) + 31 * (y // 8)
+                        )
+                        % 256,
+                        qtable=qt,
+                    )
+                else:
+                    p = make_jpeg_gray(
+                        w,
+                        h,
+                        lambda x, y, m=m: (
+                            m * 7 + 16 * (x // 8) + 31 * (y // 8)
+                        )
+                        % 256,
+                        qtable=qt,
+                        restart_interval=restart_interval,
+                    )
                 rows.append((m, p, "image/jpeg", len(p)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "payload", "mime", "n_bytes"]
@@ -2069,7 +2091,9 @@ def jpeg_pixel_stats(df: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                decoded = decode_jpeg_gray_pixels(bytes(p))
+                decoded = decode_jpeg_gray_pixels(
+                    bytes(p)
+                ) or decode_jpeg_gray_progressive(bytes(p))
                 if decoded is None:
                     continue
                 w, h, px = decoded
@@ -2966,3 +2990,273 @@ def video_mc_decode(payload: bytes) -> tuple[int, int, list[list[int]]]:
         recon = new_recon
         frames.append(list(recon))
     return w, h, frames
+
+
+# ---------------------------------------------------------------------------
+# PROGRESSIVE JPEG (spectral selection): the SOF2 mode that ships a
+# DC scan first and the AC spectrum in band scans — the "image
+# sharpens as it loads" format. This implementation covers the
+# spectral-selection dimension with Ah=Al=0 (no successive
+# approximation — that refinement dimension and progressive restart
+# markers remain the documented seam). Progressive reorders the
+# BITSTREAM, never the coefficients: the same quantized values
+# arrive split across scans, so decode is bit-identical to the
+# baseline encoding of the same image — which is exactly what the
+# shared closed-form oracle and the equality property test pin.
+# ---------------------------------------------------------------------------
+
+
+def make_jpeg_gray_progressive(
+    width: int,
+    height: int,
+    value_of,
+    qtable: list[int] | None = None,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+) -> bytes:
+    """Spec-valid PROGRESSIVE (SOF2) grayscale JFIF via spectral
+    selection: scan 1 carries every block's DC coefficient
+    (Ss=Se=0), then one scan per (Ss, Se) band carries that slice of
+    the AC spectrum for all blocks. Within an AC band the coding is
+    the T.81 G.1.2.2 form; end-of-band runs are emitted one block at
+    a time (EOB = symbol 0x00, an EOBRUN of 1), which keeps the
+    Annex-K Huffman tables sufficient — the decoder still implements
+    general EOBn. Bands must tile [1, 63] in order."""
+    import struct
+
+    qt = list(qtable) if qtable is not None else list(_JPEG_STD_QT)
+    dc_codes = _jpeg_build_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_build_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    blocks_zz = []
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = [
+                value_of(min(bx + i, width - 1), min(by + j, height - 1))
+                & 0xFF
+                for j in range(8)
+                for i in range(8)
+            ]
+            q = _jpeg_fdct_quant(block, qt)
+            blocks_zz.append([q[_JPEG_ZZ[k]] for k in range(64)])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += seg(0xDB, bytes([0x00]) + bytes(qt[_JPEG_ZZ[k]] for k in range(64)))
+    out += seg(
+        0xC2,  # SOF2: progressive DCT, Huffman
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    # scan 1: DC, full precision (Ah=Al=0)
+    w = _JpegBitWriter()
+    prev = 0
+    for zz in blocks_zz:
+        size, bits = _jpeg_mag_bits(zz[0] - prev)
+        prev = zz[0]
+        length, code = dc_codes[size]
+        w.put(code, length)
+        if size:
+            w.put(bits, size)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    out += w.flush()
+    # AC band scans
+    expect = 1
+    for ss, se in bands:
+        if ss != expect or se < ss or se > 63:
+            raise ValueError("bands must tile [1, 63] in order")
+        expect = se + 1
+        w = _JpegBitWriter()
+        for zz in blocks_zz:
+            run = 0
+            k = ss
+            while k <= se:
+                if zz[k] == 0:
+                    run += 1
+                    k += 1
+                    continue
+                while run > 15:
+                    length, code = ac_codes[0xF0]  # ZRL
+                    w.put(code, length)
+                    run -= 16
+                size, bits = _jpeg_mag_bits(zz[k])
+                length, code = ac_codes[(run << 4) | size]
+                w.put(code, length)
+                w.put(bits, size)
+                run = 0
+                k += 1
+            if run:  # rest of band zero → EOB (EOBRUN of exactly 1)
+                length, code = ac_codes[0x00]
+                w.put(code, length)
+        out += seg(0xDA, bytes([1, 1, 0x00, ss, se, 0]))
+        out += w.flush()
+    if expect != 64:
+        raise ValueError("bands must tile [1, 63] in order")
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_gray_progressive(
+    payload: bytes,
+) -> tuple[int, int, list[int]] | None:
+    """(width, height, row-major gray pixels) from a PROGRESSIVE
+    (SOF2) spectral-selection grayscale JFIF: accumulates each
+    scan's coefficient slice (DC scan with a differential predictor,
+    AC band scans with general EOBn end-of-band runs per T.81
+    G.1.2.2) into per-block zigzag arrays, then dequantizes and
+    IDCTs once after EOI. None at the documented seam: successive
+    approximation (Ah/Al != 0), multi-component scans, progressive
+    restart intervals, and malformed streams."""
+    try:
+        if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+            return None
+        qtables: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        wid = hei = None
+        comp_qt_id = None
+        coef: list[list[int]] | None = None
+        n_blocks = 0
+        pos = 2
+        while pos + 2 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            if pos + 4 > len(payload):
+                return None
+            seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            body = payload[pos + 4 : pos + 2 + seg_len]
+            if len(body) != seg_len - 2:
+                return None
+            if marker == 0xDB:
+                b = 0
+                while b < len(body):
+                    pq, tq = body[b] >> 4, body[b] & 0x0F
+                    if pq != 0 or b + 65 > len(body):
+                        return None
+                    zz = list(body[b + 1 : b + 65])
+                    qt = [0] * 64
+                    for k in range(64):
+                        qt[_JPEG_ZZ[k]] = zz[k]
+                    qtables[tq] = qt
+                    b += 65
+            elif marker == 0xC4:
+                b = 0
+                while b + 17 <= len(body):
+                    tc, th = body[b] >> 4, body[b] & 0x0F
+                    bits = list(body[b + 1 : b + 17])
+                    n = sum(bits)
+                    vals = list(body[b + 17 : b + 17 + n])
+                    if len(vals) != n:
+                        return None
+                    table = {}
+                    code = 0
+                    k = 0
+                    for length in range(1, 17):
+                        for _ in range(bits[length - 1]):
+                            table[(length, code)] = vals[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+                    b += 17 + n
+            elif marker == 0xC2:  # SOF2 progressive
+                if body[0] != 8 or body[5] != 1:
+                    return None  # multi-component progressive: seam
+                hei = int.from_bytes(body[1:3], "big")
+                wid = int.from_bytes(body[3:5], "big")
+                if body[7] != 0x11:
+                    return None
+                comp_qt_id = body[8]
+                if wid == 0 or hei == 0:
+                    return None
+                n_blocks = (-(-wid // 8)) * (-(-hei // 8))
+                coef = [[0] * 64 for _ in range(n_blocks)]
+            elif marker in (0xC0, 0xC1, 0xC3, 0xC9, 0xCA, 0xCB):
+                return None  # sequential/arithmetic: other decoders
+            elif marker == 0xDD:
+                return None  # progressive restart intervals: seam
+            elif marker == 0xDA:
+                if coef is None or body[0] != 1:
+                    return None
+                tds = body[2]
+                ss, se, ahl = body[3], body[4], body[5]
+                if (ahl >> 4) or (ahl & 0x0F):
+                    return None  # successive approximation: seam
+                reader = _JpegBitReader(payload, pos + 2 + seg_len)
+                if ss == 0:
+                    if se != 0:
+                        return None  # DC+AC mixed scan illegal in SOF2
+                    dc = huff.get((0, tds >> 4))
+                    if dc is None:
+                        return None
+                    prev = 0
+                    for b in range(n_blocks):
+                        size = _jpeg_decode_symbol(reader, dc)
+                        prev += _jpeg_extend(reader.bits(size), size)
+                        coef[b][0] = prev
+                else:
+                    ac = huff.get((1, tds & 0x0F))
+                    if ac is None or ss > se or se > 63:
+                        return None
+                    eobrun = 0
+                    for b in range(n_blocks):
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = _jpeg_decode_symbol(reader, ac)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                return None
+                            coef[b][k] = _jpeg_extend(reader.bits(s), s)
+                            k += 1
+                pos = reader.pos
+                continue
+            pos += 2 + seg_len
+        else:
+            return None  # ran out of bytes before EOI
+        if coef is None or wid is None:
+            return None
+        qt = qtables.get(comp_qt_id)
+        if qt is None:
+            return None
+        nbx = -(-wid // 8)
+        px = [0] * (wid * hei)
+        for b in range(n_blocks):
+            coefs = [0] * 64
+            for k in range(64):
+                coefs[_JPEG_ZZ[k]] = coef[b][k]
+            block = _jpeg_dequant_idct(coefs, qt)
+            bx0 = (b % nbx) * 8
+            by0 = (b // nbx) * 8
+            for j in range(8):
+                y = by0 + j
+                if y >= hei:
+                    break
+                for i in range(8):
+                    x = bx0 + i
+                    if x >= wid:
+                        break
+                    px[y * wid + x] = block[j * 8 + i]
+        return wid, hei, px
+    except (ValueError, IndexError):
+        return None

@@ -1624,3 +1624,54 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (spectral selection) pixel decode
+# ---------------------------------------------------------------------------
+
+from wilayah_aceh_etl_spark.plans.round7_queries import (  # noqa: E402
+    _JPEG_STATS_ORACLE,
+)
+
+
+@register(
+    "multimodal_jpeg_progressive_pixel_stats",
+    # oracle shared VERBATIM with multimodal_jpeg_pixel_stats:
+    # progressive spectral selection reorders the BITSTREAM (DC scan
+    # first, AC spectrum in band scans), never the quantized
+    # coefficients — decoded pixels are bit-identical to baseline
+    # (equality property-pinned in tests/test_properties.py)
+    oracle=_JPEG_STATS_ORACLE,
+    tags=("ext", "multimodal", "decode", "pixels", "jpeg", "progressive"),
+    description="PROGRESSIVE (SOF2 spectral-selection) JPEG pixel decode",
+)
+def multimodal_jpeg_progressive_pixel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same images as multimodal_jpeg_pixel_stats but encoded
+    PROGRESSIVE (SOF2, spectral selection): a DC scan carrying every
+    block's DC coefficient, then AC band scans (1-5, 6-63) with
+    T.81 G.1.2.2 end-of-band coding. The decoder accumulates
+    coefficient slices across scans and transforms once after EOI —
+    a scan-order or EOBRUN bug shifts coefficients between blocks
+    and the shared closed-form oracle catches it. Successive
+    approximation (Ah/Al) remains the documented seam.
+
+    Scale note: progressive is the ANTI-parallel JPEG layout — every
+    scan touches every block, so unlike restart-interval baselines a
+    single progressive scan cannot be split mid-stream; the parallel
+    axis is the image corpus, which is how this pipeline shards
+    anyway (one decode per row through Arrow batches)."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.attach_jpeg_payload(docs, "doc_id", progressive=True)
+    return (
+        M.jpeg_pixel_stats(media)
+        .select(
+            "media_id", "width", "height", "n_pixels", "sum_gray",
+            "min_gray", "max_gray", "top_left", "bottom_right",
+        )
+        .orderBy("media_id")
+    )
