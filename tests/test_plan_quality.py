@@ -164,6 +164,10 @@ GLOBAL_WINDOW_ALLOWED = {
     # ranks the trained model's weight table — d rows (64), a model
     # constant created on the driver, never corpus-derived input
     "ml_logreg_top_features",
+    # cumulative curve over the MONITOR table: one summary row per
+    # micro-batch (the Aggregate ran inside foreachBatch, invisible
+    # to this structural guard) — input is O(batches), never O(docs)
+    "streaming_quality_monitor_rates",
 }
 
 

@@ -1259,3 +1259,46 @@ def test_merge_staging_file_vanish_retries(spark, tmp_path, monkeypatch):
         if e.startswith(os.path.basename(path) + "._staged")
     ]
     assert leftovers == []
+
+
+def test_quality_monitor_batch_replay_is_idempotent(spark, tmp_path):
+    """The monitor's per-batch summary is written with partition
+    overwrite: replaying a batch whose row already landed must leave
+    the table byte-identical (one row per batch, same counts), and
+    the summary must match the shared gopher_rule_flags verdicts."""
+    from wilayah_aceh_etl_spark.operators.text_analysis import (
+        gopher_rule_flags,
+    )
+    from wilayah_aceh_etl_spark.streaming.quality_monitor import (
+        batch_quality_summary,
+    )
+
+    monitor = str(tmp_path / "monitor")
+    long_doc = " ".join(
+        ["the", "a", "of"] * 2 + [f"word{i % 9}" for i in range(60)]
+    )
+    b0 = spark.createDataFrame(
+        [(1, long_doc), (2, "tiny doc only")],
+        "doc_id long, text string",
+    )
+
+    def write(batch_df, batch_id):
+        batch_quality_summary(batch_df).write.mode("overwrite").parquet(
+            f"{monitor}/batch={batch_id}"
+        )
+
+    write(b0, 0)
+    before = spark.read.parquet(monitor).collect()
+    write(b0, 0)  # replay
+    after = spark.read.parquet(monitor).collect()
+    assert before == after
+    assert len(after) == 1
+    row = after[0]
+    flags = gopher_rule_flags(b0).collect()
+    assert row.n_docs == 2
+    assert row.pass_word_count == sum(f.r_wc for f in flags)
+    assert row.pass_all == sum(
+        1
+        for f in flags
+        if f.r_wc + f.r_mwl + f.r_alpha + f.r_stop + f.r_rep == 5
+    )

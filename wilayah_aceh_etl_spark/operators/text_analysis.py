@@ -66,3 +66,55 @@ def tfidf_top_terms(
         .filter(F.col("rk") <= k)
         .select("doc_id", F.col("rk").cast("int").alias("rk"), "term", "tfidf")
     )
+
+
+def gopher_rule_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document 0/1 flags for the Gopher quality rules (Rae et
+    al. 2021, table A1): word-count bounds [50, 100000], mean word
+    length in [3, 10], >=80% alphabetic words, >=2 stopwords, top
+    word <=20% of tokens. Every ratio threshold is CROSS-MULTIPLIED
+    into integer form (3*wc <= chars, never chars/wc >= 3.0) so no
+    float exists anywhere. Shared by the batch battery
+    (text_gopher_quality_rules) and the streaming corpus-quality
+    monitor, which is what keeps their verdicts definitionally
+    identical.
+
+    Scale: per-doc flags are scan-local except the top-word rule,
+    one (doc, word) map-side-combinable aggregation."""
+    w = F.split(text_col, " ")
+    per_doc = df.select(
+        "doc_id",
+        F.size(w).alias("wc"),
+        (F.length(text_col) - F.size(w) + 1).alias("chars"),
+        F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$"))).alias("alpha_wc"),
+        F.size(
+            F.filter(
+                w, lambda x: x.isin("the", "a", "of", "and", "to", "in")
+            )
+        ).alias("stop_wc"),
+    )
+    top_word = (
+        df.select("doc_id", F.explode(w).alias("u"))
+        .groupBy("doc_id", "u")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    return per_doc.join(top_word, "doc_id").select(
+        "doc_id",
+        F.when(F.col("wc").between(50, 100000), 1).otherwise(0).alias("r_wc"),
+        F.when(
+            (3 * F.col("wc") <= F.col("chars"))
+            & (F.col("chars") <= 10 * F.col("wc")),
+            1,
+        )
+        .otherwise(0)
+        .alias("r_mwl"),
+        F.when(5 * F.col("alpha_wc") >= 4 * F.col("wc"), 1)
+        .otherwise(0)
+        .alias("r_alpha"),
+        F.when(F.col("stop_wc") >= 2, 1).otherwise(0).alias("r_stop"),
+        F.when(5 * F.col("top_cnt") <= F.col("wc"), 1)
+        .otherwise(0)
+        .alias("r_rep"),
+    )

@@ -772,44 +772,12 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-doc flags are scan-local (the top-word rule is one
     (doc, word) combine), and the battery reduces to a single row —
     the shape of a corpus-wide data-quality report at 100 TB."""
+    from wilayah_aceh_etl_spark.operators.text_analysis import (
+        gopher_rule_flags,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    per_doc = docs.select(
-        "doc_id",
-        F.size(w).alias("wc"),
-        (F.length("text") - F.size(w) + 1).alias("chars"),
-        F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$"))).alias("alpha_wc"),
-        F.size(
-            F.filter(
-                w,
-                lambda x: x.isin("the", "a", "of", "and", "to", "in"),
-            )
-        ).alias("stop_wc"),
-    )
-    top_word = (
-        docs.select("doc_id", F.explode(w).alias("u"))
-        .groupBy("doc_id", "u")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("top_cnt"))
-    )
-    flags = per_doc.join(top_word, "doc_id").select(
-        F.when(F.col("wc").between(50, 100000), 1).otherwise(0).alias("r_wc"),
-        F.when(
-            (3 * F.col("wc") <= F.col("chars"))
-            & (F.col("chars") <= 10 * F.col("wc")),
-            1,
-        )
-        .otherwise(0)
-        .alias("r_mwl"),
-        F.when(5 * F.col("alpha_wc") >= 4 * F.col("wc"), 1)
-        .otherwise(0)
-        .alias("r_alpha"),
-        F.when(F.col("stop_wc") >= 2, 1).otherwise(0).alias("r_stop"),
-        F.when(5 * F.col("top_cnt") <= F.col("wc"), 1)
-        .otherwise(0)
-        .alias("r_rep"),
-    )
+    flags = gopher_rule_flags(docs)
     return flags.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("r_wc").cast("long").alias("pass_word_count"),
@@ -1674,4 +1642,144 @@ def multimodal_jpeg_progressive_pixel_stats(
             "min_gray", "max_gray", "top_left", "bottom_right",
         )
         .orderBy("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus-quality monitor (foreachBatch)
+# ---------------------------------------------------------------------------
+
+_QUALITY_MONITOR_ORACLE = """
+WITH per_doc AS (
+  SELECT doc_id, doc_id % 4 AS batch,
+         len(string_split(text, ' ')) AS wc,
+         length(text) - len(string_split(text, ' ')) + 1 AS chars,
+         len(list_filter(string_split(text, ' '),
+                         x -> regexp_matches(x, '^[a-z]+$'))) AS alpha_wc,
+         len(list_filter(string_split(text, ' '),
+                         x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+           AS stop_wc
+  FROM documents
+),
+top_word AS (
+  SELECT doc_id, MAX(c) AS top_cnt
+  FROM (
+    SELECT doc_id, u, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS u
+          FROM documents)
+    GROUP BY doc_id, u
+  )
+  GROUP BY doc_id
+),
+flags AS (
+  SELECT p.batch,
+         CASE WHEN wc BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_wc,
+         CASE WHEN 3 * wc <= chars AND chars <= 10 * wc
+              THEN 1 ELSE 0 END AS r_mwl,
+         CASE WHEN 5 * alpha_wc >= 4 * wc THEN 1 ELSE 0 END AS r_alpha,
+         CASE WHEN stop_wc >= 2 THEN 1 ELSE 0 END AS r_stop,
+         CASE WHEN 5 * top_cnt <= wc THEN 1 ELSE 0 END AS r_rep
+  FROM per_doc p JOIN top_word t USING (doc_id)
+),
+per_batch AS (
+  SELECT batch,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(r_wc) AS BIGINT) AS pass_word_count,
+         CAST(SUM(r_mwl) AS BIGINT) AS pass_mean_word_len,
+         CAST(SUM(r_alpha) AS BIGINT) AS pass_alpha_ratio,
+         CAST(SUM(r_stop) AS BIGINT) AS pass_stopwords,
+         CAST(SUM(r_rep) AS BIGINT) AS pass_repetition,
+         CAST(SUM(CASE WHEN r_wc + r_mwl + r_alpha + r_stop + r_rep = 5
+                       THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+  FROM flags GROUP BY batch
+)
+SELECT CAST(batch AS INTEGER) AS batch,
+       n_docs, pass_word_count, pass_mean_word_len, pass_alpha_ratio,
+       pass_stopwords, pass_repetition, pass_all,
+       CAST(SUM(n_docs) OVER (ORDER BY batch
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_docs,
+       CAST(SUM(pass_all) OVER (ORDER BY batch
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_pass_all
+FROM per_batch
+ORDER BY batch
+"""
+
+
+@register(
+    "streaming_quality_monitor_rates",
+    oracle=_QUALITY_MONITOR_ORACLE,
+    tags=("streaming", "text", "quality", "gopher", "foreachBatch"),
+    description="streaming Gopher-rule quality monitor over micro-batches",
+)
+def streaming_quality_monitor_rates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The OBSERVABILITY half of the corpus ingest loop through the
+    real streaming path: documents arrive as four mtime-ordered
+    micro-batches; foreachBatch reduces each to one Gopher-rule
+    summary row in a batch-partitioned monitor table
+    (streaming/quality_monitor.py — replay-idempotent per-batch
+    overwrite, zero cross-batch state inside the stream); the final
+    read derives the cumulative pass curves with a window over the
+    four summary rows. The oracle replays the same batch split and
+    rules in SQL, so the hash pins micro-batch routing, the shared
+    rule definitions (operators/text_analysis.py::gopher_rule_flags,
+    the same exprs text_gopher_quality_rules gates), and the
+    cumulative arithmetic at once."""
+    import os
+    import shutil
+
+    from wilayah_aceh_etl_spark.scratch import scratch_dir
+    from wilayah_aceh_etl_spark.streaming.quality_monitor import (
+        quality_monitor_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = scratch_dir("qmon_src")
+    for k in range(4):
+        tmp = base + f"_stage{k}"
+        docs.filter(F.col("doc_id") % 4 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(base, f"batch{k}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        t = 1_600_000_000 + k * 1000
+        os.utime(dst, (t, t))
+    monitor = scratch_dir("qmon_tbl", create=False)
+    ckpt = scratch_dir("qmon_ck", create=False)
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    sq = quality_monitor_stream(src, monitor, ckpt).trigger(
+        availableNow=True
+    ).start()
+    sq.awaitTermination(600)
+    w_cum = Window.orderBy("batch").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        spark.read.parquet(monitor)
+        .select(
+            F.col("batch").cast("int").alias("batch"),
+            "n_docs",
+            "pass_word_count",
+            "pass_mean_word_len",
+            "pass_alpha_ratio",
+            "pass_stopwords",
+            "pass_repetition",
+            "pass_all",
+        )
+        .withColumn(
+            "cum_docs", F.sum("n_docs").over(w_cum).cast("long")
+        )
+        .withColumn(
+            "cum_pass_all", F.sum("pass_all").over(w_cum).cast("long")
+        )
+        .orderBy("batch")
     )
