@@ -911,3 +911,35 @@ def test_jpeg_progressive_equals_baseline(bw, bh, seed):
         assert M.decode_jpeg_gray_progressive(pb) is None
     for cut in range(0, len(pp), max(1, len(pp) // 13)):
         M.decode_jpeg_gray_progressive(pp[:cut])
+
+
+@given(
+    st.integers(1, 3),
+    st.integers(1, 3),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_successive_approximation_equals_baseline(bw, bh, seed):
+    """Successive approximation transmits the same quantized
+    coefficients bit by bit (half-precision scans + refinement
+    scans): decode(sa_progressive(img)) must equal
+    decode(baseline(img)) EXACTLY for arbitrary gradients, both
+    quantization tables, and edge-cropped dimensions; truncation
+    anywhere in the 4-scan stream never raises."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    w = max(1, 8 * bw - seed % 5)
+    h = max(1, 8 * bh - (seed // 7) % 5)
+
+    def gray(x, y):
+        return (seed + 3 * x + 5 * y + (x * y) % 7) % 256
+
+    for qt in ([1] * 64, None):
+        pb = M.make_jpeg_gray(w, h, gray, qtable=qt)
+        psa = M.make_jpeg_gray_progressive_sa(w, h, gray, qtable=qt)
+        assert M.decode_jpeg_gray_progressive(psa) == (
+            M.decode_jpeg_gray_pixels(pb)
+        )
+        assert M.decode_jpeg_gray_pixels(psa) is None
+    for cut in range(0, len(psa), max(1, len(psa) // 13)):
+        M.decode_jpeg_gray_progressive(psa[:cut])

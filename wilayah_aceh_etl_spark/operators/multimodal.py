@@ -41,13 +41,16 @@ proven through DuckDB oracle gates):
 
 What is SEAMED (returns None / raises NotImplementedError at the
 exact call site a real codec would plug into, because PIL/ffmpeg are
-not in this container): successive-approximation progressive and
-arithmetic-coded JPEG (baseline grayscale, 4:4:4 color, 4:2:0
+not in this container): arithmetic-coded JPEG and multi-component
+progressive scans (baseline grayscale, 4:4:4 color, 4:2:0
 chroma-subsampled — `make_jpeg_ycbcr_420`/
 `decode_jpeg_ycbcr420_pixels`, the camera-JPEG MCU geometry — and
-SPECTRAL-SELECTION PROGRESSIVE grayscale —
-`make_jpeg_gray_progressive`/`decode_jpeg_gray_progressive`, SOF2
-with DC + banded AC scans and general EOBn — are all REAL),
+PROGRESSIVE grayscale in BOTH dimensions: spectral selection
+(`make_jpeg_gray_progressive`, SOF2 DC + banded AC scans, general
+EOBn) and successive approximation
+(`make_jpeg_gray_progressive_sa`, the 4-scan Al=1→refine script
+with G.1.2.3 correction-bit coding), one decoder
+(`decode_jpeg_gray_progressive`) covering both — all REAL),
 perceptual transform-audio (mp3/ogg entropy layers; μ-law covers
 companding, the Haar subband codec covers the subband-transform
 class), and h264-class inter-frame video — though `video_mc_encode`/
@@ -2018,6 +2021,7 @@ def attach_jpeg_payload(
     id_col: str,
     restart_interval: int = 0,
     progressive: bool = False,
+    successive: bool = False,
 ) -> DataFrame:
     """Media table with REAL baseline-JPEG bytes. The images are
     BLOCK-CONSTANT — every 8×8 block holds one value
@@ -2048,7 +2052,17 @@ def attach_jpeg_payload(
             for m in (int(v) for v in pdf["_mid"]):
                 w = 8 * (1 + m % 4)
                 h = 8 * (1 + (m * 3) % 4)
-                if progressive:
+                if successive:
+                    p = make_jpeg_gray_progressive_sa(
+                        w,
+                        h,
+                        lambda x, y, m=m: (
+                            m * 7 + 16 * (x // 8) + 31 * (y // 8)
+                        )
+                        % 256,
+                        qtable=qt,
+                    )
+                elif progressive:
                     p = make_jpeg_gray_progressive(
                         w,
                         h,
@@ -3111,9 +3125,14 @@ def decode_jpeg_gray_progressive(
     scan's coefficient slice (DC scan with a differential predictor,
     AC band scans with general EOBn end-of-band runs per T.81
     G.1.2.2) into per-block zigzag arrays, then dequantizes and
-    IDCTs once after EOI. None at the documented seam: successive
-    approximation (Ah/Al != 0), multi-component scans, progressive
-    restart intervals, and malformed streams."""
+    IDCTs once after EOI. SUCCESSIVE APPROXIMATION is real too:
+    first scans at reduced precision (point transform — arithmetic
+    shift for DC, magnitude truncation for AC), then refinement
+    scans (raw DC bits; G.1.2.3 AC coding where runs count
+    zero-history positions and passed nonzero-history coefficients
+    each read a correction bit). None at the documented seam:
+    multi-component progressive scans, progressive restart
+    intervals, and malformed streams."""
     try:
         if len(payload) < 4 or payload[:2] != b"\xff\xd8":
             return None
@@ -3188,22 +3207,32 @@ def decode_jpeg_gray_progressive(
                 if coef is None or body[0] != 1:
                     return None
                 tds = body[2]
-                ss, se, ahl = body[3], body[4], body[5]
-                if (ahl >> 4) or (ahl & 0x0F):
-                    return None  # successive approximation: seam
+                ss, se = body[3], body[4]
+                ah, al = body[5] >> 4, body[5] & 0x0F
+                if ah and ah != al + 1:
+                    return None  # refinement must narrow one bit
                 reader = _JpegBitReader(payload, pos + 2 + seg_len)
+                p1 = 1 << al
                 if ss == 0:
                     if se != 0:
                         return None  # DC+AC mixed scan illegal in SOF2
-                    dc = huff.get((0, tds >> 4))
-                    if dc is None:
-                        return None
-                    prev = 0
-                    for b in range(n_blocks):
-                        size = _jpeg_decode_symbol(reader, dc)
-                        prev += _jpeg_extend(reader.bits(size), size)
-                        coef[b][0] = prev
-                else:
+                    if ah == 0:
+                        dc = huff.get((0, tds >> 4))
+                        if dc is None:
+                            return None
+                        prev = 0
+                        for b in range(n_blocks):
+                            size = _jpeg_decode_symbol(reader, dc)
+                            prev += _jpeg_extend(reader.bits(size), size)
+                            coef[b][0] = prev << al
+                    else:
+                        # DC refinement: one raw bit per block; the
+                        # arithmetic-shift point transform makes it a
+                        # two's-complement OR
+                        for b in range(n_blocks):
+                            if reader.bit():
+                                coef[b][0] |= p1
+                elif ah == 0:
                     ac = huff.get((1, tds & 0x0F))
                     if ac is None or ss > se or se > 63:
                         return None
@@ -3227,8 +3256,67 @@ def decode_jpeg_gray_progressive(
                             k += r
                             if k > se:
                                 return None
-                            coef[b][k] = _jpeg_extend(reader.bits(s), s)
+                            coef[b][k] = (
+                                _jpeg_extend(reader.bits(s), s) << al
+                            )
                             k += 1
+                else:
+                    # AC refinement (G.1.2.3): runs count zero-history
+                    # positions; every nonzero-history coefficient
+                    # passed reads one correction bit
+                    ac = huff.get((1, tds & 0x0F))
+                    if ac is None or ss > se or se > 63:
+                        return None
+                    eobrun = 0
+                    for b in range(n_blocks):
+                        cf = coef[b]
+                        if eobrun:
+                            eobrun -= 1
+                            for k in range(ss, se + 1):
+                                if cf[k] and reader.bit():
+                                    cf[k] += p1 if cf[k] > 0 else -p1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = _jpeg_decode_symbol(reader, ac)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0 and r != 15:  # EOBn
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.bits(r)
+                                for kk in range(k, se + 1):
+                                    if cf[kk] and reader.bit():
+                                        cf[kk] += (
+                                            p1 if cf[kk] > 0 else -p1
+                                        )
+                                break
+                            if s:
+                                if s != 1:
+                                    return None  # new coef must be +-1
+                                val = p1 if reader.bit() else -p1
+                            zeros = 0
+                            target = 16 if s == 0 else r
+                            while k <= se:
+                                if cf[k]:
+                                    if reader.bit():
+                                        cf[k] += p1 if cf[k] > 0 else -p1
+                                    k += 1
+                                    continue
+                                if s == 0:  # ZRL: exactly 16 zeros
+                                    zeros += 1
+                                    k += 1
+                                    if zeros == target:
+                                        break
+                                    continue
+                                if zeros == target:
+                                    break  # placement position
+                                zeros += 1
+                                k += 1
+                            if s:
+                                if k > se:
+                                    return None
+                                cf[k] = val
+                                k += 1
                 pos = reader.pos
                 continue
             pos += 2 + seg_len
@@ -3260,3 +3348,160 @@ def decode_jpeg_gray_progressive(
         return wid, hei, px
     except (ValueError, IndexError):
         return None
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG, SUCCESSIVE APPROXIMATION (T.81 G.1.2.3): the
+# canonical 4-scan script — DC and AC spectra at reduced precision
+# first (point transform Al=1), then refinement scans that ship the
+# final bit. Refinement AC coding is the intricate part: runs count
+# only ZERO-HISTORY positions, and every already-nonzero coefficient
+# passed on the walk carries one raw correction bit, interleaved in
+# position order. Successive approximation transmits the SAME
+# quantized coefficients as baseline, bit by bit — so decode is
+# bit-identical to baseline, which the equality property test pins.
+# ---------------------------------------------------------------------------
+
+
+def make_jpeg_gray_progressive_sa(
+    width: int,
+    height: int,
+    value_of,
+    qtable: list[int] | None = None,
+) -> bytes:
+    """Spec-valid PROGRESSIVE (SOF2) grayscale JFIF with SUCCESSIVE
+    APPROXIMATION: scan 1 = DC at Al=1 (arithmetic-shift point
+    transform, floor semantics per two's complement), scan 2 = AC
+    1-63 at Al=1 (magnitude trunc), scan 3 = DC refinement (one raw
+    bit per block, no Huffman), scan 4 = AC refinement (G.1.2.3:
+    newly-nonzero +-1 coded as size-1 symbols whose runs count
+    zero-history positions only, correction bits for nonzero-history
+    coefficients appended in walk order, end-of-band runs of exactly
+    1 so the Annex-K tables suffice)."""
+    import struct
+
+    qt = list(qtable) if qtable is not None else list(_JPEG_STD_QT)
+    dc_codes = _jpeg_build_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_build_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    blocks_zz = []
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = [
+                value_of(min(bx + i, width - 1), min(by + j, height - 1))
+                & 0xFF
+                for j in range(8)
+                for i in range(8)
+            ]
+            q = _jpeg_fdct_quant(block, qt)
+            blocks_zz.append([q[_JPEG_ZZ[k]] for k in range(64)])
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += seg(0xDB, bytes([0x00]) + bytes(qt[_JPEG_ZZ[k]] for k in range(64)))
+    out += seg(
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    # scan 1: DC first, Al=1 — differential coding of (dc >> 1);
+    # DC point transform is an ARITHMETIC shift (floor), so the
+    # refinement bit is literally bit 0 (two's complement OR).
+    w = _JpegBitWriter()
+    prev = 0
+    for zz in blocks_zz:
+        t = zz[0] >> 1
+        size, bits = _jpeg_mag_bits(t - prev)
+        prev = t
+        length, code = dc_codes[size]
+        w.put(code, length)
+        if size:
+            w.put(bits, size)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))  # Ah=0 Al=1
+    out += w.flush()
+    # scan 2: AC first, band 1-63, Al=1 — same band coding as
+    # spectral selection on trunc(v/2) (AC point transform is
+    # magnitude shift: truncation toward zero).
+    w = _JpegBitWriter()
+    for zz in blocks_zz:
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            t = -((-v) >> 1) if v < 0 else v >> 1
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac_codes[0xF0]
+                w.put(code, length)
+                run -= 16
+            size, bits = _jpeg_mag_bits(t)
+            length, code = ac_codes[(run << 4) | size]
+            w.put(code, length)
+            w.put(bits, size)
+            run = 0
+        if run:
+            length, code = ac_codes[0x00]
+            w.put(code, length)
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+    out += w.flush()
+    # scan 3: DC refinement — one raw bit (bit 0 of the DC) per block
+    w = _JpegBitWriter()
+    for zz in blocks_zz:
+        w.put(zz[0] & 1, 1)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))  # Ah=1 Al=0
+    out += w.flush()
+    # scan 4: AC refinement (G.1.2.3), EOBRUN of exactly 1
+    w = _JpegBitWriter()
+    for zz in blocks_zz:
+        events = []  # ordered: ("z",) zero-history zero | ("c", bit)
+        for k in range(1, 64):
+            v = zz[k]
+            av = -v if v < 0 else v
+            hist = av >> 1  # nonzero after the Al=1 scan?
+            if hist:
+                events.append(("c", av & 1))
+            elif av == 0:
+                events.append(("z",))
+            else:  # newly nonzero: v is +-1
+                # count pending zero-history zeros as the run
+                while sum(1 for e in events if e[0] == "z") > 15:
+                    length, code = ac_codes[0xF0]
+                    w.put(code, length)
+                    zeros = 0
+                    rest = []
+                    for e in events:
+                        if zeros == 16:
+                            rest.append(e)
+                        elif e[0] == "c":
+                            w.put(e[1], 1)
+                        else:
+                            zeros += 1
+                    events = rest
+                run = sum(1 for e in events if e[0] == "z")
+                size, bits = _jpeg_mag_bits(v)  # (1, sign bit)
+                length, code = ac_codes[(run << 4) | 1]
+                w.put(code, length)
+                w.put(bits, 1)
+                for e in events:  # correction bits in walk order
+                    if e[0] == "c":
+                        w.put(e[1], 1)
+                events = []
+        if events:  # rest of band: EOB (EOBRUN=1) + trailing bits
+            length, code = ac_codes[0x00]
+            w.put(code, length)
+            for e in events:
+                if e[0] == "c":
+                    w.put(e[1], 1)
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+    out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

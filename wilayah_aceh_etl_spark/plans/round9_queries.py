@@ -1623,8 +1623,8 @@ def multimodal_jpeg_progressive_pixel_stats(
     T.81 G.1.2.2 end-of-band coding. The decoder accumulates
     coefficient slices across scans and transforms once after EOI —
     a scan-order or EOBRUN bug shifts coefficients between blocks
-    and the shared closed-form oracle catches it. Successive
-    approximation (Ah/Al) remains the documented seam.
+    and the shared closed-form oracle catches it. (The successive-
+    approximation dimension has its own query below.)
 
     Scale note: progressive is the ANTI-parallel JPEG layout — every
     scan touches every block, so unlike restart-interval baselines a
@@ -1782,4 +1782,44 @@ def streaming_quality_monitor_rates(
             "cum_pass_all", F.sum("pass_all").over(w_cum).cast("long")
         )
         .orderBy("batch")
+    )
+
+
+@register(
+    "multimodal_jpeg_progressive_sa_pixel_stats",
+    # oracle shared VERBATIM with multimodal_jpeg_pixel_stats:
+    # successive approximation ships the SAME quantized coefficients
+    # bit by bit across scans — decoded pixels are bit-identical to
+    # baseline (equality property-pinned for arbitrary gradients)
+    oracle=_JPEG_STATS_ORACLE,
+    tags=("ext", "multimodal", "decode", "pixels", "jpeg", "progressive"),
+    description="SUCCESSIVE-APPROXIMATION progressive JPEG pixel decode",
+)
+def multimodal_jpeg_progressive_sa_pixel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same images encoded with the canonical 4-scan SUCCESSIVE
+    APPROXIMATION script (T.81 G.1.2.3): DC and AC spectra at Al=1
+    first (a complete half-precision picture), then a raw-bit DC
+    refinement scan and the intricate AC refinement scan — runs
+    count only zero-history positions, newly-nonzero coefficients
+    arrive as +-1 size-1 symbols, and every already-nonzero
+    coefficient passed on the walk carries one correction bit in
+    position order. A single mis-ordered correction bit desynchronizes
+    the whole remaining scan, which the shared closed-form oracle
+    catches. This completes the progressive feature square:
+    spectral selection x successive approximation, encoder and
+    decoder both real; the JPEG seam narrows to arithmetic coding
+    and multi-component progressive scans."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.attach_jpeg_payload(docs, "doc_id", successive=True)
+    return (
+        M.jpeg_pixel_stats(media)
+        .select(
+            "media_id", "width", "height", "n_pixels", "sum_gray",
+            "min_gray", "max_gray", "top_left", "bottom_right",
+        )
+        .orderBy("media_id")
     )
