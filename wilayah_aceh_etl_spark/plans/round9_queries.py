@@ -1823,3 +1823,175 @@ def multimodal_jpeg_progressive_sa_pixel_stats(
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram (SentencePiece-class) tokenizer: Viterbi segmentation
+# ---------------------------------------------------------------------------
+
+# cost*64 + ntok encoding: appending a piece adds cost*64 + 1, so the
+# DP needs only MIN — cost uniquely determines ntok at fixed prefix
+# length (10a + 12b + 15c and a + 2b + 3c pin (a,b,c): the only
+# integer null direction is (39, -15, 8)-scaled, impossible at
+# word lengths <= 8), so min-by-encoded == min-by-cost.
+_UNI_L1 = 10 * 64 + 1  # single char, cost 10
+_UNI_L2 = 12 * 64 + 1  # learned bigram piece, cost 12
+_UNI_L3 = 15 * 64 + 1  # learned trigram piece, cost 15
+_UNI_MAXLEN = 8  # corpus max word length (asserted by construction)
+
+
+def _uni_dp_step_sql(i: int) -> str:
+    """One unrolled Viterbi position: dp[i] = min over piece lengths
+    of dp[i-L] + enc(L), gated on the piece table for L in {2, 3}
+    (single chars always segment). MATERIALIZED per the DuckDB
+    chained-CTE re-evaluation pitfall (DETERMINISM.md §7)."""
+    return f"""
+dp{i} AS MATERIALIZED (
+  SELECT * FROM dp{i - 1}
+  UNION ALL
+  SELECT d.w, {i} AS pos,
+         MIN(d.enc + CASE {i} - d.pos
+               WHEN 1 THEN {_UNI_L1}
+               WHEN 2 THEN {_UNI_L2}
+               ELSE {_UNI_L3} END) AS enc
+  FROM dp{i - 1} d
+  WHERE length(d.w) >= {i}
+    AND d.pos >= {i} - 3 AND d.pos < {i}
+    AND ({i} - d.pos = 1
+         OR ({i} - d.pos = 2
+             AND substr(d.w, d.pos + 1, 2) IN (SELECT g FROM bi))
+         OR ({i} - d.pos = 3
+             AND substr(d.w, d.pos + 1, 3) IN (SELECT g FROM tri)))
+  GROUP BY d.w
+)"""
+
+
+_UNIGRAM_ORACLE = (
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+words AS (SELECT DISTINCT w FROM toks),
+bi AS MATERIALIZED (
+  SELECT g FROM (
+    SELECT substr(w, i, 2) AS g, COUNT(*) AS c
+    FROM toks, LATERAL (SELECT unnest(range(1, length(w))) AS i) t
+    GROUP BY g ORDER BY c DESC, g LIMIT 20
+  )
+),
+tri AS MATERIALIZED (
+  SELECT g FROM (
+    SELECT substr(w, i, 3) AS g, COUNT(*) AS c
+    FROM toks, LATERAL (SELECT unnest(range(1, length(w) - 1)) AS i) t
+    GROUP BY g ORDER BY c DESC, g LIMIT 10
+  )
+),
+dp0 AS (SELECT w, 0 AS pos, 0 AS enc FROM words),
+"""
+    + ",".join(_uni_dp_step_sql(i) for i in range(1, _UNI_MAXLEN + 1))
+    + f"""
+,
+seg AS (SELECT w, enc FROM dp{_UNI_MAXLEN} WHERE pos = length(w))
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(enc // 64) AS BIGINT) AS total_cost,
+       CAST(SUM(enc % 64) AS BIGINT) AS n_tokens
+FROM toks JOIN seg USING (w)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+)
+
+
+@register(
+    "tokenizer_unigram_viterbi_counts",
+    oracle=_UNIGRAM_ORACLE,
+    tags=("ext", "text", "tokenizer", "unigram", "viterbi"),
+    description="unigram-LM (SentencePiece-class) Viterbi segmentation",
+)
+def tokenizer_unigram_viterbi_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The THIRD tokenizer family (BPE train/apply are registered
+    separately): unigram-LM segmentation a la SentencePiece — a
+    piece vocabulary (every single char, the top-20 corpus bigrams,
+    the top-10 corpus trigrams, frequency-then-lexicographic
+    tie-break) with integer costs 10/12/15, and per-word VITERBI
+    minimum-cost segmentation. The DP runs as a pure Catalyst
+    higher-order fold over word positions with the cost*64 + ntok
+    encoding (appending a piece adds cost*64 + 1, so min-by-encoded
+    is min-by-cost, and cost uniquely pins the token count — the
+    header derivation). The oracle unrolls the same DP as 8
+    MATERIALIZED chained CTEs gated on its own piece tables.
+
+    Scale: piece selection is two map-side-combinable n-gram counts;
+    the learned pieces are MODEL STATE (30 strings) collected to the
+    driver and folded into the expression — the broadcast-weights
+    topology of the ML trainers. Segmentation itself is per-DISTINCT-
+    word, joined back to the corpus, so the expensive fold runs
+    |vocabulary| times, not |corpus| times."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    bi_top = (
+        toks.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("g"))
+        .limit(20)
+    )
+    tri_top = (
+        toks.filter(F.length("w") >= 3)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 2),"
+                    " i -> substring(w, i, 3))"
+                )
+            ).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("g"))
+        .limit(10)
+    )
+    # model state: 30 learned pieces to the driver (like the BPE
+    # merge table and the k-means centroids — O(model), not O(data))
+    bi = [r.g for r in bi_top.collect()]
+    tri = [r.g for r in tri_top.collect()]
+    bi_lit = ",".join(f"'{g}'" for g in bi)
+    tri_lit = ",".join(f"'{g}'" for g in tri)
+    enc_expr = f"""
+element_at(
+  aggregate(sequence(1, length(w)), array(0),
+    (acc, i) -> array_append(acc,
+      least(
+        element_at(acc, i) + {_UNI_L1},
+        CASE WHEN i >= 2 AND array_contains(array({bi_lit}),
+                                            substring(w, i - 1, 2))
+             THEN element_at(acc, i - 1) + {_UNI_L2} ELSE 999999 END,
+        CASE WHEN i >= 3 AND array_contains(array({tri_lit}),
+                                            substring(w, i - 2, 3))
+             THEN element_at(acc, i - 2) + {_UNI_L3} ELSE 999999 END))),
+  length(w) + 1)
+"""
+    seg = toks.select("w").distinct().withColumn("enc", F.expr(enc_expr))
+    return (
+        toks.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.expr("enc div 64")).cast("long").alias("total_cost"),
+            F.sum(F.col("enc") % 64).cast("long").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
