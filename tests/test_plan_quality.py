@@ -135,6 +135,8 @@ NLJ_ALLOWED = {
     "eval_calibration_ece",
     # 10-row decile aggregate × 1-row corpus-moment broadcast
     "eval_brier_decomposition",
+    # two 1-row agreement aggregates combined into the kappa row
+    "labels_fleiss_kappa",
     # pairwise join over the DISTINCT VOCABULARY (31 terms, the
     # aggregated small relation) — the standard fuzzy-join dedupe-
     # to-terms trick; corpus rows never enter the quadratic side

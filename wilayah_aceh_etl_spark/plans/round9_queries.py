@@ -1995,3 +1995,197 @@ element_at(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa: multi-rater agreement, exact integer num/den
+# ---------------------------------------------------------------------------
+
+_FLEISS_ORACLE = """
+WITH ratings AS (
+  SELECT o_orderkey AS i, r,
+         CASE WHEN (o_orderkey * 11 + r * 5) % 10 < 7
+              THEN o_orderkey % 3
+              ELSE (o_orderkey * 11 + r) % 3 END AS cat
+  FROM orders, LATERAL (SELECT unnest(range(0, 5)) AS r) t
+  WHERE o_orderkey < 60000
+),
+nic AS (
+  SELECT i, cat, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ratings GROUP BY i, cat
+),
+a_agg AS (
+  SELECT CAST(SUM(n * n) AS BIGINT) AS a_sq,
+         CAST(COUNT(DISTINCT i) AS BIGINT) AS n_items
+  FROM nic
+),
+b_agg AS (
+  SELECT CAST(SUM(cs * cs) AS BIGINT) AS b_sq
+  FROM (SELECT cat, SUM(n) AS cs FROM nic GROUP BY cat)
+)
+SELECT n_items,
+       CAST(5 AS INTEGER) AS n_raters,
+       a_sq, b_sq,
+       CAST((a_sq - n_items * 5) * (n_items * 5) * (n_items * 5)
+            - b_sq * (n_items * 5 * 4) AS BIGINT) AS kappa_num,
+       CAST((n_items * 5 * 4)
+            * ((n_items * 5) * (n_items * 5) - b_sq) AS BIGINT)
+         AS kappa_den,
+       CAST((a_sq - n_items * 5) * (n_items * 5) * (n_items * 5)
+            - b_sq * (n_items * 5 * 4) AS DOUBLE)
+         / ((n_items * 5 * 4)
+            * ((n_items * 5) * (n_items * 5) - b_sq)) AS fleiss_kappa
+FROM a_agg, b_agg
+"""
+
+
+@register(
+    "labels_fleiss_kappa",
+    oracle=_FLEISS_ORACLE,
+    tags=("ext", "eval", "labels", "agreement", "kappa"),
+    description="Fleiss' kappa for 5 raters with exact integer num/den",
+)
+def labels_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-rater agreement (Fleiss 1971) — the R>2 generalization
+    of the registered Cohen's kappa, the standard QA statistic for
+    labeling crews: 5 synthetic raters per item agree with the true
+    label 70% of the time. With A = sum n_ic^2 and B = sum of squared
+    category column sums, kappa = (Pbar - Pe)/(1 - Pe) clears to the
+    single integer fraction ((A-NR)(NR)^2 - B*NR(R-1)) /
+    (NR(R-1)((NR)^2 - B)) — both sides BIGINT (items bounded to keep
+    the products under 2^63 at any SF), one IEEE division.
+
+    Scale: one (item, category) combine then a C-row reduce; the
+    quadratics are over counts, never rows."""
+    ratings = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 60000)
+        .select(
+            F.col("o_orderkey").alias("i"),
+            F.explode(F.sequence(F.lit(0), F.lit(4))).alias("r"),
+        )
+        .select(
+            "i",
+            F.when(
+                (F.col("i") * 11 + F.col("r") * 5) % 10 < 7,
+                F.col("i") % 3,
+            )
+            .otherwise((F.col("i") * 11 + F.col("r")) % 3)
+            .alias("cat"),
+        )
+    )
+    nic = ratings.groupBy("i", "cat").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    a_agg = nic.agg(
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("a_sq"),
+        F.countDistinct("i").cast("long").alias("n_items"),
+    )
+    b_agg = (
+        nic.groupBy("cat")
+        .agg(F.sum("n").alias("cs"))
+        .agg(F.sum(F.col("cs") * F.col("cs")).cast("long").alias("b_sq"))
+    )
+    nr = F.col("n_items") * 5
+    num = (F.col("a_sq") - nr) * nr * nr - F.col("b_sq") * (nr * 4)
+    den = (nr * 4) * (nr * nr - F.col("b_sq"))
+    return a_agg.crossJoin(F.broadcast(b_agg)).select(
+        "n_items",
+        F.lit(5).cast("int").alias("n_raters"),
+        "a_sq",
+        "b_sq",
+        num.cast("long").alias("kappa_num"),
+        den.cast("long").alias("kappa_den"),
+        (num.cast("double") / den).alias("fleiss_kappa"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forecast accuracy: WAPE + MASE for the seasonal-naive baseline
+# ---------------------------------------------------------------------------
+
+_FORECAST_EVAL_ORACLE = """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS a
+  FROM events GROUP BY d
+),
+lagged AS (
+  SELECT d, a,
+         LAG(a, 7) OVER (ORDER BY d) AS f,
+         LAG(a, 1) OVER (ORDER BY d) AS prev
+  FROM daily
+)
+SELECT CAST(COUNT(f) AS BIGINT) AS h_days,
+       CAST(SUM(CASE WHEN f IS NOT NULL
+                     THEN ABS(f - a) ELSE 0 END) AS BIGINT) AS sum_err,
+       CAST(SUM(CASE WHEN f IS NOT NULL THEN a ELSE 0 END) AS BIGINT)
+         AS sum_actual,
+       CAST(COUNT(prev) AS BIGINT) AS t_days,
+       CAST(SUM(CASE WHEN prev IS NOT NULL
+                     THEN ABS(a - prev) ELSE 0 END) AS BIGINT)
+         AS sum_naive,
+       CAST(SUM(CASE WHEN f IS NOT NULL
+                     THEN ABS(f - a) ELSE 0 END) AS DOUBLE)
+         / SUM(CASE WHEN f IS NOT NULL THEN a ELSE 0 END) AS wape,
+       CAST(SUM(CASE WHEN f IS NOT NULL
+                     THEN ABS(f - a) ELSE 0 END) * COUNT(prev) AS DOUBLE)
+         / (COUNT(f) * SUM(CASE WHEN prev IS NOT NULL
+                                THEN ABS(a - prev) ELSE 0 END)) AS mase
+FROM lagged
+"""
+
+
+@register(
+    "eval_forecast_wape_mase",
+    oracle=_FORECAST_EVAL_ORACLE,
+    tags=("ext", "eval", "forecast", "timeseries", "metric"),
+    description="WAPE + MASE of the seasonal-naive forecast, integer sums",
+)
+def eval_forecast_wape_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy metrics for the lag-7 seasonal-naive
+    baseline over the daily event series: WAPE (sum|f-a| / sum a —
+    the scale-free operations metric) and MASE (Hyndman 2006 —
+    horizon MAE over in-sample naive-1 MAE, cleared to the integer
+    fraction sum_err*T / (H*sum_naive)). Every sum is an exact
+    BIGINT over integer daily counts; each metric is one IEEE
+    division. Companion to forecast_conformal_interval and
+    events_seasonal_naive, which produce the forecasts this query
+    scores.
+
+    Scale: the window runs over the aggregated daily relation (30
+    rows here; always O(days), never O(events))."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count("*").cast("long").alias("a"))
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "a",
+        F.lag("a", 7).over(w).alias("f"),
+        F.lag("a", 1).over(w).alias("prev"),
+    )
+    sum_err = F.sum(
+        F.when(F.col("f").isNotNull(), F.abs(F.col("f") - F.col("a")))
+        .otherwise(0)
+    )
+    sum_actual = F.sum(
+        F.when(F.col("f").isNotNull(), F.col("a")).otherwise(0)
+    )
+    sum_naive = F.sum(
+        F.when(
+            F.col("prev").isNotNull(), F.abs(F.col("a") - F.col("prev"))
+        ).otherwise(0)
+    )
+    return lagged.agg(
+        F.count("f").cast("long").alias("h_days"),
+        sum_err.cast("long").alias("sum_err"),
+        sum_actual.cast("long").alias("sum_actual"),
+        F.count("prev").cast("long").alias("t_days"),
+        sum_naive.cast("long").alias("sum_naive"),
+        (sum_err.cast("double") / sum_actual).alias("wape"),
+        (
+            (sum_err * F.count("prev")).cast("double")
+            / (F.count("f") * sum_naive)
+        ).alias("mase"),
+    )
