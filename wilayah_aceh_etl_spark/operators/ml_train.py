@@ -389,3 +389,118 @@ def logreg_sgd_minibatch(
         )
     finally:
         v.unpersist()
+
+
+def rank_perceptron_train_integer(
+    df: DataFrame,
+    n_iter: int = 3,
+    q_bits: int = 12,
+    n_pairs: int = 250,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise LEARNING-TO-RANK perceptron (the RankSVM/RankNet
+    update shape on preference pairs) with the repo's all-integer
+    determinism device: features quantize once to ROUND(x*2^q_bits),
+    each pair becomes the difference vector d = xq_winner -
+    xq_loser, and the classic rank-perceptron update w += d fires on
+    misranked pairs (w.d <= 0). Pair labels come from a hidden
+    integer utility h = sum(first 32 dims) - sum(last 32 dims) over
+    the QUANTIZED features, so the supervision itself is
+    integer-exact and learnable by construction — the feature-based
+    counterpart of ml_bradley_terry_strengths (which aggregates
+    per-item strengths without features).
+
+    Returns one row per iteration (misranked count under PRE-update
+    weights, POST-update checksum) plus a final EVAL row
+    (iter = n_iter + 1) scoring the trained weights on the same
+    pairs — all BIGINT.
+
+    Scale shape: the broadcast-weights topology of every trainer in
+    this module — weights are d integers in a map-side expression;
+    the update is one filtered aggregate keyed by feature position;
+    pairs shuffle once to build the difference relation and never
+    again."""
+    qf = float(1 << q_bits)
+    q = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(as_double(F.col(vec_col))).alias("pos0", "xv"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("xv") * qf).cast("long").alias("xq"),
+    )
+    h = q.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("pos") <= 32, F.col("xq")).otherwise(-F.col("xq"))
+        )
+        .cast("long")
+        .alias("h")
+    )
+    ha = h.filter(F.col("vec_id") < n_pairs).select(
+        F.col("vec_id").alias("pid"), F.col("h").alias("h_a")
+    )
+    hb = h.filter(
+        (F.col("vec_id") >= n_pairs) & (F.col("vec_id") < 2 * n_pairs)
+    ).select((F.col("vec_id") - n_pairs).alias("pid"), F.col("h").alias("h_b"))
+    pairs = ha.join(hb, "pid").select(
+        "pid", (F.col("h_a") > F.col("h_b")).alias("a_wins")
+    )
+    qa = q.filter(F.col("vec_id") < n_pairs).select(
+        F.col("vec_id").alias("pid"), "pos", F.col("xq").alias("xq_a")
+    )
+    qb = q.filter(
+        (F.col("vec_id") >= n_pairs) & (F.col("vec_id") < 2 * n_pairs)
+    ).select(
+        (F.col("vec_id") - n_pairs).alias("pid"),
+        "pos",
+        F.col("xq").alias("xq_b"),
+    )
+    u = (
+        qa.join(qb, ["pid", "pos"])
+        .join(pairs, "pid")
+        .select(
+            "pid",
+            "pos",
+            F.when(
+                F.col("a_wins"), F.col("xq_a") - F.col("xq_b")
+            )
+            .otherwise(F.col("xq_b") - F.col("xq_a"))
+            .alias("dq"),
+        )
+        .persist()
+    )
+    try:
+        d = 64
+        w = [0] * d
+        out_rows = []
+
+        def margins(weights):
+            warr = F.array(*[F.lit(int(wj)) for wj in weights])
+            return u.groupBy("pid").agg(
+                F.sum(F.element_at(warr, F.col("pos")) * F.col("dq"))
+                .alias("m")
+            )
+
+        for it in range(1, n_iter + 1):
+            mis = margins(w).filter(F.col("m") <= 0).select("pid").persist()
+            try:
+                n_mis = mis.count()
+                upd = (
+                    u.join(mis, "pid")
+                    .groupBy("pos")
+                    .agg(F.sum("dq").alias("s"))
+                    .collect()
+                )
+            finally:
+                mis.unpersist()
+            sums = {r["pos"]: r["s"] for r in upd}
+            w = [w[j] + int(sums.get(j + 1, 0)) for j in range(d)]
+            out_rows.append((it, int(n_mis), int(sum(w))))
+        n_mis_final = margins(w).filter(F.col("m") <= 0).count()
+        out_rows.append((n_iter + 1, int(n_mis_final), int(sum(w))))
+        return df.sparkSession.createDataFrame(
+            out_rows, "iter int, n_misranked bigint, w_checksum bigint"
+        )
+    finally:
+        u.unpersist()

@@ -2189,3 +2189,109 @@ def eval_forecast_wape_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count("f") * sum_naive)
         ).alias("mase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pairwise learning-to-rank: rank-perceptron on preference pairs
+# ---------------------------------------------------------------------------
+
+
+def _rankperc_step_sql(i: int) -> str:
+    """One rank-perceptron iteration as DuckDB CTEs — integer-only,
+    mirroring operators/ml_train.py::rank_perceptron_train_integer
+    (misranked under PRE-update weights, checksum of POST weights)."""
+    return f"""
+mar{i} AS (
+  SELECT u.pid, CAST(SUM(w.wv * u.dq) AS BIGINT) AS m
+  FROM u JOIN w{i - 1} w ON w.pos = u.pos
+  GROUP BY u.pid
+),
+mis{i} AS (SELECT pid FROM mar{i} WHERE m <= 0),
+upd{i} AS (
+  SELECT u.pos, CAST(SUM(u.dq) AS BIGINT) AS s
+  FROM u JOIN mis{i} USING (pid)
+  GROUP BY u.pos
+),
+w{i} AS MATERIALIZED (
+  SELECT w.pos, w.wv + COALESCE(s.s, 0) AS wv
+  FROM w{i - 1} w LEFT JOIN upd{i} s USING (pos)
+),
+met{i} AS (
+  SELECT {i} AS iter,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM mis{i}) AS n_misranked,
+         (SELECT CAST(SUM(wv) AS BIGINT) FROM w{i}) AS w_checksum
+)"""
+
+
+_RANK_PERCEPTRON_ORACLE = (
+    """
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS pos,
+         CAST(ROUND(unnest(CAST(embedding AS DOUBLE[])) * 4096) AS BIGINT)
+           AS xq
+  FROM embeddings
+),
+h AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN pos <= 32 THEN xq ELSE -xq END) AS BIGINT) AS h
+  FROM q GROUP BY vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS pid, a.h > b.h AS a_wins
+  FROM h a JOIN h b ON b.vec_id = a.vec_id + 250
+  WHERE a.vec_id < 250
+),
+u AS MATERIALIZED (
+  SELECT p.pid, qa.pos,
+         CASE WHEN p.a_wins THEN qa.xq - qb.xq
+              ELSE qb.xq - qa.xq END AS dq
+  FROM pairs p
+  JOIN q qa ON qa.vec_id = p.pid
+  JOIN q qb ON qb.vec_id = p.pid + 250 AND qb.pos = qa.pos
+),
+w0 AS (SELECT i AS pos, CAST(0 AS BIGINT) AS wv FROM range(1, 65) t(i)),
+"""
+    + ",".join(_rankperc_step_sql(i) for i in (1, 2, 3))
+    + """,
+met4 AS (
+  SELECT 4 AS iter,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT u.pid
+            FROM u JOIN w3 w ON w.pos = u.pos
+            GROUP BY u.pid
+            HAVING CAST(SUM(w.wv * u.dq) AS BIGINT) <= 0)) AS n_misranked,
+         (SELECT CAST(SUM(wv) AS BIGINT) FROM w3) AS w_checksum
+)
+SELECT iter, n_misranked, w_checksum
+FROM (SELECT * FROM met1 UNION ALL SELECT * FROM met2
+      UNION ALL SELECT * FROM met3 UNION ALL SELECT * FROM met4)
+ORDER BY iter
+"""
+)
+
+
+@register(
+    "ml_rank_perceptron_pairs",
+    oracle=_RANK_PERCEPTRON_ORACLE,
+    tags=("ext", "ml", "training", "ranking", "integer-exact"),
+    description="pairwise LTR rank-perceptron, all-integer, train + eval rows",
+)
+def ml_rank_perceptron_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise LEARNING-TO-RANK through the distributed-trainer
+    machinery: 250 preference pairs (item i vs item i+250) labeled
+    by a hidden integer utility over the quantized features, trained
+    with the rank-perceptron update w += (xq_winner - xq_loser) on
+    misranked pairs for 3 iterations, plus a final EVAL row scoring
+    the trained weights on the same pairs — the feature-based
+    counterpart of ml_bradley_terry_strengths, and the reward-model
+    training shape for preference data. Everything is exact int64
+    (operators/ml_train.py::rank_perceptron_train_integer); the
+    oracle replays the full trajectory with chained MATERIALIZED
+    CTEs."""
+    from wilayah_aceh_etl_spark.operators.ml_train import (
+        rank_perceptron_train_integer,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rank_perceptron_train_integer(emb).orderBy("iter")
