@@ -1302,3 +1302,19 @@ def test_quality_monitor_batch_replay_is_idempotent(spark, tmp_path):
         for f in flags
         if f.r_wc + f.r_mwl + f.r_alpha + f.r_stop + f.r_rep == 5
     )
+
+
+def test_quality_monitor_empty_batch_writes_zero_row(spark, tmp_path):
+    """An empty micro-batch (routine under a processing-time trigger
+    with no new data) must write a well-typed all-zero summary row,
+    never NULL pass counts."""
+    from wilayah_aceh_etl_spark.streaming.quality_monitor import (
+        batch_quality_summary,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = batch_quality_summary(empty).collect()[0]
+    assert row.n_docs == 0
+    assert row.pass_word_count == 0
+    assert row.pass_all == 0
+    assert None not in tuple(row)

@@ -405,8 +405,8 @@ def rank_perceptron_train_integer(
     each pair becomes the difference vector d = xq_winner -
     xq_loser, and the classic rank-perceptron update w += d fires on
     misranked pairs (w.d <= 0). Pair labels come from a hidden
-    integer utility h = sum(first 32 dims) - sum(last 32 dims) over
-    the QUANTIZED features, so the supervision itself is
+    integer utility h = sum(first half) - sum(second half of dims)
+    over the QUANTIZED features, so the supervision itself is
     integer-exact and learnable by construction — the feature-based
     counterpart of ml_bradley_terry_strengths (which aggregates
     per-item strengths without features).
@@ -422,6 +422,10 @@ def rank_perceptron_train_integer(
     pairs shuffle once to build the difference relation and never
     again."""
     qf = float(1 << q_bits)
+    d = int(
+        df.select(F.size(as_double(F.col(vec_col))).alias("d")).first()["d"]
+    )
+    half = d // 2
     q = df.select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(as_double(F.col(vec_col))).alias("pos0", "xv"),
@@ -432,7 +436,7 @@ def rank_perceptron_train_integer(
     )
     h = q.groupBy("vec_id").agg(
         F.sum(
-            F.when(F.col("pos") <= 32, F.col("xq")).otherwise(-F.col("xq"))
+            F.when(F.col("pos") <= half, F.col("xq")).otherwise(-F.col("xq"))
         )
         .cast("long")
         .alias("h")
@@ -471,7 +475,6 @@ def rank_perceptron_train_integer(
         .persist()
     )
     try:
-        d = 64
         w = [0] * d
         out_rows = []
 

@@ -1610,6 +1610,57 @@ def _jpeg_mag_bits(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    """One marker segment: FF <marker> <len+2> <body>."""
+    import struct
+
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _jpeg_gray_blocks_zz(width, height, value_of, qt) -> list[list[int]]:
+    """Zigzag-quantized coefficient arrays for every 8x8 block in
+    raster order, edge blocks padded by replication — the shared
+    front half of every grayscale encoder (baseline, spectral-
+    selection progressive, successive approximation)."""
+    blocks = []
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = [
+                value_of(min(bx + i, width - 1), min(by + j, height - 1))
+                & 0xFF
+                for j in range(8)
+                for i in range(8)
+            ]
+            q = _jpeg_fdct_quant(block, qt)
+            blocks.append([q[_JPEG_ZZ[k]] for k in range(64)])
+    return blocks
+
+
+def _jpeg_gray_headers(width, height, qt, sof_marker: int) -> bytearray:
+    """SOI + APP0 + DQT + SOF + DHT for a 1-component gray JFIF —
+    the shared header half (sof_marker: 0xC0 baseline, 0xC2
+    progressive)."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _jpeg_seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += _jpeg_seg(
+        0xDB, bytes([0x00]) + bytes(qt[_JPEG_ZZ[k]] for k in range(64))
+    )
+    out += _jpeg_seg(
+        sof_marker,
+        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
+    )
+    out += _jpeg_seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    return out
+
+
 def make_jpeg_gray(
     width: int,
     height: int,
@@ -1637,71 +1688,46 @@ def make_jpeg_gray(
     ac_codes = _jpeg_build_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
     w = _JpegBitWriter()
     prev_dc = 0
-    mcu = 0
     rst = 0
-    for by in range(0, height, 8):
-        for bx in range(0, width, 8):
-            if restart_interval and mcu and mcu % restart_interval == 0:
-                w.pad_to_byte()
-                w.raw(bytes((0xFF, 0xD0 + rst)))
-                rst = (rst + 1) % 8
-                prev_dc = 0
-            mcu += 1
-            block = [
-                value_of(min(bx + i, width - 1), min(by + j, height - 1))
-                & 0xFF
-                for j in range(8)
-                for i in range(8)
-            ]
-            q = _jpeg_fdct_quant(block, qt)
-            zz = [q[_JPEG_ZZ[k]] for k in range(64)]
-            # DC: differential
-            size, bits = _jpeg_mag_bits(zz[0] - prev_dc)
-            prev_dc = zz[0]
-            length, code = dc_codes[size]
+    for mcu, zz in enumerate(
+        _jpeg_gray_blocks_zz(width, height, value_of, qt)
+    ):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            w.pad_to_byte()
+            w.raw(bytes((0xFF, 0xD0 + rst)))
+            rst = (rst + 1) % 8
+            prev_dc = 0
+        # DC: differential
+        size, bits = _jpeg_mag_bits(zz[0] - prev_dc)
+        prev_dc = zz[0]
+        length, code = dc_codes[size]
+        w.put(code, length)
+        if size:
+            w.put(bits, size)
+        # AC: run-length of zeros + magnitude, ZRL for 16 zeros
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                length, code = ac_codes[0xF0]  # ZRL
+                w.put(code, length)
+                run -= 16
+            size, bits = _jpeg_mag_bits(zz[k])
+            length, code = ac_codes[(run << 4) | size]
             w.put(code, length)
-            if size:
-                w.put(bits, size)
-            # AC: run-length of zeros + magnitude, ZRL for 16 zeros
+            w.put(bits, size)
             run = 0
-            for k in range(1, 64):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    length, code = ac_codes[0xF0]  # ZRL
-                    w.put(code, length)
-                    run -= 16
-                size, bits = _jpeg_mag_bits(zz[k])
-                length, code = ac_codes[(run << 4) | size]
-                w.put(code, length)
-                w.put(bits, size)
-                run = 0
-            if run:
-                length, code = ac_codes[0x00]  # EOB
-                w.put(code, length)
+        if run:
+            length, code = ac_codes[0x00]  # EOB
+            w.put(code, length)
     scan = w.flush()
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(
-        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
-    )
-    out += seg(0xDB, bytes([0x00]) + bytes(qt[_JPEG_ZZ[k]] for k in range(64)))
-    out += seg(
-        0xC0,
-        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
-    )
-    out += seg(
-        0xC4,
-        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
-    )
+    out = _jpeg_gray_headers(width, height, qt, 0xC0)
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        out += _jpeg_seg(0xDD, struct.pack(">H", restart_interval))
+    out += _jpeg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += scan
     out += b"\xff\xd9"  # EOI
     return bytes(out)
@@ -2052,34 +2078,24 @@ def attach_jpeg_payload(
             for m in (int(v) for v in pdf["_mid"]):
                 w = 8 * (1 + m % 4)
                 h = 8 * (1 + (m * 3) % 4)
+                # ONE definition — the shared closed-form oracle
+                # depends on this exact expression across all modes
+                value_of = lambda x, y, m=m: (  # noqa: E731
+                    m * 7 + 16 * (x // 8) + 31 * (y // 8)
+                ) % 256
                 if successive:
                     p = make_jpeg_gray_progressive_sa(
-                        w,
-                        h,
-                        lambda x, y, m=m: (
-                            m * 7 + 16 * (x // 8) + 31 * (y // 8)
-                        )
-                        % 256,
-                        qtable=qt,
+                        w, h, value_of, qtable=qt
                     )
                 elif progressive:
                     p = make_jpeg_gray_progressive(
-                        w,
-                        h,
-                        lambda x, y, m=m: (
-                            m * 7 + 16 * (x // 8) + 31 * (y // 8)
-                        )
-                        % 256,
-                        qtable=qt,
+                        w, h, value_of, qtable=qt
                     )
                 else:
                     p = make_jpeg_gray(
                         w,
                         h,
-                        lambda x, y, m=m: (
-                            m * 7 + 16 * (x // 8) + 31 * (y // 8)
-                        )
-                        % 256,
+                        value_of,
                         qtable=qt,
                         restart_interval=restart_interval,
                     )
@@ -2927,6 +2943,10 @@ def video_mc_encode(frames: list[list[int]], w: int, h: int) -> bytes:
     general encoder). Layout: 'VMC1', w:u8, h:u8, n_frames:u8, 0."""
     import struct as _struct
 
+    if w % _VMC_BLOCK or h % _VMC_BLOCK:
+        raise ValueError("frame dims must be multiples of the block size")
+    if not (0 < w <= 255 and 0 < h <= 255 and 0 < len(frames) <= 255):
+        raise ValueError("w, h, n_frames must fit the u8 header fields")
     nb_x, nb_y = w // _VMC_BLOCK, h // _VMC_BLOCK
     out = bytearray(b"VMC1")
     out += _struct.pack("<BBBB", w, h, len(frames), 0)
@@ -3035,40 +3055,12 @@ def make_jpeg_gray_progressive(
     a time (EOB = symbol 0x00, an EOBRUN of 1), which keeps the
     Annex-K Huffman tables sufficient — the decoder still implements
     general EOBn. Bands must tile [1, 63] in order."""
-    import struct
-
     qt = list(qtable) if qtable is not None else list(_JPEG_STD_QT)
     dc_codes = _jpeg_build_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_build_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    blocks_zz = []
-    for by in range(0, height, 8):
-        for bx in range(0, width, 8):
-            block = [
-                value_of(min(bx + i, width - 1), min(by + j, height - 1))
-                & 0xFF
-                for j in range(8)
-                for i in range(8)
-            ]
-            q = _jpeg_fdct_quant(block, qt)
-            blocks_zz.append([q[_JPEG_ZZ[k]] for k in range(64)])
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(
-        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
-    )
-    out += seg(0xDB, bytes([0x00]) + bytes(qt[_JPEG_ZZ[k]] for k in range(64)))
-    out += seg(
-        0xC2,  # SOF2: progressive DCT, Huffman
-        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
-    )
-    out += seg(
-        0xC4,
-        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
-    )
+    blocks_zz = _jpeg_gray_blocks_zz(width, height, value_of, qt)
+    seg = _jpeg_seg
+    out = _jpeg_gray_headers(width, height, qt, 0xC2)
     # scan 1: DC, full precision (Ah=Al=0)
     w = _JpegBitWriter()
     prev = 0
@@ -3378,40 +3370,12 @@ def make_jpeg_gray_progressive_sa(
     zero-history positions only, correction bits for nonzero-history
     coefficients appended in walk order, end-of-band runs of exactly
     1 so the Annex-K tables suffice)."""
-    import struct
-
     qt = list(qtable) if qtable is not None else list(_JPEG_STD_QT)
     dc_codes = _jpeg_build_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _jpeg_build_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
-    blocks_zz = []
-    for by in range(0, height, 8):
-        for bx in range(0, width, 8):
-            block = [
-                value_of(min(bx + i, width - 1), min(by + j, height - 1))
-                & 0xFF
-                for j in range(8)
-                for i in range(8)
-            ]
-            q = _jpeg_fdct_quant(block, qt)
-            blocks_zz.append([q[_JPEG_ZZ[k]] for k in range(64)])
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")
-    out += seg(
-        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
-    )
-    out += seg(0xDB, bytes([0x00]) + bytes(qt[_JPEG_ZZ[k]] for k in range(64)))
-    out += seg(
-        0xC2,
-        struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]),
-    )
-    out += seg(
-        0xC4,
-        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
-        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
-    )
+    blocks_zz = _jpeg_gray_blocks_zz(width, height, value_of, qt)
+    seg = _jpeg_seg
+    out = _jpeg_gray_headers(width, height, qt, 0xC2)
     # scan 1: DC first, Al=1 — differential coding of (dc >> 1);
     # DC point transform is an ARITHMETIC shift (floor), so the
     # refinement bit is literally bit 0 (two's complement OR).

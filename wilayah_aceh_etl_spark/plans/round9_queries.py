@@ -771,34 +771,15 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-doc flags are scan-local (the top-word rule is one
     (doc, word) combine), and the battery reduces to a single row —
-    the shape of a corpus-wide data-quality report at 100 TB."""
-    from wilayah_aceh_etl_spark.operators.text_analysis import (
-        gopher_rule_flags,
+    the shape of a corpus-wide data-quality report at 100 TB. This
+    query IS the streaming monitor's batch_quality_summary over the
+    static corpus — one aggregation, one source of truth."""
+    from wilayah_aceh_etl_spark.streaming.quality_monitor import (
+        batch_quality_summary,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    flags = gopher_rule_flags(docs)
-    return flags.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("r_wc").cast("long").alias("pass_word_count"),
-        F.sum("r_mwl").cast("long").alias("pass_mean_word_len"),
-        F.sum("r_alpha").cast("long").alias("pass_alpha_ratio"),
-        F.sum("r_stop").cast("long").alias("pass_stopwords"),
-        F.sum("r_rep").cast("long").alias("pass_repetition"),
-        F.sum(
-            F.when(
-                F.col("r_wc")
-                + F.col("r_mwl")
-                + F.col("r_alpha")
-                + F.col("r_stop")
-                + F.col("r_rep")
-                == 5,
-                1,
-            ).otherwise(0)
-        )
-        .cast("long")
-        .alias("pass_all"),
-    )
+    return batch_quality_summary(docs)
 
 
 # ---------------------------------------------------------------------------
@@ -1869,7 +1850,9 @@ dp{i} AS MATERIALIZED (
 _UNIGRAM_ORACLE = (
     """
 WITH toks AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+  ) WHERE length(w) >= 1
 ),
 words AS (SELECT DISTINCT w FROM toks),
 bi AS MATERIALIZED (
@@ -1931,9 +1914,11 @@ def tokenizer_unigram_viterbi_counts(
     word, joined back to the corpus, so the expensive fold runs
     |vocabulary| times, not |corpus| times."""
     docs = load_table(spark, sf_dir, "documents")
+    # empty tokens (double spaces) would make sequence(1, length(w))
+    # DESCEND (the known Spark pitfall) — filter them in BOTH engines
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
-    )
+    ).filter(F.length("w") >= 1)
     bi_top = (
         toks.filter(F.length("w") >= 2)
         .select(
@@ -1968,8 +1953,13 @@ def tokenizer_unigram_viterbi_counts(
     # merge table and the k-means centroids — O(model), not O(data))
     bi = [r.g for r in bi_top.collect()]
     tri = [r.g for r in tri_top.collect()]
-    bi_lit = ",".join(f"'{g}'" for g in bi)
-    tri_lit = ",".join(f"'{g}'" for g in tri)
+
+    def lit(g: str) -> str:
+        # SQL-escape: learned pieces are corpus-derived strings
+        return "'" + g.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    bi_lit = ",".join(lit(g) for g in bi)
+    tri_lit = ",".join(lit(g) for g in tri)
     enc_expr = f"""
 element_at(
   aggregate(sequence(1, length(w)), array(0),

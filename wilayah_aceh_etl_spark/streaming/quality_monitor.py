@@ -32,27 +32,28 @@ from pyspark.sql import functions as F
 
 from wilayah_aceh_etl_spark.operators.text_analysis import gopher_rule_flags
 
-MONITOR_SCHEMA = (
-    "n_docs long, pass_word_count long, pass_mean_word_len long, "
-    "pass_alpha_ratio long, pass_stopwords long, pass_repetition long, "
-    "pass_all long"
-)
-
-
 def batch_quality_summary(batch_df: DataFrame) -> DataFrame:
     """One summary row of Gopher-rule pass counts for a micro-batch
     (shared rule definitions: operators/text_analysis.py::
     gopher_rule_flags, so streaming and batch verdicts are
-    definitionally identical)."""
+    definitionally identical — text_gopher_quality_rules IS this
+    function over the static corpus). Every count coalesces to 0 so
+    an EMPTY micro-batch (routine under a processing-time trigger
+    with no new data) writes a well-typed all-zero row, never
+    NULLs."""
     flags = gopher_rule_flags(batch_df)
+
+    def cnt(col):
+        return F.coalesce(F.sum(col), F.lit(0)).cast("long")
+
     return flags.agg(
         F.count("*").cast("long").alias("n_docs"),
-        F.sum("r_wc").cast("long").alias("pass_word_count"),
-        F.sum("r_mwl").cast("long").alias("pass_mean_word_len"),
-        F.sum("r_alpha").cast("long").alias("pass_alpha_ratio"),
-        F.sum("r_stop").cast("long").alias("pass_stopwords"),
-        F.sum("r_rep").cast("long").alias("pass_repetition"),
-        F.sum(
+        cnt("r_wc").alias("pass_word_count"),
+        cnt("r_mwl").alias("pass_mean_word_len"),
+        cnt("r_alpha").alias("pass_alpha_ratio"),
+        cnt("r_stop").alias("pass_stopwords"),
+        cnt("r_rep").alias("pass_repetition"),
+        cnt(
             F.when(
                 F.col("r_wc")
                 + F.col("r_mwl")
@@ -62,9 +63,7 @@ def batch_quality_summary(batch_df: DataFrame) -> DataFrame:
                 == 5,
                 1,
             ).otherwise(0)
-        )
-        .cast("long")
-        .alias("pass_all"),
+        ).alias("pass_all"),
     )
 
 
