@@ -943,3 +943,41 @@ def test_jpeg_successive_approximation_equals_baseline(bw, bh, seed):
         assert M.decode_jpeg_gray_pixels(psa) is None
     for cut in range(0, len(psa), max(1, len(psa) // 13)):
         M.decode_jpeg_gray_progressive(psa[:cut])
+
+
+@given(
+    st.integers(1, 3),
+    st.integers(1, 3),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=15, deadline=None)
+def test_jpeg_color_progressive_equals_baseline(bw, bh, seed):
+    """Multi-component progressive (interleaved DC scan +
+    per-component AC scans) transmits the same quantized
+    coefficients as the baseline interleave: all three decoded
+    planes must match EXACTLY; each decoder rejects the other's
+    mode; truncation anywhere never raises."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    w = max(1, 8 * bw - seed % 5)
+    h = max(1, 8 * bh - (seed // 7) % 5)
+
+    def ycbcr(x, y):
+        return (
+            (seed + 3 * x + 5 * y) % 256,
+            (seed // 3 + 2 * x + 7 * y) % 256,
+            (seed // 7 + 5 * x + y) % 256,
+        )
+
+    for qts in ((None, None), ([1] * 64, [1] * 64)):
+        pb = M.make_jpeg_ycbcr(w, h, ycbcr, qtable_y=qts[0], qtable_c=qts[1])
+        pp = M.make_jpeg_ycbcr_progressive(
+            w, h, ycbcr, qtable_y=qts[0], qtable_c=qts[1]
+        )
+        assert M.decode_jpeg_ycbcr_progressive(pp) == (
+            M.decode_jpeg_ycbcr_pixels(pb)
+        )
+        assert M.decode_jpeg_ycbcr_pixels(pp) is None
+        assert M.decode_jpeg_ycbcr_progressive(pb) is None
+    for cut in range(0, len(pp), max(1, len(pp) // 13)):
+        M.decode_jpeg_ycbcr_progressive(pp[:cut])

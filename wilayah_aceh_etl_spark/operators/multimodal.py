@@ -41,16 +41,20 @@ proven through DuckDB oracle gates):
 
 What is SEAMED (returns None / raises NotImplementedError at the
 exact call site a real codec would plug into, because PIL/ffmpeg are
-not in this container): arithmetic-coded JPEG and multi-component
-progressive scans (baseline grayscale, 4:4:4 color, 4:2:0
-chroma-subsampled — `make_jpeg_ycbcr_420`/
-`decode_jpeg_ycbcr420_pixels`, the camera-JPEG MCU geometry — and
-PROGRESSIVE grayscale in BOTH dimensions: spectral selection
-(`make_jpeg_gray_progressive`, SOF2 DC + banded AC scans, general
-EOBn) and successive approximation
+not in this container): arithmetic-coded JPEG, color successive
+approximation, and chroma-subsampled progressive (baseline
+grayscale, 4:4:4 color, 4:2:0 chroma-subsampled —
+`make_jpeg_ycbcr_420`/`decode_jpeg_ycbcr420_pixels`, the
+camera-JPEG MCU geometry — PROGRESSIVE grayscale in BOTH
+dimensions: spectral selection (`make_jpeg_gray_progressive`, SOF2
+DC + banded AC scans, general EOBn) and successive approximation
 (`make_jpeg_gray_progressive_sa`, the 4-scan Al=1→refine script
 with G.1.2.3 correction-bit coding), one decoder
-(`decode_jpeg_gray_progressive`) covering both — all REAL),
+(`decode_jpeg_gray_progressive`) covering both — and
+MULTI-COMPONENT progressive 4:4:4 color
+(`make_jpeg_ycbcr_progressive`/`decode_jpeg_ycbcr_progressive`:
+interleaved DC scan, per-component non-interleaved AC scans, the
+canonical color scan script) — all REAL),
 perceptual transform-audio (mp3/ogg entropy layers; μ-law covers
 companding, the Haar subband codec covers the subband-transform
 class), and h264-class inter-frame video — though `video_mc_encode`/
@@ -2483,7 +2487,10 @@ JPEG_COLOR_STATS_SCHEMA = T.StructType(
 
 
 def attach_color_jpeg_payload(
-    df: DataFrame, id_col: str, restart_interval: int = 0
+    df: DataFrame,
+    id_col: str,
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> DataFrame:
     """Media table with REAL 4:4:4 color JPEG bytes, block-constant
     per channel (Y/Cb/Cr get independent gradients over the block
@@ -2512,10 +2519,15 @@ def attach_color_jpeg_payload(
                         (m * 13 + 29 * bx + 5 * by) % 256,
                     )
 
-                p = make_jpeg_ycbcr(
-                    w, h, ycbcr, qtable_y=qy, qtable_c=qc,
-                    restart_interval=restart_interval,
-                )
+                if progressive:
+                    p = make_jpeg_ycbcr_progressive(
+                        w, h, ycbcr, qtable_y=qy, qtable_c=qc
+                    )
+                else:
+                    p = make_jpeg_ycbcr(
+                        w, h, ycbcr, qtable_y=qy, qtable_c=qc,
+                        restart_interval=restart_interval,
+                    )
                 rows.append((m, p, "image/jpeg", len(p)))
             yield pd.DataFrame(
                 rows, columns=["media_id", "payload", "mime", "n_bytes"]
@@ -2538,7 +2550,9 @@ def jpeg_color_pixel_stats(df: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                decoded = decode_jpeg_ycbcr_pixels(bytes(p))
+                decoded = decode_jpeg_ycbcr_pixels(
+                    bytes(p)
+                ) or decode_jpeg_ycbcr_progressive(bytes(p))
                 if decoded is None:
                     continue
                 w, h, yy, cb, cr = decoded
@@ -3469,3 +3483,307 @@ def make_jpeg_gray_progressive_sa(
     out += w.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MULTI-COMPONENT progressive JPEG (4:4:4 color, spectral selection):
+# per T.81, a progressive DC scan may interleave all components (one
+# MCU loop, one predictor per component), but AC scans must be
+# NON-INTERLEAVED — one component per scan, blocks in that
+# component's own raster order. This is why color progressive files
+# have scan scripts like [DC(YCbCr), AC(Y), AC(Cb), AC(Cr)]: exactly
+# the script this encoder emits. Successive approximation for color
+# remains the documented seam (the grayscale SA path shows the
+# refinement machinery).
+# ---------------------------------------------------------------------------
+
+
+def make_jpeg_ycbcr_progressive(
+    width: int,
+    height: int,
+    ycbcr_of,
+    qtable_y: list[int] | None = None,
+    qtable_c: list[int] | None = None,
+) -> bytes:
+    """Spec-valid PROGRESSIVE (SOF2) 4:4:4 color JFIF via spectral
+    selection: scan 1 interleaves every component's DC coefficient
+    (three independent predictors, Y/chroma DC tables), then one
+    NON-INTERLEAVED AC scan per component covering band 1-63 with
+    the component's AC table — the canonical color-progressive scan
+    script. End-of-band runs are one block at a time, so the Annex-K
+    tables suffice."""
+    qty = list(qtable_y) if qtable_y is not None else list(_JPEG_STD_QT)
+    qtc = (
+        list(qtable_c)
+        if qtable_c is not None
+        else list(_JPEG_STD_QT_CHROMA)
+    )
+    dc0 = _jpeg_build_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac0 = _jpeg_build_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc1 = _jpeg_build_codes(_JPEG_DC_BITS_CHROMA, _JPEG_DC_VALS_CHROMA)
+    ac1 = _jpeg_build_codes(_JPEG_AC_BITS_CHROMA, _JPEG_AC_VALS_CHROMA)
+    comp_tabs = [(qty, dc0, ac0), (qtc, dc1, ac1), (qtc, dc1, ac1)]
+    # per-component zigzag coefficient arrays, component raster order
+    blocks = [[], [], []]
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            pix = [
+                ycbcr_of(min(bx + i, width - 1), min(by + j, height - 1))
+                for j in range(8)
+                for i in range(8)
+            ]
+            for ci, (qt, _dc, _ac) in enumerate(comp_tabs):
+                q = _jpeg_fdct_quant([p[ci] & 0xFF for p in pix], qt)
+                blocks[ci].append([q[_JPEG_ZZ[k]] for k in range(64)])
+    import struct
+
+    seg = _jpeg_seg
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += seg(
+        0xDB,
+        bytes([0x00]) + bytes(qty[_JPEG_ZZ[k]] for k in range(64))
+        + bytes([0x01]) + bytes(qtc[_JPEG_ZZ[k]] for k in range(64)),
+    )
+    out += seg(
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        + bytes([0x01]) + bytes(_JPEG_DC_BITS_CHROMA)
+        + bytes(_JPEG_DC_VALS_CHROMA)
+        + bytes([0x11]) + bytes(_JPEG_AC_BITS_CHROMA)
+        + bytes(_JPEG_AC_VALS_CHROMA),
+    )
+    # scan 1: interleaved DC (Ns=3), full precision
+    w = _JpegBitWriter()
+    prev = [0, 0, 0]
+    n_blocks = len(blocks[0])
+    for b in range(n_blocks):
+        for ci, (_qt, dcc, _ac) in enumerate(comp_tabs):
+            v = blocks[ci][b][0]
+            size, bits = _jpeg_mag_bits(v - prev[ci])
+            prev[ci] = v
+            length, code = dcc[size]
+            w.put(code, length)
+            if size:
+                w.put(bits, size)
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0]))
+    out += w.flush()
+    # scans 2-4: one NON-interleaved AC band scan per component
+    for ci, (_qt, _dc, acc) in enumerate(comp_tabs):
+        w = _JpegBitWriter()
+        for zz in blocks[ci]:
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    length, code = acc[0xF0]
+                    w.put(code, length)
+                    run -= 16
+                size, bits = _jpeg_mag_bits(zz[k])
+                length, code = acc[(run << 4) | size]
+                w.put(code, length)
+                w.put(bits, size)
+                run = 0
+            if run:
+                length, code = acc[0x00]
+                w.put(code, length)
+        tds = 0x00 if ci == 0 else 0x11
+        out += seg(0xDA, bytes([1, ci + 1, tds, 1, 63, 0]))
+        out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def decode_jpeg_ycbcr_progressive(
+    payload: bytes,
+) -> tuple[int, int, list[int], list[int], list[int]] | None:
+    """(width, height, Y, Cb, Cr planes) from a PROGRESSIVE (SOF2)
+    4:4:4 color JFIF with spectral selection: an interleaved DC scan
+    (Ns=3, one predictor per component) plus non-interleaved AC band
+    scans (Ns=1, general EOBn). None at the documented seam:
+    successive approximation for color, chroma-subsampled
+    progressive, progressive restart intervals, and malformed
+    streams."""
+    try:
+        if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+            return None
+        qtables: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}
+        wid = hei = None
+        comp_order: list[int] = []
+        comp_qt: dict[int, int] = {}
+        coef: dict[int, list[list[int]]] = {}
+        n_blocks = 0
+        pos = 2
+        while pos + 2 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD9:
+                break
+            if pos + 4 > len(payload):
+                return None
+            seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            body = payload[pos + 4 : pos + 2 + seg_len]
+            if len(body) != seg_len - 2:
+                return None
+            if marker == 0xDB:
+                b = 0
+                while b < len(body):
+                    pq, tq = body[b] >> 4, body[b] & 0x0F
+                    if pq != 0 or b + 65 > len(body):
+                        return None
+                    zz = list(body[b + 1 : b + 65])
+                    qt = [0] * 64
+                    for k in range(64):
+                        qt[_JPEG_ZZ[k]] = zz[k]
+                    qtables[tq] = qt
+                    b += 65
+            elif marker == 0xC4:
+                b = 0
+                while b + 17 <= len(body):
+                    tc, th = body[b] >> 4, body[b] & 0x0F
+                    bits = list(body[b + 1 : b + 17])
+                    n = sum(bits)
+                    vals = list(body[b + 17 : b + 17 + n])
+                    if len(vals) != n:
+                        return None
+                    table = {}
+                    code = 0
+                    k = 0
+                    for length in range(1, 17):
+                        for _ in range(bits[length - 1]):
+                            table[(length, code)] = vals[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(tc, th)] = table
+                    b += 17 + n
+            elif marker == 0xC2:
+                if body[0] != 8 or body[5] != 3:
+                    return None  # this decoder: 3-component only
+                hei = int.from_bytes(body[1:3], "big")
+                wid = int.from_bytes(body[3:5], "big")
+                if wid == 0 or hei == 0:
+                    return None
+                for c in range(3):
+                    cid = body[6 + 3 * c]
+                    if body[7 + 3 * c] != 0x11:
+                        return None  # subsampled progressive: seam
+                    comp_order.append(cid)
+                    comp_qt[cid] = body[8 + 3 * c]
+                n_blocks = (-(-wid // 8)) * (-(-hei // 8))
+                for cid in comp_order:
+                    coef[cid] = [[0] * 64 for _ in range(n_blocks)]
+            elif marker in (0xC0, 0xC1, 0xC3, 0xC9, 0xCA, 0xCB):
+                return None
+            elif marker == 0xDD:
+                return None  # progressive restart: seam
+            elif marker == 0xDA:
+                if not coef:
+                    return None
+                ns = body[0]
+                scan_comps = []
+                for c in range(ns):
+                    scan_comps.append(
+                        (body[1 + 2 * c], body[2 + 2 * c])
+                    )
+                ss = body[1 + 2 * ns]
+                se = body[2 + 2 * ns]
+                ahl = body[3 + 2 * ns]
+                if (ahl >> 4) or (ahl & 0x0F):
+                    return None  # color successive approx: seam
+                reader = _JpegBitReader(payload, pos + 2 + seg_len)
+                if ss == 0:
+                    # DC scan: interleaved over all components
+                    if se != 0 or ns != 3:
+                        return None
+                    dcs = {}
+                    for cid, tds in scan_comps:
+                        dc = huff.get((0, tds >> 4))
+                        if dc is None or cid not in coef:
+                            return None
+                        dcs[cid] = dc
+                    prev = {cid: 0 for cid, _ in scan_comps}
+                    for b in range(n_blocks):
+                        for cid, _tds in scan_comps:
+                            size = _jpeg_decode_symbol(reader, dcs[cid])
+                            prev[cid] += _jpeg_extend(
+                                reader.bits(size), size
+                            )
+                            coef[cid][b][0] = prev[cid]
+                else:
+                    # AC scan: spec requires non-interleaved (Ns=1)
+                    if ns != 1 or ss > se or se > 63:
+                        return None
+                    cid, tds = scan_comps[0]
+                    ac = huff.get((1, tds & 0x0F))
+                    if ac is None or cid not in coef:
+                        return None
+                    cfs = coef[cid]
+                    eobrun = 0
+                    for b in range(n_blocks):
+                        if eobrun:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = _jpeg_decode_symbol(reader, ac)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                return None
+                            cfs[b][k] = _jpeg_extend(reader.bits(s), s)
+                            k += 1
+                pos = reader.pos
+                continue
+            pos += 2 + seg_len
+        else:
+            return None
+        if not coef or wid is None:
+            return None
+        nbx = -(-wid // 8)
+        planes = []
+        for cid in comp_order:
+            qt = qtables.get(comp_qt[cid])
+            if qt is None:
+                return None
+            px = [0] * (wid * hei)
+            for b in range(n_blocks):
+                coefs = [0] * 64
+                for k in range(64):
+                    coefs[_JPEG_ZZ[k]] = coef[cid][b][k]
+                block = _jpeg_dequant_idct(coefs, qt)
+                bx0 = (b % nbx) * 8
+                by0 = (b // nbx) * 8
+                for j in range(8):
+                    y = by0 + j
+                    if y >= hei:
+                        break
+                    for i in range(8):
+                        x = bx0 + i
+                        if x >= wid:
+                            break
+                        px[y * wid + x] = block[j * 8 + i]
+            planes.append(px)
+        return wid, hei, planes[0], planes[1], planes[2]
+    except (ValueError, IndexError):
+        return None

@@ -2285,3 +2285,54 @@ def ml_rank_perceptron_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return rank_perceptron_train_integer(emb).orderBy("iter")
+
+
+# ---------------------------------------------------------------------------
+# Multi-component (color) progressive JPEG
+# ---------------------------------------------------------------------------
+
+from wilayah_aceh_etl_spark.plans.registry import _REGISTRY  # noqa: E402
+
+# oracle shared VERBATIM with multimodal_jpeg_color_pixel_stats:
+# the progressive scan script reorders the bitstream (interleaved DC
+# scan, then per-component AC scans), never the quantized
+# coefficients — decoded planes are bit-identical to the baseline
+# color encoding (equality property-pinned)
+_COLOR_STATS_ORACLE = _REGISTRY["multimodal_jpeg_color_pixel_stats"].oracle
+
+
+@register(
+    "multimodal_jpeg_color_progressive_stats",
+    oracle=_COLOR_STATS_ORACLE,
+    tags=("ext", "multimodal", "decode", "pixels", "jpeg", "progressive"),
+    description="multi-component PROGRESSIVE color-JPEG decode (3 planes)",
+)
+def multimodal_jpeg_color_progressive_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same 4:4:4 color images encoded PROGRESSIVE with the
+    canonical multi-component scan script T.81 prescribes: one
+    INTERLEAVED DC scan (Ns=3, three independent predictors, Y and
+    chroma DC tables) followed by one NON-interleaved AC band scan
+    per component (progressive AC scans must be single-component per
+    the spec — the detail that makes color progressive structurally
+    different from grayscale). A predictor mix-up in the interleaved
+    DC scan or a component-order bug in the AC scans corrupts a
+    whole plane, which the shared per-plane closed-form oracle
+    catches. Color successive approximation stays the documented
+    seam; the JPEG family now covers baseline/restart/color/4:2:0
+    plus progressive in grayscale (both dimensions) and color
+    (spectral selection)."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.attach_color_jpeg_payload(docs, "doc_id", progressive=True)
+    return (
+        M.jpeg_color_pixel_stats(media)
+        .select(
+            "media_id", "width", "height", "n_pixels",
+            "sum_y", "sum_cb", "sum_cr",
+            "y_top_left", "cr_bottom_right",
+        )
+        .orderBy("media_id")
+    )
