@@ -981,3 +981,38 @@ def test_jpeg_color_progressive_equals_baseline(bw, bh, seed):
         assert M.decode_jpeg_ycbcr_progressive(pb) is None
     for cut in range(0, len(pp), max(1, len(pp) // 13)):
         M.decode_jpeg_ycbcr_progressive(pp[:cut])
+
+
+@given(
+    st.integers(1, 3),
+    st.integers(1, 3),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=12, deadline=None)
+def test_jpeg_color_successive_approximation_equals_baseline(bw, bh, seed):
+    """The 8-scan color successive-approximation script transmits
+    the same quantized coefficients as the baseline interleave: all
+    three decoded planes match EXACTLY; truncation never raises."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    w = max(1, 8 * bw - seed % 5)
+    h = max(1, 8 * bh - (seed // 7) % 5)
+
+    def ycbcr(x, y):
+        return (
+            (seed + 3 * x + 5 * y) % 256,
+            (seed // 3 + 2 * x + 7 * y) % 256,
+            (seed // 7 + 5 * x + y) % 256,
+        )
+
+    for qts in ((None, None), ([1] * 64, [1] * 64)):
+        pb = M.make_jpeg_ycbcr(w, h, ycbcr, qtable_y=qts[0], qtable_c=qts[1])
+        psa = M.make_jpeg_ycbcr_progressive_sa(
+            w, h, ycbcr, qtable_y=qts[0], qtable_c=qts[1]
+        )
+        assert M.decode_jpeg_ycbcr_progressive(psa) == (
+            M.decode_jpeg_ycbcr_pixels(pb)
+        )
+        assert M.decode_jpeg_ycbcr_pixels(psa) is None
+    for cut in range(0, len(psa), max(1, len(psa) // 11)):
+        M.decode_jpeg_ycbcr_progressive(psa[:cut])

@@ -41,8 +41,8 @@ proven through DuckDB oracle gates):
 
 What is SEAMED (returns None / raises NotImplementedError at the
 exact call site a real codec would plug into, because PIL/ffmpeg are
-not in this container): arithmetic-coded JPEG, color successive
-approximation, and chroma-subsampled progressive (baseline
+not in this container): arithmetic-coded JPEG and chroma-subsampled
+progressive (baseline
 grayscale, 4:4:4 color, 4:2:0 chroma-subsampled —
 `make_jpeg_ycbcr_420`/`decode_jpeg_ycbcr420_pixels`, the
 camera-JPEG MCU geometry — PROGRESSIVE grayscale in BOTH
@@ -51,10 +51,12 @@ DC + banded AC scans, general EOBn) and successive approximation
 (`make_jpeg_gray_progressive_sa`, the 4-scan Al=1→refine script
 with G.1.2.3 correction-bit coding), one decoder
 (`decode_jpeg_gray_progressive`) covering both — and
-MULTI-COMPONENT progressive 4:4:4 color
-(`make_jpeg_ycbcr_progressive`/`decode_jpeg_ycbcr_progressive`:
-interleaved DC scan, per-component non-interleaved AC scans, the
-canonical color scan script) — all REAL),
+MULTI-COMPONENT progressive 4:4:4 color in BOTH dimensions
+(`make_jpeg_ycbcr_progressive` spectral selection and
+`make_jpeg_ycbcr_progressive_sa` the 8-scan successive-approximation
+script — interleaved DC scans, per-component non-interleaved AC
+scans — one decoder `decode_jpeg_ycbcr_progressive` covering both)
+— all REAL),
 perceptual transform-audio (mp3/ogg entropy layers; μ-law covers
 companding, the Haar subband codec covers the subband-transform
 class), and h264-class inter-frame video — though `video_mc_encode`/
@@ -2491,6 +2493,7 @@ def attach_color_jpeg_payload(
     id_col: str,
     restart_interval: int = 0,
     progressive: bool = False,
+    successive: bool = False,
 ) -> DataFrame:
     """Media table with REAL 4:4:4 color JPEG bytes, block-constant
     per channel (Y/Cb/Cr get independent gradients over the block
@@ -2519,7 +2522,11 @@ def attach_color_jpeg_payload(
                         (m * 13 + 29 * bx + 5 * by) % 256,
                     )
 
-                if progressive:
+                if successive:
+                    p = make_jpeg_ycbcr_progressive_sa(
+                        w, h, ycbcr, qtable_y=qy, qtable_c=qc
+                    )
+                elif progressive:
                     p = make_jpeg_ycbcr_progressive(
                         w, h, ycbcr, qtable_y=qy, qtable_c=qc
                     )
@@ -3123,6 +3130,66 @@ def make_jpeg_gray_progressive(
     return bytes(out)
 
 
+def _jpeg_ac_refine_scan_decode(
+    reader, ac, coef, n_blocks, ss, se, p1
+) -> bool:
+    """Decode one AC refinement scan (T.81 G.1.2.3) into the
+    per-block zigzag arrays `coef`: runs count zero-history
+    positions, every nonzero-history coefficient passed reads one
+    correction bit, EOBn covers whole blocks whose nonzero-history
+    coefficients still read correction bits. Shared by the grayscale
+    and color progressive decoders. False on malformed input."""
+    eobrun = 0
+    for b in range(n_blocks):
+        cf = coef[b]
+        if eobrun:
+            eobrun -= 1
+            for k in range(ss, se + 1):
+                if cf[k] and reader.bit():
+                    cf[k] += p1 if cf[k] > 0 else -p1
+            continue
+        k = ss
+        while k <= se:
+            rs = _jpeg_decode_symbol(reader, ac)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0 and r != 15:  # EOBn
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.bits(r)
+                for kk in range(k, se + 1):
+                    if cf[kk] and reader.bit():
+                        cf[kk] += p1 if cf[kk] > 0 else -p1
+                break
+            if s:
+                if s != 1:
+                    return False  # new coef must be +-1
+                val = p1 if reader.bit() else -p1
+            zeros = 0
+            target = 16 if s == 0 else r
+            while k <= se:
+                if cf[k]:
+                    if reader.bit():
+                        cf[k] += p1 if cf[k] > 0 else -p1
+                    k += 1
+                    continue
+                if s == 0:  # ZRL: exactly 16 zeros
+                    zeros += 1
+                    k += 1
+                    if zeros == target:
+                        break
+                    continue
+                if zeros == target:
+                    break  # placement position
+                zeros += 1
+                k += 1
+            if s:
+                if k > se:
+                    return False
+                cf[k] = val
+                k += 1
+    return True
+
+
 def decode_jpeg_gray_progressive(
     payload: bytes,
 ) -> tuple[int, int, list[int]] | None:
@@ -3267,62 +3334,14 @@ def decode_jpeg_gray_progressive(
                             )
                             k += 1
                 else:
-                    # AC refinement (G.1.2.3): runs count zero-history
-                    # positions; every nonzero-history coefficient
-                    # passed reads one correction bit
+                    # AC refinement: shared G.1.2.3 walk
                     ac = huff.get((1, tds & 0x0F))
                     if ac is None or ss > se or se > 63:
                         return None
-                    eobrun = 0
-                    for b in range(n_blocks):
-                        cf = coef[b]
-                        if eobrun:
-                            eobrun -= 1
-                            for k in range(ss, se + 1):
-                                if cf[k] and reader.bit():
-                                    cf[k] += p1 if cf[k] > 0 else -p1
-                            continue
-                        k = ss
-                        while k <= se:
-                            rs = _jpeg_decode_symbol(reader, ac)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0 and r != 15:  # EOBn
-                                eobrun = (1 << r) - 1
-                                if r:
-                                    eobrun += reader.bits(r)
-                                for kk in range(k, se + 1):
-                                    if cf[kk] and reader.bit():
-                                        cf[kk] += (
-                                            p1 if cf[kk] > 0 else -p1
-                                        )
-                                break
-                            if s:
-                                if s != 1:
-                                    return None  # new coef must be +-1
-                                val = p1 if reader.bit() else -p1
-                            zeros = 0
-                            target = 16 if s == 0 else r
-                            while k <= se:
-                                if cf[k]:
-                                    if reader.bit():
-                                        cf[k] += p1 if cf[k] > 0 else -p1
-                                    k += 1
-                                    continue
-                                if s == 0:  # ZRL: exactly 16 zeros
-                                    zeros += 1
-                                    k += 1
-                                    if zeros == target:
-                                        break
-                                    continue
-                                if zeros == target:
-                                    break  # placement position
-                                zeros += 1
-                                k += 1
-                            if s:
-                                if k > se:
-                                    return None
-                                cf[k] = val
-                                k += 1
+                    if not _jpeg_ac_refine_scan_decode(
+                        reader, ac, coef, n_blocks, ss, se, p1
+                    ):
+                        return None
                 pos = reader.pos
                 continue
             pos += 2 + seg_len
@@ -3369,6 +3388,78 @@ def decode_jpeg_gray_progressive(
 # ---------------------------------------------------------------------------
 
 
+def _jpeg_ac_first_sa_block(w, zz, ac_codes) -> None:
+    """AC first scan at Al=1 for one block: band coding (T.81
+    G.1.2.2) over the point-transformed values trunc(v/2) — shared
+    by the grayscale and color successive-approximation encoders."""
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        t = -((-v) >> 1) if v < 0 else v >> 1
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            length, code = ac_codes[0xF0]
+            w.put(code, length)
+            run -= 16
+        size, bits = _jpeg_mag_bits(t)
+        length, code = ac_codes[(run << 4) | size]
+        w.put(code, length)
+        w.put(bits, size)
+        run = 0
+    if run:
+        length, code = ac_codes[0x00]
+        w.put(code, length)
+
+
+def _jpeg_ac_refine_block(w, zz, ac_codes) -> None:
+    """AC refinement scan (Ah=1, Al=0) for one block: T.81 G.1.2.3 —
+    runs count ZERO-HISTORY positions only, every nonzero-history
+    coefficient passed on the walk carries one correction bit in
+    position order, end-of-band runs of exactly 1. Shared by the
+    grayscale and color successive-approximation encoders."""
+    events = []  # ordered: ("z",) zero-history zero | ("c", bit)
+    for k in range(1, 64):
+        v = zz[k]
+        av = -v if v < 0 else v
+        hist = av >> 1  # nonzero after the Al=1 scan?
+        if hist:
+            events.append(("c", av & 1))
+        elif av == 0:
+            events.append(("z",))
+        else:  # newly nonzero: v is +-1
+            # count pending zero-history zeros as the run
+            while sum(1 for e in events if e[0] == "z") > 15:
+                length, code = ac_codes[0xF0]
+                w.put(code, length)
+                zeros = 0
+                rest = []
+                for e in events:
+                    if zeros == 16:
+                        rest.append(e)
+                    elif e[0] == "c":
+                        w.put(e[1], 1)
+                    else:
+                        zeros += 1
+                events = rest
+            run = sum(1 for e in events if e[0] == "z")
+            size, bits = _jpeg_mag_bits(v)  # (1, sign bit)
+            length, code = ac_codes[(run << 4) | 1]
+            w.put(code, length)
+            w.put(bits, 1)
+            for e in events:  # correction bits in walk order
+                if e[0] == "c":
+                    w.put(e[1], 1)
+            events = []
+    if events:  # rest of band: EOB (EOBRUN=1) + trailing bits
+        length, code = ac_codes[0x00]
+        w.put(code, length)
+        for e in events:
+            if e[0] == "c":
+                w.put(e[1], 1)
+
+
 def make_jpeg_gray_progressive_sa(
     width: int,
     height: int,
@@ -3410,25 +3501,7 @@ def make_jpeg_gray_progressive_sa(
     # magnitude shift: truncation toward zero).
     w = _JpegBitWriter()
     for zz in blocks_zz:
-        run = 0
-        for k in range(1, 64):
-            v = zz[k]
-            t = -((-v) >> 1) if v < 0 else v >> 1
-            if t == 0:
-                run += 1
-                continue
-            while run > 15:
-                length, code = ac_codes[0xF0]
-                w.put(code, length)
-                run -= 16
-            size, bits = _jpeg_mag_bits(t)
-            length, code = ac_codes[(run << 4) | size]
-            w.put(code, length)
-            w.put(bits, size)
-            run = 0
-        if run:
-            length, code = ac_codes[0x00]
-            w.put(code, length)
+        _jpeg_ac_first_sa_block(w, zz, ac_codes)
     out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
     out += w.flush()
     # scan 3: DC refinement — one raw bit (bit 0 of the DC) per block
@@ -3440,45 +3513,7 @@ def make_jpeg_gray_progressive_sa(
     # scan 4: AC refinement (G.1.2.3), EOBRUN of exactly 1
     w = _JpegBitWriter()
     for zz in blocks_zz:
-        events = []  # ordered: ("z",) zero-history zero | ("c", bit)
-        for k in range(1, 64):
-            v = zz[k]
-            av = -v if v < 0 else v
-            hist = av >> 1  # nonzero after the Al=1 scan?
-            if hist:
-                events.append(("c", av & 1))
-            elif av == 0:
-                events.append(("z",))
-            else:  # newly nonzero: v is +-1
-                # count pending zero-history zeros as the run
-                while sum(1 for e in events if e[0] == "z") > 15:
-                    length, code = ac_codes[0xF0]
-                    w.put(code, length)
-                    zeros = 0
-                    rest = []
-                    for e in events:
-                        if zeros == 16:
-                            rest.append(e)
-                        elif e[0] == "c":
-                            w.put(e[1], 1)
-                        else:
-                            zeros += 1
-                    events = rest
-                run = sum(1 for e in events if e[0] == "z")
-                size, bits = _jpeg_mag_bits(v)  # (1, sign bit)
-                length, code = ac_codes[(run << 4) | 1]
-                w.put(code, length)
-                w.put(bits, 1)
-                for e in events:  # correction bits in walk order
-                    if e[0] == "c":
-                        w.put(e[1], 1)
-                events = []
-        if events:  # rest of band: EOB (EOBRUN=1) + trailing bits
-            length, code = ac_codes[0x00]
-            w.put(code, length)
-            for e in events:
-                if e[0] == "c":
-                    w.put(e[1], 1)
+        _jpeg_ac_refine_block(w, zz, ac_codes)
     out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
     out += w.flush()
     out += b"\xff\xd9"
@@ -3700,28 +3735,41 @@ def decode_jpeg_ycbcr_progressive(
                     )
                 ss = body[1 + 2 * ns]
                 se = body[2 + 2 * ns]
-                ahl = body[3 + 2 * ns]
-                if (ahl >> 4) or (ahl & 0x0F):
-                    return None  # color successive approx: seam
+                ah = body[3 + 2 * ns] >> 4
+                al = body[3 + 2 * ns] & 0x0F
+                if ah and ah != al + 1:
+                    return None  # refinement must narrow one bit
+                p1 = 1 << al
                 reader = _JpegBitReader(payload, pos + 2 + seg_len)
                 if ss == 0:
                     # DC scan: interleaved over all components
                     if se != 0 or ns != 3:
                         return None
-                    dcs = {}
-                    for cid, tds in scan_comps:
-                        dc = huff.get((0, tds >> 4))
-                        if dc is None or cid not in coef:
-                            return None
-                        dcs[cid] = dc
-                    prev = {cid: 0 for cid, _ in scan_comps}
-                    for b in range(n_blocks):
-                        for cid, _tds in scan_comps:
-                            size = _jpeg_decode_symbol(reader, dcs[cid])
-                            prev[cid] += _jpeg_extend(
-                                reader.bits(size), size
-                            )
-                            coef[cid][b][0] = prev[cid]
+                    if ah == 0:
+                        dcs = {}
+                        for cid, tds in scan_comps:
+                            dc = huff.get((0, tds >> 4))
+                            if dc is None or cid not in coef:
+                                return None
+                            dcs[cid] = dc
+                        prev = {cid: 0 for cid, _ in scan_comps}
+                        for b in range(n_blocks):
+                            for cid, _tds in scan_comps:
+                                size = _jpeg_decode_symbol(
+                                    reader, dcs[cid]
+                                )
+                                prev[cid] += _jpeg_extend(
+                                    reader.bits(size), size
+                                )
+                                coef[cid][b][0] = prev[cid] << al
+                    else:
+                        # DC refinement: interleaved raw bits
+                        for b in range(n_blocks):
+                            for cid, _tds in scan_comps:
+                                if cid not in coef:
+                                    return None
+                                if reader.bit():
+                                    coef[cid][b][0] |= p1
                 else:
                     # AC scan: spec requires non-interleaved (Ns=1)
                     if ns != 1 or ss > se or se > 63:
@@ -3731,28 +3779,37 @@ def decode_jpeg_ycbcr_progressive(
                     if ac is None or cid not in coef:
                         return None
                     cfs = coef[cid]
-                    eobrun = 0
-                    for b in range(n_blocks):
-                        if eobrun:
-                            eobrun -= 1
-                            continue
-                        k = ss
-                        while k <= se:
-                            rs = _jpeg_decode_symbol(reader, ac)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                eobrun = (1 << r) - 1
-                                if r:
-                                    eobrun += reader.bits(r)
-                                break
-                            k += r
-                            if k > se:
-                                return None
-                            cfs[b][k] = _jpeg_extend(reader.bits(s), s)
-                            k += 1
+                    if ah:
+                        # AC refinement: shared G.1.2.3 walk
+                        if not _jpeg_ac_refine_scan_decode(
+                            reader, ac, cfs, n_blocks, ss, se, p1
+                        ):
+                            return None
+                    else:
+                        eobrun = 0
+                        for b in range(n_blocks):
+                            if eobrun:
+                                eobrun -= 1
+                                continue
+                            k = ss
+                            while k <= se:
+                                rs = _jpeg_decode_symbol(reader, ac)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    eobrun = (1 << r) - 1
+                                    if r:
+                                        eobrun += reader.bits(r)
+                                    break
+                                k += r
+                                if k > se:
+                                    return None
+                                cfs[b][k] = (
+                                    _jpeg_extend(reader.bits(s), s) << al
+                                )
+                                k += 1
                 pos = reader.pos
                 continue
             pos += 2 + seg_len
@@ -3787,3 +3844,107 @@ def decode_jpeg_ycbcr_progressive(
         return wid, hei, planes[0], planes[1], planes[2]
     except (ValueError, IndexError):
         return None
+
+
+def make_jpeg_ycbcr_progressive_sa(
+    width: int,
+    height: int,
+    ycbcr_of,
+    qtable_y: list[int] | None = None,
+    qtable_c: list[int] | None = None,
+) -> bytes:
+    """PROGRESSIVE (SOF2) 4:4:4 color JFIF with SUCCESSIVE
+    APPROXIMATION — the full 8-scan color script: interleaved DC at
+    Al=1, three per-component AC first scans at Al=1, an interleaved
+    raw-bit DC refinement, and three per-component G.1.2.3 AC
+    refinement scans (the shared _jpeg_ac_first_sa_block /
+    _jpeg_ac_refine_block coders, one per component with its own
+    Huffman pair)."""
+    qty = list(qtable_y) if qtable_y is not None else list(_JPEG_STD_QT)
+    qtc = (
+        list(qtable_c)
+        if qtable_c is not None
+        else list(_JPEG_STD_QT_CHROMA)
+    )
+    dc0 = _jpeg_build_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac0 = _jpeg_build_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    dc1 = _jpeg_build_codes(_JPEG_DC_BITS_CHROMA, _JPEG_DC_VALS_CHROMA)
+    ac1 = _jpeg_build_codes(_JPEG_AC_BITS_CHROMA, _JPEG_AC_VALS_CHROMA)
+    comp_tabs = [(qty, dc0, ac0), (qtc, dc1, ac1), (qtc, dc1, ac1)]
+    blocks = [[], [], []]
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            pix = [
+                ycbcr_of(min(bx + i, width - 1), min(by + j, height - 1))
+                for j in range(8)
+                for i in range(8)
+            ]
+            for ci, (qt, _dc, _ac) in enumerate(comp_tabs):
+                q = _jpeg_fdct_quant([p[ci] & 0xFF for p in pix], qt)
+                blocks[ci].append([q[_JPEG_ZZ[k]] for k in range(64)])
+    import struct
+
+    seg = _jpeg_seg
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    out += seg(
+        0xDB,
+        bytes([0x00]) + bytes(qty[_JPEG_ZZ[k]] for k in range(64))
+        + bytes([0x01]) + bytes(qtc[_JPEG_ZZ[k]] for k in range(64)),
+    )
+    out += seg(
+        0xC2,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    out += seg(
+        0xC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+        + bytes([0x01]) + bytes(_JPEG_DC_BITS_CHROMA)
+        + bytes(_JPEG_DC_VALS_CHROMA)
+        + bytes([0x11]) + bytes(_JPEG_AC_BITS_CHROMA)
+        + bytes(_JPEG_AC_VALS_CHROMA),
+    )
+    n_blocks = len(blocks[0])
+    # scan 1: interleaved DC first, Al=1 (arithmetic-shift transform)
+    w = _JpegBitWriter()
+    prev = [0, 0, 0]
+    for b in range(n_blocks):
+        for ci, (_qt, dcc, _ac) in enumerate(comp_tabs):
+            t = blocks[ci][b][0] >> 1
+            size, bits = _jpeg_mag_bits(t - prev[ci])
+            prev[ci] = t
+            length, code = dcc[size]
+            w.put(code, length)
+            if size:
+                w.put(bits, size)
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x01]))
+    out += w.flush()
+    # scans 2-4: per-component AC first, Al=1
+    for ci, (_qt, _dc, acc) in enumerate(comp_tabs):
+        w = _JpegBitWriter()
+        for zz in blocks[ci]:
+            _jpeg_ac_first_sa_block(w, zz, acc)
+        tds = 0x00 if ci == 0 else 0x11
+        out += seg(0xDA, bytes([1, ci + 1, tds, 1, 63, 0x01]))
+        out += w.flush()
+    # scan 5: interleaved DC refinement — one raw bit per component
+    w = _JpegBitWriter()
+    for b in range(n_blocks):
+        for ci in range(3):
+            w.put(blocks[ci][b][0] & 1, 1)
+    out += seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 0, 0x10]))
+    out += w.flush()
+    # scans 6-8: per-component AC refinement (G.1.2.3)
+    for ci, (_qt, _dc, acc) in enumerate(comp_tabs):
+        w = _JpegBitWriter()
+        for zz in blocks[ci]:
+            _jpeg_ac_refine_block(w, zz, acc)
+        tds = 0x00 if ci == 0 else 0x11
+        out += seg(0xDA, bytes([1, ci + 1, tds, 1, 63, 0x10]))
+        out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

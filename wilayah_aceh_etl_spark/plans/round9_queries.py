@@ -2336,3 +2336,37 @@ def multimodal_jpeg_color_progressive_stats(
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "multimodal_jpeg_color_progressive_sa_stats",
+    # oracle shared VERBATIM (see multimodal_jpeg_color_progressive_stats)
+    oracle=_COLOR_STATS_ORACLE,
+    tags=("ext", "multimodal", "decode", "pixels", "jpeg", "progressive"),
+    description="color SUCCESSIVE-APPROXIMATION progressive JPEG decode",
+)
+def multimodal_jpeg_color_progressive_sa_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same color images through the FULL 8-scan successive-
+    approximation color script: interleaved DC at Al=1, three
+    per-component AC first scans at Al=1, an interleaved raw-bit DC
+    refinement (three components' bits interleave per MCU), and
+    three per-component G.1.2.3 AC refinement scans — the complete
+    progressive feature matrix (spectral selection x successive
+    approximation x single/multi-component) now decodes through one
+    pair of decoders. The JPEG seam is down to arithmetic coding and
+    chroma-subsampled progressive."""
+    from wilayah_aceh_etl_spark.operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = M.attach_color_jpeg_payload(docs, "doc_id", successive=True)
+    return (
+        M.jpeg_color_pixel_stats(media)
+        .select(
+            "media_id", "width", "height", "n_pixels",
+            "sum_y", "sum_cb", "sum_cr",
+            "y_top_left", "cr_bottom_right",
+        )
+        .orderBy("media_id")
+    )
