@@ -612,3 +612,65 @@ def test_bpe_trainer_learns_known_merges(spark, tmp_path):
     assert [(r.iter, r.merge_left, r.merge_right) for r in got2] == [
         (1, "x", "y")
     ]
+
+
+def test_trained_centroid_cache_invalidates_on_corpus_change(
+    spark, tmp_path
+):
+    """r6 advice: _TRAINED_CENTROID_CACHE keyed only on cache_key
+    would silently serve a stale quantizer if the files behind that
+    key changed within one driver process. The fix folds a
+    file-metadata fingerprint (uri, size, mtime_ns) into the memo
+    key; this pins that mutating the corpus retrains instead of
+    serving the old centroids — and that the warm path on an
+    UNCHANGED corpus still hits the memo."""
+    from wilayah_aceh_etl_spark.operators import similarity as S
+
+    def write(vals):
+        # varied directions so neither cluster empties mid-Lloyd
+        rows = [
+            (i, [float(v), float((v * 3 + i) % 11 - 5)])
+            for i, v in enumerate(vals)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        ).repartition(1).write.mode("overwrite").parquet(
+            f"{tmp_path}/emb.parquet"
+        )
+        return spark.read.parquet(f"{tmp_path}/emb.parquet")
+
+    key = str(tmp_path)
+    corpus1 = write([1, 2, 3, 100, 101, 102])
+    first = sorted(
+        tuple(r) for r in S.kmeans_centroids_cached(
+            corpus1, key, n_centroids=2, n_iter=2
+        ).collect()
+    )
+    n_entries = len(S._TRAINED_CENTROID_CACHE)
+
+    # warm path, unchanged corpus: memo hit, no new entry
+    again = sorted(
+        tuple(r) for r in S.kmeans_centroids_cached(
+            corpus1, key, n_centroids=2, n_iter=2
+        ).collect()
+    )
+    assert again == first
+    assert len(S._TRAINED_CENTROID_CACHE) == n_entries
+
+    # overwrite the SAME path with different data, same cache_key
+    corpus2 = write([7, 8, 9, -50, -51, -52])
+    second = sorted(
+        tuple(r) for r in S.kmeans_centroids_cached(
+            corpus2, key, n_centroids=2, n_iter=2
+        ).collect()
+    )
+    assert len(S._TRAINED_CENTROID_CACHE) == n_entries + 1
+    assert second != first
+    # and the retrained values match an uncached fresh training
+    fresh = sorted(
+        tuple(r)
+        for r in S.kmeans_centroids(
+            corpus2, n_centroids=2, n_iter=2
+        ).collect()
+    )
+    assert second == fresh

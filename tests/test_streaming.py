@@ -1318,3 +1318,107 @@ def test_quality_monitor_empty_batch_writes_zero_row(spark, tmp_path):
     assert row.pass_word_count == 0
     assert row.pass_all == 0
     assert None not in tuple(row)
+
+
+def test_merge_same_new_key_race_keeps_last_wins(spark, tmp_path, monkeypatch):
+    """r6-advice MEDIUM: two merges racing to insert the SAME
+    previously-absent key both listed an empty affected set; the old
+    swap validation (every listed file still exists) passed for both
+    and both installed winners — duplicate rows for that key, the
+    last-wins invariant broken until some later merge happened to
+    rewrite both files. Pinned fix: the swap RE-RUNS the footer
+    listing for the batch's keys under the final lock and treats any
+    drift (including a NEW file covering the keys) as a conflict
+    that restarts the merge.
+
+    The competing merge is injected at the outer merge's swap-lock
+    acquisition (identified by its staged tmp dir existing)."""
+    import glob
+    import os
+    from contextlib import contextmanager
+
+    from wilayah_aceh_etl_spark.operators import wilayah as W
+    from wilayah_aceh_etl_spark.streaming import sinks as S
+
+    path = str(tmp_path / "same_key_race")
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.lit(0).cast("long").alias("ver"),
+        F.lit(1).cast("long").alias("v"),
+    )
+    S.merge_last_wins(spark, path, base, ["k"], ["ver"])
+
+    real_lock = W._commit_lock
+    state = {"injections": 0}
+
+    @contextmanager
+    def hooked(p):
+        if state["injections"] == 0 and glob.glob(path + "._staged*"):
+            state["injections"] += 1
+            rival = spark.createDataFrame(
+                [(1000, 2, 222)], "k long, ver long, v long"
+            )
+            S.merge_last_wins(spark, path, rival, ["k"], ["ver"])
+        with real_lock(p):
+            yield
+
+    monkeypatch.setattr(W, "_commit_lock", hooked)
+    mine = spark.createDataFrame(
+        [(1000, 1, 111)], "k long, ver long, v long"
+    )
+    S.merge_last_wins(spark, path, mine, ["k"], ["ver"])
+    monkeypatch.setattr(W, "_commit_lock", real_lock)
+
+    assert state["injections"] == 1, "rival merge never ran"
+    t = spark.read.parquet(path)
+    rows = t.filter("k = 1000").collect()
+    # old code: TWO rows for k=1000 (ver 1 and ver 2 in separate
+    # files); fixed code: one row, the higher-ver rival wins
+    assert len(rows) == 1, [tuple(r) for r in rows]
+    assert (rows[0].ver, rows[0].v) == (2, 222)
+    assert t.count() == 101
+    assert not glob.glob(path + "._staged*"), "leaked staging dir"
+
+
+def test_merge_transient_lock_contention_retried_no_leak(
+    spark, tmp_path, monkeypatch
+):
+    """r6-advice LOW: a transient ConcurrentWriteError from lock
+    acquisition used to propagate out of the retry loop immediately
+    (only file-vanished errors were retried), leaking the
+    per-invocation ._staged_* dir until vacuum_staging. Pinned fix:
+    lock contention is caught inside the loop, counts against the
+    3-attempt budget with a short backoff, and the staged tree is
+    removed before retrying."""
+    import glob
+    from contextlib import contextmanager
+
+    from wilayah_aceh_etl_spark.operators import wilayah as W
+    from wilayah_aceh_etl_spark.streaming import sinks as S
+
+    path = str(tmp_path / "contended_sink")
+    base = spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 20)], "k long, ver long, v long"
+    )
+    S.merge_last_wins(spark, path, base, ["k"], ["ver"])
+
+    real_lock = W._commit_lock
+    state = {"calls": 0}
+
+    @contextmanager
+    def flaky(p):
+        state["calls"] += 1
+        if state["calls"] <= 2:  # listing + swap of attempt 1
+            raise W.ConcurrentWriteError("simulated contention")
+        with real_lock(p):
+            yield
+
+    monkeypatch.setattr(W, "_commit_lock", flaky)
+    batch = spark.createDataFrame([(2, 1, 99)], "k long, ver long, v long")
+    S.merge_last_wins(spark, path, batch, ["k"], ["ver"])
+    monkeypatch.setattr(W, "_commit_lock", real_lock)
+
+    t = spark.read.parquet(path)
+    got = {r.k: (r.ver, r.v) for r in t.collect()}
+    assert got == {1: (0, 10), 2: (1, 99)}
+    assert not glob.glob(path + "._staged*"), "leaked staging dir"

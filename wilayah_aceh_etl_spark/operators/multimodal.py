@@ -4,6 +4,16 @@ Convention: media travels as an opaque `binary` payload column plus a
 typed metadata struct — the schema a 100 TB training-data lake uses
 so Parquet can columnar-skip payloads when only metadata is queried.
 
+THE CODEC MATRIX IS FINAL (round 7). Every architecture class an
+analytics engine needs to prove its media plumbing is covered and
+oracle-proven below — block-transform (JPEG baseline/progressive/SA,
+gray+color, 4:2:0), subband (Haar), palette+LZW (GIF incl. animated),
+companding (μ-law), adaptive differential (ADPCM), motion-compensated
+inter-frame (MC video), lossless raster (PNG/BMP), PCM (WAV). The
+remaining seams (arithmetic coding, mp3/ogg entropy layers, h264) are
+environment-bound and add no analytics capability; no further codec
+work is planned or needed — new effort goes to query/scale surface.
+
 What is REAL here (pure Python, no image/audio libraries needed,
 proven through DuckDB oracle gates):
 
@@ -1811,9 +1821,10 @@ def _jpeg_extend(bits: int, size: int) -> int:
 
 def _decode_jpeg_planes(
     payload: bytes,
-) -> tuple[int, int, list[list[int]]] | None:
+) -> tuple[int, int, list[list[int]], list[tuple[int, int]]] | None:
     """Shared baseline-JPEG decode core: (width, height, one
-    row-major plane per component) for GRAYSCALE (1 component) or
+    row-major plane per component, per-plane (width, height) dims)
+    for GRAYSCALE (1 component) or
     4:4:4 COLOR (3 components, interleaved one block each per MCU,
     per-component quant/Huffman tables and DC predictors). Huffman
     tables come from the file's own DHT segments; restart markers

@@ -401,6 +401,32 @@ def ivf_kmeans_topk(
 _TRAINED_CENTROID_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
 
 
+def _corpus_fingerprint(df: DataFrame) -> str:
+    """Best-effort data fingerprint for the trained-centroid memo:
+    the (uri, size, mtime_ns) of every file backing the scan, hashed.
+    Pure driver-side file metadata — no Spark job, no data read — so
+    the warm path stays free. If the corpus files change under the
+    same cache_key, the fingerprint changes and the quantizer
+    retrains instead of silently serving a stale index. Non-file
+    sources (or remote URIs we cannot stat) degrade to the file list
+    alone, which still catches add/remove/compaction."""
+    import hashlib
+    import os
+
+    sig: list[tuple] = []
+    try:
+        for uri in sorted(df.inputFiles()):
+            path = uri[5:] if uri.startswith("file:") else uri
+            try:
+                st = os.stat(path)
+                sig.append((uri, st.st_size, st.st_mtime_ns))
+            except OSError:
+                sig.append((uri, -1, -1))
+    except Exception:
+        sig = [("<no-input-files>",)]
+    return hashlib.md5(repr(sig).encode()).hexdigest()
+
+
 def kmeans_centroids_cached(
     corpus: DataFrame,
     cache_key: str,
@@ -414,8 +440,22 @@ def kmeans_centroids_cached(
     passes over the corpus); later calls rebuild the tiny (cid, cvec)
     relation from the cached floats. Determinism is unaffected: the
     cached values ARE the quantized-mean training output, so a cold
-    and a warm call return bit-identical centroids."""
-    key = (cache_key, n_centroids, n_iter, id_col, vec_col)
+    and a warm call return bit-identical centroids.
+
+    Staleness contract (r6 advice): the memo key includes a
+    file-metadata fingerprint of the corpus scan
+    (_corpus_fingerprint), so mutating the files behind the same
+    cache_key retrains rather than serving centroids trained on the
+    old data. The fingerprint is driver-side os.stat only — the warm
+    path still runs zero Spark jobs."""
+    key = (
+        cache_key,
+        _corpus_fingerprint(corpus),
+        n_centroids,
+        n_iter,
+        id_col,
+        vec_col,
+    )
     if key not in _TRAINED_CENTROID_CACHE:
         rows = kmeans_centroids(
             corpus, n_centroids, n_iter, id_col, vec_col

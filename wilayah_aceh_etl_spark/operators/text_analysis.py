@@ -71,7 +71,8 @@ def tfidf_top_terms(
 def gopher_rule_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document 0/1 flags for the Gopher quality rules (Rae et
     al. 2021, table A1): word-count bounds [50, 100000], mean word
-    length in [3, 10], >=80% alphabetic words, >=2 stopwords, top
+    length in [3, 10], >=80% alphabetic words, >=2 of the paper's
+    eight stopwords {the, be, to, of, and, that, have, with}, top
     word <=20% of tokens. Every ratio threshold is CROSS-MULTIPLIED
     into integer form (3*wc <= chars, never chars/wc >= 3.0) so no
     float exists anywhere. Shared by the batch battery
@@ -89,7 +90,10 @@ def gopher_rule_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.filter(w, lambda x: x.rlike("^[a-z]+$"))).alias("alpha_wc"),
         F.size(
             F.filter(
-                w, lambda x: x.isin("the", "a", "of", "and", "to", "in")
+                w,
+                lambda x: x.isin(
+                    "the", "be", "to", "of", "and", "that", "have", "with"
+                ),
             )
         ).alias("stop_wc"),
     )

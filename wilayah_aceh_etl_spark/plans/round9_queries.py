@@ -716,7 +716,8 @@ WITH per_doc AS (
          len(list_filter(string_split(text, ' '),
                          x -> regexp_matches(x, '^[a-z]+$'))) AS alpha_wc,
          len(list_filter(string_split(text, ' '),
-                         x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                         x -> x IN ('the', 'be', 'to', 'of',
+                                    'and', 'that', 'have', 'with')))
            AS stop_wc
   FROM documents
 ),
@@ -1638,7 +1639,8 @@ WITH per_doc AS (
          len(list_filter(string_split(text, ' '),
                          x -> regexp_matches(x, '^[a-z]+$'))) AS alpha_wc,
          len(list_filter(string_split(text, ' '),
-                         x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                         x -> x IN ('the', 'be', 'to', 'of',
+                                    'and', 'that', 'have', 'with')))
            AS stop_wc
   FROM documents
 ),

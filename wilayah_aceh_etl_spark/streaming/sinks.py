@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -216,18 +217,28 @@ def merge_last_wins(
        taken between those renames would miss keys on both sides.
        Listing is cheap (footer stats), so serializing it is fine;
        only the expensive staging rewrite stays outside the lock.
-    2. The SWAP validates under the final lock that every listed
-       affected file still exists AND that a table that was absent
-       at listing time is still absent; any violation discards the
-       stale staging and restarts the merge against the current
-       file set — classic optimistic concurrency, the same shape as
-       Delta's commit-time conflict detection. (Without the
-       absent-table check, two merges racing to CREATE a table
-       would let the loser rmtree the winner's committed batch.)
+    2. The SWAP re-runs the footer listing for the batch's keys
+       UNDER the final lock and requires it to be identical to the
+       staging-time listing; any drift — a listed file vanished, OR
+       a concurrent merge installed a NEW file covering the same
+       keys (the same-new-key race: two merges inserting a
+       previously-absent key would otherwise both validate their
+       empty affected sets and both install winners, breaking
+       last-wins with duplicate rows) — discards the stale staging
+       and restarts the merge against the current file set. Classic
+       optimistic concurrency, the same shape as Delta's commit-time
+       conflict detection. A table that was absent at listing time
+       must still be absent (without that check, two merges racing
+       to CREATE a table would let the loser install a second root).
     3. A conflict that lands DURING staging — an affected file
        retired while the winners job is scanning it — surfaces as a
        file-vanished error from Spark; it is caught and treated as
        the same conflict: drop staging, re-list, re-stage.
+    4. A transient ConcurrentWriteError from either lock acquisition
+       (another writer briefly holding the listing/swap lock) counts
+       against the same 3-attempt budget with a short backoff, and
+       the staged tree is removed before retrying — no leaked
+       `._staged_*` dirs waiting for vacuum_staging.
 
     `ConcurrentWriteError` after the retry budget means a writer is
     churning the table faster than the merge can re-stage."""
@@ -260,12 +271,18 @@ def merge_last_wins(
     tmp = table_path + f"._staged_{uuid.uuid4().hex[:8]}"
     for _attempt in range(3):
         affected: list[str] | None = None
-        if os.path.exists(table_path):
-            with _commit_lock(table_path):
-                _recover_crashed_swap(table_path)
-                affected = _affected_by_key(
-                    spark, table_path, batch, keys[0]
-                )
+        try:
+            if os.path.exists(table_path):
+                with _commit_lock(table_path):
+                    _recover_crashed_swap(table_path)
+                    affected = _affected_by_key(
+                        spark, table_path, batch, keys[0]
+                    )
+        except ConcurrentWriteError:
+            # guarantee 4: another writer briefly holds the lock —
+            # back off and spend one attempt, don't propagate
+            time.sleep(0.05 * (_attempt + 1))
+            continue
         try:
             if affected:
                 # mergeSchema: with schema evolution on, affected
@@ -298,38 +315,48 @@ def merge_last_wins(
                 .parquet(tmp)
             )
         except Exception as exc:  # noqa: BLE001
+            shutil.rmtree(tmp, ignore_errors=True)
             if _is_file_vanished(exc):
                 # guarantee 3: an affected file was retired while the
                 # staging job read it — conflict, not failure
-                shutil.rmtree(tmp, ignore_errors=True)
                 continue
             raise
         # same single-writer enforcement as the managed wilayah
         # table: staging is optimistic, the swap runs under the
         # commit lock
-        with _commit_lock(table_path):
-            if not os.path.exists(table_path):
-                # new table (or externally deleted since listing):
-                # install the staged winners as the table
-                os.rename(tmp, table_path)
-                return
-            if affected is not None and all(
-                os.path.exists(p) for p in affected
-            ):
-                # Crash-recoverable swap (mirrors the wilayah
-                # _history retirement): affected files are MOVED to
-                # a hidden _retired/<token>/ dir (never deleted in
-                # place), staged winners are renamed in, a
-                # _committed marker seals the swap, and only then is
-                # anything cleaned up. A crash at any point is
-                # rolled back or completed by the next merge's
-                # _recover_crashed_swap.
-                _swap_with_retirement(table_path, tmp, affected)
-                return
-        # conflict: either a concurrent writer retired one of our
-        # inputs after we listed them, or the table appeared after
-        # we listed it as absent (affected is None but the path now
-        # exists — guarantee 2). The staged winners are stale; drop
+        try:
+            with _commit_lock(table_path):
+                if not os.path.exists(table_path):
+                    # new table (or externally deleted since
+                    # listing): install the staged winners as the
+                    # table
+                    os.rename(tmp, table_path)
+                    return
+                if affected is not None and set(
+                    _affected_by_key(spark, table_path, batch, keys[0])
+                ) == set(affected):
+                    # guarantee 2: the commit-time listing for this
+                    # batch's keys is IDENTICAL to the staging-time
+                    # listing — no listed file vanished and no
+                    # concurrent merge installed a new file covering
+                    # the same keys. Crash-recoverable swap (mirrors
+                    # the wilayah _history retirement): affected
+                    # files are MOVED to a hidden _retired/<token>/
+                    # dir (never deleted in place), staged winners
+                    # are renamed in, a _committed marker seals the
+                    # swap, and only then is anything cleaned up. A
+                    # crash at any point is rolled back or completed
+                    # by the next merge's _recover_crashed_swap.
+                    _swap_with_retirement(table_path, tmp, affected)
+                    return
+        except ConcurrentWriteError:
+            # guarantee 4: swap lock briefly held by another writer
+            time.sleep(0.05 * (_attempt + 1))
+        # conflict: a concurrent writer retired one of our inputs or
+        # installed a new file over our keys after we listed, or the
+        # table appeared after we listed it as absent (affected is
+        # None but the path now exists — guarantee 2), or the swap
+        # lock was contended. The staged winners are stale; drop
         # them and re-merge against the current file set.
         shutil.rmtree(tmp, ignore_errors=True)
     raise ConcurrentWriteError(
