@@ -141,6 +141,11 @@ NLJ_ALLOWED = {
     # aggregated small relation) — the standard fuzzy-join dedupe-
     # to-terms trick; corpus rows never enter the quadratic side
     "eval_levenshtein_battery",
+    # --- round 7 ---
+    # 16-row centroid broadcast (the kmeans assignment shape); the
+    # near-dup pair join itself is an EQUI-join on the cluster id —
+    # pinned cluster-scoped by test_semantic_dedup_pair_join_is_equi
+    "dedup_semantic_clusters",
 }
 
 
@@ -287,3 +292,26 @@ def test_aqe_splits_skewed_join_partition(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_semantic_dedup_pair_join_is_equi(spark):
+    """SemDeDup's whole point is that near-dup candidates are
+    cluster-scoped: the pair join must compile to an EQUI-join on
+    the cluster id (Σ|cluster|² comparisons), never a cartesian /
+    nested-loop all-pairs product. The only NLJ allowed in the plan
+    is the 16-row centroid-assignment broadcast."""
+    import re
+
+    from wilayah_aceh_etl_spark.operators.similarity import semantic_dedup
+    from wilayah_aceh_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    df = semantic_dedup(emb, threshold=0.35, n_centroids=16, n_iter=2)
+    plan = _plan(spark, df)
+    assert "CartesianProduct" not in plan
+    # the a×b pair join keyed on cid (rk inequality rides as the
+    # post-equi condition)
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\s*(?:\w+\s*)?\[cid",
+        plan,
+    ), plan

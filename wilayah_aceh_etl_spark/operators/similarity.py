@@ -497,6 +497,104 @@ def ivf_trained_topk(
     return _ivf_search(c, cent, q, k, n_probe)
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped semantic deduplication (Abbas
+    et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): embed → k-means cluster →
+    compare pairs ONLY within a cluster → drop near-duplicates,
+    keeping per near-dup group the example FARTHEST from its cluster
+    centroid (the paper's keep-rule — low centroid similarity ≈ more
+    informative for training).
+
+    The paper's connected-components grouping is re-expressed as a
+    keep-first sweep so no iterative algorithm is needed: rank each
+    cluster's members by (centroid cosine asc, vec_id); a member is
+    REMOVED iff some lower-ranked same-cluster member is within
+    `threshold` cosine of it. This is order-equivalent to the
+    published implementation (which also sweeps in centroid-distance
+    order) and is pure joins + one window.
+
+    Scale shape — the reason SemDeDup exists: candidate pairs are
+    generated by an EQUI-join on the cluster id, so the comparison
+    count is Σ|cluster|² instead of the O(N²) all-pairs join
+    threshold_pairs runs. At 100 TB with C clusters of ~N/C vectors
+    the work drops by a factor of C; the cluster id is also the
+    natural write-time partition key (see ivf_partitioned_layout),
+    making the pair join partition-local with zero extra shuffle.
+    Training the quantizer moves only O(C·d) floats (kmeans_centroids
+    keeps gradients KB-scale); both cosines are rounded to the 1e-6
+    grid BEFORE the keep decision so the verdict is deterministic
+    across engines.
+
+    Returns (vec_id, cid, cent_cos, keep) for every corpus vector.
+    """
+    from pyspark.sql.window import Window
+
+    c = _prep(corpus, id_col, vec_col)
+    cent = F.broadcast(
+        kmeans_centroids(corpus, n_centroids, n_iter, id_col, vec_col)
+    )
+    # nearest centroid + its cosine per vector (argmax carried in one
+    # aggregate, exactly the _ivf_search inverted-lists shape)
+    assigned = (
+        c.join(cent)
+        .select(
+            "vec_id",
+            "vec",
+            "cid",
+            cosine(F.col("vec"), F.col("cvec")).alias("_cos"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("_cos"), (-F.col("cid")).alias("_ncid"))
+            ).alias("_m"),
+            F.first("vec").alias("vec"),
+        )
+        .select(
+            "vec_id",
+            "vec",
+            (-F.col("_m._ncid")).cast("long").alias("cid"),
+            F.round(F.col("_m._cos"), 6).alias("cent_cos"),
+        )
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.col("cent_cos").asc(), F.col("vec_id")
+    )
+    ranked = assigned.withColumn("rk", F.row_number().over(w))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    removed = (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.rk") > F.col("b.rk")))
+        .filter(
+            F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
+            >= F.lit(threshold)
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_rm", F.lit(1))
+    )
+    return (
+        ranked.join(removed, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            "cent_cos",
+            F.when(F.col("_rm").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def quantize_int8(
     corpus: DataFrame,
     id_col: str = "vec_id",

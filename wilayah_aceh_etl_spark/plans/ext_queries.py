@@ -3833,6 +3833,80 @@ def similarity_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMANTIC_DEDUP_ORACLE = (
+    "WITH "
+    + _VEC_CTE
+    + """,
+u AS (
+  SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM v
+),
+c1 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+"""
+    + ",".join(_ivf_km_step_sql(i) for i in (1, 2))
+    + """,
+assigned AS (
+  SELECT vec_id, e, cid, ROUND(cs, 6) AS cent_cos FROM (
+    SELECT v.vec_id, v.e, c.cid, """
+    + _COS.format(a="v.e", b="c.ce")
+    + """ AS cs,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY """
+    + _COS.format(a="v.e", b="c.ce")
+    + """ DESC, c.cid
+           ) AS rn
+    FROM v, c3 c
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, e, cid, cent_cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY cid ORDER BY cent_cos, vec_id
+         ) AS rk
+  FROM assigned
+),
+removed AS (
+  SELECT DISTINCT a.vec_id
+  FROM ranked a JOIN ranked b ON a.cid = b.cid AND a.rk > b.rk
+  WHERE ROUND("""
+    + _COS.format(a="a.e", b="b.e")
+    + """, 6) >= 0.35
+)
+SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cid, r.cent_cos,
+       CAST(CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM ranked r LEFT JOIN removed rm ON r.vec_id = rm.vec_id
+ORDER BY r.vec_id
+"""
+)
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_SEMANTIC_DEDUP_ORACLE,
+    tags=("ext", "dedup", "semantic", "kmeans", "semdedup"),
+    description="SemDeDup: k-means clusters, within-cluster near-dup removal",
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-based semantic dedup (SemDeDup, Abbas et al. 2023) —
+    the published LLM-curation pattern that composes the engine's
+    trained k-means quantizer with cluster-scoped pair comparison:
+    candidate pairs come from an EQUI-join on the cluster id, so the
+    comparison count is Σ|cluster|² (provably, the join has no
+    cross-cluster pair), never the O(N²) all-pairs of
+    threshold_pairs. Per near-dup group the member farthest from its
+    centroid is kept (the paper's keep-rule), expressed as a
+    keep-first sweep in centroid-cosine order — no iterative
+    connected components. The oracle re-derives the 2-iteration
+    spherical Lloyd training AND the sweep in SQL, so a hash match
+    pins training, assignment, ranking, and the keep verdicts
+    together. tests/test_plan_quality.py pins the no-cartesian plan
+    shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb, threshold=0.35, n_centroids=16, n_iter=2
+    )
+
+
 @register(
     "multimodal_bmp_pixel_stats",
     oracle="""
