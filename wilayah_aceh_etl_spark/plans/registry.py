@@ -87,80 +87,77 @@ def _load_all() -> None:
 # round's CORRECTNESS_r{N}.json is rotated OUT and 50 never-
 # driver-verified names rotated IN, one representative slice per
 # module, so cumulative driver-verified coverage grows ~50/round.
-# Rounds 1–5 verified 185 distinct queries (the union of
-# CORRECTNESS_r01..05.json); this round-6 window is drawn from the
-# 235 oracle-backed queries that have never produced a driver row,
-# weighted (per the r5 verdict) toward the families with zero driver
-# rows so far: the distributed ML trainers, BPE merge training, the
-# composed training-prep-v2 / quality-classifier pipelines, the
-# GIF/BMP/WAV pixel-decode tail, partitioned/trained IVF, the four
-# sketch guarantee audits, the streaming tail, and the remaining
-# TPC-H topologies. All rotated-out queries are still exercised
-# every round by tools/parity.py locally and by the test suite.
+# Rounds 1–6 verified 235 distinct queries (the union of
+# CORRECTNESS_r01..06.json); this round-7 window is drawn from the
+# 222 oracle-backed queries that have never produced a driver row,
+# led (per the r6 verdict) by the families with zero driver rows:
+# the eval-metric battery, the post-training/preference family, the
+# tokenizers, the progressive/color JPEG + Haar/video/ADPCM/μ-law
+# codec tail, the streaming quality monitor — plus the explicitly
+# named bench headline similarity_ivf_trained_topk, the new SemDeDup
+# query, and an API-surface slice (pandas UDF/UDAF, cogroup, UDTF).
+# All rotated-out queries are still exercised every round by
+# tools/parity.py locally and by the test suite.
 GATE_PRIORITY: tuple[str, ...] = (
-    # distributed ML trainer family (zero driver rows before r6)
-    "ml_logreg_train_quantized",
-    "ml_perceptron_train_integer",
-    "ml_logreg_sgd_minibatch_epoch",
-    "ml_logreg_holdout_confusion",
-    "ml_logreg_top_features",
-    # BPE merge training
-    "text_bpe_train_merges",
-    "text_bpe_pair_counts",
-    # composed pipelines
-    "pipeline_training_prep_v2",
-    "pipeline_quality_classifier_filter",
-    # multimodal pixel-decode tail (real LZW / BMP / WAV decoders)
-    "multimodal_gif_pixel_stats",
-    "multimodal_gif_frame_sample",
-    "multimodal_bmp_pixel_stats",
-    "multimodal_wav_decimate_stats",
-    # IVF: trained quantizer recall + centroid-partitioned layout
-    "similarity_ivf_partitioned_topk",
-    "similarity_ivf_kmeans_recall",
-    # sketch guarantee audits (oracle-gated bounds for the 4 rows-only sketches)
-    "approx_distinct_rsd_audit",
-    "approx_percentile_rank_bound_audit",
-    "events_cms_guarantee_audit",
-    "events_hll_merge_identity_audit",
-    # streaming tail
-    "streaming_dedup_admission_index",
-    "streaming_stream_stream_join",
-    "streaming_sliding_window_rates",
-    # round-6 stats / curriculum tail named by the r5 verdict
-    "events_classical_decomposition_daily",
-    "contamination_semantic_embedding",
-    "data_curriculum_interleave",
-    "data_mixture_temperature_epochs",
-    "csv_malformed_modes_battery",
-    # TPC-H: clears every remaining never-verified topology
-    "tpch_q4_priority_with_returns",
-    "tpch_q7_nation_volume",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_ship_priority",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_variety",
-    "tpch_q22_idle_rich_customers",
-    # events slice
-    "events_asof_forward_next_click",
-    "events_hourly_anomaly",
-    "events_markov_conditional_entropy",
-    "events_m4_downsample",
-    # text slice
-    "text_tfidf_top_terms",
-    "text_clean_normalize",
-    "text_rake_keyphrases",
-    "text_zipf_slope",
-    # ext / similarity slice
-    "feature_target_encoding_loo",
-    "web_url_canonical_dedup",
-    "dedup_lsh_recall",
-    "similarity_matryoshka_recall",
-    # round-5/6 stats slice
-    "stats_cramers_v_pairs",
-    "weights_raking_ipf",
-    "privacy_k_anonymity_audit",
-    "orders_benford_digits",
+    # eval-metric battery (round 8/9, zero driver rows before r7)
+    "eval_bleu2_corpus",
+    "eval_rouge_scores",
+    "eval_chrf_scores",
+    "eval_span_f1_qa",
+    "eval_levenshtein_battery",
+    "eval_calibration_ece",
+    "eval_auc_roc_exact",
+    "eval_mrr_hits_at_k",
+    "eval_brier_decomposition",
+    "eval_forecast_wape_mase",
+    "model_eval_pass_at_k",
+    # post-training / preference-learning family
+    "ml_bradley_terry_strengths",
+    "ml_gae_quantized_advantages",
+    "ml_grpo_group_advantages",
+    "ml_rank_perceptron_pairs",
+    "labels_cohens_kappa",
+    "labels_fleiss_kappa",
+    # tokenizers
+    "tokenizer_bpe_apply_counts",
+    "tokenizer_unigram_viterbi_counts",
+    "tokenizer_vocab_coverage",
+    # text-quality tail
+    "text_gopher_quality_rules",
+    "text_duplicate_ngram_spans",
+    # streaming corpus-quality monitor
+    "streaming_quality_monitor_rates",
+    # multimodal codec tail (matrix declared FINAL this round)
+    "multimodal_jpeg_pixel_stats",
+    "multimodal_jpeg_restart_stats",
+    "multimodal_jpeg_roundtrip_audit",
+    "multimodal_jpeg_color_pixel_stats",
+    "multimodal_jpeg_420_pixel_stats",
+    "multimodal_jpeg_progressive_pixel_stats",
+    "multimodal_jpeg_progressive_sa_pixel_stats",
+    "multimodal_jpeg_color_progressive_stats",
+    "multimodal_jpeg_color_progressive_sa_stats",
+    "multimodal_mulaw_codec_stats",
+    "multimodal_ima_adpcm_codec_stats",
+    "multimodal_haar_subband_codec_stats",
+    "multimodal_video_mc_codec_stats",
+    # ANN serving: the bench headline + IVFADC
+    "similarity_ivf_trained_topk",
+    "similarity_ivfadc_topk",
+    # NEW this round: SemDeDup cluster-scoped semantic dedup
+    "dedup_semantic_clusters",
+    # API-surface fill: pandas UDF/UDAF, cogroup, UDTF, embeddings, OPE
+    "model_eval_precision_recall_f1",
+    "model_eval_average_precision",
+    "model_eval_decile_lift",
+    "mllib_tfidf_pipeline",
+    "pandas_scalar_udf_zscore",
+    "pandas_grouped_agg_udaf",
+    "cogroup_click_purchase_stats",
+    "udtf_chunk_text",
+    "embedding_knn_label_vote",
+    "embedding_power_iteration",
+    "ope_ips_policy_value",
 )
 
 # The driver's gate records only the first 50 registration-order
