@@ -622,8 +622,11 @@ def test_trained_centroid_cache_invalidates_on_corpus_change(
     key changed within one driver process. The fix folds a
     file-metadata fingerprint (uri, size, mtime_ns) into the memo
     key; this pins that mutating the corpus retrains instead of
-    serving the old centroids — and that the warm path on an
-    UNCHANGED corpus still hits the memo."""
+    serving the old centroids, that the warm path on an UNCHANGED
+    corpus still hits the memo, and that the superseded
+    fingerprint's entry is EVICTED (a per-micro-batch trainer over a
+    mutating table holds one entry per corpus identity, not one per
+    historical file set)."""
     from wilayah_aceh_etl_spark.operators import similarity as S
 
     def write(vals):
@@ -664,7 +667,8 @@ def test_trained_centroid_cache_invalidates_on_corpus_change(
             corpus2, key, n_centroids=2, n_iter=2
         ).collect()
     )
-    assert len(S._TRAINED_CENTROID_CACHE) == n_entries + 1
+    # replaced, not accumulated: stale fingerprint evicted on insert
+    assert len(S._TRAINED_CENTROID_CACHE) == n_entries
     assert second != first
     # and the retrained values match an uncached fresh training
     fresh = sorted(

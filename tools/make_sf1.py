@@ -13,8 +13,10 @@ uncopied.
 Two content perturbations keep data STATISTICS scale-honest instead
 of creating a 10-fold-duplicate artifact:
 
-  * documents.text — every 3rd word of copy k>0 is tagged with the
-    copy index, so shingles of width ≥3 differ across copies and the
+  * documents.text — every 3rd word of copy k>0 is tagged with an
+    all-letter copy marker (words stay ^[a-z]+$-alphabetic so
+    quality-rule selectivity is preserved), so shingles of width ≥3
+    differ across copies and the
     corpus near-duplicate RATE stays that of sf0.1 (10 verbatim
     copies would give every doc 9 exact dups and inflate the LSH
     candidate count ~45×, a data artifact that would masquerade as
@@ -64,10 +66,15 @@ def _copy(df: DataFrame, table: str, k: int) -> DataFrame:
         out = out.withColumn(col, F.col(col) + F.lit(k * OFF))
     if k and table == "documents":
         words = F.split(F.col("text"), " ")
+        # all-LETTER tag: a digit suffix would fail the ^[a-z]+$
+        # alphabetic test for ~1/3 of words in 90% of the corpus and
+        # skew quality-rule selectivity at sf1 — the letter tag
+        # perturbs shingles identically while keeping words alphabetic
+        tag = "x" + chr(ord("a") + k)
         tagged = F.transform(
             words,
             lambda w, i: F.when(
-                i % 3 == k % 3, F.concat(w, F.lit(f"x{k}"))
+                i % 3 == k % 3, F.concat(w, F.lit(tag))
             ).otherwise(w),
         )
         out = out.withColumn("text", F.array_join(tagged, " "))

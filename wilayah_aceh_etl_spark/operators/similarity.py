@@ -188,19 +188,15 @@ def ivf_topk(
     return _ivf_search(c, cent, q, k, n_probe)
 
 
-def _ivf_search(
-    c: DataFrame, cent: DataFrame, q: DataFrame, k: int, n_probe: int
-) -> DataFrame:
-    """The IVF read path, independent of how the coarse quantizer
-    was trained: `cent` is any broadcastable (cid, cvec) relation —
-    first-C-by-id (ivf_topk) or Lloyd-trained (ivf_kmeans_topk) —
-    and the plan is byte-identical either way."""
-    from pyspark.sql.window import Window
-
-    # inverted lists: nearest centroid per corpus vector (tie → low
-    # cid, encoded as max of (cos, -cid) so one aggregate carries both
-    # the argmax and the tiebreak)
-    lists = (
+def _assign_nearest(c: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment shared by every coarse-quantizer
+    consumer (_ivf_search's inverted lists, semantic_dedup's cluster
+    ids): one broadcast-product pass, argmax cosine with tie → low
+    cid encoded as max of (cos, -cid) so a single partial-combining
+    aggregate carries both the winner and the tiebreak. Returns
+    (vec_id, vec, centroid, _cent_cos) — the ONE copy of this
+    tie-break-sensitive encoding that every oracle must mirror."""
+    return (
         c.join(cent)
         .select(
             "vec_id",
@@ -219,8 +215,22 @@ def _ivf_search(
             "vec_id",
             "vec",
             (-F.col("_m._ncid")).cast("long").alias("centroid"),
+            F.col("_m._cos").alias("_cent_cos"),
         )
     )
+
+
+def _ivf_search(
+    c: DataFrame, cent: DataFrame, q: DataFrame, k: int, n_probe: int
+) -> DataFrame:
+    """The IVF read path, independent of how the coarse quantizer
+    was trained: `cent` is any broadcastable (cid, cvec) relation —
+    first-C-by-id (ivf_topk) or Lloyd-trained (ivf_kmeans_topk) —
+    and the plan is byte-identical either way."""
+    from pyspark.sql.window import Window
+
+    # inverted lists: nearest centroid per corpus vector
+    lists = _assign_nearest(c, cent).drop("_cent_cos")
 
     # probe set: n_probe nearest centroids per query
     q = q.select(
@@ -448,18 +458,20 @@ def kmeans_centroids_cached(
     cache_key retrains rather than serving centroids trained on the
     old data. The fingerprint is driver-side os.stat only — the warm
     path still runs zero Spark jobs."""
-    key = (
-        cache_key,
-        _corpus_fingerprint(corpus),
-        n_centroids,
-        n_iter,
-        id_col,
-        vec_col,
-    )
+    cfg = (cache_key, n_centroids, n_iter, id_col, vec_col)
+    key = (*cfg, _corpus_fingerprint(corpus))
     if key not in _TRAINED_CENTROID_CACHE:
         rows = kmeans_centroids(
             corpus, n_centroids, n_iter, id_col, vec_col
         ).collect()
+        # evict superseded fingerprints of the same config so a
+        # long-lived driver training per micro-batch over a mutating
+        # table holds ONE entry per corpus identity, not one per
+        # historical file set
+        for stale in [
+            k for k in _TRAINED_CENTROID_CACHE if k[:5] == cfg
+        ]:
+            del _TRAINED_CENTROID_CACHE[stale]
         _TRAINED_CENTROID_CACHE[key] = [
             (int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows
         ]
@@ -541,29 +553,14 @@ def semantic_dedup(
     cent = F.broadcast(
         kmeans_centroids(corpus, n_centroids, n_iter, id_col, vec_col)
     )
-    # nearest centroid + its cosine per vector (argmax carried in one
-    # aggregate, exactly the _ivf_search inverted-lists shape)
-    assigned = (
-        c.join(cent)
-        .select(
-            "vec_id",
-            "vec",
-            "cid",
-            cosine(F.col("vec"), F.col("cvec")).alias("_cos"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(F.col("_cos"), (-F.col("cid")).alias("_ncid"))
-            ).alias("_m"),
-            F.first("vec").alias("vec"),
-        )
-        .select(
-            "vec_id",
-            "vec",
-            (-F.col("_m._ncid")).cast("long").alias("cid"),
-            F.round(F.col("_m._cos"), 6).alias("cent_cos"),
-        )
+    # nearest centroid + its cosine per vector — the shared
+    # _assign_nearest encoding (one copy of the tie-break-sensitive
+    # argmax that the oracle mirrors)
+    assigned = _assign_nearest(c, cent).select(
+        "vec_id",
+        "vec",
+        F.col("centroid").alias("cid"),
+        F.round(F.col("_cent_cos"), 6).alias("cent_cos"),
     )
     w = Window.partitionBy("cid").orderBy(
         F.col("cent_cos").asc(), F.col("vec_id")

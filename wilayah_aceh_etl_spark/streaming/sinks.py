@@ -280,8 +280,12 @@ def merge_last_wins(
                     )
         except ConcurrentWriteError:
             # guarantee 4: another writer briefly holds the lock —
-            # back off and spend one attempt, don't propagate
-            time.sleep(0.05 * (_attempt + 1))
+            # back off and spend one attempt, don't propagate. The
+            # backoff must outlast a whole rival critical section,
+            # which since the commit-time re-listing includes a small
+            # Spark job (seconds, not microseconds) — 0.05 s sleeps
+            # would burn all three attempts inside ONE rival hold.
+            time.sleep(0.5 * (_attempt + 1))
             continue
         try:
             if affected:
@@ -351,7 +355,13 @@ def merge_last_wins(
                     return
         except ConcurrentWriteError:
             # guarantee 4: swap lock briefly held by another writer
-            time.sleep(0.05 * (_attempt + 1))
+            time.sleep(0.5 * (_attempt + 1))
+        except Exception:
+            # unexpected failure INSIDE the swap critical section
+            # (e.g. the re-listing's Spark job dies): not a conflict,
+            # but the staged tree must not leak while propagating
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         # conflict: a concurrent writer retired one of our inputs or
         # installed a new file over our keys after we listed, or the
         # table appeared after we listed it as absent (affected is
