@@ -702,3 +702,88 @@ def test_jpeg_restart_segments_decode_independently():
             for i2 in range(8):
                 got[(by * 8 + j) * w + (bx * 8 + i2)] = block[j * 8 + i2]
     assert got == full
+
+
+def test_semantic_admission_prunes_partitions(spark, tmp_path):
+    """Incremental SemDeDup admission must hit the storage layer:
+    the stored-corpus scan carries a PartitionFilters entry on
+    `centroid` restricted to the clusters the incoming batch touches,
+    and reads strictly fewer files than the table holds. Verdicts
+    must equal the unpartitioned logical form: for each incoming
+    vector, n_near_dups counted against ONLY its own cluster's
+    stored members."""
+    import re
+
+    from wilayah_aceh_etl_spark.operators import similarity as S
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    corpus = emb.filter((F.col("vec_id") < 480) | (F.col("vec_id") >= 500))
+    incoming = emb.filter(F.col("vec_id").between(480, 499))
+    path = str(tmp_path / "sem_layout")
+    S.write_ivf_layout(corpus, path, n_centroids=16, trained=True, n_iter=2)
+
+    got = S.semantic_admission_pruned(spark, path, incoming, threshold=0.35)
+    rows = got.collect()
+    assert len(rows) == 20
+    assert all(
+        (r.admit == 1) == (r.n_near_dups == 0) for r in rows
+    )
+    # candidate scoping: nobody was compared against the whole corpus
+    n_corpus = corpus.count()
+    assert all(r.n_cluster_candidates < n_corpus for r in rows)
+
+    # the pruned scan: partition filter + strict file subset
+    touched = sorted({int(r.cid) for r in rows})
+    pruned = spark.read.parquet(path).filter(
+        F.col("centroid").isin(touched)
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "centroid" in m.group(1), plan[:800]
+    n_pruned = pruned.select(F.input_file_name()).distinct().count()
+    n_all = (
+        spark.read.parquet(path)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert n_pruned < n_all, (n_pruned, n_all)
+
+    # cross-check one verdict against a hand-computed cluster scan
+    import math
+
+    stored = spark.read.parquet(path).collect()
+    by_cid = {}
+    for r in stored:
+        by_cid.setdefault(int(r.centroid), []).append(list(r.vec))
+    inc = {int(r.vec_id): int(r.cid) for r in rows}
+    emb_rows = {
+        int(r.vec_id): [float(x) for x in r.embedding]
+        for r in incoming.collect()
+    }
+
+    def cos(a, b):
+        num = 0.0
+        for x, y in zip(a, b):
+            num = num + x * y
+        na = 0.0
+        for x in a:
+            na = na + x * x
+        nb = 0.0
+        for y in b:
+            nb = nb + y * y
+        return num / (math.sqrt(na) * math.sqrt(nb))
+
+    from wilayah_aceh_etl_spark.functions.numeric import round_half_away
+
+    probe = rows[0]
+    cand = by_cid.get(int(probe.cid), [])
+    want_dups = sum(
+        1
+        for v in cand
+        # engine ROUND is half-away-from-zero, not Python's banker's
+        if round_half_away(cos(emb_rows[int(probe.vec_id)], v) * 1e6) / 1e6
+        >= 0.35
+    )
+    assert probe.n_cluster_candidates == len(cand)
+    assert probe.n_near_dups == want_dups

@@ -146,6 +146,11 @@ NLJ_ALLOWED = {
     # near-dup pair join itself is an EQUI-join on the cluster id —
     # pinned cluster-scoped by test_semantic_dedup_pair_join_is_equi
     "dedup_semantic_clusters",
+    # same 16-row centroid broadcast for the incoming-batch
+    # assignment; the stored-corpus comparison is an equi-join on the
+    # cluster id over a PARTITION-PRUNED scan (pinned by
+    # test_semantic_admission_prunes_partitions)
+    "dedup_semantic_admission_pruned",
 }
 
 

@@ -16,7 +16,7 @@ hash-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wilayah_aceh_etl_spark.functions.vectors import (
@@ -592,6 +592,85 @@ def semantic_dedup(
     )
 
 
+def semantic_admission_pruned(
+    spark: SparkSession,
+    path: str,
+    incoming: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental SemDeDup admission against the cluster-partitioned
+    physical layout — the 100 TB form of semantic dedup: the standing
+    corpus lives in a write_ivf_layout table (assignment paid ONCE at
+    write time), and a small incoming batch is admitted by comparing
+    each new vector ONLY against the stored members of its own
+    cluster. The stored-corpus scan carries `centroid IN (touched)`
+    — a PARTITION filter over the ≤C cluster ids the batch actually
+    maps to — so Spark lists and reads touched/C of the data files;
+    everything else is never opened. Candidate work is
+    Σ|touched cluster| per batch, not O(corpus), and the join is an
+    equi-join on the cluster id.
+
+    Returns per incoming vector: (vec_id, cid, n_cluster_candidates,
+    n_near_dups, admit) — admit=1 iff no stored same-cluster vector
+    is within `threshold` rounded cosine. All outputs are integers;
+    the only float comparison is grid-rounded before the decision
+    (DETERMINISM.md §4)."""
+    cent = F.broadcast(spark.read.parquet(path + "/_centroids"))
+    q = _assign_nearest(_prep(incoming, id_col, vec_col), cent).select(
+        "vec_id", "vec", F.col("centroid").cast("long").alias("cid")
+    )
+    touched = sorted(
+        int(r["cid"]) for r in q.select("cid").distinct().collect()
+    )  # bounded by C=16, the same device ivf_partitioned_topk uses
+    stored = (
+        spark.read.parquet(path)
+        .filter(F.col("centroid").isin(touched))
+        .select(
+            F.col("vec_id").alias("s_vec_id"),
+            F.col("vec").alias("s_vec"),
+            F.col("centroid").cast("long").alias("cid"),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(stored, "cid")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cluster_candidates"),
+            F.sum(
+                F.when(
+                    F.round(cosine(F.col("vec"), F.col("s_vec")), 6)
+                    >= F.lit(threshold),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_near_dups"),
+        )
+    )
+    return (
+        q.select("vec_id", "cid")
+        .join(scored, ["vec_id", "cid"], "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce("n_cluster_candidates", F.lit(0))
+            .cast("long")
+            .alias("n_cluster_candidates"),
+            F.coalesce("n_near_dups", F.lit(0))
+            .cast("long")
+            .alias("n_near_dups"),
+            F.when(F.coalesce("n_near_dups", F.lit(0)) == 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("admit"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def quantize_int8(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -674,25 +753,7 @@ def write_ivf_layout(
         cent = c.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cid"), F.col("vec").alias("cvec")
         )
-    assigned = (
-        c.join(F.broadcast(cent))
-        .select(
-            "vec_id",
-            "vec",
-            "cid",
-            cosine(F.col("vec"), F.col("cvec")).alias("_cos"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max(
-                F.struct(F.col("_cos"), (-F.col("cid")).alias("_nc"))
-            ).alias("_m"),
-            F.first("vec").alias("vec"),
-        )
-        .select(
-            "vec_id", "vec", (-F.col("_m._nc")).cast("long").alias("centroid")
-        )
-    )
+    assigned = _assign_nearest(c, F.broadcast(cent)).drop("_cent_cos")
     assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
     cent.write.mode("overwrite").parquet(path + "/_centroids")
 

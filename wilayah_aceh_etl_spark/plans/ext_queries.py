@@ -3880,6 +3880,114 @@ ORDER BY r.vec_id
 )
 
 
+_SEMANTIC_ADMISSION_ORACLE = (
+    """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id < 480 OR vec_id >= 500
+),
+vq AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id >= 480 AND vec_id < 500
+),
+u AS (
+  SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM v
+),
+c1 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+"""
+    + ",".join(_ivf_km_step_sql(i) for i in (1, 2))
+    + """,
+stored AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY """
+    + _COS.format(a="v.e", b="c.ce")
+    + """ DESC, c.cid
+           ) AS rn
+    FROM v, c3 c
+  ) WHERE rn = 1
+),
+incoming AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT vq.vec_id, vq.e, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY vq.vec_id
+             ORDER BY """
+    + _COS.format(a="vq.e", b="c.ce")
+    + """ DESC, c.cid
+           ) AS rn
+    FROM vq, c3 c
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT i.vec_id,
+         CAST(COUNT(*) AS BIGINT) AS n_cluster_candidates,
+         CAST(SUM(CASE WHEN ROUND("""
+    + _COS.format(a="i.e", b="s.e")
+    + """, 6) >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups
+  FROM incoming i JOIN stored s ON i.cid = s.cid
+  GROUP BY i.vec_id
+)
+SELECT q.vec_id, CAST(q.cid AS BIGINT) AS cid,
+       CAST(COALESCE(p.n_cluster_candidates, 0) AS BIGINT)
+         AS n_cluster_candidates,
+       CAST(COALESCE(p.n_near_dups, 0) AS BIGINT) AS n_near_dups,
+       CAST(CASE WHEN COALESCE(p.n_near_dups, 0) = 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS admit
+FROM incoming q LEFT JOIN scored p ON q.vec_id = p.vec_id
+ORDER BY q.vec_id
+"""
+)
+
+
+@register(
+    "dedup_semantic_admission_pruned",
+    oracle=_SEMANTIC_ADMISSION_ORACLE,
+    tags=(
+        "ext",
+        "dedup",
+        "semantic",
+        "semdedup",
+        "layout",
+        "partitioning",
+        "incremental",
+    ),
+    description="incremental SemDeDup admission, partition-pruned cluster scan",
+)
+def dedup_semantic_admission_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The INCREMENTAL form of dedup_semantic_clusters at the storage
+    layer — how a 100 TB lake actually runs semantic dedup day to
+    day: the standing corpus (all vectors except ids 480-499) is
+    materialized ONCE in the cluster-partitioned layout
+    (write_ivf_layout, trained quantizer), and the 20-vector incoming
+    batch is admitted by scanning ONLY the partition directories of
+    the clusters it maps to (`centroid IN (touched)` is a partition
+    filter — tests/test_ext_operators.py::
+    test_semantic_admission_prunes_partitions pins the pruned file
+    set). The oracle re-derives Lloyd training on the corpus split,
+    both assignments, and the per-incoming candidate counts /
+    near-dup verdicts; n_cluster_candidates being a small fraction of
+    the corpus IS the scale claim, hash-checked."""
+    from wilayah_aceh_etl_spark.scratch import scratch_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(
+        (F.col("vec_id") < 480) | (F.col("vec_id") >= 500)
+    )
+    incoming = emb.filter(F.col("vec_id").between(480, 499))
+    path = scratch_dir("semantic_admission_layout", create=False)
+    S.write_ivf_layout(
+        corpus, path, n_centroids=16, trained=True, n_iter=2
+    )
+    return S.semantic_admission_pruned(
+        spark, path, incoming, threshold=0.35
+    )
+
+
 @register(
     "dedup_semantic_clusters",
     oracle=_SEMANTIC_DEDUP_ORACLE,

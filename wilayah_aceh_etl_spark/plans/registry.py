@@ -144,8 +144,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     # ANN serving: the bench headline + IVFADC
     "similarity_ivf_trained_topk",
     "similarity_ivfadc_topk",
-    # NEW this round: SemDeDup cluster-scoped semantic dedup
+    # NEW this round: SemDeDup cluster-scoped semantic dedup, batch
+    # and partition-pruned incremental-admission forms
     "dedup_semantic_clusters",
+    "dedup_semantic_admission_pruned",
     # API-surface fill: pandas UDF/UDAF, cogroup, UDTF, embeddings, OPE
     "model_eval_precision_recall_f1",
     "model_eval_average_precision",
@@ -156,7 +158,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "cogroup_click_purchase_stats",
     "udtf_chunk_text",
     "embedding_knn_label_vote",
-    "embedding_power_iteration",
     "ope_ips_policy_value",
 )
 
