@@ -787,3 +787,54 @@ def test_semantic_admission_prunes_partitions(spark, tmp_path):
     )
     assert probe.n_cluster_candidates == len(cand)
     assert probe.n_near_dups == want_dups
+
+
+def test_dsir_planted_target_vocabulary(spark):
+    """DSIR semantics on a planted corpus: target docs use vocabulary
+    A, distractors vocabulary B, one held-out doc per vocabulary.
+    The held-out A doc must out-rank every B doc on dsir_rate (its
+    unigrams carry positive target log-ratios), and scores must be
+    exact BIGINTs — the micro-nat quantization contract."""
+    from wilayah_aceh_etl_spark.operators.text_analysis import (
+        dsir_document_scores,
+    )
+
+    rows = [
+        (0, True, "alpha beta gamma alpha beta"),
+        (1, True, "beta gamma alpha gamma beta"),
+        (2, False, "delta epsilon zeta delta epsilon"),
+        (3, False, "epsilon zeta delta zeta epsilon"),
+        # held-out: pure-A and pure-B docs NOT in the target split
+        (4, False, "alpha beta gamma beta alpha"),
+        (5, False, "delta epsilon zeta epsilon delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, is_tgt boolean, text string")
+    scored = dsir_document_scores(df, target=F.col("is_tgt"))
+    rates = {r.doc_id: r.dsir_rate for r in scored.collect()}
+    assert rates[4] > rates[5], rates
+    assert rates[4] > rates[2] and rates[4] > rates[3], rates
+    assert dict(scored.dtypes)["dsir_score"] == "bigint"
+    assert dict(scored.dtypes)["dsir_rate"] == "bigint"
+
+
+def test_dsir_corpus_rate_separates_target_mean(spark, docs):
+    """On the synthetic corpus the target split (source='src0') is
+    its own best-scoring population in the mean: average dsir_rate
+    of target docs exceeds the non-target average (the weight is a
+    target-vs-raw log-likelihood ratio, so this is the defining
+    property of the score, independent of tail noise)."""
+    from wilayah_aceh_etl_spark.operators.text_analysis import (
+        dsir_document_scores,
+    )
+
+    scored = dsir_document_scores(docs, target=F.col("source") == "src0")
+    joined = scored.join(docs.select("doc_id", "source"), "doc_id")
+    means = {
+        r.is_target: r.mean_rate
+        for r in joined.groupBy(
+            (F.col("source") == "src0").alias("is_target")
+        )
+        .agg(F.avg("dsir_rate").alias("mean_rate"))
+        .collect()
+    }
+    assert means[True] > means[False], means

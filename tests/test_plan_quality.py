@@ -151,6 +151,10 @@ NLJ_ALLOWED = {
     # cluster id over a PARTITION-PRUNED scan (pinned by
     # test_semantic_admission_prunes_partitions)
     "dedup_semantic_admission_pruned",
+    # 1-row corpus-total broadcast onto the 256-row feature
+    # distribution (the lam relation); scoring join is an equi-join
+    # on the hashed bucket with an O(256) broadcast build side
+    "data_selection_dsir_topk",
 }
 
 

@@ -122,3 +122,115 @@ def gopher_rule_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
         .otherwise(0)
         .alias("r_rep"),
     )
+
+
+def dsir_document_scores(
+    df: DataFrame,
+    target: "F.Column",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Per-document DSIR importance scores (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling").
+
+    `target` is a boolean Column marking the target-domain rows of
+    `df` (e.g. a trusted source). Features are word unigrams hashed
+    into `n_buckets` via the repo's engine-portable md5 device
+    (functions/text.py::hex4_to_int). Each feature's importance
+    weight is the add-one-smoothed log-likelihood ratio
+
+        lam_f = ln( ((t_f+1)/(T+B)) / ((r_f+1)/(R+B)) )
+
+    quantized to integer MICRO-NATS the moment it is computed
+    (DETERMINISM.md: the single ln is the only libm call; all later
+    arithmetic is exact integer / IEEE-exact division). Returns
+    (doc_id, dsir_score, n_tokens, dsir_rate): `dsir_score` is the
+    exact integer sum of token weights; `dsir_rate` is the
+    length-normalized score in micro-nats per kilo-token — the
+    ranking to select on, since the raw sum rewards short documents
+    when the smoothed per-token weights skew negative.
+
+    Scale shape: ONE corpus pass (explode → map-side-combined
+    per-(doc, bucket) counts, persisted — ≤B rows/doc, far smaller
+    than the token stream); the B-row distribution + lam relations
+    are broadcast; the scoring join is an equi-join on the bucket.
+    No driver-side data, no all-pairs.
+    """
+    from wilayah_aceh_etl_spark.functions.text import hex4_to_int
+    from wilayah_aceh_etl_spark.sources.tables import spread
+
+    bf = float(n_buckets)
+    b = (
+        spread(
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                target.alias("is_target"),
+                F.col(text_col),
+            )
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            (hex4_to_int(F.md5(F.col("tok"))) % n_buckets)
+            .cast("bigint")
+            .alias("f"),
+        )
+    )
+    # single corpus pass: per-(doc, bucket) counts feed BOTH the
+    # feature distributions and the per-doc scores (is_target rides
+    # along — constant per doc, so cardinality is unchanged)
+    dt = (
+        b.groupBy("doc_id", "is_target", "f")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    dist = dt.groupBy("f").agg(
+        F.sum("c").alias("r"),
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0))).alias(
+            "t"
+        ),
+    )
+    tot = dist.agg(
+        F.sum("r").cast("bigint").alias("big_r"),
+        F.sum("t").cast("bigint").alias("big_t"),
+    )
+    # operation order mirrors the SQL oracle VERBATIM: two IEEE-exact
+    # divisions, one quotient, one ln, round to micro-nats
+    tgt_frac = (F.col("t").cast("double") + F.lit(1.0)) / (
+        F.col("big_t").cast("double") + F.lit(bf)
+    )
+    raw_frac = (F.col("r").cast("double") + F.lit(1.0)) / (
+        F.col("big_r").cast("double") + F.lit(bf)
+    )
+    lam = dist.crossJoin(F.broadcast(tot)).select(
+        "f",
+        F.round(F.lit(1000000.0) * F.log(tgt_frac / raw_frac), 0)
+        .cast("bigint")
+        .alias("lam"),
+    )
+    scored = (
+        dt.join(F.broadcast(lam), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("c") * F.col("lam")).cast("bigint").alias("dsir_score"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "dsir_score",
+        "n_tokens",
+        F.round(
+            (F.lit(1000.0) * F.col("dsir_score").cast("double"))
+            / F.col("n_tokens").cast("double"),
+            0,
+        )
+        .cast("bigint")
+        .alias("dsir_rate"),
+    )

@@ -4280,3 +4280,91 @@ def similarity_ivf_partitioned_topk(
         .withColumn("rk", F.col("rk").cast("int"))
         .orderBy("query_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data selection — DSIR importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+# Hashed-feature bucket in SQL: hex4_to_int(md5(tok)) % 256 — the
+# md5 device shared with the MinHash family (_H4 above). The lam
+# weights are quantized to integer micro-nats BEFORE any downstream
+# arithmetic; the length-normalized rate is two IEEE-exact ops
+# (multiply, divide) on exact integers, then one half-away round —
+# bit-identical across engines (DETERMINISM.md §3/§4).
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, UNNEST(string_split(text, ' ')) AS tok
+  FROM documents
+),
+b AS MATERIALIZED (
+  SELECT doc_id, source, CAST(({_H4}) % 256 AS BIGINT) AS f FROM tok
+),
+dt AS MATERIALIZED (
+  SELECT doc_id, source, f, COUNT(*) AS c FROM b GROUP BY doc_id, source, f
+),
+dist AS (
+  SELECT f,
+         CAST(SUM(c) AS BIGINT) AS r,
+         CAST(SUM(CASE WHEN source = 'src0' THEN c ELSE 0 END) AS BIGINT) AS t
+  FROM dt GROUP BY f
+),
+tot AS (
+  SELECT CAST(SUM(r) AS BIGINT) AS big_r, CAST(SUM(t) AS BIGINT) AS big_t
+  FROM dist
+),
+lam AS (
+  SELECT f,
+         CAST(ROUND(1000000.0 * ln(
+           ((CAST(t AS DOUBLE) + 1.0) / (CAST(big_t AS DOUBLE) + 256.0))
+           / ((CAST(r AS DOUBLE) + 1.0) / (CAST(big_r AS DOUBLE) + 256.0))
+         ), 0) AS BIGINT) AS lam
+  FROM dist, tot
+),
+sc AS (
+  SELECT dt.doc_id,
+         CAST(SUM(dt.c * lam.lam) AS BIGINT) AS dsir_score,
+         CAST(SUM(dt.c) AS BIGINT) AS n_tokens
+  FROM dt JOIN lam ON dt.f = lam.f
+  GROUP BY dt.doc_id
+)
+SELECT doc_id, dsir_score, n_tokens,
+       CAST(ROUND((1000.0 * CAST(dsir_score AS DOUBLE))
+                  / CAST(n_tokens AS DOUBLE), 0) AS BIGINT) AS dsir_rate
+FROM sc
+ORDER BY dsir_rate DESC, doc_id
+LIMIT 20
+"""
+
+
+@register(
+    "data_selection_dsir_topk",
+    oracle=_DSIR_ORACLE,
+    tags=("ext", "selection", "dsir", "importance-resampling"),
+    description="DSIR hashed-ngram importance weights, top-20 target-like docs",
+)
+def data_selection_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): score every raw-corpus document by how target-like its
+    hashed-unigram distribution is, then keep the 20 best. Target
+    domain is `source = 'src0'` (the trusted-domain proxy); raw is
+    the whole corpus. Selection ranks on `dsir_rate` — micro-nats
+    per kilo-token — because the raw importance sum rewards short
+    documents when the smoothed per-token weights skew negative
+    (operators/text_analysis.py::dsir_document_scores documents the
+    determinism devices and the one-corpus-pass 100 TB shape; the
+    planted-vocabulary semantics are pinned by
+    tests/test_ext_operators.py::test_dsir_planted_target_vocabulary).
+    Beyond-reference mandate (BASELINE.json:6); no reference
+    counterpart.
+    """
+    from wilayah_aceh_etl_spark.operators.text_analysis import (
+        dsir_document_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dsir_document_scores(docs, target=F.col("source") == "src0")
+        .orderBy(F.col("dsir_rate").desc(), "doc_id")
+        .limit(20)
+    )
