@@ -714,8 +714,6 @@ def test_semantic_admission_prunes_partitions(spark, tmp_path):
     stored members."""
     import re
 
-    from wilayah_aceh_etl_spark.operators import similarity as S
-
     emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
     corpus = emb.filter((F.col("vec_id") < 480) | (F.col("vec_id") >= 500))
     incoming = emb.filter(F.col("vec_id").between(480, 499))
@@ -732,14 +730,19 @@ def test_semantic_admission_prunes_partitions(spark, tmp_path):
     n_corpus = corpus.count()
     assert all(r.n_cluster_candidates < n_corpus for r in rows)
 
-    # the pruned scan: partition filter + strict file subset
+    # the pruned scan, asserted on the OPERATOR's own executed plan
+    # (not a hand-rebuilt scan): the stored-side FileScan must carry
+    # a PartitionFilters entry on `centroid` — if a refactor ever
+    # stops the filter pushing down as a partition filter, this
+    # assertion fails rather than the operator silently full-scanning
+    op_plan = got._jdf.queryExecution().executedPlan().toString()
+    op_filters = re.findall(r"PartitionFilters: \[(.*?)\]", op_plan)
+    assert any("centroid" in pf for pf in op_filters), op_plan[:1200]
+    # and the filtered layout reads a strict subset of the files
     touched = sorted({int(r.cid) for r in rows})
     pruned = spark.read.parquet(path).filter(
         F.col("centroid").isin(touched)
     )
-    plan = pruned._jdf.queryExecution().executedPlan().toString()
-    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
-    assert m and "centroid" in m.group(1), plan[:800]
     n_pruned = pruned.select(F.input_file_name()).distinct().count()
     n_all = (
         spark.read.parquet(path)
@@ -756,7 +759,6 @@ def test_semantic_admission_prunes_partitions(spark, tmp_path):
     by_cid = {}
     for r in stored:
         by_cid.setdefault(int(r.centroid), []).append(list(r.vec))
-    inc = {int(r.vec_id): int(r.cid) for r in rows}
     emb_rows = {
         int(r.vec_id): [float(x) for x in r.embedding]
         for r in incoming.collect()

@@ -617,9 +617,17 @@ def semantic_admission_pruned(
     is within `threshold` rounded cosine. All outputs are integers;
     the only float comparison is grid-rounded before the decision
     (DETERMINISM.md §4)."""
+    from pyspark import StorageLevel
+
     cent = F.broadcast(spark.read.parquet(path + "/_centroids"))
-    q = _assign_nearest(_prep(incoming, id_col, vec_col), cent).select(
-        "vec_id", "vec", F.col("centroid").cast("long").alias("cid")
+    # persist the assigned batch: it is consumed three times (the
+    # touched-cluster collect, the scored-join build side, and the
+    # final left join) — without the cache each consumer would
+    # re-scan the incoming source and re-run the broadcast argmax
+    q = (
+        _assign_nearest(_prep(incoming, id_col, vec_col), cent)
+        .select("vec_id", "vec", F.col("centroid").cast("long").alias("cid"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     touched = sorted(
         int(r["cid"]) for r in q.select("cid").distinct().collect()

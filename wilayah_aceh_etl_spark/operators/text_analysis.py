@@ -155,8 +155,13 @@ def dsir_document_scores(
     per-(doc, bucket) counts, persisted — ≤B rows/doc, far smaller
     than the token stream); the B-row distribution + lam relations
     are broadcast; the scoring join is an equi-join on the bucket.
-    No driver-side data, no all-pairs.
+    No driver-side data, no all-pairs. The persisted counts follow
+    the same cache-lifetime contract as the tfidf/minhash relations
+    above: MEMORY_AND_DISK, context-scoped, no eager unpersist
+    (the returned plan still references it).
     """
+    from pyspark import StorageLevel
+
     from wilayah_aceh_etl_spark.functions.text import hex4_to_int
     from wilayah_aceh_etl_spark.sources.tables import spread
 
@@ -188,7 +193,7 @@ def dsir_document_scores(
     dt = (
         b.groupBy("doc_id", "is_target", "f")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dist = dt.groupBy("f").agg(
         F.sum("c").alias("r"),
