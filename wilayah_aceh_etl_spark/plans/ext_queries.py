@@ -4011,7 +4011,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semantic_dedup(
-        emb, threshold=0.35, n_centroids=16, n_iter=2
+        emb,
+        threshold=0.35,
+        n_centroids=16,
+        n_iter=2,
+        # index-build accounting: the quantizer is trained once per
+        # corpus (file-fingerprinted memo) and every dedup run against
+        # the same corpus pays only the cluster-scoped pair join
+        cache_key=sf_dir,
     )
 
 
