@@ -47,17 +47,27 @@ def brute_force_topk(
     window top-k on query_id. No corpus self-shuffle."""
     from pyspark.sql.window import Window
 
-    c = _prep(corpus, id_col, vec_col)
-    q = _prep(queries, id_col, vec_col).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    c = _prep(corpus, id_col, vec_col).withColumn(
+        "nrm", l2_norm(F.col("vec"))
     )
+    q = _prep(queries, id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        l2_norm(F.col("vec")).alias("qnrm"),
+    )
+    # norms hoisted out of the Q×N product: dot/(qnrm·nrm) is the
+    # bitwise-same double as cosine (sqrt/division are IEEE-exact),
+    # one interpreted HOF fold per candidate instead of three
     scored = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("qvec"), F.col("vec")).alias("_cos"),
+            (
+                dot(F.col("qvec"), F.col("vec"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("_cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -79,7 +89,9 @@ def threshold_pairs(
     """All pairs with cosine ≥ threshold (embedding near-dup dedup).
     Exact all-pairs — the ground-truth/verification path; use
     bucketed_pairs for the at-scale variant."""
-    v = _prep(corpus, id_col, vec_col)
+    v = _prep(corpus, id_col, vec_col).withColumn(
+        "nrm", l2_norm(F.col("vec"))
+    )
     a = v.alias("a")
     b = v.alias("b")
     return (
@@ -87,7 +99,11 @@ def threshold_pairs(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("_cos"),
+            # hoisted norms: bitwise-identical to cosine(a,b)
+            (
+                dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("_cos"),
         )
         .filter(F.col("_cos") >= threshold)
         .select("vec_a", "vec_b", F.round("_cos", 6).alias("cos_sim"))
@@ -120,7 +136,9 @@ def bucketed_pairs(
     is on the bucket key, so work scales with Σ bucket² instead of
     corpus². Recall loss vs threshold_pairs is the usual LSH
     trade-off (sign bits must agree)."""
-    v = bucket_assignments(corpus, n_bits, id_col, vec_col)
+    v = bucket_assignments(corpus, n_bits, id_col, vec_col).withColumn(
+        "nrm", l2_norm(F.col("vec"))
+    )
     a = v.alias("a")
     b = v.alias("b")
     return (
@@ -132,7 +150,11 @@ def bucketed_pairs(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("_cos"),
+            # hoisted norms: bitwise-identical to cosine(a,b)
+            (
+                dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("_cos"),
         )
         .filter(F.col("_cos") >= threshold)
         .select("vec_a", "vec_b", F.round("_cos", 6).alias("cos_sim"))
@@ -194,15 +216,30 @@ def _assign_nearest(c: DataFrame, cent: DataFrame) -> DataFrame:
     ids): one broadcast-product pass, argmax cosine with tie → low
     cid encoded as max of (cos, -cid) so a single partial-combining
     aggregate carries both the winner and the tiebreak. Returns
-    (vec_id, vec, centroid, _cent_cos) — the ONE copy of this
-    tie-break-sensitive encoding that every oracle must mirror."""
+    (vec_id, vec, nrm, centroid, _cent_cos) — the ONE copy of this
+    tie-break-sensitive encoding that every oracle must mirror.
+
+    Norms are hoisted out of the N×C product: sqrt(dot(v,v)) depends
+    only on one side, and sqrt/division are IEEE-exact, so
+    dot/(nrm·cnrm) is the bitwise-same double as cosine(v,c) — the
+    per-pair work drops from three interpreted HOF folds to one.
+    The per-vector `nrm` rides along in the output so downstream
+    candidate scans reuse it."""
+    if "nrm" not in c.columns:
+        c = c.withColumn("nrm", l2_norm(F.col("vec")))
+    if "cnrm" not in cent.columns:
+        cent = cent.withColumn("cnrm", l2_norm(F.col("cvec")))
     return (
         c.join(cent)
         .select(
             "vec_id",
             "vec",
+            "nrm",
             "cid",
-            cosine(F.col("vec"), F.col("cvec")).alias("_cos"),
+            (
+                dot(F.col("vec"), F.col("cvec"))
+                / (F.col("nrm") * F.col("cnrm"))
+            ).alias("_cos"),
         )
         .groupBy("vec_id")
         .agg(
@@ -210,10 +247,12 @@ def _assign_nearest(c: DataFrame, cent: DataFrame) -> DataFrame:
                 F.struct(F.col("_cos"), (-F.col("cid")).alias("_ncid"))
             ).alias("_m"),
             F.first("vec").alias("vec"),
+            F.first("nrm").alias("nrm"),
         )
         .select(
             "vec_id",
             "vec",
+            "nrm",
             (-F.col("_m._ncid")).cast("long").alias("centroid"),
             F.col("_m._cos").alias("_cent_cos"),
         )
@@ -229,25 +268,41 @@ def _ivf_search(
     and the plan is byte-identical either way."""
     from pyspark.sql.window import Window
 
-    # inverted lists: nearest centroid per corpus vector
+    # inverted lists: nearest centroid per corpus vector (carries
+    # the hoisted per-vector norm for the candidate scan below)
     lists = _assign_nearest(c, cent).drop("_cent_cos")
 
-    # probe set: n_probe nearest centroids per query
+    # probe set: n_probe nearest centroids per query — query norm
+    # hoisted once per query (cosine = dot/(qnrm·cnrm) is the
+    # bitwise-same double; see _assign_nearest)
+    if "cnrm" not in cent.columns:
+        cent = cent.withColumn("cnrm", l2_norm(F.col("cvec")))
     q = q.select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        l2_norm(F.col("vec")).alias("qnrm"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("cid")
     )
     probes = (
         q.join(cent)
-        .select("query_id", "qvec", "cid", cosine(F.col("qvec"), F.col("cvec")).alias("_cos"))
+        .select(
+            "query_id",
+            "qvec",
+            "qnrm",
+            "cid",
+            (
+                dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnrm") * F.col("cnrm"))
+            ).alias("_cos"),
+        )
         .withColumn("_rn", F.row_number().over(w_probe))
         .filter(F.col("_rn") <= n_probe)
-        .select("query_id", "qvec", F.col("cid").alias("centroid"))
+        .select("query_id", "qvec", "qnrm", F.col("cid").alias("centroid"))
     )
 
-    # exact cosine, probed lists only
+    # exact cosine, probed lists only — one HOF fold per candidate
     w_topk = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("vec_id")
     )
@@ -258,7 +313,10 @@ def _ivf_search(
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("qvec"), F.col("vec")).alias("_cos"),
+            (
+                dot(F.col("qvec"), F.col("vec"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("_cos"),
         )
         .withColumn("rk", F.row_number().over(w_topk))
         .filter(F.col("rk") <= k)
@@ -575,12 +633,11 @@ def semantic_dedup(
     assigned = _assign_nearest(c, cent).select(
         "vec_id",
         "vec",
-        # per-vector L2 norm hoisted OUT of the quadratic pair join:
-        # sqrt(dot(v,v)) depends only on v, and sqrt/division are
-        # IEEE-exact, so dot(a,b)/(nrm_a*nrm_b) is the bitwise-same
-        # double as cosine(a,b) computed per pair — the pair filter
-        # drops from three interpreted HOF folds per pair to one
-        l2_norm(F.col("vec")).alias("nrm"),
+        # per-vector L2 norm (hoisted once in _assign_nearest) rides
+        # into the quadratic pair join: dot(a,b)/(nrm_a*nrm_b) is the
+        # bitwise-same double as cosine(a,b) — the pair filter does
+        # one interpreted HOF fold per pair instead of three
+        "nrm",
         F.col("centroid").alias("cid"),
         F.round(F.col("_cent_cos"), 6).alias("cent_cos"),
     )
@@ -652,7 +709,12 @@ def semantic_admission_pruned(
     # re-scan the incoming source and re-run the broadcast argmax
     q = (
         _assign_nearest(_prep(incoming, id_col, vec_col), cent)
-        .select("vec_id", "vec", F.col("centroid").cast("long").alias("cid"))
+        .select(
+            "vec_id",
+            "vec",
+            "nrm",
+            F.col("centroid").cast("long").alias("cid"),
+        )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     touched = sorted(
@@ -664,17 +726,14 @@ def semantic_admission_pruned(
         .select(
             F.col("vec_id").alias("s_vec_id"),
             F.col("vec").alias("s_vec"),
-            # norm hoisted out of the candidate join (same bitwise-
-            # identical common-subexpression device as semantic_dedup)
-            l2_norm(F.col("vec")).alias("s_nrm"),
+            # the layout stores each vector's norm next to it (the
+            # classic ANN-index move) — no recompute per candidate
+            F.col("nrm").alias("s_nrm"),
             F.col("centroid").cast("long").alias("cid"),
         )
     )
-    qn = q.select(
-        "vec_id", "vec", "cid", l2_norm(F.col("vec")).alias("nrm")
-    )
     scored = (
-        F.broadcast(qn)
+        F.broadcast(q)
         .join(stored, "cid")
         .groupBy("vec_id", "cid")
         .agg(
@@ -789,7 +848,13 @@ def write_ivf_layout(
     underscore-hidden from plain reads). A probe query then READS
     ONLY n_probe of n_centroids directories — partition pruning does
     the skipping, no index server required. `trained=True` uses the
-    spherical k-means quantizer, else the first-C-by-id seed."""
+    spherical k-means quantizer, else the first-C-by-id seed.
+
+    Each row is stored WITH its L2 norm (`nrm`, computed once by
+    _assign_nearest) — the classic ANN-index layout move, so serving
+    paths compute dot/(qnrm·nrm) per candidate instead of a full
+    cosine (bitwise-identical result, one HOF fold instead of
+    three)."""
     c = _prep(corpus, id_col, vec_col)
     if trained:
         cent = kmeans_centroids(corpus, n_centroids, n_iter, id_col, vec_col)
@@ -822,9 +887,15 @@ def ivf_partitioned_topk(
     happens at the STORAGE layer, not after a full scan."""
     from pyspark.sql.window import Window
 
-    cent = F.broadcast(spark.read.parquet(path + "/_centroids"))
+    cent = F.broadcast(
+        spark.read.parquet(path + "/_centroids").withColumn(
+            "cnrm", l2_norm(F.col("cvec"))
+        )
+    )
     q = _prep(queries, id_col, vec_col).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        l2_norm(F.col("vec")).alias("qnrm"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("cid")
@@ -834,12 +905,16 @@ def ivf_partitioned_topk(
         .select(
             "query_id",
             "qvec",
+            "qnrm",
             "cid",
-            cosine(F.col("qvec"), F.col("cvec")).alias("_cos"),
+            (
+                dot(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnrm") * F.col("cnrm"))
+            ).alias("_cos"),
         )
         .withColumn("_rn", F.row_number().over(w_probe))
         .filter(F.col("_rn") <= n_probe)
-        .select("query_id", "qvec", F.col("cid").alias("centroid"))
+        .select("query_id", "qvec", "qnrm", F.col("cid").alias("centroid"))
     )
     probed_cids = [
         int(r["centroid"])
@@ -858,7 +933,12 @@ def ivf_partitioned_topk(
         .select(
             "query_id",
             "vec_id",
-            cosine(F.col("qvec"), F.col("vec")).alias("_cos"),
+            # stored `nrm` from the layout + hoisted query norm:
+            # bitwise-identical to cosine(qvec, vec)
+            (
+                dot(F.col("qvec"), F.col("vec"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("_cos"),
         )
         .withColumn("rk", F.row_number().over(w_topk))
         .filter(F.col("rk") <= k)
