@@ -382,6 +382,11 @@ def kmeans_centroids(
         for r in v.filter(F.col("vec_id") < n_centroids).collect()
     }
     spark = corpus.sparkSession
+    # per-row vector norm hoisted OUT of the C-way argmax: the same
+    # sqrt(dot(v,v)) double used C times per row is computed once
+    # (bitwise-identical — sqrt and the division are IEEE-exact), so
+    # assignment does C+1 HOF folds per row instead of 2C
+    vn = v.withColumn("_vnrm", l2_norm(F.col("vec")))
     for _ in range(n_iter):
         # map-side assignment: argmax cosine, tie -> low cid
         choices = []
@@ -389,7 +394,7 @@ def kmeans_centroids(
             cv = cents[cid]
             carr = F.array(*[F.lit(float(x)) for x in cv])
             cos_c = dot(F.col("vec"), carr) / (
-                F.sqrt(dot(F.col("vec"), F.col("vec")))
+                F.col("_vnrm")
                 * F.lit(float(math.sqrt(_py_dot(cv, cv))))
             )
             choices.append(
@@ -399,7 +404,7 @@ def kmeans_centroids(
             )
         cid_expr = (-F.greatest(*choices)["n"]).cast("long")
         sums = (
-            v.select(cid_expr.alias("cid"), "vec")
+            vn.select(cid_expr.alias("cid"), "vec")
             .groupBy("cid")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("_n"),
