@@ -678,3 +678,45 @@ def test_trained_centroid_cache_invalidates_on_corpus_change(
         ).collect()
     )
     assert second == fresh
+
+
+def test_trained_centroid_cache_bypassed_for_non_file_corpora(spark):
+    """A createDataFrame corpus has no file-metadata identity
+    (inputFiles() is empty), so the memo MUST be bypassed: two
+    different in-memory corpora under the SAME cache_key train
+    independently (pre-fix they collided on the degraded empty-list
+    fingerprint, and semantic_dedup would drop rows based on another
+    corpus's centroids), and nothing is inserted into the memo."""
+    from wilayah_aceh_etl_spark.operators import similarity as S
+
+    def mem_corpus(vals):
+        rows = [
+            (i, [float(v), float((v * 3 + i) % 11 - 5)])
+            for i, v in enumerate(vals)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    n_entries = len(S._TRAINED_CENTROID_CACHE)
+    a = sorted(
+        tuple(r) for r in S.kmeans_centroids_cached(
+            mem_corpus([1, 2, 3, 100, 101, 102]), "memkey",
+            n_centroids=2, n_iter=2,
+        ).collect()
+    )
+    b = sorted(
+        tuple(r) for r in S.kmeans_centroids_cached(
+            mem_corpus([7, 8, 9, -50, -51, -52]), "memkey",
+            n_centroids=2, n_iter=2,
+        ).collect()
+    )
+    assert a != b  # second corpus trained fresh, not served from memo
+    assert len(S._TRAINED_CENTROID_CACHE) == n_entries  # nothing memoized
+    # each matches its own uncached training
+    fresh_b = sorted(
+        tuple(r) for r in S.kmeans_centroids(
+            mem_corpus([7, 8, 9, -50, -51, -52]), n_centroids=2, n_iter=2
+        ).collect()
+    )
+    assert b == fresh_b

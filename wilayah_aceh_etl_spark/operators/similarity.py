@@ -21,7 +21,6 @@ from pyspark.sql import functions as F
 
 from wilayah_aceh_etl_spark.functions.vectors import (
     as_double,
-    cosine,
     dot,
     l2_norm,
     sign_lsh_bucket,
@@ -474,15 +473,20 @@ def ivf_kmeans_topk(
 _TRAINED_CENTROID_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
 
 
-def _corpus_fingerprint(df: DataFrame) -> str:
+def _corpus_fingerprint(df: DataFrame) -> str | None:
     """Best-effort data fingerprint for the trained-centroid memo:
     the (uri, size, mtime_ns) of every file backing the scan, hashed.
     Pure driver-side file metadata — no Spark job, no data read — so
     the warm path stays free. If the corpus files change under the
     same cache_key, the fingerprint changes and the quantizer
-    retrains instead of silently serving a stale index. Non-file
-    sources (or remote URIs we cannot stat) degrade to the file list
-    alone, which still catches add/remove/compaction."""
+    retrains instead of silently serving a stale index.
+
+    Returns None when the corpus is NOT file-backed (createDataFrame,
+    in-memory views — inputFiles() empty or unavailable): such a
+    corpus has no observable identity, so the caller must BYPASS the
+    memo and train fresh rather than risk serving another corpus's
+    centroids — the failure mode matters because semantic_dedup
+    DROPS rows based on these centroids."""
     import hashlib
     import os
 
@@ -496,7 +500,9 @@ def _corpus_fingerprint(df: DataFrame) -> str:
             except OSError:
                 sig.append((uri, -1, -1))
     except Exception:
-        sig = [("<no-input-files>",)]
+        return None
+    if not sig:
+        return None
     return hashlib.md5(repr(sig).encode()).hexdigest()
 
 
@@ -522,7 +528,12 @@ def kmeans_centroids_cached(
     old data. The fingerprint is driver-side os.stat only — the warm
     path still runs zero Spark jobs."""
     cfg = (cache_key, n_centroids, n_iter, id_col, vec_col)
-    key = (*cfg, _corpus_fingerprint(corpus))
+    fp = _corpus_fingerprint(corpus)
+    if fp is None:
+        # non-file-backed corpus: no observable identity to key on —
+        # train fresh rather than risk another corpus's centroids
+        return kmeans_centroids(corpus, n_centroids, n_iter, id_col, vec_col)
+    key = (*cfg, fp)
     if key not in _TRAINED_CENTROID_CACHE:
         rows = kmeans_centroids(
             corpus, n_centroids, n_iter, id_col, vec_col
@@ -725,17 +736,18 @@ def semantic_admission_pruned(
     touched = sorted(
         int(r["cid"]) for r in q.select("cid").distinct().collect()
     )  # bounded by C=16, the same device ivf_partitioned_topk uses
-    stored = (
-        spark.read.parquet(path)
-        .filter(F.col("centroid").isin(touched))
-        .select(
-            F.col("vec_id").alias("s_vec_id"),
-            F.col("vec").alias("s_vec"),
-            # the layout stores each vector's norm next to it (the
-            # classic ANN-index move) — no recompute per candidate
-            F.col("nrm").alias("s_nrm"),
-            F.col("centroid").cast("long").alias("cid"),
-        )
+    stored_raw = spark.read.parquet(path).filter(
+        F.col("centroid").isin(touched)
+    )
+    if "nrm" not in stored_raw.columns:  # pre-nrm layout: derive
+        stored_raw = stored_raw.withColumn("nrm", l2_norm(F.col("vec")))
+    stored = stored_raw.select(
+        F.col("vec_id").alias("s_vec_id"),
+        F.col("vec").alias("s_vec"),
+        # the layout stores each vector's norm next to it (the
+        # classic ANN-index move) — no recompute per candidate
+        F.col("nrm").alias("s_nrm"),
+        F.col("centroid").cast("long").alias("cid"),
     )
     scored = (
         F.broadcast(q)
@@ -869,7 +881,11 @@ def write_ivf_layout(
         )
     assigned = _assign_nearest(c, F.broadcast(cent)).drop("_cent_cos")
     assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
-    cent.write.mode("overwrite").parquet(path + "/_centroids")
+    # centroid norms are build artifacts too — stored once so serving
+    # paths never recompute them
+    cent.withColumn("cnrm", l2_norm(F.col("cvec"))).write.mode(
+        "overwrite"
+    ).parquet(path + "/_centroids")
 
 
 def ivf_partitioned_topk(
@@ -892,11 +908,10 @@ def ivf_partitioned_topk(
     happens at the STORAGE layer, not after a full scan."""
     from pyspark.sql.window import Window
 
-    cent = F.broadcast(
-        spark.read.parquet(path + "/_centroids").withColumn(
-            "cnrm", l2_norm(F.col("cvec"))
-        )
-    )
+    cent_raw = spark.read.parquet(path + "/_centroids")
+    if "cnrm" not in cent_raw.columns:  # pre-cnrm layout: derive
+        cent_raw = cent_raw.withColumn("cnrm", l2_norm(F.col("cvec")))
+    cent = F.broadcast(cent_raw)
     q = _prep(queries, id_col, vec_col).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -928,6 +943,8 @@ def ivf_partitioned_topk(
     lists = spark.read.parquet(path).filter(
         F.col("centroid").isin(probed_cids)
     )
+    if "nrm" not in lists.columns:  # pre-nrm layout: derive
+        lists = lists.withColumn("nrm", l2_norm(F.col("vec")))
     w_topk = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("vec_id")
     )
