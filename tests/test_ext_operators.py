@@ -720,6 +720,7 @@ def test_semantic_admission_prunes_partitions(spark, tmp_path):
     path = str(tmp_path / "sem_layout")
     S.write_ivf_layout(corpus, path, n_centroids=16, trained=True, n_iter=2)
 
+    spark.catalog.clearCache()
     got = S.semantic_admission_pruned(spark, path, incoming, threshold=0.35)
     rows = got.collect()
     assert len(rows) == 20
@@ -730,14 +731,38 @@ def test_semantic_admission_prunes_partitions(spark, tmp_path):
     n_corpus = corpus.count()
     assert all(r.n_cluster_candidates < n_corpus for r in rows)
 
-    # the pruned scan, asserted on the OPERATOR's own executed plan
-    # (not a hand-rebuilt scan): the stored-side FileScan must carry
-    # a PartitionFilters entry on `centroid` — if a refactor ever
-    # stops the filter pushing down as a partition filter, this
-    # assertion fails rather than the operator silently full-scanning
-    op_plan = got._jdf.queryExecution().executedPlan().toString()
-    op_filters = re.findall(r"PartitionFilters: \[(.*?)\]", op_plan)
-    assert any("centroid" in pf for pf in op_filters), op_plan[:1200]
+    # eager mode (the per-micro-batch admission loop's default) must
+    # release the assigned-batch cache before returning — bounded
+    # state across calls (r7 advice). The cache-manager probe is a
+    # classic-JVM internal; under Spark Connect it is absent and the
+    # check degrades gracefully, same policy as sources.tables.spread
+    try:
+        cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    except Exception:  # Spark Connect: no _jsparkSession surface
+        cache_mgr = None
+    if cache_mgr is not None:
+        assert cache_mgr.isEmpty(), "eager admission leaked a cached batch"
+
+    # the pruned scan, asserted on the OPERATOR's own lazy plan
+    # (eager=False form — the default collects to a LocalRelation):
+    # the stored-side FileScan must carry a PartitionFilters entry on
+    # `centroid` — if a refactor ever stops the filter pushing down
+    # as a partition filter, this assertion fails rather than the
+    # operator silently full-scanning. _jdf is classic-JVM-only;
+    # under Connect the plan probe degrades gracefully (same policy
+    # as spread()) while the verdict assertions above still run.
+    lazy = S.semantic_admission_pruned(
+        spark, path, incoming, threshold=0.35, eager=False
+    )
+    try:
+        op_plan = lazy._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # Spark Connect: no _jdf surface
+        op_plan = None
+    if op_plan is not None:
+        op_filters = re.findall(r"PartitionFilters: \[(.*?)\]", op_plan)
+        assert any("centroid" in pf for pf in op_filters), op_plan[:1200]
+    # lazy form hands the cached batch to the caller — release it
+    lazy._admission_cache.unpersist()
     # and the filtered layout reads a strict subset of the files
     touched = sorted({int(r.cid) for r in rows})
     pruned = spark.read.parquet(path).filter(
@@ -840,3 +865,36 @@ def test_dsir_corpus_rate_separates_target_mean(spark, docs):
         .collect()
     }
     assert means[True] > means[False], means
+
+
+def test_semantic_dedup_derived_centroids_bound_cluster_size(spark):
+    """n_centroids=None derives C = max(16, ceil(n / target_cluster_size))
+    (the C ∝ N practice the SCALE.md sf1 sweep validates), so the
+    quadratic within-cluster pair work stays bounded as the corpus
+    grows. Pins: (a) the derived C is used — the output's distinct
+    cid count exceeds the old fixed default; (b) MEAN cluster size is
+    ≤ target by construction (n/C ≤ target); (c) the derived run is
+    bit-identical to an explicit run at the same C — derivation is
+    sizing only, never a semantics change."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    n = emb.count()
+    target = 16
+    got = S.semantic_dedup(
+        emb, threshold=0.35, n_iter=2,
+        n_centroids=None, target_cluster_size=target,
+    )
+    rows = got.collect()
+    assert len(rows) == n
+    derived_c = max(16, -(-n // target))
+    assert derived_c > 16  # actually derived, not the floor
+    sizes = {}
+    for r in rows:
+        sizes[r.cid] = sizes.get(r.cid, 0) + 1
+    # non-empty clusters ≤ derived C; mean size bounded by target
+    assert len(sizes) <= derived_c
+    assert n / len(sizes) <= target * 2  # k-means skew tolerance
+    assert n / derived_c <= target  # the sizing invariant itself
+    explicit = S.semantic_dedup(
+        emb, threshold=0.35, n_iter=2, n_centroids=derived_c
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, explicit))

@@ -720,3 +720,74 @@ def test_trained_centroid_cache_bypassed_for_non_file_corpora(spark):
         ).collect()
     )
     assert b == fresh_b
+
+
+def test_trained_centroid_cache_distinguishes_logical_corpora(
+    spark, tmp_path
+):
+    """r7 advice: the memo keyed on backing FILES alone would let two
+    logically different corpora derived from the same files
+    (different filters) share centroids under one cache_key —
+    dangerous, since semantic_dedup DROPS rows based on them. The
+    fix folds an expression-id-normalized digest of the analyzed
+    logical plan into the key. Pins: (a) two filters over the same
+    file train independently; (b) each keeps its own memo entry
+    (no thrash: re-requesting the first is still a memo hit); (c)
+    the same logical corpus REBUILT from a fresh read hits the memo
+    (expr-id stripping works)."""
+    from pyspark.sql import functions as F
+
+    from wilayah_aceh_etl_spark.operators import similarity as S
+
+    rows = [
+        (i, [float(v), float((v * 3 + i) % 11 - 5)])
+        for i, v in enumerate([1, 2, 3, 100, 101, 102, -40, -41, -42])
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/emb.parquet"
+    )
+
+    def load():
+        return spark.read.parquet(f"{tmp_path}/emb.parquet")
+
+    key = str(tmp_path)
+    lo = load().filter(F.col("vec_id") < 6)
+    hi = load().filter((F.col("vec_id") < 3) | (F.col("vec_id") >= 6))
+    a = sorted(
+        tuple(r)
+        for r in S.kmeans_centroids_cached(
+            lo, key, n_centroids=2, n_iter=2
+        ).collect()
+    )
+    n_after_a = len(S._TRAINED_CENTROID_CACHE)
+    b = sorted(
+        tuple(r)
+        for r in S.kmeans_centroids_cached(
+            hi, key, n_centroids=2, n_iter=2
+        ).collect()
+    )
+    assert a != b  # different logical corpora, same files, same key
+    # both entries coexist — distinct plans don't evict each other
+    assert len(S._TRAINED_CENTROID_CACHE) == n_after_a + 1
+    # each matches its own uncached training
+    fresh_b = sorted(
+        tuple(r)
+        for r in S.kmeans_centroids(
+            load().filter((F.col("vec_id") < 3) | (F.col("vec_id") >= 6)),
+            n_centroids=2,
+            n_iter=2,
+        ).collect()
+    )
+    assert b == fresh_b
+    # same logical corpus, rebuilt from a fresh scan: memo hit
+    n_entries = len(S._TRAINED_CENTROID_CACHE)
+    a2 = sorted(
+        tuple(r)
+        for r in S.kmeans_centroids_cached(
+            load().filter(F.col("vec_id") < 6), key, n_centroids=2, n_iter=2
+        ).collect()
+    )
+    assert a2 == a
+    assert len(S._TRAINED_CENTROID_CACHE) == n_entries  # no new entry

@@ -506,6 +506,32 @@ def _corpus_fingerprint(df: DataFrame) -> str | None:
     return hashlib.md5(repr(sig).encode()).hexdigest()
 
 
+def _plan_digest(df: DataFrame) -> str | None:
+    """Best-effort digest of the DataFrame's ANALYZED logical plan,
+    with per-session expression ids (`#123`) stripped so the same
+    logical corpus rebuilt from a fresh load hashes identically.
+
+    Why it exists (r7 advice): _corpus_fingerprint keys on backing
+    FILES only, so two logically different corpora derived from the
+    same files (different filters/projections) would otherwise share
+    a memo entry — dangerous, since semantic_dedup DROPS rows based
+    on the cached centroids. Folding the plan shape into the key
+    closes that aliasing.
+
+    Returns None under Spark Connect (no _jdf surface); the caller
+    then falls back to the file fingerprint alone, where the
+    documented contract applies: cache_key must uniquely identify
+    the LOGICAL corpus, not just its backing files."""
+    import hashlib
+    import re
+
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    return hashlib.md5(re.sub(r"#\d+", "#", plan).encode()).hexdigest()
+
+
 def kmeans_centroids_cached(
     corpus: DataFrame,
     cache_key: str,
@@ -526,24 +552,36 @@ def kmeans_centroids_cached(
     (_corpus_fingerprint), so mutating the files behind the same
     cache_key retrains rather than serving centroids trained on the
     old data. The fingerprint is driver-side os.stat only — the warm
-    path still runs zero Spark jobs."""
+    path still runs zero Spark jobs.
+
+    Aliasing contract (r7 advice): the key ALSO folds in a digest of
+    the corpus's analyzed logical plan (_plan_digest), so two
+    logically different corpora over the same files (different
+    filters/projections) never share centroids. Under Spark Connect
+    the plan digest is unavailable (None); there — and only there —
+    the caller must ensure cache_key uniquely identifies the LOGICAL
+    corpus, not just the backing files."""
     cfg = (cache_key, n_centroids, n_iter, id_col, vec_col)
     fp = _corpus_fingerprint(corpus)
     if fp is None:
         # non-file-backed corpus: no observable identity to key on —
         # train fresh rather than risk another corpus's centroids
         return kmeans_centroids(corpus, n_centroids, n_iter, id_col, vec_col)
-    key = (*cfg, fp)
+    key = (*cfg, fp, _plan_digest(corpus) or "")
     if key not in _TRAINED_CENTROID_CACHE:
         rows = kmeans_centroids(
             corpus, n_centroids, n_iter, id_col, vec_col
         ).collect()
-        # evict superseded fingerprints of the same config so a
-        # long-lived driver training per micro-batch over a mutating
-        # table holds ONE entry per corpus identity, not one per
-        # historical file set
+        # evict superseded FILE fingerprints of the same (config,
+        # plan) so a long-lived driver training per micro-batch over
+        # a mutating table holds ONE entry per logical corpus, not
+        # one per historical file set — but distinct logical corpora
+        # (different plan digests) under the same cache_key keep
+        # their own entries rather than thrashing each other
         for stale in [
-            k for k in _TRAINED_CENTROID_CACHE if k[:5] == cfg
+            k
+            for k in _TRAINED_CENTROID_CACHE
+            if k[:5] == cfg and k[6] == key[6]
         ]:
             del _TRAINED_CENTROID_CACHE[stale]
         _TRAINED_CENTROID_CACHE[key] = [
@@ -586,11 +624,12 @@ def ivf_trained_topk(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.35,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cache_key: str | None = None,
+    target_cluster_size: int = 128,
 ) -> DataFrame:
     """SemDeDup-style cluster-scoped semantic deduplication (Abbas
     et al. 2023, "SemDeDup: Data-efficient learning at web-scale
@@ -630,10 +669,27 @@ def semantic_dedup(
     training dominates at ~115 s while the cluster-scoped pair join
     itself is ~0.5 s; with the memo, repeat runs pay only the join).
     Cold/warm results are bit-identical, so oracles are unaffected.
+
+    `n_centroids=None` derives C from the corpus:
+    `max(16, ceil(n / target_cluster_size))` — the published C ∝ N
+    practice, so the quadratic Σ|cluster|² pair work stays bounded
+    per cluster as the corpus grows instead of one fixed C absorbing
+    the whole growth. The measured sf1 C-sweep behind the default
+    (SCALE.md "What remains at C=16"): C=16 → 60.4 s, C=64 → 9.5 s,
+    C=160 → 10.2 s — past C ≈ N/target the corpus scan dominates, so
+    the derived value sits at the sweep's flat floor. Sizing costs
+    one count() pass; the oracle-gated registry queries keep an
+    EXPLICIT C because the DuckDB oracle re-derives Lloyd training
+    at the same C.
     """
     from pyspark.sql.window import Window
 
     c = _prep(corpus, id_col, vec_col)
+    if n_centroids is None:
+        n = c.count()
+        # ceiling division: mean cluster size n/C ≤ target holds
+        # exactly (floor would let it creep just past the target)
+        n_centroids = max(16, -(-n // target_cluster_size))
     if cache_key is not None:
         trained = kmeans_centroids_cached(
             corpus, cache_key, n_centroids, n_iter, id_col, vec_col
@@ -698,6 +754,7 @@ def semantic_admission_pruned(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    eager: bool = True,
 ) -> DataFrame:
     """Incremental SemDeDup admission against the cluster-partitioned
     physical layout — the 100 TB form of semantic dedup: the standing
@@ -715,7 +772,18 @@ def semantic_admission_pruned(
     n_near_dups, admit) — admit=1 iff no stored same-cluster vector
     is within `threshold` rounded cosine. All outputs are integers;
     the only float comparison is grid-rounded before the decision
-    (DETERMINISM.md §4)."""
+    (DETERMINISM.md §4).
+
+    Cache-lifetime contract (r7 advice): the assigned incoming batch
+    is persisted because three consumers reuse it. With eager=True
+    (default) the verdict — tiny by construction, one integer row
+    per incoming vector — is collected before returning and the
+    cache released, so the per-micro-batch admission loop holds ZERO
+    cached DataFrames between calls (the bounded-state story the
+    streaming docs claim). eager=False returns the lazy plan (for
+    plan-shape inspection) and transfers ownership of the cached
+    batch to the caller: materialize once, then unpersist via the
+    plan's `_admission_cache` attribute."""
     from pyspark import StorageLevel
 
     cent = F.broadcast(spark.read.parquet(path + "/_centroids"))
@@ -770,7 +838,7 @@ def semantic_admission_pruned(
             .alias("n_near_dups"),
         )
     )
-    return (
+    out = (
         q.select("vec_id", "cid")
         .join(scored, ["vec_id", "cid"], "left")
         .select(
@@ -789,6 +857,13 @@ def semantic_admission_pruned(
         )
         .orderBy("vec_id")
     )
+    if not eager:
+        # caller owns the cached batch's lifetime (documented above)
+        out._admission_cache = q
+        return out
+    rows = out.collect()
+    q.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def quantize_int8(

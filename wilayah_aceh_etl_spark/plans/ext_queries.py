@@ -3993,6 +3993,7 @@ def dedup_semantic_admission_pruned(
     oracle=_SEMANTIC_DEDUP_ORACLE,
     tags=("ext", "dedup", "semantic", "kmeans", "semdedup"),
     description="SemDeDup: k-means clusters, within-cluster near-dup removal",
+    bench=True,
 )
 def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-based semantic dedup (SemDeDup, Abbas et al. 2023) —
@@ -4349,6 +4350,7 @@ LIMIT 20
     oracle=_DSIR_ORACLE,
     tags=("ext", "selection", "dsir", "importance-resampling"),
     description="DSIR hashed-ngram importance weights, top-20 target-like docs",
+    bench=True,
 )
 def data_selection_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al.

@@ -3119,8 +3119,14 @@ def brand_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 _PHASH_SQL = """
-WITH h AS (
-  SELECT doc_id, md5(text) AS hx FROM documents
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id < 30
+),
+h AS (
+  SELECT doc_id, md5(text) AS hx FROM corpus
 ),
 v AS (
   SELECT doc_id, hx,
@@ -3164,9 +3170,17 @@ def multimodal_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: fingerprints shuffle (60 bits/row), payloads never move.
     With a content hash standing in for the perceptual hash, the
     survivors are the exact-duplicate payloads (hamming 0) — the
-    banding+popcount machinery is what this query pins."""
-    docs = load_table(spark, sf_dir, "documents")
-    v = docs.select(
+    banding+popcount machinery is what this query pins. The corpus
+    plants 30 duplicate payloads (doc_id-shifted copies of the first
+    30 docs) in the query's own fixture path — the synthetic
+    documents table has no repeated text at small SF, so without
+    planting this gate row would be vacuous (0 rows)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionAll(planted)
+    v = corpus.select(
         "doc_id",
         F.md5("text").alias("hx"),
         F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
