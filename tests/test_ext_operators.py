@@ -898,3 +898,48 @@ def test_semantic_dedup_derived_centroids_bound_cluster_size(spark):
         emb, threshold=0.35, n_iter=2, n_centroids=derived_c
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, explicit))
+
+
+def test_contrastive_mining_drops_false_negatives(spark, tmp_path):
+    """The margin filter IS the denoising step (RocketQA recipe): a
+    different-label candidate MORE similar than (positive − 0.02) is
+    a probable unlabeled positive and must be dropped, while a
+    genuinely-hard negative below the line is kept and ranked first.
+    Planted 2-D geometry, full registered code path (trained IVF
+    retrieval included)."""
+    from wilayah_aceh_etl_spark.plans.ext_queries import (
+        embedding_contrastive_mining,
+    )
+
+    rows = []
+    # 16 quantizer seeds (label 2): two near the query direction so
+    # the planted points' cells are probed, the rest fanned away
+    import math
+
+    rows.append((0, [1.0, 0.01], 2))
+    rows.append((1, [0.95, 0.05], 2))
+    for i in range(2, 16):
+        th = math.pi / 2 + (i - 2) * (math.pi / 14)
+        rows.append((i, [math.cos(th), math.sin(th)], 2))
+    rows.append((20, [0.999, 0.02], 0))   # positive (query's label)
+    rows.append((21, [1.0, 0.001], 1))    # false negative: ~cos 1.0
+    rows.append((22, [0.9, 0.3], 1))      # true hard negative
+    rows.append((100, [1.0, 0.0], 0))     # the query
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+    got = embedding_contrastive_mining(spark, str(tmp_path)).collect()
+    assert got, "mining must produce hard negatives on this geometry"
+    assert all(r.query_id == 100 for r in got)
+    neg_ids = [r.neg_id for r in got]
+    assert 21 not in neg_ids  # above the margin → denoised away
+    assert 0 not in neg_ids   # seed hugging the query: also dropped
+    assert got[0].neg_id == 22 and got[0].rk == 1
+    # every survivor respects the integer margin against the anchor
+    assert all(
+        r.neg_cos_micro <= r.pos_cos_micro - 20000 for r in got
+    )
+    # the anchor is the planted positive's micro-cosine (999800)
+    assert got[0].pos_cos_micro == 999800

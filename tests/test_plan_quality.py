@@ -155,6 +155,11 @@ NLJ_ALLOWED = {
     # distribution (the lam relation); scoring join is an equi-join
     # on the hashed bucket with an O(256) broadcast build side
     "data_selection_dsir_topk",
+    # --- round 8 ---
+    # the inherited _ivf_search probe shape: NLJ only against the
+    # 16-row trained-centroid build side; the mining stages after
+    # retrieval are equi-joins with O(Q·k) broadcast build sides
+    "embedding_contrastive_mining",
 }
 
 

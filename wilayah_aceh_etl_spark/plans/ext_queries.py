@@ -4377,3 +4377,167 @@ def data_selection_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dsir_rate").desc(), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive hard-negative mining: IVF retrieval → margin filter
+# ---------------------------------------------------------------------------
+
+_CONTRASTIVE_ORACLE = (
+    "WITH "
+    + _VEC_CTE
+    + """,
+u AS (
+  SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM v
+),
+c1 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+"""
+    + ",".join(_ivf_km_step_sql(i) for i in (1, 2))
+    + """,
+lists AS (
+  SELECT vec_id, e, label, cid AS centroid FROM (
+    SELECT v.vec_id, v.e, v.label, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY """
+    + _COS.format(a="v.e", b="c.ce")
+    + """ DESC, c.cid
+           ) AS rn
+    FROM v, c3 c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, qe, qlabel, cid AS centroid FROM (
+    SELECT v.vec_id AS query_id, v.e AS qe, v.label AS qlabel, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY """
+    + _COS.format(a="v.e", b="c.ce")
+    + """ DESC, c.cid
+           ) AS rn
+    FROM v, c3 c WHERE v.vec_id BETWEEN 100 AND 119
+  ) WHERE rn <= 4
+),
+retrieved AS (
+  SELECT query_id, vec_id, qlabel, clabel,
+         CAST(ROUND(ROUND(c, 6) * 1000000) AS BIGINT) AS micro,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY c DESC, vec_id) AS rk
+  FROM (
+    SELECT p.query_id, l.vec_id, p.qlabel, l.label AS clabel, """
+    + _COS.format(a="p.qe", b="l.e")
+    + """ AS c
+    FROM probes p JOIN lists l USING (centroid)
+    WHERE p.query_id != l.vec_id
+  )
+),
+topk AS (SELECT * FROM retrieved WHERE rk <= 20),
+pos AS (
+  SELECT query_id, MAX(micro) AS pos_cos_micro
+  FROM topk WHERE clabel = qlabel GROUP BY query_id
+),
+negs AS (
+  SELECT t.query_id, t.vec_id, t.clabel, t.micro, p.pos_cos_micro,
+         ROW_NUMBER() OVER (PARTITION BY t.query_id
+                            ORDER BY t.micro DESC, t.vec_id) AS nrk
+  FROM topk t JOIN pos p USING (query_id)
+  WHERE t.clabel != t.qlabel AND t.micro <= p.pos_cos_micro - 20000
+)
+SELECT query_id, vec_id AS neg_id, clabel AS neg_label,
+       micro AS neg_cos_micro, pos_cos_micro,
+       CAST(nrk AS INTEGER) AS rk
+FROM negs WHERE nrk <= 3
+ORDER BY query_id, rk
+"""
+)
+
+
+@register(
+    "embedding_contrastive_mining",
+    oracle=_CONTRASTIVE_ORACLE,
+    tags=("ext", "similarity", "training", "hard-negatives", "ivf"),
+    description="contrastive pair mining: trained-IVF top-20 → margin-filtered hard negatives",
+)
+def embedding_contrastive_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-pair mining the way retrieval-model training
+    pipelines run it (the RocketQA/SBERT denoising recipe): retrieve
+    each query's top-20 via the TRAINED IVF index (the same memoized
+    quantizer similarity_ivf_trained_topk serves — one index build
+    amortized over retrieval, dedup, and mining), anchor each query
+    at its best same-label retrieved cosine (the positive), then keep
+    as hard negatives only different-label candidates at least a
+    0.02-cosine margin BELOW the positive — candidates above that
+    line are probable false negatives (unlabeled positives) and are
+    dropped, which is the denoising step that distinguishes this from
+    embedding_hard_negatives' plain cross-label top-k. Top-3 per
+    query by similarity.
+
+    Determinism: the margin comparison runs on integer micro-cosines
+    (ROUND(ROUND(c,6)·1e6) AS BIGINT on both engines) so the
+    threshold decision is exact integer arithmetic — no FP boundary
+    can flap the verdict (the dsir_score device). Scale shape: the
+    only corpus-wide work is the IVF probe join (candidates =
+    n_probe/C of the corpus per query); labels join the O(Q·k)
+    retrieved relation broadcast onto the corpus scan, and
+    everything after the retrieval is O(Q·k) driver-light window
+    work. Queries 100-119 are seed-disjoint (quantizer seeds are
+    vec_id < 16), per the IVF recall-measurement trap.
+
+    Beyond-reference mandate (contrastive data prep); no reference
+    counterpart."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").between(100, 119))
+    retrieved = S.ivf_trained_topk(
+        emb,
+        queries,
+        cache_key=sf_dir,
+        k=20,
+        n_centroids=16,
+        n_probe=4,
+        n_iter=2,
+    )
+    labels = emb.select("vec_id", "label")
+    # query labels: O(Q) build side — from the query slice, never a
+    # broadcast of the whole corpus's label column
+    qlabels = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+    )
+    r = (
+        labels.join(F.broadcast(retrieved), "vec_id")
+        .join(F.broadcast(qlabels), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "qlabel",
+            F.col("label").alias("clabel"),
+            F.round(F.col("cos_sim") * 1000000)
+            .cast("long")
+            .alias("micro"),
+        )
+    )
+    pos = (
+        r.filter(F.col("clabel") == F.col("qlabel"))
+        .groupBy("query_id")
+        .agg(F.max("micro").alias("pos_cos_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("micro").desc(), F.col("vec_id")
+    )
+    return (
+        r.filter(F.col("clabel") != F.col("qlabel"))
+        .join(F.broadcast(pos), "query_id")
+        .filter(F.col("micro") <= F.col("pos_cos_micro") - 20000)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("clabel").alias("neg_label"),
+            F.col("micro").alias("neg_cos_micro"),
+            "pos_cos_micro",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("query_id", "rk")
+    )
