@@ -298,7 +298,15 @@ def test_phash_detects_duplicate_payloads(spark, tmp_path):
         (r["doc_a"], r["doc_b"]): r["hamming"]
         for r in multimodal_phash_near_dup(spark, sf).collect()
     }
-    assert got == {(1, 2): 0, (1, 4): 0, (2, 4): 0}
+    # the query plants a doc_id+1000000 copy of every doc_id<30 row
+    # (de-vacuizing the sf0.01 gate fixture), so expected pairs are
+    # every a<b combination within each identical-payload group
+    from itertools import combinations
+
+    group = [1, 2, 4, 1000001, 1000002, 1000004]
+    want = {pair: 0 for pair in combinations(group, 2)}
+    want[(3, 1000003)] = 0
+    assert got == want
 
 
 # ---------------------------------------------------------------------------
