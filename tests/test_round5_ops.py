@@ -791,3 +791,107 @@ def test_trained_centroid_cache_distinguishes_logical_corpora(
     )
     assert a2 == a
     assert len(S._TRAINED_CENTROID_CACHE) == n_entries  # no new entry
+
+
+def test_trained_centroid_cache_bypassed_without_plan_digest(
+    spark, tmp_path, monkeypatch
+):
+    """Under Spark Connect _plan_digest returns None (no _jdf). The
+    memo must then be BYPASSED — training fresh — not degraded to a
+    shared '' digest, or two filters over the same files would
+    silently share centroids there (the exact aliasing the digest
+    exists to prevent)."""
+    from wilayah_aceh_etl_spark.operators import similarity as S
+
+    rows = [
+        (i, [float(v), float((v * 3 + i) % 11 - 5)])
+        for i, v in enumerate([1, 2, 3, 100, 101, 102])
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/emb.parquet"
+    )
+    corpus = spark.read.parquet(f"{tmp_path}/emb.parquet")
+    monkeypatch.setattr(S, "_plan_digest", lambda df: None)
+    n_entries = len(S._TRAINED_CENTROID_CACHE)
+    got = sorted(
+        tuple(r)
+        for r in S.kmeans_centroids_cached(
+            corpus, str(tmp_path), n_centroids=2, n_iter=2
+        ).collect()
+    )
+    assert len(S._TRAINED_CENTROID_CACHE) == n_entries  # nothing memoized
+    fresh = sorted(
+        tuple(r)
+        for r in S.kmeans_centroids(corpus, n_centroids=2, n_iter=2).collect()
+    )
+    assert got == fresh
+
+
+def test_plan_digest_distinguishes_self_join_sides(spark, tmp_path):
+    """Expression-id CANONICALIZATION (first-appearance renumbering)
+    must keep apart two corpora that differ only in which side of a
+    self-join a column comes from — blanket id erasure collapses
+    them (r8 review finding). And the same logical corpus rebuilt
+    from a fresh scan must still digest identically."""
+    from pyspark.sql import functions as F
+
+    from wilayah_aceh_etl_spark.operators import similarity as S
+
+    rows = [(i, [float(i), 1.0]) for i in range(6)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/emb.parquet"
+    )
+
+    def load():
+        return spark.read.parquet(f"{tmp_path}/emb.parquet")
+
+    def sided(side):
+        a, b = load().alias("a"), load().alias("b")
+        j = a.join(b, F.col("a.vec_id") == F.col("b.vec_id") + 1)
+        return j.select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col(f"{side}.embedding").alias("embedding"),
+        )
+
+    da, db = S._plan_digest(sided("a")), S._plan_digest(sided("b"))
+    if da is None:  # Spark Connect: no plan surface, bypass covers it
+        return
+    assert da != db
+    # stability: rebuilt-from-fresh-scan plans digest identically
+    assert S._plan_digest(sided("a")) == da
+
+
+def test_kmeans_seeds_by_rank_on_offset_ids(spark):
+    """Rank-based seeding (r8 review finding): a corpus whose ids all
+    exceed C must still train with C seeds instead of crashing on an
+    empty argmax, and the derived-C sizing invariant must hold on
+    id-sparse corpora. Dense 0-based corpora are unaffected (rank-k
+    == id<C there — every oracle-gated query keeps its semantics)."""
+    from wilayah_aceh_etl_spark.operators import similarity as S
+
+    rows = [
+        (100000 + i * 7, [float(v), float((v * 3 + i) % 11 - 5)])
+        for i, v in enumerate([1, 2, 3, 100, 101, 102])
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = S.kmeans_centroids(corpus, n_centroids=2, n_iter=2).collect()
+    assert len(cents) >= 1
+    # seeds keyed by ORIGINAL id: both from the corpus's first 2 by rank
+    assert {int(r["cid"]) for r in cents} <= {100000, 100007}
+    # derived-C semantic dedup on the same offset corpus: every row
+    # verdicted, mean cluster size within target
+    got = S.semantic_dedup(
+        corpus, threshold=0.35, n_iter=1,
+        n_centroids=None, target_cluster_size=2,
+    ).collect()
+    assert len(got) == len(rows)
+    sizes = {}
+    for r in got:
+        sizes[r.cid] = sizes.get(r.cid, 0) + 1
+    assert len(rows) / max(16, -(-len(rows) // 2)) <= 2

@@ -375,10 +375,16 @@ def kmeans_centroids(
 
     # centroids live on the driver, keyed by their ORIGINAL cid so
     # tie-breaks stay aligned with the SQL oracle even if a cluster
-    # empties mid-training
+    # empties mid-training. Seeds are the first C vectors by id RANK
+    # (orderBy+limit → TakeOrdered), not by id VALUE: identical on
+    # the dense 0-based corpora every oracle assumes (rank-k == id<C
+    # there), but a filtered/offset corpus — the derived-C path's
+    # audience — still gets its full C seeds instead of however many
+    # ids happen to fall below C (possibly zero, which would crash
+    # the argmax)
     cents = {
         int(r["vec_id"]): list(r["vec"])
-        for r in v.filter(F.col("vec_id") < n_centroids).collect()
+        for r in v.orderBy("vec_id").limit(n_centroids).collect()
     }
     spark = corpus.sparkSession
     # per-row vector norm hoisted OUT of the C-way argmax: the same
@@ -508,8 +514,14 @@ def _corpus_fingerprint(df: DataFrame) -> str | None:
 
 def _plan_digest(df: DataFrame) -> str | None:
     """Best-effort digest of the DataFrame's ANALYZED logical plan,
-    with per-session expression ids (`#123`) stripped so the same
-    logical corpus rebuilt from a fresh load hashes identically.
+    with per-session expression ids (`#123`) CANONICALIZED — each
+    distinct id replaced by its order of first appearance — so the
+    same logical corpus rebuilt from a fresh load hashes identically
+    (plan construction assigns fresh ids in the same deterministic
+    order). Canonicalizing rather than erasing matters: two corpora
+    that differ only in WHICH side of a self-join a column comes
+    from differ only in their id cross-references, which erasure
+    would collapse into one digest.
 
     Why it exists (r7 advice): _corpus_fingerprint keys on backing
     FILES only, so two logically different corpora derived from the
@@ -519,9 +531,9 @@ def _plan_digest(df: DataFrame) -> str | None:
     closes that aliasing.
 
     Returns None under Spark Connect (no _jdf surface); the caller
-    then falls back to the file fingerprint alone, where the
-    documented contract applies: cache_key must uniquely identify
-    the LOGICAL corpus, not just its backing files."""
+    must then BYPASS the memo (train fresh), the same conservative
+    rule as a missing file fingerprint — a docstring contract is not
+    enough when a collision drops the wrong rows."""
     import hashlib
     import re
 
@@ -529,7 +541,12 @@ def _plan_digest(df: DataFrame) -> str | None:
         plan = df._jdf.queryExecution().analyzed().toString()
     except Exception:
         return None
-    return hashlib.md5(re.sub(r"#\d+", "#", plan).encode()).hexdigest()
+    seen: dict[str, str] = {}
+
+    def canon(m: "re.Match[str]") -> str:
+        return seen.setdefault(m.group(0), f"#e{len(seen)}")
+
+    return hashlib.md5(re.sub(r"#\d+", canon, plan).encode()).hexdigest()
 
 
 def kmeans_centroids_cached(
@@ -558,16 +575,20 @@ def kmeans_centroids_cached(
     the corpus's analyzed logical plan (_plan_digest), so two
     logically different corpora over the same files (different
     filters/projections) never share centroids. Under Spark Connect
-    the plan digest is unavailable (None); there — and only there —
-    the caller must ensure cache_key uniquely identifies the LOGICAL
-    corpus, not just the backing files."""
+    the plan digest is unavailable (None) and the memo is BYPASSED —
+    training runs fresh, the same conservative rule as a missing
+    file fingerprint, because a silent collision drops the wrong
+    rows downstream (Connect callers wanting the memo can collect
+    centroids once and rebuild the tiny relation themselves)."""
     cfg = (cache_key, n_centroids, n_iter, id_col, vec_col)
     fp = _corpus_fingerprint(corpus)
-    if fp is None:
-        # non-file-backed corpus: no observable identity to key on —
-        # train fresh rather than risk another corpus's centroids
+    pd_ = _plan_digest(corpus)
+    if fp is None or pd_ is None:
+        # no observable corpus identity (in-memory source, or no JVM
+        # plan surface under Connect): train fresh rather than risk
+        # serving another corpus's centroids
         return kmeans_centroids(corpus, n_centroids, n_iter, id_col, vec_col)
-    key = (*cfg, fp, _plan_digest(corpus) or "")
+    key = (*cfg, fp, pd_)
     if key not in _TRAINED_CENTROID_CACHE:
         rows = kmeans_centroids(
             corpus, n_centroids, n_iter, id_col, vec_col
@@ -776,13 +797,16 @@ def semantic_admission_pruned(
 
     Cache-lifetime contract (r7 advice): the assigned incoming batch
     is persisted because three consumers reuse it. With eager=True
-    (default) the verdict — tiny by construction, one integer row
-    per incoming vector — is collected before returning and the
-    cache released, so the per-micro-batch admission loop holds ZERO
-    cached DataFrames between calls (the bounded-state story the
-    streaming docs claim). eager=False returns the lazy plan (for
-    plan-shape inspection) and transfers ownership of the cached
-    batch to the caller: materialize once, then unpersist via the
+    (default) the verdict is collected before returning (released in
+    a finally, so a failed batch can't leak its cache) and the
+    per-micro-batch admission loop holds ZERO cached DataFrames
+    between calls — the bounded-state story the streaming docs
+    claim. The collect is safe BY CONTRACT, not by luck: this
+    operator admits a per-micro-batch INCOMING SLICE (five ints per
+    incoming vector), never the corpus — if a caller streams
+    millions of vectors through one call, pass eager=False, which
+    returns the fully-distributed lazy plan and transfers ownership
+    of the cached batch: materialize once, then unpersist via the
     plan's `_admission_cache` attribute."""
     from pyspark import StorageLevel
 
@@ -861,8 +885,13 @@ def semantic_admission_pruned(
         # caller owns the cached batch's lifetime (documented above)
         out._admission_cache = q
         return out
-    rows = out.collect()
-    q.unpersist()
+    try:
+        rows = out.collect()
+    finally:
+        # release the batch even when collect fails (executor loss,
+        # corrupt layout) — otherwise each failed micro-batch leaks
+        # one MEMORY_AND_DISK entry for the driver lifetime
+        q.unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 
