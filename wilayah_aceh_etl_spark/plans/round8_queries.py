@@ -995,3 +995,93 @@ def multimodal_ima_adpcm_codec_stats(
         .mapInPandas(batches, schema)
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DPO implicit-reward audit over preference pairs
+# ---------------------------------------------------------------------------
+
+_DPO_ORACLE = """
+WITH pairs AS (
+  SELECT doc_id AS pair_id,
+         -- per-sequence log-probs in integer micro-nats, derived
+         -- deterministically from the pair id (fixture arithmetic,
+         -- the Bradley-Terry duel device): policy/reference for the
+         -- chosen and rejected completion of each pair
+         -(1000000 + (doc_id * 7919) % 900000)  AS pol_c,
+         -(1000000 + (doc_id * 104729) % 900000) AS ref_c,
+         -(1000000 + (doc_id * 1299709) % 900000) AS pol_r,
+         -(1000000 + (doc_id * 15485863) % 900000) AS ref_r
+  FROM documents WHERE doc_id < 400
+),
+m AS (
+  SELECT pair_id,
+         CAST((pol_c - ref_c) - (pol_r - ref_r) AS BIGINT) AS margin_micro
+  FROM pairs
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN margin_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(margin_micro) AS BIGINT) AS sum_margin_micro,
+       CAST(MIN(margin_micro) AS BIGINT) AS min_margin_micro,
+       CAST(MAX(margin_micro) AS BIGINT) AS max_margin_micro,
+       CAST(SUM(CASE WHEN margin_micro > 0
+                     THEN margin_micro ELSE 0 END) AS BIGINT)
+         AS sum_positive_margin_micro
+FROM m
+"""
+
+
+@register(
+    "ml_dpo_implicit_reward",
+    oracle=_DPO_ORACLE,
+    tags=("ext", "ml", "rl", "preferences", "dpo"),
+    description="DPO implicit-reward margin audit over preference pairs",
+)
+def ml_dpo_implicit_reward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO's implicit-reward audit (Rafailov et al. 2023): for each
+    preference pair, the implicit reward of a completion is
+    β·(log π(y) − log π_ref(y)), and the pair's margin is the chosen
+    reward minus the rejected reward — the quantity whose sigmoid is
+    the DPO loss and whose sign is the "implicit reward accuracy"
+    every post-training run tracks per batch. This query computes
+    the margin audit the data pipeline owns: pair count, accuracy
+    numerator (margins > 0), and sum/min/max/positive-mass margin
+    statistics.
+
+    Per-sequence log-probs arrive in integer MICRO-NATS — the unit
+    the GAE/GRPO/DSIR family standardized on — so every margin is
+    exact integer arithmetic end to end and β (a global scalar)
+    drops out of sign/ordering statistics entirely; no float
+    boundary can flap the audit. The fixture derives the four
+    log-prob columns deterministically from the pair id (the
+    Bradley-Terry duel-construction device; a real run would join
+    the scorer's output table on pair_id instead — same plan).
+
+    Scale shape: one projection over the pair table and one global
+    aggregate — map-side partial combine, a single 1-row shuffle; at
+    100 TB the pair table streams through once and only six longs
+    cross the wire per partition. Beyond-reference mandate
+    (post-training family); no reference counterpart."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    pol_c = -(F.lit(1000000) + (F.col("doc_id") * 7919) % 900000)
+    ref_c = -(F.lit(1000000) + (F.col("doc_id") * 104729) % 900000)
+    pol_r = -(F.lit(1000000) + (F.col("doc_id") * 1299709) % 900000)
+    ref_r = -(F.lit(1000000) + (F.col("doc_id") * 15485863) % 900000)
+    m = docs.select(
+        ((pol_c - ref_c) - (pol_r - ref_r)).cast("long").alias("margin_micro")
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("margin_micro") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.sum("margin_micro").cast("long").alias("sum_margin_micro"),
+        F.min("margin_micro").cast("long").alias("min_margin_micro"),
+        F.max("margin_micro").cast("long").alias("max_margin_micro"),
+        F.sum(
+            F.when(F.col("margin_micro") > 0, F.col("margin_micro")).otherwise(0)
+        )
+        .cast("long")
+        .alias("sum_positive_margin_micro"),
+    )
