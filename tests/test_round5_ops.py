@@ -865,6 +865,36 @@ def test_plan_digest_distinguishes_self_join_sides(spark, tmp_path):
     assert S._plan_digest(sided("a")) == da
 
 
+def test_plan_digest_sees_past_tostring_truncation(spark):
+    """The default plan rendering elides attribute lists past
+    spark.sql.debug.maxToStringFields (25) with '... N more fields' —
+    two plans that differ only in the elided tail would digest
+    identically, recreating the memo-aliasing the digest exists to
+    prevent (r8 advice, medium). The digest must render untruncated:
+    40-column plans differing only in column 39 digest apart, and the
+    conf is restored afterwards."""
+    from pyspark.sql import functions as F
+
+    from wilayah_aceh_etl_spark.operators import similarity as S
+
+    key = "spark.sql.debug.maxToStringFields"
+    before = spark.conf.get(key, None)
+    base = spark.range(8)
+    wide_a = base.select(
+        *[(F.col("id") + i).alias(f"c{i}") for i in range(39)],
+        (F.col("id") + 100).alias("c39"),
+    )
+    wide_b = base.select(
+        *[(F.col("id") + i).alias(f"c{i}") for i in range(39)],
+        (F.col("id") + 200).alias("c39"),
+    )
+    da, db = S._plan_digest(wide_a), S._plan_digest(wide_b)
+    if da is None:  # Spark Connect: bypass covers it
+        return
+    assert da != db, "digest blind past the toString truncation point"
+    assert spark.conf.get(key, None) == before, "conf not restored"
+
+
 def test_kmeans_seeds_by_rank_on_offset_ids(spark):
     """Rank-based seeding (r8 review finding): a corpus whose ids all
     exceed C must still train with C seeds instead of crashing on an

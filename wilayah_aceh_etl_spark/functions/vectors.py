@@ -23,32 +23,25 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column, d: int | None = None) -> Column:
+def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product (deterministic order).
 
-    With `d` (the vector dimension, known at plan time) the fold is
-    UNROLLED into a flat `0.0 + a[1]·b[1] + … + a[d]·b[d]` expression
-    chain — the bitwise-same doubles as the HOF fold, because it is
-    the IDENTICAL IEEE op sequence (the fold evaluates
-    ((0.0 + a₁b₁) + a₂b₂) + …; the unrolled chain is left-associative
-    over the same terms, including the leading 0.0 +, which preserves
-    even the −0.0 edge).
-
-    Measured and REJECTED for the similarity hot paths (round 8): in
-    an isolated pair-join aggregate the unrolled chain wins (0.059 →
-    0.037 s at sf0.1), but threaded through the real operators it
-    LOST ~3× (ivf_topk 1.10 → 3.86 s, semantic dedup 2.54 → 6.37 s,
-    identical outputs) — the 64-term tree gets duplicated across
-    window/join/aggregate nodes where the single shared lambda did
-    not, and the blown-up generated methods fall out of JIT/codegen
-    budgets. The d-form is kept for dimension-known single-projection
-    contexts; do NOT thread it through composed operators without
-    re-measuring the whole query."""
-    if d is not None:
-        acc = F.lit(0.0) + F.element_at(a, 1) * F.element_at(b, 1)
-        for i in range(2, d + 1):
-            acc = acc + F.element_at(a, i) * F.element_at(b, i)
-        return acc
+    Measured and REJECTED alternative (round 8): UNROLLING the fold
+    into a flat `0.0 + a[1]·b[1] + … + a[d]·b[d]` expression chain
+    for a plan-time-known dimension `d` produces the bitwise-same
+    doubles (identical left-associative IEEE op sequence, including
+    the leading 0.0 + that preserves the −0.0 edge) and wins in an
+    ISOLATED pair-join aggregate (0.059 → 0.037 s at sf0.1) — but
+    threaded through the real operators it LOST ~3× (ivf_topk
+    1.10 → 3.86 s, semantic dedup 2.54 → 6.37 s, identical outputs):
+    the 64-term tree gets duplicated across window/join/aggregate
+    nodes where the single shared lambda did not, and the blown-up
+    generated methods fall out of JIT/codegen budgets. The unrolled
+    `d`-form parameter was REMOVED in round 9 (r8 advice): it had no
+    callers, and `element_at` past the actual array length NULLs the
+    whole product silently (or raises under ANSI mode) — re-add it
+    only with a dimension-validated call site AND whole-query bench
+    evidence."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -56,12 +49,12 @@ def dot(a: Column, b: Column, d: int | None = None) -> Column:
     )
 
 
-def l2_norm(a: Column, d: int | None = None) -> Column:
-    return F.sqrt(dot(a, a, d))
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column, d: int | None = None) -> Column:
-    return dot(a, b, d) / (l2_norm(a, d) * l2_norm(b, d))
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
 def sign_lsh_bucket(vec: Column, n_bits: int = 8) -> Column:

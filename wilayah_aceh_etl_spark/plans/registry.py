@@ -87,72 +87,86 @@ def _load_all() -> None:
 # round's CORRECTNESS_r{N}.json is rotated OUT and 50 never-
 # driver-verified names rotated IN, one representative slice per
 # module, so cumulative driver-verified coverage grows ~50/round.
-# Rounds 1–7 verified 285 distinct queries (the union of
-# CORRECTNESS_r01..07.json); this round-8 window is drawn from the
-# 175 oracle-backed queries that had never produced a driver row,
-# led (per the r7 verdict) by the biggest remaining family — the
-# full 42-query events battery — plus DSIR, power iteration, the
-# de-vacuized pHash query, and a text-analysis slice.
+# Rounds 1–8 verified 335 distinct queries (the union of
+# CORRECTNESS_r01..08.json); this round-9 window is drawn from the
+# 127 oracle-backed queries that had never produced a driver row,
+# led (per the r8 verdict) by the two queries BUILT in round 8 —
+# new code meets the driver oracle first — then the two largest
+# remaining batteries (orders, sql), the text tail, the multimodal
+# plumbing rows, and the similarity/embedding/dedup tail.
 # All rotated-out queries are still exercised every round by
 # tools/parity.py locally and by the test suite.
+#
+# EXHAUSTION POLICY (planned r9, per the r8 verdict ask #7): after
+# this window lands, ~78 never-verified oracle-backed names remain
+# (feature/ab/stats/graph slices, a ~60-name singleton tail, plus
+# corpus_quality_classifier_serving — NEW in r9, parity-green at all
+# 3 SFs, weight into the r10 window per the new-code-first rule) —
+# about 1.5 windows. Once the never-verified pool drops below 50,
+# fill the REMAINDER of the window by RE-verifying the oldest driver
+# rows first (r1 vintage, then r2, …— ordered by the round of their
+# last green row), so long-stable operators regain driver visibility
+# and a silent regression in a rotated-out query cannot hide behind
+# its years-old green row. Mechanically: union green names from all
+# CORRECTNESS_r0*.json with their LATEST round number; window =
+# all remaining never-verified names + oldest-round names up to 50.
 GATE_PRIORITY: tuple[str, ...] = (
-    # --- round-8 window: 50 never-driver-verified names ---
-    # The events battery (42 rows) — the largest family with zero
-    # driver rows after r7 — then the DSIR selector (registered r7,
-    # second sitting, missed the r7 window), the power-iteration
-    # spectral embedding op, the de-vacuized pHash near-dup query
-    # (now planting its own duplicates; was the registry's one 0-row
-    # gate row at sf0.01), and a 5-name text-analysis tail slice.
-    "events_sliding_window_rates",
-    "events_dedup_first_per_key",
-    "events_json_props_stats",
-    "events_hierarchical_rollup",
-    "events_type_transitions",
-    "events_user_features",
-    "events_session_dynamic_gap",
-    "events_bitmap_distinct_rollup",
-    "events_ewma_per_user",
-    "events_burst_peaks",
-    "events_user_entropy",
-    "events_dow_hour_matrix",
-    "events_session_length_histogram",
-    "events_user_gini",
-    "events_autocorrelation_acf",
-    "events_sliding_distinct_users",
-    "events_path_trigrams",
-    "events_time_to_convert",
-    "events_audience_overlap",
-    "events_stickiness_dau_mau",
-    "events_seasonal_indices_dow",
-    "events_rolling_median_daily",
-    "events_theil_sen_slope",
-    "events_filter_clause_battery",
-    "events_periodogram_fixed_freqs",
-    "events_pettitt_changepoint",
-    "events_seasonal_additive_dow",
-    "events_interarrival_exponential_audit",
-    "events_drift_js_weekly_mix",
-    "events_cep_funnel_regex",
-    "events_watermark_lateness_profile",
-    "events_hurst_rs_clicks",
-    "events_poisson_rate_test",
-    "events_ccf_lead_lag",
-    "events_burstiness_fano",
-    "events_hourly_topk_users",
-    "events_sequential_pattern_support",
-    "events_alarm_hysteresis",
-    "events_time_weighted_average",
-    "events_bot_detection_rules",
-    "events_evt_peaks_over_threshold",
-    "events_growth_accounting_daily",
-    "data_selection_dsir_topk",
-    "embedding_power_iteration",
-    "multimodal_phash_near_dup",
-    "text_fingerprints",
-    "text_bigram_counts",
-    "text_unigram_logprob",
-    "text_repetition_scores",
-    "text_token_entropy",
+    # --- round-9 window: 50 never-driver-verified names ---
+    # The two round-8-built flagships first (driver-verify new code
+    # the round after it ships), then the orders battery (10), the
+    # SQL-surface battery (10), the text-analysis tail (10), the
+    # multimodal plumbing rows (7), and the similarity/embedding/
+    # dedup tail (11).
+    "embedding_contrastive_mining",
+    "ml_dpo_implicit_reward",
+    "orders_ship_sla",
+    "orders_mom_growth",
+    "orders_forecast_seasonal_naive",
+    "orders_snapshot_diff",
+    "orders_runs_test_randomness",
+    "orders_cohens_d_priority",
+    "orders_totalprice_reconciliation",
+    "orders_key_gaps_islands",
+    "orders_chain_ladder_forecast",
+    "orders_aging_waterfall",
+    "sql_group_by_all",
+    "sql_limit_offset_page",
+    "sql_values_inline_dim",
+    "sql_identifier_clause",
+    "sql_session_variables",
+    "sql_listagg_within_group",
+    "sql_named_window_clause",
+    "sql_select_star_except",
+    "sql_execute_immediate",
+    "sql_lateral_column_alias",
+    "text_chunk_sliding",
+    "text_inverted_postings",
+    "text_source_kl_divergence",
+    "text_length_profile_by_lang",
+    "text_heaps_law_curve",
+    "text_bigram_pmi_collocations",
+    "text_bigram_lm_logprob",
+    "text_char_trigram_profile",
+    "text_readability_flesch",
+    "text_mattr_diversity",
+    "multimodal_binary_metadata",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "multimodal_audio_chunks",
+    "multimodal_resize_dims",
+    "multimodal_chunks_arrow",
+    "multimodal_shard_manifest",
+    "similarity_threshold_pairs",
+    "similarity_lsh_buckets",
+    "similarity_sparse_tf_cosine",
+    "similarity_ivf_recall",
+    "similarity_mmr_rerank",
+    "embedding_norm_stats",
+    "embedding_hard_negatives",
+    "embedding_cluster_silhouette",
+    "dedup_lsh_band_sweep",
+    "dedup_corpus_after",
+    "dedup_group_size_profile",
 )
 
 # The driver's gate records only the first 50 registration-order

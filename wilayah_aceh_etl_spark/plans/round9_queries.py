@@ -2372,3 +2372,180 @@ def multimodal_jpeg_color_progressive_sa_stats(
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring at SERVING shape (round 9, r8 verdict
+# ask #6): a fastText-style linear quality classifier INFERENCE pass
+# — hashed-token features -> broadcast weight vector -> per-doc
+# logit + threshold keep/drop. Composes the existing machinery end
+# to end (feature_hashing_trick's 64-bin md5 hashing, ml_train's
+# quantized-GD logreg) with zero new operator code; the oracle
+# re-derives the full pipeline: hashing, training, serving.
+# ---------------------------------------------------------------------------
+
+# 64-bin md5 token hash — the same digit arithmetic as
+# feature_hashing_trick (plans/round5_queries.py)
+_QC_H4_TOK = " + ".join(
+    f"(instr('0123456789abcdef', md5(tok)[{p}:{p}]) - 1) * {w}"
+    for p, w in ((1, 4096), (2, 256), (3, 16), (4, 1))
+)
+
+
+def _qc_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.round7_queries import _lr_step_sql
+
+    return (
+        f"""
+WITH docs0 AS MATERIALIZED (
+  SELECT doc_id, text,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+toks AS MATERIALIZED (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM docs0
+),
+ntok AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+  FROM toks GROUP BY doc_id
+),
+binned AS MATERIALIZED (
+  SELECT doc_id, ({_QC_H4_TOK}) % 64 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2
+),
+xv AS MATERIALIZED (
+  SELECT n.doc_id,
+         list(CAST(COALESCE(b.cnt, 0) AS DOUBLE) / n.n_toks
+              ORDER BY g.i) AS x
+  FROM ntok n
+  CROSS JOIN range(64) g(i)
+  LEFT JOIN binned b ON b.doc_id = n.doc_id AND b.bin = g.i
+  GROUP BY n.doc_id, n.n_toks
+),
+v AS MATERIALIZED (
+  SELECT x0.doc_id AS vec_id, x0.x, d.y
+  FROM xv x0 JOIN docs0 d USING (doc_id)
+  WHERE x0.doc_id % 5 != 0
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+u AS (
+  SELECT vec_id, unnest(x) AS val, generate_subscripts(x, 1) AS pos FROM v
+),
+w0 AS (
+  SELECT (SELECT list(0.0) FROM range(64)) AS w, 0.0 AS b
+),
+"""
+        + ",".join(_lr_step_sql(i) for i in (1, 2, 3))
+        + """,
+scored AS (
+  SELECT x0.doc_id,
+         list_dot_product(x0.x, (SELECT w FROM w3)) +
+           (SELECT b FROM w3) AS m
+  FROM xv x0
+)
+SELECT doc_id,
+       CAST(ROUND(m * 16777216) AS BIGINT) AS logit_q,
+       CAST(CASE WHEN m > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM scored
+ORDER BY doc_id
+"""
+    )
+
+
+@register(
+    "corpus_quality_classifier_serving",
+    oracle=_qc_oracle(),
+    tags=(
+        "ext",
+        "text",
+        "quality",
+        "classifier",
+        "hashing-trick",
+        "ml",
+        "serving",
+    ),
+    description="fastText-style quality classifier: hashed features, "
+    "logreg weights, per-doc keep/drop at serving shape",
+)
+def corpus_quality_classifier_serving(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Model-based quality filtering at SERVING shape — the published
+    curation pattern (GPT-3/CCNet-style fastText quality classifier;
+    Brown et al. 2020 Appendix A): a linear classifier over hashed
+    token features scores every document, and keep/drop is a logit
+    threshold. Train-time is the existing quantized-GD logreg
+    (operators/ml_train.py::logreg_fit, 3 iterations, lr=0.5) on
+    the doc_id%5!=0 split with y = [lang='en'] as the quality-domain
+    proxy; features are the vocabulary-free 64-bin md5 hashing trick
+    (feature_hashing_trick), each bin a token RATE (count/n_tokens —
+    fastText's mean-of-ngram-vectors normalization), so scores are
+    length-invariant.
+
+    The SERVING pass is the scale story: the fitted weight vector is
+    64+1 doubles embedded as a literal map-side expression (the
+    broadcast-weights device every trainer here uses), so scoring is
+    one corpus scan with zero joins and zero shuffles — per doc one
+    tokenize + hash aggregate + one 64-term dot. At 100 TB that is
+    embarrassingly parallel, exactly how fastText quality filters
+    run over Common Crawl. logit_q = ROUND(logit·2²⁴) keeps the
+    hash-gate integer-exact; the oracle re-derives hashing, all
+    three GD iterations, and the serving scores in SQL.
+
+    Separability is pinned by
+    tests/test_round9_ops.py::test_quality_classifier_separates_planted_vocab
+    (disjoint planted vocabularies -> every holdout doc on the right
+    side of the threshold), DSIR-style."""
+    from wilayah_aceh_etl_spark.functions.text import hex4_to_int
+    from wilayah_aceh_etl_spark.operators.ml_train import logreg_fit
+    from wilayah_aceh_etl_spark.functions.vectors import dot as vdot
+
+    docs0 = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    toks = docs0.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    ntok = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks")
+    )
+    binned = (
+        toks.select(
+            "doc_id", (hex4_to_int(F.md5(F.col("tok"))) % 64).alias("bin")
+        )
+        .groupBy("doc_id", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    bm = binned.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bin", "cnt"))
+        ).alias("bm")
+    )
+    xv = ntok.join(bm, "doc_id").select(
+        "doc_id",
+        F.array(
+            *[
+                F.coalesce(F.element_at("bm", F.lit(i)), F.lit(0))
+                .cast("double")
+                / F.col("n_toks")
+                for i in range(64)
+            ]
+        ).alias("x"),
+    )
+    train = xv.join(docs0.select("doc_id", "y"), "doc_id").filter(
+        F.col("doc_id") % 5 != 0
+    )
+    w, b = logreg_fit(
+        train, n_iter=3, lr=0.5, id_col="doc_id", vec_col="x"
+    )
+    # serving: broadcast weights as a literal expression, zero joins
+    warr = F.array(*[F.lit(float(wj)) for wj in w])
+    m = vdot(F.col("x"), warr) + F.lit(float(b))
+    return xv.select(
+        "doc_id",
+        F.round(m * 16777216).cast("long").alias("logit_q"),
+        (m > 0).cast("int").alias("keep"),
+    ).orderBy("doc_id")
