@@ -160,6 +160,12 @@ NLJ_ALLOWED = {
     # 16-row trained-centroid build side; the mining stages after
     # retrieval are equi-joins with O(Q·k) broadcast build sides
     "embedding_contrastive_mining",
+    # --- round 9 ---
+    # inverted multi-index: NLJ only against the TWO 4-row half-
+    # space centroid broadcasts (training + assignment + probes);
+    # the candidate scan is an equi-join on the (ca, cb) cell pair
+    # with an O(Q · n_probe²)-row broadcast build side
+    "similarity_imi_topk",
 }
 
 

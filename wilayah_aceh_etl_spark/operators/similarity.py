@@ -715,6 +715,141 @@ def ivf_trained_topk(
     return _ivf_search(c, cent, q, k, n_probe)
 
 
+def _probe_half(
+    q: DataFrame, cent: DataFrame, half_expr, out_cid: str, n_probe: int
+) -> DataFrame:
+    """Top-`n_probe` centroids of ONE half-space quantizer per query:
+    the same (cos desc, cid) ranking _ivf_search uses for its probe
+    set, on the sliced half-vector. Norms hoisted per side (bitwise-
+    identical to cosine; see _assign_nearest)."""
+    from pyspark.sql.window import Window
+
+    if "cnrm" not in cent.columns:
+        cent = cent.withColumn("cnrm", l2_norm(F.col("cvec")))
+    qh = q.select(
+        F.col("vec_id").alias("query_id"), half_expr.alias("qh")
+    ).withColumn("qhnrm", l2_norm(F.col("qh")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("cid")
+    )
+    return (
+        qh.join(cent)
+        .select(
+            "query_id",
+            "cid",
+            (
+                dot(F.col("qh"), F.col("cvec"))
+                / (F.col("qhnrm") * F.col("cnrm"))
+            ).alias("_cos"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_probe)
+        .select("query_id", F.col("cid").alias(out_cid))
+    )
+
+
+def imi_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    c_half: int = 4,
+    n_probe_half: int = 2,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted MULTI-index ANN (Babenko & Lempitsky 2012, "The
+    Inverted Multi-Index") — the published two-level device the
+    kmeans_centroids docstring points at for very large effective C:
+    instead of one C-cell quantizer, train TWO independent quantizers
+    on the two HALVES of the vector (C₁ = C₂ = `c_half` centroids
+    each, spherical Lloyd, same seeding/tie-break as every quantizer
+    here) and index each vector by the PAIR (ca, cb) of its half
+    assignments. The effective cell grid is C₁·C₂ cells from only
+    C₁+C₂ trained centroids — 10⁶ cells cost 2·10³ broadcast rows,
+    which is why the multi-index is how billion-vector IVF systems
+    keep both the broadcast and the per-row argmax small (each half
+    argmax is O(C_half) = O(√C_eff) work, and past 256 per half the
+    kmeans_centroids crossover applies automatically).
+
+    Search probes the CARTESIAN grid of each query's `n_probe_half`
+    best A-cells × best B-cells (probe set = n_probe_half² cells),
+    then ranks exact full-vector cosine within the probed cells —
+    the same candidate-scoped exact rerank every IVF read path here
+    uses, with the same (cos desc, vec_id) tie-break and self-match
+    exclusion.
+
+    Scale shape: training moves O((C₁+C₂)·d) floats; half
+    assignments are two map-side-combined aggregates (the
+    _assign_nearest shuffle form); at write time (ca, cb) is the
+    natural two-level partition key — a probe then reads
+    n_probe_half²/(C₁·C₂) of the data files, the multi-index analog
+    of ivf_partitioned_layout's pruning. Output schema matches
+    ivf_topk: (query_id, vec_id, cos_sim, rk)."""
+    from pyspark.sql.window import Window
+
+    full = _prep(corpus, id_col, vec_col)
+    d = len(full.select("vec").first()["vec"])
+    dh = d // 2
+    half_a = F.slice(F.col("vec"), 1, dh)
+    half_b = F.slice(F.col("vec"), dh + 1, d - dh)
+
+    va = full.select("vec_id", half_a.alias("vec"))
+    vb = full.select("vec_id", half_b.alias("vec"))
+    cent_a = F.broadcast(
+        kmeans_centroids(va, c_half, n_iter, "vec_id", "vec")
+    )
+    cent_b = F.broadcast(
+        kmeans_centroids(vb, c_half, n_iter, "vec_id", "vec")
+    )
+
+    # two-level inverted lists: each vector keyed by its half-space
+    # assignment PAIR (at 100 TB this is the write-time partition
+    # key; here the two argmax aggregates join back on vec_id)
+    a_cells = _assign_nearest(va, cent_a).select(
+        "vec_id", F.col("centroid").alias("ca")
+    )
+    b_cells = _assign_nearest(vb, cent_b).select(
+        "vec_id", F.col("centroid").alias("cb")
+    )
+    lists = (
+        full.withColumn("nrm", l2_norm(F.col("vec")))
+        .join(a_cells, "vec_id")
+        .join(b_cells, "vec_id")
+    )
+
+    q = _prep(queries, id_col, vec_col)
+    probes = _probe_half(q, cent_a, half_a, "ca", n_probe_half).join(
+        _probe_half(q, cent_b, half_b, "cb", n_probe_half), "query_id"
+    )
+    qv = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        l2_norm(F.col("vec")).alias("qnrm"),
+    )
+    w_topk = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id")
+    )
+    return (
+        F.broadcast(probes.join(qv, "query_id"))
+        .join(lists, ["ca", "cb"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                dot(F.col("qvec"), F.col("vec"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("_cos"),
+        )
+        .withColumn("rk", F.row_number().over(w_topk))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", "vec_id", F.round("_cos", 6).alias("cos_sim"), "rk"
+        )
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.35,

@@ -3723,6 +3723,167 @@ def similarity_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _imi_km_step_sql(p: str, i: int) -> str:
+    """One spherical Lloyd iteration on ONE half-space (`p` in
+    a/b) — _ivf_km_step_sql with per-half table prefixes, so the
+    IMI oracle re-derives BOTH half-quantizers independently."""
+    cos_expr = _COS.format(a=f"v{p}.e", b="c.ce")
+    return f"""
+s{p}{i} AS (
+  SELECT v{p}.vec_id, c.cid, {cos_expr} AS cs
+  FROM v{p} CROSS JOIN c{p}{i} c
+),
+a{p}{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rk
+    FROM s{p}{i}
+  ) WHERE rk = 1
+),
+m{p}{i} AS (
+  SELECT a.cid, u.pos,
+         CAST(SUM(CAST(ROUND(u.val * 16777216) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM a{p}{i} a JOIN u{p} u ON u.vec_id = a.vec_id
+  GROUP BY a.cid, u.pos
+),
+c{p}{i + 1} AS (
+  SELECT cid, list(CAST(s AS DOUBLE) / n / 16777216 ORDER BY pos) AS ce
+  FROM m{p}{i} GROUP BY cid
+)"""
+
+
+_IMI_ORACLE = (
+    "WITH "
+    + _VEC_CTE
+    + """,
+va AS (SELECT vec_id, e[1:32] AS e FROM v),
+vb AS (SELECT vec_id, e[33:64] AS e FROM v),
+ua AS (
+  SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM va
+),
+ub AS (
+  SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM vb
+),
+ca1 AS (SELECT vec_id AS cid, e AS ce FROM va WHERE vec_id < 4),
+cb1 AS (SELECT vec_id AS cid, e AS ce FROM vb WHERE vec_id < 4),
+"""
+    + ",".join(
+        _imi_km_step_sql(p, i) for p in ("a", "b") for i in (1, 2)
+    )
+    + """,
+la AS (
+  SELECT vec_id, cid AS ca FROM (
+    SELECT va.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY va.vec_id
+             ORDER BY """
+    + _COS.format(a="va.e", b="c.ce")
+    + """ DESC, c.cid
+           ) AS rn
+    FROM va, ca3 c
+  ) WHERE rn = 1
+),
+lb AS (
+  SELECT vec_id, cid AS cb FROM (
+    SELECT vb.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY vb.vec_id
+             ORDER BY """
+    + _COS.format(a="vb.e", b="c.ce")
+    + """ DESC, c.cid
+           ) AS rn
+    FROM vb, cb3 c
+  ) WHERE rn = 1
+),
+lists AS (
+  SELECT v.vec_id, v.e, la.ca, lb.cb
+  FROM v JOIN la USING (vec_id) JOIN lb USING (vec_id)
+),
+pa AS (
+  SELECT query_id, cid AS ca FROM (
+    SELECT va.vec_id AS query_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY va.vec_id
+             ORDER BY """
+    + _COS.format(a="va.e", b="c.ce")
+    + """ DESC, c.cid
+           ) AS rn
+    FROM va, ca3 c WHERE va.vec_id < 5
+  ) WHERE rn <= 2
+),
+pb AS (
+  SELECT query_id, cid AS cb FROM (
+    SELECT vb.vec_id AS query_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY vb.vec_id
+             ORDER BY """
+    + _COS.format(a="vb.e", b="c.ce")
+    + """ DESC, c.cid
+           ) AS rn
+    FROM vb, cb3 c WHERE vb.vec_id < 5
+  ) WHERE rn <= 2
+),
+cells AS (
+  SELECT pa.query_id, pa.ca, pb.cb FROM pa JOIN pb USING (query_id)
+),
+ranked AS (
+  SELECT query_id, vec_id, c,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+  FROM (
+    SELECT cl.query_id, l.vec_id, """
+    + _COS.format(a="qv.e", b="l.e")
+    + """ AS c
+    FROM cells cl
+    JOIN lists l USING (ca, cb)
+    JOIN v qv ON qv.vec_id = cl.query_id
+    WHERE cl.query_id != l.vec_id
+  )
+)
+SELECT query_id, vec_id, ROUND(c, 6) AS cos_sim, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= 10
+ORDER BY query_id, rk
+"""
+)
+
+
+@register(
+    "similarity_imi_topk",
+    oracle=_IMI_ORACLE,
+    tags=("ext", "similarity", "ivf", "ann", "multi-index", "two-level"),
+    description="inverted MULTI-index ANN: 4×4 cell grid from two "
+    "4-centroid half-space quantizers, 2×2 probe, exact rerank",
+)
+def similarity_imi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-level quantizer at serving shape (Babenko & Lempitsky
+    2012): two independent 4-centroid spherical-Lloyd quantizers on
+    the two 32-d halves index every vector by its assignment PAIR —
+    a 16-cell grid from 8 trained centroids. This is the published
+    answer to the derived-C driver-memory bound the r8 verdict
+    flagged: effective C grows as the PRODUCT of two small
+    quantizers, so 10⁶ cells broadcast 2·10³ centroid rows instead
+    of 10⁶ (operators/similarity.py::imi_topk documents the scale
+    arithmetic; SCALE.md round-9 update ties it to the crossover).
+    The oracle re-derives BOTH half-space Lloyd trainings (two
+    iterations each), both assignments, the per-query 2×2 probe
+    grid, and the exact-cosine rerank — the full two-level pipeline
+    hash-checked end to end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return (
+        S.imi_topk(
+            emb,
+            queries,
+            k=10,
+            c_half=4,
+            n_probe_half=2,
+            n_iter=2,
+        )
+        .withColumn("rk", F.col("rk").cast("int"))
+        .orderBy("query_id", "rk")
+    )
+
+
 _IVF_KMEANS_RECALL_ORACLE = (
     "WITH "
     + _VEC_CTE
