@@ -166,6 +166,15 @@ NLJ_ALLOWED = {
     # the candidate scan is an equi-join on the (ca, cb) cell pair
     # with an O(Q · n_probe²)-row broadcast build side
     "similarity_imi_topk",
+    # inherits text_bigram_lm_logprob's 1-row corpus-token-total
+    # broadcast (the LM interpolation denominator)
+    "corpus_perplexity_buckets_ccnet",
+    # two 1-row broadcasts: k = (3n) div 10, and the (threshold,
+    # boundary-quota) row selected from the margin histogram
+    "data_pruning_el2n_margin",
+    # 1-row class-threshold aggregate (s1,n1,s0,n0) broadcast onto
+    # the scored corpus
+    "labels_confident_learning_noise",
 }
 
 

@@ -116,3 +116,82 @@ def test_imi_cell_grid_and_recall(spark):
         (r.ca, r.cb): None for r in ca.join(cb, "vec_id").collect()
     }
     assert len(cells) > 4, "grid must exceed either half-quantizer's C"
+
+
+def test_ccnet_buckets_are_language_terciles(spark):
+    """NTILE(3) partitioned by language must split each language into
+    near-equal buckets (sizes differ by at most 1), and keep must be
+    exactly head+middle."""
+    from tests.conftest import SF_SMOKE
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        corpus_perplexity_buckets_ccnet,
+    )
+
+    rows = corpus_perplexity_buckets_ccnet(spark, SF_SMOKE).collect()
+    assert rows
+    sizes = {}
+    for r in rows:
+        assert r.keep == (1 if r.bucket <= 2 else 0)
+        sizes.setdefault(r.lang, {1: 0, 2: 0, 3: 0})[r.bucket] += 1
+    for lang, by_bucket in sizes.items():
+        counts = list(by_bucket.values())
+        assert max(counts) - min(counts) <= 1, (lang, by_bucket)
+
+
+def test_el2n_prune_boundary_exact(spark):
+    """The histogram-threshold prune set must be EXACTLY the bottom
+    floor(0.3n) of the (hardness, doc_id) lexicographic order — the
+    definitional global rank the oracle uses."""
+    from tests.conftest import SF_SMOKE
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        data_pruning_el2n_margin,
+    )
+
+    rows = data_pruning_el2n_margin(spark, SF_SMOKE).collect()
+    n = len(rows)
+    k = (3 * n) // 10
+    pruned = [(r.hardness_q, r.doc_id) for r in rows if r.pruned == 1]
+    kept = [(r.hardness_q, r.doc_id) for r in rows if r.pruned == 0]
+    assert len(pruned) == k
+    assert max(pruned) < min(kept)
+    # and the pruned set is the easiest ones: global re-sort agrees
+    assert sorted(pruned) == sorted((r.hardness_q, r.doc_id) for r in rows)[:k]
+
+
+def test_confident_learning_flags_planted_flips(spark, tmp_path):
+    """On a separable planted-vocabulary corpus the confident-learning
+    audit must flag EXACTLY the doc_id%17 planted flips, each with
+    the clean label suggested — and never flag a clean doc. (On the
+    real corpus the flagged set is larger — the audit is only as
+    sharp as the proxy classifier, the paper's own caveat — so the
+    semantics pin lives here, on data where the model is sharp.)"""
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        labels_confident_learning_noise,
+    )
+
+    good = "lucid cogent narrative prose exposition rigorous"
+    junk = "zzz9 qqq7 xxx4 kkk2 vvv8 jjj1"
+    rows = []
+    for i in range(50):
+        if i % 2 == 0:
+            text = " ".join(good.split()[j % 6] for j in range(i % 7 + 8))
+            rows.append((i, text, "en", f"src{i % 3}", len(text)))
+        else:
+            text = " ".join(junk.split()[j % 6] for j in range(i % 5 + 8))
+            rows.append((i, text, "de", f"src{i % 3}", len(text)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    got = labels_confident_learning_noise(spark, str(tmp_path)).collect()
+    flagged = {r.doc_id: r for r in got}
+    planted = {i for i in range(50) if i % 17 == 0}  # {0, 17, 34}
+    assert set(flagged) == planted, (set(flagged), planted)
+    for i in planted:
+        r = flagged[i]
+        clean = 1 if i % 2 == 0 else 0
+        assert r.planted == 1
+        assert r.y_noisy == 1 - clean
+        assert r.suggested == clean

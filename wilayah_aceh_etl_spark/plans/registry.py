@@ -98,11 +98,13 @@ def _load_all() -> None:
 # tools/parity.py locally and by the test suite.
 #
 # EXHAUSTION POLICY (planned r9, per the r8 verdict ask #7): after
-# this window lands, ~79 never-verified oracle-backed names remain
+# this window lands, ~82 never-verified oracle-backed names remain
 # (feature/ab/stats/graph slices, a ~60-name singleton tail, plus
-# the two NEW r9 queries — corpus_quality_classifier_serving and
-# similarity_imi_topk, both parity-green at all 3 SFs, weight into
-# the r10 window per the new-code-first rule) — about 1.5 windows. Once the never-verified pool drops below 50,
+# the five NEW r9 queries — corpus_quality_classifier_serving,
+# similarity_imi_topk, corpus_perplexity_buckets_ccnet,
+# data_pruning_el2n_margin, labels_confident_learning_noise — all
+# parity-green at all 3 SFs, weighting into the r10 window per the
+# new-code-first rule) — about 1.6 windows. Once the never-verified pool drops below 50,
 # fill the REMAINDER of the window by RE-verifying the oldest driver
 # rows first (r1 vintage, then r2, …— ordered by the round of their
 # last green row), so long-stable operators regain driver visibility

@@ -2392,14 +2392,29 @@ _QC_H4_TOK = " + ".join(
 )
 
 
-def _qc_oracle() -> str:
+# Clean quality-domain proxy label and its doc_id%17 planted-flip
+# variant (the confident-learning query trains on the NOISY labels —
+# that is the method's setting)
+_QC_Y_CLEAN = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+_QC_Y_NOISY = (
+    f"CASE WHEN doc_id % 17 = 0 THEN 1 - ({_QC_Y_CLEAN}) "
+    f"ELSE ({_QC_Y_CLEAN}) END"
+)
+
+
+def _qc_train_sql(label_case: str, split_pred: str) -> str:
+    """Shared DuckDB CTE prefix of the model-based curation family:
+    64-bin hashed token-RATE features (docs0 → toks → ntok → binned →
+    xv), the training relation `v` (labels from `label_case`, rows
+    from `split_pred`), and the three quantized-GD logreg iterations
+    w1..w3 (round7_queries._lr_step_sql). Ends after w3's CTE so a
+    caller appends its own `,scored AS (...) ... SELECT`."""
     from wilayah_aceh_etl_spark.plans.round7_queries import _lr_step_sql
 
-    return (
-        f"""
+    return f"""
 WITH docs0 AS MATERIALIZED (
   SELECT doc_id, text,
-         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+         {label_case} AS y
   FROM documents
 ),
 toks AS MATERIALIZED (
@@ -2426,7 +2441,7 @@ xv AS MATERIALIZED (
 v AS MATERIALIZED (
   SELECT x0.doc_id AS vec_id, x0.x, d.y
   FROM xv x0 JOIN docs0 d USING (doc_id)
-  WHERE x0.doc_id % 5 != 0
+  WHERE {split_pred}
 ),
 nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
 u AS (
@@ -2435,8 +2450,12 @@ u AS (
 w0 AS (
   SELECT (SELECT list(0.0) FROM range(64)) AS w, 0.0 AS b
 ),
-"""
-        + ",".join(_lr_step_sql(i) for i in (1, 2, 3))
+""" + ",".join(_lr_step_sql(i) for i in (1, 2, 3))
+
+
+def _qc_oracle() -> str:
+    return (
+        _qc_train_sql(_QC_Y_CLEAN, "x0.doc_id % 5 != 0")
         + """,
 scored AS (
   SELECT x0.doc_id,
@@ -2450,6 +2469,46 @@ SELECT doc_id,
 FROM scored
 ORDER BY doc_id
 """
+    )
+
+
+def _qc_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _qc_train_sql's feature CTEs: per-doc 64-bin
+    md5-hashed token-RATE vector (count/n_tokens — fastText's
+    mean-of-ngram-vectors normalization). Shared by the quality
+    classifier, EL2N pruning, and confident-learning queries; one
+    tokenize + two hash aggregates per doc, no corpus-wide state."""
+    from wilayah_aceh_etl_spark.functions.text import hex4_to_int
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    ntok = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_toks")
+    )
+    binned = (
+        toks.select(
+            "doc_id", (hex4_to_int(F.md5(F.col("tok"))) % 64).alias("bin")
+        )
+        .groupBy("doc_id", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    bm = binned.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bin", "cnt"))
+        ).alias("bm")
+    )
+    return ntok.join(bm, "doc_id").select(
+        "doc_id",
+        F.array(
+            *[
+                F.coalesce(F.element_at("bm", F.lit(i)), F.lit(0))
+                .cast("double")
+                / F.col("n_toks")
+                for i in range(64)
+            ]
+        ).alias("x"),
     )
 
 
@@ -2497,47 +2556,15 @@ def corpus_quality_classifier_serving(
     tests/test_round9_ops.py::test_quality_classifier_separates_planted_vocab
     (disjoint planted vocabularies -> every holdout doc on the right
     side of the threshold), DSIR-style."""
-    from wilayah_aceh_etl_spark.functions.text import hex4_to_int
     from wilayah_aceh_etl_spark.operators.ml_train import logreg_fit
     from wilayah_aceh_etl_spark.functions.vectors import dot as vdot
 
     docs0 = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        "text",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
     )
-    toks = docs0.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    )
-    ntok = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_toks")
-    )
-    binned = (
-        toks.select(
-            "doc_id", (hex4_to_int(F.md5(F.col("tok"))) % 64).alias("bin")
-        )
-        .groupBy("doc_id", "bin")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
-    bm = binned.groupBy("doc_id").agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("bin", "cnt"))
-        ).alias("bm")
-    )
-    xv = ntok.join(bm, "doc_id").select(
-        "doc_id",
-        F.array(
-            *[
-                F.coalesce(F.element_at("bm", F.lit(i)), F.lit(0))
-                .cast("double")
-                / F.col("n_toks")
-                for i in range(64)
-            ]
-        ).alias("x"),
-    )
-    train = xv.join(docs0.select("doc_id", "y"), "doc_id").filter(
-        F.col("doc_id") % 5 != 0
-    )
+    xv = _qc_feature_vectors(spark, sf_dir)
+    train = xv.join(docs0, "doc_id").filter(F.col("doc_id") % 5 != 0)
     w, b = logreg_fit(
         train, n_iter=3, lr=0.5, id_col="doc_id", vec_col="x"
     )
@@ -2549,3 +2576,370 @@ def corpus_quality_classifier_serving(
         F.round(m * 16777216).cast("long").alias("logit_q"),
         (m > 0).cast("int").alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets: the head/middle/tail LM-perplexity split
+# (Wenzek et al. 2020) that CCNet uses to stratify Common Crawl by
+# language-model quality before training-data selection.
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LP3_SQL = """
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+uni AS (SELECT doc_id, UNNEST(w) AS tok FROM words),
+c1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM uni),
+big AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM words, UNNEST(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+),
+c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY 1, 2),
+lpterms AS (
+  SELECT b.doc_id,
+         ln(0.7 * c2.c / ca.c + 0.3 * cb.c / CAST(n.total AS DOUBLE)) AS lp
+  FROM big b
+  JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+  JOIN c1 ca ON ca.tok = b.w1
+  JOIN c1 cb ON cb.tok = b.w2
+  CROSS JOIN n
+),
+lp AS (
+  SELECT doc_id, ROUND(SUM(lp) / COUNT(*), 3) AS lp3
+  FROM lpterms GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "corpus_perplexity_buckets_ccnet",
+    oracle="WITH "
+    + _BIGRAM_LP3_SQL
+    + """,
+b AS (
+  SELECT l.doc_id, d.lang, l.lp3,
+         NTILE(3) OVER (PARTITION BY d.lang
+                        ORDER BY l.lp3 DESC, l.doc_id) AS bucket
+  FROM lp l JOIN documents d ON d.doc_id = l.doc_id
+)
+SELECT doc_id, lang, lp3, CAST(bucket AS INTEGER) AS bucket,
+       CAST(CASE WHEN bucket <= 2 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM b ORDER BY doc_id
+""",
+    tags=("ext", "text", "lm", "quality", "curation", "ccnet"),
+    description="CCNet head/middle/tail LM-perplexity buckets per "
+    "language; keep = head+middle",
+)
+def corpus_perplexity_buckets_ccnet(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet's perplexity stratification (Wenzek et al. 2020 §4.4):
+    score every document with a language-model log-probability, then
+    split EACH LANGUAGE into equal head/middle/tail terciles by that
+    score and keep head+middle — the published recipe for turning a
+    raw crawl into an LM-quality-stratified corpus. The LM signal is
+    the registered interpolated-bigram score (text_bigram_lm_logprob,
+    round5_queries — composed by calling it, zero duplicated plan
+    code); documents under two tokens have no bigram score and drop
+    out before bucketing, matching the oracle's inner joins.
+
+    Scale shape: the LM tables are token-keyed aggregates (the
+    natural hash keys), and the tercile window partitions BY LANGUAGE
+    (ORDER BY the 3-decimal-rounded score with doc_id tiebreak, so
+    bucket boundaries are engine-deterministic) — never a global
+    sort. NTILE within a language is a single-key sort at 100 TB;
+    CCNet itself shards this per (language, crawl-snapshot) and so
+    would we — the snapshot key is absent from this corpus, noted
+    honestly. keep = bucket<=2 is one projected comparison."""
+    from wilayah_aceh_etl_spark.plans.round5_queries import (
+        text_bigram_lm_logprob,
+    )
+
+    lp = text_bigram_lm_logprob(spark, sf_dir).select(
+        "doc_id", F.col("avg_logprob").alias("lp3")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lp3").desc(), F.col("doc_id").asc()
+    )
+    b = lp.join(docs, "doc_id").select(
+        "doc_id", "lang", "lp3", F.ntile(3).over(w).alias("bucket")
+    )
+    return b.select(
+        "doc_id",
+        "lang",
+        "lp3",
+        F.col("bucket").cast("int").alias("bucket"),
+        (F.col("bucket") <= 2).cast("int").alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Data-diet pruning by EL2N margin (Paul et al. 2021): drop the
+# EASIEST 30% of training examples by classifier margin.
+# ---------------------------------------------------------------------------
+
+
+def _el2n_oracle() -> str:
+    return (
+        _qc_train_sql(_QC_Y_CLEAN, "x0.doc_id % 5 != 0")
+        + """,
+scored AS (
+  SELECT v.vec_id AS doc_id, v.y,
+         CAST(ROUND((list_dot_product(v.x, (SELECT w FROM w3)) +
+                     (SELECT b FROM w3)) * 16777216) AS BIGINT) AS logit_q
+  FROM v
+),
+h AS (
+  SELECT doc_id, y, -(2 * y - 1) * logit_q AS hardness_q FROM scored
+),
+kk AS (SELECT (3 * COUNT(*)) // 10 AS k FROM h),
+ranked AS (
+  SELECT doc_id, y, hardness_q,
+         ROW_NUMBER() OVER (ORDER BY hardness_q ASC, doc_id ASC) AS rn
+  FROM h
+)
+SELECT doc_id, CAST(y AS INTEGER) AS y,
+       CAST(hardness_q AS BIGINT) AS hardness_q,
+       CAST(CASE WHEN rn <= (SELECT k FROM kk) THEN 1 ELSE 0 END AS INTEGER)
+         AS pruned
+FROM ranked ORDER BY doc_id
+"""
+    )
+
+
+@register(
+    "data_pruning_el2n_margin",
+    oracle=_el2n_oracle(),
+    tags=("ext", "ml", "curation", "pruning", "data-diet"),
+    description="data-diet pruning: drop the easiest 30% of training "
+    "docs by exact integer classifier margin",
+)
+def data_pruning_el2n_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-diet pruning (Paul et al. 2021, 'Deep Learning on a Data
+    Diet'): score every training example with the trained classifier
+    and PRUNE the easiest 30% — the examples the model is already
+    most confident about, which contribute least to training. For a
+    binary linear model the paper's EL2N score ||p(x)−y||₂ is a
+    strictly DECREASING function of the signed margin (2y−1)·logit,
+    so ranking by hardness_q = −(2y−1)·logit_q (an exact BIGINT on
+    the already-hash-pinned quantized logit) reproduces the EL2N
+    order with zero floating-point divergence risk — the same
+    monotone-integer substitution the repo's Gopher thresholds use.
+    Training is the shared quantized-GD logreg on the hashed-feature
+    split (corpus_quality_classifier_serving's exact pipeline).
+
+    Scale shape: NO global row_number over the corpus. The prune
+    boundary comes from a HISTOGRAM of the quantized margin — one
+    hash aggregate, a cumulative window over the (much smaller)
+    distinct-margin relation, and a 1-row (threshold, boundary-quota)
+    broadcast back onto the corpus; boundary ties resolve in a
+    window PARTITIONED by margin value. k = floor(0.3·n) is computed
+    as (3n) div 10, exact integer in both engines. At 100 TB the
+    same plan holds (distinct quantized margins are value-bounded);
+    if they weren't, the documented substitute is an
+    approx-percentile threshold — the histogram form keeps the gate
+    exact. The oracle pins equivalence to the definitional global
+    rank."""
+    from wilayah_aceh_etl_spark.operators.ml_train import logreg_fit
+    from wilayah_aceh_etl_spark.functions.vectors import dot as vdot
+
+    docs0 = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    xv = _qc_feature_vectors(spark, sf_dir)
+    v = xv.join(docs0, "doc_id").filter(F.col("doc_id") % 5 != 0)
+    w, b = logreg_fit(v, n_iter=3, lr=0.5, id_col="doc_id", vec_col="x")
+    warr = F.array(*[F.lit(float(wj)) for wj in w])
+    logit_q = (
+        F.round((vdot(F.col("x"), warr) + F.lit(float(b))) * 16777216)
+        .cast("long")
+    )
+    h = v.select(
+        "doc_id",
+        "y",
+        (-(F.lit(2) * F.col("y") - 1) * logit_q)
+        .cast("long")
+        .alias("hardness_q"),
+    )
+    hist = h.groupBy("hardness_q").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("hardness_q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "hardness_q", "c", F.sum("c").over(wcum).alias("cum")
+    )
+    kdf = h.agg(F.expr("(3 * count(*)) div 10").alias("k"))
+    tq = (
+        cum.crossJoin(kdf)
+        .filter(F.col("cum") >= F.col("k"))
+        .orderBy("hardness_q")
+        .limit(1)
+        .select(
+            F.col("hardness_q").alias("t"),
+            (F.col("k") - (F.col("cum") - F.col("c"))).alias("quota"),
+        )
+    )
+    wg = Window.partitionBy("hardness_q").orderBy("doc_id")
+    return (
+        h.withColumn("rn", F.row_number().over(wg))
+        .crossJoin(tq)
+        .select(
+            "doc_id",
+            F.col("y").cast("int").alias("y"),
+            "hardness_q",
+            (
+                (F.col("hardness_q") < F.col("t"))
+                | (
+                    (F.col("hardness_q") == F.col("t"))
+                    & (F.col("rn") <= F.col("quota"))
+                )
+            )
+            .cast("int")
+            .alias("pruned"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Confident-learning label-noise audit (Northcutt et al. 2021), in
+# exact quantized-logit space, with doc_id%17 planted label flips so
+# the audit demonstrably finds real noise.
+# ---------------------------------------------------------------------------
+
+
+def _cl_oracle() -> str:
+    return (
+        _qc_train_sql(_QC_Y_NOISY, "TRUE")
+        + """,
+scored AS (
+  SELECT v.vec_id AS doc_id, v.y,
+         CAST(ROUND((list_dot_product(v.x, (SELECT w FROM w3)) +
+                     (SELECT b FROM w3)) * 16777216) AS BIGINT) AS m_q
+  FROM v
+),
+th AS (
+  SELECT
+    CAST(SUM(CASE WHEN y = 1 THEN m_q ELSE 0 END) AS BIGINT) AS s1,
+    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN y = 0 THEN -m_q ELSE 0 END) AS BIGINT) AS s0,
+    CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0
+  FROM scored
+),
+assigned AS (
+  SELECT s.doc_id, s.y, s.m_q,
+         CASE
+           WHEN s.m_q * t.n1 >= t.s1 AND (-s.m_q) * t.n0 >= t.s0
+             THEN CASE WHEN s.m_q >= 0 THEN 1 ELSE 0 END
+           WHEN s.m_q * t.n1 >= t.s1 THEN 1
+           WHEN (-s.m_q) * t.n0 >= t.s0 THEN 0
+           ELSE NULL
+         END AS suggested
+  FROM scored s CROSS JOIN th t
+)
+SELECT doc_id, CAST(y AS INTEGER) AS y_noisy,
+       CAST(m_q AS BIGINT) AS m_q,
+       CAST(suggested AS INTEGER) AS suggested,
+       CAST(CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS planted
+FROM assigned
+WHERE suggested IS NOT NULL AND suggested <> y
+ORDER BY doc_id
+"""
+    )
+
+
+@register(
+    "labels_confident_learning_noise",
+    oracle=_cl_oracle(),
+    tags=("ext", "ml", "labels", "noise", "confident-learning"),
+    description="confident-learning label-noise audit on planted "
+    "doc_id%17 flips, exact quantized-logit thresholds",
+)
+def labels_confident_learning_noise(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Confident-learning label-noise detection (Northcutt, Jiang &
+    Chuang 2021): train on the NOISY labels, compute per-class
+    confidence thresholds t_j as the class's mean self-confidence,
+    and flag every example that confidently qualifies for a class
+    other than its given label. This query PLANTS the noise itself —
+    doc_id%17==0 rows train with the flipped label (the pHash
+    planted-duplicate precedent, so the audit demonstrably finds
+    real noise and the gate row is never vacuous) — and emits the
+    flagged rows with the suggested corrected label.
+
+    Cross-engine exactness: confidence lives in QUANTIZED LOGIT
+    space (class 1: m_q, class 0: −m_q — the same monotone transform
+    of the paper's predicted probability for both classes), so
+    thresholds are exact integer means compared by
+    cross-multiplication (m_q·n_j ≥ s_j), the repo's standard
+    integer-threshold idiom; both-classes ties resolve by sign(m_q).
+    In-sample self-confidence replaces the paper's cross-validated
+    probabilities — documented simplification, standard for linear
+    models. Scale shape: one corpus training pass (broadcast-weight
+    logreg), then one projection + one 4-long global aggregate
+    broadcast back — no joins over data, embarrassingly parallel.
+
+    tests/test_round9_ops.py::test_confident_learning_flags_planted_flips
+    pins on a separable planted-vocabulary corpus that the flagged
+    set is EXACTLY the planted flips, each with the clean label
+    suggested."""
+    from wilayah_aceh_etl_spark.operators.ml_train import logreg_fit
+    from wilayah_aceh_etl_spark.functions.vectors import dot as vdot
+
+    y_clean = F.when(F.col("lang") == "en", 1).otherwise(0)
+    docs0 = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0, 1 - y_clean)
+        .otherwise(y_clean)
+        .alias("y"),
+    )
+    xv = _qc_feature_vectors(spark, sf_dir)
+    v = xv.join(docs0, "doc_id")
+    w, b = logreg_fit(v, n_iter=3, lr=0.5, id_col="doc_id", vec_col="x")
+    warr = F.array(*[F.lit(float(wj)) for wj in w])
+    m_q = (
+        F.round((vdot(F.col("x"), warr) + F.lit(float(b))) * 16777216)
+        .cast("long")
+    )
+    scored = v.select("doc_id", "y", m_q.alias("m_q"))
+    th = scored.agg(
+        F.sum(F.when(F.col("y") == 1, F.col("m_q")).otherwise(0))
+        .cast("long")
+        .alias("s1"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("y") == 0, -F.col("m_q")).otherwise(0))
+        .cast("long")
+        .alias("s0"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+    )
+    q1 = F.col("m_q") * F.col("n1") >= F.col("s1")
+    q0 = (-F.col("m_q")) * F.col("n0") >= F.col("s0")
+    suggested = (
+        F.when(q1 & q0, F.when(F.col("m_q") >= 0, 1).otherwise(0))
+        .when(q1, 1)
+        .when(q0, 0)
+    )
+    return (
+        scored.crossJoin(th)
+        .withColumn("suggested", suggested)
+        .filter(
+            F.col("suggested").isNotNull()
+            & (F.col("suggested") != F.col("y"))
+        )
+        .select(
+            "doc_id",
+            F.col("y").cast("int").alias("y_noisy"),
+            "m_q",
+            F.col("suggested").cast("int").alias("suggested"),
+            (F.col("doc_id") % 17 == 0).cast("int").alias("planted"),
+        )
+        .orderBy("doc_id")
+    )
