@@ -175,6 +175,10 @@ NLJ_ALLOWED = {
     # 1-row class-threshold aggregate (s1,n1,s0,n0) broadcast onto
     # the scored corpus
     "labels_confident_learning_noise",
+    # EL2N's device on the quantized prototype cosine: 16-row trained
+    # centroid broadcast (assignment) + two 1-row broadcasts
+    # (k = (2n) div 10 and the histogram threshold+quota row)
+    "data_pruning_ssl_prototypes",
 }
 
 

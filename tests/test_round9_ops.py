@@ -195,3 +195,200 @@ def test_confident_learning_flags_planted_flips(spark, tmp_path):
         assert r.planted == 1
         assert r.y_noisy == 1 - clean
         assert r.suggested == clean
+
+
+# ---------------------------------------------------------------------------
+# Training-dynamics curation family (round 9, fourth sitting)
+# ---------------------------------------------------------------------------
+
+
+def test_trajectory_last_equals_fit(spark):
+    """logreg_fit_trajectory[-1] must be EXACTLY logreg_fit's return
+    (same _gd_step composition — the bit-identity every dynamics
+    query's oracle relies on)."""
+    from wilayah_aceh_etl_spark.operators.ml_train import (
+        logreg_fit,
+        logreg_fit_trajectory,
+    )
+    from wilayah_aceh_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    traj = logreg_fit_trajectory(emb, n_iter=3, lr=2.0)
+    w, b = logreg_fit(emb, n_iter=3, lr=2.0)
+    assert len(traj) == 3
+    assert traj[-1][0] == w and traj[-1][1] == b
+    # iterates actually move (the trajectory is not degenerate)
+    assert traj[0][0] != traj[1][0] != traj[2][0]
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+
+
+def test_cartography_flipped_labels_are_hard(spark, tmp_path):
+    """The paper's headline use: on a separable corpus with planted
+    label flips, the flips concentrate in the LOW-confidence region
+    — every flipped example's confidence lands strictly below every
+    clean example's (and the clean majority is 'easy')."""
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        data_cartography_regions,
+    )
+
+    d = 8
+    rows = []
+    for i in range(64):
+        sign = 1.0 if i % 2 == 0 else -1.0
+        vec = [sign] + [((i * 7 + j * 3) % 13 - 6) / 60.0 for j in range(d - 1)]
+        # label<5 <=> y=1 <=> positive dim0 — except the planted flips
+        clean_label = 0 if sign > 0 else 9
+        label = 9 - clean_label if i % 16 == 5 else clean_label
+        rows.append((i, vec, label))
+    _write_embeddings(spark, tmp_path, rows)
+
+    got = data_cartography_regions(spark, str(tmp_path)).collect()
+    assert len(got) == 64
+    flipped = [r for r in got if r.vec_id % 16 == 5]
+    clean = [r for r in got if r.vec_id % 16 != 5]
+    assert len(flipped) == 4
+    assert max(r.conf_q for r in flipped) < min(r.conf_q for r in clean)
+    # flips are never 'easy'; the clean majority is learnt every epoch
+    # (on a separable corpus margins GROW each epoch, so variability
+    # is high and the fixed grid calls rows 'ambiguous' — the
+    # easy/hard split is exercised on the real near-noise corpus
+    # below, where the constants were probed)
+    assert all(r.region != "easy" for r in flipped)
+    assert all(r.n_correct == 0 for r in flipped)
+    assert (
+        sum(1 for r in clean if r.n_correct == 3) > len(clean) // 2
+    )
+
+
+def test_cartography_regions_nonvacuous_on_corpus(spark):
+    """All three regions of the fixed conf/var grid are populated on
+    the real sf0.001 corpus (the thresholds were probed exactly for
+    this — a one-region map would pin nothing)."""
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        data_cartography_regions,
+    )
+
+    got = data_cartography_regions(spark, "/root/testdata/sf0.001").collect()
+    regions = {r.region for r in got}
+    assert regions == {"easy", "ambiguous", "hard"}
+    # and the derived columns stay consistent with n_correct extremes
+    assert all(
+        r.n_correct == 3 for r in got if r.region == "easy"
+    )
+
+
+def test_forgetting_events_consistency_and_nonvacuous(spark):
+    """On the real sf0.001 corpus: the derived columns must be pure
+    functions of (acc1, acc2, acc3), and the gate row is non-vacuous
+    (the lr=2.0 probe measured 36 forgetting events here — at least
+    SOME must exist, else the query pins nothing)."""
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        data_pruning_forgetting_events,
+    )
+
+    got = data_pruning_forgetting_events(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(got) == 500
+    total_forgets = 0
+    for r in got:
+        accs = (r.acc1, r.acc2, r.acc3)
+        n_forget = sum(
+            1 for a, b in zip(accs, accs[1:]) if a == 1 and b == 0
+        )
+        assert r.n_forget == n_forget, r
+        first = next((e for e, a in enumerate(accs, 1) if a == 1), 0)
+        assert r.first_learned == first, r
+        assert r.unforgettable == int(first > 0 and n_forget == 0), r
+        total_forgets += n_forget
+    assert total_forgets > 0
+    assert any(r.unforgettable == 1 for r in got)
+
+
+def test_rho_loss_selects_learnable_not_noise(spark, tmp_path):
+    """RHO-loss's defining discrimination: planted LABEL-NOISE points
+    (reference model confidently contradicts the label -> low
+    holdout probability) must rank strictly below clean points, so
+    the top-20 selection contains none of them — and clean points
+    score ratio > 1 (the noise-diluted main model is less confident
+    than the clean-holdout-trained reference)."""
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        data_selection_rho_loss,
+    )
+
+    d = 8
+    rows = []
+    noise_ids = set()
+    for i in range(100):
+        sign = 1.0 if i % 2 == 0 else -1.0
+        vec = [sign] + [((i * 11 + j * 5) % 17 - 8) / 80.0 for j in range(d - 1)]
+        clean_label = 0 if sign > 0 else 9
+        label = clean_label
+        # plant noise in the TRAIN split only (vec_id%5 != 0)
+        if i % 5 != 0 and i % 9 == 3:
+            label = 9 - clean_label
+            noise_ids.add(i)
+        rows.append((i, vec, label))
+    _write_embeddings(spark, tmp_path, rows)
+    assert len(noise_ids) >= 5
+
+    got = data_selection_rho_loss(spark, str(tmp_path)).collect()
+    assert len(got) == 20
+    selected = {r.vec_id for r in got}
+    assert not (selected & noise_ids)
+    assert all(r.vec_id % 5 != 0 for r in got)  # candidates = train split
+    assert all(r.rho_ratio_q > 16777216 for r in got)  # ratio > 1
+
+
+def test_ssl_prototypes_prunes_cluster_cores(spark, tmp_path):
+    """Prototype pruning's semantics: tight cluster CORES (cosine to
+    their centroid ~ 1) are pruned first; scattered outliers — the
+    atypical, informative examples the paper says to keep when data
+    is abundant — survive. Seeds (first 16 ids) are all core
+    members, so no outlier gets to be its own prototype."""
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        data_pruning_ssl_prototypes,
+    )
+
+    d = 8
+    rows = []
+    outlier_ids = set()
+    for i in range(200):
+        if i >= 180:
+            # outliers: rotating off-axis directions, far from cores
+            k = i - 180
+            vec = [0.0] * d
+            vec[2 + k % (d - 2)] = 1.0
+            vec[(3 + k * 2) % d] += 0.7
+            vec[0] = -0.2 if k % 2 == 0 else 0.2
+            outlier_ids.add(i)
+        else:
+            # two tight cores on +dim0 / +dim1, tiny deterministic jitter
+            core = 0 if i % 2 == 0 else 1
+            vec = [0.0] * d
+            vec[core] = 1.0
+            vec[(i * 3) % d] += ((i % 7) - 3) / 200.0
+        rows.append((i, vec, i % 10))
+    _write_embeddings(spark, tmp_path, rows)
+
+    got = data_pruning_ssl_prototypes(spark, str(tmp_path)).collect()
+    assert len(got) == 200
+    pruned = {r.vec_id for r in got if r.pruned == 1}
+    assert len(pruned) == 40  # (2*200) div 10
+    assert not (pruned & outlier_ids)
+    # outliers really are less prototypical than every pruned core row
+    proto = {r.vec_id: r.proto_q for r in got}
+    assert max(proto[i] for i in outlier_ids) < min(
+        proto[i] for i in pruned
+    )

@@ -285,6 +285,40 @@ def logreg_fit(
         v.unpersist()
 
 
+def logreg_fit_trajectory(
+    df: DataFrame,
+    n_iter: int = 3,
+    lr: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "y",
+) -> list[tuple[list[float], float]]:
+    """logreg_fit, keeping EVERY iterate: [(w_1, b_1), ..,
+    (w_n, b_n)] — the raw material of training-DYNAMICS curation
+    (dataset cartography's per-epoch confidence, forgetting-event
+    counts), which scores each example against every epoch's model,
+    not just the last. Composes _gd_step, so element [-1] is
+    bit-identical to logreg_fit's return (pinned by
+    tests/test_round9_ops.py::test_trajectory_last_equals_fit) and
+    the whole path hash-matches the SQL oracle's w1..wn CTEs."""
+    v, u = _prep_vu(df, id_col, vec_col, label_col)
+    v = v.persist()
+    try:
+        n = v.count()
+        if n == 0:
+            raise ValueError("cannot train on an empty DataFrame")
+        d = int(v.select(F.size("x")).first()[0])
+        w = [0.0] * d
+        b = 0.0
+        traj: list[tuple[list[float], float]] = []
+        for _ in range(n_iter):
+            w, b = _gd_step(v, u, w, b, lr, n)
+            traj.append((list(w), b))
+        return traj
+    finally:
+        v.unpersist()
+
+
 def score_confusion(
     df: DataFrame,
     w: list[float],

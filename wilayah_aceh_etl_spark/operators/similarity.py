@@ -850,6 +850,40 @@ def imi_topk(
     )
 
 
+def prototype_assignments(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Self-supervised PROTOTYPICALITY scores (Sorscher et al. 2022,
+    'Beyond neural scaling laws'): train the spherical quantized-mean
+    k-means (kmeans_centroids — the prototypes), assign every vector
+    to its nearest prototype by cosine, and return
+    (vec_id, cid, proto_cos) where proto_cos is the cosine to the
+    assigned prototype — HIGH cosine = close to a cluster center =
+    prototypical/easy, LOW = atypical/informative. The pruning
+    policy on top (drop the easiest fraction when data is abundant)
+    lives in plans/round9_queries.py::data_pruning_ssl_prototypes.
+
+    Composition is the whole point: training is kmeans_centroids
+    (any-magnitude C since r9), assignment is the broadcast-join
+    _assign_nearest — the same (cos, -cid) max-struct tie-break
+    every oracle mirrors — so this adds zero new numeric code paths.
+    Scale shape: one broadcast of C centroids, one map-side-combined
+    argmax per vector; no corpus self-join, no global state."""
+    cent = F.broadcast(
+        kmeans_centroids(corpus, n_centroids, n_iter, id_col, vec_col)
+    )
+    a = _assign_nearest(_prep(corpus, id_col, vec_col), cent)
+    return a.select(
+        "vec_id",
+        F.col("centroid").alias("cid"),
+        F.col("_cent_cos").alias("proto_cos"),
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.35,

@@ -98,13 +98,16 @@ def _load_all() -> None:
 # tools/parity.py locally and by the test suite.
 #
 # EXHAUSTION POLICY (planned r9, per the r8 verdict ask #7): after
-# this window lands, ~82 never-verified oracle-backed names remain
+# this window lands, ~86 never-verified oracle-backed names remain
 # (feature/ab/stats/graph slices, a ~60-name singleton tail, plus
-# the five NEW r9 queries — corpus_quality_classifier_serving,
+# the NINE queries BUILT in round 9 — corpus_quality_classifier_serving,
 # similarity_imi_topk, corpus_perplexity_buckets_ccnet,
-# data_pruning_el2n_margin, labels_confident_learning_noise — all
-# parity-green at all 3 SFs, weighting into the r10 window per the
-# new-code-first rule) — about 1.6 windows. Once the never-verified pool drops below 50,
+# data_pruning_el2n_margin, labels_confident_learning_noise, and the
+# fourth sitting's training-dynamics family: data_cartography_regions,
+# data_pruning_forgetting_events, data_selection_rho_loss,
+# data_pruning_ssl_prototypes — all parity-green at all 3 SFs,
+# weighting into the r10 window per the new-code-first rule) —
+# about 1.7 windows. Once the never-verified pool drops below 50,
 # fill the REMAINDER of the window by RE-verifying the oldest driver
 # rows first (r1 vintage, then r2, …— ordered by the round of their
 # last green row), so long-stable operators regain driver visibility

@@ -12,58 +12,62 @@ from wilayah_aceh_etl_spark.plans.registry import register
 from wilayah_aceh_etl_spark.sources.tables import load_table
 
 
-def _lr_step_sql(i: int, lr: str = "0.5") -> str:
+def _lr_step_sql(i: int, lr: str = "0.5", pfx: str = "") -> str:
     """One full-batch GD iteration as DuckDB CTEs, mirroring
     operators/ml_train.py::logreg_train_quantized bit for bit:
     rational sigmoid, quantized (·2²⁴) exact-integer gradient sums,
-    identical update operation order."""
+    identical update operation order. `pfx` prefixes every CTE name
+    (and the v/u/nn/w0 inputs it reads), so an oracle can train TWO
+    models in one WITH clause — the RHO-loss query's main/reference
+    pair (plans/round9_queries.py) is the consumer."""
+    p = pfx
     return f"""
-mar{i} AS MATERIALIZED (
+{p}mar{i} AS MATERIALIZED (
   SELECT v.vec_id, v.y,
-         list_dot_product(v.x, (SELECT w FROM w{i - 1})) +
-           (SELECT b FROM w{i - 1}) AS m
-  FROM v
+         list_dot_product(v.x, (SELECT w FROM {p}w{i - 1})) +
+           (SELECT b FROM {p}w{i - 1}) AS m
+  FROM {p}v v
 ),
-err{i} AS MATERIALIZED (
-  SELECT vec_id, y, 0.5 + m / (2.0 * (1.0 + abs(m))) - y AS e FROM mar{i}
+{p}err{i} AS MATERIALIZED (
+  SELECT vec_id, y, 0.5 + m / (2.0 * (1.0 + abs(m))) - y AS e FROM {p}mar{i}
 ),
-gw{i} AS (
+{p}gw{i} AS (
   SELECT u.pos,
          CAST(SUM(CAST(ROUND(e.e * u.val * 16777216) AS BIGINT)) AS BIGINT)
            AS s
-  FROM err{i} e JOIN u ON u.vec_id = e.vec_id
+  FROM {p}err{i} e JOIN {p}u u ON u.vec_id = e.vec_id
   GROUP BY u.pos
 ),
-gb{i} AS (
+{p}gb{i} AS (
   SELECT CAST(SUM(CAST(ROUND(e * 16777216) AS BIGINT)) AS BIGINT) AS s
-  FROM err{i}
+  FROM {p}err{i}
 ),
-w{i} AS MATERIALIZED (
+{p}w{i} AS MATERIALIZED (
   SELECT
     (SELECT list(
         wl.wj - {lr} * (CAST(COALESCE(g.s, 0) AS DOUBLE) / 16777216 /
-                       (SELECT n FROM nn))
+                       (SELECT n FROM {p}nn))
         ORDER BY wl.pos)
      FROM (SELECT unnest(w) AS wj, generate_subscripts(w, 1) AS pos
-           FROM w{i - 1}) wl
-     LEFT JOIN gw{i} g ON g.pos = wl.pos) AS w,
-    (SELECT b FROM w{i - 1}) -
-      {lr} * (CAST((SELECT s FROM gb{i}) AS DOUBLE) / 16777216 /
-             (SELECT n FROM nn)) AS b
+           FROM {p}w{i - 1}) wl
+     LEFT JOIN {p}gw{i} g ON g.pos = wl.pos) AS w,
+    (SELECT b FROM {p}w{i - 1}) -
+      {lr} * (CAST((SELECT s FROM {p}gb{i}) AS DOUBLE) / 16777216 /
+             (SELECT n FROM {p}nn)) AS b
 ),
-met{i} AS (
+{p}met{i} AS (
   SELECT {i} AS iter,
          CAST(SUM(CASE WHEN (m2 > 0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT)
            AS n_correct,
-         CAST(ROUND((SELECT b FROM w{i}) * 16777216) AS BIGINT) AS b_q,
+         CAST(ROUND((SELECT b FROM {p}w{i}) * 16777216) AS BIGINT) AS b_q,
          (SELECT CAST(SUM(CAST(ROUND(wj * 16777216) AS BIGINT)) AS BIGINT)
-          FROM (SELECT unnest(w) AS wj FROM w{i}))
+          FROM (SELECT unnest(w) AS wj FROM {p}w{i}))
            AS w_checksum
   FROM (
     SELECT v.y,
-           list_dot_product(v.x, (SELECT w FROM w{i})) +
-             (SELECT b FROM w{i}) AS m2
-    FROM v
+           list_dot_product(v.x, (SELECT w FROM {p}w{i})) +
+             (SELECT b FROM {p}w{i}) AS m2
+    FROM {p}v v
   )
 )"""
 

@@ -2943,3 +2943,555 @@ def labels_confident_learning_noise(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-DYNAMICS curation (round 9, fourth sitting): dataset
+# cartography, forgetting events, RHO-loss selection — the published
+# methods that score examples against EVERY epoch's model rather
+# than the final one. All three compose ml_train's quantized-GD
+# trainer (logreg_fit_trajectory keeps the iterates) over the
+# embeddings corpus; the oracles re-derive every iteration via the
+# prefix-parameterized _lr_step_sql CTEs.
+#
+# lr = 2.0 is deliberately hotter than the qc family's 0.5: at 0.5
+# this near-noise corpus barely moves in 3 iterations (measured:
+# conf in [0.494, 0.508], 1-5 forgetting events per SF), while at
+# 8.0 the full-batch step overshoots so hard the WHOLE corpus flips
+# sign each iteration (every example "forgotten" — degenerate the
+# other way). 2.0 was probed at all three SFs: every cartography
+# region populated (sf0.01: 337 ambiguous / 80 easy / 83 hard) and
+# 20-205 forgetting events — heterogeneous, non-vacuous dynamics.
+# ---------------------------------------------------------------------------
+
+_TD_LR = "2.0"
+
+
+def _emb_train_sql(pfx: str, split_pred: str) -> str:
+    """Prefixed v/u/nn/w0 CTEs over the embeddings table
+    (y = [label < 5], rows filtered by `split_pred`) plus the three
+    quantized-GD iterations {pfx}w1..{pfx}w3 — the embeddings-table
+    twin of _qc_train_sql, shared by the training-dynamics family.
+    The prefix lets one WITH clause train TWO models (RHO-loss)."""
+    from wilayah_aceh_etl_spark.plans.round7_queries import _lr_step_sql
+
+    return f"""
+{pfx}v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+  WHERE {split_pred}
+),
+{pfx}nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {pfx}v),
+{pfx}u AS (
+  SELECT vec_id, unnest(x) AS val, generate_subscripts(x, 1) AS pos
+  FROM {pfx}v
+),
+{pfx}w0 AS (
+  SELECT (SELECT list(0.0) FROM range(64)) AS w, 0.0 AS b
+),
+""" + ",".join(_lr_step_sql(i, lr=_TD_LR, pfx=pfx) for i in (1, 2, 3))
+
+
+def _td_p_sql(m: str) -> str:
+    """True-class probability under the trainer's RATIONAL sigmoid —
+    pure arithmetic on the bitwise-pinned margin, so the dynamics
+    scores carry zero transcendental divergence risk."""
+    sig = f"0.5 + {m} / (2.0 * (1.0 + abs({m})))"
+    return f"CASE WHEN y = 1 THEN {sig} ELSE 1.0 - ({sig}) END"
+
+
+_TD_MARGINS_SQL = """
+pe AS MATERIALIZED (
+  SELECT v.vec_id, v.y,
+         list_dot_product(v.x, (SELECT w FROM w1)) + (SELECT b FROM w1) AS m1,
+         list_dot_product(v.x, (SELECT w FROM w2)) + (SELECT b FROM w2) AS m2,
+         list_dot_product(v.x, (SELECT w FROM w3)) + (SELECT b FROM w3) AS m3
+  FROM v v
+)
+"""
+
+
+def _cartography_oracle() -> str:
+    return (
+        "WITH "
+        + _emb_train_sql("", "TRUE")
+        + ","
+        + _TD_MARGINS_SQL
+        + f""",
+pp AS (
+  SELECT vec_id, y,
+         {_td_p_sql("m1")} AS p1,
+         {_td_p_sql("m2")} AS p2,
+         {_td_p_sql("m3")} AS p3,
+         (CASE WHEN (m1 > 0) = (y = 1) THEN 1 ELSE 0 END
+          + CASE WHEN (m2 > 0) = (y = 1) THEN 1 ELSE 0 END
+          + CASE WHEN (m3 > 0) = (y = 1) THEN 1 ELSE 0 END) AS n_correct
+  FROM pe
+),
+cf AS (
+  SELECT vec_id, y, n_correct, p1, p2, p3,
+         (p1 + p2 + p3) / 3.0 AS conf
+  FROM pp
+),
+q AS (
+  SELECT vec_id, y, n_correct,
+         CAST(ROUND(conf * 16777216) AS BIGINT) AS conf_q,
+         CAST(ROUND(sqrt(((p1 - conf) * (p1 - conf)
+                          + (p2 - conf) * (p2 - conf)
+                          + (p3 - conf) * (p3 - conf)) / 3.0)
+                    * 16777216) AS BIGINT) AS var_q
+  FROM cf
+)
+SELECT vec_id, CAST(y AS INTEGER) AS y, conf_q, var_q,
+       CAST(n_correct AS INTEGER) AS n_correct,
+       CASE WHEN var_q > 16777 THEN 'ambiguous'
+            WHEN conf_q >= 8388608 THEN 'easy'
+            ELSE 'hard' END AS region
+FROM q ORDER BY vec_id
+"""
+    )
+
+
+@register(
+    "data_cartography_regions",
+    oracle=_cartography_oracle(),
+    tags=("ext", "ml", "curation", "training-dynamics", "cartography"),
+    description="dataset cartography: per-example confidence/"
+    "variability across GD epochs -> easy/ambiguous/hard regions",
+)
+def data_cartography_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset Cartography (Swayamdipta et al. 2020): map every
+    training example by its TRAINING DYNAMICS — confidence = mean
+    over epochs of the model's probability on the true label,
+    variability = the std of that probability, correctness = how
+    many epochs predict the label right — and region the map:
+    high-variability examples are AMBIGUOUS (the ones worth
+    training on), confident ones EASY, the rest HARD (where label
+    errors concentrate). Epoch models are the quantized-GD logreg's
+    iterates (operators/ml_train.py::logreg_fit_trajectory — same
+    _gd_step as every other trainer, so the weights are bitwise the
+    oracle's w1..w3 CTEs); the probability is the trainer's own
+    RATIONAL sigmoid, so confidence/variability are pure arithmetic
+    on bitwise-pinned margins — mean is one fixed-order 3-term sum,
+    std one IEEE-exact sqrt — and the region thresholds compare
+    QUANTIZED integers (var_q > 16777 ~ 0.001, conf_q >= 8388608 =
+    0.5 exactly; the fixed grid the paper draws on the conf/var
+    plane, constants probed non-vacuous at all three SFs).
+
+    Scale shape: training is the broadcast-weight trainer (per-epoch
+    shuffle = partitions x 65 quantized longs); the map itself is
+    ONE corpus scan with all three epochs' weights embedded as
+    literal arrays — 3 dots per row, zero joins, zero shuffles,
+    embarrassingly parallel at 100 TB.
+
+    tests/test_round9_ops.py::test_cartography_flipped_labels_are_hard
+    pins the paper's headline use (planted label flips land in the
+    low-confidence region)."""
+    from wilayah_aceh_etl_spark.functions.vectors import as_double, dot
+    from wilayah_aceh_etl_spark.operators.ml_train import (
+        logreg_fit_trajectory,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    traj = logreg_fit_trajectory(emb, n_iter=3, lr=float(_TD_LR))
+    v = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("x"), "y"
+    )
+    ps, accs = [], []
+    for w, b in traj:
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        m = dot(F.col("x"), warr) + F.lit(float(b))
+        sig = F.lit(0.5) + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
+        ps.append(F.when(F.col("y") == 1, sig).otherwise(F.lit(1.0) - sig))
+        accs.append(((m > 0) == (F.col("y") == 1)).cast("int"))
+    pp = v.select(
+        "vec_id",
+        "y",
+        ps[0].alias("p1"),
+        ps[1].alias("p2"),
+        ps[2].alias("p3"),
+        (accs[0] + accs[1] + accs[2]).alias("n_correct"),
+    )
+    conf = (F.col("p1") + F.col("p2") + F.col("p3")) / F.lit(3.0)
+    cf = pp.select("vec_id", "y", "n_correct", "p1", "p2", "p3",
+                   conf.alias("conf"))
+    var = (
+        (F.col("p1") - F.col("conf")) * (F.col("p1") - F.col("conf"))
+        + (F.col("p2") - F.col("conf")) * (F.col("p2") - F.col("conf"))
+        + (F.col("p3") - F.col("conf")) * (F.col("p3") - F.col("conf"))
+    ) / F.lit(3.0)
+    q = cf.select(
+        "vec_id",
+        "y",
+        "n_correct",
+        F.round(F.col("conf") * 16777216).cast("long").alias("conf_q"),
+        F.round(F.sqrt(var) * 16777216).cast("long").alias("var_q"),
+    )
+    return q.select(
+        "vec_id",
+        F.col("y").cast("int").alias("y"),
+        "conf_q",
+        "var_q",
+        F.col("n_correct").cast("int").alias("n_correct"),
+        F.when(F.col("var_q") > 16777, "ambiguous")
+        .when(F.col("conf_q") >= 8388608, "easy")
+        .otherwise("hard")
+        .alias("region"),
+    ).orderBy("vec_id")
+
+
+def _forgetting_oracle() -> str:
+    return (
+        "WITH "
+        + _emb_train_sql("", "TRUE")
+        + ","
+        + _TD_MARGINS_SQL
+        + """,
+acc AS (
+  SELECT vec_id, y,
+         CASE WHEN (m1 > 0) = (y = 1) THEN 1 ELSE 0 END AS acc1,
+         CASE WHEN (m2 > 0) = (y = 1) THEN 1 ELSE 0 END AS acc2,
+         CASE WHEN (m3 > 0) = (y = 1) THEN 1 ELSE 0 END AS acc3
+  FROM pe
+)
+SELECT vec_id, CAST(y AS INTEGER) AS y,
+       CAST(acc1 AS INTEGER) AS acc1,
+       CAST(acc2 AS INTEGER) AS acc2,
+       CAST(acc3 AS INTEGER) AS acc3,
+       CAST((CASE WHEN acc1 = 1 AND acc2 = 0 THEN 1 ELSE 0 END
+             + CASE WHEN acc2 = 1 AND acc3 = 0 THEN 1 ELSE 0 END)
+            AS INTEGER) AS n_forget,
+       CAST(CASE WHEN acc1 = 1 THEN 1 WHEN acc2 = 1 THEN 2
+                 WHEN acc3 = 1 THEN 3 ELSE 0 END AS INTEGER)
+         AS first_learned,
+       CAST(CASE WHEN (acc1 = 1 OR acc2 = 1 OR acc3 = 1)
+                  AND NOT (acc1 = 1 AND acc2 = 0)
+                  AND NOT (acc2 = 1 AND acc3 = 0)
+                 THEN 1 ELSE 0 END AS INTEGER) AS unforgettable
+FROM acc ORDER BY vec_id
+"""
+    )
+
+
+@register(
+    "data_pruning_forgetting_events",
+    oracle=_forgetting_oracle(),
+    tags=("ext", "ml", "curation", "training-dynamics", "forgetting"),
+    description="forgetting events per example across GD epochs; "
+    "unforgettable examples are the prunable ones",
+)
+def data_pruning_forgetting_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Forgetting events (Toneva et al. 2019, 'An Empirical Study of
+    Example Forgetting during Deep Neural Network Learning'): an
+    example is FORGOTTEN when the model classified it right at epoch
+    e and wrong at e+1; examples that are learned and never
+    forgotten ('unforgettable') are the ones the paper shows can be
+    dropped from training with no accuracy cost — the
+    forgetting-count is the pruning signal. Epoch predictions come
+    from the same lr=2.0 trajectory as data_cartography_regions
+    (logreg_fit_trajectory); every output column is an EXACT INTEGER
+    decided by the sign of a bitwise-pinned margin — this is the
+    fully-deterministic end of the training-dynamics family (no
+    probabilities, no rounding anywhere).
+
+    Scale shape: identical to cartography — broadcast-weight
+    training, then ONE corpus scan with three literal-weight dots
+    per row; zero joins, zero shuffles, no global state. Probed
+    non-vacuous at all three SFs (20-205 forgetting events)."""
+    from wilayah_aceh_etl_spark.functions.vectors import as_double, dot
+    from wilayah_aceh_etl_spark.operators.ml_train import (
+        logreg_fit_trajectory,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    traj = logreg_fit_trajectory(emb, n_iter=3, lr=float(_TD_LR))
+    v = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("x"), "y"
+    )
+    accs = []
+    for w, b in traj:
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        m = dot(F.col("x"), warr) + F.lit(float(b))
+        accs.append(((m > 0) == (F.col("y") == 1)).cast("int"))
+    acc = v.select(
+        "vec_id",
+        "y",
+        accs[0].alias("acc1"),
+        accs[1].alias("acc2"),
+        accs[2].alias("acc3"),
+    )
+    forget12 = ((F.col("acc1") == 1) & (F.col("acc2") == 0)).cast("int")
+    forget23 = ((F.col("acc2") == 1) & (F.col("acc3") == 0)).cast("int")
+    ever = (
+        (F.col("acc1") == 1) | (F.col("acc2") == 1) | (F.col("acc3") == 1)
+    )
+    return acc.select(
+        "vec_id",
+        F.col("y").cast("int").alias("y"),
+        F.col("acc1").cast("int").alias("acc1"),
+        F.col("acc2").cast("int").alias("acc2"),
+        F.col("acc3").cast("int").alias("acc3"),
+        (forget12 + forget23).cast("int").alias("n_forget"),
+        F.when(F.col("acc1") == 1, 1)
+        .when(F.col("acc2") == 1, 2)
+        .when(F.col("acc3") == 1, 3)
+        .otherwise(0)
+        .cast("int")
+        .alias("first_learned"),
+        (ever & (forget12 + forget23 == 0)).cast("int").alias(
+            "unforgettable"
+        ),
+    ).orderBy("vec_id")
+
+
+def _rho_oracle() -> str:
+    sig_m = "0.5 + mm / (2.0 * (1.0 + abs(mm)))"
+    sig_i = "0.5 + mi / (2.0 * (1.0 + abs(mi)))"
+    return (
+        "WITH "
+        + _emb_train_sql("tr", "vec_id % 5 != 0")
+        + ","
+        + _emb_train_sql("il", "vec_id % 5 = 0")
+        + f""",
+sc AS (
+  SELECT v.vec_id, v.y,
+         list_dot_product(v.x, (SELECT w FROM trw3))
+           + (SELECT b FROM trw3) AS mm,
+         list_dot_product(v.x, (SELECT w FROM ilw3))
+           + (SELECT b FROM ilw3) AS mi
+  FROM trv v
+),
+pr AS (
+  SELECT vec_id, y,
+         CASE WHEN y = 1 THEN {sig_m} ELSE 1.0 - ({sig_m}) END AS pm,
+         CASE WHEN y = 1 THEN {sig_i} ELSE 1.0 - ({sig_i}) END AS pi
+  FROM sc
+)
+SELECT vec_id, CAST(y AS INTEGER) AS y,
+       CAST(ROUND(pm * 16777216) AS BIGINT) AS p_train_q,
+       CAST(ROUND(pi * 16777216) AS BIGINT) AS p_holdout_q,
+       CAST(ROUND((pi / pm) * 16777216) AS BIGINT) AS rho_ratio_q
+FROM pr
+ORDER BY pi / pm DESC, vec_id
+LIMIT 20
+"""
+    )
+
+
+@register(
+    "data_selection_rho_loss",
+    oracle=_rho_oracle(),
+    tags=("ext", "ml", "curation", "selection", "rho-loss"),
+    description="RHO-loss selection: top-20 by reducible holdout "
+    "loss (train-model loss minus reference-model loss)",
+)
+def data_selection_rho_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reducible Holdout Loss selection (RHO-loss; Mindermann et al.
+    2022, 'Prioritized Training on Points that are Learnable, Worth
+    Learning, and Not Yet Learnt'): score each training candidate by
+    L_train(x) - L_holdout(x) — the loss under the training model
+    minus the loss under a reference model trained on held-out data
+    — and select the top-k. High reducible loss means the point is
+    LEARNABLE (the reference model gets it right) but NOT YET LEARNT
+    (the training model doesn't); noisy/unlearnable points score low
+    because BOTH models miss them. Both models are the quantized-GD
+    logreg (3 iterations, lr=2.0): main on vec_id%5!=0, reference on
+    the vec_id%5==0 holdout.
+
+    Determinism device (the EL2N monotone-substitution idiom): with
+    L = -ln(p) the score is ln(p_holdout) - ln(p_train) =
+    ln(p_holdout/p_train), a strictly increasing function of the
+    RATIO p_holdout/p_train — so ranking by the ratio reproduces the
+    exact RHO order while staying PURE ARITHMETIC on bitwise-pinned
+    rational-sigmoid probabilities (no transcendental in the
+    ordering; ln never computed). Selection is orderBy+limit →
+    TakeOrderedAndProject, the scale-safe top-k.
+
+    Scale shape: two broadcast-weight trainings (the holdout side is
+    1/5 of one corpus pass), then ONE scan of the candidate pool
+    with both weight vectors embedded literally — two dots per row,
+    zero joins. tests/test_round9_ops.py::test_rho_loss_selects_learnable_not_noise
+    pins the paper's semantics on a planted corpus (label-noise
+    points rank below clean not-yet-learnt points)."""
+    from wilayah_aceh_etl_spark.functions.vectors import as_double, dot
+    from wilayah_aceh_etl_spark.operators.ml_train import logreg_fit
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    train = emb.filter(F.col("vec_id") % 5 != 0)
+    holdout = emb.filter(F.col("vec_id") % 5 == 0)
+    wm, bm = logreg_fit(train, n_iter=3, lr=float(_TD_LR))
+    wi, bi = logreg_fit(holdout, n_iter=3, lr=float(_TD_LR))
+    v = train.select(
+        "vec_id", as_double(F.col("embedding")).alias("x"), "y"
+    )
+
+    def _p(w: list[float], b: float):
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        m = dot(F.col("x"), warr) + F.lit(float(b))
+        sig = F.lit(0.5) + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
+        return F.when(F.col("y") == 1, sig).otherwise(F.lit(1.0) - sig)
+
+    pr = v.select(
+        "vec_id", "y", _p(wm, bm).alias("pm"), _p(wi, bi).alias("pi")
+    )
+    return (
+        pr.orderBy((F.col("pi") / F.col("pm")).desc(), "vec_id")
+        .limit(20)
+        .select(
+            "vec_id",
+            F.col("y").cast("int").alias("y"),
+            F.round(F.col("pm") * 16777216).cast("long").alias("p_train_q"),
+            F.round(F.col("pi") * 16777216).cast("long").alias("p_holdout_q"),
+            F.round((F.col("pi") / F.col("pm")) * 16777216)
+            .cast("long")
+            .alias("rho_ratio_q"),
+        )
+    )
+
+
+def _ssl_prototypes_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.ext_queries import (
+        _COS,
+        _VEC_CTE,
+        _ivf_km_step_sql,
+    )
+
+    cos = _COS.format(a="v.e", b="c.ce")
+    return (
+        "WITH "
+        + _VEC_CTE
+        + """,
+u AS (
+  SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM v
+),
+c1 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 16),
+"""
+        + ",".join(_ivf_km_step_sql(i) for i in (1, 2))
+        + f""",
+fs AS (
+  SELECT v.vec_id, c.cid, {cos} AS cs FROM v CROSS JOIN c3 c
+),
+asn AS (
+  SELECT vec_id, cid, cs FROM (
+    SELECT vec_id, cid, cs,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cid) AS rk
+    FROM fs
+  ) WHERE rk = 1
+),
+pr AS (
+  SELECT vec_id, cid,
+         CAST(ROUND(cs * 16777216) AS BIGINT) AS proto_q
+  FROM asn
+),
+kk AS (SELECT (2 * COUNT(*)) // 10 AS k FROM pr),
+ranked AS (
+  SELECT vec_id, cid, proto_q,
+         ROW_NUMBER() OVER (ORDER BY proto_q DESC, vec_id) AS rn
+  FROM pr
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS cid, proto_q,
+       CAST(CASE WHEN rn <= (SELECT k FROM kk) THEN 1 ELSE 0 END
+            AS INTEGER) AS pruned
+FROM ranked ORDER BY vec_id
+"""
+    )
+
+
+@register(
+    "data_pruning_ssl_prototypes",
+    oracle=_ssl_prototypes_oracle(),
+    tags=("ext", "ml", "curation", "pruning", "prototypes", "kmeans"),
+    description="SSL-prototype pruning: drop the 20% most "
+    "prototypical vectors (highest cosine to trained k-means center)",
+)
+def data_pruning_ssl_prototypes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Self-supervised prototype pruning (Sorscher et al. 2022,
+    'Beyond neural scaling laws: beating power law scaling via data
+    pruning'): cluster the embedding corpus with k-means (the
+    prototypes), score every example by COSINE TO ITS ASSIGNED
+    PROTOTYPE, and — data being abundant — prune the most
+    prototypical 20%: the paper's central result is that with enough
+    data you should keep the HARD (atypical) examples and drop the
+    easy redundant core. Prototypes are the existing spherical
+    quantized-mean k-means (2 Lloyd iterations, first-16 seeds);
+    assignment is the broadcast-join argmax with the (cos, -cid)
+    tie-break every oracle mirrors
+    (operators/similarity.py::prototype_assignments — pure
+    composition, zero new numeric paths).
+
+    Scale shape: NO global row_number — the prune boundary reuses
+    data_pruning_el2n_margin's HISTOGRAM device on the quantized
+    cosine (hash aggregate over distinct micro-cosines, cumulative
+    window on that small relation, 1-row threshold+quota broadcast;
+    boundary ties resolve in a window PARTITIONED by the quantized
+    value). k = floor(0.2·n) is (2n) div 10, exact in both engines;
+    the oracle pins equivalence to the definitional global rank.
+
+    tests/test_round9_ops.py::test_ssl_prototypes_prunes_cluster_cores
+    pins the semantics on a planted corpus (tight cluster cores
+    pruned, outliers kept)."""
+    from wilayah_aceh_etl_spark.operators.similarity import (
+        prototype_assignments,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proto = prototype_assignments(emb, n_centroids=16, n_iter=2)
+    h = proto.select(
+        "vec_id",
+        "cid",
+        F.round(F.col("proto_cos") * 16777216).cast("long").alias("proto_q"),
+    ).withColumn("neg_q", -F.col("proto_q"))
+    hist = h.groupBy("neg_q").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("neg_q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select("neg_q", "c", F.sum("c").over(wcum).alias("cum"))
+    kdf = h.agg(F.expr("(2 * count(*)) div 10").alias("k"))
+    tq = (
+        cum.crossJoin(kdf)
+        .filter(F.col("cum") >= F.col("k"))
+        .orderBy("neg_q")
+        .limit(1)
+        .select(
+            F.col("neg_q").alias("t"),
+            (F.col("k") - (F.col("cum") - F.col("c"))).alias("quota"),
+        )
+    )
+    wg = Window.partitionBy("neg_q").orderBy("vec_id")
+    return (
+        h.withColumn("rn", F.row_number().over(wg))
+        .crossJoin(tq)
+        .select(
+            "vec_id",
+            F.col("cid").cast("long").alias("cid"),
+            "proto_q",
+            (
+                (F.col("neg_q") < F.col("t"))
+                | (
+                    (F.col("neg_q") == F.col("t"))
+                    & (F.col("rn") <= F.col("quota"))
+                )
+            )
+            .cast("int")
+            .alias("pruned"),
+        )
+        .orderBy("vec_id")
+    )
