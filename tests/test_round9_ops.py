@@ -392,3 +392,66 @@ def test_ssl_prototypes_prunes_cluster_cores(spark, tmp_path):
     assert max(proto[i] for i in outlier_ids) < min(
         proto[i] for i in pruned
     )
+
+
+def test_qc_train_sql_stable():
+    """_qc_features_sql with default extra_cols composes back into
+    the exact pre-factoring _qc_train_sql text shape (the three
+    verified qc oracles must not drift under the refactor)."""
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        _QC_Y_CLEAN,
+        _qc_train_sql,
+    )
+
+    s = _qc_train_sql(_QC_Y_CLEAN, "x0.doc_id % 5 != 0")
+    assert s.startswith("\nWITH docs0 AS MATERIALIZED (")
+    assert "AS y\n  FROM documents" in s  # no stray extra_cols
+    for cte in ("toks", "ntok", "binned", "xv", "v", "nn", "u", "w0",
+                "w1", "w2", "w3"):
+        assert f"{cte} AS" in s, cte
+
+
+def test_doremi_upweights_learnable_domain(spark, tmp_path):
+    """Group-DRO's defining behavior: the domain where the proxy
+    LAGS the reference most — the separable, learnable one — gains
+    weight; a pure label-noise domain (reference itself can't beat
+    chance there, so there is no excess loss to chase) does not.
+    Also pins the DRO invariants: weights are a distribution (sum
+    ~ 2^24) and every alpha_q is positive."""
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        data_mixture_doremi_weights,
+    )
+
+    good = "lucid cogent narrative prose exposition rigorous"
+    junk = "zzz9 qqq7 xxx4 kkk2 vvv8 jjj1"
+    rows = []
+    for i in range(80):
+        if i % 2 == 0:
+            # learnable domain: vocabulary perfectly predicts lang
+            text = " ".join(good.split()[j % 6] for j in range(i % 7 + 8))
+            rows.append((i, text, "en", "learnable", len(text)))
+        else:
+            # noise domain: same junk vocabulary, labels alternate —
+            # no model can separate it, reference included
+            lang = "en" if i % 4 == 1 else "de"
+            text = " ".join(junk.split()[j % 6] for j in range(i % 5 + 8))
+            rows.append((i, text, lang, "noise", len(text)))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    got = data_mixture_doremi_weights(spark, str(tmp_path)).collect()
+    assert len(got) == 2
+    by = {r.source: r for r in got}
+    assert by["learnable"].n_docs == 40 and by["noise"].n_docs == 40
+    # the learnable domain ends (and averages) strictly above noise
+    assert by["learnable"].alpha3_q > by["noise"].alpha3_q
+    assert by["learnable"].alpha_bar_q > by["noise"].alpha_bar_q
+    # distribution invariant at every step (quantization slack ±2)
+    for t in ("alpha1_q", "alpha2_q", "alpha3_q"):
+        s = sum(getattr(r, t) for r in got)
+        assert abs(s - 16777216) <= 2, (t, s)
+        assert all(getattr(r, t) > 0 for r in got)

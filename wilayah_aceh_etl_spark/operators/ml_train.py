@@ -319,6 +319,182 @@ def logreg_fit_trajectory(
         v.unpersist()
 
 
+def doremi_domain_weights(
+    df: DataFrame,
+    n_iter: int = 3,
+    lr: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "y",
+    domain_col: str = "dom",
+) -> DataFrame:
+    """DoReMi domain reweighting (Xie et al. 2023, 'DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining'),
+    in this engine's exact-integer idiom. The Group-DRO loop: a
+    REFERENCE model trains normally; a PROXY model retrains from
+    zero while, between steps, each domain's weight rises with its
+    EXCESS LOSS (how far the proxy lags the reference there) and the
+    proxy's gradient is importance-weighted by the domains — the
+    averaged weights are the corrected pretraining mixture.
+
+    Determinism devices, in order of appearance:
+    * excess loss per domain = Σ ROUND((p_ref − p_proxy)·2²⁴) —
+      per-row REFERENCE-minus-PROXY probability gap on the rational
+      sigmoid, quantized BEFORE the sum, so the per-domain total is
+      an exact order-free BIGINT (the loss-gap analog of -ln ratios
+      — monotone in the paper's excess loss for a binary model).
+    * the multiplicative-weights update is PURE INTEGER:
+      α_q ← α_q + ⌊α_q · max(Σexcess, 0) / (2 · n_d · 2²⁴)⌋ — the
+      linearized (1 + η·ℓ) MW form (Littlestone-Warmuth) with η=½,
+      floor division in both engines; no exp(), no float state.
+    * normalization never happens in float state: Σα_q is an exact
+      integer, and each per-row training weight is ONE IEEE division
+      of exact-integer products, wt_d = (α_q·N) / (Σα_q·n_d) —
+      mean-1 by construction, so the weighted GD step divides by N
+      like the unweighted trainer. (Exactness needs the products
+      under 2⁵³ — fine up to ~10⁸ rows per training shard; past
+      that the weights are driver-side doubles anyway.)
+    * the weighted gradient is _gd_step's quantization with the wt
+      factor inside the per-row ROUND — still an exact-integer sum.
+
+    Returns ONE ROW PER DOMAIN: (dom, n_docs, alpha1_q..alphaT_q —
+    the normalized weight after each step, quantized ·2²⁴ — and
+    alpha_bar_q, the step-averaged mixture weight the paper ships).
+    Quantization happens ENGINE-side (F.round == SQL ROUND,
+    half-away-from-zero; Python round() is banker's and never
+    touches an emitted value).
+
+    Scale shape: reference + proxy training are the broadcast-weight
+    trainers (per-step shuffle = partitions × 65 quantized longs);
+    the DRO bookkeeping between steps moves D longs (one per
+    domain) to the driver; the per-row weight is a D-branch literal
+    CASE — one corpus-scan pair per step, no joins over data."""
+    v0 = df.select(
+        F.col(id_col).alias("vec_id"),
+        as_double(F.col(vec_col)).alias("x"),
+        F.col(label_col).cast("int").alias("y"),
+        F.col(domain_col).alias("dom"),
+    )
+    Qf = float(Q)
+
+    def _ptrue(w: list[float], b: float):
+        m = _margin(w, b)
+        sig = F.lit(0.5) + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
+        return F.when(F.col("y") == 1, sig).otherwise(F.lit(1.0) - sig)
+
+    # reference model: the standard unweighted fit on the full relation
+    wr, br = logreg_fit(
+        v0, n_iter=n_iter, lr=lr, id_col="vec_id", vec_col="x"
+    )
+    v = v0.withColumn("pref", _ptrue(wr, br)).persist()
+    try:
+        n = v.count()
+        if n == 0:
+            raise ValueError("cannot train on an empty DataFrame")
+        d = int(v.select(F.size("x")).first()[0])
+        dn = {
+            r["dom"]: int(r["c"])
+            for r in v.groupBy("dom")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        doms = sorted(dn)
+        u = v.select(
+            "vec_id", F.posexplode("x").alias("pos0", "val")
+        ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+
+        w = [0.0] * d
+        b = 0.0
+        aq = {dm: Q for dm in doms}  # unnormalized 1.0 each, exact int
+        alphas: dict[str, list[float]] = {dm: [] for dm in doms}
+        for _ in range(n_iter):
+            # per-domain excess loss of the CURRENT proxy vs reference
+            pprox = _ptrue(w, b)
+            ex = {
+                r["dom"]: int(r["s"])
+                for r in v.select(
+                    "dom",
+                    F.round((F.col("pref") - pprox) * Q)
+                    .cast("long")
+                    .alias("e"),
+                )
+                .groupBy("dom")
+                .agg(F.sum("e").alias("s"))
+                .collect()
+            }
+            # integer multiplicative-weights update, then the exact
+            # normalization constant
+            for dm in doms:
+                aq[dm] = aq[dm] + (aq[dm] * max(ex.get(dm, 0), 0)) // (
+                    2 * dn[dm] * Q
+                )
+            sq = sum(aq.values())
+            for dm in doms:
+                alphas[dm].append(aq[dm] / sq)
+            # per-row training weight: one exact-int-ratio division,
+            # embedded as a D-branch literal CASE
+            wt = {dm: (aq[dm] * n) / (sq * dn[dm]) for dm in doms}
+            wtc = F.when(F.col("dom") == doms[0], F.lit(wt[doms[0]]))
+            for dm in doms[1:]:
+                wtc = wtc.when(F.col("dom") == dm, F.lit(wt[dm]))
+            # weighted GD step (the _gd_step arithmetic with the wt
+            # factor inside the per-row quantization)
+            m = _margin(w, b)
+            sig = F.lit(0.5) + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
+            err = v.select(
+                "vec_id",
+                (sig - F.col("y")).alias("e"),
+                wtc.alias("wt"),
+            )
+            gw = (
+                u.join(err, "vec_id")
+                .groupBy("pos")
+                .agg(
+                    F.sum(
+                        F.round(
+                            F.col("wt") * F.col("e") * F.col("val") * Q
+                        ).cast("long")
+                    ).alias("s")
+                )
+                .collect()
+            )
+            gb = err.agg(
+                F.sum(
+                    F.round(F.col("wt") * F.col("e") * Q).cast("long")
+                ).alias("s")
+            ).first()["s"]
+            sums = {r["pos"]: r["s"] for r in gw}
+            w = [
+                w[j] - lr * (float(sums.get(j + 1, 0)) / Qf / n)
+                for j in range(d)
+            ]
+            b = b - lr * (float(gb or 0) / Qf / n)
+        # emit raw doubles; quantize ENGINE-side so rounding follows
+        # SQL half-away semantics on both sides
+        rows = [(dm, dn[dm], *alphas[dm]) for dm in doms]
+        acols = ", ".join(f"a{t} double" for t in range(1, n_iter + 1))
+        out = v.sparkSession.createDataFrame(
+            rows, f"dom string, n_docs bigint, {acols}"
+        )
+        abar = sum(
+            [F.col(f"a{t}") for t in range(2, n_iter + 1)],
+            F.col("a1"),
+        ) / F.lit(float(n_iter))
+        return out.select(
+            "dom",
+            "n_docs",
+            *[
+                F.round(F.col(f"a{t}") * Q)
+                .cast("long")
+                .alias(f"alpha{t}_q")
+                for t in range(1, n_iter + 1)
+            ],
+            F.round(abar * Q).cast("long").alias("alpha_bar_q"),
+        )
+    finally:
+        v.unpersist()
+
+
 def score_confusion(
     df: DataFrame,
     w: list[float],

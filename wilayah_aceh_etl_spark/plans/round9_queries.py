@@ -2402,19 +2402,18 @@ _QC_Y_NOISY = (
 )
 
 
-def _qc_train_sql(label_case: str, split_pred: str) -> str:
-    """Shared DuckDB CTE prefix of the model-based curation family:
-    64-bin hashed token-RATE features (docs0 → toks → ntok → binned →
-    xv), the training relation `v` (labels from `label_case`, rows
-    from `split_pred`), and the three quantized-GD logreg iterations
-    w1..w3 (round7_queries._lr_step_sql). Ends after w3's CTE so a
-    caller appends its own `,scored AS (...) ... SELECT`."""
-    from wilayah_aceh_etl_spark.plans.round7_queries import _lr_step_sql
-
+def _qc_features_sql(label_case: str, extra_cols: str = "") -> str:
+    """The hashed token-RATE feature CTEs (docs0 → toks → ntok →
+    binned → xv) of the model-based curation family — _qc_train_sql
+    composes them with the standard training CTEs; the DoReMi oracle
+    composes them with its own domain-aware relation. `extra_cols`
+    rides along in docs0 (e.g. ', source AS dom'); with the default
+    '' the emitted SQL is byte-identical to the pre-factoring text
+    (pinned by tests/test_round9_ops.py::test_qc_train_sql_stable)."""
     return f"""
 WITH docs0 AS MATERIALIZED (
   SELECT doc_id, text,
-         {label_case} AS y
+         {label_case} AS y{extra_cols}
   FROM documents
 ),
 toks AS MATERIALIZED (
@@ -2437,7 +2436,19 @@ xv AS MATERIALIZED (
   CROSS JOIN range(64) g(i)
   LEFT JOIN binned b ON b.doc_id = n.doc_id AND b.bin = g.i
   GROUP BY n.doc_id, n.n_toks
-),
+)"""
+
+
+def _qc_train_sql(label_case: str, split_pred: str) -> str:
+    """Shared DuckDB CTE prefix of the model-based curation family:
+    the _qc_features_sql feature CTEs, the training relation `v`
+    (labels from `label_case`, rows from `split_pred`), and the
+    three quantized-GD logreg iterations w1..w3
+    (round7_queries._lr_step_sql). Ends after w3's CTE so a caller
+    appends its own `,scored AS (...) ... SELECT`."""
+    from wilayah_aceh_etl_spark.plans.round7_queries import _lr_step_sql
+
+    return _qc_features_sql(label_case) + f""",
 v AS MATERIALIZED (
   SELECT x0.doc_id AS vec_id, x0.x, d.y
   FROM xv x0 JOIN docs0 d USING (doc_id)
@@ -3494,4 +3505,209 @@ def data_pruning_ssl_prototypes(
             .alias("pruned"),
         )
         .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DoReMi domain reweighting (Xie et al. 2023): Group-DRO over the
+# documents' source domains, exact-integer multiplicative weights.
+# ---------------------------------------------------------------------------
+
+
+def _doremi_step_sql(t: int) -> str:
+    """One DoReMi step as DuckDB CTEs, mirroring
+    operators/ml_train.py::doremi_domain_weights bit for bit:
+    quantized per-domain excess loss vs the reference, the INTEGER
+    linearized-MW update, the exact-int-ratio per-domain training
+    weight, and the weighted quantized-GD proxy update."""
+    return f"""
+mx{t} AS MATERIALIZED (
+  SELECT v.vec_id, v.dom, v.y, v.pref,
+         list_dot_product(v.x, (SELECT w FROM dw{t - 1})) +
+           (SELECT b FROM dw{t - 1}) AS m
+  FROM dv v
+),
+px{t} AS MATERIALIZED (
+  SELECT vec_id, dom, y, pref,
+         0.5 + m / (2.0 * (1.0 + abs(m))) AS sg
+  FROM mx{t}
+),
+ex{t} AS (
+  SELECT dom,
+         CAST(SUM(CAST(ROUND((pref -
+                (CASE WHEN y = 1 THEN sg ELSE 1.0 - sg END))
+                * 16777216) AS BIGINT)) AS BIGINT) AS s
+  FROM px{t} GROUP BY dom
+),
+al{t} AS MATERIALIZED (
+  SELECT a.dom,
+         a.aq + (a.aq * GREATEST(e.s, 0)) // (2 * d.nd * 16777216) AS aq
+  FROM al{t - 1} a JOIN ex{t} e USING (dom) JOIN dn d USING (dom)
+),
+sal{t} AS (SELECT CAST(SUM(aq) AS BIGINT) AS sq FROM al{t}),
+an{t} AS (
+  SELECT dom,
+         CAST(aq AS DOUBLE) / CAST((SELECT sq FROM sal{t}) AS DOUBLE) AS a
+  FROM al{t}
+),
+wt{t} AS (
+  SELECT a.dom,
+         CAST(a.aq * (SELECT n FROM dnn) AS DOUBLE) /
+           CAST((SELECT sq FROM sal{t}) * d.nd AS DOUBLE) AS wt
+  FROM al{t} a JOIN dn d USING (dom)
+),
+gw{t} AS (
+  SELECT u.pos,
+         CAST(SUM(CAST(ROUND(w.wt * (p.sg - p.y) * u.val * 16777216)
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM px{t} p
+  JOIN du u ON u.vec_id = p.vec_id
+  JOIN wt{t} w ON w.dom = p.dom
+  GROUP BY u.pos
+),
+gb{t} AS (
+  SELECT CAST(SUM(CAST(ROUND(w.wt * (p.sg - p.y) * 16777216)
+                       AS BIGINT)) AS BIGINT) AS s
+  FROM px{t} p JOIN wt{t} w ON w.dom = p.dom
+),
+dw{t} AS MATERIALIZED (
+  SELECT
+    (SELECT list(
+        wl.wj - 0.5 * (CAST(COALESCE(g.s, 0) AS DOUBLE) / 16777216 /
+                       (SELECT n FROM dnn))
+        ORDER BY wl.pos)
+     FROM (SELECT unnest(w) AS wj, generate_subscripts(w, 1) AS pos
+           FROM dw{t - 1}) wl
+     LEFT JOIN gw{t} g ON g.pos = wl.pos) AS w,
+    (SELECT b FROM dw{t - 1}) -
+      0.5 * (CAST((SELECT s FROM gb{t}) AS DOUBLE) / 16777216 /
+             (SELECT n FROM dnn)) AS b
+)"""
+
+
+def _doremi_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.round7_queries import _lr_step_sql
+
+    sig_r = "0.5 + mr / (2.0 * (1.0 + abs(mr)))"
+    return (
+        _qc_features_sql(_QC_Y_CLEAN, extra_cols=", source AS dom")
+        + f""",
+rv AS MATERIALIZED (
+  SELECT x0.doc_id AS vec_id, x0.x, d.y
+  FROM xv x0 JOIN docs0 d USING (doc_id)
+),
+rnn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rv),
+ru AS (
+  SELECT vec_id, unnest(x) AS val, generate_subscripts(x, 1) AS pos
+  FROM rv
+),
+rw0 AS (
+  SELECT (SELECT list(0.0) FROM range(64)) AS w, 0.0 AS b
+),
+"""
+        + ",".join(_lr_step_sql(i, pfx="r") for i in (1, 2, 3))
+        + f""",
+dmr AS MATERIALIZED (
+  SELECT x0.doc_id AS vec_id, x0.x, d.y, d.dom,
+         list_dot_product(x0.x, (SELECT w FROM rw3)) +
+           (SELECT b FROM rw3) AS mr
+  FROM xv x0 JOIN docs0 d USING (doc_id)
+),
+dv AS MATERIALIZED (
+  SELECT vec_id, x, y, dom,
+         CASE WHEN y = 1 THEN {sig_r} ELSE 1.0 - ({sig_r}) END AS pref
+  FROM dmr
+),
+dnn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dv),
+dn AS (
+  SELECT dom, CAST(COUNT(*) AS BIGINT) AS nd FROM dv GROUP BY dom
+),
+du AS (
+  SELECT vec_id, unnest(x) AS val, generate_subscripts(x, 1) AS pos
+  FROM dv
+),
+al0 AS (SELECT dom, CAST(16777216 AS BIGINT) AS aq FROM dn),
+dw0 AS (
+  SELECT (SELECT list(0.0) FROM range(64)) AS w, 0.0 AS b
+),
+"""
+        + ",".join(_doremi_step_sql(t) for t in (1, 2, 3))
+        + """
+SELECT an1.dom AS source, d.nd AS n_docs,
+       CAST(ROUND(an1.a * 16777216) AS BIGINT) AS alpha1_q,
+       CAST(ROUND(an2.a * 16777216) AS BIGINT) AS alpha2_q,
+       CAST(ROUND(an3.a * 16777216) AS BIGINT) AS alpha3_q,
+       CAST(ROUND((an1.a + an2.a + an3.a) / 3.0 * 16777216) AS BIGINT)
+         AS alpha_bar_q
+FROM an1 JOIN an2 USING (dom) JOIN an3 USING (dom) JOIN dn d USING (dom)
+ORDER BY source
+"""
+    )
+
+
+@register(
+    "data_mixture_doremi_weights",
+    oracle=_doremi_oracle(),
+    tags=("ext", "ml", "curation", "mixture", "doremi", "group-dro"),
+    description="DoReMi Group-DRO domain reweighting: per-source "
+    "mixture weights from proxy-vs-reference excess loss",
+)
+def data_mixture_doremi_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DoReMi (Xie et al. 2023): learn the PRETRAINING MIXTURE by
+    Group DRO — train a reference model normally, retrain a proxy
+    from zero while upweighting, between steps, whichever domains
+    the proxy lags the reference on most (their EXCESS loss), and
+    ship the step-averaged domain weights as the corrected mixture.
+    Domains are the documents' `source` buckets; both models are the
+    quantized-GD logreg over the shared hashed token-rate features
+    (y = [lang='en'], the quality-domain proxy task), 3 steps,
+    lr=0.5. The operator docstring
+    (operators/ml_train.py::doremi_domain_weights) itemizes the
+    determinism devices: quantized-before-sum excess losses, the
+    INTEGER linearized multiplicative-weights update (no exp), the
+    exact-int-ratio per-row training weight, and the weighted
+    gradient quantized per row — the oracle re-derives all of it,
+    reference training included, in SQL.
+
+    Scale shape: two broadcast-weight trainings over one persisted
+    feature relation; the DRO state crossing the driver per step is
+    D=20 longs. Output is one row per domain (the mixture table a
+    sampler consumes — data_mixture_rates is the apply side).
+
+    tests/test_round9_ops.py::test_doremi_upweights_learnable_domain
+    pins the DRO semantics on a planted corpus: the separable
+    (learnable) domain's weight rises above the label-noise domain's.
+    """
+    from wilayah_aceh_etl_spark.operators.ml_train import (
+        doremi_domain_weights,
+    )
+
+    docs0 = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.col("source").alias("dom"),
+    )
+    xv = _qc_feature_vectors(spark, sf_dir)
+    v = xv.join(docs0, "doc_id")
+    return (
+        doremi_domain_weights(
+            v,
+            n_iter=3,
+            lr=0.5,
+            id_col="doc_id",
+            vec_col="x",
+            label_col="y",
+            domain_col="dom",
+        )
+        .select(
+            F.col("dom").alias("source"),
+            "n_docs",
+            "alpha1_q",
+            "alpha2_q",
+            "alpha3_q",
+            "alpha_bar_q",
+        )
+        .orderBy("source")
     )
