@@ -179,6 +179,9 @@ NLJ_ALLOWED = {
     # centroid broadcast (assignment) + two 1-row broadcasts
     # (k = (2n) div 10 and the histogram threshold+quota row)
     "data_pruning_ssl_prototypes",
+    # 1-row bigram-TYPE-total broadcast (the KN continuation
+    # denominator — text_bigram_lm_logprob's token-total shape)
+    "text_bigram_kneser_ney",
 }
 
 

@@ -455,3 +455,82 @@ def test_doremi_upweights_learnable_domain(spark, tmp_path):
         s = sum(getattr(r, t) for r in got)
         assert abs(s - 16777216) <= 2, (t, s)
         assert all(getattr(r, t) > 0 for r in got)
+
+
+def test_kneser_ney_continuation_beats_raw_frequency(spark, tmp_path):
+    """KN's defining property: the continuation probability scores a
+    word by HOW MANY contexts it follows, not how often it occurs.
+    Plant two tail words with equal unigram frequency — one always
+    follows the same word ('francisco'-style), one follows many
+    different words — and the versatile word must score the higher
+    KN probability in a NOVEL context (a bigram both words complete
+    exactly once)."""
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        text_bigram_kneser_ney,
+    )
+    import math
+
+    # docs 0..7: "san francisco" repeated (francisco: 8 occurrences,
+    # ONE distinct context). docs 8..15: "<ctx_i> about" (about: 8
+    # occurrences, EIGHT distinct contexts). docs 16/17: the probe
+    # bigrams "probe francisco" / "probe about", each once.
+    rows = []
+    for i in range(8):
+        rows.append((i, "san francisco", "en", "src0", 13))
+    ctx = ["talk", "think", "walk", "read", "write", "care", "ask", "joke"]
+    for i in range(8):
+        rows.append((8 + i, f"{ctx[i]} about", "en", "src0", 10))
+    rows.append((16, "probe francisco", "en", "src0", 15))
+    rows.append((17, "probe about", "en", "src0", 11))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    got = {r.doc_id: r for r in
+           text_bigram_kneser_ney(spark, str(tmp_path)).collect()}
+    assert got[16].n_bigrams == 1 and got[17].n_bigrams == 1
+    # both probe bigrams have c=1, same c(probe ·) and N1+(probe, ·),
+    # so the score difference is PURELY the continuation probability:
+    # N1+(·, about)=9 contexts vs N1+(·, francisco)=2
+    assert got[17].kn_avg_logprob > got[16].kn_avg_logprob
+    # sanity: the repeated high-count bigram scores near certainty
+    assert got[0].kn_avg_logprob > math.log(0.5)
+
+
+def test_fertility_identity_with_apply_counts(spark):
+    """Fertility must be exactly Σtokens/Σwords of the apply query's
+    per-doc counts, per language — one division, no drift."""
+    from wilayah_aceh_etl_spark.plans.round8_queries import (
+        tokenizer_bpe_apply_counts,
+    )
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        tokenizer_fertility_by_lang,
+    )
+    from wilayah_aceh_etl_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    base = {r.doc_id: r for r in
+            tokenizer_bpe_apply_counts(spark, SF_SMOKE).collect()}
+    langs = {
+        r.doc_id: r.lang
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    agg = {}
+    for did, r in base.items():
+        a = agg.setdefault(langs[did], [0, 0, 0])
+        a[0] += r.n_words
+        a[1] += r.n_tokens
+        a[2] += 1
+    got = tokenizer_fertility_by_lang(spark, SF_SMOKE).collect()
+    assert {r.lang for r in got} == set(agg)
+    for r in got:
+        words, toks, docs = agg[r.lang]
+        assert (r.n_words, r.n_tokens, r.n_docs) == (words, toks, docs)
+        assert r.fertility == round(toks / words, 6)
+        # BPE with 3 merges can only shorten: 1 <= fertility < chars/word
+        assert 1.0 <= r.fertility

@@ -3711,3 +3711,191 @@ def data_mixture_doremi_weights(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language + Kneser-Ney bigram LM — the two
+# published text/tokenizer metrics the registry still lacked.
+# ---------------------------------------------------------------------------
+
+
+def _fertility_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.round8_queries import (
+        _BPE_APPLY_ORACLE,
+    )
+
+    return (
+        "WITH base AS ("
+        + _BPE_APPLY_ORACLE
+        + """)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(b.n_words) AS BIGINT) AS n_words,
+       CAST(SUM(b.n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(b.n_tokens) AS DOUBLE) / SUM(b.n_words), 6)
+         AS fertility,
+       ROUND(CAST(SUM(b.n_chars) AS DOUBLE) / SUM(b.n_tokens), 6)
+         AS chars_per_token
+FROM base b JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY d.lang
+"""
+    )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=_fertility_oracle(),
+    tags=("ext", "text", "tokenizer", "bpe", "multilingual"),
+    description="per-language tokenizer fertility (subword tokens "
+    "per word) and compression under the trained BPE",
+)
+def tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer FERTILITY per language (Ács 2019; Rust et al. 2021,
+    'How Good is Your Tokenizer?'): subword tokens per whitespace
+    word, the standard metric for how equitably one shared
+    vocabulary serves each language — high-fertility languages pay
+    more sequence length (and more compute) per word, the
+    'tokenizer premium' multilingual-LM work audits. Composed by
+    CALLING tokenizer_bpe_apply_counts (train 3 BPE merges on the
+    corpus, tokenize, per-doc counts — zero duplicated plan code)
+    and aggregating its exact-integer counts per language; fertility
+    and chars-per-token are each ONE IEEE division of exact BIGINTs,
+    rounded for display. Scale shape: inherits the apply query's
+    vocabulary-sized tokenization + broadcast join; the per-language
+    rollup is one 2-column aggregate."""
+    from wilayah_aceh_etl_spark.plans.round8_queries import (
+        tokenizer_bpe_apply_counts,
+    )
+
+    base = tokenizer_bpe_apply_counts(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    return (
+        base.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.sum("n_words"), 6
+            ).alias("fertility"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_bigram_kneser_ney",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+big AS MATERIALIZED (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM words, UNNEST(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+),
+c2 AS MATERIALIZED (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2
+),
+cl AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS cl,
+         CAST(COUNT(*) AS BIGINT) AS nf
+  FROM c2 GROUP BY w1
+),
+cr AS (
+  SELECT w2, CAST(COUNT(*) AS BIGINT) AS nb FROM c2 GROUP BY w2
+),
+nbig AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbig FROM c2),
+lpterms AS (
+  SELECT b.doc_id,
+         ln((c2.c2 - 0.75) / cl.cl
+            + 0.75 * cl.nf / cl.cl * (cr.nb / CAST(n.nbig AS DOUBLE)))
+           AS lp
+  FROM big b
+  JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+  JOIN cl ON cl.w1 = b.w1
+  JOIN cr ON cr.w2 = b.w2
+  CROSS JOIN nbig n
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(lp) / COUNT(*), 3) AS kn_avg_logprob
+FROM lpterms GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("ext", "text", "lm", "kneser-ney", "quality"),
+    description="interpolated Kneser-Ney bigram LM logprob per doc "
+    "(absolute discounting + continuation probability)",
+)
+def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1999's benchmark formulation) — the LM that CCNet-style
+    perplexity filters actually ship (KenLM is modified KN):
+    P(w2|w1) = (c(w1,w2) − D)/c(w1·) + D·N1+(w1,·)/c(w1·) ·
+    N1+(·,w2)/N1+(··), with absolute discount D = 0.75 and the
+    CONTINUATION probability (how many distinct contexts a word
+    follows) replacing the raw unigram — the insight that made KN
+    the strongest n-gram smoother. Every count is an exact integer
+    from two aggregates over the bigram-type table (c2 → per-w1
+    totals+continuations, per-w2 contexts, one global type count);
+    in-corpus bigrams always have c ≥ 1 > D, so the discounted term
+    stays positive. The per-doc score is mean ln P rounded to 3
+    decimals (text_bigram_lm_logprob's exact output contract, so
+    the two LMs are drop-in comparable).
+
+    Scale shape: identical to the interpolated-bigram query — the
+    LM tables hash-partition on token (the natural key), the
+    broadcast 1-row type total rides a cross join, and scoring is
+    candidate-scoped joins on (w1, w2); no corpus self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("w"))
+    big = (
+        words.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(w, 1, size(w) - 1),"
+                    " (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+    )
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cl = c2.groupBy("w1").agg(
+        F.sum("c2").alias("cl"), F.count(F.lit(1)).alias("nf")
+    )
+    cr = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("nb"))
+    nbig = c2.agg(F.count(F.lit(1)).alias("nbig"))
+    lp = F.log(
+        (F.col("c2") - F.lit(0.75)) / F.col("cl")
+        + F.lit(0.75) * F.col("nf") / F.col("cl")
+        * (F.col("nb") / F.col("nbig").cast("double"))
+    )
+    return (
+        big.join(c2, ["w1", "w2"])
+        .join(cl, "w1")
+        .join(cr, "w2")
+        .crossJoin(F.broadcast(nbig))
+        .select("doc_id", lp.alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 3).alias(
+                "kn_avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
