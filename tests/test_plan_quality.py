@@ -182,6 +182,9 @@ NLJ_ALLOWED = {
     # 1-row bigram-TYPE-total broadcast (the KN continuation
     # denominator — text_bigram_lm_logprob's token-total shape)
     "text_bigram_kneser_ney",
+    # two 1-row broadcasts onto the N_LANGUAGES-row relation: the
+    # (total, n_langs, budget) aggregate and the waterline share
+    "data_mixture_unimax_allocation",
 }
 
 

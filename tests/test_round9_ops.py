@@ -534,3 +534,112 @@ def test_fertility_identity_with_apply_counts(spark):
         assert r.fertility == round(toks / words, 6)
         # BPE with 3 merges can only shorten: 1 <= fertility < chars/word
         assert 1.0 <= r.fertility
+
+
+def test_kcenter_greedy_properties(spark, tmp_path):
+    """Greedy k-center's defining properties on a planted corpus:
+    (a) the coverage radius is NON-INCREASING in k (each new center
+    can only shrink the max-min distance); (b) a far outlier is
+    captured within the first picks (farthest-point traversal finds
+    isolated mass immediately); (c) all selected ids are distinct
+    and the seed is the lowest vec_id."""
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        data_selection_kcenter_coreset,
+    )
+
+    d = 8
+    rows = []
+    for i in range(100):
+        if i == 77:
+            vec = [50.0] * d  # the far outlier
+        else:
+            core = 0 if i % 2 == 0 else 1
+            vec = [0.0] * d
+            vec[core] = 1.0
+            vec[(i * 3) % d] += ((i % 7) - 3) / 100.0
+        rows.append((i, vec, i % 10))
+    _write_embeddings(spark, tmp_path, rows)
+
+    got = data_selection_kcenter_coreset(spark, str(tmp_path)).collect()
+    assert [r.step for r in got] == list(range(1, 9))
+    ids = [r.vec_id for r in got]
+    assert len(set(ids)) == 8
+    assert ids[0] == 0  # seed = lowest vec_id
+    assert 77 in ids[:2][1:] or ids[1] == 77  # outlier is pick #2
+    radii = [r.radius for r in got[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert radii[0] > 100  # the outlier's distance dominates step 2
+
+
+def test_unimax_allocation_invariants(spark, tmp_path):
+    """UniMax's contract on a planted skewed corpus: low-resource
+    languages are FULLY allocated (exactly E=1 epoch), every capped
+    language gets the SAME uniform share (that is the fairness
+    claim), no language exceeds the epoch cap, and the shares
+    conserve the budget B = (4*total)//5 exactly."""
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        data_mixture_unimax_allocation,
+    )
+
+    # token counts per lang: tiny=8, small=40, big=400
+    rows, did = [], 0
+    for lang, ndocs, wlen in (("tiny", 2, 4), ("small", 10, 4),
+                              ("big", 50, 8)):
+        for _ in range(ndocs):
+            text = " ".join(f"w{j % 5}" for j in range(wlen))
+            rows.append((did, text, lang, "src0", len(text)))
+            did += 1
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    got = {r.lang: r for r in
+           data_mixture_unimax_allocation(spark, str(tmp_path)).collect()}
+    total = sum(r.n_tokens for r in got.values())
+    b = (4 * total) // 5
+    assert got["tiny"].fully_allocated == 1
+    assert got["tiny"].epochs == 1.0
+    assert got["big"].fully_allocated == 0
+    assert got["big"].epochs < 1.0
+    # capped languages share ONE waterline value
+    capped = [r for r in got.values() if r.fully_allocated == 0]
+    assert len({r.alloc_tokens for r in capped}) == 1
+    # budget conservation (display rounding slack)
+    assert abs(sum(r.alloc_tokens for r in got.values()) - b) < 1e-3
+    assert all(r.epochs <= 1.0 for r in got.values())
+
+
+def test_renyi_efficiency_orders_token_uniformity(spark, tmp_path):
+    """The Rényi-efficiency claim: a language whose token usage is
+    UNIFORM scores efficiency near 1; one dominated by a single
+    token scores far lower — and both stay in (0, 1]."""
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        tokenizer_renyi_efficiency,
+    )
+
+    uni_words = ["gold", "silk", "iron", "wood", "salt", "corn",
+                 "wool", "lime"]
+    rows, did = [], 0
+    for _ in range(10):
+        rows.append((did, " ".join(uni_words), "uni", "src0", 40))
+        did += 1
+    for _ in range(10):
+        # one dominant word plus a thin tail
+        text = " ".join(["zz"] * 20 + ["qq", "vv"])
+        rows.append((did, text, "skew", "src0", len(text)))
+        did += 1
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/documents.parquet"
+    )
+
+    got = {r.lang: r for r in
+           tokenizer_renyi_efficiency(spark, str(tmp_path)).collect()}
+    assert 0.0 < got["skew"].efficiency < got["uni"].efficiency <= 1.0
+    assert got["uni"].efficiency > 0.9
+    assert got["skew"].efficiency < 0.6

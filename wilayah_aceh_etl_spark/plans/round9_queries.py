@@ -3899,3 +3899,439 @@ def text_bigram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center greedy coreset (farthest-point traversal) — the coreset-
+# selection family's canonical member.
+# ---------------------------------------------------------------------------
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    def d2(p: str) -> str:
+        ce = f"(SELECT e FROM p{p})"
+        return (
+            f"greatest(list_dot_product(v.e, v.e)"
+            f" - 2 * list_dot_product(v.e, {ce})"
+            f" + list_dot_product({ce}, {ce}), 0)"
+        )
+
+    ctes = [
+        "v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+        " FROM embeddings)",
+        "p1 AS MATERIALIZED (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1)",
+    ]
+    for j in range(2, k + 1):
+        terms = ", ".join(d2(str(i)) for i in range(1, j))
+        dmin = terms if j == 2 else f"LEAST({terms})"
+        notin = " AND ".join(
+            f"v.vec_id != (SELECT vec_id FROM p{i})" for i in range(1, j)
+        )
+        ctes.append(
+            f"m{j} AS MATERIALIZED (SELECT v.vec_id, v.e, {dmin} AS dmin"
+            f" FROM v v WHERE {notin})"
+        )
+        ctes.append(
+            f"p{j} AS MATERIALIZED (SELECT vec_id, e, dmin FROM m{j}"
+            f" ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+    selects = [
+        "SELECT 1 AS step, (SELECT vec_id FROM p1) AS vec_id,"
+        " 0.0 AS radius"
+    ] + [
+        f"SELECT {j}, vec_id, ROUND(sqrt(dmin), 6) FROM p{j}"
+        for j in range(2, k + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL ".join(selects)
+        + "\nORDER BY step"
+    )
+
+
+@register(
+    "data_selection_kcenter_coreset",
+    oracle=_kcenter_oracle(8),
+    tags=("ext", "ml", "curation", "coreset", "k-center"),
+    description="k-center greedy coreset: 8 farthest-point centers "
+    "with the coverage radius at each step",
+)
+def data_selection_kcenter_coreset(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-center greedy coreset selection (Sener & Savarese 2018,
+    'Active Learning for CNNs: A Core-Set Approach'; the classic
+    Gonzalez 1985 farthest-point traversal with its 2-approximation
+    guarantee): start from the first vector, repeatedly add the
+    point FARTHEST from the selected set, and report each step's
+    max-min distance — the coverage radius, which certifies how well
+    k centers summarize the corpus (and is non-increasing in k, the
+    monotonicity tests/test_round9_ops.py pins). Greedy k-center is
+    the coreset front-end of active-learning and data-selection
+    pipelines — the diversity-first complement of the density-first
+    SSL-prototype pruning above.
+
+    Determinism: distances are the k-means oracle's exact expression
+    — greatest(e·e − 2·e·c + c·c, 0) on bitwise-pinned dot folds —
+    the min over selected centers is LEAST (order-insensitive over
+    IEEE doubles), argmax ties break to the LOW vec_id via the
+    max-of-(d, −vec_id) struct device, and the emitted radius is
+    ROUND(sqrt(dmin), 6) computed ENGINE-side on both sides.
+
+    Scale shape: step j is ONE corpus scan — a map-side expression
+    against ≤k literal centers feeding a single partial-combined
+    max-struct aggregate (the same broadcast-state pattern as the
+    k-means trainer); driver state is O(k·d). k scans for k centers
+    is the standard distributed greedy k-center; at 100 TB each
+    scan is embarrassingly parallel with no joins and no shuffle
+    beyond the k-row aggregate."""
+    from wilayah_aceh_etl_spark.functions.vectors import as_double, dot
+
+    k = 8
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", as_double(F.col("embedding")).alias("e")
+        )
+        .persist()
+    )
+    try:
+        seed = v.orderBy("vec_id").limit(1).first()
+        centers = [(int(seed["vec_id"]), list(seed["e"]))]
+        out = [(1, centers[0][0], None)]  # radius filled engine-side
+
+        def _d2(cv: list[float]):
+            carr = F.array(*[F.lit(float(x)) for x in cv])
+            return F.greatest(
+                dot(F.col("e"), F.col("e"))
+                - 2 * dot(F.col("e"), carr)
+                + dot(carr, carr),
+                F.lit(0.0),
+            )
+
+        for j in range(2, k + 1):
+            dists = [_d2(cv) for _, cv in centers]
+            dmin = dists[0] if len(dists) == 1 else F.least(*dists)
+            picked = set(cid for cid, _ in centers)
+            best = (
+                v.filter(~F.col("vec_id").isin(*picked))
+                .agg(
+                    F.max(
+                        F.struct(
+                            dmin.alias("d"),
+                            (-F.col("vec_id")).alias("nid"),
+                        )
+                    ).alias("m")
+                )
+                .first()["m"]
+            )
+            nid = int(-best["nid"])
+            nvec = list(
+                v.filter(F.col("vec_id") == nid).first()["e"]
+            )
+            centers.append((nid, nvec))
+            out.append((j, nid, float(best["d"])))
+        rows = spark.createDataFrame(
+            out, "step int, vec_id long, dmin double"
+        )
+        return rows.select(
+            "step",
+            "vec_id",
+            F.when(F.col("step") == 1, F.lit(0.0))
+            .otherwise(F.round(F.sqrt("dmin"), 6))
+            .alias("radius"),
+        ).orderBy("step")
+    finally:
+        v.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# UniMax language-budget allocation + Rényi tokenizer efficiency.
+# ---------------------------------------------------------------------------
+
+# UniMax parameters for the registered query: epoch cap E=1 and
+# budget B = (4·total)//5. On this corpus's 2.5x language skew that
+# puts the waterline MID-LIST (de/es/zh fully allocated, fr/en capped
+# at the uniform share) so the gate row exercises both regimes; the
+# planted test runs E=2 on a skewed corpus to pin the epoch-cap side.
+_UNIMAX_E = 1
+
+
+@register(
+    "data_mixture_unimax_allocation",
+    oracle=f"""
+WITH c AS (
+  SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS c
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS nl FROM c),
+bud AS (SELECT (4 * total) // 5 AS b FROM tot),
+r AS (
+  SELECT lang, c,
+         ROW_NUMBER() OVER (ORDER BY c, lang) AS i,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY c, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS cum
+  FROM c
+),
+ok AS (
+  SELECT lang, c, i, cum,
+         {_UNIMAX_E} * c * ((SELECT nl FROM tot) - i + 1)
+           <= (SELECT b FROM bud) - {_UNIMAX_E} * cum AS oki
+  FROM r
+),
+fl AS (
+  SELECT lang, c, i, cum, oki,
+         MIN(CAST(oki AS INTEGER)) OVER (ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS is_full
+  FROM ok
+),
+wl AS (  -- the waterline: uniform share at the first non-full rank
+  SELECT CAST((SELECT b FROM bud) - {_UNIMAX_E} * cum AS DOUBLE) /
+         ((SELECT nl FROM tot) - i + 1) AS u
+  FROM fl WHERE NOT is_full ORDER BY i LIMIT 1
+),
+alloc AS (
+  SELECT lang, c, is_full,
+         CASE WHEN is_full THEN CAST({_UNIMAX_E} * c AS DOUBLE)
+              ELSE (SELECT u FROM wl) END AS a
+  FROM fl
+)
+SELECT lang, c AS n_tokens,
+       CAST(is_full AS INTEGER) AS fully_allocated,
+       ROUND(a, 6) AS alloc_tokens,
+       ROUND(a / c, 6) AS epochs
+FROM alloc ORDER BY lang
+""",
+    tags=("ext", "mixture", "sampling", "multilingual", "unimax"),
+    description="UniMax language sampling: epoch-capped water-filling "
+    "of a token budget across languages",
+)
+def data_mixture_unimax_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, 'UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining'): spread a token budget B as UNIFORMLY
+    as possible across languages, except no language repeats more
+    than E epochs of its own data — the published alternative to
+    temperature sampling (data_mixture_temperature_epochs is that
+    baseline). Greedy smallest-corpus-first allocation has a closed
+    form: sorted ascending by corpus size, a language is FULLY
+    allocated (E epochs) while E·c_i·(remaining languages) fits the
+    remaining budget, and everyone past the waterline gets the
+    uniform share. The breakpoint predicate is INTEGER
+    cross-multiplied (E·c·r ≤ B − E·cum — never a float), the
+    prefix rule is a cumulative boolean MIN over the sorted ranks,
+    and the share is ONE division of exact integers; E=1 and
+    B=(4·total)//5 put the waterline mid-list on this corpus (both
+    regimes in the gate row). The window sorts N_LANGUAGES rows —
+    post-aggregation, metadata-scale at any corpus size."""
+    c = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.size(F.split("text", " ")))
+            .cast("long")
+            .alias("c")
+        )
+    )
+    tot = c.agg(
+        F.sum("c").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("nl"),
+    ).withColumn("b", F.expr("(4 * total) div 5"))
+    w = Window.orderBy("c", "lang")
+    r = (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "cum",
+            F.coalesce(
+                F.sum("c").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    e = F.lit(_UNIMAX_E)
+    ok = r.withColumn(
+        "oki",
+        e * F.col("c") * (F.col("nl") - F.col("i") + 1)
+        <= F.col("b") - e * F.col("cum"),
+    )
+    wi = Window.orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fl = ok.withColumn(
+        "is_full", F.min(F.col("oki").cast("int")).over(wi) == 1
+    )
+    wl = (
+        fl.filter(~F.col("is_full"))
+        .orderBy("i")
+        .limit(1)
+        .select(
+            (
+                (F.col("b") - e * F.col("cum")).cast("double")
+                / (F.col("nl") - F.col("i") + 1)
+            ).alias("u")
+        )
+    )
+    alloc = fl.crossJoin(F.broadcast(wl)).select(
+        "lang",
+        F.col("c").alias("n_tokens"),
+        F.col("is_full").cast("int").alias("fully_allocated"),
+        F.when(F.col("is_full"), (e * F.col("c")).cast("double"))
+        .otherwise(F.col("u"))
+        .alias("a"),
+        "c",
+    )
+    return alloc.select(
+        "lang",
+        "n_tokens",
+        "fully_allocated",
+        F.round(F.col("a"), 6).alias("alloc_tokens"),
+        F.round(F.col("a") / F.col("c"), 6).alias("epochs"),
+    ).orderBy("lang")
+
+
+def _renyi_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.round7_queries import _bpe_step_sql
+
+    return (
+        """
+WITH vocab AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+  GROUP BY w
+),
+w0 AS (
+  SELECT w, freq, array_to_string(string_split(w, ''), '|') AS s FROM vocab
+),
+"""
+        + ",".join(_bpe_step_sql(i) for i in (1, 2, 3))
+        + """,
+dwf AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents WHERE doc_id < 200
+  ) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) >= 2
+),
+tk AS MATERIALIZED (
+  SELECT w,
+         string_split(
+           replace(replace(replace(
+             array_to_string(string_split(w, ''), '|'),
+             (SELECT a || '|' || b FROM best1), (SELECT a || b FROM best1)),
+             (SELECT a || '|' || b FROM best2), (SELECT a || b FROM best2)),
+             (SELECT a || '|' || b FROM best3), (SELECT a || b FROM best3)),
+           '|') AS parts
+  FROM (SELECT DISTINCT w FROM dwf)
+),
+stream AS (
+  SELECT d.doc_id, UNNEST(t.parts) AS tok
+  FROM dwf d JOIN tk t USING (w)
+),
+bylang AS (
+  SELECT doc.lang, s.tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM stream s JOIN documents doc USING (doc_id)
+  GROUP BY 1, 2
+),
+agg AS (
+  SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab_size,
+         CAST(SUM(c * c) AS BIGINT) AS sum_c2
+  FROM bylang GROUP BY lang
+)
+SELECT lang, n_tokens, vocab_size, sum_c2,
+       ROUND(ln((CAST(n_tokens AS DOUBLE) * n_tokens) / sum_c2), 6)
+         AS renyi2,
+       ROUND(ln((CAST(n_tokens AS DOUBLE) * n_tokens) / sum_c2)
+             / ln(CAST(vocab_size AS DOUBLE)), 6) AS efficiency
+FROM agg ORDER BY lang
+"""
+    )
+
+
+@register(
+    "tokenizer_renyi_efficiency",
+    oracle=_renyi_oracle(),
+    tags=("ext", "text", "tokenizer", "entropy", "renyi"),
+    description="Rényi (collision) entropy efficiency of the BPE "
+    "token distribution per language",
+)
+def tokenizer_renyi_efficiency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rényi efficiency of the tokenizer (Zouhar et al. 2023,
+    'Tokenization and the Noiseless Channel'): a GOOD tokenizer
+    spreads probability mass evenly over its vocabulary, and the
+    Rényi entropy of the token unigram distribution — normalized by
+    ln|V| — predicts downstream quality better than raw compression.
+    This query scores the repo's own 3-merge BPE per language at
+    α=2 (collision entropy), the family member that stays EXACT:
+    H₂ = ln(N²/Σc²) needs only the integer token counts — Σc² is an
+    exact BIGINT, N² one exact product — so both engines feed ln the
+    bitwise-same rational (the paper's α=2.5 needs float powers of
+    every probability; the α choice is documented, not hidden).
+    Efficiency = H₂/ln V ∈ (0, 1], 1 = perfectly uniform usage.
+
+    Scale shape: inherits the BPE apply path (vocabulary-sized
+    tokenization, broadcast merge table), then two hash aggregates
+    — (lang, token) counts and the per-language Σ/Σc²/count rollup —
+    both on natural keys; no joins over the corpus beyond the
+    vocab-sized broadcast."""
+    from wilayah_aceh_etl_spark.plans.round7_queries import (
+        _bpe_learn_merges,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _bpe_learn_merges(docs, n_iter=3)
+    words = (
+        docs.filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
+        .filter(F.col("w").rlike("^[a-z]+$") & (F.length("w") >= 2))
+    )
+    tok = F.regexp_replace(F.col("w"), "(?<=.)(?=.)", "|")
+    for _, a, b, _, _ in merges:
+        tok = F.replace(tok, F.lit(a + "|" + b), F.lit(a + b))
+    tk = (
+        words.select("w")
+        .distinct()
+        .select("w", F.split(tok, "\\|").alias("parts"))
+    )
+    stream = words.join(F.broadcast(tk), "w").select(
+        "doc_id", F.explode("parts").alias("tok")
+    )
+    langs = docs.select("doc_id", "lang")
+    bylang = (
+        stream.join(langs, "doc_id")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = bylang.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_c2"),
+    )
+    h2 = F.log(
+        (F.col("n_tokens").cast("double") * F.col("n_tokens"))
+        / F.col("sum_c2")
+    )
+    return agg.select(
+        "lang",
+        "n_tokens",
+        "vocab_size",
+        "sum_c2",
+        F.round(h2, 6).alias("renyi2"),
+        F.round(h2 / F.log(F.col("vocab_size").cast("double")), 6).alias(
+            "efficiency"
+        ),
+    ).orderBy("lang")
