@@ -643,3 +643,31 @@ def test_renyi_efficiency_orders_token_uniformity(spark, tmp_path):
     assert 0.0 < got["skew"].efficiency < got["uni"].efficiency <= 1.0
     assert got["uni"].efficiency > 0.9
     assert got["skew"].efficiency < 0.6
+
+
+def test_tracin_flags_flipped_labels(spark, tmp_path):
+    """TracIn's headline use (Pruthi et al. 2020 §4): mislabeled
+    examples concentrate in the HIGH self-influence tail — on a
+    separable corpus with planted flips, every flipped example's
+    self-influence exceeds every clean example's."""
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        data_attribution_tracin_self,
+    )
+
+    d = 8
+    rows = []
+    for i in range(64):
+        sign = 1.0 if i % 2 == 0 else -1.0
+        vec = [sign] + [((i * 7 + j * 3) % 13 - 6) / 60.0 for j in range(d - 1)]
+        clean_label = 0 if sign > 0 else 9
+        label = 9 - clean_label if i % 16 == 5 else clean_label
+        rows.append((i, vec, label))
+    _write_embeddings(spark, tmp_path, rows)
+
+    got = data_attribution_tracin_self(spark, str(tmp_path)).collect()
+    assert len(got) == 64
+    flipped = [r.tracin_self_q for r in got if r.vec_id % 16 == 5]
+    clean = [r.tracin_self_q for r in got if r.vec_id % 16 != 5]
+    assert len(flipped) == 4
+    assert min(flipped) > max(clean)
+    assert all(s >= 0 for s in flipped + clean)

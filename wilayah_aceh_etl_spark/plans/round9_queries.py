@@ -4335,3 +4335,102 @@ def tokenizer_renyi_efficiency(
             "efficiency"
         ),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# TracIn self-influence — gradient-based data attribution from the
+# same lr=2.0 trajectory the cartography family trains.
+# ---------------------------------------------------------------------------
+
+
+def _tracin_oracle() -> str:
+    def e_t(m: str) -> str:
+        return f"(0.5 + {m} / (2.0 * (1.0 + abs({m}))) - y)"
+
+    terms = " + ".join(
+        f"2.0 * ({e_t(f'm{t}')} * {e_t(f'm{t}')}) * xx" for t in (1, 2, 3)
+    )
+    return (
+        "WITH "
+        + _emb_train_sql("", "TRUE")
+        + """,
+pe AS MATERIALIZED (
+  SELECT v.vec_id, v.y,
+         list_dot_product(v.x, v.x) AS xx,
+         list_dot_product(v.x, (SELECT w FROM w1)) + (SELECT b FROM w1) AS m1,
+         list_dot_product(v.x, (SELECT w FROM w2)) + (SELECT b FROM w2) AS m2,
+         list_dot_product(v.x, (SELECT w FROM w3)) + (SELECT b FROM w3) AS m3
+  FROM v v
+)
+"""
+        + f"""
+SELECT vec_id, CAST(y AS INTEGER) AS y,
+       CAST(ROUND(({terms}) * 16777216) AS BIGINT) AS tracin_self_q
+FROM pe ORDER BY vec_id
+"""
+    )
+
+
+@register(
+    "data_attribution_tracin_self",
+    oracle=_tracin_oracle(),
+    tags=("ext", "ml", "curation", "attribution", "tracin"),
+    description="TracIn self-influence per example over the GD "
+    "checkpoints; high self-influence flags mislabeled/memorized rows",
+)
+def data_attribution_tracin_self(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TracIn self-influence (Pruthi et al. 2020, 'Estimating
+    Training Data Influence by Tracing Gradient Descent'): the
+    influence of a training example ON ITSELF, summed over
+    checkpoints — TracInCP(z, z) = Σ_t η·∇L_t(z)·∇L_t(z) — the
+    paper's practical detector for mislabeled and memorized
+    examples (they concentrate in the high-self-influence tail).
+    For the logistic model the per-checkpoint gradient is
+    (σ̂(m_t) − y)·x, so self-influence collapses to
+    Σ_t η·e_t²·‖x‖² — PURE ARITHMETIC on the bitwise-pinned margins
+    of the shared lr=2.0 trajectory (the same three checkpoints
+    cartography and forgetting score against; one more lens on one
+    training run, zero new trainer code). ‖x‖² is one dot fold, the
+    three terms sum in fixed order, and the single emitted float is
+    quantized ·2²⁴ engine-side.
+
+    Scale shape: identical to the rest of the dynamics family —
+    broadcast-weight training, then ONE corpus scan with three
+    literal-weight dots plus one self-dot per row; zero joins.
+
+    tests/test_round9_ops.py::test_tracin_flags_flipped_labels pins
+    the paper's use: planted label flips land in the high-self-
+    influence tail."""
+    from wilayah_aceh_etl_spark.functions.vectors import as_double, dot
+    from wilayah_aceh_etl_spark.operators.ml_train import (
+        logreg_fit_trajectory,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    traj = logreg_fit_trajectory(emb, n_iter=3, lr=float(_TD_LR))
+    v = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("x"), "y"
+    )
+    xx = dot(F.col("x"), F.col("x"))
+    terms = []
+    for w, b in traj:
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        m = dot(F.col("x"), warr) + F.lit(float(b))
+        e = (
+            F.lit(0.5)
+            + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
+            - F.col("y")
+        )
+        terms.append(F.lit(2.0) * (e * e) * xx)
+    self_infl = (terms[0] + terms[1]) + terms[2]
+    return v.select(
+        "vec_id",
+        F.col("y").cast("int").alias("y"),
+        F.round(self_infl * 16777216).cast("long").alias("tracin_self_q"),
+    ).orderBy("vec_id")
