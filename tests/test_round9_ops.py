@@ -206,13 +206,14 @@ def test_trajectory_last_equals_fit(spark):
     """logreg_fit_trajectory[-1] must be EXACTLY logreg_fit's return
     (same _gd_step composition — the bit-identity every dynamics
     query's oracle relies on)."""
+    from tests.conftest import SF_SMOKE
     from wilayah_aceh_etl_spark.operators.ml_train import (
         logreg_fit,
         logreg_fit_trajectory,
     )
     from wilayah_aceh_etl_spark.sources.tables import load_table
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
         "vec_id",
         "embedding",
         F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
@@ -223,6 +224,22 @@ def test_trajectory_last_equals_fit(spark):
     assert traj[-1][0] == w and traj[-1][1] == b
     # iterates actually move (the trajectory is not degenerate)
     assert traj[0][0] != traj[1][0] != traj[2][0]
+
+
+def _planted_flip_corpus(d: int = 8, n: int = 64):
+    """Separable corpus with label flips planted at i%16==5 — shared
+    by the cartography and TracIn tests (both pin that flips land in
+    the method's suspicious tail)."""
+    rows = []
+    for i in range(n):
+        sign = 1.0 if i % 2 == 0 else -1.0
+        vec = [sign] + [
+            ((i * 7 + j * 3) % 13 - 6) / 60.0 for j in range(d - 1)
+        ]
+        clean_label = 0 if sign > 0 else 9
+        label = 9 - clean_label if i % 16 == 5 else clean_label
+        rows.append((i, vec, label))
+    return rows
 
 
 def _write_embeddings(spark, tmp_path, rows):
@@ -242,16 +259,7 @@ def test_cartography_flipped_labels_are_hard(spark, tmp_path):
         data_cartography_regions,
     )
 
-    d = 8
-    rows = []
-    for i in range(64):
-        sign = 1.0 if i % 2 == 0 else -1.0
-        vec = [sign] + [((i * 7 + j * 3) % 13 - 6) / 60.0 for j in range(d - 1)]
-        # label<5 <=> y=1 <=> positive dim0 — except the planted flips
-        clean_label = 0 if sign > 0 else 9
-        label = 9 - clean_label if i % 16 == 5 else clean_label
-        rows.append((i, vec, label))
-    _write_embeddings(spark, tmp_path, rows)
+    _write_embeddings(spark, tmp_path, _planted_flip_corpus())
 
     got = data_cartography_regions(spark, str(tmp_path)).collect()
     assert len(got) == 64
@@ -279,7 +287,9 @@ def test_cartography_regions_nonvacuous_on_corpus(spark):
         data_cartography_regions,
     )
 
-    got = data_cartography_regions(spark, "/root/testdata/sf0.001").collect()
+    from tests.conftest import SF_SMOKE
+
+    got = data_cartography_regions(spark, SF_SMOKE).collect()
     regions = {r.region for r in got}
     assert regions == {"easy", "ambiguous", "hard"}
     # and the derived columns stay consistent with n_correct extremes
@@ -297,9 +307,9 @@ def test_forgetting_events_consistency_and_nonvacuous(spark):
         data_pruning_forgetting_events,
     )
 
-    got = data_pruning_forgetting_events(
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    from tests.conftest import SF_SMOKE
+
+    got = data_pruning_forgetting_events(spark, SF_SMOKE).collect()
     assert len(got) == 500
     total_forgets = 0
     for r in got:
@@ -654,15 +664,7 @@ def test_tracin_flags_flipped_labels(spark, tmp_path):
         data_attribution_tracin_self,
     )
 
-    d = 8
-    rows = []
-    for i in range(64):
-        sign = 1.0 if i % 2 == 0 else -1.0
-        vec = [sign] + [((i * 7 + j * 3) % 13 - 6) / 60.0 for j in range(d - 1)]
-        clean_label = 0 if sign > 0 else 9
-        label = 9 - clean_label if i % 16 == 5 else clean_label
-        rows.append((i, vec, label))
-    _write_embeddings(spark, tmp_path, rows)
+    _write_embeddings(spark, tmp_path, _planted_flip_corpus())
 
     got = data_attribution_tracin_self(spark, str(tmp_path)).collect()
     assert len(got) == 64
@@ -671,3 +673,39 @@ def test_tracin_flags_flipped_labels(spark, tmp_path):
     assert len(flipped) == 4
     assert min(flipped) > max(clean)
     assert all(s >= 0 for s in flipped + clean)
+
+
+def test_trajectory_memo_bit_identity(spark):
+    """logreg_fit_trajectory_cached: warm == cold bit-identical, the
+    memo holds one entry per logical corpus, and a DIFFERENT logical
+    corpus over the same files (extra filter) trains its own entry
+    rather than aliasing (the kmeans_centroids_cached contract)."""
+    from tests.conftest import SF_SMOKE
+    from wilayah_aceh_etl_spark.operators import ml_train as M
+    from wilayah_aceh_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    M._TRAJECTORY_CACHE.clear()
+    cold = M.logreg_fit_trajectory_cached(
+        emb, cache_key="t", n_iter=3, lr=2.0
+    )
+    assert len(M._TRAJECTORY_CACHE) == 1
+    warm = M.logreg_fit_trajectory_cached(
+        emb, cache_key="t", n_iter=3, lr=2.0
+    )
+    assert warm == cold
+    assert len(M._TRAJECTORY_CACHE) == 1
+    plain = M.logreg_fit_trajectory(emb, n_iter=3, lr=2.0)
+    assert plain == cold
+    # a filtered corpus over the same files must NOT alias
+    sub = emb.filter(F.col("vec_id") % 2 == 0)
+    other = M.logreg_fit_trajectory_cached(
+        sub, cache_key="t", n_iter=3, lr=2.0
+    )
+    assert len(M._TRAJECTORY_CACHE) == 2
+    assert other != cold
+    M._TRAJECTORY_CACHE.clear()

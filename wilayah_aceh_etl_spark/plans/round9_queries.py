@@ -3101,7 +3101,7 @@ def data_cartography_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-confidence region)."""
     from wilayah_aceh_etl_spark.functions.vectors import as_double, dot
     from wilayah_aceh_etl_spark.operators.ml_train import (
-        logreg_fit_trajectory,
+        logreg_fit_trajectory_cached,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -3109,7 +3109,9 @@ def data_cartography_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
     )
-    traj = logreg_fit_trajectory(emb, n_iter=3, lr=float(_TD_LR))
+    traj = logreg_fit_trajectory_cached(
+        emb, cache_key=sf_dir, n_iter=3, lr=float(_TD_LR)
+    )
     v = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("x"), "y"
     )
@@ -3218,7 +3220,7 @@ def data_pruning_forgetting_events(
     non-vacuous at all three SFs (20-205 forgetting events)."""
     from wilayah_aceh_etl_spark.functions.vectors import as_double, dot
     from wilayah_aceh_etl_spark.operators.ml_train import (
-        logreg_fit_trajectory,
+        logreg_fit_trajectory_cached,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -3226,7 +3228,9 @@ def data_pruning_forgetting_events(
         "embedding",
         F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
     )
-    traj = logreg_fit_trajectory(emb, n_iter=3, lr=float(_TD_LR))
+    traj = logreg_fit_trajectory_cached(
+        emb, cache_key=sf_dir, n_iter=3, lr=float(_TD_LR)
+    )
     v = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("x"), "y"
     )
@@ -4015,6 +4019,10 @@ def data_selection_kcenter_coreset(
             dists = [_d2(cv) for _, cv in centers]
             dmin = dists[0] if len(dists) == 1 else F.least(*dists)
             picked = set(cid for cid, _ in centers)
+            # the winning VECTOR rides along in the max struct — the
+            # unique -vec_id tiebreak decides every comparison before
+            # the array field is reached, so one scan per step picks
+            # both the id and its coordinates (no second fetch pass)
             best = (
                 v.filter(~F.col("vec_id").isin(*picked))
                 .agg(
@@ -4022,16 +4030,14 @@ def data_selection_kcenter_coreset(
                         F.struct(
                             dmin.alias("d"),
                             (-F.col("vec_id")).alias("nid"),
+                            F.col("e").alias("e"),
                         )
                     ).alias("m")
                 )
                 .first()["m"]
             )
             nid = int(-best["nid"])
-            nvec = list(
-                v.filter(F.col("vec_id") == nid).first()["e"]
-            )
-            centers.append((nid, nvec))
+            centers.append((nid, list(best["e"])))
             out.append((j, nid, float(best["d"])))
         rows = spark.createDataFrame(
             out, "step int, vec_id long, dmin double"
@@ -4169,9 +4175,14 @@ def data_mixture_unimax_allocation(
     fl = ok.withColumn(
         "is_full", F.min(F.col("oki").cast("int")).over(wi) == 1
     )
+    # the waterline row: the LOWEST-rank non-full language. Sorting
+    # is_full ASC first keeps this relation at exactly 1 row even if
+    # EVERY language is fully allocated (budget >= E*total) — in that
+    # case u rides along unused (no CASE branch reads it), matching
+    # the oracle's NULL scalar subquery, instead of an empty cross
+    # join dropping every output row.
     wl = (
-        fl.filter(~F.col("is_full"))
-        .orderBy("i")
+        fl.orderBy(F.col("is_full").cast("int"), "i")
         .limit(1)
         .select(
             (
@@ -4348,7 +4359,8 @@ def _tracin_oracle() -> str:
         return f"(0.5 + {m} / (2.0 * (1.0 + abs({m}))) - y)"
 
     terms = " + ".join(
-        f"2.0 * ({e_t(f'm{t}')} * {e_t(f'm{t}')}) * xx" for t in (1, 2, 3)
+        f"{_TD_LR} * ({e_t(f'm{t}')} * {e_t(f'm{t}')}) * xx"
+        for t in (1, 2, 3)
     )
     return (
         "WITH "
@@ -4405,7 +4417,7 @@ def data_attribution_tracin_self(
     influence tail."""
     from wilayah_aceh_etl_spark.functions.vectors import as_double, dot
     from wilayah_aceh_etl_spark.operators.ml_train import (
-        logreg_fit_trajectory,
+        logreg_fit_trajectory_cached,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -4413,7 +4425,9 @@ def data_attribution_tracin_self(
         "embedding",
         F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
     )
-    traj = logreg_fit_trajectory(emb, n_iter=3, lr=float(_TD_LR))
+    traj = logreg_fit_trajectory_cached(
+        emb, cache_key=sf_dir, n_iter=3, lr=float(_TD_LR)
+    )
     v = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("x"), "y"
     )
@@ -4427,7 +4441,7 @@ def data_attribution_tracin_self(
             + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
             - F.col("y")
         )
-        terms.append(F.lit(2.0) * (e * e) * xx)
+        terms.append(F.lit(float(_TD_LR)) * (e * e) * xx)
     self_infl = (terms[0] + terms[1]) + terms[2]
     return v.select(
         "vec_id",
