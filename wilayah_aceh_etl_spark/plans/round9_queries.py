@@ -4448,3 +4448,130 @@ def data_attribution_tracin_self(
         F.col("y").cast("int").alias("y"),
         F.round(self_infl * 16777216).cast("long").alias("tracin_self_q"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Mutual-information feature ranking (micro-nat exact-integer sums).
+# ---------------------------------------------------------------------------
+
+_MI_FEATURES_SQL = (
+    ("priority", "o_orderpriority"),
+    ("month", "CAST(month(o_orderdate) AS VARCHAR)"),
+    ("price_band", "CAST(CAST(o_totalprice AS BIGINT) // 50000 AS VARCHAR)"),
+    ("const", "'all'"),
+)
+
+
+def _mi_block_sql(name: str, expr: str) -> str:
+    return f"""
+c_{name} AS MATERIALIZED (
+  SELECT {expr} AS v, o_orderstatus AS y,
+         CAST(COUNT(*) AS BIGINT) AS nvy
+  FROM orders GROUP BY 1, 2
+),
+v_{name} AS (SELECT v, CAST(SUM(nvy) AS BIGINT) AS nv
+             FROM c_{name} GROUP BY v),
+y_{name} AS (SELECT y, CAST(SUM(nvy) AS BIGINT) AS ny
+             FROM c_{name} GROUP BY y),
+n_{name} AS (SELECT CAST(SUM(nvy) AS BIGINT) AS n FROM c_{name}),
+mi_{name} AS (
+  SELECT '{name}' AS feature,
+         CAST(COUNT(*) AS BIGINT) AS n_cells,
+         CAST(ROUND(CAST(SUM(CAST(ROUND(1000000.0 * c.nvy *
+             ln((CAST(c.nvy AS DOUBLE) * t.n) / (v.nv * y.ny)))
+             AS BIGINT)) AS DOUBLE) / MAX(t.n)) AS BIGINT)
+           AS mi_micronats
+  FROM c_{name} c
+  JOIN v_{name} v USING (v)
+  JOIN y_{name} y USING (y)
+  CROSS JOIN n_{name} t
+)"""
+
+
+@register(
+    "feature_mutual_information_rank",
+    oracle="WITH "
+    + ",".join(_mi_block_sql(n, e) for n, e in _MI_FEATURES_SQL)
+    + """
+SELECT feature, n_cells, mi_micronats FROM (
+  SELECT * FROM mi_priority
+  UNION ALL SELECT * FROM mi_month
+  UNION ALL SELECT * FROM mi_price_band
+  UNION ALL SELECT * FROM mi_const
+) ORDER BY feature
+""",
+    tags=("ext", "feature", "selection", "mutual-information"),
+    description="mutual information of categorical features against "
+    "order status, in exact micro-nats",
+)
+def feature_mutual_information_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mutual-information feature ranking (the filter-method
+    selection criterion of Battiti 1994's MIFS and every
+    feature-selection survey since): I(X;Y) = Σ p(x,y)·ln(p(x,y)/
+    (p(x)p(y))) between each candidate categorical feature and the
+    order-status label. Exactness is the DSIR device: each cell's
+    contribution n_xy·ln(n_xy·N/(n_x·n_y)) is quantized to INTEGER
+    micro-nats BEFORE the sum (ln of one exact-int rational, one
+    multiply, one round), so the reduce is order-free, and the final
+    division by N happens once. The literal 'const' feature is the
+    built-in negative control — its MI row is an exact 0.
+
+    Scale shape: one (feature-value, label) hash aggregate per
+    feature (the contingency table — thousands of cells at most,
+    regardless of corpus rows), tiny marginal re-aggregates, a 1-row
+    N broadcast; the corpus is scanned once per feature and nothing
+    row-scale crosses the wire."""
+    orders = load_table(spark, sf_dir, "orders")
+    feats = [
+        ("priority", F.col("o_orderpriority")),
+        ("month", F.month("o_orderdate").cast("string")),
+        (
+            "price_band",
+            F.expr("CAST(CAST(o_totalprice AS BIGINT) div 50000 AS STRING)"),
+        ),
+        ("const", F.lit("all")),
+    ]
+    parts = []
+    for name, fc in feats:
+        cells = orders.groupBy(
+            fc.alias("v"), F.col("o_orderstatus").alias("y")
+        ).agg(F.count(F.lit(1)).cast("long").alias("nvy"))
+        nv = cells.groupBy("v").agg(
+            F.sum("nvy").cast("long").alias("nv")
+        )
+        ny = cells.groupBy("y").agg(
+            F.sum("nvy").cast("long").alias("ny")
+        )
+        nn = cells.agg(F.sum("nvy").cast("long").alias("n"))
+        term = (
+            F.round(
+                F.lit(1000000.0)
+                * F.col("nvy")
+                * F.log(
+                    (F.col("nvy").cast("double") * F.col("n"))
+                    / (F.col("nv") * F.col("ny"))
+                )
+            ).cast("long")
+        )
+        parts.append(
+            cells.join(nv, "v")
+            .join(ny, "y")
+            .crossJoin(F.broadcast(nn))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_cells"),
+                F.round(
+                    F.sum(term).cast("double") / F.max("n")
+                )
+                .cast("long")
+                .alias("mi_micronats"),
+            )
+            .select(
+                F.lit(name).alias("feature"), "n_cells", "mi_micronats"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("feature")
