@@ -726,3 +726,30 @@ def test_mutual_information_control_and_ordering(spark):
     assert got["const"].mi_micronats == 0
     assert got["const"].n_cells <= 3  # one cell per label value
     assert all(r.mi_micronats >= 0 for r in got.values())
+
+
+def test_streaming_classifier_matches_batch_serving(spark):
+    """The streamed verdicts must be EXACTLY the batch serving
+    query's (per-doc scoring has no cross-batch state — that is the
+    deployment claim), and every doc must land in its doc_id%4
+    micro-batch."""
+    from tests.conftest import SF_SMOKE
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        corpus_quality_classifier_serving,
+        streaming_quality_classifier_filter,
+    )
+
+    streamed = streaming_quality_classifier_filter(
+        spark, SF_SMOKE
+    ).collect()
+    batch = {
+        r.doc_id: r
+        for r in corpus_quality_classifier_serving(spark, SF_SMOKE).collect()
+    }
+    assert len(streamed) == len(batch)
+    for r in streamed:
+        assert r.batch == r.doc_id % 4
+        assert (r.logit_q, r.keep) == (
+            batch[r.doc_id].logit_q,
+            batch[r.doc_id].keep,
+        )

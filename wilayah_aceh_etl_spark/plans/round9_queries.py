@@ -2489,9 +2489,19 @@ def _qc_feature_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean-of-ngram-vectors normalization). Shared by the quality
     classifier, EL2N pruning, and confident-learning queries; one
     tokenize + two hash aggregates per doc, no corpus-wide state."""
+    return _qc_feature_vectors_from(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+def _qc_feature_vectors_from(docs: DataFrame) -> DataFrame:
+    """_qc_feature_vectors over an arbitrary documents relation —
+    per-doc features have no corpus-wide state, so the SAME exprs
+    serve a batch table or one micro-batch of a stream (the
+    streaming classifier filter scores each trigger through this)."""
     from wilayah_aceh_etl_spark.functions.text import hex4_to_int
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.select("doc_id", "text")
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     )
@@ -4575,3 +4585,94 @@ def feature_mutual_information_rank(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.orderBy("feature")
+
+
+@register(
+    "streaming_quality_classifier_filter",
+    oracle=_qc_train_sql(_QC_Y_CLEAN, "x0.doc_id % 5 != 0")
+    + """,
+scored AS (
+  SELECT x0.doc_id,
+         list_dot_product(x0.x, (SELECT w FROM w3)) +
+           (SELECT b FROM w3) AS m
+  FROM xv x0
+)
+SELECT doc_id,
+       CAST(doc_id % 4 AS INTEGER) AS batch,
+       CAST(ROUND(m * 16777216) AS BIGINT) AS logit_q,
+       CAST(CASE WHEN m > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM scored
+ORDER BY doc_id
+""",
+    tags=("streaming", "text", "quality", "classifier", "serving"),
+    description="the fastText-style quality filter served over a "
+    "document STREAM: train once, score every micro-batch",
+)
+def streaming_quality_classifier_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """corpus_quality_classifier_serving through the real streaming
+    path — the deployment shape of a model-based quality filter:
+    the classifier trains ONCE, batch-side (an index-build artifact,
+    like the IVF coarse quantizer), and documents arriving as four
+    mtime-ordered micro-batches are scored per trigger by the
+    literal-weights expression inside foreachBatch
+    (streaming/classifier_filter.py — replay-idempotent per-batch
+    overwrite, zero cross-batch state). Because per-doc scores have
+    no corpus-wide serving state, the streamed verdicts are
+    DEFINITIONALLY the batch query's — the oracle re-derives
+    training + scoring in SQL and adds the doc_id%4 batch routing,
+    so one hash pins micro-batch routing, the shared feature
+    pipeline (_qc_feature_vectors_from runs on each batch), the
+    trained weights, and the verdicts at once."""
+    import os
+    import shutil
+
+    from wilayah_aceh_etl_spark.operators.ml_train import logreg_fit
+    from wilayah_aceh_etl_spark.scratch import scratch_dir
+    from wilayah_aceh_etl_spark.streaming.classifier_filter import (
+        classifier_filter_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    docs0 = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    xv = _qc_feature_vectors(spark, sf_dir)
+    train = xv.join(docs0, "doc_id").filter(F.col("doc_id") % 5 != 0)
+    w, b = logreg_fit(train, n_iter=3, lr=0.5, id_col="doc_id", vec_col="x")
+
+    base = scratch_dir("qcf_src")
+    for k in range(4):
+        tmp = base + f"_stage{k}"
+        docs.filter(F.col("doc_id") % 4 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(base, f"batch{k}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        t = 1_600_000_000 + k * 1000
+        os.utime(dst, (t, t))
+    out = scratch_dir("qcf_tbl", create=False)
+    ckpt = scratch_dir("qcf_ck", create=False)
+    src = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    sq = classifier_filter_stream(
+        src, w, b, out, ckpt, _qc_feature_vectors_from
+    ).trigger(availableNow=True).start()
+    sq.awaitTermination(600)
+    return (
+        spark.read.parquet(out)
+        .select(
+            "doc_id",
+            F.col("batch").cast("int").alias("batch"),
+            "logit_q",
+            "keep",
+        )
+        .orderBy("doc_id")
+    )
