@@ -188,6 +188,8 @@ NLJ_ALLOWED = {
     # per-feature 1-row N broadcast onto the contingency-cell
     # relation (the MI normalization denominator)
     "feature_mutual_information_rank",
+    # 3-row n-grid broadcast product (the pass@k k-grid shape)
+    "model_eval_best_of_n",
 }
 
 

@@ -753,3 +753,34 @@ def test_streaming_classifier_matches_batch_serving(spark):
             batch[r.doc_id].logit_q,
             batch[r.doc_id].keep,
         )
+
+
+def test_best_of_n_estimator_properties(spark):
+    """BoN invariants: n=1 recovers the plain mean of the 12 sampled
+    rewards; the estimate is MONOTONE NON-DECREASING in n (a bigger
+    best-of pool can only help); and best-of-8 never exceeds the
+    sample maximum."""
+    from tests.conftest import SF_SMOKE
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        model_eval_best_of_n,
+    )
+    from wilayah_aceh_etl_spark.sources.tables import load_table
+
+    got = {}
+    for r in model_eval_best_of_n(spark, SF_SMOKE).collect():
+        got.setdefault(r.prompt_id, {})[r.n] = r.bon_estimate_milli
+    assert got
+    ev = load_table(spark, SF_SMOKE, "events").filter(
+        F.col("user_id") < 20
+    )
+    rows = ev.select("user_id", "event_id", "value").collect()
+    by_prompt = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.event_id)):
+        by_prompt.setdefault(r.user_id, []).append(
+            round(r.value * 1000)
+        )
+    for pid, ests in got.items():
+        sample = by_prompt[pid][:12]
+        assert abs(ests[1] - sum(sample) / len(sample)) < 1e-3, pid
+        assert ests[1] <= ests[4] <= ests[8], (pid, ests)
+        assert ests[8] <= max(sample) + 1e-6, pid

@@ -4676,3 +4676,134 @@ def streaming_quality_classifier_filter(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unbiased Best-of-n estimator (the BoN curve of RLHF evaluation).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "model_eval_best_of_n",
+    oracle="""
+WITH f AS (
+  SELECT i, CAST(COALESCE(PRODUCT(j), 1) AS BIGINT) AS fact
+  FROM UNNEST(range(13)) AS t(i)
+       LEFT JOIN UNNEST(range(1, 13)) AS s(j) ON j <= i
+  GROUP BY i
+),
+samples AS (
+  SELECT prompt_id, reward_milli,
+         ROW_NUMBER() OVER (PARTITION BY prompt_id
+                            ORDER BY reward_milli, event_id) AS i
+  FROM (
+    SELECT user_id AS prompt_id, event_id,
+           CAST(ROUND(value * 1000) AS BIGINT) AS reward_milli,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY event_id) AS rn
+    FROM events WHERE user_id < 20
+  ) WHERE rn <= 12
+),
+est AS (
+  SELECT s.prompt_id, kk.n,
+         CAST(SUM(CASE WHEN s.i >= kk.n THEN
+           ((SELECT fact FROM f WHERE i = s.i - 1)
+            / ((SELECT fact FROM f WHERE i = kk.n - 1)
+               * (SELECT fact FROM f WHERE i = s.i - kk.n)))
+           * s.reward_milli ELSE 0 END) AS BIGINT) AS num,
+         (SELECT fact FROM f WHERE i = 12)
+           / ((SELECT fact FROM f WHERE i = kk.n)
+              * (SELECT fact FROM f WHERE i = 12 - kk.n)) AS den
+  FROM samples s CROSS JOIN UNNEST([1, 4, 8]) AS kk(n)
+  GROUP BY s.prompt_id, kk.n
+)
+SELECT prompt_id, CAST(n AS INTEGER) AS n,
+       ROUND(CAST(num AS DOUBLE) / den, 6) AS bon_estimate_milli
+FROM est
+ORDER BY prompt_id, n
+""",
+    tags=("ext", "ml", "eval", "best-of-n", "rlhf"),
+    description="unbiased Best-of-n expected-max-reward estimator "
+    "(exact integer order-statistic weights)",
+)
+def model_eval_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbiased Best-of-n estimator (Nakano et al. 2021, WebGPT
+    Appendix I — the BoN curve every RLHF / reward-model evaluation
+    plots): from N sampled rewards per prompt, the expected MAXIMUM
+    of n <= N draws without replacement is the order-statistic sum
+    E[max_n] = Σ_{i>=n} C(i−1, n−1)·r_(i) / C(N, n) over the
+    ascending-sorted rewards — evaluating best-of-n selection
+    without re-sampling per n. Exactness is pass@k's device taken
+    one step further: the binomial WEIGHTS are exact integer
+    factorial ratios AND the weighted sum stays integer (weights ×
+    milli-rewards), so the only float is the single final division.
+    Rewards are the events' milli-quantized values, N = 12 samples
+    per prompt (first 12 by event id, deterministic), rank ties
+    break by event_id.
+
+    Scale shape: one partitioned window (per-prompt rank), one
+    grouped integer sum per (prompt, n), a 13-row factorial
+    broadcast; rows crossing the wire are (prompts × n-grid)."""
+    fact = {0: 1}
+    for i in range(1, 13):
+        fact[i] = fact[i - 1] * i
+    fact_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, v) for i, v in fact.items()], "i int, fact long"
+        )
+    )
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w_rn = Window.partitionBy("user_id").orderBy("event_id")
+    samples0 = ev.select(
+        F.col("user_id").alias("prompt_id"),
+        "event_id",
+        F.round(F.col("value") * 1000).cast("long").alias("reward_milli"),
+        F.row_number().over(w_rn).alias("rn"),
+    ).filter(F.col("rn") <= 12)
+    w_i = Window.partitionBy("prompt_id").orderBy(
+        "reward_milli", "event_id"
+    )
+    samples = samples0.select(
+        "prompt_id",
+        "reward_milli",
+        F.row_number().over(w_i).alias("i"),
+    )
+    ns = spark.createDataFrame([(1,), (4,), (8,)], "n int")
+    est = samples.crossJoin(F.broadcast(ns))
+    for col, idx in (
+        ("f_i1", F.col("i") - 1),
+        ("f_n1", F.col("n") - 1),
+        ("f_in", F.col("i") - F.col("n")),
+        ("f_nn", F.col("n")),
+        ("f_12n", F.lit(12) - F.col("n")),
+    ):
+        est = est.join(
+            fact_df.select(
+                F.col("i").alias(f"_{col}_i"), F.col("fact").alias(col)
+            ),
+            idx == F.col(f"_{col}_i"),
+            "left",
+        ).drop(f"_{col}_i")
+    weight = (F.col("f_i1") / (F.col("f_n1") * F.col("f_in"))).cast("long")
+    term = F.when(
+        F.col("i") >= F.col("n"), weight * F.col("reward_milli")
+    ).otherwise(F.lit(0).cast("long"))
+    den = (
+        F.lit(int(fact[12])).cast("long")
+        / (F.col("f_nn") * F.col("f_12n"))
+    ).cast("long")
+    return (
+        est.groupBy("prompt_id", "n")
+        .agg(
+            F.sum(term).cast("long").alias("num"),
+            F.max(den).alias("den"),
+        )
+        .select(
+            "prompt_id",
+            "n",
+            F.round(
+                F.col("num").cast("double") / F.col("den"), 6
+            ).alias("bon_estimate_milli"),
+        )
+        .orderBy("prompt_id", "n")
+    )
