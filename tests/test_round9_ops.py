@@ -784,3 +784,23 @@ def test_best_of_n_estimator_properties(spark):
         assert abs(ests[1] - sum(sample) / len(sample)) < 1e-3, pid
         assert ests[1] <= ests[4] <= ests[8], (pid, ests)
         assert ests[8] <= max(sample) + 1e-6, pid
+
+
+def test_jl_projection_distortion_concentrates(spark):
+    """The JL lemma's claim on the real corpus: E[||Rx/sqrt(k)||^2] =
+    ||x||^2, so mean distortion sits near 1e6 ppm, every distortion
+    is positive, and at k=16 the empirical spread stays inside the
+    (loose) 4-sigma envelope sqrt(2/k)*4 ~ 1.41."""
+    from tests.conftest import SF_SMOKE
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        embedding_jl_projection_audit,
+    )
+
+    got = embedding_jl_projection_audit(spark, SF_SMOKE).collect()
+    assert len(got) == 500
+    vals = [r.distortion_ppm for r in got]
+    assert all(v > 0 for v in vals)
+    mean = sum(vals) / len(vals)
+    assert abs(mean - 1_000_000) < 150_000, mean
+    within = sum(1 for v in vals if 400_000 < v < 2_400_000)
+    assert within / len(vals) > 0.95

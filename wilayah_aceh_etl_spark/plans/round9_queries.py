@@ -4807,3 +4807,112 @@ def model_eval_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prompt_id", "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection + distortion audit.
+# ---------------------------------------------------------------------------
+
+
+def _jl_signs(d: int = 64, k: int = 16) -> list[list[int]]:
+    """The deterministic ±1 projection matrix, column-major: entry
+    (j, col) is the parity of the first hex digit of
+    md5('jl_<j>_<col>') — reproducible anywhere, no RNG state. Both
+    the Spark expressions and the oracle SQL embed these SAME
+    literals, so the projection is one shared constant, exactly like
+    a trained-model artifact."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"jl_{j}_{c}".encode()).hexdigest()[0], 16
+            )
+            % 2
+            == 0
+            else -1
+            for j in range(d)
+        ]
+        for c in range(k)
+    ]
+
+
+def _jl_oracle(d: int = 64, k: int = 16) -> str:
+    cols = _jl_signs(d, k)
+    ys = [
+        f"list_dot_product(e, {col}) / 4.0".replace("'", "")
+        for col in [str([float(s) for s in c]) for c in cols]
+    ]
+    sq = " + ".join(f"(y{i} * y{i})" for i in range(k))
+    ydefs = ",\n         ".join(f"{y} AS y{i}" for i, y in enumerate(ys))
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+p AS (
+  SELECT vec_id, list_dot_product(e, e) AS xx,
+         {ydefs}
+  FROM v
+)
+SELECT vec_id,
+       CAST(ROUND(1000000.0 * ({sq}) / xx) AS BIGINT) AS distortion_ppm
+FROM p ORDER BY vec_id
+"""
+
+
+@register(
+    "embedding_jl_projection_audit",
+    oracle=_jl_oracle(),
+    tags=("ext", "embedding", "dimensionality", "jl", "projection"),
+    description="Johnson-Lindenstrauss ±1 projection 64->16 with "
+    "per-vector norm-distortion audit (ppm)",
+)
+def embedding_jl_projection_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with the distortion
+    audit that certifies it (JL 1984; Achlioptas 2003's
+    database-friendly ±1 entries — EXACTLY this construction, chosen
+    over Gaussians precisely because it runs as integer adds inside
+    a database): project every 64-d embedding to 16-d via y =
+    R·x/√k with R ∈ {±1}, and report each vector's norm distortion
+    ‖y‖²/‖x‖² in ppm — the quantity the JL lemma bounds and the
+    go/no-go audit before swapping an ANN index to the cheaper
+    dimension. R derives deterministically from md5 (no RNG state)
+    and is embedded as SHARED LITERALS in the Spark expressions and
+    the oracle SQL, like a trained-model artifact; each y_k is one
+    dot fold, √16 = 4 divides exactly, the 16 squares sum in fixed
+    order, and the ratio is one division quantized to ppm.
+
+    Scale shape: a pure map-side expression — one corpus scan, 17
+    dot folds per row, zero joins and zero shuffles; the audit
+    aggregate a consumer would add on top is one map-side-combined
+    summary. tests pin the JL property itself (mean distortion ~ 1,
+    all positive, concentration within the lemma's envelope)."""
+    from wilayah_aceh_etl_spark.functions.vectors import as_double, dot
+
+    k = 16
+    cols = _jl_signs(64, k)
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    ys = [
+        (
+            dot(F.col("e"), F.array(*[F.lit(float(s)) for s in c]))
+            / F.lit(4.0)
+        ).alias(f"y{i}")
+        for i, c in enumerate(cols)
+    ]
+    p = v.select(
+        "vec_id", dot(F.col("e"), F.col("e")).alias("xx"), *ys
+    )
+    sq = (F.col("y0") * F.col("y0"))
+    for i in range(1, k):
+        sq = sq + (F.col(f"y{i}") * F.col(f"y{i}"))
+    return p.select(
+        "vec_id",
+        F.round(F.lit(1000000.0) * sq / F.col("xx"))
+        .cast("long")
+        .alias("distortion_ppm"),
+    ).orderBy("vec_id")
