@@ -190,6 +190,9 @@ NLJ_ALLOWED = {
     "feature_mutual_information_rank",
     # 3-row n-grid broadcast product (the pass@k k-grid shape)
     "model_eval_best_of_n",
+    # 8-row estimator-grid broadcast onto the key-count relation,
+    # plus the 1-row sketch/exact summary cross join
+    "approx_f2_ams_audit",
 }
 
 

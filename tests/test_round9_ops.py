@@ -804,3 +804,34 @@ def test_jl_projection_distortion_concentrates(spark):
     assert abs(mean - 1_000_000) < 150_000, mean
     within = sum(1 for v in vals if 400_000 < v < 2_400_000)
     assert within / len(vals) > 0.95
+
+
+def test_ams_f2_estimator_quality(spark):
+    """AMS invariants on the real corpus: the exact F2 matches a
+    Python recomputation, the 8-estimator mean lands within the
+    sketch's coarse accuracy envelope (std/F2 = sqrt(2/8) ~ 0.5;
+    assert within 3x of that), and the audit's ppm arithmetic is
+    self-consistent."""
+    from tests.conftest import SF_SMOKE
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        approx_f2_ams_audit,
+    )
+    from wilayah_aceh_etl_spark.sources.tables import load_table
+
+    row = approx_f2_ams_audit(spark, SF_SMOKE).collect()[0]
+    counts = {}
+    for r in load_table(spark, SF_SMOKE, "events").select(
+        "user_id"
+    ).collect():
+        counts[r.user_id] = counts.get(r.user_id, 0) + 1
+    f2 = sum(v * v for v in counts.values())
+    assert row.f2_exact == f2
+    assert row.n_keys == len(counts)
+    assert abs(row.ams_estimate - f2) / f2 < 1.5
+    # rel_err_ppm derives from the UNROUNDED mean (sum_z2/8), the
+    # emitted estimate from the rounded one — allow that half-unit
+    # of estimate rounding, which is 1e6/(2*f2) ppm, plus 1 for the
+    # ppm rounding itself
+    assert abs(
+        row.rel_err_ppm - 1e6 * (row.ams_estimate - f2) / f2
+    ) <= 1e6 / (2 * f2) + 1

@@ -4916,3 +4916,120 @@ def embedding_jl_projection_audit(
         .cast("long")
         .alias("distortion_ppm"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# AMS F2 (second frequency moment) sketch, audited against exact F2.
+# ---------------------------------------------------------------------------
+
+_AMS_SIGN = (
+    "CASE WHEN (instr('0123456789abcdef', "
+    "md5('ams_' || CAST({i} AS VARCHAR) || '_' || CAST({u} AS VARCHAR))"
+    "[1:1]) - 1) % 2 = 0 THEN 1 ELSE -1 END"
+)
+
+
+@register(
+    "approx_f2_ams_audit",
+    oracle=f"""
+WITH c AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id
+),
+z AS (
+  SELECT t.i,
+         CAST(SUM(({_AMS_SIGN.format(i="t.i", u="c.user_id")}) * c.c)
+              AS BIGINT) AS z
+  FROM c CROSS JOIN UNNEST(range(8)) AS t(i)
+  GROUP BY t.i
+),
+s AS (
+  SELECT CAST(SUM(z * z) AS BIGINT) AS sum_z2 FROM z
+),
+f2 AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact,
+              CAST(COUNT(*) AS BIGINT) AS n_keys FROM c)
+SELECT f2.n_keys, f2.f2_exact,
+       CAST(ROUND(CAST(s.sum_z2 AS DOUBLE) / 8) AS BIGINT)
+         AS ams_estimate,
+       CAST(ROUND(1000000.0 * (CAST(s.sum_z2 AS DOUBLE) / 8 -
+            f2.f2_exact) / f2.f2_exact) AS BIGINT) AS rel_err_ppm
+FROM f2 CROSS JOIN s
+""",
+    tags=("ext", "sketch", "ams", "frequency-moment", "audit"),
+    description="AMS F2 sketch (8 sign estimators) audited against "
+    "the exact second frequency moment",
+)
+def approx_f2_ams_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Alon-Matias-Szegedy F2 sketch (AMS 1996, the result that
+    founded streaming sketches): estimate the second frequency
+    moment Σc² — the self-join size / skew statistic — from 8
+    counters Z_i = Σ_u ±c_u whose squares average to F2 in
+    expectation. Completes the sketch family with a FULLY
+    ORACLE-HASHED member: unlike the HLL/CMS/GK rows (engine-
+    specific internals → rows-only + guarantee audits), the AMS
+    signs here are md5 parities (the repo's deterministic 4-wise
+    stand-in, same device as the JL matrix), so both engines
+    compute the identical estimate AND the identical exact F2, and
+    the audit emits the realized relative error in ppm.
+
+    Scale shape: one hash aggregate to per-key counts (the natural
+    partitioning), an 8-way sign expansion of the (small) key-count
+    relation, two tiny reduces; on a true stream the 8 counters ARE
+    the state — O(1) memory, the sketch's whole point."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ids = spark.createDataFrame([(i,) for i in range(8)], "i int")
+    sign = (
+        F.when(
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("ams_"),
+                                F.col("i").cast("string"),
+                                F.lit("_"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        1,
+                    ),
+                )
+                - 1
+            )
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+    )
+    z = (
+        c.crossJoin(F.broadcast(ids))
+        .select("i", (sign * F.col("c")).alias("sc"))
+        .groupBy("i")
+        .agg(F.sum("sc").cast("long").alias("z"))
+    )
+    s = z.agg(
+        F.sum(F.col("z") * F.col("z")).cast("long").alias("sum_z2")
+    )
+    f2 = c.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    est = F.col("sum_z2").cast("double") / 8
+    return f2.crossJoin(F.broadcast(s)).select(
+        "n_keys",
+        "f2_exact",
+        F.round(est).cast("long").alias("ams_estimate"),
+        F.round(
+            F.lit(1000000.0)
+            * (est - F.col("f2_exact"))
+            / F.col("f2_exact")
+        )
+        .cast("long")
+        .alias("rel_err_ppm"),
+    )
