@@ -98,9 +98,9 @@ def _load_all() -> None:
 # tools/parity.py locally and by the test suite.
 #
 # EXHAUSTION POLICY (planned r9, per the r8 verdict ask #7): after
-# this window lands, ~96 never-verified oracle-backed names remain
+# this window lands, ~98 never-verified oracle-backed names remain
 # (feature/ab/stats/graph slices, a ~60-name singleton tail, plus
-# the NINETEEN queries BUILT in round 9 — sittings 1-3:
+# the TWENTY-ONE queries BUILT in round 9 — sittings 1-3:
 # corpus_quality_classifier_serving, similarity_imi_topk,
 # corpus_perplexity_buckets_ccnet, data_pruning_el2n_margin,
 # labels_confident_learning_noise; sitting 4's curation push:
@@ -110,10 +110,11 @@ def _load_all() -> None:
 # text_bigram_kneser_ney, data_selection_kcenter_coreset,
 # data_mixture_unimax_allocation, tokenizer_renyi_efficiency,
 # data_attribution_tracin_self, feature_mutual_information_rank,
-# streaming_quality_classifier_filter, model_eval_best_of_n — all
+# streaming_quality_classifier_filter, model_eval_best_of_n,
+# embedding_jl_projection_audit, approx_f2_ams_audit — all
 # parity-green at all 3 SFs, weighting into the r10 window per the
 # new-code-first rule) —
-# about 1.9 windows. Once the never-verified pool drops below 50,
+# about 2.0 windows. Once the never-verified pool drops below 50,
 # fill the REMAINDER of the window by RE-verifying the oldest driver
 # rows first (r1 vintage, then r2, …— ordered by the round of their
 # last green row), so long-stable operators regain driver visibility
