@@ -835,3 +835,35 @@ def test_ams_f2_estimator_quality(spark):
     assert abs(
         row.rel_err_ppm - 1e6 * (row.ams_estimate - f2) / f2
     ) <= 1e6 / (2 * f2) + 1
+
+
+def test_gate_window_tool_policy():
+    """tools/gate_window.py implements the registry's exhaustion
+    policy: every proposed name is a registered oracle-backed query,
+    never-verified names come first (new-code-first), and the window
+    is exactly the requested size."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "gate_window",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "gate_window.py",
+        ),
+    )
+    gw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gw)
+    from wilayah_aceh_etl_spark.plans.registry import all_specs
+
+    specs = all_specs()
+    latest = gw.verified_rounds()
+    assert latest  # eight rounds of driver rows exist
+    oracle_backed = [n for n, s in specs.items() if s.oracle is not None]
+    never = [n for n in oracle_backed if n not in latest]
+    # round-9-built queries are in the never pool until the r09
+    # driver rows land, and the module-round ordering puts them first
+    assert "data_cartography_regions" in never
+    assert gw.module_round(specs["data_cartography_regions"].fn) == 9
+    assert gw.module_round(specs["tpch_q8_market_share"].fn) == 0
