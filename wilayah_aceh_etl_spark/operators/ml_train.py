@@ -269,7 +269,13 @@ def logreg_fit(
     updates, for callers that score a DIFFERENT dataset (holdout
     evaluation). Delegates to logreg_fit_trajectory — ONE copy of
     the loop, so the bit-identity the oracles rely on is structural,
-    not merely asserted."""
+    not merely asserted. n_iter=0 returns the zero-initialized
+    (w, b), matching the pre-trajectory-refactor behavior (the
+    delegation alone would IndexError on the empty trajectory —
+    r9 ADVICE)."""
+    if n_iter == 0:
+        d = int(df.select(F.size(vec_col)).first()[0])
+        return [0.0] * d, 0.0
     w, b = logreg_fit_trajectory(
         df, n_iter=n_iter, lr=lr, id_col=id_col,
         vec_col=vec_col, label_col=label_col,
@@ -399,7 +405,12 @@ def doremi_domain_weights(
       mean-1 by construction, so the weighted GD step divides by N
       like the unweighted trainer. (Exactness needs the products
       under 2⁵³ — fine up to ~10⁸ rows per training shard; past
-      that the weights are driver-side doubles anyway.)
+      that the weights are driver-side doubles anyway. A second,
+      harder cliff sits in any fixed-width SQL twin of the MW
+      update: α_q·Σexcess nears 2⁶³ once a domain holds ~10⁴
+      large-excess rows, so the DuckDB oracle computes that product
+      in HUGEINT — Python's ints are arbitrary-precision and never
+      hit it.)
     * the weighted gradient is _gd_step's quantization with the wt
       factor inside the per-row ROUND — still an exact-integer sum.
 

@@ -748,6 +748,67 @@ def _probe_half(
     )
 
 
+def imi_train_halves(
+    corpus: DataFrame,
+    c_half: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Train the inverted multi-index's TWO half-space quantizers
+    (Babenko & Lempitsky 2012): spherical Lloyd on each 32-d half,
+    same seeding/tie-break as every quantizer here. Returns
+    (cent_a, cent_b) as (cid, cvec) relations — the INDEX-BUILD
+    artifact; broadcast them at every use (O((C₁+C₂)·d) floats).
+    Extracted from imi_topk (r10) so the streaming admission twin
+    trains once batch-side and serves the same centroids."""
+    full = _prep(corpus, id_col, vec_col)
+    d = len(full.select("vec").first()["vec"])
+    dh = d // 2
+    va = full.select("vec_id", F.slice(F.col("vec"), 1, dh).alias("vec"))
+    vb = full.select(
+        "vec_id", F.slice(F.col("vec"), dh + 1, d - dh).alias("vec")
+    )
+    return (
+        kmeans_centroids(va, c_half, n_iter, "vec_id", "vec"),
+        kmeans_centroids(vb, c_half, n_iter, "vec_id", "vec"),
+    )
+
+
+def imi_cell_assignments(
+    corpus: DataFrame,
+    cent_a: DataFrame,
+    cent_b: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level inverted lists: each vector keyed by its half-space
+    assignment PAIR — returns (vec_id, vec, nrm, ca, cb). At 100 TB
+    (ca, cb) is the write-time partition key; here the two map-side-
+    combined argmax aggregates (the _assign_nearest shuffle form)
+    join back on vec_id. The ONE copy of the cell-pair pipeline —
+    imi_topk's index build and the streaming admission probe both
+    call it, so their assignments cannot drift."""
+    full = _prep(corpus, id_col, vec_col)
+    d = len(full.select("vec").first()["vec"])
+    dh = d // 2
+    va = full.select("vec_id", F.slice(F.col("vec"), 1, dh).alias("vec"))
+    vb = full.select(
+        "vec_id", F.slice(F.col("vec"), dh + 1, d - dh).alias("vec")
+    )
+    a_cells = _assign_nearest(va, F.broadcast(cent_a)).select(
+        "vec_id", F.col("centroid").alias("ca")
+    )
+    b_cells = _assign_nearest(vb, F.broadcast(cent_b)).select(
+        "vec_id", F.col("centroid").alias("cb")
+    )
+    return (
+        full.withColumn("nrm", l2_norm(F.col("vec")))
+        .join(a_cells, "vec_id")
+        .join(b_cells, "vec_id")
+    )
+
+
 def imi_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -785,38 +846,28 @@ def imi_topk(
     natural two-level partition key — a probe then reads
     n_probe_half²/(C₁·C₂) of the data files, the multi-index analog
     of ivf_partitioned_layout's pruning. Output schema matches
-    ivf_topk: (query_id, vec_id, cos_sim, rk)."""
+    ivf_topk: (query_id, vec_id, cos_sim, rk).
+
+    Training and cell assignment are the shared imi_train_halves /
+    imi_cell_assignments (r10 extraction — the streaming admission
+    twin reuses them with the trained centroids as the standing
+    index artifact; one copy of the tie-break-sensitive pipeline)."""
     from pyspark.sql.window import Window
+
+    cent_a, cent_b = imi_train_halves(
+        corpus, c_half, n_iter, id_col, vec_col
+    )
+    lists = imi_cell_assignments(
+        corpus, cent_a, cent_b, id_col, vec_col
+    )
 
     full = _prep(corpus, id_col, vec_col)
     d = len(full.select("vec").first()["vec"])
     dh = d // 2
     half_a = F.slice(F.col("vec"), 1, dh)
     half_b = F.slice(F.col("vec"), dh + 1, d - dh)
-
-    va = full.select("vec_id", half_a.alias("vec"))
-    vb = full.select("vec_id", half_b.alias("vec"))
-    cent_a = F.broadcast(
-        kmeans_centroids(va, c_half, n_iter, "vec_id", "vec")
-    )
-    cent_b = F.broadcast(
-        kmeans_centroids(vb, c_half, n_iter, "vec_id", "vec")
-    )
-
-    # two-level inverted lists: each vector keyed by its half-space
-    # assignment PAIR (at 100 TB this is the write-time partition
-    # key; here the two argmax aggregates join back on vec_id)
-    a_cells = _assign_nearest(va, cent_a).select(
-        "vec_id", F.col("centroid").alias("ca")
-    )
-    b_cells = _assign_nearest(vb, cent_b).select(
-        "vec_id", F.col("centroid").alias("cb")
-    )
-    lists = (
-        full.withColumn("nrm", l2_norm(F.col("vec")))
-        .join(a_cells, "vec_id")
-        .join(b_cells, "vec_id")
-    )
+    cent_a = F.broadcast(cent_a)
+    cent_b = F.broadcast(cent_b)
 
     q = _prep(queries, id_col, vec_col)
     probes = _probe_half(q, cent_a, half_a, "ca", n_probe_half).join(

@@ -3577,34 +3577,41 @@ def multimodal_wav_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_km_step_sql(i: int) -> str:
+def _ivf_km_step_sql(
+    i: int, v: str = "v", u: str = "u", pfx: str = ""
+) -> str:
     """One SPHERICAL Lloyd iteration as DuckDB CTEs (cosine
     assignment — the IVF read path's own rule — plus quantized
     means; mirrors plans/round6_queries.py::_km_step_sql except for
-    the metric and k=16 / cid naming)."""
+    the metric and k=16 / cid naming). The `v`/`u`/`pfx` parameters
+    (defaults render the historical form up to a redundant `v v`
+    self-alias — same parse, same plan, same hashes) let a
+    combined oracle reuse these steps beside CTE sets that already
+    claim the v/u names — the same device as _lr_step_sql's prefix
+    (added r10 for the influence×dedup audit)."""
     cos_expr = _COS.format(a="v.e", b="c.ce")
     return f"""
-s{i} AS (
+{pfx}s{i} AS (
   SELECT v.vec_id, c.cid, {cos_expr} AS cs
-  FROM v CROSS JOIN c{i} c
+  FROM {v} v CROSS JOIN {pfx}c{i} c
 ),
-a{i} AS (
+{pfx}a{i} AS (
   SELECT vec_id, cid FROM (
     SELECT vec_id, cid,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rk
-    FROM s{i}
+    FROM {pfx}s{i}
   ) WHERE rk = 1
 ),
-m{i} AS (
+{pfx}m{i} AS (
   SELECT a.cid, u.pos,
          CAST(SUM(CAST(ROUND(u.val * 16777216) AS BIGINT)) AS BIGINT) AS s,
          CAST(COUNT(*) AS BIGINT) AS n
-  FROM a{i} a JOIN u ON u.vec_id = a.vec_id
+  FROM {pfx}a{i} a JOIN {u} u ON u.vec_id = a.vec_id
   GROUP BY a.cid, u.pos
 ),
-c{i + 1} AS (
+{pfx}c{i + 1} AS (
   SELECT cid, list(CAST(s AS DOUBLE) / n / 16777216 ORDER BY pos) AS ce
-  FROM m{i} GROUP BY cid
+  FROM {pfx}m{i} GROUP BY cid
 )"""
 
 

@@ -77,6 +77,7 @@ def _load_all() -> None:
     import wilayah_aceh_etl_spark.plans.round7_queries  # noqa: F401
     import wilayah_aceh_etl_spark.plans.round8_queries  # noqa: F401
     import wilayah_aceh_etl_spark.plans.round9_queries  # noqa: F401
+    import wilayah_aceh_etl_spark.plans.round10_queries  # noqa: F401
 
 
 # The correctness gate checks queries in dict order and (observed in
@@ -87,34 +88,19 @@ def _load_all() -> None:
 # round's CORRECTNESS_r{N}.json is rotated OUT and 50 never-
 # driver-verified names rotated IN, one representative slice per
 # module, so cumulative driver-verified coverage grows ~50/round.
-# Rounds 1–8 verified 335 distinct queries (the union of
-# CORRECTNESS_r01..08.json); this round-9 window is drawn from the
-# 127 oracle-backed queries that had never produced a driver row,
-# led (per the r8 verdict) by the two queries BUILT in round 8 —
-# new code meets the driver oracle first — then the two largest
-# remaining batteries (orders, sql), the text tail, the multimodal
-# plumbing rows, and the similarity/embedding/dedup tail.
-# All rotated-out queries are still exercised every round by
-# tools/parity.py locally and by the test suite.
+# Rounds 1–9 verified 385 distinct queries (the union of
+# CORRECTNESS_r01..09.json); this round-10 window is drawn from the
+# 98 oracle-backed queries that had never produced a driver row,
+# led (per the r9 verdict) by the twenty-one queries BUILT in
+# round 9 — new code meets the driver oracle first — then 29
+# alphabetical from the remaining tail (ab/stats/feature/graph/
+# battery slices). All rotated-out queries are still exercised
+# every round by tools/parity.py locally and by the test suite.
 #
 # EXHAUSTION POLICY (planned r9, per the r8 verdict ask #7): after
-# this window lands, ~98 never-verified oracle-backed names remain
-# (feature/ab/stats/graph slices, a ~60-name singleton tail, plus
-# the TWENTY-ONE queries BUILT in round 9 — sittings 1-3:
-# corpus_quality_classifier_serving, similarity_imi_topk,
-# corpus_perplexity_buckets_ccnet, data_pruning_el2n_margin,
-# labels_confident_learning_noise; sitting 4's curation push:
-# data_cartography_regions, data_pruning_forgetting_events,
-# data_selection_rho_loss, data_pruning_ssl_prototypes,
-# data_mixture_doremi_weights, tokenizer_fertility_by_lang,
-# text_bigram_kneser_ney, data_selection_kcenter_coreset,
-# data_mixture_unimax_allocation, tokenizer_renyi_efficiency,
-# data_attribution_tracin_self, feature_mutual_information_rank,
-# streaming_quality_classifier_filter, model_eval_best_of_n,
-# embedding_jl_projection_audit, approx_f2_ams_audit — all
-# parity-green at all 3 SFs, weighting into the r10 window per the
-# new-code-first rule) —
-# about 2.0 windows. Once the never-verified pool drops below 50,
+# this round-10 window lands, 48 never-verified oracle-backed names
+# remain — less than one window. Once the never-verified pool
+# drops below 50 (i.e. NEXT round),
 # fill the REMAINDER of the window by RE-verifying the oldest driver
 # rows first (r1 vintage, then r2, …— ordered by the round of their
 # last green row), so long-stable operators regain driver visibility
@@ -123,62 +109,68 @@ def _load_all() -> None:
 # CORRECTNESS_r0*.json with their LATEST round number; window =
 # all remaining never-verified names + oldest-round names up to 50.
 GATE_PRIORITY: tuple[str, ...] = (
-    # --- round-9 window: 50 never-driver-verified names ---
-    # The two round-8-built flagships first (driver-verify new code
-    # the round after it ships), then the orders battery (10), the
-    # SQL-surface battery (10), the text-analysis tail (10), the
-    # multimodal plumbing rows (7), and the similarity/embedding/
-    # dedup tail (11).
-    "embedding_contrastive_mining",
-    "ml_dpo_implicit_reward",
-    "orders_ship_sla",
-    "orders_mom_growth",
-    "orders_forecast_seasonal_naive",
-    "orders_snapshot_diff",
-    "orders_runs_test_randomness",
-    "orders_cohens_d_priority",
-    "orders_totalprice_reconciliation",
-    "orders_key_gaps_islands",
-    "orders_chain_ladder_forecast",
-    "orders_aging_waterfall",
-    "sql_group_by_all",
-    "sql_limit_offset_page",
-    "sql_values_inline_dim",
-    "sql_identifier_clause",
-    "sql_session_variables",
-    "sql_listagg_within_group",
-    "sql_named_window_clause",
-    "sql_select_star_except",
-    "sql_execute_immediate",
-    "sql_lateral_column_alias",
-    "text_chunk_sliding",
-    "text_inverted_postings",
-    "text_source_kl_divergence",
-    "text_length_profile_by_lang",
-    "text_heaps_law_curve",
-    "text_bigram_pmi_collocations",
-    "text_bigram_lm_logprob",
-    "text_char_trigram_profile",
-    "text_readability_flesch",
-    "text_mattr_diversity",
-    "multimodal_binary_metadata",
-    "multimodal_decode_meta",
-    "multimodal_frame_sample",
-    "multimodal_audio_chunks",
-    "multimodal_resize_dims",
-    "multimodal_chunks_arrow",
-    "multimodal_shard_manifest",
-    "similarity_threshold_pairs",
-    "similarity_lsh_buckets",
-    "similarity_sparse_tf_cosine",
-    "similarity_ivf_recall",
-    "similarity_mmr_rerank",
-    "embedding_norm_stats",
-    "embedding_hard_negatives",
-    "embedding_cluster_silhouette",
-    "dedup_lsh_band_sweep",
-    "dedup_corpus_after",
-    "dedup_group_size_profile",
+    # --- round-10 window: 50 never-driver-verified names, generated
+    # by tools/gate_window.py (new-code-first) and pasted by hand per
+    # the standing discipline. The TWENTY-ONE round-9-built queries
+    # lead (incl. similarity_imi_topk via the planner's new
+    # BUILD_ROUND_OVERRIDES — its ext_queries.py registration hid it
+    # from the module-number proxy in the first dry run), then 29
+    # alphabetical from the never-verified tail (ab/stats/feature/
+    # graph/battery slices). After this window lands, 48
+    # never-verified oracle-backed names remain (~1 window); the r11
+    # window will take those 48 + 2 oldest-first re-verify rows per
+    # the exhaustion policy above (dry run recorded in
+    # tools/gate_window_r11_dryrun.md).
+    "approx_f2_ams_audit",
+    "corpus_perplexity_buckets_ccnet",
+    "corpus_quality_classifier_serving",
+    "data_attribution_tracin_self",
+    "data_cartography_regions",
+    "data_mixture_doremi_weights",
+    "data_mixture_unimax_allocation",
+    "data_pruning_el2n_margin",
+    "data_pruning_forgetting_events",
+    "data_pruning_ssl_prototypes",
+    "data_selection_kcenter_coreset",
+    "data_selection_rho_loss",
+    "embedding_jl_projection_audit",
+    "feature_mutual_information_rank",
+    "labels_confident_learning_noise",
+    "model_eval_best_of_n",
+    "similarity_imi_topk",
+    "streaming_quality_classifier_filter",
+    "text_bigram_kneser_ney",
+    "tokenizer_fertility_by_lang",
+    "tokenizer_renyi_efficiency",
+    "ab_cuped_variance_reduction",
+    "ab_delta_method_ratio_ci",
+    "ab_difference_in_differences",
+    "ab_sprt_sequential_test",
+    "allocation_largest_remainder",
+    "approx_top_k_event_types",
+    "array_functions_battery2",
+    "bitwise_agg_by_status",
+    "bitwise_functions_battery",
+    "brand_price_elasticity_loglog",
+    "class_balance_effective_weights",
+    "customer_mahalanobis_outliers_2d",
+    "decision_stump_discount_returns",
+    "dp_contribution_bounded_counts",
+    "feature_quantile_normalization",
+    "forecast_conformal_interval",
+    "generator_stack_battery",
+    "geo_haversine_nearest_capitals",
+    "graph_harmonic_centrality",
+    "hash_functions_battery",
+    "map_explode_entries",
+    "map_hof_battery",
+    "market_hhi_by_region",
+    "nested_struct_battery",
+    "regexp_functions_battery",
+    "rightouter_supplier_lineitems",
+    "rollup_grouping_id_labels",
+    "rounding_modes_battery",
+    "source_interchange_roundtrip",
 )
 
 # The driver's gate records only the first 50 registration-order

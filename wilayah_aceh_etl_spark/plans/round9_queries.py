@@ -1631,6 +1631,21 @@ def multimodal_jpeg_progressive_pixel_stats(
 # Streaming corpus-quality monitor (foreachBatch)
 # ---------------------------------------------------------------------------
 
+
+def _await_stream_or_raise(sq, timeout_s: int) -> None:
+    """awaitTermination returns False on timeout with the query
+    STILL RUNNING — reading the sink then would yield partial
+    results (a confusing parity failure) and leak an active query
+    (r9 ADVICE). Stop and fail loudly instead."""
+    if not sq.awaitTermination(timeout_s):
+        sq.stop()
+        raise TimeoutError(
+            f"streaming query {sq.name or sq.id} did not finish "
+            f"within {timeout_s}s; stopped to avoid reading a "
+            "partial sink"
+        )
+
+
 _QUALITY_MONITOR_ORACLE = """
 WITH per_doc AS (
   SELECT doc_id, doc_id % 4 AS batch,
@@ -1742,7 +1757,7 @@ def streaming_quality_monitor_rates(
     sq = quality_monitor_stream(src, monitor, ckpt).trigger(
         availableNow=True
     ).start()
-    sq.awaitTermination(600)
+    _await_stream_or_raise(sq, 600)
     w_cum = Window.orderBy("batch").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -3554,8 +3569,14 @@ ex{t} AS (
   FROM px{t} GROUP BY dom
 ),
 al{t} AS MATERIALIZED (
+  -- the aq·excess product runs in HUGEINT: in BIGINT it nears 2^63
+  -- once a domain holds ~1e4 rows of large excess (aq ~ 5.7e7,
+  -- excess <= nd·2^24), where DuckDB would abort while the Python
+  -- side's arbitrary-precision ints keep going (r9 ADVICE). The
+  -- quotient is back under ~2^27, so aq stays BIGINT downstream.
   SELECT a.dom,
-         a.aq + (a.aq * GREATEST(e.s, 0)) // (2 * d.nd * 16777216) AS aq
+         CAST(a.aq + (CAST(a.aq AS HUGEINT) * GREATEST(e.s, 0))
+              // (2 * d.nd * 16777216) AS BIGINT) AS aq
   FROM al{t - 1} a JOIN ex{t} e USING (dom) JOIN dn d USING (dom)
 ),
 sal{t} AS (SELECT CAST(SUM(aq) AS BIGINT) AS sq FROM al{t}),
@@ -4000,7 +4021,13 @@ def data_selection_kcenter_coreset(
     k-means trainer); driver state is O(k·d). k scans for k centers
     is the standard distributed greedy k-center; at 100 TB each
     scan is embarrassingly parallel with no joins and no shuffle
-    beyond the k-row aggregate."""
+    beyond the k-row aggregate. The scans are SEQUENTIAL, though —
+    wall-clock is k × full-scan latency — so this exact-greedy form
+    is for k in the tens; if ever exposed as a library operator
+    with user-chosen k in the hundreds, the published 100-TB form
+    is sample-then-refine coresets (e.g. Bachem et al.'s lightweight
+    coresets: one uniform/importance sample pass, then greedy on
+    the sample), trading the 2-approximation for one scan."""
     from wilayah_aceh_etl_spark.functions.vectors import as_double, dot
 
     k = 8
@@ -4467,7 +4494,15 @@ def data_attribution_tracin_self(
 _MI_FEATURES_SQL = (
     ("priority", "o_orderpriority"),
     ("month", "CAST(month(o_orderdate) AS VARCHAR)"),
-    ("price_band", "CAST(CAST(o_totalprice AS BIGINT) // 50000 AS VARCHAR)"),
+    # exact-cents idiom (see round6 cents queries): bucket on the
+    # ROUNDed integer cents so both engines bin identically — a bare
+    # CAST(double AS BIGINT) rounds in DuckDB but truncates in Spark,
+    # silently splitting values just under a band edge (r9 ADVICE).
+    (
+        "price_band",
+        "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) // 5000000"
+        " AS VARCHAR)",
+    ),
     ("const", "'all'"),
 )
 
@@ -4538,8 +4573,14 @@ def feature_mutual_information_rank(
         ("priority", F.col("o_orderpriority")),
         ("month", F.month("o_orderdate").cast("string")),
         (
+            # exact-cents idiom, mirrored byte-for-byte with the
+            # oracle's expression (ROUND then CAST: Spark truncates
+            # double→BIGINT where DuckDB rounds — r9 ADVICE)
             "price_band",
-            F.expr("CAST(CAST(o_totalprice AS BIGINT) div 50000 AS STRING)"),
+            F.expr(
+                "CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+                " div 5000000 AS STRING)"
+            ),
         ),
         ("const", F.lit("all")),
     ]
@@ -4665,7 +4706,7 @@ def streaming_quality_classifier_filter(
     sq = classifier_filter_stream(
         src, w, b, out, ckpt, _qc_feature_vectors_from
     ).trigger(availableNow=True).start()
-    sq.awaitTermination(600)
+    _await_stream_or_raise(sq, 600)
     return (
         spark.read.parquet(out)
         .select(
@@ -4704,6 +4745,9 @@ samples AS (
     FROM events WHERE user_id < 20
   ) WHERE rn <= 12
 ),
+full_prompts AS (
+  SELECT prompt_id FROM samples GROUP BY prompt_id HAVING COUNT(*) = 12
+),
 est AS (
   SELECT s.prompt_id, kk.n,
          CAST(SUM(CASE WHEN s.i >= kk.n THEN
@@ -4714,7 +4758,9 @@ est AS (
          (SELECT fact FROM f WHERE i = 12)
            / ((SELECT fact FROM f WHERE i = kk.n)
               * (SELECT fact FROM f WHERE i = 12 - kk.n)) AS den
-  FROM samples s CROSS JOIN UNNEST([1, 4, 8]) AS kk(n)
+  FROM samples s
+       JOIN full_prompts fp ON s.prompt_id = fp.prompt_id
+       CROSS JOIN UNNEST([1, 4, 8]) AS kk(n)
   GROUP BY s.prompt_id, kk.n
 )
 SELECT prompt_id, CAST(n AS INTEGER) AS n,
@@ -4739,7 +4785,10 @@ def model_eval_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     milli-rewards), so the only float is the single final division.
     Rewards are the events' milli-quantized values, N = 12 samples
     per prompt (first 12 by event id, deterministic), rank ties
-    break by event_id.
+    break by event_id. Prompts with FEWER than 12 events are
+    excluded outright: the fixed C(12, n) denominator would
+    silently deflate their estimate (numerator truncated, N still
+    assumed 12 — r9 ADVICE).
 
     Scale shape: one partitioned window (per-prompt rank), one
     grouped integer sum per (prompt, n), a 13-row factorial
@@ -4760,6 +4809,12 @@ def model_eval_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 1000).cast("long").alias("reward_milli"),
         F.row_number().over(w_rn).alias("rn"),
     ).filter(F.col("rn") <= 12)
+    # drop prompts with fewer than 12 samples — the C(12, n)
+    # denominator below assumes exactly N = 12 (r9 ADVICE)
+    w_cnt = Window.partitionBy("prompt_id")
+    samples0 = samples0.withColumn(
+        "n_samples", F.count(F.lit(1)).over(w_cnt)
+    ).filter(F.col("n_samples") == 12)
     w_i = Window.partitionBy("prompt_id").orderBy(
         "reward_milli", "event_id"
     )
