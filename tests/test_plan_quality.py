@@ -66,6 +66,9 @@ NLJ_ALLOWED = {
     "events_drift_psi_value",  # 1-row cutoff/decile-edge broadcasts
     "events_drift_js_weekly_mix",  # 1-row min-day broadcast
     "lineitem_abc_xyz_matrix",  # 1-row total-revenue broadcast
+    # 1-row (Σinfl, n) floor-mean broadcast — the high/low influence
+    # split compares every row against one global aggregate
+    "data_curation_influence_dedup_audit",
     "orders_kaplan_meier_ship",  # 1-row at-risk-total broadcast
     "text_bigram_lm_logprob",  # 1-row corpus-token-total broadcast
     # inherits text_bm25_search's 1-row stats broadcast + the

@@ -3760,7 +3760,13 @@ c{p}{i + 1} AS (
 )"""
 
 
-_IMI_ORACLE = (
+# The IMI INDEX-BUILD prelude: both half-space Lloyd trainings,
+# both assignments, and the `lists` (vec_id, e, ca, cb) relation.
+# Shared (r10) by the batch top-k oracle below and the streaming
+# admission oracle (plans/round10_queries.py) — one SQL copy of the
+# index pipeline, mirroring the imi_train_halves/
+# imi_cell_assignments extraction on the Spark side.
+_IMI_INDEX_PRELUDE = (
     "WITH "
     + _VEC_CTE
     + """,
@@ -3806,7 +3812,12 @@ lb AS (
 lists AS (
   SELECT v.vec_id, v.e, la.ca, lb.cb
   FROM v JOIN la USING (vec_id) JOIN lb USING (vec_id)
-),
+)"""
+)
+
+_IMI_ORACLE = (
+    _IMI_INDEX_PRELUDE
+    + """,
 pa AS (
   SELECT query_id, cid AS ca FROM (
     SELECT va.vec_id AS query_id, c.cid,

@@ -262,3 +262,182 @@ def data_curation_influence_dedup_audit(
         )
         .orderBy("high_influence", "keep")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming IMI admission — the inverted multi-index cell-pair
+# assignment as the admission probe in the dedup_admission frame.
+# ---------------------------------------------------------------------------
+
+
+def _imi_admission_oracle(n_batches: int = 4, threshold: str = "0.35") -> str:
+    """Unrolls the sequential micro-batch admission in SQL on top of
+    the shared IMI index prelude (ext_queries._IMI_INDEX_PRELUDE —
+    both half-space trainings + the (vec_id, e, ca, cb) lists):
+    batch k's vectors are compared cell-locally against the
+    ADMITTED-so-far relation adm{k-1}, and admitted rows accrete
+    into adm{k}. Batch 0 faces an empty index, so its verdicts are
+    literal zeros — the same semantics the streaming frame produces
+    when the admitted table does not exist yet."""
+    from wilayah_aceh_etl_spark.plans.ext_queries import (
+        _COS,
+        _IMI_INDEX_PRELUDE,
+    )
+
+    cos = _COS.format(a="b.e", b="s.e")
+    parts = [
+        f"""
+bat0 AS (SELECT vec_id, e, ca, cb FROM lists WHERE vec_id % {n_batches} = 0),
+vd0 AS (
+  SELECT vec_id, ca, cb,
+         CAST(0 AS BIGINT) AS n_cell_candidates,
+         CAST(0 AS BIGINT) AS n_near_dups
+  FROM bat0
+),
+adm0 AS (SELECT vec_id, e, ca, cb FROM bat0)"""
+    ]
+    for k in range(1, n_batches):
+        parts.append(
+            f"""
+bat{k} AS (SELECT vec_id, e, ca, cb FROM lists WHERE vec_id % {n_batches} = {k}),
+vd{k} AS (
+  SELECT b.vec_id, b.ca, b.cb,
+         CAST(COUNT(s.vec_id) AS BIGINT) AS n_cell_candidates,
+         CAST(COALESCE(SUM(CASE WHEN ROUND({cos}, 6) >= {threshold}
+                            THEN 1 ELSE 0 END), 0) AS BIGINT)
+           AS n_near_dups
+  FROM bat{k} b LEFT JOIN adm{k - 1} s ON b.ca = s.ca AND b.cb = s.cb
+  GROUP BY b.vec_id, b.ca, b.cb
+),
+adm{k} AS (
+  SELECT * FROM adm{k - 1}
+  UNION ALL
+  SELECT b.vec_id, b.e, b.ca, b.cb
+  FROM bat{k} b JOIN vd{k} v ON b.vec_id = v.vec_id
+  WHERE v.n_near_dups = 0
+)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM vd{k}" for k in range(n_batches)
+    )
+    return (
+        _IMI_INDEX_PRELUDE
+        + ","
+        + ",".join(parts)
+        + f"""
+SELECT vec_id,
+       CAST(vec_id % {n_batches} AS INTEGER) AS batch,
+       CAST(ca AS BIGINT) AS ca,
+       CAST(cb AS BIGINT) AS cb,
+       n_cell_candidates, n_near_dups,
+       CAST(CASE WHEN n_near_dups = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS admit
+FROM ({union})
+ORDER BY vec_id
+"""
+    )
+
+
+@register(
+    "streaming_imi_admission",
+    oracle=_imi_admission_oracle(),
+    tags=(
+        "streaming",
+        "ext",
+        "dedup",
+        "semantic",
+        "ann",
+        "multi-index",
+        "foreachBatch",
+    ),
+    description="streaming semantic admission over the inverted "
+    "multi-index: cell-local near-dup probe per micro-batch",
+)
+def streaming_imi_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverted multi-index run as a CONTINUOUS admission gate
+    (the r9 verdict's second stretch ask): the two half-space
+    quantizers are trained once batch-side (imi_train_halves — the
+    index artifact, like the served classifier's weights), then
+    embeddings arrive as four mtime-ordered micro-batches and each
+    vector is admitted iff no already-admitted vector in its
+    (ca, cb) cell is within 0.35 cosine
+    (streaming/imi_admission.py — the dedup_admission
+    replay-idempotent frame: batch-partitioned overwrite sinks,
+    existing side excludes the current batch, verdicts sealed
+    before the admitted table changes). The oracle re-derives BOTH
+    Lloyd trainings, every cell assignment, and the full sequential
+    4-batch admission unrolled in SQL, so the hash pins training,
+    assignment, micro-batch routing, AND the order-dependent
+    admission verdicts at once.
+
+    Scale shape: per batch one broadcast of C₁+C₂ centroid rows,
+    two map-side argmax aggregates, and a cell-pair EQUI-join
+    against the standing index (at 100 TB the admitted table is
+    partitioned by (ca, cb) — the probe reads 1/(C₁·C₂) of it);
+    never all-pairs, no cross-batch driver state."""
+    import os
+    import shutil
+
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        _await_stream_or_raise,
+    )
+    from wilayah_aceh_etl_spark.scratch import scratch_dir
+    from wilayah_aceh_etl_spark.streaming.imi_admission import (
+        imi_admission_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_a, cent_b = S.imi_train_halves(emb, c_half=4, n_iter=2)
+    # materialize the index artifact ONCE (C₁+C₂ = 8 rows) and serve
+    # it as literal relations — the trained-quantizer analog of the
+    # classifier filter's literal weights; without this every
+    # micro-batch would lazily re-run both Lloyd trainings. Python
+    # floats round-trip IEEE doubles exactly, so assignments are
+    # bit-identical to the lazy form.
+    cent_a, cent_b = (
+        spark.createDataFrame(
+            [(int(r["cid"]), list(r["cvec"])) for r in c.collect()],
+            "cid long, cvec array<double>",
+        )
+        for c in (cent_a, cent_b)
+    )
+
+    base = scratch_dir("imiadm_src")
+    for k in range(4):
+        tmp = base + f"_stage{k}"
+        emb.filter(F.col("vec_id") % 4 == k).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(base, f"batch{k}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        t = 1_600_000_000 + k * 1000
+        os.utime(dst, (t, t))
+
+    admitted = scratch_dir("imiadm_tbl", create=False)
+    verdicts = scratch_dir("imiadm_vd", create=False)
+    ckpt = scratch_dir("imiadm_ck", create=False)
+    src = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(base)
+    )
+    sq = imi_admission_stream(
+        src, cent_a, cent_b, admitted, verdicts, ckpt, threshold=0.35
+    ).trigger(availableNow=True).start()
+    _await_stream_or_raise(sq, 600)
+    return (
+        spark.read.option("basePath", verdicts)
+        .parquet(verdicts)
+        .select(
+            "vec_id",
+            F.col("batch").cast("int").alias("batch"),
+            "ca",
+            "cb",
+            "n_cell_candidates",
+            "n_near_dups",
+            "admit",
+        )
+        .orderBy("vec_id")
+    )
