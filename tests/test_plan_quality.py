@@ -69,6 +69,10 @@ NLJ_ALLOWED = {
     # 1-row (Σinfl, n) floor-mean broadcast — the high/low influence
     # split compares every row against one global aggregate
     "data_curation_influence_dedup_audit",
+    # 1-row (min, max) margin-range broadcast for the band edges
+    "corpus_classifier_reliability_bins",
+    # 1-row cross of two scalar aggregates (Σ‖g‖² stats × Σs²)
+    "training_gradient_noise_scale",
     "orders_kaplan_meier_ship",  # 1-row at-risk-total broadcast
     "text_bigram_lm_logprob",  # 1-row corpus-token-total broadcast
     # inherits text_bm25_search's 1-row stats broadcast + the

@@ -159,3 +159,144 @@ def test_imi_admission_streamed_matches_batch_replay(spark, tmp_path):
         for r in spark.read.option("basePath", a1).parquet(a1).collect()
     }
     assert admitted_ids == {vid for vid, adm in r1 if adm == 1}
+
+
+def test_isotropy_audit_recovers_planted_direction(spark, tmp_path):
+    """A corpus with one planted dominant direction must yield
+    top_pc_share near the planted energy fraction — on a PEAKED
+    spectrum the 2-step Rayleigh quotient is accurate (it is only a
+    loose lower bound when the spectrum is flat, as the docstring
+    documents)."""
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        embedding_isotropy_audit,
+    )
+
+    d, n = 64, 200
+    rows = []
+    for i in range(n):
+        # strong signal along dim 0, weak deterministic noise elsewhere
+        sig = 5.0 if i % 2 == 0 else -5.0
+        vec = [sig] + [
+            ((i * 13 + j * 7) % 11 - 5) / 50.0 for j in range(d - 1)
+        ]
+        rows.append((i, vec, i % 10))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = embedding_isotropy_audit(spark, str(tmp_path)).collect()[0]
+    assert got.n_vectors == n
+    # dim-0 variance is 25; the rest contribute ~64*0.003 — the top
+    # PC holds >95% of the trace and two power steps find it
+    assert got.top_pc_share > 0.95, got
+    assert abs(got.lambda1 - 25.0) < 1.0, got
+
+
+def test_gns_zero_variance_corpus(spark, tmp_path):
+    """Identical examples ⇒ per-example gradients identical ⇒
+    tr(Σ) = 0 ⇒ B_simple ≈ 0 (up to the 2^-24 quantization grid)."""
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        training_gradient_noise_scale,
+    )
+
+    vec = [0.3] * 16 + [-0.2] * 48
+    rows = [(i, list(vec), 2) for i in range(50)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = training_gradient_noise_scale(spark, str(tmp_path)).collect()[0]
+    assert got.n_examples == 50
+    assert abs(got.b_simple) < 0.01, got
+
+
+def test_token_savings_attributes_dup_to_later_source(spark, tmp_path):
+    """Global keep-first: a copy in source B of a doc first seen (by
+    doc_id) in source A is charged to B — and unique docs cost
+    nothing."""
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        dedup_token_savings_by_source,
+    )
+
+    rows = [
+        (0, "alpha beta gamma", "en", "srcA", 16),
+        (1, "delta epsilon", "en", "srcA", 13),
+        (10, "alpha beta gamma", "en", "srcB", 16),  # dup of doc 0
+        (11, "zeta eta theta iota", "en", "srcB", 19),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " length long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r.source: r
+        for r in dedup_token_savings_by_source(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["srcA"].n_dropped == 0
+    assert got["srcA"].tokens_dropped == 0
+    assert got["srcB"].n_dropped == 1
+    assert got["srcB"].tokens_dropped == 3  # "alpha beta gamma"
+    assert got["srcB"].savings_ppm == round(1e6 * 3 / 7)
+
+
+def test_scaling_curve_more_data_lowers_nll(spark):
+    """The measured scaling curve must go the right way: the full
+    training split's holdout NLL is below the 1/16-prefix's, and
+    train-token counts grow monotonically along the grid."""
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        data_scaling_unigram_nll_curve,
+    )
+
+    rows = data_scaling_unigram_nll_curve(spark, SF_SMOKE).collect()
+    assert [r.prefix_width for r in rows] == [1, 2, 4, 8, 16]
+    toks = [r.n_train_tokens for r in rows]
+    assert toks == sorted(toks) and toks[0] < toks[-1]
+    assert rows[-1].avg_nll < rows[0].avg_nll
+    assert all(r.n_holdout_tokens == rows[0].n_holdout_tokens for r in rows)
+
+
+def test_reliability_bins_cover_holdout(spark):
+    """The band split must stay non-vacuous (more than one band) and
+    cover every holdout doc exactly once."""
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        corpus_classifier_reliability_bins,
+    )
+    from wilayah_aceh_etl_spark.sources.tables import load_table
+
+    rows = corpus_classifier_reliability_bins(spark, SF_SMOKE).collect()
+    assert len(rows) > 1
+    n_holdout = (
+        load_table(spark, SF_SMOKE, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .count()
+    )
+    assert sum(r.n_docs for r in rows) == n_holdout
+    assert all(0 <= r.bin <= 9 for r in rows)
+
+
+def test_chain_audit_consistent_with_dedup(spark):
+    """The audit's per-cluster arithmetic must reconcile with the
+    dedup operator's own keep verdicts, and the blame split must
+    partition the removed set."""
+    from wilayah_aceh_etl_spark.operators import similarity as S
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        dedup_semantic_chain_audit,
+    )
+    from wilayah_aceh_etl_spark.sources.tables import load_table
+
+    rows = dedup_semantic_chain_audit(spark, SF_SMOKE).collect()
+    sd = S.semantic_dedup(
+        load_table(spark, SF_SMOKE, "embeddings"),
+        threshold=0.35,
+        n_centroids=16,
+        n_iter=2,
+    )
+    agg = sd.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("keep").alias("k")
+    ).collect()[0]
+    assert sum(r.n_members for r in rows) == agg.n
+    assert sum(r.n_kept for r in rows) == agg.k
+    for r in rows:
+        assert r.n_removed == r.n_removed_via_kept + r.n_removed_chain_only
+        assert r.n_removed_via_kept >= 0 and r.n_removed_chain_only >= 0

@@ -4012,7 +4012,11 @@ def similarity_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEMANTIC_DEDUP_ORACLE = (
+# The SemDeDup oracle prelude: Lloyd training, assignment, the
+# per-cluster centroid-cosine ranking, and the removed set. Shared
+# (r10) by the keep-verdict oracle below and the chain audit
+# (plans/round10_queries.py) — one SQL copy of the sweep.
+_SEMDEDUP_PRELUDE = (
     "WITH "
     + _VEC_CTE
     + """,
@@ -4050,7 +4054,12 @@ removed AS (
   WHERE ROUND("""
     + _COS.format(a="a.e", b="b.e")
     + """, 6) >= 0.35
+)"""
 )
+
+_SEMANTIC_DEDUP_ORACLE = (
+    _SEMDEDUP_PRELUDE
+    + """
 SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cid, r.cent_cos,
        CAST(CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep
 FROM ranked r LEFT JOIN removed rm ON r.vec_id = rm.vec_id

@@ -265,6 +265,981 @@ def data_curation_influence_dedup_audit(
 
 
 # ---------------------------------------------------------------------------
+# Reliability diagram of the served quality classifier — calibration
+# on the holdout split, the eval the serving pass itself can't give.
+# ---------------------------------------------------------------------------
+
+
+def _reliability_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        _QC_Y_CLEAN,
+        _qc_train_sql,
+    )
+
+    return (
+        _qc_train_sql(_QC_Y_CLEAN, "x0.doc_id % 5 != 0")
+        + """,
+scored AS (
+  SELECT x0.doc_id, d.y,
+         list_dot_product(x0.x, (SELECT w FROM w3)) +
+           (SELECT b FROM w3) AS m
+  FROM xv x0 JOIN docs0 d USING (doc_id)
+  WHERE x0.doc_id % 5 = 0
+),
+mm AS (SELECT MIN(m) AS lo, MAX(m) AS hi FROM scored),
+binned2 AS (
+  SELECT CASE WHEN mm.hi = mm.lo THEN 0
+              ELSE LEAST(CAST(FLOOR(((m - mm.lo) / (mm.hi - mm.lo)) * 10)
+                              AS INTEGER), 9) END AS bin,
+         y,
+         CAST(ROUND((0.5 + m / (2.0 * (1.0 + abs(m)))) * 16777216)
+              AS BIGINT) AS p_q
+  FROM scored CROSS JOIN mm
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p_q) AS BIGINT) AS sum_conf_q,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       ROUND(CAST(SUM(p_q) AS DOUBLE) / (COUNT(*) * 16777216), 6)
+         AS avg_conf,
+       ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos
+FROM binned2 GROUP BY bin ORDER BY bin
+"""
+    )
+
+
+@register(
+    "corpus_classifier_reliability_bins",
+    oracle=_reliability_oracle(),
+    tags=("ext", "ml", "eval", "calibration", "curation"),
+    description="reliability diagram of the served quality "
+    "classifier on the holdout split: per-bin avg-conf vs frac-pos",
+)
+def corpus_classifier_reliability_bins(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Calibration audit of the model-based quality filter — the
+    reliability diagram (DeGroot & Fienberg 1983; Guo et al. 2017's
+    ECE is its summary integral) for the SAME trained classifier
+    corpus_quality_classifier_serving deploys, evaluated on the
+    HOLDOUT split (doc_id % 5 == 0, never trained on): ten
+    equal-width score bands over the OBSERVED margin range (the
+    classifier's compressed scores put every holdout doc inside a
+    ~0.003-wide logit interval, so fixed probability bins would
+    collapse to one row — banding over [min, max] margin is the
+    standard rescaled-diagram fallback for sharp/compressed
+    scorers), per band the average rational-sigmoid confidence vs
+    the observed positive rate. The gap between those two columns
+    IS the calibration error a curation pipeline must know before
+    trusting the keep-threshold semantics of its filter scores.
+
+    Determinism: the margin is the bitwise-pinned trained dot; the
+    band edges are a 1-row MIN/MAX aggregate of those exact doubles
+    and the band index is FLOOR of the identically-parenthesized
+    normalization (LEAST-clamped so m = max lands in band 9;
+    degenerate hi = lo collapses to band 0); per-band sums are
+    exact integers (quantized confidence, 0/1 labels) and each
+    emitted ratio is a single division of exact integers.
+
+    Scale shape: training is the broadcast-weights logreg; scoring
+    is ONE holdout scan with literal weights; the band split needs
+    only a 1-row (lo, hi) broadcast; then a ≤10-row aggregate — at
+    100 TB the reliability audit costs one pass over the eval
+    shard."""
+    from wilayah_aceh_etl_spark.operators.ml_train import logreg_fit
+    from wilayah_aceh_etl_spark.functions.vectors import dot as vdot
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        _qc_feature_vectors,
+    )
+
+    docs0 = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    xv = _qc_feature_vectors(spark, sf_dir)
+    labeled = xv.join(docs0, "doc_id")
+    train = labeled.filter(F.col("doc_id") % 5 != 0)
+    w, b = logreg_fit(
+        train, n_iter=3, lr=0.5, id_col="doc_id", vec_col="x"
+    )
+    warr = F.array(*[F.lit(float(wj)) for wj in w])
+    m = vdot(F.col("x"), warr) + F.lit(float(b))
+    p = F.lit(0.5) + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
+    scored = labeled.filter(F.col("doc_id") % 5 == 0).select(
+        "y", m.alias("m"), F.round(p * 16777216).cast("long").alias("p_q")
+    )
+    mm = scored.agg(
+        F.min("m").alias("lo"), F.max("m").alias("hi")
+    )
+    holdout = scored.crossJoin(F.broadcast(mm)).select(
+        "y",
+        "p_q",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (
+                        (F.col("m") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                    )
+                    * 10
+                ).cast("int"),
+                F.lit(9),
+            )
+        )
+        .alias("bin"),
+    )
+    return (
+        holdout.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("p_q").cast("long").alias("sum_conf_q"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "sum_conf_q",
+            "n_pos",
+            F.round(
+                F.col("sum_conf_q").cast("double")
+                / (F.col("n_docs") * 16777216),
+                6,
+            ).alias("avg_conf"),
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n_docs"), 6
+            ).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup chain audit: how much of the keep-first sweep's removal
+# is direct (blamed by a KEPT member) vs chain-transitive.
+# ---------------------------------------------------------------------------
+
+
+def _chain_audit_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.ext_queries import (
+        _COS,
+        _SEMDEDUP_PRELUDE,
+    )
+
+    return (
+        _SEMDEDUP_PRELUDE
+        + """,
+rm_blame AS (
+  SELECT a.vec_id, a.cid,
+         MAX(CASE WHEN rmb.vec_id IS NULL THEN 1 ELSE 0 END) AS via_kept
+  FROM ranked a
+  JOIN ranked b ON a.cid = b.cid AND a.rk > b.rk
+  LEFT JOIN removed rmb ON b.vec_id = rmb.vec_id
+  WHERE ROUND("""
+        + _COS.format(a="a.e", b="b.e")
+        + """, 6) >= 0.35
+  GROUP BY a.vec_id, a.cid
+),
+cstats AS (
+  SELECT r.cid,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_kept
+  FROM ranked r LEFT JOIN removed rm ON r.vec_id = rm.vec_id
+  GROUP BY r.cid
+),
+bstats AS (
+  SELECT cid, CAST(SUM(via_kept) AS BIGINT) AS n_via_kept
+  FROM rm_blame GROUP BY cid
+)
+SELECT CAST(s.cid AS BIGINT) AS cid,
+       s.n_members, s.n_kept,
+       CAST(s.n_members - s.n_kept AS BIGINT) AS n_removed,
+       CAST(COALESCE(b.n_via_kept, 0) AS BIGINT) AS n_removed_via_kept,
+       CAST(s.n_members - s.n_kept - COALESCE(b.n_via_kept, 0)
+            AS BIGINT) AS n_removed_chain_only
+FROM cstats s LEFT JOIN bstats b ON b.cid = s.cid
+ORDER BY cid
+"""
+    )
+
+
+@register(
+    "dedup_semantic_chain_audit",
+    oracle=_chain_audit_oracle(),
+    tags=("ext", "dedup", "semantic", "semdedup", "audit"),
+    description="SemDeDup removal provenance per cluster: blamed by "
+    "a kept member vs chain-transitive (removed-only blamers)",
+)
+def dedup_semantic_chain_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Removal-provenance audit of the SemDeDup keep-first sweep:
+    per cluster, how many removed members are blamed by at least
+    one KEPT lower-ranked member (a duplicate of something that
+    survives — the uncontroversial case) vs removed ONLY via other
+    REMOVED members (chain-transitive — exactly the rows where the
+    sweep's verdict rests on the connected-components equivalence
+    semantic_dedup's docstring claims rather than on a direct
+    near-dup of a keeper). A curation pipeline reviewing dedup
+    aggressiveness reads n_removed_chain_only as the "removed
+    without a surviving representative within threshold" budget —
+    SemDeDup §4 discusses precisely this transitivity slack when
+    comparing against exact connected components.
+
+    Determinism: the ranking, pair cosine (rounded to the 1e-6
+    grid), and keep verdicts are bit-identical to
+    dedup_semantic_clusters (same operator output, same oracle
+    prelude — _SEMDEDUP_PRELUDE is shared SQL text); the audit adds
+    only exact-integer counts on top.
+
+    Scale shape: the pair join is the SAME cluster-id equi-join the
+    dedup itself runs (Σ|cluster|², never all-pairs) and reuses the
+    operator's persisted ranked relation; the blame flag is one
+    MAX() per removed row and the output is C rows."""
+    from wilayah_aceh_etl_spark.functions.vectors import (
+        as_double,
+        dot,
+        l2_norm,
+    )
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sd = S.semantic_dedup(
+        emb, threshold=0.35, n_centroids=16, n_iter=2, cache_key=sf_dir
+    )
+    v = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    ).withColumn("nrm", l2_norm(F.col("vec")))
+    w = Window.partitionBy("cid").orderBy(
+        F.col("cent_cos").asc(), F.col("vec_id")
+    )
+    r = (
+        sd.join(v, "vec_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select("vec_id", "cid", "keep", "rk", "vec", "nrm")
+    )
+    a = r.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("cid"),
+        F.col("keep").alias("a_keep"),
+        F.col("rk").alias("a_rk"),
+        F.col("vec").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = r.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("cid"),
+        F.col("keep").alias("b_keep"),
+        F.col("rk").alias("b_rk"),
+        F.col("vec").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("a_rk") > F.col("b_rk"))
+        .filter(
+            F.round(
+                dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_nrm") * F.col("b_nrm")),
+                6,
+            )
+            >= 0.35
+        )
+    )
+    blame = pairs.groupBy("a_id", "cid").agg(
+        F.max("b_keep").alias("via_kept")
+    )
+    bstats = blame.groupBy("cid").agg(
+        F.sum("via_kept").cast("long").alias("n_via_kept")
+    )
+    cstats = r.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("keep").cast("long").alias("n_kept"),
+    )
+    return (
+        cstats.join(bstats, "cid", "left")
+        .select(
+            F.col("cid").cast("long").alias("cid"),
+            "n_members",
+            "n_kept",
+            (F.col("n_members") - F.col("n_kept"))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("n_via_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_removed_via_kept"),
+            (
+                F.col("n_members")
+                - F.col("n_kept")
+                - F.coalesce(F.col("n_via_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed_chain_only"),
+        )
+        .orderBy("cid")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gradient noise scale — the critical-batch-size statistic of
+# McCandlish et al. 2018, from per-example gradients at the trained
+# checkpoint.
+# ---------------------------------------------------------------------------
+
+
+def _gns_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.round9_queries import (
+        _emb_train_sql,
+    )
+
+    return (
+        "WITH "
+        + _emb_train_sql("", "TRUE")
+        + """,
+pe AS MATERIALIZED (
+  SELECT v.vec_id, v.y,
+         list_dot_product(v.x, v.x) AS xx,
+         list_dot_product(v.x, (SELECT w FROM w3)) + (SELECT b FROM w3) AS m
+  FROM v v
+),
+ee AS MATERIALIZED (
+  SELECT vec_id, (0.5 + m / (2.0 * (1.0 + abs(m))) - y) AS e, xx FROM pe
+),
+q1 AS (
+  SELECT CAST(SUM(CAST(ROUND((e * e) * (xx + 1.0) * 16777216)
+                       AS BIGINT)) AS BIGINT) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ee
+),
+gs AS (
+  SELECT u.pos,
+         CAST(SUM(CAST(ROUND(ee.e * u.val * 16777216) AS BIGINT))
+              AS BIGINT) AS s
+  FROM ee JOIN u ON u.vec_id = ee.vec_id GROUP BY u.pos
+  UNION ALL
+  SELECT 0 AS pos,
+         CAST(SUM(CAST(ROUND(e * 16777216) AS BIGINT)) AS BIGINT) AS s
+  FROM ee
+),
+ssq AS (SELECT SUM(CAST(s AS HUGEINT) * s) AS ss2 FROM gs)
+SELECT n AS n_examples,
+       sq AS sum_gsq_q,
+       ROUND(CAST(sq AS DOUBLE) / (n * 16777216), 6) AS trace_per_sample,
+       ROUND(CAST(ss2 AS DOUBLE) /
+             (CAST(n * n AS DOUBLE) * 281474976710656.0), 9)
+         AS gbar_norm2,
+       ROUND(((CAST(sq AS DOUBLE) * n) * 16777216.0) /
+             CAST(ss2 AS DOUBLE) - 1.0, 6) AS b_simple
+FROM q1, ssq
+"""
+    )
+
+
+@register(
+    "training_gradient_noise_scale",
+    oracle=_gns_oracle(),
+    tags=("ext", "ml", "training", "batch-size", "gns"),
+    description="gradient noise scale B_simple (critical batch "
+    "size) from per-example gradients at the trained checkpoint",
+)
+def training_gradient_noise_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gradient noise scale (McCandlish et al. 2018, 'An Empirical
+    Model of Large-Batch Training'): B_simple = tr(Σ)/|G|² — the
+    ratio of per-example gradient variance to the squared mean
+    gradient — predicts the CRITICAL BATCH SIZE past which
+    data-parallel training stops scaling linearly; every large
+    training run budgets its world size against this number. For
+    the logistic model the per-example gradient is g_i =
+    (e_i·x_i, e_i) with e_i the rational-sigmoid residual at the
+    trained checkpoint (the memoized lr=2.0 trajectory's last
+    iterate — the same checkpoint the TracIn family scores), so
+    ‖g_i‖² = e_i²·(‖x_i‖²+1) and the mean gradient is the
+    per-coordinate residual sum — all exactly the quantities the
+    trainer's own devices already pin.
+
+    Determinism: tr-side Σ‖g_i‖² is a sum of ROUND(·2²⁴) integers;
+    the mean gradient's 65 per-coordinate sums are the _gd_step
+    quantization (exact BIGINTs); Σs² runs in HUGEINT (DuckDB) /
+    DECIMAL(38,0) (Spark) since s² ≈ 10²¹ overflows int64, and both
+    engines convert the identical exact integer to double once at
+    emission. Each emitted float is a single pinned-parenthesization
+    expression over those exact integers; B_simple =
+    (Σq·n·2²⁴)/Σs² − 1 needs no transcendentals at all.
+
+    Scale shape: ONE corpus scan against the literal checkpoint
+    (residual + norm), one posexplode hash-aggregate for the 65
+    coordinate sums (the same shuffle shape as a training step:
+    partitions × 65 longs), a 65-row integer reduce, and a 1-row
+    cross of two scalar aggregates. At 100 TB this is exactly one
+    gradient pass — the cheapest possible estimate of the
+    critical batch size."""
+    from wilayah_aceh_etl_spark.functions.vectors import as_double, dot
+    from wilayah_aceh_etl_spark.operators.ml_train import (
+        logreg_fit_trajectory_cached,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labeled = emb.select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("label") < 5, 1).otherwise(0).alias("y"),
+    )
+    traj = logreg_fit_trajectory_cached(
+        labeled, cache_key=sf_dir, n_iter=3, lr=2.0
+    )
+    w3, b3 = traj[-1]
+    v = labeled.select(
+        "vec_id", as_double(F.col("embedding")).alias("x"), "y"
+    )
+    warr = F.array(*[F.lit(float(x)) for x in w3])
+    m = dot(F.col("x"), warr) + F.lit(float(b3))
+    e = (
+        F.lit(0.5)
+        + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
+        - F.col("y")
+    )
+    xx = dot(F.col("x"), F.col("x"))
+    ee = v.select("vec_id", e.alias("e"), xx.alias("xx"), "x")
+
+    q1 = ee.agg(
+        F.sum(
+            F.round(
+                (F.col("e") * F.col("e"))
+                * (F.col("xx") + F.lit(1.0))
+                * 16777216
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("sq"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    u = ee.select(
+        "e", F.posexplode("x").alias("pos0", "val")
+    ).select((F.col("pos0") + 1).alias("pos"), "e", "val")
+    gs_pos = u.groupBy("pos").agg(
+        F.sum(F.round(F.col("e") * F.col("val") * 16777216).cast("long"))
+        .cast("long")
+        .alias("s")
+    )
+    gs_b = ee.agg(
+        F.sum(F.round(F.col("e") * 16777216).cast("long"))
+        .cast("long")
+        .alias("s")
+    ).select(F.lit(0).alias("pos"), "s")
+    gs = gs_pos.select("pos", "s").unionByName(gs_b)
+    ssq = gs.agg(
+        F.sum(
+            F.col("s").cast("decimal(20,0)")
+            * F.col("s").cast("decimal(20,0)")
+        ).alias("ss2")
+    )
+    return q1.crossJoin(F.broadcast(ssq)).select(
+        F.col("n").alias("n_examples"),
+        F.col("sq").alias("sum_gsq_q"),
+        F.round(
+            F.col("sq").cast("double") / (F.col("n") * F.lit(16777216)),
+            6,
+        ).alias("trace_per_sample"),
+        F.round(
+            F.col("ss2").cast("double")
+            / (
+                (F.col("n") * F.col("n")).cast("double")
+                * F.lit(281474976710656.0)
+            ),
+            9,
+        ).alias("gbar_norm2"),
+        F.round(
+            (
+                (F.col("sq").cast("double") * F.col("n"))
+                * F.lit(16777216.0)
+            )
+            / F.col("ss2").cast("double")
+            - F.lit(1.0),
+            6,
+        ).alias("b_simple"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup ROI: token savings by source — the number a curation team
+# actually reports when justifying a dedup pass.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_token_savings_by_source",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, source, md5(text) AS h,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+  FROM documents
+),
+k AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(nt) AS BIGINT) AS t
+  FROM d GROUP BY source
+),
+kep AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(nt) AS BIGINT) AS t
+  FROM d JOIN k USING (doc_id) GROUP BY d.source
+)
+SELECT tot.source,
+       tot.n AS n_docs,
+       CAST(tot.n - COALESCE(kep.n, 0) AS BIGINT) AS n_dropped,
+       tot.t AS tokens_total,
+       CAST(tot.t - COALESCE(kep.t, 0) AS BIGINT) AS tokens_dropped,
+       CAST(ROUND(1000000.0 * (tot.t - COALESCE(kep.t, 0)) / tot.t)
+            AS BIGINT) AS savings_ppm
+FROM tot LEFT JOIN kep ON kep.source = tot.source
+ORDER BY tot.source
+""",
+    tags=("ext", "dedup", "exact", "tokens", "curation"),
+    description="exact-dedup token savings per source: docs/tokens "
+    "dropped by global keep-first md5 dedup, attributed to sources",
+)
+def dedup_token_savings_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup return-on-investment, the way curation teams report it
+    (tokens-saved-per-source is the headline of every dedup section
+    in a dataset card — e.g. Lee et al. 2022 Table 1 reports
+    fraction of tokens removed per corpus): global keep-first exact
+    dedup (operators/dedup.py::keep_first_exact — lowest doc_id per
+    md5 wins, so a copy in source A of a doc first seen in source B
+    is charged to A), then per-source docs/tokens dropped and the
+    savings rate in ppm. Token counts are the corpus convention
+    (whitespace split, the _qc/ntok definition).
+
+    Determinism: all columns are exact integers (counts, summed
+    token counts) except the single ROUNDed ppm division.
+
+    Scale shape: one hash shuffle on the 32-char digest (the
+    keep-first window — never the document bodies), one semi-join
+    back, two per-source aggregates; output is |sources| rows."""
+    from wilayah_aceh_etl_spark.operators.dedup import keep_first_exact
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("nt"),
+    )
+    kept_ids = keep_first_exact(d, "doc_id").select("doc_id")
+    tot = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("nt").cast("long").alias("t"),
+    )
+    kep = (
+        d.join(kept_ids, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kn"),
+            F.sum("nt").cast("long").alias("kt"),
+        )
+    )
+    return (
+        tot.join(kep, "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            (F.col("n") - F.coalesce(F.col("kn"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.col("t").alias("tokens_total"),
+            (F.col("t") - F.coalesce(F.col("kt"), F.lit(0)))
+            .cast("long")
+            .alias("tokens_dropped"),
+            F.round(
+                F.lit(1000000.0)
+                * (F.col("t") - F.coalesce(F.col("kt"), F.lit(0)))
+                / F.col("t")
+            )
+            .cast("long")
+            .alias("savings_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-scaling curve: holdout unigram-LM NLL vs training-prefix
+# size — the measured points of a data scaling law.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "data_scaling_unigram_nll_curve",
+    oracle="""
+WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+ho AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+lv AS (SELECT UNNEST([1, 2, 4, 8, 16]) AS width),
+trt AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM tr
+),
+hot AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM ho),
+cnt AS (
+  SELECT lv.width, t.tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM trt t JOIN lv ON (t.doc_id % 16) < lv.width
+  GROUP BY lv.width, t.tok
+),
+pstats AS (
+  SELECT width, CAST(SUM(c) AS BIGINT) AS n_tok,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM cnt GROUP BY width
+),
+nd AS (
+  SELECT lv.width, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM tr JOIN lv ON (tr.doc_id % 16) < lv.width
+  GROUP BY lv.width
+),
+scored AS (
+  SELECT lv.width,
+         CAST(SUM(CAST(ROUND(1000000.0 *
+                ln((s.n_tok + s.vocab + 1) /
+                   CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)))
+              AS BIGINT)) AS BIGINT) AS nll_micro_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_ho_tok
+  FROM hot h
+  CROSS JOIN lv
+  JOIN pstats s ON s.width = lv.width
+  LEFT JOIN cnt c ON c.width = lv.width AND c.tok = h.tok
+  GROUP BY lv.width
+)
+SELECT CAST(s.width AS BIGINT) AS prefix_width,
+       nd.n_docs AS n_train_docs,
+       p.n_tok AS n_train_tokens,
+       p.vocab,
+       CAST(ROUND(1000000.0 * ln(CAST(p.n_tok AS DOUBLE))) AS BIGINT)
+         AS ln_train_tokens_micro,
+       s.nll_micro_sum,
+       s.n_ho_tok AS n_holdout_tokens,
+       ROUND(CAST(s.nll_micro_sum AS DOUBLE) / (s.n_ho_tok * 1000000.0), 6)
+         AS avg_nll
+FROM scored s
+JOIN pstats p ON p.width = s.width
+JOIN nd ON nd.width = s.width
+ORDER BY prefix_width
+""",
+    tags=("ext", "text", "lm", "scaling-law", "curation"),
+    description="data scaling curve: holdout Laplace-unigram NLL at "
+    "5 nested training-prefix sizes (1/16 .. full train split)",
+)
+def data_scaling_unigram_nll_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The measured points of a DATA scaling law (Hestness et al.
+    2017; Kaplan et al. 2020 §3's L(D) axis): train the simplest
+    possible LM — add-one-smoothed unigram, p(tok) = (c+1)/(N+V+1)
+    with one shared OOV bucket — on five NESTED prefixes of the
+    training split (doc_id % 16 < {1,2,4,8,16}; nested so the curve
+    is a true data-growth sweep, not resampling noise) and report
+    holdout NLL per prefix alongside ln(N_tokens) — the (x, y)
+    pairs a scaling-law fit consumes. More data must buy lower
+    holdout NLL; the curve's slope in (ln N, NLL) is the nats-per-
+    e-fold data-return figure curation teams use to decide whether
+    the next decade of data is worth collecting.
+
+    Determinism: the MI family's micro-nat device — each token's
+    NLL is ln of ONE division of exact integers ((N+V+1)/(c+1)),
+    quantized to integer micro-nats BEFORE the order-free sum; counts
+    and vocab sizes are exact BIGINTs; the two emitted floats are
+    single pinned divisions/logs.
+
+    Scale shape: one tokenize of each split, a (width, token) hash
+    aggregate (5× the vocab — bounded by the grid, not the corpus),
+    one token-keyed LEFT hash join from holdout tokens to prefix
+    counts (the Kneser-Ney query's shape), and 5-row outputs. The
+    5-row `lv` grid rides a broadcast non-equi join (build side is
+    the literal grid)."""
+    tr = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 != 0
+    )
+    ho = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    lv = F.broadcast(
+        spark.createDataFrame([(1,), (2,), (4,), (8,), (16,)], "width long")
+    )
+    trt = tr.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = (
+        trt.join(lv, (F.col("doc_id") % 16) < F.col("width"))
+        .groupBy("width", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pstats = cnt.groupBy("width").agg(
+        F.sum("c").cast("long").alias("n_tok"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+    )
+    nd = (
+        tr.join(lv, (F.col("doc_id") % 16) < F.col("width"))
+        .groupBy("width")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    hot = ho.select(F.explode(F.split("text", " ")).alias("tok"))
+    nll_tok = F.round(
+        F.lit(1000000.0)
+        * F.log(
+            (F.col("n_tok") + F.col("vocab") + 1)
+            / (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+        )
+    ).cast("long")
+    scored = (
+        hot.crossJoin(lv)
+        .join(F.broadcast(pstats), "width")
+        .join(cnt, ["width", "tok"], "left")
+        .groupBy("width")
+        .agg(
+            F.sum(nll_tok).cast("long").alias("nll_micro_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_ho_tok"),
+        )
+    )
+    return (
+        scored.join(F.broadcast(pstats), "width")
+        .join(F.broadcast(nd), "width")
+        .select(
+            F.col("width").cast("long").alias("prefix_width"),
+            F.col("n_docs").alias("n_train_docs"),
+            F.col("n_tok").alias("n_train_tokens"),
+            "vocab",
+            F.round(
+                F.lit(1000000.0) * F.log(F.col("n_tok").cast("double"))
+            )
+            .cast("long")
+            .alias("ln_train_tokens_micro"),
+            "nll_micro_sum",
+            F.col("n_ho_tok").alias("n_holdout_tokens"),
+            F.round(
+                F.col("nll_micro_sum").cast("double")
+                / (F.col("n_ho_tok") * F.lit(1000000.0)),
+                6,
+            ).alias("avg_nll"),
+        )
+        .orderBy("prefix_width")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding isotropy audit: top-PC energy share via two quantized
+# power-iteration steps on the centered covariance.
+# ---------------------------------------------------------------------------
+
+_ISOTROPY_ORACLE = """
+WITH v AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+u AS MATERIALIZED (
+  SELECT vec_id, unnest(x) AS val, generate_subscripts(x, 1) AS pos FROM v
+),
+ones AS (SELECT (SELECT list(1.0) FROM range(64)) AS w),
+msum AS (
+  SELECT pos,
+         CAST(SUM(CAST(ROUND(val * 16777216) AS BIGINT)) AS BIGINT) AS s
+  FROM u GROUP BY pos
+),
+mu AS (
+  SELECT list(CAST(s AS DOUBLE) / (SELECT n FROM nn) / 16777216
+              ORDER BY pos) AS m
+  FROM msum
+),
+xq AS (
+  SELECT CAST(SUM(CAST(ROUND(list_dot_product(x, x) * 16777216)
+                       AS BIGINT)) AS BIGINT) AS sq
+  FROM v
+),
+s1 AS MATERIALIZED (
+  SELECT v.vec_id,
+         list_dot_product(v.x, (SELECT w FROM ones)) -
+           list_dot_product((SELECT m FROM mu), (SELECT w FROM ones)) AS sc
+  FROM v
+),
+a1 AS (
+  SELECT u.pos,
+         CAST(SUM(CAST(ROUND((u.val - (SELECT m FROM mu)[u.pos])
+                             * s1.sc * 16777216) AS BIGINT))
+              AS BIGINT) AS s
+  FROM u JOIN s1 ON s1.vec_id = u.vec_id GROUP BY u.pos
+),
+v1 AS (
+  SELECT list(CAST(s AS DOUBLE) / (SELECT n FROM nn) / 16777216
+              ORDER BY pos) AS w
+  FROM a1
+),
+s2 AS MATERIALIZED (
+  SELECT v.vec_id,
+         list_dot_product(v.x, (SELECT w FROM v1)) -
+           list_dot_product((SELECT m FROM mu), (SELECT w FROM v1)) AS sc
+  FROM v
+),
+a2 AS (
+  SELECT u.pos,
+         CAST(SUM(CAST(ROUND((u.val - (SELECT m FROM mu)[u.pos])
+                             * s2.sc * 16777216) AS BIGINT))
+              AS BIGINT) AS s
+  FROM u JOIN s2 ON s2.vec_id = u.vec_id GROUP BY u.pos
+),
+v2 AS (
+  SELECT list(CAST(s AS DOUBLE) / (SELECT n FROM nn) / 16777216
+              ORDER BY pos) AS w
+  FROM a2
+),
+fin AS (
+  SELECT (SELECT n FROM nn) AS n,
+         CAST((SELECT sq FROM xq) AS DOUBLE) /
+           ((SELECT n FROM nn) * 16777216) -
+           list_dot_product((SELECT m FROM mu), (SELECT m FROM mu))
+           AS trace_cov,
+         list_dot_product((SELECT w FROM v1), (SELECT w FROM v2)) /
+           list_dot_product((SELECT w FROM v1), (SELECT w FROM v1))
+           AS lambda1
+)
+SELECT n AS n_vectors,
+       ROUND(trace_cov, 6) AS trace_cov,
+       ROUND(lambda1, 6) AS lambda1,
+       ROUND(lambda1 / trace_cov, 6) AS top_pc_share
+FROM fin
+"""
+
+
+@register(
+    "embedding_isotropy_audit",
+    oracle=_ISOTROPY_ORACLE,
+    tags=("ext", "embedding", "isotropy", "pca", "audit"),
+    description="embedding anisotropy: top-PC eigenvalue share of "
+    "the centered covariance trace, via 2 quantized power steps",
+)
+def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotropy audit of the embedding space (Mu & Viswanath 2018,
+    'All-but-the-Top'; Ethayarajh 2019): the share of the centered
+    covariance's total variance captured by the TOP principal
+    component — anisotropic (dominant-direction) embedding spaces
+    degrade cosine-based retrieval and clustering, so curation
+    pipelines measure top_pc_share before trusting the ANN/SemDeDup
+    stack built on those vectors. λ₁ is estimated by TWO power-
+    iteration steps from the all-ones start (v₁ = C·1, v₂ = C·v₁,
+    λ₁ ≈ ⟨v₁,v₂⟩/⟨v₁,v₁⟩ — the Rayleigh quotient, exact for the
+    dominant eigenvector and a lower bound otherwise); the trace is
+    E‖x‖² − ‖μ‖².
+
+    Determinism — the k-means trainer's devices end to end: μ and
+    each iterate are per-dimension exact-integer sums of
+    ROUND(·2²⁴) (order-free), divided /n/2²⁴ exactly like the Lloyd
+    centroid update; the per-row projection scalar is
+    x·v − μ·v (two sequential-fold dots of pinned literals — C·v
+    never materializes the d×d covariance); every emitted float is
+    a single division or a ROUND of one. Driver state is O(d), like
+    every trainer here; Python's round() never touches an emitted
+    value (the final row is rounded engine-side).
+
+    Scale shape: four corpus scans (mean, trace, two power steps),
+    each a map-side expression against O(d) broadcast literals
+    feeding a partitions×64-long combined aggregate — the identical
+    shuffle shape as one GD/Lloyd step. No joins over data, no d×d
+    state anywhere."""
+    from wilayah_aceh_etl_spark.functions.vectors import as_double, dot
+
+    d = 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", as_double(F.col("embedding")).alias("x")
+    )
+    u = v.select("vec_id", F.posexplode("x").alias("pos0", "val")).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "val"
+    )
+    msum = {
+        int(r["pos"]): int(r["s"])
+        for r in u.groupBy("pos")
+        .agg(
+            F.sum(F.round(F.col("val") * 16777216).cast("long"))
+            .cast("long")
+            .alias("s")
+        )
+        .collect()
+    }
+    n = v.count()
+    mu = [msum[j + 1] / n / 16777216 for j in range(d)]
+
+    def _fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    sq = int(
+        v.agg(
+            F.sum(
+                F.round(dot(F.col("x"), F.col("x")) * 16777216).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("sq")
+        ).first()["sq"]
+    )
+
+    mu_arr = F.array(*[F.lit(float(m)) for m in mu])
+
+    def _power_step(vec: list[float]) -> list[float]:
+        varr = F.array(*[F.lit(float(x)) for x in vec])
+        mu_dot_v = _fold_dot(mu, vec)
+        sc = v.select(
+            "vec_id",
+            (dot(F.col("x"), varr) - F.lit(float(mu_dot_v))).alias("sc"),
+        )
+        a = {
+            int(r["pos"]): int(r["s"])
+            for r in u.join(sc, "vec_id")
+            .groupBy("pos")
+            .agg(
+                F.sum(
+                    F.round(
+                        (
+                            F.col("val")
+                            - F.element_at(mu_arr, F.col("pos"))
+                        )
+                        * F.col("sc")
+                        * 16777216
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("s")
+            )
+            .collect()
+        }
+        return [a[j + 1] / n / 16777216 for j in range(d)]
+
+    v1 = _power_step([1.0] * d)
+    v2 = _power_step(v1)
+
+    trace_cov = sq / (n * 16777216) - _fold_dot(mu, mu)
+    lambda1 = _fold_dot(v1, v2) / _fold_dot(v1, v1)
+    row = spark.createDataFrame(
+        [(n, trace_cov, lambda1, lambda1 / trace_cov)],
+        "n_vectors long, trace_cov double, lambda1 double,"
+        " top_pc_share double",
+    )
+    return row.select(
+        "n_vectors",
+        F.round("trace_cov", 6).alias("trace_cov"),
+        F.round("lambda1", 6).alias("lambda1"),
+        F.round("top_pc_share", 6).alias("top_pc_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming IMI admission — the inverted multi-index cell-pair
 # assignment as the admission probe in the dedup_admission frame.
 # ---------------------------------------------------------------------------
