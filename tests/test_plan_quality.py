@@ -200,6 +200,16 @@ NLJ_ALLOWED = {
     # 8-row estimator-grid broadcast onto the key-count relation,
     # plus the 1-row sketch/exact summary cross join
     "approx_f2_ams_audit",
+    # --- round 10 ---
+    # inherits dedup_semantic_clusters' 16-row centroid-assignment
+    # broadcast (same semantic_dedup pipeline under the audit)
+    "dedup_semantic_chain_audit",
+    # 5-row prefix-grid non-equi broadcast (doc_id % 16 < width)
+    "data_scaling_unigram_nll_curve",
+    # 3-row context-length grid broadcast product
+    "training_packing_efficiency",
+    # 4-row vocab-size grid non-equi broadcast + 1-row total cross
+    "tokenizer_vocab_coverage_curve",
 }
 
 

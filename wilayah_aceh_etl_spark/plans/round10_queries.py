@@ -1240,6 +1240,491 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LSH s-curve planner: the (bands, rows) tuning table for the
+# minhash pipeline, exact closed form.
+# ---------------------------------------------------------------------------
+
+# (bands, rows-per-band) configurations sharing K = b·r = 8 minhash
+# components with the operators/dedup.py defaults (DEFAULT_K = 8,
+# DEFAULT_BANDS = 4 → (4, 2)), plus the two degenerate corners.
+_SCURVE_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))
+
+
+def _pow_expr_sql(base: str, k: int) -> str:
+    """Integer-exponent power as an explicit left-associated product
+    (((s·s)·s)·…) — deterministic IEEE on both engines, unlike
+    POWER()'s libm pow."""
+    out = base
+    for _ in range(k - 1):
+        out = f"({out} * {base})"
+    return out
+
+
+def _scurve_oracle() -> str:
+    arms = []
+    for b, r in _SCURVE_CONFIGS:
+        p_band = _pow_expr_sql("s", r)
+        miss = _pow_expr_sql(f"(1.0 - {p_band})", b)
+        arms.append(
+            f"""
+SELECT {b} AS bands, {r} AS rows_per_band, s,
+       ROUND(1.0 - {miss}, 6) AS p_candidate
+FROM grid"""
+        )
+    return (
+        """
+WITH grid AS (SELECT i / 20.0 AS s FROM UNNEST(range(1, 20)) t(i))
+SELECT CAST(bands AS INTEGER) AS bands,
+       CAST(rows_per_band AS INTEGER) AS rows_per_band,
+       ROUND(s, 6) AS jaccard_s, p_candidate
+FROM ("""
+        + " UNION ALL ".join(arms)
+        + """)
+ORDER BY bands DESC, jaccard_s
+"""
+    )
+
+
+@register(
+    "dedup_lsh_scurve_table",
+    oracle=_scurve_oracle(),
+    tags=("ext", "dedup", "minhash", "lsh", "planner"),
+    description="LSH s-curve tuning table: P(candidate | Jaccard s) "
+    "for the K=8 (bands, rows) configurations, exact closed form",
+)
+def dedup_lsh_scurve_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tuning table (Leskovec/Rajaraman/Ullman, Mining of
+    Massive Datasets §3.4.2 — the standard design tool of every
+    minhash dedup pipeline): for each (bands b, rows r) split of the
+    K = 8 signature this repo's dedup uses, the exact candidate
+    probability 1 − (1 − sʳ)ᵇ over a Jaccard grid s ∈ {0.05..0.95}.
+    Reading the table row-wise shows the threshold each config
+    centers on (more rows → curve shifts right/stricter; more bands
+    → left/looser) — the decision dedup_lsh_band_sweep then
+    validates empirically on the corpus; this is its a-priori
+    planner twin.
+
+    Determinism: integer exponents are unrolled into explicit
+    left-associated products (never libm POWER), the grid points are
+    single divisions i/20, and the emitted probability is one ROUND
+    of that pinned arithmetic — bit-identical across engines.
+
+    Scale shape: a 76-row constant relation computed from literals;
+    the only scan-free query in the registry, and deliberately so —
+    the planner runs before any data is touched."""
+    grid = spark.range(1, 20).select(
+        (F.col("id") / F.lit(20.0)).alias("s")
+    )
+
+    def _pow_col(col, k: int):
+        out = col
+        for _ in range(k - 1):
+            out = out * col
+        return out
+
+    arms = []
+    for b, r in _SCURVE_CONFIGS:
+        p_band = _pow_col(F.col("s"), r)
+        miss = _pow_col(F.lit(1.0) - p_band, b)
+        arms.append(
+            grid.select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.round(F.col("s"), 6).alias("jaccard_s"),
+                F.round(F.lit(1.0) - miss, 6).alias("p_candidate"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy(F.col("bands").desc(), "jaccard_s")
+
+
+# ---------------------------------------------------------------------------
+# Packing efficiency: padding waste of per-doc vs concatenated
+# sequence packing across context lengths.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "training_packing_efficiency",
+    oracle="""
+WITH nt AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+lv AS (SELECT UNNEST([128, 512, 2048]) AS ctx),
+per AS (
+  SELECT lv.ctx,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS total_tokens,
+         CAST(SUM((n + lv.ctx - 1) // lv.ctx) AS BIGINT) AS n_seq_padded
+  FROM nt CROSS JOIN lv GROUP BY lv.ctx
+)
+SELECT CAST(ctx AS BIGINT) AS ctx_len, n_docs, total_tokens,
+       n_seq_padded,
+       CAST(n_seq_padded * ctx - total_tokens AS BIGINT)
+         AS waste_padded_tokens,
+       CAST(ROUND(1000000.0 * (n_seq_padded * ctx - total_tokens) /
+                  (n_seq_padded * ctx)) AS BIGINT)
+         AS waste_padded_ppm,
+       CAST((total_tokens + ctx - 1) // ctx AS BIGINT) AS n_seq_packed,
+       CAST(((total_tokens + ctx - 1) // ctx) * ctx - total_tokens
+            AS BIGINT) AS waste_packed_tokens,
+       CAST(ROUND(1000000.0 *
+                  (((total_tokens + ctx - 1) // ctx) * ctx - total_tokens) /
+                  (((total_tokens + ctx - 1) // ctx) * ctx)) AS BIGINT)
+         AS waste_packed_ppm
+FROM per
+ORDER BY ctx_len
+""",
+    tags=("ext", "text", "tokens", "training", "packing"),
+    description="sequence-packing efficiency: padding waste of "
+    "one-doc-per-sequence vs concatenated packing at 3 context lengths",
+)
+def training_packing_efficiency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Padding-waste audit of the two standard batch-construction
+    strategies (Raffel et al. 2020 §2.2 'packing'; every LLM
+    pretraining stack reports this number before choosing): at each
+    context length, one-document-per-sequence pads every doc to the
+    next ctx boundary (Σ⌈n/L⌉ sequences) while concatenated packing
+    fills sequences back to back (⌈Σn/L⌉). The delta is pure
+    training-compute waste — the table quantifies, per context
+    length, what packing buys on THIS corpus.
+
+    Determinism: every column is exact integer arithmetic (ceiling
+    division via (n + L − 1) div L on non-negative counts — div and
+    // agree) except the two single-ROUND ppm divisions.
+
+    Scale shape: one tokenize-count scan, a 3-row broadcast grid,
+    one 3-group aggregate. The per-doc ceiling is map-side."""
+    nt = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    lv = F.broadcast(
+        spark.createDataFrame([(128,), (512,), (2048,)], "ctx long")
+    )
+    per = (
+        nt.crossJoin(lv)
+        .groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(
+                F.expr("(n + ctx - 1) div ctx")
+            )
+            .cast("long")
+            .alias("n_seq_padded"),
+        )
+    )
+    packed_seq = F.expr("(total_tokens + ctx - 1) div ctx")
+    return per.select(
+        F.col("ctx").alias("ctx_len"),
+        "n_docs",
+        "total_tokens",
+        "n_seq_padded",
+        (F.col("n_seq_padded") * F.col("ctx") - F.col("total_tokens"))
+        .cast("long")
+        .alias("waste_padded_tokens"),
+        F.round(
+            F.lit(1000000.0)
+            * (F.col("n_seq_padded") * F.col("ctx") - F.col("total_tokens"))
+            / (F.col("n_seq_padded") * F.col("ctx"))
+        )
+        .cast("long")
+        .alias("waste_padded_ppm"),
+        packed_seq.cast("long").alias("n_seq_packed"),
+        (packed_seq * F.col("ctx") - F.col("total_tokens"))
+        .cast("long")
+        .alias("waste_packed_tokens"),
+        F.round(
+            F.lit(1000000.0)
+            * (packed_seq * F.col("ctx") - F.col("total_tokens"))
+            / (packed_seq * F.col("ctx"))
+        )
+        .cast("long")
+        .alias("waste_packed_ppm"),
+    ).orderBy("ctx_len")
+
+
+# ---------------------------------------------------------------------------
+# Embedding alignment by label — the contrastive-representation
+# metric in closed form (no pair join).
+# ---------------------------------------------------------------------------
+
+_ALIGNMENT_ORACLE = """
+WITH v AS MATERIALIZED (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+u AS (
+  SELECT vec_id, label, unnest(x) AS val,
+         generate_subscripts(x, 1) AS pos
+  FROM v
+),
+ls AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(ROUND(val * 16777216) AS BIGINT)) AS BIGINT) AS s
+  FROM u GROUP BY label, pos
+),
+ln_ AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(list_dot_product(x, x) * 16777216)
+                       AS BIGINT)) AS BIGINT) AS sxx
+  FROM v GROUP BY label
+),
+lmu AS (
+  SELECT ls.label,
+         list(CAST(ls.s AS DOUBLE) / ln_.n / 16777216 ORDER BY ls.pos)
+           AS m
+  FROM ls JOIN ln_ ON ln_.label = ls.label
+  GROUP BY ls.label, ln_.n
+),
+gs AS (
+  SELECT pos, CAST(SUM(s) AS BIGINT) AS s FROM ls GROUP BY pos
+),
+gn AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sxx) AS BIGINT) AS sxx
+  FROM ln_
+),
+gmu AS (
+  SELECT list(CAST(s AS DOUBLE) / (SELECT n FROM gn) / 16777216
+              ORDER BY pos) AS m
+  FROM gs
+)
+SELECT CAST(l.label AS INTEGER) AS label,
+       n.n AS n_vectors,
+       ROUND(2.0 * (CAST(n.sxx AS DOUBLE) / (n.n * 16777216) -
+                    list_dot_product(l.m, l.m)), 6) AS alignment_sq,
+       ROUND(list_dot_product(l.m, l.m) -
+             2.0 * list_dot_product(l.m, (SELECT m FROM gmu)) +
+             list_dot_product((SELECT m FROM gmu), (SELECT m FROM gmu)),
+             6) AS centroid_offset_sq
+FROM lmu l JOIN ln_ n ON n.label = l.label
+ORDER BY label
+"""
+
+
+@register(
+    "embedding_alignment_by_label",
+    oracle=_ALIGNMENT_ORACLE,
+    tags=("ext", "embedding", "contrastive", "alignment", "audit"),
+    description="contrastive alignment per label in closed form: "
+    "E||x-y||^2 within label = 2(E||x||^2 - ||mu||^2), no pair join",
+)
+def embedding_alignment_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Alignment of the embedding space per label class (Wang &
+    Isola 2020, 'Understanding Contrastive Representation Learning
+    through Alignment and Uniformity'): alignment is the expected
+    squared distance between positive pairs — and for iid pairs it
+    NEEDS NO PAIR JOIN, because E‖x−y‖² = 2(E‖x‖² − ‖μ‖²); the
+    identity turns an O(n²)-pair metric into per-label first/second
+    moments. centroid_offset_sq = ‖μ_ℓ − μ_global‖² is the matching
+    separation figure (how far each class centroid sits from the
+    corpus mean). Low alignment_sq + high offset = well-clustered
+    classes — the pre-flight check before trusting label-supervised
+    contrastive mining (embedding_contrastive_mining) on this space.
+
+    Determinism: per-label coordinate sums and ‖x‖² sums are exact
+    ROUND(·2²⁴) integers; means divide /n/2²⁴ like the Lloyd update;
+    ‖μ‖² terms are list_dot_product sequential folds of those pinned
+    lists; the offset expands to a−2b+c over three such folds with
+    pinned parenthesization. Emitted floats are single-ROUND.
+
+    Scale shape: one corpus scan into (label, pos) and per-label
+    scalar aggregates — the GD-step shuffle shape (partitions ×
+    labels·64 longs); output is |labels| rows; the closed form is
+    the whole point at 100 TB (the naive pair join is Σ n_ℓ²)."""
+    from wilayah_aceh_etl_spark.functions.vectors import as_double, dot
+
+    d = 64
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("x")
+    )
+    u = v.select(
+        "label", F.posexplode("x").alias("pos0", "val")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "val")
+    ls = {
+        (int(r["label"]), int(r["pos"])): int(r["s"])
+        for r in u.groupBy("label", "pos")
+        .agg(
+            F.sum(F.round(F.col("val") * 16777216).cast("long"))
+            .cast("long")
+            .alias("s")
+        )
+        .collect()
+    }
+    ln = {
+        int(r["label"]): (int(r["n"]), int(r["sxx"]))
+        for r in v.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.round(dot(F.col("x"), F.col("x")) * 16777216).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("sxx"),
+        )
+        .collect()
+    }
+
+    def _fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    labels = sorted(ln)
+    mus = {
+        lbl: [
+            ls[(lbl, j + 1)] / ln[lbl][0] / 16777216 for j in range(d)
+        ]
+        for lbl in labels
+    }
+    n_tot = sum(n for n, _ in ln.values())
+    gmu = [
+        sum(ls[(lbl, j + 1)] for lbl in labels) / n_tot / 16777216
+        for j in range(d)
+    ]
+    rows = []
+    for lbl in labels:
+        n, sxx = ln[lbl]
+        m = mus[lbl]
+        alignment = 2.0 * (sxx / (n * 16777216) - _fold_dot(m, m))
+        offset = (
+            _fold_dot(m, m)
+            - 2.0 * _fold_dot(m, gmu)
+            + _fold_dot(gmu, gmu)
+        )
+        rows.append((lbl, n, alignment, offset))
+    out = spark.createDataFrame(
+        rows,
+        "label int, n_vectors long, alignment_sq double,"
+        " centroid_offset_sq double",
+    )
+    return out.select(
+        "label",
+        "n_vectors",
+        F.round("alignment_sq", 6).alias("alignment_sq"),
+        F.round("centroid_offset_sq", 6).alias("centroid_offset_sq"),
+    ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: OOV rate vs top-k vocabulary size.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tokenizer_vocab_coverage_curve",
+    oracle="""
+WITH toks AS (
+  SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents
+),
+cnt AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+),
+rk AS (
+  SELECT tok, c,
+         ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r
+  FROM cnt
+),
+tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM cnt),
+lv AS (SELECT UNNEST([4, 8, 16, 32]) AS k)
+SELECT CAST(lv.k AS BIGINT) AS vocab_size,
+       CAST(COUNT(rk.tok) AS BIGINT) AS n_types_in_vocab,
+       CAST(COALESCE(SUM(rk.c), 0) AS BIGINT) AS tokens_covered,
+       (SELECT t FROM tot) AS tokens_total,
+       CAST(ROUND(1000000.0 * COALESCE(SUM(rk.c), 0) /
+                  (SELECT t FROM tot)) AS BIGINT) AS coverage_ppm,
+       CAST(ROUND(1000000.0 *
+                  ((SELECT t FROM tot) - COALESCE(SUM(rk.c), 0)) /
+                  (SELECT t FROM tot)) AS BIGINT) AS oov_ppm
+FROM lv LEFT JOIN rk ON rk.r <= lv.k
+GROUP BY lv.k
+ORDER BY vocab_size
+""",
+    tags=("ext", "text", "tokenizer", "vocab", "coverage"),
+    description="vocabulary coverage curve: corpus token coverage "
+    "and OOV rate for top-k frequency vocabularies",
+)
+def tokenizer_vocab_coverage_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Vocabulary-size selection curve (the first table of every
+    tokenizer design doc; Sennrich et al. 2016 motivate BPE by
+    exactly this OOV-vs-vocab tradeoff): for top-k frequency
+    vocabularies over a k grid, the fraction of corpus TOKENS
+    covered and the OOV remainder. The marginal coverage between
+    consecutive rows is the Zipf tail the next vocab doubling buys —
+    read together with text_heaps_law_curve and
+    tokenizer_renyi_efficiency.
+
+    Determinism: frequency ranking breaks ties by token text; all
+    counts exact BIGINTs; ppm columns are single ROUNDed divisions.
+
+    Scale shape: one tokenize, one token-type aggregate, a rank
+    over the AGGREGATED type table (vocab-sized, not corpus-sized —
+    the window guard's post-aggregation exemption), a 4-row grid
+    join. At 100 TB the type table is the only ranked relation."""
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    cnt = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    from pyspark.sql.window import Window
+
+    rk = cnt.withColumn(
+        "r",
+        F.row_number().over(
+            Window.orderBy(F.col("c").desc(), F.col("tok"))
+        ),
+    )
+    tot = cnt.agg(F.sum("c").cast("long").alias("t"))
+    lv = F.broadcast(
+        spark.createDataFrame([(4,), (8,), (16,), (32,)], "k long")
+    )
+    return (
+        lv.join(rk, F.col("r") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(
+            F.count("tok").cast("long").alias("n_types_in_vocab"),
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("long")
+            .alias("tokens_covered"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias("vocab_size"),
+            "n_types_in_vocab",
+            "tokens_covered",
+            F.col("t").alias("tokens_total"),
+            F.round(
+                F.lit(1000000.0) * F.col("tokens_covered") / F.col("t")
+            )
+            .cast("long")
+            .alias("coverage_ppm"),
+            F.round(
+                F.lit(1000000.0)
+                * (F.col("t") - F.col("tokens_covered"))
+                / F.col("t")
+            )
+            .cast("long")
+            .alias("oov_ppm"),
+        )
+        .orderBy("vocab_size")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming IMI admission — the inverted multi-index cell-pair
 # assignment as the admission probe in the dedup_admission frame.
 # ---------------------------------------------------------------------------
