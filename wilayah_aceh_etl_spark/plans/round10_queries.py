@@ -1725,6 +1725,95 @@ def tokenizer_vocab_coverage_curve(
 
 
 # ---------------------------------------------------------------------------
+# A/B power analysis: minimum detectable effect per event type.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ab_power_mde_by_event_type",
+    oracle="""
+WITH m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 16777216) AS BIGINT)) AS BIGINT)
+           AS s1,
+         CAST(SUM(CAST(ROUND((value * value) * 16777216) AS BIGINT))
+              AS BIGINT) AS s2
+  FROM events GROUP BY event_type
+),
+v AS (
+  SELECT event_type, n,
+         ROUND(CAST(s1 AS DOUBLE) / (n * 16777216), 6) AS mean_value,
+         (CAST(s2 AS DOUBLE) / (n * 16777216)) -
+           (CAST(s1 AS DOUBLE) / (n * 16777216)) *
+           (CAST(s1 AS DOUBLE) / (n * 16777216)) AS var_value
+  FROM m
+)
+SELECT event_type, n AS n_samples, mean_value,
+       ROUND(var_value, 6) AS var_value,
+       ROUND((1.959964 + 0.841621) * sqrt((2.0 * var_value) / n), 6)
+         AS mde_abs,
+       ROUND(((1.959964 + 0.841621) * sqrt((2.0 * var_value) / n)) /
+             (CAST(s1 AS DOUBLE) / (n * 16777216)), 6) AS mde_rel
+FROM v JOIN m USING (event_type, n)
+ORDER BY event_type
+""",
+    tags=("ext", "ab", "stats", "power", "mde"),
+    description="A/B power analysis: minimum detectable effect per "
+    "event type at alpha=0.05 (two-sided), power=0.80, 50/50 split",
+)
+def ab_power_mde_by_event_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pre-experiment power analysis (the standard two-sample MDE
+    formula, e.g. Kohavi et al., 'Trustworthy Online Controlled
+    Experiments' ch. 17): with all observed traffic split 50/50,
+    the smallest true mean shift detectable at α = 0.05 two-sided
+    and 80% power is MDE = (z₀.₉₇₅ + z₀.₈)·√(2σ²/n). The z values
+    are fixed literals of the design (1.959964, 0.841621 — pinned
+    constants, not computed), so no inverse-normal evaluation
+    happens in either engine. Per event type the query reports the
+    absolute and relative MDE — the first table an experimentation
+    platform shows when sizing a test on this traffic.
+
+    Determinism: Σx and Σx² are exact ROUND(·2²⁴) integer sums;
+    mean/variance are pinned-parenthesization single divisions of
+    those integers; sqrt is IEEE-correctly-rounded; the z-sum is a
+    literal.
+
+    Scale shape: one scan, one hash aggregate per event type,
+    |types| output rows — embarrassingly parallel."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.round(F.col("value") * 16777216).cast("long"))
+        .cast("long")
+        .alias("s1"),
+        F.sum(
+            F.round((F.col("value") * F.col("value")) * 16777216).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / (F.col("n") * F.lit(16777216))
+    var = (
+        F.col("s2").cast("double") / (F.col("n") * F.lit(16777216))
+    ) - mean * mean
+    z = F.lit(1.959964) + F.lit(0.841621)
+    mde = z * F.sqrt((F.lit(2.0) * var) / F.col("n"))
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_samples"),
+        F.round(mean, 6).alias("mean_value"),
+        F.round(var, 6).alias("var_value"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(mde / mean, 6).alias("mde_rel"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
 # Streaming IMI admission — the inverted multi-index cell-pair
 # assignment as the admission probe in the dedup_admission frame.
 # ---------------------------------------------------------------------------
