@@ -300,3 +300,35 @@ def test_chain_audit_consistent_with_dedup(spark):
     for r in rows:
         assert r.n_removed == r.n_removed_via_kept + r.n_removed_chain_only
         assert r.n_removed_via_kept >= 0 and r.n_removed_chain_only >= 0
+
+
+def test_imi_admission_empty_batch_survives(spark, tmp_path):
+    """An EMPTY micro-batch must write an empty verdict partition
+    and leave the admitted table untouched, not kill the stream
+    (r10 review: the dimension probe used to TypeError on empty
+    input; the stream-build-time d makes empties flow through)."""
+    from wilayah_aceh_etl_spark.streaming.imi_admission import (
+        apply_imi_admission_batch,
+    )
+
+    cent_a = _cent(spark, [(0, [1.0, 0.0]), (1, [-1.0, 0.0])])
+    cent_b = _cent(spark, [(0, [0.0, 1.0]), (1, [0.0, -1.0])])
+    admitted = str(tmp_path / "admitted")
+    verdicts = str(tmp_path / "verdicts")
+    b0 = spark.createDataFrame(
+        [(1, [1.0, 0.1, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    apply_imi_admission_batch(
+        b0, 0, cent_a, cent_b, admitted, verdicts, d=4
+    )
+    apply_imi_admission_batch(
+        empty, 1, cent_a, cent_b, admitted, verdicts, d=4
+    )
+    v = spark.read.option("basePath", verdicts).parquet(verdicts)
+    assert v.count() == 1  # only batch 0's row
+    a = spark.read.option("basePath", admitted).parquet(admitted)
+    assert {r.vec_id for r in a.collect()} == {1}

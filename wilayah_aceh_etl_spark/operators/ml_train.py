@@ -274,8 +274,10 @@ def logreg_fit(
     delegation alone would IndexError on the empty trajectory —
     r9 ADVICE)."""
     if n_iter == 0:
-        d = int(df.select(F.size(vec_col)).first()[0])
-        return [0.0] * d, 0.0
+        row = df.select(F.size(vec_col)).first()
+        if row is None:
+            raise ValueError("cannot train on an empty DataFrame")
+        return [0.0] * int(row[0]), 0.0
     w, b = logreg_fit_trajectory(
         df, n_iter=n_iter, lr=lr, id_col=id_col,
         vec_col=vec_col, label_col=label_col,

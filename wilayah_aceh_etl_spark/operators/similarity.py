@@ -754,6 +754,7 @@ def imi_train_halves(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    d: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train the inverted multi-index's TWO half-space quantizers
     (Babenko & Lempitsky 2012): spherical Lloyd on each 32-d half,
@@ -761,9 +762,11 @@ def imi_train_halves(
     (cent_a, cent_b) as (cid, cvec) relations — the INDEX-BUILD
     artifact; broadcast them at every use (O((C₁+C₂)·d) floats).
     Extracted from imi_topk (r10) so the streaming admission twin
-    trains once batch-side and serves the same centroids."""
+    trains once batch-side and serves the same centroids. `d` skips
+    the dimension-probe job when the caller already knows it."""
     full = _prep(corpus, id_col, vec_col)
-    d = len(full.select("vec").first()["vec"])
+    if d is None:
+        d = len(full.select("vec").first()["vec"])
     dh = d // 2
     va = full.select("vec_id", F.slice(F.col("vec"), 1, dh).alias("vec"))
     vb = full.select(
@@ -781,6 +784,7 @@ def imi_cell_assignments(
     cent_b: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    d: int | None = None,
 ) -> DataFrame:
     """Two-level inverted lists: each vector keyed by its half-space
     assignment PAIR — returns (vec_id, vec, nrm, ca, cb). At 100 TB
@@ -788,9 +792,22 @@ def imi_cell_assignments(
     combined argmax aggregates (the _assign_nearest shuffle form)
     join back on vec_id. The ONE copy of the cell-pair pipeline —
     imi_topk's index build and the streaming admission probe both
-    call it, so their assignments cannot drift."""
+    call it, so their assignments cannot drift.
+
+    Pass `d` when known (the streaming admission frame derives it
+    once from the standing centroids): it skips the dimension-probe
+    first() job per call AND makes empty inputs flow through as
+    empty outputs — an empty micro-batch must not kill the stream
+    (r10 review)."""
     full = _prep(corpus, id_col, vec_col)
-    d = len(full.select("vec").first()["vec"])
+    if d is None:
+        row = full.select("vec").first()
+        if row is None:
+            raise ValueError(
+                "imi_cell_assignments: empty corpus and no explicit "
+                "d — pass d to support empty inputs"
+            )
+        d = len(row["vec"])
     dh = d // 2
     va = full.select("vec_id", F.slice(F.col("vec"), 1, dh).alias("vec"))
     vb = full.select(
@@ -854,15 +871,15 @@ def imi_topk(
     index artifact; one copy of the tie-break-sensitive pipeline)."""
     from pyspark.sql.window import Window
 
+    full = _prep(corpus, id_col, vec_col)
+    d = len(full.select("vec").first()["vec"])  # the one probe job
     cent_a, cent_b = imi_train_halves(
-        corpus, c_half, n_iter, id_col, vec_col
+        corpus, c_half, n_iter, id_col, vec_col, d=d
     )
     lists = imi_cell_assignments(
-        corpus, cent_a, cent_b, id_col, vec_col
+        corpus, cent_a, cent_b, id_col, vec_col, d=d
     )
 
-    full = _prep(corpus, id_col, vec_col)
-    d = len(full.select("vec").first()["vec"])
     dh = d // 2
     half_a = F.slice(F.col("vec"), 1, dh)
     half_b = F.slice(F.col("vec"), dh + 1, d - dh)

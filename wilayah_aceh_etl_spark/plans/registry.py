@@ -98,9 +98,12 @@ def _load_all() -> None:
 # every round by tools/parity.py locally and by the test suite.
 #
 # EXHAUSTION POLICY (planned r9, per the r8 verdict ask #7): after
-# this round-10 window lands, 48 never-verified oracle-backed names
-# remain — less than one window. Once the never-verified pool
-# drops below 50 (i.e. NEXT round),
+# this round-10 window lands, 61 never-verified oracle-backed names
+# remain (48 from the pre-r10 tail + the THIRTEEN queries built in
+# round 10, which the new-code-first rule puts at the head of the
+# r11 window — see tools/gate_window_r11_dryrun.md). The re-verify
+# phase therefore begins in r12, when ~11 never-verified names
+# remain. Once the never-verified pool drops below 50,
 # fill the REMAINDER of the window by RE-verifying the oldest driver
 # rows first (r1 vintage, then r2, …— ordered by the round of their
 # last green row), so long-stable operators regain driver visibility
@@ -116,11 +119,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     # BUILD_ROUND_OVERRIDES — its ext_queries.py registration hid it
     # from the module-number proxy in the first dry run), then 29
     # alphabetical from the never-verified tail (ab/stats/feature/
-    # graph/battery slices). After this window lands, 48
-    # never-verified oracle-backed names remain (~1 window); the r11
-    # window will take those 48 + 2 oldest-first re-verify rows per
-    # the exhaustion policy above (dry run recorded in
-    # tools/gate_window_r11_dryrun.md).
+    # graph/battery slices). After this window lands, 61
+    # never-verified oracle-backed names remain (48 pre-r10 tail +
+    # 13 built in round 10); the r11 window takes 50 of them,
+    # round-10 queries first, and the oldest-first re-verify phase
+    # begins in r12 (dry run in tools/gate_window_r11_dryrun.md).
     "approx_f2_ams_audit",
     "corpus_perplexity_buckets_ccnet",
     "corpus_quality_classifier_serving",

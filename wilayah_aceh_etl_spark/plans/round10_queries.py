@@ -1852,9 +1852,8 @@ bat{k} AS (SELECT vec_id, e, ca, cb FROM lists WHERE vec_id % {n_batches} = {k})
 vd{k} AS (
   SELECT b.vec_id, b.ca, b.cb,
          CAST(COUNT(s.vec_id) AS BIGINT) AS n_cell_candidates,
-         CAST(COALESCE(SUM(CASE WHEN ROUND({cos}, 6) >= {threshold}
-                            THEN 1 ELSE 0 END), 0) AS BIGINT)
-           AS n_near_dups
+         CAST(SUM(CASE WHEN ROUND({cos}, 6) >= {threshold}
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups
   FROM bat{k} b LEFT JOIN adm{k - 1} s ON b.ca = s.ca AND b.cb = s.cb
   GROUP BY b.vec_id, b.ca, b.cb
 ),

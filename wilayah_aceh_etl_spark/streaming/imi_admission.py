@@ -60,7 +60,14 @@ def imi_admission_stream(
     centroids, admit it iff no already-admitted vector in the same
     cell is within `threshold` cosine, and write verdicts + admitted
     vectors to batch-partitioned tables. Returns the unstarted
-    writeStream (caller picks trigger/awaits)."""
+    writeStream (caller picks trigger/awaits).
+
+    The vector dimension is derived ONCE here from the standing
+    centroids (d = 2 × half length), so the per-batch path runs no
+    dimension-probe job and an EMPTY micro-batch flows through as
+    an empty verdict partition instead of killing the stream
+    (r10 review)."""
+    d = 2 * len(cent_a.select("cvec").first()["cvec"])
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         apply_imi_admission_batch(
@@ -73,6 +80,7 @@ def imi_admission_stream(
             threshold,
             id_col,
             vec_col,
+            d=d,
         )
 
     return stream.writeStream.foreachBatch(apply_batch).option(
@@ -90,6 +98,7 @@ def apply_imi_admission_batch(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    d: int | None = None,
 ) -> None:
     """One micro-batch of IMI admission (module-level so replay
     idempotency is directly testable, per the dedup_admission
@@ -97,8 +106,10 @@ def apply_imi_admission_batch(
     never all-pairs — and the cosine reuses the hoisted norms both
     sides carry from imi_cell_assignments."""
     spark = batch_df.sparkSession
+    if d is None:
+        d = 2 * len(cent_a.select("cvec").first()["cvec"])
     assigned = imi_cell_assignments(
-        batch_df, cent_a, cent_b, id_col, vec_col
+        batch_df, cent_a, cent_b, id_col, vec_col, d=d
     )
     if os.path.exists(admitted_table):
         existing = (
@@ -131,6 +142,9 @@ def apply_imi_admission_batch(
         )
         >= threshold
     )
+    # the SUM can never be NULL: every q_id keeps at least one row
+    # through the left join and when(...).otherwise(0) is total, so
+    # no coalesce is needed (r10 review — same holds in the oracle)
     verdicts = (
         q.join(s, ["ca", "cb"], "left")
         .groupBy("q_id", "ca", "cb")
@@ -145,13 +159,21 @@ def apply_imi_admission_batch(
             F.col("ca").cast("long").alias("ca"),
             F.col("cb").cast("long").alias("cb"),
             "n_cell_candidates",
-            F.coalesce(F.col("n_near_dups"), F.lit(0).cast("long")).alias(
-                "n_near_dups"
-            ),
-            (F.coalesce(F.col("n_near_dups"), F.lit(0)) == 0)
-            .cast("int")
-            .alias("admit"),
+            "n_near_dups",
+            (F.col("n_near_dups") == 0).cast("int").alias("admit"),
         )
+    )
+    # select list derives from IMI_VERDICT_SCHEMA so the constant
+    # stays the one authoritative definition (dedup_admission's
+    # device; the constant was dead before — r10 review)
+    verdicts = verdicts.select(
+        *[
+            F.col(name).cast(typ).alias(name)
+            for name, typ in (
+                c.strip().rsplit(" ", 1)
+                for c in IMI_VERDICT_SCHEMA.split(",")
+            )
+        ]
     )
     # verdicts WRITE is the materialization barrier (dedup_admission
     # contract): seal the verdict set before the admitted table
