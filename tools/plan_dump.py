@@ -79,6 +79,28 @@ session has executed a dozen jobs — consistent across rounds since
 the protocol is fixed, but another reason to compare rounds by
 ratio, not absolute seconds.) Read this query with a ±0.15 s JIT
 band; protocol stays min-of-3.""",
+    "dedup_semantic_clusters": """\
+**Bench-variance adjudication (round 10, r9 verdict ask #2 — the
+r8→r9 +34% move, 1.505 → 2.014 s).** Same class as the minhash and
+agg_pricing findings: min-of-3 sampling the JVM warm-up curve, not
+a plan change (nothing in the r9 diff touches this query's plan;
+the `_ranked_cache` handle and lazy-admission changes affect
+lifetime and a different registered query). Two independent 12-run
+idle-box curves, fresh session each, calibration probe at its
+0.20-0.23 s floor throughout: 2.329 2.151 2.146 1.926 2.218 2.216
+1.729 1.702 1.527 1.717 1.507 1.543 (min-of-3 2.146, min-of-12
+1.507) and 1.922 1.911 1.867 1.712 1.554 1.625 1.494 1.596 1.700
+1.901 1.538 1.507 (min-of-3 1.867, min-of-12 1.494). Monotone
+warm-up decay into a ~1.50 s floor; min-of-3 outcomes span
+1.87-2.15 on an IDLE box, so r8's 1.505 (favorable end), r9's
+2.014 (39%-hotter box), and r10's same-day 1.609 all sit inside
+the band. Why THIS query warms slowly: the persisted ranked
+relation means run 1 pays the cache build, and the three
+cache-consuming subtrees (pair join both sides + keep-verdict
+join) each JIT their own codegen spans against the InMemoryRelation
+— tiering continues past run 3. Read this query with a ±0.4 s JIT
+band (like dsir); protocol stays min-of-3, judge regressions by
+the calibration-normalized ratio or a fresh ≥10-run curve.""",
 }
 
 
