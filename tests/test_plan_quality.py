@@ -204,6 +204,8 @@ NLJ_ALLOWED = {
     # inherits dedup_semantic_clusters' 16-row centroid-assignment
     # broadcast (same semantic_dedup pipeline under the audit)
     "dedup_semantic_chain_audit",
+    # same pipeline at derived C (≤125 at test SFs; O(C) build side)
+    "dedup_semantic_clusters_derived_c",
     # 5-row prefix-grid non-equi broadcast (doc_id % 16 < width)
     "data_scaling_unigram_nll_curve",
     # 3-row context-length grid broadcast product

@@ -332,3 +332,25 @@ def test_imi_admission_empty_batch_survives(spark, tmp_path):
     assert v.count() == 1  # only batch 0's row
     a = spark.read.option("basePath", admitted).parquet(admitted)
     assert {r.vec_id for r in a.collect()} == {1}
+
+
+def test_derived_c_departs_from_fixed_c(spark):
+    """The derived-C registered query must actually run a DIFFERENT
+    quantizer size than the fixed-C sibling at the gate SF (C = 32
+    vs 16 at sf0.001 with target_cluster_size=16) — otherwise the
+    driver row would silently re-verify the fixed form."""
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        dedup_semantic_clusters_derived_c,
+    )
+    from wilayah_aceh_etl_spark.plans.ext_queries import (
+        dedup_semantic_clusters,
+    )
+
+    derived = dedup_semantic_clusters_derived_c(spark, SF_SMOKE)
+    fixed = dedup_semantic_clusters(spark, SF_SMOKE)
+    c_derived = derived.select("cid").distinct().count()
+    c_fixed = fixed.select("cid").distinct().count()
+    assert c_fixed <= 16
+    assert c_derived > 16, (c_derived, "expected C=32 cluster ids")
+    # same corpus, same coverage
+    assert derived.count() == fixed.count()

@@ -1725,6 +1725,125 @@ def tokenizer_vocab_coverage_curve(
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup at the DERIVED-C production configuration — the C ∝ N
+# path the decade probes point at, oracle-hashed end to end.
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_derived_c_oracle(target: int = 16) -> str:
+    """The _SEMDEDUP_PRELUDE pipeline with C DERIVED in SQL exactly
+    as the operator derives it — C = max(16, ceil(n / target)) — so
+    the seed set, both Lloyd iterations, the assignment, and the
+    keep sweep are all re-derived at the data-dependent C. At the
+    three test SFs this exercises C = 32 / 32 / 125 (vs the fixed
+    C=16 the sibling dedup_semantic_clusters oracle pins)."""
+    from wilayah_aceh_etl_spark.plans.ext_queries import (
+        _COS,
+        _VEC_CTE,
+        _ivf_km_step_sql,
+    )
+
+    return (
+        "WITH "
+        + _VEC_CTE
+        + f""",
+u AS (
+  SELECT vec_id, unnest(e) AS val, generate_subscripts(e, 1) AS pos FROM v
+),
+cc AS (
+  SELECT GREATEST(16, CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / {target})
+                           AS BIGINT)) AS c
+  FROM v
+),
+c1 AS (
+  SELECT vec_id AS cid, e AS ce FROM v
+  WHERE vec_id < (SELECT c FROM cc)
+),
+"""
+        + ",".join(_ivf_km_step_sql(i) for i in (1, 2))
+        + """,
+assigned AS (
+  SELECT vec_id, e, cid, ROUND(cs, 6) AS cent_cos FROM (
+    SELECT v.vec_id, v.e, c.cid, """
+        + _COS.format(a="v.e", b="c.ce")
+        + """ AS cs,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY """
+        + _COS.format(a="v.e", b="c.ce")
+        + """ DESC, c.cid
+           ) AS rn
+    FROM v, c3 c
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, e, cid, cent_cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY cid ORDER BY cent_cos, vec_id
+         ) AS rk
+  FROM assigned
+),
+removed AS (
+  SELECT DISTINCT a.vec_id
+  FROM ranked a JOIN ranked b ON a.cid = b.cid AND a.rk > b.rk
+  WHERE ROUND("""
+        + _COS.format(a="a.e", b="b.e")
+        + """, 6) >= 0.35
+)
+SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cid, r.cent_cos,
+       CAST(CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS keep
+FROM ranked r LEFT JOIN removed rm ON r.vec_id = rm.vec_id
+ORDER BY r.vec_id
+"""
+    )
+
+
+@register(
+    "dedup_semantic_clusters_derived_c",
+    oracle=_semdedup_derived_c_oracle(16),
+    tags=("ext", "dedup", "semantic", "kmeans", "semdedup", "derived-c"),
+    description="SemDeDup at the derived-C production default "
+    "(C = max(16, ceil(n/target)) — the C ∝ N scale path), "
+    "oracle-hashed with the SQL deriving C the same way",
+)
+def dedup_semantic_clusters_derived_c(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION configuration of semantic dedup — C derived
+    from the corpus (n_centroids=None: C = max(16, ⌈n/target⌉), the
+    published C ∝ N practice that keeps per-cluster pair work
+    CONSTANT as data grows) — driver-verified end to end. The
+    sibling dedup_semantic_clusters pins the fixed-C=16 form because
+    its oracle hardcodes the seed set; the round-10 decade probes
+    (SCALE.md §9e) showed exactly why the fixed form must not be
+    mistaken for the scale path: Σ|cluster|² grows ~100× per decade
+    at fixed C while the derived-C sweep is flat past the corpus-
+    scan floor (§7e's measured C-sweep). Here the ORACLE derives C
+    too — GREATEST(16, CEIL(n/target)) feeding the seed predicate —
+    so training at the data-dependent C, assignment, ranking, and
+    keep verdicts are all hash-checked; across the three test SFs
+    this runs C = 32 / 32 / 125 (vs 16 / 16 / 16), exercising
+    clusters of target size ~16.
+
+    Scale shape: identical to semantic_dedup's documented shape
+    (equi-join on cid, one persisted ranked relation, O(C·d)
+    broadcast), with the quadratic bounded per cluster by the
+    derived C; target_cluster_size=16 here keeps the gate-scale
+    derivation non-vacuous (the operator default of 128 only
+    departs from C=16 past n=2048)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(
+        emb,
+        threshold=0.35,
+        n_centroids=None,
+        n_iter=2,
+        target_cluster_size=16,
+        cache_key=f"{sf_dir}#derived16",
+    )
+
+
+# ---------------------------------------------------------------------------
 # A/B power analysis: minimum detectable effect per event type.
 # ---------------------------------------------------------------------------
 
