@@ -98,11 +98,11 @@ def _load_all() -> None:
 # every round by tools/parity.py locally and by the test suite.
 #
 # EXHAUSTION POLICY (planned r9, per the r8 verdict ask #7): after
-# this round-10 window lands, 61 never-verified oracle-backed names
-# remain (48 from the pre-r10 tail + the THIRTEEN queries built in
+# this round-10 window lands, 62 never-verified oracle-backed names
+# remain (48 from the pre-r10 tail + the FOURTEEN queries built in
 # round 10, which the new-code-first rule puts at the head of the
 # r11 window — see tools/gate_window_r11_dryrun.md). The re-verify
-# phase therefore begins in r12, when ~11 never-verified names
+# phase therefore begins in r12, when ~12 never-verified names
 # remain. Once the never-verified pool drops below 50,
 # fill the REMAINDER of the window by RE-verifying the oldest driver
 # rows first (r1 vintage, then r2, …— ordered by the round of their
@@ -119,9 +119,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     # BUILD_ROUND_OVERRIDES — its ext_queries.py registration hid it
     # from the module-number proxy in the first dry run), then 29
     # alphabetical from the never-verified tail (ab/stats/feature/
-    # graph/battery slices). After this window lands, 61
+    # graph/battery slices). After this window lands, 62
     # never-verified oracle-backed names remain (48 pre-r10 tail +
-    # 13 built in round 10); the r11 window takes 50 of them,
+    # 14 built in round 10); the r11 window takes 50 of them,
     # round-10 queries first, and the oldest-first re-verify phase
     # begins in r12 (dry run in tools/gate_window_r11_dryrun.md).
     "approx_f2_ams_audit",
