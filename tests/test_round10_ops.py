@@ -354,3 +354,104 @@ def test_derived_c_departs_from_fixed_c(spark):
     assert c_derived > 16, (c_derived, "expected C=32 cluster ids")
     # same corpus, same coverage
     assert derived.count() == fixed.count()
+
+
+def test_scurve_monotone_properties(spark):
+    """The s-curve table must satisfy the textbook shape: for a
+    fixed (b, r) config P(candidate) is non-decreasing in s; at a
+    fixed s, splitting the K=8 signature into more bands (fewer
+    rows per band) can only RAISE the candidate probability."""
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        dedup_lsh_scurve_table,
+    )
+
+    rows = dedup_lsh_scurve_table(spark, SF_SMOKE).collect()
+    by_cfg = {}
+    for r in rows:
+        by_cfg.setdefault((r.bands, r.rows_per_band), []).append(
+            (r.jaccard_s, r.p_candidate)
+        )
+    assert set(by_cfg) == {(8, 1), (4, 2), (2, 4), (1, 8)}
+    for cfg, pts in by_cfg.items():
+        pts.sort()
+        ps = [p for _, p in pts]
+        assert ps == sorted(ps), cfg  # monotone in s
+        assert len(pts) == 19
+    # band ordering at every s: more bands => looser (higher p)
+    order = [(8, 1), (4, 2), (2, 4), (1, 8)]
+    for i in range(19):
+        s_vals = [dict(by_cfg[c])[by_cfg[order[0]][i][0]] for c in order]
+        assert s_vals == sorted(s_vals, reverse=True), s_vals
+
+
+def test_packing_packed_never_worse(spark):
+    """Concatenated packing can never waste more than per-doc
+    padding (ceil(sum) <= sum(ceil)) — and both wastes are
+    non-negative and below one context length times the doc count /
+    one context length respectively."""
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        training_packing_efficiency,
+    )
+
+    rows = training_packing_efficiency(spark, SF_SMOKE).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0 <= r.waste_packed_tokens <= r.waste_padded_tokens
+        assert r.waste_packed_tokens < r.ctx_len
+        assert r.n_seq_packed <= r.n_seq_padded
+        assert (
+            r.n_seq_padded * r.ctx_len
+            == r.total_tokens + r.waste_padded_tokens
+        )
+
+
+def test_alignment_closed_form_matches_bruteforce(spark, tmp_path):
+    """The no-pair-join identity E||x-y||^2 = 2(E||x||^2 - ||mu||^2)
+    must equal the brute-force mean over all ordered pairs (iid with
+    replacement) on a planted corpus."""
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        embedding_alignment_by_label,
+    )
+
+    d, n = 64, 40
+    vecs = []
+    for i in range(n):
+        vecs.append(
+            [((i * 7 + j * 3) % 9 - 4) / 4.0 for j in range(d)]
+        )
+    rows = [(i, vecs[i], 3) for i in range(n)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = embedding_alignment_by_label(spark, str(tmp_path)).collect()
+    assert len(got) == 1 and got[0].label == 3
+
+    brute = sum(
+        sum((a - b) ** 2 for a, b in zip(vecs[i], vecs[j]))
+        for i in range(n)
+        for j in range(n)
+    ) / (n * n)
+    assert abs(got[0].alignment_sq - brute) < 1e-4, (
+        got[0].alignment_sq,
+        brute,
+    )
+    # single label => class centroid IS the global mean
+    assert got[0].centroid_offset_sq == 0.0
+
+
+def test_vocab_coverage_monotone(spark):
+    """Coverage must be non-decreasing in vocab size, bounded by the
+    corpus total, and hit 100% once the vocab exceeds the type
+    count (this corpus has ~31 types < 32)."""
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        tokenizer_vocab_coverage_curve,
+    )
+
+    rows = tokenizer_vocab_coverage_curve(spark, SF_SMOKE).collect()
+    assert [r.vocab_size for r in rows] == [4, 8, 16, 32]
+    cov = [r.tokens_covered for r in rows]
+    assert cov == sorted(cov)
+    for r in rows:
+        assert r.tokens_covered <= r.tokens_total
+        assert r.coverage_ppm + r.oov_ppm in (999999, 1000000, 1000001)
+    assert rows[-1].oov_ppm == 0  # 32 >= full type inventory
