@@ -912,7 +912,8 @@ SELECT
   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
     AS n_purchases,
   CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS active_days,
-  ROUND(ROUND(SUM(value), 2) / COUNT(value), 4) AS avg_value,
+  ROUND(CAST(SUM(CAST(ROUND(value * 16777216) AS BIGINT)) AS DOUBLE)
+        / (COUNT(value) * 16777216), 4) AS avg_value,
   ROUND(CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
              AS DOUBLE) / COUNT(*), 4) AS purchase_rate,
   min(ts) AS first_ts,
@@ -936,8 +937,12 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional aggregate over the single shuffle on user_id; the
     distinct-days count rides the same aggregation (Spark plans the
     distinct via a partial expand, still one logical pass). Ratios
-    divide exact integers or pre-rounded sums — deterministic across
-    engines and partitionings."""
+    divide exact integers — avg_value uses the quantize-before-sum
+    idiom (Σ ROUND(value·2²⁴) BIGINT, one final division): the
+    original ROUND(SUM(value), 2) guard was an order-SENSITIVE float
+    sum that flapped at the 1e-4 boundary once per-user event counts
+    reached sf0.1 scale (caught by the round-10 full sf0.1 sweep —
+    2 of 100 users differed in the last rounded digit)."""
     e = load_table(spark, sf_dir, "events")
     is_purchase = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
     return (
@@ -946,9 +951,12 @@ def events_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(is_purchase).cast("long").alias("n_purchases"),
             F.countDistinct(F.date_trunc("day", F.col("ts"))).alias("active_days"),
-            F.round(F.round(F.sum("value"), 2) / F.count("value"), 4).alias(
-                "avg_value"
-            ),
+            F.round(
+                F.sum(F.round(F.col("value") * 16777216).cast("long"))
+                .cast("double")
+                / (F.count("value") * F.lit(16777216)),
+                4,
+            ).alias("avg_value"),
             F.round(
                 F.sum(is_purchase).cast("double") / F.count(F.lit(1)), 4
             ).alias("purchase_rate"),

@@ -2441,7 +2441,12 @@ WITH g AS (
   SELECT o_orderpriority,
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM({_CENTS}) AS BIGINT) AS s,
-         CAST(SUM({_CENTS} * {_CENTS}) AS BIGINT) AS ss
+         -- Σcents² passes 2^63 near sf0.1 group sizes (cents² is
+         -- ~10^15/row): HUGEINT here, DECIMAL(38,0) on the Spark
+         -- side — caught by the round-10 full sf0.1 sweep, where
+         -- Spark's ANSI mode overflowed loudly
+         CAST(SUM(CAST({_CENTS} AS HUGEINT) * {_CENTS}) AS HUGEINT)
+           AS ss
   FROM orders
   WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
   GROUP BY o_orderpriority
@@ -2469,9 +2474,11 @@ FROM w
 def orders_cohens_d_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohen's d standardized effect size between URGENT and LOW
     priority order totals — mean difference over the pooled sample
-    standard deviation, every term derived from exact BIGINT
+    standard deviation, every term derived from exact integer
     moments gathered in ONE pass (conditional aggregation pivots
-    the two groups into one row — no second scan, no join)."""
+    the two groups into one row — no second scan, no join). The
+    second moment runs in DECIMAL(38,0)/HUGEINT: Σcents² passes
+    2⁶³ near sf0.1 group sizes (r10 full-sf0.1 sweep finding)."""
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
     )
@@ -2479,7 +2486,12 @@ def orders_cohens_d_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("s"),
-        F.sum(cents * cents).alias("ss"),
+        # Σcents² overflows int64 at sf0.1 group sizes — DECIMAL
+        # keeps the sum exact (HUGEINT on the oracle side); both
+        # convert the identical exact integer to double downstream
+        F.sum(
+            cents.cast("decimal(19,0)") * cents.cast("decimal(19,0)")
+        ).alias("ss"),
     )
 
     def pick(col: str, prio: str):
