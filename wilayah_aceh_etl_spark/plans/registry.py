@@ -88,22 +88,21 @@ def _load_all() -> None:
 # round's CORRECTNESS_r{N}.json is rotated OUT and 50 never-
 # driver-verified names rotated IN, one representative slice per
 # module, so cumulative driver-verified coverage grows ~50/round.
-# Rounds 1–9 verified 385 distinct queries (the union of
-# CORRECTNESS_r01..09.json); this round-10 window is drawn from the
-# 98 oracle-backed queries that had never produced a driver row,
-# led (per the r9 verdict) by the twenty-one queries BUILT in
-# round 9 — new code meets the driver oracle first — then 29
-# alphabetical from the remaining tail (ab/stats/feature/graph/
-# battery slices). All rotated-out queries are still exercised
-# every round by tools/parity.py locally and by the test suite.
+# Rounds 1–10 verified 437 distinct queries (the union of
+# CORRECTNESS_r01..10.json, 435 green); this round-11 window is
+# drawn from the 62 oracle-backed queries that had never produced a
+# driver row, led (per the r10 verdict ask #1) by the fourteen
+# queries BUILT in round 10 — new code meets the driver oracle
+# first — then 36 alphabetical from the remaining tail. All
+# rotated-out queries are still exercised every round by
+# tools/parity.py locally and by the test suite.
 #
 # EXHAUSTION POLICY (planned r9, per the r8 verdict ask #7): after
-# this round-10 window lands, 62 never-verified oracle-backed names
-# remain (48 from the pre-r10 tail + the FOURTEEN queries built in
-# round 10, which the new-code-first rule puts at the head of the
-# r11 window — see tools/gate_window_r11_dryrun.md). The re-verify
-# phase therefore begins in r12, when ~12 never-verified names
-# remain. Once the never-verified pool drops below 50,
+# this round-11 window lands, 12 pre-r11 never-verified names remain
+# (+ the queries built in round 11, which the new-code-first rule
+# puts at the head of the r12 window — see
+# tools/gate_window_r12_dryrun.md). The re-verify phase therefore
+# begins in r12. Once the never-verified pool drops below 50,
 # fill the REMAINDER of the window by RE-verifying the oldest driver
 # rows first (r1 vintage, then r2, …— ordered by the round of their
 # last green row), so long-stable operators regain driver visibility
@@ -112,68 +111,70 @@ def _load_all() -> None:
 # CORRECTNESS_r0*.json with their LATEST round number; window =
 # all remaining never-verified names + oldest-round names up to 50.
 GATE_PRIORITY: tuple[str, ...] = (
-    # --- round-10 window: 50 never-driver-verified names, generated
-    # by tools/gate_window.py (new-code-first) and pasted by hand per
-    # the standing discipline. The TWENTY-ONE round-9-built queries
-    # lead (incl. similarity_imi_topk via the planner's new
-    # BUILD_ROUND_OVERRIDES — its ext_queries.py registration hid it
-    # from the module-number proxy in the first dry run), then 29
-    # alphabetical from the never-verified tail (ab/stats/feature/
-    # graph/battery slices). After this window lands, 62
-    # never-verified oracle-backed names remain (48 pre-r10 tail +
-    # 14 built in round 10); the r11 window takes 50 of them,
-    # round-10 queries first, and the oldest-first re-verify phase
-    # begins in r12 (dry run in tools/gate_window_r11_dryrun.md).
-    "approx_f2_ams_audit",
-    "corpus_perplexity_buckets_ccnet",
-    "corpus_quality_classifier_serving",
-    "data_attribution_tracin_self",
-    "data_cartography_regions",
-    "data_mixture_doremi_weights",
-    "data_mixture_unimax_allocation",
-    "data_pruning_el2n_margin",
-    "data_pruning_forgetting_events",
-    "data_pruning_ssl_prototypes",
-    "data_selection_kcenter_coreset",
-    "data_selection_rho_loss",
-    "embedding_jl_projection_audit",
-    "feature_mutual_information_rank",
-    "labels_confident_learning_noise",
-    "model_eval_best_of_n",
-    "similarity_imi_topk",
-    "streaming_quality_classifier_filter",
-    "text_bigram_kneser_ney",
-    "tokenizer_fertility_by_lang",
-    "tokenizer_renyi_efficiency",
-    "ab_cuped_variance_reduction",
-    "ab_delta_method_ratio_ci",
-    "ab_difference_in_differences",
-    "ab_sprt_sequential_test",
-    "allocation_largest_remainder",
-    "approx_top_k_event_types",
-    "array_functions_battery2",
-    "bitwise_agg_by_status",
-    "bitwise_functions_battery",
-    "brand_price_elasticity_loglog",
-    "class_balance_effective_weights",
-    "customer_mahalanobis_outliers_2d",
-    "decision_stump_discount_returns",
-    "dp_contribution_bounded_counts",
-    "feature_quantile_normalization",
-    "forecast_conformal_interval",
-    "generator_stack_battery",
-    "geo_haversine_nearest_capitals",
-    "graph_harmonic_centrality",
-    "hash_functions_battery",
-    "map_explode_entries",
-    "map_hof_battery",
-    "market_hhi_by_region",
-    "nested_struct_battery",
-    "regexp_functions_battery",
-    "rightouter_supplier_lineitems",
-    "rollup_grouping_id_labels",
-    "rounding_modes_battery",
-    "source_interchange_roundtrip",
+    # --- round-11 window: 50 never-driver-verified names, generated
+    # by tools/gate_window.py at the round-10 close (matches the
+    # committed tools/gate_window_r11_dryrun.md exactly — the r10
+    # window came back 50/50 green so the --assume-window-green dry
+    # run equals the real rotation) and pasted by hand per the
+    # standing discipline. The FOURTEEN round-10-built queries lead
+    # (new-code-first; all live in round10_queries.py so no
+    # BUILD_ROUND_OVERRIDES entry was needed), then 36 alphabetical
+    # from the never-verified tail (stats/string/feature/graph/
+    # revenue batteries). After this window lands, 12 never-verified
+    # pre-r11 names remain (+ any queries built in round 11, which
+    # lead the r12 window), so the oldest-first RE-VERIFY phase
+    # begins in r12 — dry run regenerated at the r11 closing HEAD in
+    # tools/gate_window_r12_dryrun.md.
+    "ab_power_mde_by_event_type",
+    "corpus_classifier_reliability_bins",
+    "data_curation_influence_dedup_audit",
+    "data_scaling_unigram_nll_curve",
+    "dedup_lsh_scurve_table",
+    "dedup_semantic_chain_audit",
+    "dedup_semantic_clusters_derived_c",
+    "dedup_token_savings_by_source",
+    "embedding_alignment_by_label",
+    "embedding_isotropy_audit",
+    "streaming_imi_admission",
+    "tokenizer_vocab_coverage_curve",
+    "training_gradient_noise_scale",
+    "training_packing_efficiency",
+    "stats_segmented_regression_known_break",
+    "stats_skewness_kurtosis_moments",
+    "stats_spearman_part_size_price",
+    "string_pad_split_battery",
+    "try_error_handling_battery",
+    "unicode_string_battery",
+    "union_by_name_schema_evolution",
+    "url_parse_battery",
+    "window_count_distinct_trick",
+    "brand_sequence_rules",
+    "customer_winsorized_stats",
+    "date_interval_arithmetic_battery",
+    "dedup_minhash_estimate_calibration",
+    "feature_hashing_trick",
+    "feature_onehot_class_weights",
+    "feature_scaling_battery",
+    "feature_store_customer_monthly",
+    "graph_adamic_adar_links",
+    "graph_jaccard_link_prediction",
+    "lineitem_abc_xyz_matrix",
+    "lineitem_anova_returnflag",
+    "lineitem_simpson_paradox_audit",
+    "sample_balanced_per_class",
+    "sort_nulls_placement_battery",
+    "boxplot_fences_by_segment",
+    "revenue_percent_of_parent",
+    "revenue_price_volume_mix",
+    "topk_nations_with_others",
+    "weighted_median_price_by_flag",
+    "abc_part_classification",
+    "basket_triples_support",
+    "chisq_segment_status",
+    "cohort_ltv_curves",
+    "contamination_ngram_overlap",
+    "corpus_data_card",
+    "corpus_quality_filter",
 )
 
 # The driver's gate records only the first 50 registration-order
