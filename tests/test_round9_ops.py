@@ -4,6 +4,7 @@ multi-index two-level quantizer."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -867,8 +868,20 @@ def test_gate_window_tool_policy():
     # correction for new code registered in core modules (found in
     # the r10 dry run: similarity_imi_topk lives in ext_queries.py,
     # so the bare proxy sorted it out of its own build round)
-    assert gw.module_round(specs["data_cartography_regions"].fn) == 9
-    assert gw.module_round(specs["tpch_q8_market_share"].fn) == 0
+    assert (
+        gw.module_round(
+            specs["data_cartography_regions"].fn, "data_cartography_regions"
+        )
+        == 9
+    )
+    assert (
+        gw.module_round(specs["tpch_q8_market_share"].fn, "tpch_q8_market_share")
+        == 0
+    )
+    # name is REQUIRED (r10 ADVICE): the one-arg form silently skipped
+    # the BUILD_ROUND_OVERRIDES correction
+    with pytest.raises(TypeError):
+        gw.module_round(specs["tpch_q8_market_share"].fn)
     assert (
         gw.module_round(
             specs["similarity_imi_topk"].fn, "similarity_imi_topk"

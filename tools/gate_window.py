@@ -65,11 +65,13 @@ BUILD_ROUND_OVERRIDES: dict[str, int] = {
 }
 
 
-def module_round(fn, name: str = "") -> int:
+def module_round(fn, name: str) -> int:
     """Registration recency proxy: the roundN_queries module number
     (0 for the core modules, unless overridden above), so
     new-code-first ordering is by the module that registered the
-    query."""
+    query. `name` is REQUIRED (r10 ADVICE): the optional form let a
+    call site silently skip the BUILD_ROUND_OVERRIDES correction —
+    the exact ordering surprise the override exists to fix."""
     if name in BUILD_ROUND_OVERRIDES:
         return BUILD_ROUND_OVERRIDES[name]
     mod = getattr(fn, "__module__", "") or ""

@@ -263,6 +263,7 @@ def logreg_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "y",
+    d: int | None = None,
 ) -> tuple[list[float], float]:
     """The fit loop of logreg_train_quantized without the
     per-iteration metric passes: returns (w, b) after n_iter
@@ -272,12 +273,16 @@ def logreg_fit(
     not merely asserted. n_iter=0 returns the zero-initialized
     (w, b), matching the pre-trajectory-refactor behavior (the
     delegation alone would IndexError on the empty trajectory —
-    r9 ADVICE)."""
+    r9 ADVICE). Pass `d` to skip the dimension probe entirely; the
+    probe itself is an explicit LIMIT 1 plan so the degenerate call
+    never scans the corpus (r10 ADVICE)."""
     if n_iter == 0:
-        row = df.select(F.size(vec_col)).first()
-        if row is None:
-            raise ValueError("cannot train on an empty DataFrame")
-        return [0.0] * int(row[0]), 0.0
+        if d is None:
+            row = df.limit(1).select(F.size(vec_col)).first()
+            if row is None:
+                raise ValueError("cannot train on an empty DataFrame")
+            d = int(row[0])
+        return [0.0] * d, 0.0
     w, b = logreg_fit_trajectory(
         df, n_iter=n_iter, lr=lr, id_col=id_col,
         vec_col=vec_col, label_col=label_col,
