@@ -99,7 +99,30 @@ relation means run 1 pays the cache build, and the three
 cache-consuming subtrees (pair join both sides + keep-verdict
 join) each JIT their own codegen spans against the InMemoryRelation
 — tiering continues past run 3. Read this query with a ±0.4 s JIT
-band (like dsir); protocol stays min-of-3, judge regressions by
+band (dsir has its own measured ±0.25 s band — see its entry);
+protocol stays min-of-3, judge regressions by
+the calibration-normalized ratio or a fresh ≥10-run curve.""",
+    "data_selection_dsir_topk": """\
+**Bench-variance adjudication (round 11, r10 verdict ask #2 — the
+r9→r10 +17% move, 1.300 → 1.520 s, against a COOLER box).** Same
+class as the minhash/agg_pricing/clusters findings: min-of-3
+sampling the JVM warm-up curve, not a plan change (the one-pass
+O(256)-broadcast TakeOrderedAndProject plan is unchanged; nothing
+in the r10 diff touches it). Two independent 12-run idle-box
+curves, fresh session each, calibration probe 0.18–0.23 s at
+session start decaying to its 0.10 s warmed floor: 1.563 1.369
+1.472 1.445 1.361 1.125 1.158 1.310 1.183 1.095 1.040 1.092
+(min-of-3 1.369, min-of-12 1.040) and 1.356 1.182 1.133 1.225
+1.034 1.073 1.251 1.174 1.003 0.998 1.059 1.074 (min-of-3 1.133,
+min-of-12 0.998). Monotone warm-up decay into a ~1.0 s floor;
+min-of-3 outcomes span 1.13–1.37 on an IDLE box, a ±0.25 s JIT
+band around the observed history (1.462 → 1.300 → 1.520 with
+calibrations 0.21/0.30/0.25) — all three rounds sit inside it.
+Why THIS query warms slowly: the hashed-ngram importance weights
+build two cached aggregate relations whose codegen spans tier up
+across the first half-dozen consuming runs (same InMemoryRelation
+JIT pattern as dedup_semantic_clusters). Read this query with a
+±0.25 s JIT band; protocol stays min-of-3, judge regressions by
 the calibration-normalized ratio or a fresh ≥10-run curve.""",
 }
 
