@@ -212,6 +212,15 @@ NLJ_ALLOWED = {
     "training_packing_efficiency",
     # 4-row vocab-size grid non-equi broadcast + 1-row total cross
     "tokenizer_vocab_coverage_curve",
+    # --- round 11 ---
+    # the chain audit at derived C: inherits the clusters-derived-c
+    # O(C) centroid-assignment broadcast (≤125 at test SFs)
+    "dedup_semantic_chain_audit_derived_c",
+    # 1-row (n, t) corpus-total broadcast onto the ≤4-cell relation
+    "dedup_policy_agreement_audit",
+    # 3-row context grid × 1-row GNS-scalar broadcast (both bounded),
+    # plus the GNS parent's 1-row scalar cross
+    "training_critical_batch_schedule",
 }
 
 

@@ -78,6 +78,7 @@ def _load_all() -> None:
     import wilayah_aceh_etl_spark.plans.round8_queries  # noqa: F401
     import wilayah_aceh_etl_spark.plans.round9_queries  # noqa: F401
     import wilayah_aceh_etl_spark.plans.round10_queries  # noqa: F401
+    import wilayah_aceh_etl_spark.plans.round11_queries  # noqa: F401
 
 
 # The correctness gate checks queries in dict order and (observed in

@@ -420,15 +420,15 @@ def corpus_classifier_reliability_bins(
 # ---------------------------------------------------------------------------
 
 
-def _chain_audit_oracle() -> str:
-    from wilayah_aceh_etl_spark.plans.ext_queries import (
-        _COS,
-        _SEMDEDUP_PRELUDE,
-    )
+def _chain_audit_tail() -> str:
+    """The provenance-audit CTE chain appended to a SemDeDup prelude
+    that exposes `ranked` and `removed` — shared by the fixed-C
+    oracle here and the derived-C twin (round11_queries, the r10
+    verdict ask #4), so the audit SQL exists in ONE copy."""
+    from wilayah_aceh_etl_spark.plans.ext_queries import _COS
 
     return (
-        _SEMDEDUP_PRELUDE
-        + """,
+        """,
 rm_blame AS (
   SELECT a.vec_id, a.cid,
          MAX(CASE WHEN rmb.vec_id IS NULL THEN 1 ELSE 0 END) AS via_kept
@@ -464,6 +464,14 @@ ORDER BY cid
     )
 
 
+def _chain_audit_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.ext_queries import (
+        _SEMDEDUP_PRELUDE,
+    )
+
+    return _SEMDEDUP_PRELUDE + _chain_audit_tail()
+
+
 @register(
     "dedup_semantic_chain_audit",
     oracle=_chain_audit_oracle(),
@@ -497,6 +505,18 @@ def dedup_semantic_chain_audit(
     dedup itself runs (Σ|cluster|², never all-pairs) and reuses the
     operator's persisted ranked relation; the blame flag is one
     MAX() per removed row and the output is C rows."""
+    return _chain_audit_frame(
+        spark, sf_dir, n_centroids=16, cache_key=sf_dir
+    )
+
+
+def _chain_audit_frame(
+    spark: SparkSession, sf_dir: str, **sd_kwargs
+) -> DataFrame:
+    """ONE copy of the chain-audit DataFrame pipeline, parameterized
+    by the semantic_dedup configuration — the fixed-C=16 registered
+    form and the derived-C production twin (round11_queries) differ
+    only in the kwargs they pass through."""
     from wilayah_aceh_etl_spark.functions.vectors import (
         as_double,
         dot,
@@ -505,9 +525,7 @@ def dedup_semantic_chain_audit(
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    sd = S.semantic_dedup(
-        emb, threshold=0.35, n_centroids=16, n_iter=2, cache_key=sf_dir
-    )
+    sd = S.semantic_dedup(emb, threshold=0.35, n_iter=2, **sd_kwargs)
     v = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("vec")
     ).withColumn("nrm", l2_norm(F.col("vec")))
@@ -588,7 +606,11 @@ def dedup_semantic_chain_audit(
 # ---------------------------------------------------------------------------
 
 
-def _gns_oracle() -> str:
+def _gns_prelude() -> str:
+    """The gradient-noise-scale WITH chain through the two scalar
+    aggregates q1 (n, Σ‖g‖²·2²⁴) and ssq (Σs² in HUGEINT) — shared
+    by the GNS query's SELECT and the critical-batch schedule twin
+    (round11_queries), so the gradient pass exists in ONE copy."""
     from wilayah_aceh_etl_spark.plans.round9_queries import (
         _emb_train_sql,
     )
@@ -622,7 +644,14 @@ gs AS (
          CAST(SUM(CAST(ROUND(e * 16777216) AS BIGINT)) AS BIGINT) AS s
   FROM ee
 ),
-ssq AS (SELECT SUM(CAST(s AS HUGEINT) * s) AS ss2 FROM gs)
+ssq AS (SELECT SUM(CAST(s AS HUGEINT) * s) AS ss2 FROM gs)"""
+    )
+
+
+def _gns_oracle() -> str:
+    return (
+        _gns_prelude()
+        + """
 SELECT n AS n_examples,
        sq AS sum_gsq_q,
        ROUND(CAST(sq AS DOUBLE) / (n * 16777216), 6) AS trace_per_sample,
@@ -676,6 +705,39 @@ def training_gradient_noise_scale(
     cross of two scalar aggregates. At 100 TB this is exactly one
     gradient pass — the cheapest possible estimate of the
     critical batch size."""
+    return _gns_scalar_frame(spark, sf_dir).select(
+        F.col("n").alias("n_examples"),
+        F.col("sq").alias("sum_gsq_q"),
+        F.round(
+            F.col("sq").cast("double") / (F.col("n") * F.lit(16777216)),
+            6,
+        ).alias("trace_per_sample"),
+        F.round(
+            F.col("ss2").cast("double")
+            / (
+                (F.col("n") * F.col("n")).cast("double")
+                * F.lit(281474976710656.0)
+            ),
+            9,
+        ).alias("gbar_norm2"),
+        F.round(
+            (
+                (F.col("sq").cast("double") * F.col("n"))
+                * F.lit(16777216.0)
+            )
+            / F.col("ss2").cast("double")
+            - F.lit(1.0),
+            6,
+        ).alias("b_simple"),
+    )
+
+
+def _gns_scalar_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE copy of the gradient pass: the 1-row (sq, n, ss2) frame —
+    Σ‖g_i‖²·2²⁴ as BIGINT, the example count, and the HUGEINT-class
+    Σs² of the 65 quantized coordinate sums as DECIMAL(38,0) — the
+    exact integers both the GNS query and the critical-batch
+    schedule (round11_queries) emit their floats from."""
     from wilayah_aceh_etl_spark.functions.vectors import as_double, dot
     from wilayah_aceh_etl_spark.operators.ml_train import (
         logreg_fit_trajectory_cached,
@@ -736,31 +798,7 @@ def training_gradient_noise_scale(
             * F.col("s").cast("decimal(20,0)")
         ).alias("ss2")
     )
-    return q1.crossJoin(F.broadcast(ssq)).select(
-        F.col("n").alias("n_examples"),
-        F.col("sq").alias("sum_gsq_q"),
-        F.round(
-            F.col("sq").cast("double") / (F.col("n") * F.lit(16777216)),
-            6,
-        ).alias("trace_per_sample"),
-        F.round(
-            F.col("ss2").cast("double")
-            / (
-                (F.col("n") * F.col("n")).cast("double")
-                * F.lit(281474976710656.0)
-            ),
-            9,
-        ).alias("gbar_norm2"),
-        F.round(
-            (
-                (F.col("sq").cast("double") * F.col("n"))
-                * F.lit(16777216.0)
-            )
-            / F.col("ss2").cast("double")
-            - F.lit(1.0),
-            6,
-        ).alias("b_simple"),
-    )
+    return q1.crossJoin(F.broadcast(ssq))
 
 
 # ---------------------------------------------------------------------------
@@ -1738,13 +1776,15 @@ def tokenizer_vocab_coverage_curve(
 # ---------------------------------------------------------------------------
 
 
-def _semdedup_derived_c_oracle(target: int = 16) -> str:
+def _semdedup_derived_c_prelude(target: int = 16) -> str:
     """The _SEMDEDUP_PRELUDE pipeline with C DERIVED in SQL exactly
     as the operator derives it — C = max(16, ceil(n / target)) — so
     the seed set, both Lloyd iterations, the assignment, and the
     keep sweep are all re-derived at the data-dependent C. At the
     three test SFs this exercises C = 32 / 32 / 125 (vs the fixed
-    C=16 the sibling dedup_semantic_clusters oracle pins)."""
+    C=16 the sibling dedup_semantic_clusters oracle pins). Ends at
+    the `removed` CTE (the same surface _SEMDEDUP_PRELUDE exposes),
+    so the clusters SELECT and the chain-audit tail both attach."""
     from wilayah_aceh_etl_spark.plans.ext_queries import (
         _COS,
         _VEC_CTE,
@@ -1797,7 +1837,14 @@ removed AS (
   WHERE ROUND("""
         + _COS.format(a="a.e", b="b.e")
         + """, 6) >= 0.35
-)
+)"""
+    )
+
+
+def _semdedup_derived_c_oracle(target: int = 16) -> str:
+    return (
+        _semdedup_derived_c_prelude(target)
+        + """
 SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cid, r.cent_cos,
        CAST(CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
          AS keep

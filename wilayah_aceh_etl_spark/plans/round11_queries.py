@@ -1,0 +1,394 @@
+"""Round-11 query family: the r10 verdict's asks, composed from
+existing machinery (the compose-don't-build direction now standing).
+
+Three members:
+  * dedup_semantic_chain_audit_derived_c — the chain audit's
+    PRODUCTION (C ∝ N) twin (verdict ask #4): the removal-provenance
+    audit re-run at the derived-C configuration, so the shape the
+    decade probes recommend is driver-visible for the audit too.
+  * dedup_policy_agreement_audit — stretch (a): the MinHash keep-set
+    and the SemDeDup keep-set joined into one agreement/disagreement
+    contingency with token mass — the two dedup families audited
+    against each other.
+  * training_critical_batch_schedule — stretch (b): the gradient
+    noise scale composed with the packing grid into the
+    tokens-per-step / steps-per-epoch table a training run actually
+    schedules from.
+
+Everything reuses ONE-copy machinery: _chain_audit_frame /
+_chain_audit_tail, _semdedup_derived_c_prelude, _gns_scalar_frame /
+_gns_prelude (all round10_queries), the MinHash pipeline
+(operators/dedup.py + ext_queries' shared CTE fragments), and
+semantic_dedup with its per-corpus memo. Zero new numeric code paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wilayah_aceh_etl_spark.operators import dedup as D
+from wilayah_aceh_etl_spark.operators import similarity as S
+from wilayah_aceh_etl_spark.plans.registry import register
+from wilayah_aceh_etl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Chain audit at the derived-C production configuration (the r10
+# verdict ask #4): same provenance audit, C = max(16, ceil(n/16)).
+# ---------------------------------------------------------------------------
+
+
+def _chain_audit_derived_c_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        _chain_audit_tail,
+        _semdedup_derived_c_prelude,
+    )
+
+    return _semdedup_derived_c_prelude(16) + _chain_audit_tail()
+
+
+@register(
+    "dedup_semantic_chain_audit_derived_c",
+    oracle=_chain_audit_derived_c_oracle(),
+    tags=("ext", "dedup", "semantic", "semdedup", "audit", "derived-c"),
+    description="SemDeDup removal provenance per cluster at the "
+    "derived-C production configuration (C = max(16, ceil(n/16)))",
+)
+def dedup_semantic_chain_audit_derived_c(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The removal-provenance audit (see dedup_semantic_chain_audit)
+    at the PRODUCTION SemDeDup configuration — C derived from the
+    corpus (C = max(16, ⌈n/16⌉) here, C = 32/32/125 across the test
+    SFs), the C ∝ N path that keeps per-cluster pair work constant
+    as data grows. The fixed-C=16 sibling is the one the r10 decade
+    probes measured quadratic AT ITS ORACLE-PINNED CONFIGURATION
+    (SCALE.md §9e); this twin makes the audit's scale shape
+    driver-visible: both the Spark pipeline and the DuckDB oracle
+    re-derive C from COUNT(*), train Lloyd at that C, and run the
+    same blame sweep — one _chain_audit_tail, one
+    _chain_audit_frame, two configurations.
+
+    Determinism: identical to the fixed-C audit (shared SQL tail,
+    shared DataFrame pipeline); only the cluster count differs.
+
+    Scale shape: the cid equi-join pair work is Σ|cluster|² with
+    |cluster| ≈ 16 held constant by the derived C — the audit
+    stays linear in N where the fixed-C form grows quadratically."""
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        _chain_audit_frame,
+    )
+
+    return _chain_audit_frame(
+        spark,
+        sf_dir,
+        n_centroids=None,
+        target_cluster_size=16,
+        cache_key=f"{sf_dir}#derived16",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-policy agreement audit: MinHash keep-set × SemDeDup keep-set
+# as a 2×2 contingency with token mass (the r10 verdict stretch (a)).
+# ---------------------------------------------------------------------------
+
+
+def _policy_agreement_oracle() -> str:
+    """Composes the SemDeDup prelude (v/u/c1..c3/assigned/ranked/
+    removed over embeddings) with the MinHash chain (words/sh/sigs/
+    bands/cand/sizes/inter/jac over documents) in ONE WITH clause —
+    the CTE name sets are disjoint, so no prefixing is needed. The
+    MinHash keep rule mirrors the lsh_pairs query exactly: a doc is
+    removed iff it is the LARGER id of any LSH-candidate pair whose
+    exact Jaccard ≥ 0.5 (greedy keep-first-by-id — the same
+    blamed-by-any-lower rule class as SemDeDup's removal sweep)."""
+    from wilayah_aceh_etl_spark.plans.ext_queries import (
+        _BANDS_CTE,
+        _JACCARD_CTE,
+        _SEMDEDUP_PRELUDE,
+        _SHINGLE_CTE,
+        _SIGS_CTE,
+    )
+
+    return (
+        _SEMDEDUP_PRELUDE
+        + ","
+        + _SHINGLE_CTE
+        + ", "
+        + _SIGS_CTE
+        + ", "
+        + _BANDS_CTE
+        + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+),"""
+        + _JACCARD_CTE
+        + """,
+mrm AS (
+  SELECT DISTINCT c.doc_b AS doc_id
+  FROM cand c JOIN jac j USING (doc_a, doc_b)
+  WHERE j.jaccard >= 0.5
+),
+base AS (
+  SELECT d.doc_id,
+         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+         CAST(CASE WHEN m.doc_id IS NULL THEN 1 ELSE 0 END
+              AS INTEGER) AS minhash_keep,
+         CAST(CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END
+              AS INTEGER) AS semantic_keep
+  FROM documents d
+  JOIN ranked r ON r.vec_id = d.doc_id
+  LEFT JOIN removed rm ON rm.vec_id = d.doc_id
+  LEFT JOIN mrm m ON m.doc_id = d.doc_id
+),
+tt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(nt) AS BIGINT) AS t
+  FROM base
+)
+SELECT minhash_keep, semantic_keep,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS tokens,
+       CAST(ROUND(1000000.0 * COUNT(*) / (SELECT n FROM tt)) AS BIGINT)
+         AS doc_share_ppm,
+       CAST(ROUND(1000000.0 * SUM(nt) / (SELECT t FROM tt)) AS BIGINT)
+         AS token_share_ppm
+FROM base
+GROUP BY minhash_keep, semantic_keep
+ORDER BY minhash_keep, semantic_keep
+"""
+    )
+
+
+@register(
+    "dedup_policy_agreement_audit",
+    oracle=_policy_agreement_oracle(),
+    tags=("ext", "dedup", "minhash", "semdedup", "audit", "curation"),
+    description="MinHash keep-set × SemDeDup keep-set 2×2 agreement "
+    "contingency with doc and token mass per cell",
+)
+def dedup_policy_agreement_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The two dedup families audited AGAINST EACH OTHER — the
+    comparison a curation team runs before choosing a policy (e.g.
+    SemDeDup §4 measures overlap with exact/near dedup; Lee et al.
+    2022 §6 compare suffix-array vs MinHash removal sets): lexical
+    near-dup removal (MinHash+LSH candidates verified by exact
+    Jaccard ≥ 0.5, greedy keep-first-by-id — the removed side of
+    dedup_minhash_lsh_pairs) crossed with semantic removal
+    (semantic_dedup's keep verdicts — the dedup_semantic_clusters
+    configuration) over the embedded-document universe
+    (doc_id = vec_id), as a 2×2 contingency carrying document counts
+    AND token mass. The off-diagonal cells are the policy deltas:
+    (minhash_keep=1, semantic_keep=0) is what ONLY semantic dedup
+    would additionally remove (paraphrase-class redundancy), and
+    (0, 1) is lexical near-dup mass semantic clustering misses.
+
+    Determinism: both keep verdicts are the parent queries' own
+    bit-pinned pipelines (md5 hash family; 1e-6-rounded cosine);
+    the audit adds exact-integer counts/sums and two single-ROUND
+    ppm divisions against a 1-row total.
+
+    Scale shape: the MinHash side is the banded-LSH candidate join
+    (never all-pairs); the semantic side is the cid equi-join; the
+    composition adds one doc_id equi-join between two N-row keep
+    relations, a 1-row total broadcast, and a ≤4-row aggregate —
+    nothing new crosses the wire that the parents don't move."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("nt"),
+    )
+    pairs = D.verified_near_dup_pairs(docs, threshold=0.5)
+    mrm = (
+        pairs.select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("m", F.lit(1))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sd = S.semantic_dedup(
+        emb, threshold=0.35, n_centroids=16, n_iter=2, cache_key=sf_dir
+    ).select(F.col("vec_id").alias("doc_id"), "keep")
+    base = (
+        docs.join(sd, "doc_id")
+        .join(mrm, "doc_id", "left")
+        .select(
+            "nt",
+            F.when(F.col("m").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("minhash_keep"),
+            F.col("keep").cast("int").alias("semantic_keep"),
+        )
+    )
+    tt = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("nt").cast("long").alias("t"),
+    )
+    return (
+        base.groupBy("minhash_keep", "semantic_keep")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("tokens"),
+        )
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "minhash_keep",
+            "semantic_keep",
+            "n_docs",
+            "tokens",
+            F.round(F.lit(1000000.0) * F.col("n_docs") / F.col("n"))
+            .cast("long")
+            .alias("doc_share_ppm"),
+            F.round(F.lit(1000000.0) * F.col("tokens") / F.col("t"))
+            .cast("long")
+            .alias("token_share_ppm"),
+        )
+        .orderBy("minhash_keep", "semantic_keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Critical-batch training schedule: B_simple (GNS) × the packing
+# grid → tokens-per-step and steps-per-epoch per context length.
+# ---------------------------------------------------------------------------
+
+
+def _critical_batch_schedule_oracle() -> str:
+    """The GNS prelude's exact scalars (q1: sq, n; ssq: ss2) turned
+    into an exact-integer critical batch size — B_crit =
+    max(1, ⌈A/B⌉ − 1) with A = sq·n·2²⁴ (HUGEINT) and B = ss2, so
+    ceil(b_simple) is derived with NO float in the loop — crossed
+    with the packing query's per-context sequence counts."""
+    from wilayah_aceh_etl_spark.plans.round10_queries import _gns_prelude
+
+    return (
+        _gns_prelude()
+        + """,
+pk_nt AS (
+  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+pk_lv AS (SELECT UNNEST([128, 512, 2048]) AS ctx),
+pk AS (
+  SELECT pk_lv.ctx,
+         CAST(SUM(n) AS BIGINT) AS total_tokens,
+         CAST(SUM((n + pk_lv.ctx - 1) // pk_lv.ctx) AS BIGINT)
+           AS n_seq_padded
+  FROM pk_nt CROSS JOIN pk_lv GROUP BY pk_lv.ctx
+),
+bc AS (
+  SELECT GREATEST(1, (CAST(sq AS HUGEINT) * n * 16777216 + ss2 - 1)
+                     // ss2 - 1) AS bcrit,
+         ROUND(((CAST(sq AS DOUBLE) * n) * 16777216.0) /
+               CAST(ss2 AS DOUBLE) - 1.0, 6) AS b_simple
+  FROM q1, ssq
+)
+SELECT CAST(pk.ctx AS BIGINT) AS ctx_len,
+       bc.b_simple,
+       CAST(bc.bcrit AS BIGINT) AS b_critical,
+       CAST(bc.bcrit * pk.ctx AS BIGINT) AS tokens_per_step,
+       pk.total_tokens,
+       pk.n_seq_padded,
+       CAST((pk.total_tokens + pk.ctx - 1) // pk.ctx AS BIGINT)
+         AS n_seq_packed,
+       CAST((pk.n_seq_padded + bc.bcrit - 1) // bc.bcrit AS BIGINT)
+         AS steps_per_epoch_padded,
+       CAST(((pk.total_tokens + pk.ctx - 1) // pk.ctx + bc.bcrit - 1)
+            // bc.bcrit AS BIGINT) AS steps_per_epoch_packed
+FROM pk CROSS JOIN bc
+ORDER BY ctx_len
+"""
+    )
+
+
+@register(
+    "training_critical_batch_schedule",
+    oracle=_critical_batch_schedule_oracle(),
+    tags=("ext", "ml", "training", "batch-size", "gns", "packing"),
+    description="training schedule at the critical batch size: "
+    "B_simple x packing grid -> tokens/step and steps/epoch per "
+    "context length",
+)
+def training_critical_batch_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The table a training run actually schedules from (McCandlish
+    et al. 2018 §2.3 turn B_simple into a batch-size/step-count
+    schedule; every pretraining config derives steps-per-epoch from
+    exactly these numbers): the gradient noise scale's critical
+    batch size crossed with the packing grid — per context length,
+    tokens per optimizer step at B_crit sequences/step and the
+    resulting steps per epoch under both batch-construction
+    strategies (padded one-doc-per-sequence vs concatenated
+    packing, the training_packing_efficiency definitions).
+
+    Determinism: B_crit = max(1, ⌈A/B⌉ − 1) is EXACT-INTEGER
+    ceiling division of the GNS query's hash-verified scalars
+    (A = sq·n·2²⁴ in HUGEINT / DECIMAL(38,0) — ~10²² at sf0.1, far
+    under both engines' 10³⁸ cliffs; ⌈A/B⌉ = (A+B−1) div B on
+    positive operands, where Spark div == DuckDB //); every other
+    column is exact integer arithmetic; b_simple reuses the GNS
+    query's pinned single-expression emission.
+
+    Scale shape: the GNS gradient pass (one corpus scan + 65-long
+    combined reduce) and the packing pass (one tokenize-count scan,
+    3-row grid) — both parents' shapes unchanged — then a 1-row
+    broadcast of the schedule scalars against the 3-row grid. At
+    100 TB this adds nothing to what the parents already move."""
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        _gns_scalar_frame,
+    )
+
+    bc = _gns_scalar_frame(spark, sf_dir).selectExpr(
+        "GREATEST(CAST(1 AS BIGINT), "
+        "(CAST(sq AS DECIMAL(38,0)) * n * 16777216 + ss2 - 1) div ss2"
+        " - 1) AS bcrit",
+        "ROUND(((CAST(sq AS DOUBLE) * n) * 16777216.0) / "
+        "CAST(ss2 AS DOUBLE) - 1.0, 6) AS b_simple",
+    )
+    nt = load_table(spark, sf_dir, "documents").select(
+        F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    lv = F.broadcast(
+        spark.createDataFrame([(128,), (512,), (2048,)], "ctx long")
+    )
+    pk = (
+        nt.crossJoin(lv)
+        .groupBy("ctx")
+        .agg(
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(F.expr("(n + ctx - 1) div ctx"))
+            .cast("long")
+            .alias("n_seq_padded"),
+        )
+    )
+    packed = F.expr("(total_tokens + ctx - 1) div ctx")
+    return (
+        pk.crossJoin(F.broadcast(bc))
+        .select(
+            F.col("ctx").cast("long").alias("ctx_len"),
+            "b_simple",
+            F.col("bcrit").cast("long").alias("b_critical"),
+            (F.col("bcrit") * F.col("ctx"))
+            .cast("long")
+            .alias("tokens_per_step"),
+            "total_tokens",
+            "n_seq_padded",
+            packed.cast("long").alias("n_seq_packed"),
+            F.expr("(n_seq_padded + bcrit - 1) div bcrit")
+            .cast("long")
+            .alias("steps_per_epoch_padded"),
+            F.expr(
+                "((total_tokens + ctx - 1) div ctx + bcrit - 1)"
+                " div bcrit"
+            )
+            .cast("long")
+            .alias("steps_per_epoch_packed"),
+        )
+        .orderBy("ctx_len")
+    )
