@@ -216,7 +216,9 @@ NLJ_ALLOWED = {
     # the chain audit at derived C: inherits the clusters-derived-c
     # O(C) centroid-assignment broadcast (≤125 at test SFs)
     "dedup_semantic_chain_audit_derived_c",
-    # 1-row (n, t) corpus-total broadcast onto the ≤4-cell relation
+    # inherits dedup_semantic_clusters' 16-row centroid-assignment
+    # broadcast (same semantic_dedup parent); its own totals ride a
+    # 4-row window, not a join
     "dedup_policy_agreement_audit",
     # 3-row context grid × 1-row GNS-scalar broadcast (both bounded),
     # plus the GNS parent's 1-row scalar cross

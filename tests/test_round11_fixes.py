@@ -74,20 +74,25 @@ def test_imi_admission_odd_dimension_matches_batch_index(spark, tmp_path):
 
 
 def test_imi_admission_stream_derives_odd_d(spark):
-    """imi_admission_stream derives d ONCE from the standing
-    centroids; with odd-d halves (2 + 3) it must derive 5, not 4."""
+    """_derive_d — the ONE copy of the dimension derivation both
+    imi_admission_stream and apply_imi_admission_batch call — must
+    sum the half lengths: odd-d halves (2 + 3) derive 5, not 4."""
+    import inspect
+
     from wilayah_aceh_etl_spark.streaming import imi_admission as M
 
     cent_a = _cent(spark, [(0, [1.0, 0.0]), (1, [-1.0, 0.0])])
     cent_b = _cent(
         spark, [(0, [0.0, 0.0, 1.0]), (1, [0.0, 0.0, -1.0])]
     )
-    d = len(cent_a.select("cvec").first()["cvec"]) + len(
-        cent_b.select("cvec").first()["cvec"]
+    assert M._derive_d(cent_a, cent_b) == 5
+    # and both entry points actually route through that one copy
+    assert "_derive_d(cent_a, cent_b)" in inspect.getsource(
+        M.imi_admission_stream
     )
-    assert d == 5  # the module-level derivation the stream builder uses
-    # and the batch entry point accepts/derives the same value
-    assert M.apply_imi_admission_batch.__defaults__[-1] is None
+    assert "_derive_d(cent_a, cent_b)" in inspect.getsource(
+        M.apply_imi_admission_batch
+    )
 
 
 def test_logreg_fit_zero_iters_explicit_d(spark):

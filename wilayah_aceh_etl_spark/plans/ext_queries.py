@@ -62,6 +62,17 @@ _BANDS_CTE = (
     + ")"
 )
 
+# banded-LSH candidate pairs (smaller id first) — the ONE copy of
+# the candidate rule every MinHash oracle composes (r11 review:
+# previously inlined verbatim at five sites across two modules)
+_CAND_CTE = """
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+),"""
+
 _JACCARD_CTE = """
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
@@ -161,13 +172,7 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ", "
     + _BANDS_CTE
     + ""","""
-    + """
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-             AND a.doc_id < b.doc_id
-),"""
+    + _CAND_CTE
     + _JACCARD_CTE
     + """
 SELECT c.doc_a, c.doc_b, j.jaccard
@@ -927,13 +932,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _SIGS_CTE
     + ", "
     + _BANDS_CTE
-    + """,
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-             AND a.doc_id < b.doc_id
-),"""
+    + ","
+    + _CAND_CTE
     + _JACCARD_CTE
     + """,
 pairs AS (
@@ -1097,13 +1097,8 @@ def array_hof_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _SIGS_CTE
     + ", "
     + _BANDS_CTE
-    + """,
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-             AND a.doc_id < b.doc_id
-),"""
+    + ","
+    + _CAND_CTE
     + _JACCARD_CTE
     + """,
 pairs AS (
@@ -1980,13 +1975,7 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ", "
     + _BANDS_CTE
     + ""","""
-    + """
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-             AND a.doc_id < b.doc_id
-),"""
+    + _CAND_CTE
     + _JACCARD_CTE
     + """,
 truth AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),

@@ -1384,10 +1384,11 @@ def dedup_lsh_scurve_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "training_packing_efficiency",
-    oracle="""
-WITH nt AS (
+# The packing-counts pipeline (per-context sequence counts under
+# the two batch-construction strategies) in ONE copy each for SQL
+# and DataFrame — composed by training_packing_efficiency here and
+# the critical-batch schedule (round11_queries; r11 review).
+_PACKING_COUNTS_SQL = """nt AS (
   SELECT doc_id,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
   FROM documents
@@ -1399,7 +1400,38 @@ per AS (
          CAST(SUM(n) AS BIGINT) AS total_tokens,
          CAST(SUM((n + lv.ctx - 1) // lv.ctx) AS BIGINT) AS n_seq_padded
   FROM nt CROSS JOIN lv GROUP BY lv.ctx
-)
+)"""
+
+
+def _packing_counts_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataFrame twin of _PACKING_COUNTS_SQL's `per` CTE:
+    (ctx, n_docs, total_tokens, n_seq_padded) for the 3-row
+    context grid — one tokenize-count scan, map-side ceilings."""
+    nt = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    lv = F.broadcast(
+        spark.createDataFrame([(128,), (512,), (2048,)], "ctx long")
+    )
+    return (
+        nt.crossJoin(lv)
+        .groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(F.expr("(n + ctx - 1) div ctx"))
+            .cast("long")
+            .alias("n_seq_padded"),
+        )
+    )
+
+
+@register(
+    "training_packing_efficiency",
+    oracle="""
+WITH """
+    + _PACKING_COUNTS_SQL
+    + """
 SELECT CAST(ctx AS BIGINT) AS ctx_len, n_docs, total_tokens,
        n_seq_padded,
        CAST(n_seq_padded * ctx - total_tokens AS BIGINT)
@@ -1439,25 +1471,7 @@ def training_packing_efficiency(
 
     Scale shape: one tokenize-count scan, a 3-row broadcast grid,
     one 3-group aggregate. The per-doc ceiling is map-side."""
-    nt = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n")
-    )
-    lv = F.broadcast(
-        spark.createDataFrame([(128,), (512,), (2048,)], "ctx long")
-    )
-    per = (
-        nt.crossJoin(lv)
-        .groupBy("ctx")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n").cast("long").alias("total_tokens"),
-            F.sum(
-                F.expr("(n + ctx - 1) div ctx")
-            )
-            .cast("long")
-            .alias("n_seq_padded"),
-        )
-    )
+    per = _packing_counts_frame(spark, sf_dir)
     packed_seq = F.expr("(total_tokens + ctx - 1) div ctx")
     return per.select(
         F.col("ctx").alias("ctx_len"),

@@ -105,6 +105,7 @@ def _policy_agreement_oracle() -> str:
     blamed-by-any-lower rule class as SemDeDup's removal sweep)."""
     from wilayah_aceh_etl_spark.plans.ext_queries import (
         _BANDS_CTE,
+        _CAND_CTE,
         _JACCARD_CTE,
         _SEMDEDUP_PRELUDE,
         _SHINGLE_CTE,
@@ -119,13 +120,8 @@ def _policy_agreement_oracle() -> str:
         + _SIGS_CTE
         + ", "
         + _BANDS_CTE
-        + """,
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a
-  JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-             AND a.doc_id < b.doc_id
-),"""
+        + ","
+        + _CAND_CTE
         + _JACCARD_CTE
         + """,
 mrm AS (
@@ -144,18 +140,14 @@ base AS (
   JOIN ranked r ON r.vec_id = d.doc_id
   LEFT JOIN removed rm ON rm.vec_id = d.doc_id
   LEFT JOIN mrm m ON m.doc_id = d.doc_id
-),
-tt AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(nt) AS BIGINT) AS t
-  FROM base
 )
 SELECT minhash_keep, semantic_keep,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(nt) AS BIGINT) AS tokens,
-       CAST(ROUND(1000000.0 * COUNT(*) / (SELECT n FROM tt)) AS BIGINT)
-         AS doc_share_ppm,
-       CAST(ROUND(1000000.0 * SUM(nt) / (SELECT t FROM tt)) AS BIGINT)
-         AS token_share_ppm
+       CAST(ROUND(1000000.0 * COUNT(*) /
+                  SUM(COUNT(*)) OVER ()) AS BIGINT) AS doc_share_ppm,
+       CAST(ROUND(1000000.0 * SUM(nt) /
+                  SUM(SUM(nt)) OVER ()) AS BIGINT) AS token_share_ppm
 FROM base
 GROUP BY minhash_keep, semantic_keep
 ORDER BY minhash_keep, semantic_keep
@@ -191,13 +183,15 @@ def dedup_policy_agreement_audit(
     Determinism: both keep verdicts are the parent queries' own
     bit-pinned pipelines (md5 hash family; 1e-6-rounded cosine);
     the audit adds exact-integer counts/sums and two single-ROUND
-    ppm divisions against a 1-row total.
+    ppm divisions whose denominators are window sums OVER the ≤4
+    grouped cells (the cells partition the universe exactly, so the
+    totals come for free — no second pass over `base`, r11 review).
 
     Scale shape: the MinHash side is the banded-LSH candidate join
     (never all-pairs); the semantic side is the cid equi-join; the
     composition adds one doc_id equi-join between two N-row keep
-    relations, a 1-row total broadcast, and a ≤4-row aggregate —
-    nothing new crosses the wire that the parents don't move."""
+    relations, a ≤4-row aggregate, and a 4-row window — nothing new
+    crosses the wire that the parents don't move."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
@@ -225,26 +219,32 @@ def dedup_policy_agreement_audit(
             F.col("keep").cast("int").alias("semantic_keep"),
         )
     )
-    tt = base.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("nt").cast("long").alias("t"),
-    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
     return (
         base.groupBy("minhash_keep", "semantic_keep")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("nt").cast("long").alias("tokens"),
         )
-        .crossJoin(F.broadcast(tt))
         .select(
             "minhash_keep",
             "semantic_keep",
             "n_docs",
             "tokens",
-            F.round(F.lit(1000000.0) * F.col("n_docs") / F.col("n"))
+            F.round(
+                F.lit(1000000.0)
+                * F.col("n_docs")
+                / F.sum("n_docs").over(w)
+            )
             .cast("long")
             .alias("doc_share_ppm"),
-            F.round(F.lit(1000000.0) * F.col("tokens") / F.col("t"))
+            F.round(
+                F.lit(1000000.0)
+                * F.col("tokens")
+                / F.sum("tokens").over(w)
+            )
             .cast("long")
             .alias("token_share_ppm"),
         )
@@ -264,23 +264,17 @@ def _critical_batch_schedule_oracle() -> str:
     max(1, ⌈A/B⌉ − 1) with A = sq·n·2²⁴ (HUGEINT) and B = ss2, so
     ceil(b_simple) is derived with NO float in the loop — crossed
     with the packing query's per-context sequence counts."""
-    from wilayah_aceh_etl_spark.plans.round10_queries import _gns_prelude
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        _PACKING_COUNTS_SQL,
+        _gns_prelude,
+    )
 
     return (
         _gns_prelude()
         + """,
-pk_nt AS (
-  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-  FROM documents
-),
-pk_lv AS (SELECT UNNEST([128, 512, 2048]) AS ctx),
-pk AS (
-  SELECT pk_lv.ctx,
-         CAST(SUM(n) AS BIGINT) AS total_tokens,
-         CAST(SUM((n + pk_lv.ctx - 1) // pk_lv.ctx) AS BIGINT)
-           AS n_seq_padded
-  FROM pk_nt CROSS JOIN pk_lv GROUP BY pk_lv.ctx
-),
+"""
+        + _PACKING_COUNTS_SQL
+        + """,
 bc AS (
   SELECT GREATEST(1, (CAST(sq AS HUGEINT) * n * 16777216 + ss2 - 1)
                      // ss2 - 1) AS bcrit,
@@ -288,19 +282,19 @@ bc AS (
                CAST(ss2 AS DOUBLE) - 1.0, 6) AS b_simple
   FROM q1, ssq
 )
-SELECT CAST(pk.ctx AS BIGINT) AS ctx_len,
+SELECT CAST(per.ctx AS BIGINT) AS ctx_len,
        bc.b_simple,
        CAST(bc.bcrit AS BIGINT) AS b_critical,
-       CAST(bc.bcrit * pk.ctx AS BIGINT) AS tokens_per_step,
-       pk.total_tokens,
-       pk.n_seq_padded,
-       CAST((pk.total_tokens + pk.ctx - 1) // pk.ctx AS BIGINT)
+       CAST(bc.bcrit * per.ctx AS BIGINT) AS tokens_per_step,
+       per.total_tokens,
+       per.n_seq_padded,
+       CAST((per.total_tokens + per.ctx - 1) // per.ctx AS BIGINT)
          AS n_seq_packed,
-       CAST((pk.n_seq_padded + bc.bcrit - 1) // bc.bcrit AS BIGINT)
+       CAST((per.n_seq_padded + bc.bcrit - 1) // bc.bcrit AS BIGINT)
          AS steps_per_epoch_padded,
-       CAST(((pk.total_tokens + pk.ctx - 1) // pk.ctx + bc.bcrit - 1)
+       CAST(((per.total_tokens + per.ctx - 1) // per.ctx + bc.bcrit - 1)
             // bc.bcrit AS BIGINT) AS steps_per_epoch_packed
-FROM pk CROSS JOIN bc
+FROM per CROSS JOIN bc
 ORDER BY ctx_len
 """
     )
@@ -342,6 +336,7 @@ def training_critical_batch_schedule(
     100 TB this adds nothing to what the parents already move."""
     from wilayah_aceh_etl_spark.plans.round10_queries import (
         _gns_scalar_frame,
+        _packing_counts_frame,
     )
 
     bc = _gns_scalar_frame(spark, sf_dir).selectExpr(
@@ -351,22 +346,7 @@ def training_critical_batch_schedule(
         "ROUND(((CAST(sq AS DOUBLE) * n) * 16777216.0) / "
         "CAST(ss2 AS DOUBLE) - 1.0, 6) AS b_simple",
     )
-    nt = load_table(spark, sf_dir, "documents").select(
-        F.size(F.split("text", " ")).cast("long").alias("n")
-    )
-    lv = F.broadcast(
-        spark.createDataFrame([(128,), (512,), (2048,)], "ctx long")
-    )
-    pk = (
-        nt.crossJoin(lv)
-        .groupBy("ctx")
-        .agg(
-            F.sum("n").cast("long").alias("total_tokens"),
-            F.sum(F.expr("(n + ctx - 1) div ctx"))
-            .cast("long")
-            .alias("n_seq_padded"),
-        )
-    )
+    pk = _packing_counts_frame(spark, sf_dir).drop("n_docs")
     packed = F.expr("(total_tokens + ctx - 1) div ctx")
     return (
         pk.crossJoin(F.broadcast(bc))

@@ -44,6 +44,18 @@ _ADMITTED_SCHEMA = (
 )
 
 
+def _derive_d(cent_a: DataFrame, cent_b: DataFrame) -> int:
+    """The ONE copy of the vector-dimension derivation from the
+    standing half-space centroids: d = |half A| + |half B| — summed,
+    not doubled, because for odd d imi_train_halves gives half A
+    d//2 dims and half B d-d//2, so 2×|A| would under-count by one
+    and silently shift the B slice (r10 ADVICE). Both the stream
+    builder and the batch entry point call this."""
+    return len(cent_a.select("cvec").first()["cvec"]) + len(
+        cent_b.select("cvec").first()["cvec"]
+    )
+
+
 def imi_admission_stream(
     stream: DataFrame,
     cent_a: DataFrame,
@@ -63,15 +75,11 @@ def imi_admission_stream(
     writeStream (caller picks trigger/awaits).
 
     The vector dimension is derived ONCE here from the standing
-    centroids (d = |half A| + |half B| — summed, not doubled: for odd
-    d imi_train_halves gives half A d//2 dims and half B d-d//2, so
-    2×|A| would under-count by one and silently shift the B slice —
-    r10 ADVICE), so the per-batch path runs no dimension-probe job
-    and an EMPTY micro-batch flows through as an empty verdict
-    partition instead of killing the stream (r10 review)."""
-    d = len(cent_a.select("cvec").first()["cvec"]) + len(
-        cent_b.select("cvec").first()["cvec"]
-    )
+    centroids via _derive_d (d = |half A| + |half B| — r10 ADVICE),
+    so the per-batch path runs no dimension-probe job and an EMPTY
+    micro-batch flows through as an empty verdict partition instead
+    of killing the stream (r10 review)."""
+    d = _derive_d(cent_a, cent_b)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         apply_imi_admission_batch(
@@ -111,10 +119,7 @@ def apply_imi_admission_batch(
     sides carry from imi_cell_assignments."""
     spark = batch_df.sparkSession
     if d is None:
-        # |A| + |B|, not 2×|A| — see imi_admission_stream (r10 ADVICE)
-        d = len(cent_a.select("cvec").first()["cvec"]) + len(
-            cent_b.select("cvec").first()["cvec"]
-        )
+        d = _derive_d(cent_a, cent_b)
     assigned = imi_cell_assignments(
         batch_df, cent_a, cent_b, id_col, vec_col, d=d
     )
