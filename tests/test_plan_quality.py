@@ -223,6 +223,8 @@ NLJ_ALLOWED = {
     # 3-row context grid × 1-row GNS-scalar broadcast (both bounded),
     # plus the GNS parent's 1-row scalar cross
     "training_critical_batch_schedule",
+    # 4-row model-scale grid × 1-row corpus-token-total cross
+    "training_chinchilla_data_budget",
 }
 
 

@@ -1,7 +1,8 @@
 """Round-11 operators: the derived-C chain audit, the dedup-policy
-agreement audit, and the critical-batch schedule — the properties
-their oracles cannot express (consistency with the parent pipelines,
-exact-integer ceiling identities, marginal reconciliation)."""
+agreement audit, the critical-batch schedule, distinct-n diversity,
+and the Chinchilla data budget — the properties their oracles cannot
+express (consistency with the parent pipelines, exact-integer
+ceiling identities, marginal reconciliation)."""
 
 from __future__ import annotations
 
@@ -135,3 +136,72 @@ def test_critical_batch_schedule_identities(spark):
             -r.n_seq_packed // r.b_critical
         )
         assert r.steps_per_epoch_packed <= r.steps_per_epoch_padded
+
+
+def test_distinct_ngram_identities(spark):
+    """Exact identities the diversity oracle cannot express as a
+    property: the n=1 gram total equals the corpus token count; each
+    higher order loses exactly one gram per qualifying doc; distinct
+    never exceeds total; ppm is the single rounded division."""
+    from wilayah_aceh_etl_spark.plans.round11_queries import (
+        text_distinct_ngram_diversity,
+    )
+    from wilayah_aceh_etl_spark.sources.tables import load_table
+
+    rows = text_distinct_ngram_diversity(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "source", F.size(F.split("text", " ")).alias("len")
+    )
+    by_src = {
+        r.source: r
+        for r in docs.groupBy("source")
+        .agg(
+            F.sum("len").alias("tok"),
+            F.sum(F.when(F.col("len") >= 2, F.col("len") - 1).otherwise(0)).alias("bi"),
+            F.sum(F.when(F.col("len") >= 3, F.col("len") - 2).otherwise(0)).alias("tri"),
+        )
+        .collect()
+    }
+    got = {(r.source, r.n): r for r in rows}
+    for src, exp in by_src.items():
+        assert got[(src, 1)].n_grams == exp.tok
+        assert got[(src, 2)].n_grams == exp.bi
+        assert got[(src, 3)].n_grams == exp.tri
+    for r in rows:
+        assert 0 < r.n_distinct <= r.n_grams
+        # ±1 ppm: Python round() is banker's, engine ROUND is
+        # half-away — only an exact .5 could differ
+        assert (
+            abs(r.distinct_ppm - 1_000_000.0 * r.n_distinct / r.n_grams)
+            <= 0.5
+        )
+
+
+def test_chinchilla_budget_identities(spark):
+    """d_opt = 20N, FLOPs = 120N² (exact past int64 at N=70e9),
+    epochs = one rounded division, shortfall clamps at zero, and the
+    corpus total matches the packing query's own count."""
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        training_packing_efficiency,
+    )
+    from wilayah_aceh_etl_spark.plans.round11_queries import (
+        training_chinchilla_data_budget,
+    )
+
+    rows = training_chinchilla_data_budget(spark, SF_SMOKE).collect()
+    assert [r.n_params for r in rows] == [
+        125000000, 1000000000, 8000000000, 70000000000
+    ]
+    pk_total = training_packing_efficiency(spark, SF_SMOKE).collect()[0]
+    for r in rows:
+        assert r.corpus_tokens == pk_total.total_tokens
+        assert r.d_opt_tokens == 20 * r.n_params
+        assert r.flops_budget == float(120 * r.n_params * r.n_params)
+        assert r.tokens_short == max(0, r.d_opt_tokens - r.corpus_tokens)
+        # ±half an ulp of the 4-dp grid (banker's vs half-away)
+        assert (
+            abs(r.epochs_needed - r.d_opt_tokens / r.corpus_tokens)
+            <= 0.00005
+        )
+    # the FLOPs column really needed the wide type: N=70e9 overflows
+    assert 120 * 70000000000**2 > 2**63

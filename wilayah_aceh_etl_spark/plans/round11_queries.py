@@ -1,7 +1,8 @@
 """Round-11 query family: the r10 verdict's asks, composed from
-existing machinery (the compose-don't-build direction now standing).
+existing machinery (the compose-don't-build direction now standing),
+plus two corpus-budget/diversity audits from the same toolbox.
 
-Three members:
+Five members:
   * dedup_semantic_chain_audit_derived_c — the chain audit's
     PRODUCTION (C ∝ N) twin (verdict ask #4): the removal-provenance
     audit re-run at the derived-C configuration, so the shape the
@@ -14,6 +15,11 @@ Three members:
     noise scale composed with the packing grid into the
     tokens-per-step / steps-per-epoch table a training run actually
     schedules from.
+  * text_distinct_ngram_diversity — distinct-n per source: the
+    corpus-wide boilerplate signal per-doc repetition filters miss.
+  * training_chinchilla_data_budget — compute-optimal token
+    requirement vs this corpus at 4 model scales (epochs needed,
+    token shortfall).
 
 Everything reuses ONE-copy machinery: _chain_audit_frame /
 _chain_audit_tail, _semdedup_derived_c_prelude, _gns_scalar_frame /
@@ -371,4 +377,222 @@ def training_critical_batch_schedule(
             .alias("steps_per_epoch_packed"),
         )
         .orderBy("ctx_len")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct-n diversity: the generation-diversity metric applied as a
+# corpus audit, per source and n-gram order.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_distinct_ngram_diversity",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT source, 1 AS n, UNNEST(w) AS gram FROM words
+  UNION ALL
+  SELECT source, 2 AS n, array_to_string(w[i:i+1], ' ') AS gram
+  FROM words, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2
+  UNION ALL
+  SELECT source, 3 AS n, array_to_string(w[i:i+2], ' ') AS gram
+  FROM words, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3
+)
+SELECT source, n,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+       CAST(ROUND(1000000.0 * COUNT(DISTINCT gram) / COUNT(*))
+            AS BIGINT) AS distinct_ppm
+FROM grams GROUP BY source, n ORDER BY source, n
+""",
+    tags=("ext", "text", "diversity", "ngram", "curation"),
+    description="distinct-n diversity per source: unique/total "
+    "n-gram ratio for n in {1,2,3}",
+)
+def text_distinct_ngram_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct-n (Li et al. 2016, 'A Diversity-Promoting Objective
+    Function for Neural Conversation Models') applied as a CORPUS
+    audit: per source, unique n-grams over total n-grams for
+    n ∈ {1,2,3}. Low distinct-n flags templated/boilerplate-heavy
+    sources (the repetition signal the Gopher rules catch per-doc,
+    here measured corpus-wide where per-doc filters cannot see it
+    — two docs can each be clean while the source emits the same
+    boilerplate thousands of times). Read with
+    text_repetition_scores (per-doc) and dedup_token_savings_by_
+    source (exact-dup mass): a source with high dedup survival but
+    low distinct-2 is paraphrase-class redundancy — exactly what
+    the SemDeDup pass is for.
+
+    Determinism: n-gram sets are exact strings from the corpus
+    whitespace convention (the _SHINGLE_CTE slice idiom); counts
+    and distinct counts are exact BIGINTs; the one float is a
+    single ROUNDed ppm division.
+
+    Scale shape: one tokenize per n (three scans of the same
+    column), a (source, n, gram)-keyed hash aggregate for the
+    distinct count, then a |sources|×3-row aggregate. The gram
+    relation shuffles hashes of short strings — the MinHash
+    signature discipline (never document bodies beyond the grams
+    themselves). At 100 TB distinct-count-exact is the honest
+    form; the approx_distinct family (HLL) is the registered
+    escape hatch when ±2% suffices."""
+    w = load_table(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("w")
+    )
+    uni = w.select(
+        "source", F.lit(1).alias("n"), F.explode("w").alias("gram")
+    )
+    bi = (
+        w.filter(F.size("w") >= 2)
+        .select(
+            "source",
+            F.lit(2).alias("n"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> array_join(slice(w, i, 2), ' '))"
+                )
+            ).alias("gram"),
+        )
+    )
+    tri = (
+        w.filter(F.size("w") >= 3)
+        .select(
+            "source",
+            F.lit(3).alias("n"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> array_join(slice(w, i, 3), ' '))"
+                )
+            ).alias("gram"),
+        )
+    )
+    grams = uni.unionByName(bi).unionByName(tri)
+    return (
+        grams.groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.countDistinct("gram").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n",
+            "n_grams",
+            "n_distinct",
+            F.round(
+                F.lit(1000000.0) * F.col("n_distinct") / F.col("n_grams")
+            )
+            .cast("long")
+            .alias("distinct_ppm"),
+        )
+        .orderBy("source", "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chinchilla data budget: is THIS corpus big enough for
+# compute-optimal training at each model scale?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "training_chinchilla_data_budget",
+    oracle="""
+WITH t AS (
+  SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+    AS corpus_tokens
+  FROM documents
+),
+grid AS (
+  SELECT UNNEST([125000000, 1000000000, 8000000000, 70000000000])
+    AS n_params
+)
+SELECT g.n_params,
+       CAST(20 * g.n_params AS BIGINT) AS d_opt_tokens,
+       CAST(120 * CAST(g.n_params AS HUGEINT) * g.n_params AS DOUBLE)
+         AS flops_budget,
+       t.corpus_tokens,
+       ROUND(CAST(20 * g.n_params AS DOUBLE) / t.corpus_tokens, 4)
+         AS epochs_needed,
+       CAST(GREATEST(0, 20 * g.n_params - t.corpus_tokens) AS BIGINT)
+         AS tokens_short
+FROM grid g CROSS JOIN t
+ORDER BY g.n_params
+""",
+    tags=("ext", "ml", "training", "scaling-law", "curation"),
+    description="Chinchilla data budget: compute-optimal token "
+    "requirement vs this corpus at 4 model scales",
+)
+def training_chinchilla_data_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The first table of every pretraining data plan (Hoffmann et
+    al. 2022, 'Training Compute-Optimal Large Language Models':
+    D_opt ≈ 20·N tokens per parameter, C ≈ 6·N·D FLOPs): at each
+    candidate model scale, the compute-optimal token requirement,
+    how many epochs over THIS corpus that implies, and the token
+    shortfall — the number that decides whether the curation
+    pipeline must go collect more data before the run is even
+    schedulable. Read with training_critical_batch_schedule (how
+    fast those tokens can be consumed per step) and
+    data_scaling_unigram_nll_curve (what the marginal data buys).
+
+    Determinism: every column is exact integer arithmetic (the
+    FLOPs budget 120·N² runs in HUGEINT / DECIMAL(38,0) — 5.9×10²³
+    at N=70e9 overflows int64 — and both engines convert the SAME
+    exact integer to double once); epochs_needed is the single
+    ROUNDed division.
+
+    Scale shape: one tokenize-count scan reduced to a 1-row total,
+    crossed with a 4-row literal grid — the cheapest query in the
+    family, and the one a 100 TB corpus answers with the same
+    1-row × 4-row cross."""
+    t = (
+        load_table(spark, sf_dir, "documents")
+        .agg(
+            F.sum(F.size(F.split("text", " ")))
+            .cast("long")
+            .alias("corpus_tokens")
+        )
+    )
+    grid = F.broadcast(
+        spark.createDataFrame(
+            [(125000000,), (1000000000,), (8000000000,), (70000000000,)],
+            "n_params long",
+        )
+    )
+    return (
+        grid.crossJoin(F.broadcast(t))
+        .select(
+            "n_params",
+            (F.lit(20) * F.col("n_params"))
+            .cast("long")
+            .alias("d_opt_tokens"),
+            (
+                F.lit(120).cast("decimal(38,0)")
+                * F.col("n_params")
+                * F.col("n_params")
+            )
+            .cast("double")
+            .alias("flops_budget"),
+            "corpus_tokens",
+            F.round(
+                (F.lit(20) * F.col("n_params")).cast("double")
+                / F.col("corpus_tokens"),
+                4,
+            ).alias("epochs_needed"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.lit(20) * F.col("n_params") - F.col("corpus_tokens"),
+            )
+            .cast("long")
+            .alias("tokens_short"),
+        )
+        .orderBy("n_params")
     )
