@@ -225,6 +225,11 @@ NLJ_ALLOWED = {
     "training_critical_batch_schedule",
     # 4-row model-scale grid × 1-row corpus-token-total cross
     "training_chinchilla_data_budget",
+    # --- round 12 ---
+    # the policy audit at derived C: inherits the clusters-derived-c
+    # O(C) centroid-assignment broadcast (≤125 at test SFs); its own
+    # totals ride a 4-row window, not a join
+    "dedup_policy_agreement_audit_derived_c",
 }
 
 

@@ -100,27 +100,21 @@ def dedup_semantic_chain_audit_derived_c(
 # ---------------------------------------------------------------------------
 
 
-def _policy_agreement_oracle() -> str:
-    """Composes the SemDeDup prelude (v/u/c1..c3/assigned/ranked/
-    removed over embeddings) with the MinHash chain (words/sh/sigs/
-    bands/cand/sizes/inter/jac over documents) in ONE WITH clause —
-    the CTE name sets are disjoint, so no prefixing is needed. The
-    MinHash keep rule mirrors the lsh_pairs query exactly: a doc is
-    removed iff it is the LARGER id of any LSH-candidate pair whose
-    exact Jaccard ≥ 0.5 (greedy keep-first-by-id — the same
-    blamed-by-any-lower rule class as SemDeDup's removal sweep)."""
+def _minhash_chain_sql() -> str:
+    """The MinHash CTE chain (words/sh/sigs/bands/cand/sizes/inter/
+    jac over documents) as an appendable fragment — ONE copy shared
+    by the fixed-C and derived-C policy-agreement oracles, which
+    differ only in the SemDeDup prelude they prepend."""
     from wilayah_aceh_etl_spark.plans.ext_queries import (
         _BANDS_CTE,
         _CAND_CTE,
         _JACCARD_CTE,
-        _SEMDEDUP_PRELUDE,
         _SHINGLE_CTE,
         _SIGS_CTE,
     )
 
     return (
-        _SEMDEDUP_PRELUDE
-        + ","
+        ","
         + _SHINGLE_CTE
         + ", "
         + _SIGS_CTE
@@ -129,7 +123,13 @@ def _policy_agreement_oracle() -> str:
         + ","
         + _CAND_CTE
         + _JACCARD_CTE
-        + """,
+    )
+
+
+# The agreement tail attaches to any WITH chain exposing `ranked` /
+# `removed` (the SemDeDup prelude surface) and the MinHash `cand` /
+# `jac` CTEs — the fixed-C and derived-C oracles share this one copy.
+_POLICY_AGREEMENT_TAIL = """,
 mrm AS (
   SELECT DISTINCT c.doc_b AS doc_id
   FROM cand c JOIN jac j USING (doc_a, doc_b)
@@ -158,6 +158,23 @@ FROM base
 GROUP BY minhash_keep, semantic_keep
 ORDER BY minhash_keep, semantic_keep
 """
+
+
+def _policy_agreement_oracle() -> str:
+    """Composes the SemDeDup prelude (v/u/c1..c3/assigned/ranked/
+    removed over embeddings) with the MinHash chain (words/sh/sigs/
+    bands/cand/sizes/inter/jac over documents) in ONE WITH clause —
+    the CTE name sets are disjoint, so no prefixing is needed. The
+    MinHash keep rule mirrors the lsh_pairs query exactly: a doc is
+    removed iff it is the LARGER id of any LSH-candidate pair whose
+    exact Jaccard ≥ 0.5 (greedy keep-first-by-id — the same
+    blamed-by-any-lower rule class as SemDeDup's removal sweep)."""
+    from wilayah_aceh_etl_spark.plans.ext_queries import (
+        _SEMDEDUP_PRELUDE,
+    )
+
+    return (
+        _SEMDEDUP_PRELUDE + _minhash_chain_sql() + _POLICY_AGREEMENT_TAIL
     )
 
 
@@ -198,6 +215,19 @@ def dedup_policy_agreement_audit(
     composition adds one doc_id equi-join between two N-row keep
     relations, a ≤4-row aggregate, and a 4-row window — nothing new
     crosses the wire that the parents don't move."""
+    return _policy_agreement_frame(
+        spark, sf_dir, n_centroids=16, cache_key=sf_dir
+    )
+
+
+def _policy_agreement_frame(
+    spark: SparkSession, sf_dir: str, **sd_kwargs
+) -> DataFrame:
+    """ONE copy of the policy-agreement DataFrame pipeline,
+    parameterized by the semantic_dedup configuration — the
+    fixed-C=16 registered form and the derived-C production twin
+    (round12_queries) differ only in the kwargs they pass through,
+    exactly the _chain_audit_frame pattern (round10_queries)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
@@ -211,7 +241,7 @@ def dedup_policy_agreement_audit(
     )
     emb = load_table(spark, sf_dir, "embeddings")
     sd = S.semantic_dedup(
-        emb, threshold=0.35, n_centroids=16, n_iter=2, cache_key=sf_dir
+        emb, threshold=0.35, n_iter=2, **sd_kwargs
     ).select(F.col("vec_id").alias("doc_id"), "keep")
     base = (
         docs.join(sd, "doc_id")
@@ -282,10 +312,11 @@ def _critical_batch_schedule_oracle() -> str:
         + _PACKING_COUNTS_SQL
         + """,
 bc AS (
-  SELECT GREATEST(1, (CAST(sq AS HUGEINT) * n * 16777216 + ss2 - 1)
-                     // ss2 - 1) AS bcrit,
+  SELECT GREATEST(1, (CAST(sq AS HUGEINT) * n * 16777216
+                      + NULLIF(ss2, 0) - 1)
+                     // NULLIF(ss2, 0) - 1) AS bcrit,
          ROUND(((CAST(sq AS DOUBLE) * n) * 16777216.0) /
-               CAST(ss2 AS DOUBLE) - 1.0, 6) AS b_simple
+               CAST(NULLIF(ss2, 0) AS DOUBLE) - 1.0, 6) AS b_simple
   FROM q1, ssq
 )
 SELECT CAST(per.ctx AS BIGINT) AS ctx_len,
@@ -333,7 +364,14 @@ def training_critical_batch_schedule(
     under both engines' 10³⁸ cliffs; ⌈A/B⌉ = (A+B−1) div B on
     positive operands, where Spark div == DuckDB //); every other
     column is exact integer arithmetic; b_simple reuses the GNS
-    query's pinned single-expression emission.
+    query's pinned single-expression emission. Degenerate guard
+    (r11 ADVICE): B = NULLIF(ss2, 0) on BOTH engines, so an
+    all-zero gradient-sum corpus (representable: every rounded
+    per-position gradient sum 0) yields b_simple = NULL and
+    bcrit = GREATEST(1, NULL) = 1 identically — both engines'
+    GREATEST skips NULLs — instead of DuckDB raising
+    division-by-zero while Spark returns NULL
+    (tests/test_round12_fixes.py pins the scalar identity).
 
     Scale shape: the GNS gradient pass (one corpus scan + 65-long
     combined reduce) and the packing pass (one tokenize-count scan,
@@ -347,10 +385,10 @@ def training_critical_batch_schedule(
 
     bc = _gns_scalar_frame(spark, sf_dir).selectExpr(
         "GREATEST(CAST(1 AS BIGINT), "
-        "(CAST(sq AS DECIMAL(38,0)) * n * 16777216 + ss2 - 1) div ss2"
-        " - 1) AS bcrit",
+        "(CAST(sq AS DECIMAL(38,0)) * n * 16777216 + NULLIF(ss2, 0)"
+        " - 1) div NULLIF(ss2, 0) - 1) AS bcrit",
         "ROUND(((CAST(sq AS DOUBLE) * n) * 16777216.0) / "
-        "CAST(ss2 AS DOUBLE) - 1.0, 6) AS b_simple",
+        "CAST(NULLIF(ss2, 0) AS DOUBLE) - 1.0, 6) AS b_simple",
     )
     pk = _packing_counts_frame(spark, sf_dir).drop("n_docs")
     packed = F.expr("(total_tokens + ctx - 1) div ctx")
