@@ -74,3 +74,33 @@ def test_policy_agreement_derived_c_marginals_and_identity(spark):
     assert abs(
         sum(c.token_share_ppm for c in cells) - 1_000_000
     ) <= len(cells)
+
+
+def test_distinct_ngram_hll_reconciles_with_exact_sibling(spark):
+    """The HLL twin's exact column must equal the exact sibling's
+    distinct counts row-for-row (same shared gram relation, same
+    aggregate keys), every guarantee flag must hold on the test
+    corpus, and the grid must be |sources| × 3 n-gram orders."""
+    from wilayah_aceh_etl_spark.plans.round11_queries import (
+        text_distinct_ngram_diversity,
+    )
+    from wilayah_aceh_etl_spark.plans.round12_queries import (
+        text_distinct_ngram_diversity_hll,
+    )
+
+    hll = {
+        (r.source, r.n): (r.n_grams, r.n_distinct_exact, r.within_5x_rsd)
+        for r in text_distinct_ngram_diversity_hll(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    exact = {
+        (r.source, r.n): (r.n_grams, r.n_distinct)
+        for r in text_distinct_ngram_diversity(spark, SF_SMOKE).collect()
+    }
+    assert set(hll) == set(exact)
+    n_sources = len({s for s, _ in exact})
+    assert len(exact) == 3 * n_sources
+    for key, (ng, nd, ok) in hll.items():
+        assert (ng, nd) == exact[key]
+        assert ok is True

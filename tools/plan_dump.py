@@ -124,6 +124,47 @@ across the first half-dozen consuming runs (same InMemoryRelation
 JIT pattern as dedup_semantic_clusters). Read this query with a
 ±0.25 s JIT band; protocol stays min-of-3, judge regressions by
 the calibration-normalized ratio or a fresh ≥10-run curve.""",
+    "tpch_q8_market_share": """\
+**Bench-variance band (round 12, r11 verdict ask #3 — the r10→r11
++24% move, 0.829 → 1.024 s, zero code change).** Two independent
+12-run idle-box curves via tools/bench_curve.py, fresh session
+each, NO separate warm-up (run 1 pays file listing + codegen),
+calibration probe 0.19/0.18 s: 4.065 1.614 1.252 1.184 1.117
+1.119 1.108 1.026 0.953 0.981 1.028 1.064 and 3.706 1.434 1.157
+1.122 1.011 0.977 1.023 0.946 0.942 0.926 0.955 0.941 — monotone
+warm-up decay; bench-protocol min-of-3 (runs 2-4) lands 1.12-1.18
+fresh, decaying to a 0.93-0.95 floor. In-bench the query runs
+LATE alphabetically (13th of 14), so the session is warm and the
+recorded history sits lower: 0.933 → 0.892 → 0.829 → 1.024
+(r8-r11, calibrations 0.213/0.296/0.245/0.205). Union of the
+fresh-curve min-of-3 span and the warm-session history:
+[0.80, 1.20] — read this query with a ±0.2 s JIT band; every
+recorded round sits inside it. Why THIS query: 14 broadcast
+joins = 14 relations built per run and the headline set's
+second-largest generated-class count; the broadcasts re-JIT until
+the session tiers up. Protocol stays min-of-3; judge regressions
+by the calibration-normalized ratio or a fresh ≥10-run curve.""",
+    "events_asof_last_purchase": """\
+**Bench-variance band (round 12, r11 verdict ask #3 — the r10→r11
++19% move, 0.672 → 0.797 s, zero code change).** Two independent
+12-run idle-box curves via tools/bench_curve.py, fresh session
+each, NO separate warm-up (run 1 pays file listing + codegen),
+calibration probe 0.19/0.18 s: 3.724 1.269 0.999 1.000 0.811
+0.851 0.785 0.713 0.732 0.709 0.781 0.697 and 3.258 1.159 0.879
+0.808 0.757 0.769 0.737 0.703 0.705 0.655 0.670 0.668 — monotone
+warm-up decay; bench-protocol min-of-3 (runs 2-4) lands 0.81-1.00
+fresh, decaying to a 0.66-0.70 floor. In-bench history (warm
+session, 5th of 14 alphabetically): 0.587 → 0.739 → 0.672 →
+0.797 (r8-r11, calibrations 0.213/0.296/0.245/0.205). Union of
+the fresh-curve min-of-3 span and the warm-session history:
+[0.59, 1.00] — read this query with a ±0.2 s JIT band around
+~0.80; every recorded round sits inside it. Why THIS query: the
+union-the-two-sides-then-one-Window as-of encoding makes its cost
+one big per-user Sort + last(ignorenulls) Window whose generated span
+tiers up across runs (the same Window-JIT class as the rolling
+query, which moved +similar% in the same rounds). Protocol stays
+min-of-3; judge regressions by the calibration-normalized ratio
+or a fresh ≥10-run curve.""",
 }
 
 

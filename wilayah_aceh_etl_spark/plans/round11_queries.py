@@ -424,9 +424,10 @@ def training_critical_batch_schedule(
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "text_distinct_ngram_diversity",
-    oracle="""
+# The (source, n, gram) relation for n ∈ {1,2,3} — ONE copy shared
+# by the exact distinct-n oracle and the HLL guarantee-audit twin
+# (round12_queries), which differ only in the SELECT they attach.
+_NGRAM_GRAMS_SQL = """
 WITH words AS (
   SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
 ),
@@ -438,7 +439,13 @@ grams AS (
   UNION ALL
   SELECT source, 3 AS n, array_to_string(w[i:i+2], ' ') AS gram
   FROM words, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3
-)
+)"""
+
+
+@register(
+    "text_distinct_ngram_diversity",
+    oracle=_NGRAM_GRAMS_SQL
+    + """
 SELECT source, n,
        CAST(COUNT(*) AS BIGINT) AS n_grams,
        CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
@@ -478,7 +485,36 @@ def text_distinct_ngram_diversity(
     signature discipline (never document bodies beyond the grams
     themselves). At 100 TB distinct-count-exact is the honest
     form; the approx_distinct family (HLL) is the registered
-    escape hatch when ±2% suffices."""
+    escape hatch when ±2% suffices — and
+    text_distinct_ngram_diversity_hll (round12_queries) registers
+    exactly that form, guarantee-audited against this one's exact
+    counts in a single shared aggregate pass."""
+    grams = _ngram_grams_frame(spark, sf_dir)
+    return (
+        grams.groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.countDistinct("gram").cast("long").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n",
+            "n_grams",
+            "n_distinct",
+            F.round(
+                F.lit(1000000.0) * F.col("n_distinct") / F.col("n_grams")
+            )
+            .cast("long")
+            .alias("distinct_ppm"),
+        )
+        .orderBy("source", "n")
+    )
+
+
+def _ngram_grams_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE copy of the (source, n, gram) relation for n ∈ {1,2,3} —
+    the exact distinct-n query and its HLL guarantee-audit twin
+    (round12_queries) attach different aggregates to it."""
     w = load_table(spark, sf_dir, "documents").select(
         "source", F.split("text", " ").alias("w")
     )
@@ -511,26 +547,7 @@ def text_distinct_ngram_diversity(
             ).alias("gram"),
         )
     )
-    grams = uni.unionByName(bi).unionByName(tri)
-    return (
-        grams.groupBy("source", "n")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
-            F.countDistinct("gram").cast("long").alias("n_distinct"),
-        )
-        .select(
-            "source",
-            "n",
-            "n_grams",
-            "n_distinct",
-            F.round(
-                F.lit(1000000.0) * F.col("n_distinct") / F.col("n_grams")
-            )
-            .cast("long")
-            .alias("distinct_ppm"),
-        )
-        .orderBy("source", "n")
-    )
+    return uni.unionByName(bi).unionByName(tri)
 
 
 # ---------------------------------------------------------------------------
