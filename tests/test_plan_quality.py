@@ -230,6 +230,10 @@ NLJ_ALLOWED = {
     # O(C) centroid-assignment broadcast (≤125 at test SFs); its own
     # totals ride a 4-row window, not a join
     "dedup_policy_agreement_audit_derived_c",
+    # inherits the derived-C policy cells' NLJ parents; its own
+    # additions are a ≤4-row cells × 4-row policy-literal OR-join
+    # and a 4-row scale-grid broadcast cross (all bounded)
+    "curation_funnel_data_budget",
 }
 
 

@@ -104,3 +104,114 @@ def test_distinct_ngram_hll_reconciles_with_exact_sibling(spark):
     for key, (ng, nd, ok) in hll.items():
         assert (ng, nd) == exact[key]
         assert ok is True
+
+
+def test_curation_funnel_reconciles_with_policy_cells(spark):
+    """Each policy's surviving mass must equal the corresponding
+    cell-sum of the derived-C policy audit (raw = all four cells,
+    minhash = the minhash_keep=1 margin, semantic = the
+    semantic_keep=1 margin, both = the (1,1) cell), and every row's
+    budget arithmetic must satisfy the exact identities
+    d_opt = 20·n_params, tokens_short = max(0, d_opt − surviving),
+    epochs_needed = round(d_opt / surviving, 4)."""
+    from wilayah_aceh_etl_spark.plans.round12_queries import (
+        curation_funnel_data_budget,
+        dedup_policy_agreement_audit_derived_c,
+    )
+
+    cells = dedup_policy_agreement_audit_derived_c(
+        spark, SF_SMOKE
+    ).collect()
+    rows = curation_funnel_data_budget(spark, SF_SMOKE).collect()
+
+    def mass(pred):
+        sel = [c for c in cells if pred(c)]
+        return (
+            sum(c.n_docs for c in sel),
+            sum(c.tokens for c in sel),
+        )
+
+    expected = {
+        "raw": mass(lambda c: True),
+        "minhash": mass(lambda c: c.minhash_keep == 1),
+        "semantic": mass(lambda c: c.semantic_keep == 1),
+        "both": mass(
+            lambda c: c.minhash_keep == 1 and c.semantic_keep == 1
+        ),
+    }
+    # all four policies non-empty at the smoke SF -> 4 x 4 grid
+    assert len(rows) == 16
+    for r in rows:
+        assert (r.surviving_docs, r.surviving_tokens) == expected[
+            r.policy
+        ]
+        assert r.d_opt_tokens == 20 * r.n_params
+        assert r.tokens_short == max(
+            0, r.d_opt_tokens - r.surviving_tokens
+        )
+        assert abs(
+            r.epochs_needed - r.d_opt_tokens / r.surviving_tokens
+        ) <= 1e-4
+    # the funnel is monotone: each added policy removes mass
+    tok = {r.policy: r.surviving_tokens for r in rows}
+    assert tok["raw"] >= tok["minhash"] >= tok["both"]
+    assert tok["raw"] >= tok["semantic"] >= tok["both"]
+
+
+def test_distinct2_crosscheck_reconciles_with_parents(spark):
+    """The before-side must equal the exact diversity audit's n=2
+    rows source-for-source; the after-side must equal the same
+    aggregate recomputed over documents NOT in the MinHash
+    removed-set; distinct_after ≤ distinct_before (removing docs
+    cannot add gram types) and grams removed must be nonnegative."""
+    from wilayah_aceh_etl_spark.plans.round11_queries import (
+        _minhash_removed_ids,
+        text_distinct_ngram_diversity,
+    )
+    from wilayah_aceh_etl_spark.plans.round12_queries import (
+        text_distinct2_dedup_crosscheck,
+    )
+    from wilayah_aceh_etl_spark.sources.tables import load_table
+
+    rows = {
+        r.source: r
+        for r in text_distinct2_dedup_crosscheck(spark, SF_SMOKE).collect()
+    }
+    exact_n2 = {
+        r.source: (r.n_grams, r.n_distinct)
+        for r in text_distinct_ngram_diversity(spark, SF_SMOKE).collect()
+        if r.n == 2
+    }
+    assert set(rows) == set(exact_n2)
+    for src, r in rows.items():
+        assert (r.grams_before, r.distinct_before) == exact_n2[src]
+        assert r.distinct_after <= r.distinct_before
+        assert 0 <= r.grams_after <= r.grams_before
+        assert r.gram_mass_removed_ppm >= 0
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    removed = {r.doc_id for r in _minhash_removed_ids(docs).collect()}
+    kept_docs = docs.filter(~F.col("doc_id").isin(list(removed)))
+    w = kept_docs.select(
+        "source", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    after = {
+        r.source: (r.g, r.d)
+        for r in w.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> array_join(slice(w, i, 2), ' '))"
+                )
+            ).alias("gram"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("g"),
+            F.countDistinct("gram").alias("d"),
+        )
+        .collect()
+    }
+    for src, r in rows.items():
+        assert (r.grams_after, r.distinct_after) == after.get(src, (0, 0))

@@ -126,15 +126,22 @@ def _minhash_chain_sql() -> str:
     )
 
 
-# The agreement tail attaches to any WITH chain exposing `ranked` /
-# `removed` (the SemDeDup prelude surface) and the MinHash `cand` /
-# `jac` CTEs — the fixed-C and derived-C oracles share this one copy.
-_POLICY_AGREEMENT_TAIL = """,
+# The MinHash removed-set CTE (greedy keep-first-by-id: a doc is
+# removed iff it is the LARGER id of a verified candidate pair) —
+# attaches to the `cand`/`jac` chain; shared by the policy base
+# below and the distinct-2 dedup cross-check (round12_queries).
+_MRM_SQL = """,
 mrm AS (
   SELECT DISTINCT c.doc_b AS doc_id
   FROM cand c JOIN jac j USING (doc_a, doc_b)
   WHERE j.jaccard >= 0.5
-),
+)"""
+
+# The per-doc verdict relation (mrm + base) attaches to any WITH
+# chain exposing `ranked` / `removed` (the SemDeDup prelude surface)
+# and the MinHash `cand` / `jac` CTEs — shared by the 2×2 agreement
+# SELECT below and the curation-funnel budget tail (round12_queries).
+_POLICY_BASE_SQL = _MRM_SQL + """,
 base AS (
   SELECT d.doc_id,
          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
@@ -146,7 +153,11 @@ base AS (
   JOIN ranked r ON r.vec_id = d.doc_id
   LEFT JOIN removed rm ON rm.vec_id = d.doc_id
   LEFT JOIN mrm m ON m.doc_id = d.doc_id
-)
+)"""
+
+# The agreement tail: the fixed-C and derived-C 2×2 oracles share
+# this one copy.
+_POLICY_AGREEMENT_TAIL = _POLICY_BASE_SQL + """
 SELECT minhash_keep, semantic_keep,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(nt) AS BIGINT) AS tokens,
@@ -220,6 +231,17 @@ def dedup_policy_agreement_audit(
     )
 
 
+def _minhash_removed_ids(docs: DataFrame) -> DataFrame:
+    """The MinHash removed-set as a 1-column doc_id relation (the
+    DataFrame twin of _MRM_SQL) — shared by the policy-agreement
+    frame and the distinct-2 dedup cross-check (round12_queries)."""
+    return (
+        D.verified_near_dup_pairs(docs, threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+
+
 def _policy_agreement_frame(
     spark: SparkSession, sf_dir: str, **sd_kwargs
 ) -> DataFrame:
@@ -233,12 +255,7 @@ def _policy_agreement_frame(
         "text",
         F.size(F.split("text", " ")).cast("long").alias("nt"),
     )
-    pairs = D.verified_near_dup_pairs(docs, threshold=0.5)
-    mrm = (
-        pairs.select(F.col("doc_b").alias("doc_id"))
-        .distinct()
-        .withColumn("m", F.lit(1))
-    )
+    mrm = _minhash_removed_ids(docs).withColumn("m", F.lit(1))
     emb = load_table(spark, sf_dir, "embeddings")
     sd = S.semantic_dedup(
         emb, threshold=0.35, n_iter=2, **sd_kwargs

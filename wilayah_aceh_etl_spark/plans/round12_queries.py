@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wilayah_aceh_etl_spark.plans.registry import register
+from wilayah_aceh_etl_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
 # Policy-agreement audit at the derived-C production configuration
@@ -198,3 +199,354 @@ def text_distinct_ngram_diversity_hll(
         "n_distinct_exact",
         ok.alias("within_5x_rsd"),
     ).orderBy("source", "n")
+
+
+# ---------------------------------------------------------------------------
+# Curation-funnel data budget (the r11 verdict stretch (a)): token
+# mass surviving each dedup-policy combination vs the Chinchilla
+# compute-optimal requirement per model scale.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_TAIL = """,
+cells AS (
+  SELECT minhash_keep, semantic_keep,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(nt) AS BIGINT) AS tokens
+  FROM base GROUP BY minhash_keep, semantic_keep
+),
+pol AS (SELECT UNNEST(['raw','minhash','semantic','both']) AS policy),
+policies AS (
+  SELECT p.policy,
+         CAST(SUM(c.n_docs) AS BIGINT) AS surviving_docs,
+         CAST(SUM(c.tokens) AS BIGINT) AS surviving_tokens
+  FROM pol p JOIN cells c ON
+       (p.policy = 'raw')
+    OR (p.policy = 'minhash' AND c.minhash_keep = 1)
+    OR (p.policy = 'semantic' AND c.semantic_keep = 1)
+    OR (p.policy = 'both' AND c.minhash_keep = 1
+        AND c.semantic_keep = 1)
+  GROUP BY p.policy
+),
+grid AS (
+  SELECT UNNEST([125000000, 1000000000, 8000000000, 70000000000])
+    AS n_params
+)
+SELECT p.policy, g.n_params,
+       p.surviving_docs, p.surviving_tokens,
+       CAST(20 * g.n_params AS BIGINT) AS d_opt_tokens,
+       ROUND(CAST(20 * g.n_params AS DOUBLE) /
+             NULLIF(p.surviving_tokens, 0), 4) AS epochs_needed,
+       CAST(GREATEST(0, 20 * g.n_params - p.surviving_tokens)
+            AS BIGINT) AS tokens_short
+FROM policies p CROSS JOIN grid g
+ORDER BY p.policy, g.n_params
+"""
+
+
+def _curation_funnel_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        _semdedup_derived_c_prelude,
+    )
+    from wilayah_aceh_etl_spark.plans.round11_queries import (
+        _POLICY_BASE_SQL,
+        _minhash_chain_sql,
+    )
+
+    return (
+        _semdedup_derived_c_prelude(16)
+        + _minhash_chain_sql()
+        + _POLICY_BASE_SQL
+        + _FUNNEL_TAIL
+    )
+
+
+@register(
+    "curation_funnel_data_budget",
+    oracle=_curation_funnel_oracle(),
+    tags=(
+        "ext",
+        "dedup",
+        "curation",
+        "scaling-law",
+        "training",
+        "derived-c",
+    ),
+    description="token mass surviving each dedup-policy combination "
+    "(raw/minhash/semantic/both, SemDeDup at derived C) vs the "
+    "Chinchilla D_opt requirement per model scale",
+)
+def curation_funnel_data_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does the corpus still clear the compute-optimal data budget
+    AFTER dedup? The policy-agreement cells composed with the
+    Chinchilla grid (the r11 verdict stretch (a)): for each keep
+    policy — raw (no dedup), minhash (lexical near-dup removal),
+    semantic (SemDeDup at the derived-C production configuration),
+    both (the intersection a production pipeline actually ships) —
+    the surviving document and token mass, crossed with the 4-scale
+    D_opt = 20·N grid into epochs-needed and token-shortfall per
+    (policy, model scale). This is the go/no-go table data curation
+    hands the training team: every dedup decision is a data-budget
+    decision (Hoffmann et al. 2022 set D_opt; Lee et al. 2022 §1
+    motivate dedup BECAUSE repeated tokens buy less — the two
+    numbers only mean something side by side).
+
+    Determinism: the cells are the derived-C policy audit's own
+    bit-pinned verdicts; the funnel adds exact-integer sums, one
+    NULLIF-guarded ROUNDed division per row (the r11-ADVICE guard
+    class: an all-empty-text policy yields epochs_needed NULL on
+    BOTH engines), and exact GREATEST arithmetic. A policy whose
+    keep-set is empty drops out via the inner join identically on
+    both engines.
+
+    Scale shape: everything downstream of `base` is ≤4-row algebra —
+    the 2×2 cells joined to a 4-row policy literal (bounded
+    BroadcastNestedLoopJoin) and a 4-row scale grid (broadcast
+    cross). The corpus-scale work is exactly the parents' (banded
+    LSH candidates; derived-C cid equi-join with |cluster| ≈ 16 held
+    constant), and the semantic keep verdicts are memo-shared with
+    dedup_policy_agreement_audit_derived_c (same cache_key), so at
+    100 TB the funnel costs one extra ≤4-row reduce over what the
+    audit already computed."""
+    from wilayah_aceh_etl_spark.plans.round11_queries import (
+        _policy_agreement_frame,
+    )
+
+    cells = _policy_agreement_frame(
+        spark,
+        sf_dir,
+        n_centroids=None,
+        target_cluster_size=16,
+        cache_key=f"{sf_dir}#derived16",
+    ).select("minhash_keep", "semantic_keep", "n_docs", "tokens")
+    pol = F.broadcast(
+        spark.createDataFrame(
+            [("raw",), ("minhash",), ("semantic",), ("both",)],
+            "policy string",
+        )
+    )
+    cond = (
+        (F.col("policy") == "raw")
+        | ((F.col("policy") == "minhash") & (F.col("minhash_keep") == 1))
+        | (
+            (F.col("policy") == "semantic")
+            & (F.col("semantic_keep") == 1)
+        )
+        | (
+            (F.col("policy") == "both")
+            & (F.col("minhash_keep") == 1)
+            & (F.col("semantic_keep") == 1)
+        )
+    )
+    policies = (
+        cells.join(pol, cond)
+        .groupBy("policy")
+        .agg(
+            F.sum("n_docs").cast("long").alias("surviving_docs"),
+            F.sum("tokens").cast("long").alias("surviving_tokens"),
+        )
+    )
+    grid = F.broadcast(
+        spark.createDataFrame(
+            [(125000000,), (1000000000,), (8000000000,), (70000000000,)],
+            "n_params long",
+        )
+    )
+    return (
+        policies.crossJoin(grid)
+        .select(
+            "policy",
+            "n_params",
+            "surviving_docs",
+            "surviving_tokens",
+            (F.lit(20) * F.col("n_params"))
+            .cast("long")
+            .alias("d_opt_tokens"),
+            F.round(
+                (F.lit(20) * F.col("n_params")).cast("double")
+                / F.expr("NULLIF(surviving_tokens, 0)"),
+                4,
+            ).alias("epochs_needed"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.lit(20) * F.col("n_params")
+                - F.col("surviving_tokens"),
+            )
+            .cast("long")
+            .alias("tokens_short"),
+        )
+        .orderBy("policy", "n_params")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct-2 × dedup cross-check (the r11 verdict stretch (b)): how
+# much of the corpus's low-diversity bigram mass does MinHash dedup
+# actually remove?
+# ---------------------------------------------------------------------------
+
+
+def _distinct2_crosscheck_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.round11_queries import (
+        _MRM_SQL,
+        _minhash_chain_sql,
+    )
+
+    # the MinHash chain is an appendable ",<ctes>" fragment; with no
+    # prelude in front, its leading comma becomes the WITH keyword
+    return (
+        "WITH"
+        + _minhash_chain_sql()[1:]
+        + _MRM_SQL
+        + """,
+bg AS (
+  SELECT q.doc_id, q.source, array_to_string(q.w[i:i+1], ' ') AS gram
+  FROM (SELECT d.doc_id, d.source, wo.w
+        FROM words wo JOIN documents d ON d.doc_id = wo.doc_id) q,
+       UNNEST(range(1, len(q.w))) AS t(i)
+  WHERE len(q.w) >= 2
+),
+before_agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS grams_before,
+         CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_before
+  FROM bg GROUP BY source
+),
+after_agg AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS grams_after,
+         CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_after
+  FROM bg WHERE doc_id NOT IN (SELECT doc_id FROM mrm)
+  GROUP BY source
+)
+SELECT b.source,
+       b.grams_before, b.distinct_before,
+       CAST(ROUND(1000000.0 * b.distinct_before / b.grams_before)
+            AS BIGINT) AS distinct_ppm_before,
+       CAST(COALESCE(a.grams_after, 0) AS BIGINT) AS grams_after,
+       CAST(COALESCE(a.distinct_after, 0) AS BIGINT) AS distinct_after,
+       CAST(ROUND(1000000.0 * a.distinct_after /
+                  NULLIF(a.grams_after, 0)) AS BIGINT)
+         AS distinct_ppm_after,
+       CAST(ROUND(1000000.0 * (b.grams_before
+                               - COALESCE(a.grams_after, 0))
+                  / b.grams_before) AS BIGINT)
+         AS gram_mass_removed_ppm
+FROM before_agg b LEFT JOIN after_agg a USING (source)
+ORDER BY b.source
+"""
+    )
+
+
+@register(
+    "text_distinct2_dedup_crosscheck",
+    oracle=_distinct2_crosscheck_oracle(),
+    tags=("ext", "text", "diversity", "ngram", "dedup", "curation"),
+    description="distinct-2 diversity per source before vs after the "
+    "MinHash keep-set: how much low-diversity bigram mass dedup "
+    "removes",
+)
+def text_distinct2_dedup_crosscheck(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distinct-n meets the dedup pipeline (the r11 verdict stretch
+    (b)): per source, bigram diversity BEFORE vs AFTER applying the
+    MinHash keep-set — the cross-check that tells a curation team
+    whether the boilerplate mass the diversity audit flags
+    (text_distinct_ngram_diversity: low distinct-2 = templated
+    source) is the SAME mass near-dup dedup already removes, or
+    residual repetition dedup cannot see (repeated n-grams spread
+    across non-duplicate documents — the Lee et al. 2022 §6.2
+    distinction between exact-substring and near-dup removal).
+    gram_mass_removed_ppm prices what dedup took; distinct_ppm_after
+    − distinct_ppm_before is the diversity lift it bought. A source
+    whose after-ppm stays low needs a different tool (templated
+    generation, SemDeDup) — that is precisely what this table
+    decides.
+
+    Determinism: exact bigram strings (the shared whitespace-split
+    slice idiom), exact BIGINT counts; each emitted ppm is ONE
+    ROUNDed division, NULLIF-guarded on the after side (a source
+    whose every document is removed yields distinct_ppm_after NULL
+    on BOTH engines; its count columns COALESCE to exact 0).
+
+    Scale shape: the MinHash side is the parents' banded-LSH chain
+    (shared _minhash_chain_sql / _minhash_removed_ids — memoized
+    work at execution via Spark's plan-canonicalization cache when
+    the policy queries run in the same session); the new work is one
+    per-doc bigram explode feeding a (source, gram) hash aggregate —
+    gram strings on the wire, never bodies — run twice (before /
+    after the keep-set anti-join on doc_id). Both aggregates are the
+    exact sibling's shape; the HLL twin's sketch form is the
+    registered 100-TB escape hatch for the distinct columns."""
+    from wilayah_aceh_etl_spark.plans.round11_queries import (
+        _minhash_removed_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    w = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("w")
+    ).filter(F.size("w") >= 2)
+    bg = w.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1),"
+                " i -> array_join(slice(w, i, 2), ' '))"
+            )
+        ).alias("gram"),
+    )
+    mrm = _minhash_removed_ids(docs)
+    before = bg.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("grams_before"),
+        F.countDistinct("gram").cast("long").alias("distinct_before"),
+    )
+    after = (
+        bg.join(mrm, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("grams_after"),
+            F.countDistinct("gram").cast("long").alias("distinct_after"),
+        )
+    )
+    return (
+        before.join(after, "source", "left")
+        .select(
+            "source",
+            "grams_before",
+            "distinct_before",
+            F.round(
+                F.lit(1000000.0)
+                * F.col("distinct_before")
+                / F.col("grams_before")
+            )
+            .cast("long")
+            .alias("distinct_ppm_before"),
+            F.coalesce(F.col("grams_after"), F.lit(0))
+            .cast("long")
+            .alias("grams_after"),
+            F.coalesce(F.col("distinct_after"), F.lit(0))
+            .cast("long")
+            .alias("distinct_after"),
+            F.round(
+                F.lit(1000000.0)
+                * F.col("distinct_after")
+                / F.expr("NULLIF(grams_after, 0)")
+            )
+            .cast("long")
+            .alias("distinct_ppm_after"),
+            F.round(
+                F.lit(1000000.0)
+                * (
+                    F.col("grams_before")
+                    - F.coalesce(F.col("grams_after"), F.lit(0))
+                )
+                / F.col("grams_before")
+            )
+            .cast("long")
+            .alias("gram_mass_removed_ppm"),
+        )
+        .orderBy("source")
+    )
