@@ -573,6 +573,34 @@ def _ngram_grams_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# The candidate model-scale grid — ONE copy shared by the Chinchilla
+# budget below and the curation funnel (round12_queries), on BOTH
+# engines: revising the scale list revises every budget table
+# together (self-review r12).
+_MODEL_SCALES: tuple[int, ...] = (
+    125000000,
+    1000000000,
+    8000000000,
+    70000000000,
+)
+
+_MODEL_GRID_SQL = (
+    "grid AS (\n  SELECT UNNEST(["
+    + ", ".join(str(n) for n in _MODEL_SCALES)
+    + "])\n    AS n_params\n)"
+)
+
+
+def _model_scale_grid(spark: SparkSession) -> DataFrame:
+    """The 4-row scale grid as a broadcast relation (the Spark twin
+    of _MODEL_GRID_SQL)."""
+    return F.broadcast(
+        spark.createDataFrame(
+            [(n,) for n in _MODEL_SCALES], "n_params long"
+        )
+    )
+
+
 @register(
     "training_chinchilla_data_budget",
     oracle="""
@@ -581,10 +609,9 @@ WITH t AS (
     AS corpus_tokens
   FROM documents
 ),
-grid AS (
-  SELECT UNNEST([125000000, 1000000000, 8000000000, 70000000000])
-    AS n_params
-)
+"""
+    + _MODEL_GRID_SQL
+    + """
 SELECT g.n_params,
        CAST(20 * g.n_params AS BIGINT) AS d_opt_tokens,
        CAST(120 * CAST(g.n_params AS HUGEINT) * g.n_params AS DOUBLE)
@@ -633,12 +660,7 @@ def training_chinchilla_data_budget(
             .alias("corpus_tokens")
         )
     )
-    grid = F.broadcast(
-        spark.createDataFrame(
-            [(125000000,), (1000000000,), (8000000000,), (70000000000,)],
-            "n_params long",
-        )
-    )
+    grid = _model_scale_grid(spark)
     return (
         grid.crossJoin(F.broadcast(t))
         .select(

@@ -227,10 +227,11 @@ policies AS (
         AND c.semantic_keep = 1)
   GROUP BY p.policy
 ),
-grid AS (
-  SELECT UNNEST([125000000, 1000000000, 8000000000, 70000000000])
-    AS n_params
-)
+"""
+
+# the scale grid is the shared _MODEL_GRID_SQL (round11_queries) —
+# spliced between these two fragments by _curation_funnel_oracle
+_FUNNEL_SELECT = """
 SELECT p.policy, g.n_params,
        p.surviving_docs, p.surviving_tokens,
        CAST(20 * g.n_params AS BIGINT) AS d_opt_tokens,
@@ -248,6 +249,7 @@ def _curation_funnel_oracle() -> str:
         _semdedup_derived_c_prelude,
     )
     from wilayah_aceh_etl_spark.plans.round11_queries import (
+        _MODEL_GRID_SQL,
         _POLICY_BASE_SQL,
         _minhash_chain_sql,
     )
@@ -257,6 +259,8 @@ def _curation_funnel_oracle() -> str:
         + _minhash_chain_sql()
         + _POLICY_BASE_SQL
         + _FUNNEL_TAIL
+        + _MODEL_GRID_SQL
+        + _FUNNEL_SELECT
     )
 
 
@@ -305,11 +309,15 @@ def curation_funnel_data_budget(
     BroadcastNestedLoopJoin) and a 4-row scale grid (broadcast
     cross). The corpus-scale work is exactly the parents' (banded
     LSH candidates; derived-C cid equi-join with |cluster| ≈ 16 held
-    constant), and the semantic keep verdicts are memo-shared with
-    dedup_policy_agreement_audit_derived_c (same cache_key), so at
-    100 TB the funnel costs one extra ≤4-row reduce over what the
-    audit already computed."""
+    constant). The shared cache_key memo-shares the CENTROID
+    TRAINING with dedup_policy_agreement_audit_derived_c
+    (kmeans_centroids_cached caches the quantizer, not the keep
+    verdicts — self-review r12), so each invocation still runs the
+    corpus-scale assignment, removal sweep, and MinHash chain; what
+    the funnel adds BEYOND re-deriving the audit's per-doc verdicts
+    is ≤4-row algebra."""
     from wilayah_aceh_etl_spark.plans.round11_queries import (
+        _model_scale_grid,
         _policy_agreement_frame,
     )
 
@@ -347,12 +355,7 @@ def curation_funnel_data_budget(
             F.sum("tokens").cast("long").alias("surviving_tokens"),
         )
     )
-    grid = F.broadcast(
-        spark.createDataFrame(
-            [(125000000,), (1000000000,), (8000000000,), (70000000000,)],
-            "n_params long",
-        )
-    )
+    grid = _model_scale_grid(spark)
     return (
         policies.crossJoin(grid)
         .select(
