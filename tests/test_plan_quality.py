@@ -234,6 +234,9 @@ NLJ_ALLOWED = {
     # additions are a ≤4-row cells × 4-row policy-literal OR-join
     # and a 4-row scale-grid broadcast cross (all bounded)
     "curation_funnel_data_budget",
+    # inherits the clusters-derived-c O(C) centroid-assignment
+    # broadcast (semantic_dedup parent); the bigram side adds no NLJ
+    "text_distinct2_semdedup_crosscheck",
 }
 
 

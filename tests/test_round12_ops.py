@@ -215,3 +215,72 @@ def test_distinct2_crosscheck_reconciles_with_parents(spark):
     }
     for src, r in rows.items():
         assert (r.grams_after, r.distinct_after) == after.get(src, (0, 0))
+
+
+def test_distinct2_semdedup_crosscheck_reconciles(spark):
+    """The SemDeDup sibling's before-side must equal the bigram
+    aggregate over the EMBEDDED universe (documents ⋈ embeddings),
+    its after-side must equal the same aggregate over the derived-C
+    keep-set, and — since its universe is a subset of the MinHash
+    sibling's full corpus — its per-source before mass can never
+    exceed the MinHash table's."""
+    from wilayah_aceh_etl_spark.operators import similarity as S
+    from wilayah_aceh_etl_spark.plans.round12_queries import (
+        _doc_bigrams,
+        text_distinct2_dedup_crosscheck,
+        text_distinct2_semdedup_crosscheck,
+    )
+    from wilayah_aceh_etl_spark.sources.tables import load_table
+
+    rows = {
+        r.source: r
+        for r in text_distinct2_semdedup_crosscheck(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    sd = S.semantic_dedup(
+        emb,
+        threshold=0.35,
+        n_centroids=None,
+        n_iter=2,
+        target_cluster_size=16,
+    ).select(F.col("vec_id").alias("doc_id"), "keep")
+    docs = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "source", "text")
+        .join(sd.select("doc_id"), "doc_id")
+    )
+
+    def agg(bg):
+        return {
+            r.source: (r.g, r.d)
+            for r in bg.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("g"),
+                F.countDistinct("gram").alias("d"),
+            )
+            .collect()
+        }
+
+    before = agg(_doc_bigrams(docs))
+    kept = docs.join(
+        sd.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
+    )
+    after = agg(_doc_bigrams(kept))
+    assert set(rows) == set(before)
+    for src, r in rows.items():
+        assert (r.grams_before, r.distinct_before) == before[src]
+        assert (r.grams_after, r.distinct_after) == after.get(
+            src, (0, 0)
+        )
+        assert r.distinct_after <= r.distinct_before
+
+    mh = {
+        r.source: r.grams_before
+        for r in text_distinct2_dedup_crosscheck(
+            spark, SF_SMOKE
+        ).collect()
+    }
+    for src, r in rows.items():
+        assert r.grams_before <= mh[src]

@@ -12,12 +12,26 @@ Members:
     approx_count_distinct over the same gram relation,
     guarantee-audited against the exact count in ONE aggregate pass
     (the r7 approx_distinct_rsd_audit gate pattern).
+  * curation_funnel_data_budget — stretch (a): token/doc mass
+    surviving each dedup-policy combination (semantic side at
+    derived C) crossed with the Chinchilla D_opt grid — does the
+    corpus still clear the budget AFTER dedup?
+  * text_distinct2_dedup_crosscheck — stretch (b): per-source
+    bigram diversity before vs after the MinHash keep-set — how
+    much low-diversity mass dedup actually removes.
+  * text_distinct2_semdedup_crosscheck — the companion the MinHash
+    cross-check's docstring calls for: the same table against the
+    SemDeDup keep-set at derived C, separating paraphrase-class
+    redundancy from repetition neither dedup family can see.
 
 Everything reuses ONE-copy machinery: _policy_agreement_frame /
-_minhash_chain_sql / _POLICY_AGREEMENT_TAIL / _ngram_grams_frame /
-_NGRAM_GRAMS_SQL (round11_queries), _semdedup_derived_c_prelude
-(round10_queries), and semantic_dedup with its per-corpus memo.
-Zero new numeric code paths.
+_minhash_chain_sql / _POLICY_AGREEMENT_TAIL / _POLICY_BASE_SQL /
+_MRM_SQL / _minhash_removed_ids / _ngram_grams_frame /
+_NGRAM_GRAMS_SQL / _MODEL_SCALES (round11_queries),
+_semdedup_derived_c_prelude (round10_queries), semantic_dedup with
+its per-corpus memo, and this module's own shared _crosscheck_tail /
+_doc_bigrams / _bigram_crosscheck_frame. Zero new numeric code
+paths.
 """
 
 from __future__ import annotations
@@ -390,23 +404,18 @@ def curation_funnel_data_budget(
 # ---------------------------------------------------------------------------
 
 
-def _distinct2_crosscheck_oracle() -> str:
-    from wilayah_aceh_etl_spark.plans.round11_queries import (
-        _MRM_SQL,
-        _minhash_chain_sql,
-    )
-
-    # the MinHash chain is an appendable ",<ctes>" fragment; with no
-    # prelude in front, its leading comma becomes the WITH keyword
+def _crosscheck_tail(universe_join: str, removed_subquery: str) -> str:
+    """The bigram relation + before/after aggregates + emission —
+    ONE copy shared by the MinHash and SemDeDup cross-checks, which
+    differ only in the document universe and the removed-set they
+    splice in."""
     return (
-        "WITH"
-        + _minhash_chain_sql()[1:]
-        + _MRM_SQL
-        + """,
+        """,
 bg AS (
   SELECT q.doc_id, q.source, array_to_string(q.w[i:i+1], ' ') AS gram
-  FROM (SELECT d.doc_id, d.source, wo.w
-        FROM words wo JOIN documents d ON d.doc_id = wo.doc_id) q,
+  FROM ("""
+        + universe_join
+        + """) q,
        UNNEST(range(1, len(q.w))) AS t(i)
   WHERE len(q.w) >= 2
 ),
@@ -418,7 +427,9 @@ before_agg AS (
 after_agg AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS grams_after,
          CAST(COUNT(DISTINCT gram) AS BIGINT) AS distinct_after
-  FROM bg WHERE doc_id NOT IN (SELECT doc_id FROM mrm)
+  FROM bg WHERE doc_id NOT IN ("""
+        + removed_subquery
+        + """)
   GROUP BY source
 )
 SELECT b.source,
@@ -437,6 +448,26 @@ SELECT b.source,
 FROM before_agg b LEFT JOIN after_agg a USING (source)
 ORDER BY b.source
 """
+    )
+
+
+def _distinct2_crosscheck_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.round11_queries import (
+        _MRM_SQL,
+        _minhash_chain_sql,
+    )
+
+    # the MinHash chain is an appendable ",<ctes>" fragment; with no
+    # prelude in front, its leading comma becomes the WITH keyword
+    return (
+        "WITH"
+        + _minhash_chain_sql()[1:]
+        + _MRM_SQL
+        + _crosscheck_tail(
+            """SELECT d.doc_id, d.source, wo.w
+        FROM words wo JOIN documents d ON d.doc_id = wo.doc_id""",
+            "SELECT doc_id FROM mrm",
+        )
     )
 
 
@@ -488,10 +519,19 @@ def text_distinct2_dedup_crosscheck(
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "text"
     )
+    mrm = _minhash_removed_ids(docs)
+    return _bigram_crosscheck_frame(_doc_bigrams(docs), mrm)
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, gram) bigram relation over a (doc_id,
+    source, text) universe — ONE copy shared by the MinHash and
+    SemDeDup cross-checks (the DataFrame twin of _crosscheck_tail's
+    bg CTE)."""
     w = docs.select(
         "doc_id", "source", F.split("text", " ").alias("w")
     ).filter(F.size("w") >= 2)
-    bg = w.select(
+    return w.select(
         "doc_id",
         "source",
         F.explode(
@@ -501,13 +541,21 @@ def text_distinct2_dedup_crosscheck(
             )
         ).alias("gram"),
     )
-    mrm = _minhash_removed_ids(docs)
+
+
+def _bigram_crosscheck_frame(
+    bg: DataFrame, removed: DataFrame
+) -> DataFrame:
+    """ONE copy of the before/after bigram-diversity aggregate +
+    emission, parameterized by the bigram relation and the
+    removed-ids relation — the MinHash and SemDeDup cross-checks
+    differ only in what they pass in."""
     before = bg.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("grams_before"),
         F.countDistinct("gram").cast("long").alias("distinct_before"),
     )
     after = (
-        bg.join(mrm, "doc_id", "left_anti")
+        bg.join(removed, "doc_id", "left_anti")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("grams_after"),
@@ -553,3 +601,93 @@ def text_distinct2_dedup_crosscheck(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distinct-2 × SemDeDup cross-check: the question the MinHash
+# cross-check's docstring poses — does SEMANTIC dedup buy diversity
+# lift where lexical dedup doesn't? — answered at the production C.
+# ---------------------------------------------------------------------------
+
+
+def _distinct2_semdedup_oracle() -> str:
+    from wilayah_aceh_etl_spark.plans.round10_queries import (
+        _semdedup_derived_c_prelude,
+    )
+
+    return _semdedup_derived_c_prelude(16) + _crosscheck_tail(
+        """SELECT d.doc_id, d.source, string_split(d.text, ' ') AS w
+        FROM documents d JOIN ranked r ON r.vec_id = d.doc_id""",
+        "SELECT vec_id FROM removed",
+    )
+
+
+@register(
+    "text_distinct2_semdedup_crosscheck",
+    oracle=_distinct2_semdedup_oracle(),
+    tags=(
+        "ext",
+        "text",
+        "diversity",
+        "ngram",
+        "dedup",
+        "semdedup",
+        "curation",
+        "derived-c",
+    ),
+    description="distinct-2 diversity per source before vs after the "
+    "SemDeDup keep-set (derived C): the diversity lift semantic "
+    "dedup buys where lexical dedup cannot",
+)
+def text_distinct2_semdedup_crosscheck(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The companion the MinHash cross-check's own docstring calls
+    for: per source, bigram diversity BEFORE vs AFTER the SEMANTIC
+    keep-set (SemDeDup at the derived-C production configuration) —
+    read side by side with text_distinct2_dedup_crosscheck, the pair
+    decomposes a source's low-diversity mass into what lexical
+    near-dup removal takes, what semantic clustering additionally
+    takes (paraphrase-class redundancy shares few bigrams but lands
+    in the same cluster — Abbas et al. 2023 §1's motivating case),
+    and the residual neither can see. A templated source whose
+    after-ppm rises HERE but not in the MinHash table is
+    paraphrase-heavy; one flat in both tables repeats n-grams across
+    genuinely distinct documents and needs a different tool.
+
+    Universe: the embedded-document universe (documents ⋈ ranked,
+    doc_id = vec_id) — the only universe semantic verdicts exist
+    on; the before-side therefore differs from the MinHash table's
+    full-corpus before-side by exactly the unembedded mass
+    (reconciled in tests/test_round12_ops.py).
+
+    Determinism: identical machinery to the MinHash sibling (shared
+    _crosscheck_tail / _doc_bigrams / _bigram_crosscheck_frame —
+    exact strings, exact BIGINTs, NULLIF/COALESCE-guarded ppm); the
+    keep verdicts are semantic_dedup's bit-pinned pipeline, memo-
+    sharing centroid training with the round's other derived-C
+    queries (same cache_key).
+
+    Scale shape: the semantic side is the derived-C cid equi-join
+    (|cluster| ≈ 16 held constant, linear pair work); the bigram
+    side is two (source, gram) hash aggregates, gram strings on the
+    wire. Nothing new crosses the wire that the parents and the
+    MinHash sibling don't already move."""
+    from wilayah_aceh_etl_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sd = S.semantic_dedup(
+        emb,
+        threshold=0.35,
+        n_centroids=None,
+        n_iter=2,
+        target_cluster_size=16,
+        cache_key=f"{sf_dir}#derived16",
+    ).select(F.col("vec_id").alias("doc_id"), "keep")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .join(sd.select("doc_id"), "doc_id")
+    )
+    removed = sd.filter(F.col("keep") == 0).select("doc_id")
+    return _bigram_crosscheck_frame(_doc_bigrams(docs), removed)
