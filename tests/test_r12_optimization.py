@@ -1,0 +1,77 @@
+"""Round-12 optimization round: focused tests for operator-internal
+changes (schema memo + spread probe memo in sources/tables.py).
+
+Each optimization here is metadata-only; these tests pin the
+invariants that make it safe: identical schemas/rows with and
+without the memo, and memo invalidation when the file changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from wilayah_aceh_etl_spark.sources import tables as T
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_schema_memo_returns_identical_schema_and_rows(spark):
+    T._SCHEMA_MEMO.clear()
+    cold = T.load_table(spark, SF, "nation")
+    assert len(T._SCHEMA_MEMO) == 1  # cold path populated the memo
+    warm = T.load_table(spark, SF, "nation")
+    assert warm.schema == cold.schema
+    assert sorted(map(tuple, warm.collect())) == sorted(
+        map(tuple, cold.collect())
+    )
+
+
+def test_schema_memo_invalidates_on_rewrite(spark, tmp_path):
+    src = os.path.join(str(tmp_path))
+    spark.range(5).selectExpr("id AS a").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(src, "nation.parquet"))
+    T._SCHEMA_MEMO.clear()
+    first = T.load_table(spark, src, "nation")
+    assert first.columns == ["a"]
+    # rewrite with a different schema: the (path, mtime, size) key
+    # must miss, so the new schema is inferred, not served stale
+    spark.range(5).selectExpr(
+        "id AS a", "id * 2 AS b"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "nation.parquet")
+    )
+    second = T.load_table(spark, src, "nation")
+    assert second.columns == ["a", "b"]
+
+
+def test_events_ts_normalization_survives_schema_memo(spark):
+    """The nanos→micros ts fixup keys on the INFERRED dtype; the memo
+    must hand back the same pre-fixup schema so the fixup still
+    fires on the warm path."""
+    T._SCHEMA_MEMO.clear()
+    cold = T.load_table(spark, SF, "events")
+    warm = T.load_table(spark, SF, "events")
+    assert cold.schema["ts"].dataType == warm.schema["ts"].dataType
+    assert "Timestamp" in str(cold.schema["ts"].dataType)
+
+
+def test_spread_memo_same_decision_as_probe(spark):
+    T._SPREAD_MEMO.clear()
+    df = T.load_table(spark, SF, "nation").select("n_nationkey")
+    cold = T.spread(df, target=4)
+    assert len(T._SPREAD_MEMO) == 1
+    warm = T.spread(T.load_table(spark, SF, "nation").select("n_nationkey"), target=4)
+    # same plan → same memoized count → same repartition decision
+    assert cold.rdd.getNumPartitions() == warm.rdd.getNumPartitions()
+    assert sorted(r[0] for r in warm.collect()) == sorted(
+        r[0] for r in df.collect()
+    )
+
+
+def test_spread_memo_keyed_by_goal(spark):
+    T._SPREAD_MEMO.clear()
+    df = T.load_table(spark, SF, "nation").select("n_nationkey")
+    T.spread(df, target=2)
+    T.spread(df, target=8)
+    assert len(T._SPREAD_MEMO) == 2  # (hash, goal) pairs are distinct
