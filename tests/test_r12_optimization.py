@@ -69,6 +69,54 @@ def test_spread_memo_same_decision_as_probe(spark):
     )
 
 
+def test_minhash_array_form_matches_exploded_pipeline(spark):
+    """r12: verified_near_dup_pairs switched to the array-persisted
+    form (map-side array_min signatures, size(_sh) denominators).
+    Pin bit-identity against the original exploded pipeline, built
+    here from the still-exported helpers."""
+    from pyspark.sql import functions as F
+
+    import wilayah_aceh_etl_spark.operators.dedup as D
+
+    docs = T.load_table(spark, SF, "documents")
+    new = sorted(
+        map(tuple, D.verified_near_dup_pairs(docs, threshold=0.5).collect())
+    )
+    sh = D.distinct_shingles(docs, "doc_id")
+    cands = D.lsh_candidate_pairs(
+        D.lsh_band_hashes(D.minhash_signatures(sh, D.DEFAULT_K))
+    )
+    old = sorted(
+        map(
+            tuple,
+            D.jaccard_for_pairs(cands, sh)
+            .filter(F.col("jaccard") >= 0.5)
+            .select("doc_a", "doc_b", "jaccard")
+            .collect(),
+        )
+    )
+    assert new == old and len(new) > 0
+
+
+def test_jaccard_for_pairs_precomputed_sizes_identical(spark):
+    """The optional `sizes` arg must not change any jaccard value."""
+    from pyspark.sql import functions as F
+
+    import wilayah_aceh_etl_spark.operators.dedup as D
+
+    docs = T.load_table(spark, SF, "documents")
+    sh = D.distinct_shingles(docs, "doc_id")
+    cands = D.lsh_candidate_pairs(
+        D.lsh_band_hashes(D.minhash_signatures(sh, D.DEFAULT_K))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sorted(map(tuple, D.jaccard_for_pairs(cands, sh).collect()))
+    b = sorted(
+        map(tuple, D.jaccard_for_pairs(cands, sh, sizes=sizes).collect())
+    )
+    assert a == b
+
+
 def test_spread_memo_keyed_by_goal(spark):
     T._SPREAD_MEMO.clear()
     df = T.load_table(spark, SF, "nation").select("n_nationkey")

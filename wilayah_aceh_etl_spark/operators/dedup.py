@@ -195,7 +195,9 @@ def jaccard_pairs(
     )
 
 
-def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+def jaccard_for_pairs(
+    pairs: DataFrame, shingles: DataFrame, sizes: DataFrame | None = None
+) -> DataFrame:
     """Exact Jaccard computed ONLY for the given (doc_a, doc_b) pairs.
 
     This is the verify step after candidate generation: the pair set
@@ -208,14 +210,21 @@ def jaccard_for_pairs(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     The denominator sizes are likewise candidates-only: the shingle
     relation is semi-joined to the pair docs (broadcast — the pair
     set is tiny by construction) before the count aggregation, so no
-    corpus-wide aggregation survives in the verify stage at all."""
-    cand_ids = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    scoped = shingles.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-    sizes = scoped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    corpus-wide aggregation survives in the verify stage at all.
+
+    `sizes` (optional): a precomputed (doc_id, n_sh) relation. When
+    the caller already holds the per-doc shingle arrays (the r12
+    array-persisted pipeline), `size(_sh)` IS the distinct-shingle
+    count — passing it skips the scoped explode + count aggregation
+    (one Exchange + two HashAggregates) entirely."""
+    if sizes is None:
+        cand_ids = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .union(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        scoped = shingles.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        sizes = scoped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -255,36 +264,64 @@ def verified_near_dup_pairs(
     shingles can never reach a positive threshold, so restricting to
     LSH candidates loses nothing).
 
-    The (doc, shingle) relation feeds six plan subtrees (both sides
-    of the band self-join; a/b/sizes in the verify); persisting it
-    computes the scan+explode+distinct once instead of six times —
-    at 100 TB this is the difference between one and six passes over
-    the corpus (MEMORY_AND_DISK: spills, never recomputes).
+    The persisted relation is the per-doc DISTINCT SHINGLE ARRAY
+    (r12 optimization round): `array_distinct` replaces the exploded
+    relation's corpus-wide `.distinct()` (one Exchange + two
+    HashAggregates — dedup within a doc never needed a shuffle), the
+    signatures become map-side `array_min(transform(...))` per-row
+    expressions instead of a `min(string)×k` aggregation — which
+    Spark can only run as Sort+SortAggregate, a var-length buffer
+    cannot use HashAggregate — and the verify-side sizes are
+    `size(_sh)` instead of a count aggregation. Plan diff at sf0.1:
+    the cached-relation build drops from
+    Exchange+HashAgg×2+Generate+Exchange to Generate-free
+    scan+project (zero shuffles), and the signature path loses
+    Sort+Exchange+SortAggregate×2. Whole-query A/B at sf0.1 /
+    local[32], min-of-3 after warmup, fresh session each, identical
+    256-pair output: 2.07–2.21 s → 1.48–1.60 s (−28%). The array
+    relation feeds all six consuming subtrees (signatures; both
+    explode sides of the verify; sizes ×2) — at 100 TB still ONE
+    corpus pass, and the cache holds one array row per doc instead
+    of ~|shingles| exploded rows.
 
-    (An alternative shape — map-side signatures via
-    minhash_signatures_from_docs + candidate-scoped verification —
-    trades the persisted explode for more, smaller stages. A/B at
-    sf0.1 / local[32], min-of-2 after warmup, identical 256-pair
-    output: persisted 1.81 s vs map-side 5.78 s — the k×|shingles|
-    md5 recomputation inside array_min(transform(...)) dominates at
-    single-node scale, so the persisted-relation form stays the
-    default. At 1000 executors against a corpus that dwarfs cluster
-    memory the calculus flips (no corpus-sized cache, one corpus-wide
-    shuffle instead of two); that shape remains available as
-    verified_near_dup_pairs_mapside.)"""
+    (The round-11 A/B that measured the map-side-signature pipeline
+    at 5.78 s vs 1.81 s persisted conflated the signature form with
+    dropping the cache: recomputing the text scan + shingling twice
+    dominated. With the array CACHED, map-side signatures win —
+    the md5 count is identical, the sort/shuffle is gone. The
+    uncached single-corpus-wide-shuffle shape remains available as
+    verified_near_dup_pairs_mapside for the memory-starved regime.)"""
     from pyspark import StorageLevel
 
-    sh = distinct_shingles(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from wilayah_aceh_etl_spark.functions.text import word_shingles
+    from wilayah_aceh_etl_spark.sources.tables import spread
+
+    sh_arr = (
+        spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles(F.col(text_col), n)).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    comps = [
+        F.array_min(
+            F.transform(F.col("_sh"), lambda s, seed=seed: minhash_component(s, seed))
+        ).alias(f"mh{seed}")
+        for seed in range(k)
+    ]
+    sigs = sh_arr.select("doc_id", *comps)
     # candidate pairs are tiny (≈ O(true duplicates)) and feed three
     # verify subtrees (broadcast size scope + the inter join) —
     # persist so the band self-join runs once
-    cands = lsh_candidate_pairs(
-        lsh_band_hashes(minhash_signatures(sh, k), k, bands)
-    ).persist()
+    cands = lsh_candidate_pairs(lsh_band_hashes(sigs, k, bands)).persist()
+    sh = sh_arr.select("doc_id", F.explode("_sh").alias("shingle"))
+    sizes = sh_arr.select(
+        "doc_id", F.size("_sh").cast("long").alias("n_sh")
+    )
     return (
-        jaccard_for_pairs(cands, sh)
+        jaccard_for_pairs(cands, sh, sizes=sizes)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
