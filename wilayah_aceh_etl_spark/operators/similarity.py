@@ -533,6 +533,21 @@ def ivf_kmeans_topk(
 # keeps on the driver between Lloyd iterations.
 _TRAINED_CENTROID_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
 
+# The centroid DATAFRAME per (key, session) — not just the floats
+# (r12 optimization round). createDataFrame builds a new LogicalRDD
+# each call, and two LogicalRDDs over different RDD ids never
+# canonicalize equal, so every plan embedding a fresh centroid
+# relation is a NEW plan to Spark's CacheManager: semantic_dedup's
+# persist() was re-materializing (and LEAKING) one ranked-relation
+# cache entry per call — measured 1 entry/run at sf0.1, each paying
+# the full assignment+window rebuild (~0.9 s/run). Handing every
+# caller the SAME DataFrame object makes downstream plans
+# canonicalize equal, so CacheManager dedupes and run 2+ reads the
+# one materialized entry. Values hold (session, df); the session is
+# identity-checked on lookup so a restarted driver never receives a
+# DataFrame bound to a dead session.
+_TRAINED_CENTROID_DF_CACHE: dict[tuple, tuple[object, DataFrame]] = {}
+
 
 def _corpus_fingerprint(df: DataFrame) -> str | None:
     """Best-effort data fingerprint for the trained-centroid memo:
@@ -678,12 +693,19 @@ def kmeans_centroids_cached(
             if k[:5] == cfg and k[6] == key[6]
         ]:
             del _TRAINED_CENTROID_CACHE[stale]
+            _TRAINED_CENTROID_DF_CACHE.pop(stale, None)
         _TRAINED_CENTROID_CACHE[key] = [
             (int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows
         ]
-    return corpus.sparkSession.createDataFrame(
+    sess = corpus.sparkSession
+    hit = _TRAINED_CENTROID_DF_CACHE.get(key)
+    if hit is not None and hit[0] is sess:
+        return hit[1]
+    df = sess.createDataFrame(
         _TRAINED_CENTROID_CACHE[key], "cid long, cvec array<double>"
     )
+    _TRAINED_CENTROID_DF_CACHE[key] = (sess, df)
+    return df
 
 
 def ivf_trained_topk(
