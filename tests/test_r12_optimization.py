@@ -98,6 +98,62 @@ def test_minhash_array_form_matches_exploded_pipeline(spark):
     assert new == old and len(new) > 0
 
 
+def test_array_form_signatures_match_oracle_family(spark):
+    """Pin the SIGNATURES (not just the verified pairs) of the
+    array-persisted pipeline to md5(seed#shingle) — the family the
+    DuckDB oracle re-derives. Regression guard for the PySpark
+    lambda-arity trap: a transform() lambda with a second (even
+    defaulted) parameter silently receives the ELEMENT INDEX column
+    instead of the closed-over seed, producing a different-but-
+    plausible hash family whose candidate set only coincidentally
+    agrees with the oracle's."""
+    from pyspark.sql import functions as F
+
+    import wilayah_aceh_etl_spark.operators.dedup as D
+    from wilayah_aceh_etl_spark.functions.text import (
+        minhash_component,
+        word_shingles,
+    )
+
+    docs = T.load_table(spark, SF, "documents")
+    oracle_family = sorted(
+        map(
+            tuple,
+            D.minhash_signatures(
+                D.distinct_shingles(docs, "doc_id"), D.DEFAULT_K
+            ).collect(),
+        )
+    )
+    arr = docs.select(
+        "doc_id",
+        F.array_distinct(word_shingles(F.col("text"), 3)).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    comps = [
+        F.array_min(
+            F.transform(F.col("_sh"), lambda s: minhash_component(s, seed))
+        ).alias(f"mh{seed}")
+        for seed in range(D.DEFAULT_K)
+    ]
+    array_family = sorted(
+        map(tuple, arr.select("doc_id", *comps).collect())
+    )
+    assert array_family == oracle_family
+
+
+def test_minhash_repeat_runs_reuse_cache_entries(spark):
+    """r12: repeated verified_near_dup_pairs builds must canonicalize
+    to the same plans — CacheManager dedupes to 2 entries (shingle
+    array + candidates), not +2 per call."""
+    import wilayah_aceh_etl_spark.operators.dedup as D
+
+    docs = T.load_table(spark, SF, "documents")
+    D.verified_near_dup_pairs(docs, threshold=0.5).collect()
+    before = len(spark._jsc.sc().getRDDStorageInfo())
+    D.verified_near_dup_pairs(docs, threshold=0.5).collect()
+    after = len(spark._jsc.sc().getRDDStorageInfo())
+    assert after == before
+
+
 def test_jaccard_for_pairs_precomputed_sizes_identical(spark):
     """The optional `sizes` arg must not change any jaccard value."""
     from pyspark.sql import functions as F

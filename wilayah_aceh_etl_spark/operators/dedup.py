@@ -305,9 +305,14 @@ def verified_near_dup_pairs(
         .filter(F.size("_sh") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # NOTE: the lambda must take exactly ONE parameter. PySpark binds
+    # a second parameter (even a defaulted one) to the ELEMENT INDEX
+    # column, silently replacing the seed — and F.transform invokes
+    # the Python function eagerly at expression-build time, so the
+    # plain closure over the loop variable is already correct.
     comps = [
         F.array_min(
-            F.transform(F.col("_sh"), lambda s, seed=seed: minhash_component(s, seed))
+            F.transform(F.col("_sh"), lambda s: minhash_component(s, seed))
         ).alias(f"mh{seed}")
         for seed in range(k)
     ]
