@@ -16,14 +16,46 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Unresolved-expression fragment memo (r12 optimization round).
+# Building a higher-order-function Column crosses py4j dozens of
+# times (lambda registration, nested invocations): one dot() is
+# ~20 ms of driver time, and the similarity operators build up to 7
+# per query construction — ~0.16 s of every timed bench build.
+# A Column over bare field NAMES is a context-free unresolved
+# expression: reusing the object across DataFrames/queries is
+# ordinary Spark usage (analysis copies and resolves per plan), so
+# fragments keyed by (SparkContext identity, builder, names) are
+# memoized and handed back verbatim. Entries are identity-checked
+# against the ACTIVE context so a restarted JVM never serves a
+# fragment bound to a dead gateway.
+_FRAG_MEMO: dict[tuple, tuple[object, Column]] = {}
 
-def as_double(vec: Column) -> Column:
+
+def _frag(kind: str, names: tuple[str, ...], build) -> Column:
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (kind, *names)
+    hit = _FRAG_MEMO.get(key)
+    if hit is not None and hit[0] is sc and sc is not None:
+        return hit[1]
+    col = build()
+    _FRAG_MEMO[key] = (sc, col)
+    return col
+
+
+def as_double(vec: Column | str) -> Column:
     """array<float> → array<double> (promote before arithmetic so
-    both engines accumulate in f64)."""
+    both engines accumulate in f64). Accepts a column NAME to enable
+    fragment memoization (see _FRAG_MEMO)."""
+    if isinstance(vec, str):
+        return _frag(
+            "as_double", (vec,), lambda: as_double(F.col(vec))
+        )
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential-fold dot product (deterministic order).
 
     Measured and REJECTED alternative (round 8): UNROLLING the fold
@@ -41,7 +73,16 @@ def dot(a: Column, b: Column) -> Column:
     callers, and `element_at` past the actual array length NULLs the
     whole product silently (or raises under ANSI mode) — re-add it
     only with a dimension-validated call site AND whole-query bench
-    evidence."""
+    evidence.
+
+    String arguments name columns and route through the fragment
+    memo (_FRAG_MEMO): same expression, built once per context."""
+    if isinstance(a, str) and isinstance(b, str):
+        return _frag("dot", (a, b), lambda: dot(F.col(a), F.col(b)))
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -49,11 +90,19 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return _frag("l2_norm", (a,), lambda: l2_norm(F.col(a)))
     return F.sqrt(dot(a, a))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return _frag("cosine", (a, b), lambda: cosine(F.col(a), F.col(b)))
+    if isinstance(a, str):
+        a = F.col(a)
+    if isinstance(b, str):
+        b = F.col(b)
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 

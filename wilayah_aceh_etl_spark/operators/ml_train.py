@@ -47,7 +47,7 @@ def _prep_vu(df, id_col, vec_col, label_col):
     (vec_id, y, pos, val) twin — shared by every GD-family trainer."""
     v = df.select(
         F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("x"),
+        as_double(vec_col).alias("x"),
         F.col(label_col).cast("int").alias("y"),
     )
     u = v.select(
@@ -186,7 +186,7 @@ def perceptron_train_integer(
     qf = float(1 << q_bits)
     v = df.select(
         F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("x"),
+        as_double(vec_col).alias("x"),
         F.when(F.col(label_col).cast("int") == 1, 1)
         .otherwise(-1)
         .alias("ypm"),
@@ -435,7 +435,7 @@ def doremi_domain_weights(
     CASE — one corpus-scan pair per step, no joins over data."""
     v0 = df.select(
         F.col(id_col).alias("vec_id"),
-        as_double(F.col(vec_col)).alias("x"),
+        as_double(vec_col).alias("x"),
         F.col(label_col).cast("int").alias("y"),
         F.col(domain_col).alias("dom"),
     )
@@ -569,7 +569,7 @@ def score_confusion(
     """One-row confusion matrix of sign(w·x + b) against the binary
     label — the holdout-evaluation counterpart of logreg_fit."""
     v = df.select(
-        as_double(F.col(vec_col)).alias("x"),
+        as_double(vec_col).alias("x"),
         F.col(label_col).cast("int").alias("y"),
     )
     m = _margin(w, b)
@@ -697,12 +697,12 @@ def rank_perceptron_train_integer(
     again."""
     qf = float(1 << q_bits)
     d = int(
-        df.select(F.size(as_double(F.col(vec_col))).alias("d")).first()["d"]
+        df.select(F.size(as_double(vec_col)).alias("d")).first()["d"]
     )
     half = d // 2
     q = df.select(
         F.col(id_col).alias("vec_id"),
-        F.posexplode(as_double(F.col(vec_col))).alias("pos0", "xv"),
+        F.posexplode(as_double(vec_col)).alias("pos0", "xv"),
     ).select(
         "vec_id",
         (F.col("pos0") + 1).alias("pos"),

@@ -29,7 +29,7 @@ from wilayah_aceh_etl_spark.functions.vectors import (
 
 def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return df.select(
-        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("vec")
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("vec")
     )
 
 
@@ -47,12 +47,12 @@ def brute_force_topk(
     from pyspark.sql.window import Window
 
     c = _prep(corpus, id_col, vec_col).withColumn(
-        "nrm", l2_norm(F.col("vec"))
+        "nrm", l2_norm("vec")
     )
     q = _prep(queries, id_col, vec_col).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
-        l2_norm(F.col("vec")).alias("qnrm"),
+        l2_norm("vec").alias("qnrm"),
     )
     # norms hoisted out of the Q×N product: dot/(qnrm·nrm) is the
     # bitwise-same double as cosine (sqrt/division are IEEE-exact),
@@ -64,7 +64,7 @@ def brute_force_topk(
             "query_id",
             "vec_id",
             (
-                dot(F.col("qvec"), F.col("vec"))
+                dot("qvec", "vec")
                 / (F.col("qnrm") * F.col("nrm"))
             ).alias("_cos"),
         )
@@ -89,7 +89,7 @@ def threshold_pairs(
     Exact all-pairs — the ground-truth/verification path; use
     bucketed_pairs for the at-scale variant."""
     v = _prep(corpus, id_col, vec_col).withColumn(
-        "nrm", l2_norm(F.col("vec"))
+        "nrm", l2_norm("vec")
     )
     a = v.alias("a")
     b = v.alias("b")
@@ -100,7 +100,7 @@ def threshold_pairs(
             F.col("b.vec_id").alias("vec_b"),
             # hoisted norms: bitwise-identical to cosine(a,b)
             (
-                dot(F.col("a.vec"), F.col("b.vec"))
+                dot("a.vec", "b.vec")
                 / (F.col("a.nrm") * F.col("b.nrm"))
             ).alias("_cos"),
         )
@@ -136,7 +136,7 @@ def bucketed_pairs(
     corpus². Recall loss vs threshold_pairs is the usual LSH
     trade-off (sign bits must agree)."""
     v = bucket_assignments(corpus, n_bits, id_col, vec_col).withColumn(
-        "nrm", l2_norm(F.col("vec"))
+        "nrm", l2_norm("vec")
     )
     a = v.alias("a")
     b = v.alias("b")
@@ -151,7 +151,7 @@ def bucketed_pairs(
             F.col("b.vec_id").alias("vec_b"),
             # hoisted norms: bitwise-identical to cosine(a,b)
             (
-                dot(F.col("a.vec"), F.col("b.vec"))
+                dot("a.vec", "b.vec")
                 / (F.col("a.nrm") * F.col("b.nrm"))
             ).alias("_cos"),
         )
@@ -225,9 +225,9 @@ def _assign_nearest(c: DataFrame, cent: DataFrame) -> DataFrame:
     The per-vector `nrm` rides along in the output so downstream
     candidate scans reuse it."""
     if "nrm" not in c.columns:
-        c = c.withColumn("nrm", l2_norm(F.col("vec")))
+        c = c.withColumn("nrm", l2_norm("vec"))
     if "cnrm" not in cent.columns:
-        cent = cent.withColumn("cnrm", l2_norm(F.col("cvec")))
+        cent = cent.withColumn("cnrm", l2_norm("cvec"))
     return (
         c.join(cent)
         .select(
@@ -236,7 +236,7 @@ def _assign_nearest(c: DataFrame, cent: DataFrame) -> DataFrame:
             "nrm",
             "cid",
             (
-                dot(F.col("vec"), F.col("cvec"))
+                dot("vec", "cvec")
                 / (F.col("nrm") * F.col("cnrm"))
             ).alias("_cos"),
         )
@@ -275,11 +275,11 @@ def _ivf_search(
     # hoisted once per query (cosine = dot/(qnrm·cnrm) is the
     # bitwise-same double; see _assign_nearest)
     if "cnrm" not in cent.columns:
-        cent = cent.withColumn("cnrm", l2_norm(F.col("cvec")))
+        cent = cent.withColumn("cnrm", l2_norm("cvec"))
     q = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
-        l2_norm(F.col("vec")).alias("qnrm"),
+        l2_norm("vec").alias("qnrm"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("cid")
@@ -292,7 +292,7 @@ def _ivf_search(
             "qnrm",
             "cid",
             (
-                dot(F.col("qvec"), F.col("cvec"))
+                dot("qvec", "cvec")
                 / (F.col("qnrm") * F.col("cnrm"))
             ).alias("_cos"),
         )
@@ -313,7 +313,7 @@ def _ivf_search(
             "query_id",
             "vec_id",
             (
-                dot(F.col("qvec"), F.col("vec"))
+                dot("qvec", "vec")
                 / (F.col("qnrm") * F.col("nrm"))
             ).alias("_cos"),
         )
@@ -428,7 +428,7 @@ def kmeans_centroids(
     # (bitwise-identical — sqrt and the division are IEEE-exact), so
     # assignment does C+1 HOF folds per row instead of 2C. Named
     # `nrm` so the join form's _assign_nearest reuses it directly.
-    vn = v.withColumn("nrm", l2_norm(F.col("vec")))
+    vn = v.withColumn("nrm", l2_norm("vec"))
     for _ in range(n_iter):
         if use_join:
             # broadcast-join argmax (the _assign_nearest encoding —
@@ -747,10 +747,10 @@ def _probe_half(
     from pyspark.sql.window import Window
 
     if "cnrm" not in cent.columns:
-        cent = cent.withColumn("cnrm", l2_norm(F.col("cvec")))
+        cent = cent.withColumn("cnrm", l2_norm("cvec"))
     qh = q.select(
         F.col("vec_id").alias("query_id"), half_expr.alias("qh")
-    ).withColumn("qhnrm", l2_norm(F.col("qh")))
+    ).withColumn("qhnrm", l2_norm("qh"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("cid")
     )
@@ -760,7 +760,7 @@ def _probe_half(
             "query_id",
             "cid",
             (
-                dot(F.col("qh"), F.col("cvec"))
+                dot("qh", "cvec")
                 / (F.col("qhnrm") * F.col("cnrm"))
             ).alias("_cos"),
         )
@@ -842,7 +842,7 @@ def imi_cell_assignments(
         "vec_id", F.col("centroid").alias("cb")
     )
     return (
-        full.withColumn("nrm", l2_norm(F.col("vec")))
+        full.withColumn("nrm", l2_norm("vec"))
         .join(a_cells, "vec_id")
         .join(b_cells, "vec_id")
     )
@@ -915,7 +915,7 @@ def imi_topk(
     qv = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
-        l2_norm(F.col("vec")).alias("qnrm"),
+        l2_norm("vec").alias("qnrm"),
     )
     w_topk = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("vec_id")
@@ -928,7 +928,7 @@ def imi_topk(
             "query_id",
             "vec_id",
             (
-                dot(F.col("qvec"), F.col("vec"))
+                dot("qvec", "vec")
                 / (F.col("qnrm") * F.col("nrm"))
             ).alias("_cos"),
         )
@@ -1105,7 +1105,7 @@ def semantic_dedup(
         a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.rk") > F.col("b.rk")))
         .filter(
             F.round(
-                dot(F.col("a.vec"), F.col("b.vec"))
+                dot("a.vec", "b.vec")
                 / (F.col("a.nrm") * F.col("b.nrm")),
                 6,
             )
@@ -1202,7 +1202,7 @@ def semantic_admission_pruned(
         F.col("centroid").isin(touched)
     )
     if "nrm" not in stored_raw.columns:  # pre-nrm layout: derive
-        stored_raw = stored_raw.withColumn("nrm", l2_norm(F.col("vec")))
+        stored_raw = stored_raw.withColumn("nrm", l2_norm("vec"))
     stored = stored_raw.select(
         F.col("vec_id").alias("s_vec_id"),
         F.col("vec").alias("s_vec"),
@@ -1220,7 +1220,7 @@ def semantic_admission_pruned(
             F.sum(
                 F.when(
                     F.round(
-                        dot(F.col("vec"), F.col("s_vec"))
+                        dot("vec", "s_vec")
                         / (F.col("nrm") * F.col("s_nrm")),
                         6,
                     )
@@ -1305,7 +1305,7 @@ def norm_stats_by_label(
     """Per-label L2-norm profile (embedding-space sanity check)."""
     v = corpus.select(
         F.col(label_col).alias("label"),
-        F.round(l2_norm(as_double(F.col(vec_col))), 6).alias("norm"),
+        F.round(l2_norm(as_double(vec_col)), 6).alias("norm"),
     )
     return (
         v.groupBy("label")
@@ -1357,7 +1357,7 @@ def write_ivf_layout(
     assigned.write.mode("overwrite").partitionBy("centroid").parquet(path)
     # centroid norms are build artifacts too — stored once so serving
     # paths never recompute them
-    cent.withColumn("cnrm", l2_norm(F.col("cvec"))).write.mode(
+    cent.withColumn("cnrm", l2_norm("cvec")).write.mode(
         "overwrite"
     ).parquet(path + "/_centroids")
 
@@ -1384,12 +1384,12 @@ def ivf_partitioned_topk(
 
     cent_raw = spark.read.parquet(path + "/_centroids")
     if "cnrm" not in cent_raw.columns:  # pre-cnrm layout: derive
-        cent_raw = cent_raw.withColumn("cnrm", l2_norm(F.col("cvec")))
+        cent_raw = cent_raw.withColumn("cnrm", l2_norm("cvec"))
     cent = F.broadcast(cent_raw)
     q = _prep(queries, id_col, vec_col).select(
         F.col("vec_id").alias("query_id"),
         F.col("vec").alias("qvec"),
-        l2_norm(F.col("vec")).alias("qnrm"),
+        l2_norm("vec").alias("qnrm"),
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("cid")
@@ -1402,7 +1402,7 @@ def ivf_partitioned_topk(
             "qnrm",
             "cid",
             (
-                dot(F.col("qvec"), F.col("cvec"))
+                dot("qvec", "cvec")
                 / (F.col("qnrm") * F.col("cnrm"))
             ).alias("_cos"),
         )
@@ -1418,7 +1418,7 @@ def ivf_partitioned_topk(
         F.col("centroid").isin(probed_cids)
     )
     if "nrm" not in lists.columns:  # pre-nrm layout: derive
-        lists = lists.withColumn("nrm", l2_norm(F.col("vec")))
+        lists = lists.withColumn("nrm", l2_norm("vec"))
     w_topk = Window.partitionBy("query_id").orderBy(
         F.col("_cos").desc(), F.col("vec_id")
     )
@@ -1432,7 +1432,7 @@ def ivf_partitioned_topk(
             # stored `nrm` from the layout + hoisted query norm:
             # bitwise-identical to cosine(qvec, vec)
             (
-                dot(F.col("qvec"), F.col("vec"))
+                dot("qvec", "vec")
                 / (F.col("qnrm") * F.col("nrm"))
             ).alias("_cos"),
         )

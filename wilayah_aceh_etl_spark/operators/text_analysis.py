@@ -201,9 +201,16 @@ def dsir_document_scores(
             "t"
         ),
     )
-    tot = dist.agg(
-        F.sum("r").cast("bigint").alias("big_r"),
-        F.sum("t").cast("bigint").alias("big_t"),
+    # totals directly off the cached counts: Σ_f Σ_{doc} c == Σ c is
+    # the same exact integer, and aggregating dt ONCE removes the
+    # duplicated dist subtree (a second per-f Exchange + HashAggregate
+    # pair per execution) that dist.agg(...) would re-derive
+    # (optimization guide §2.4 — shared subtree, one exchange)
+    tot = dt.agg(
+        F.sum("c").cast("bigint").alias("big_r"),
+        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("big_t"),
     )
     # operation order mirrors the SQL oracle VERBATIM: two IEEE-exact
     # divisions, one quotient, one ln, round to micro-nats

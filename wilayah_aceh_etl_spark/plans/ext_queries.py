@@ -1553,9 +1553,9 @@ def embedding_kmeans_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
     )
     d2 = F.greatest(
-        V.dot(F.col("e"), F.col("e"))
-        - 2 * V.dot(F.col("e"), F.col("ce"))
-        + V.dot(F.col("ce"), F.col("ce")),
+        V.dot("e", "e")
+        - 2 * V.dot("e", "ce")
+        + V.dot("ce", "ce"),
         F.lit(0.0),
     )
     assign = (

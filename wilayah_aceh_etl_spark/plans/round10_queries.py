@@ -207,7 +207,7 @@ def data_curation_influence_dedup_audit(
     v = labeled.select(
         "vec_id", as_double(F.col("embedding")).alias("x"), "y"
     )
-    xx = dot(F.col("x"), F.col("x"))
+    xx = dot("x", "x")
     terms = []
     for w, b in traj:
         warr = F.array(*[F.lit(float(x)) for x in w])
@@ -528,7 +528,7 @@ def _chain_audit_frame(
     sd = S.semantic_dedup(emb, threshold=0.35, n_iter=2, **sd_kwargs)
     v = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("vec")
-    ).withColumn("nrm", l2_norm(F.col("vec")))
+    ).withColumn("nrm", l2_norm("vec"))
     w = Window.partitionBy("cid").orderBy(
         F.col("cent_cos").asc(), F.col("vec_id")
     )
@@ -558,7 +558,7 @@ def _chain_audit_frame(
         .filter(F.col("a_rk") > F.col("b_rk"))
         .filter(
             F.round(
-                dot(F.col("a_vec"), F.col("b_vec"))
+                dot("a_vec", "b_vec")
                 / (F.col("a_nrm") * F.col("b_nrm")),
                 6,
             )
@@ -763,7 +763,7 @@ def _gns_scalar_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         + m / (F.lit(2.0) * (F.lit(1.0) + F.abs(m)))
         - F.col("y")
     )
-    xx = dot(F.col("x"), F.col("x"))
+    xx = dot("x", "x")
     ee = v.select("vec_id", e.alias("e"), xx.alias("xx"), "x")
 
     q1 = ee.agg(
@@ -1219,7 +1219,7 @@ def embedding_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = int(
         v.agg(
             F.sum(
-                F.round(dot(F.col("x"), F.col("x")) * 16777216).cast(
+                F.round(dot("x", "x") * 16777216).cast(
                     "long"
                 )
             )
@@ -1617,7 +1617,7 @@ def embedding_alignment_by_label(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(
-                F.round(dot(F.col("x"), F.col("x")) * 16777216).cast(
+                F.round(dot("x", "x") * 16777216).cast(
                     "long"
                 )
             )

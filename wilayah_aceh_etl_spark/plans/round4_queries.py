@@ -960,9 +960,9 @@ def similarity_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "s", seg(F.col("e"), F.col("s")).alias("ve")
     )
     d2 = F.greatest(
-        V.dot(F.col("ve"), F.col("ve"))
-        - 2 * V.dot(F.col("ve"), F.col("ce"))
-        + V.dot(F.col("ce"), F.col("ce")),
+        V.dot("ve", "ve")
+        - 2 * V.dot("ve", "ce")
+        + V.dot("ce", "ce"),
         F.lit(0.0),
     )
     dist = vs.join(F.broadcast(cent), "s").select(
@@ -2370,9 +2370,9 @@ def embedding_cluster_silhouette(
     )
     dist = F.sqrt(
         F.greatest(
-            V.dot(F.col("e"), F.col("e"))
-            - 2 * V.dot(F.col("e"), F.col("ce"))
-            + V.dot(F.col("ce"), F.col("ce")),
+            V.dot("e", "e")
+            - 2 * V.dot("e", "ce")
+            + V.dot("ce", "ce"),
             F.lit(0.0),
         )
     )

@@ -3885,9 +3885,9 @@ def embedding_kmeans_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def assign(c):
         d2 = (
-            V.dot(F.col("e"), F.col("e"))
-            - 2 * V.dot(F.col("e"), F.col("ce"))
-            + V.dot(F.col("ce"), F.col("ce"))
+            V.dot("e", "e")
+            - 2 * V.dot("e", "ce")
+            + V.dot("ce", "ce")
         )
         scored = v.crossJoin(F.broadcast(c)).select(
             "vec_id", "centroid_id", d2.alias("d2")

@@ -4046,7 +4046,7 @@ def data_selection_kcenter_coreset(
         def _d2(cv: list[float]):
             carr = F.array(*[F.lit(float(x)) for x in cv])
             return F.greatest(
-                dot(F.col("e"), F.col("e"))
+                dot("e", "e")
                 - 2 * dot(F.col("e"), carr)
                 + dot(carr, carr),
                 F.lit(0.0),
@@ -4468,7 +4468,7 @@ def data_attribution_tracin_self(
     v = emb.select(
         "vec_id", as_double(F.col("embedding")).alias("x"), "y"
     )
-    xx = dot(F.col("x"), F.col("x"))
+    xx = dot("x", "x")
     terms = []
     for w, b in traj:
         warr = F.array(*[F.lit(float(x)) for x in w])
@@ -4960,7 +4960,7 @@ def embedding_jl_projection_audit(
         for i, c in enumerate(cols)
     ]
     p = v.select(
-        "vec_id", dot(F.col("e"), F.col("e")).alias("xx"), *ys
+        "vec_id", dot("e", "e").alias("xx"), *ys
     )
     sq = (F.col("y0") * F.col("y0"))
     for i in range(1, k):

@@ -148,7 +148,7 @@ def apply_imi_admission_batch(
     )
     near = (
         F.round(
-            dot(F.col("q_vec"), F.col("s_vec"))
+            dot("q_vec", "s_vec")
             / (F.col("q_nrm") * F.col("s_nrm")),
             6,
         )
