@@ -24,12 +24,24 @@ def words(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
+def word_shingles(text: Column | str, n: int = 3) -> Column:
     """n-gram word shingles as an array of space-joined strings.
+
+    A string argument names the column and routes through the
+    vector-fragment memo (functions/vectors.py::_frag): the two
+    nested HOF lambdas cost ~25 ms of py4j round-trips per build.
 
     transform over an index sequence keeps this fully vectorized;
     at 100 TB this is a per-row expression, no shuffle, no Python.
     """
+    if isinstance(text, str):
+        from wilayah_aceh_etl_spark.functions.vectors import _frag
+
+        return _frag(
+            "word_shingles",
+            (text, str(n)),
+            lambda: word_shingles(F.col(text), n),
+        )
     w = words(text)
     # guard: Spark's sequence(1, 0) counts DOWN, so short docs must
     # short-circuit to an empty array instead

@@ -72,7 +72,7 @@ def distinct_shingles(
 
     return (
         spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
-        .select(F.col("doc_id"), word_shingles(F.col(text_col), n).alias("sh"))
+        .select(F.col("doc_id"), word_shingles(text_col, n).alias("sh"))
         .select("doc_id", F.explode("sh").alias("shingle"))
         .distinct()
     )
@@ -91,6 +91,21 @@ def minhash_signatures(
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+def _mh_comp(seed: int) -> "Column":
+    """array_min(transform(_sh, md5(seed#·))) — ONE memoized fragment
+    per seed (functions/vectors.py::_frag): the HOF lambda costs
+    ~15 ms of py4j per build and every signature build needs k=8."""
+    from wilayah_aceh_etl_spark.functions.vectors import _frag
+
+    return _frag(
+        "mh_comp",
+        (str(seed),),
+        lambda: F.array_min(
+            F.transform(F.col("_sh"), lambda s: minhash_component(s, seed))
+        ).alias(f"mh{seed}"),
+    )
+
+
 def minhash_signatures_from_docs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -106,13 +121,8 @@ def minhash_signatures_from_docs(
     dropped there by the explode, hence the size filter here)."""
     from wilayah_aceh_etl_spark.sources.tables import spread
 
-    sh_arr = F.array_distinct(word_shingles(F.col(text_col), n))
-    comps = [
-        F.array_min(
-            F.transform(F.col("_sh"), lambda s: minhash_component(s, seed))
-        ).alias(f"mh{seed}")
-        for seed in range(k)
-    ]
+    sh_arr = F.array_distinct(word_shingles(text_col, n))
+    comps = [_mh_comp(seed) for seed in range(k)]
     return (
         spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .select("doc_id", sh_arr.alias("_sh"))
@@ -126,15 +136,23 @@ def lsh_band_hashes(
 ) -> DataFrame:
     """Fold each band's rows into one hash → (doc_id, band_id,
     band_hash) long-form, the join key for candidate generation."""
+    from wilayah_aceh_etl_spark.functions.vectors import _frag
+
     rows_per_band = k // bands
-    band_cols = []
-    for b in range(bands):
-        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(
-            F.struct(
-                F.lit(b).alias("band_id"), F.md5(F.concat(*parts)).alias("band_hash")
-            )
+
+    def _band_col(b: int) -> "Column":
+        parts = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        return F.struct(
+            F.lit(b).alias("band_id"),
+            F.md5(F.concat(*parts)).alias("band_hash"),
         )
+
+    band_cols = [
+        _frag("lsh_band", (str(k), str(bands), str(b)), lambda b=b: _band_col(b))
+        for b in range(bands)
+    ]
     return sigs.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("band")
     ).select("doc_id", "band.band_id", "band.band_hash")
@@ -300,23 +318,17 @@ def verified_near_dup_pairs(
         spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col)))
         .select(
             "doc_id",
-            F.array_distinct(word_shingles(F.col(text_col), n)).alias("_sh"),
+            F.array_distinct(word_shingles(text_col, n)).alias("_sh"),
         )
         .filter(F.size("_sh") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # NOTE: the lambda must take exactly ONE parameter. PySpark binds
-    # a second parameter (even a defaulted one) to the ELEMENT INDEX
-    # column, silently replacing the seed — and F.transform invokes
-    # the Python function eagerly at expression-build time, so the
-    # plain closure over the loop variable is already correct.
-    comps = [
-        F.array_min(
-            F.transform(F.col("_sh"), lambda s: minhash_component(s, seed))
-        ).alias(f"mh{seed}")
-        for seed in range(k)
-    ]
-    sigs = sh_arr.select("doc_id", *comps)
+    # _mh_comp: one memoized fragment per seed; its lambda takes
+    # exactly ONE parameter — PySpark binds a second (even defaulted)
+    # parameter to the ELEMENT INDEX column, silently replacing the
+    # seed (F.transform invokes the Python fn eagerly at build time,
+    # so the plain closure over the loop variable is correct).
+    sigs = sh_arr.select("doc_id", *[_mh_comp(seed) for seed in range(k)])
     # candidate pairs are tiny (≈ O(true duplicates)) and feed three
     # verify subtrees (broadcast size scope + the inter join) —
     # persist so the band self-join runs once
