@@ -201,26 +201,29 @@ def dsir_document_scores(
             "t"
         ),
     )
-    # totals directly off the cached counts: Σ_f Σ_{doc} c == Σ c is
-    # the same exact integer, and aggregating dt ONCE removes the
-    # duplicated dist subtree (a second per-f Exchange + HashAggregate
-    # pair per execution) that dist.agg(...) would re-derive
-    # (optimization guide §2.4 — shared subtree, one exchange)
-    tot = dt.agg(
-        F.sum("c").cast("bigint").alias("big_r"),
-        F.sum(F.when(F.col("is_target"), F.col("c")).otherwise(F.lit(0)))
-        .cast("bigint")
-        .alias("big_t"),
-    )
+    # totals as UNBOUNDED-window sums over the B-row dist relation
+    # (r12 optimization round): Σ over dist of the per-f bigint sums
+    # is the same exact integer the oracle's `tot` CTE derives, but
+    # expressed as a window it removes BOTH the second corpus-count
+    # scan per run (tot no longer re-aggregates dt) AND the
+    # cross-join broadcast (guide §2.4 — shared subtree). The global
+    # window moves all of dist to one partition, which is safe by
+    # construction: dist is exactly B = n_buckets rows (256), a
+    # constant independent of corpus size.
+    from pyspark.sql.window import Window
+
+    wall = Window.partitionBy()
+    big_r = F.sum("r").over(wall).cast("bigint")
+    big_t = F.sum("t").over(wall).cast("bigint")
     # operation order mirrors the SQL oracle VERBATIM: two IEEE-exact
     # divisions, one quotient, one ln, round to micro-nats
     tgt_frac = (F.col("t").cast("double") + F.lit(1.0)) / (
-        F.col("big_t").cast("double") + F.lit(bf)
+        big_t.cast("double") + F.lit(bf)
     )
     raw_frac = (F.col("r").cast("double") + F.lit(1.0)) / (
-        F.col("big_r").cast("double") + F.lit(bf)
+        big_r.cast("double") + F.lit(bf)
     )
-    lam = dist.crossJoin(F.broadcast(tot)).select(
+    lam = dist.select(
         "f",
         F.round(F.lit(1000000.0) * F.log(tgt_frac / raw_frac), 0)
         .cast("bigint")

@@ -13,8 +13,22 @@ import os
 from pyspark.sql import SparkSession
 
 # Conf that must be set before JVM start.
+#
+# shuffle.partitions is scale-parameterised (r12 optimization
+# round): default = the session's core count (SPARK_GRAFT_CPUS,
+# falling back to the historical 32), overridable with
+# SPARK_GRAFT_SHUFFLE_PARTITIONS. On a real cluster the production
+# value is sized so post-shuffle partitions land in the 100 MB–1 GB
+# range (guide §2.2) — e.g. ~100k for a 100 TB shuffle at 1 GB — and
+# AQE's coalescePartitions (enabled below) adapts the effective
+# count downward per query, so the static value is a ceiling, not a
+# tuning knob. Locally CPUS=32 keeps the driver's bench comparable
+# with rounds 1–11 (which ran a constant 32).
 _BUILD_TIME_CONF = {
-    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+        os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    ),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
