@@ -27,6 +27,12 @@ Measured reference points at sf0.1/local[32] (2026-08-13):
     the candidate-verify joins; the signature aggregation itself
     contributes ~n_docs×k×32 B (see dedup_minhash_signatures:
     24 KB written for 500 docs at sf0.01-scale input).
+  UPDATE (r12 optimization round, 2026-08-18): after the
+    array-persisted restructure (operators/dedup.py) the same query
+    measures shuffle write 878.7 KB, read 878.7 KB, zero spill —
+    the corpus-wide distinct and the min(string) SortAggregate
+    shuffles are gone; only the band self-join and candidate-scoped
+    verify move, at k×32 B/doc + O(true pairs).
 """
 
 from __future__ import annotations
