@@ -3,6 +3,7 @@ plans/r12/<query>_<suffix>.txt — the optimization round's
 before/after plan evidence (judge-checkable without Spark).
 
 Usage: python tools/explain_snapshot.py <suffix> [--only substr]
+                                        [--dir plans/rNN]
 """
 
 from __future__ import annotations
@@ -18,17 +19,24 @@ from wilayah_aceh_etl_spark.plans.registry import all_specs  # noqa: E402
 from wilayah_aceh_etl_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "plans",
-    "r12",
-)
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    suffix = sys.argv[1]
-    only = sys.argv[3] if len(sys.argv) > 3 and sys.argv[2] == "--only" else None
-    os.makedirs(OUT_DIR, exist_ok=True)
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("suffix", help="file suffix, e.g. before / after")
+    ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--dir",
+        default=os.path.join("plans", "r12"),
+        help="output dir relative to the repo root (per-round)",
+    )
+    args = ap.parse_args()
+    suffix, only = args.suffix, args.only
+    out_dir = os.path.join(REPO, args.dir)
+    os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("explain-snapshot", master="local[4]")
     spark.sparkContext.setLogLevel("ERROR")
     for name, spec in sorted(all_specs().items()):
@@ -40,7 +48,7 @@ def main() -> None:
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        path = os.path.join(OUT_DIR, f"{name}_{suffix}.txt")
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(buf.getvalue())
         print(path)

@@ -39,6 +39,12 @@ def _frag(kind: str, names: tuple[str, ...], build) -> Column:
     hit = _FRAG_MEMO.get(key)
     if hit is not None and hit[0] is sc and sc is not None:
         return hit[1]
+    # rebuilding implies the context changed (or first use): sweep
+    # entries bound to DEAD contexts so a driver that cycles
+    # sessions never accumulates py4j references to old gateways
+    # (r12 review finding)
+    for k in [k for k, v in _FRAG_MEMO.items() if v[0] is not sc]:
+        del _FRAG_MEMO[k]
     col = build()
     _FRAG_MEMO[key] = (sc, col)
     return col

@@ -225,16 +225,21 @@ def jaccard_for_pairs(
     `jaccard_pairs` materializes (1.1M pairs vs 640 candidates at
     sf0.1).
 
-    The denominator sizes are likewise candidates-only: the shingle
-    relation is semi-joined to the pair docs (broadcast — the pair
-    set is tiny by construction) before the count aggregation, so no
-    corpus-wide aggregation survives in the verify stage at all.
+    When `sizes` is None (the standalone form), the denominator
+    sizes are candidates-only: the shingle relation is semi-joined
+    to the pair docs (broadcast — the pair set is tiny by
+    construction) before the count aggregation, so no corpus-wide
+    aggregation survives in the verify stage.
 
     `sizes` (optional): a precomputed (doc_id, n_sh) relation. When
     the caller already holds the per-doc shingle arrays (the r12
     array-persisted pipeline), `size(_sh)` IS the distinct-shingle
     count — passing it skips the scoped explode + count aggregation
-    (one Exchange + two HashAggregates) entirely."""
+    (one Exchange + two HashAggregates) entirely. Note the passed
+    relation MAY be corpus-wide (one short row per doc off the
+    already-persisted arrays — a projection, not an aggregation);
+    the inner joins on doc_a/doc_b restrict it to candidates, and
+    at scale the tiny `inter` side broadcasts into it."""
     if sizes is None:
         cand_ids = (
             pairs.select(F.col("doc_a").alias("doc_id"))

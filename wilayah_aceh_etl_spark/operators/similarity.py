@@ -701,6 +701,14 @@ def kmeans_centroids_cached(
     hit = _TRAINED_CENTROID_DF_CACHE.get(key)
     if hit is not None and hit[0] is sess:
         return hit[1]
+    # sweep entries bound to OTHER sessions so a driver that cycles
+    # sessions never pins a stopped session's object graph through
+    # this module-level dict (r12 review finding); the float memo
+    # above is session-independent and survives
+    for k in [
+        k for k, v in _TRAINED_CENTROID_DF_CACHE.items() if v[0] is not sess
+    ]:
+        del _TRAINED_CENTROID_DF_CACHE[k]
     df = sess.createDataFrame(
         _TRAINED_CENTROID_CACHE[key], "cid long, cvec array<double>"
     )

@@ -60,8 +60,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_defaults(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     try:
+        import stat as _stat
+
         st = os.stat(path)
-        key = (path, st.st_mtime, st.st_size)
+        # memoize REGULAR FILES only: a directory's mtime/size does
+        # not change when files inside nested partition subdirs are
+        # rewritten or appended, so a directory-backed dataset could
+        # be served a stale schema — directories skip the memo and
+        # pay per-call inference (r12 review finding)
+        key = (
+            (path, st.st_mtime, st.st_size)
+            if _stat.S_ISREG(st.st_mode)
+            else None
+        )
     except OSError:
         key = None
     cached = _SCHEMA_MEMO.get(key) if key is not None else None
@@ -104,7 +115,12 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
     process — e.g. bench.py's warm-up + 3 timed runs — probes once.
     A hash collision or a file mutated mid-process could only
     return a stale partition COUNT, which steers the repartition
-    heuristic, never the rows."""
+    heuristic, never the rows. Both staleness directions are
+    perf-only and process-scoped: a table rewritten into FEWER files
+    mid-process keeps the old, higher count and the spread is
+    suppressed until the process restarts (r12 review finding —
+    accepted; pipelines that rewrite their own inputs mid-flight
+    should pass an explicit `target`)."""
     try:
         sc = df.sparkSession.sparkContext
     except Exception:  # Spark Connect: no sparkContext / RDD surface
