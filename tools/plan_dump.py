@@ -57,7 +57,17 @@ ANALYSIS (~0.5-0.7 s/run, also decaying) and the many generated
 classes keep tiering up past run 3. The bench protocol stays
 min-of-3 (cross-round comparability); read this query's figure with
 a ±0.4 s JIT band and judge regressions by the calibration-
-normalized ratio, or by re-measuring with ≥10 runs as above.""",
+normalized ratio, or by re-measuring with ≥10 runs as above.
+
+**r12 RE-BAND (optimization round, 2026-08-18).** The pre-r12 band
+above is SUPERSEDED: the array-persisted restructure
+(operators/dedup.py, OPTIMIZATION_r12.md change 3) removed the
+corpus-wide distinct and the min(string) SortAggregates (plan
+exchanges 50 → 22; measured shuffle write 65.3 MB → 878.7 KB).
+Fresh-session 12-run idle-box curve at the r12 HEAD (calibration
+0.2467): 9.847 1.645 1.165 1.097 0.957 0.950 0.978 0.968 1.019
+0.871 0.893 0.885 — bench-protocol min-of-3 1.10, warmed floor
+~0.87. Read this query against a [0.82, 1.65] band now.""",
     "agg_pricing_summary": """\
 **Bench-variance adjudication (round 9, r8 verdict ask #3).** The
 r7→r8 +24% move (0.530 → 0.659 s) is the same min-of-3-vs-JIT-curve
@@ -101,7 +111,15 @@ join) each JIT their own codegen spans against the InMemoryRelation
 — tiering continues past run 3. Read this query with a ±0.4 s JIT
 band (dsir has its own measured ±0.25 s band — see its entry);
 protocol stays min-of-3, judge regressions by
-the calibration-normalized ratio or a fresh ≥10-run curve.""",
+the calibration-normalized ratio or a fresh ≥10-run curve.
+
+**r12 RE-BAND (optimization round, 2026-08-18).** The band above is
+SUPERSEDED: the trained-centroid DataFrame memo
+(OPTIMIZATION_r12.md change 5) fixed the per-run cache-entry
+re-materialization, so run 2+ pays only the pair join + keep join.
+Fresh-session 12-run curve at the r12 HEAD (calibration 0.2735):
+14.25 1.338 1.090 0.934 0.916 1.071 1.007 0.996 0.945 0.857 0.911
+1.018 — min-of-3 0.93, floor ~0.86. Read against [0.85, 1.35].""",
     "data_selection_dsir_topk": """\
 **Bench-variance adjudication (round 11, r10 verdict ask #2 — the
 r9→r10 +17% move, 1.300 → 1.520 s, against a COOLER box).** Same
@@ -123,7 +141,14 @@ build two cached aggregate relations whose codegen spans tier up
 across the first half-dozen consuming runs (same InMemoryRelation
 JIT pattern as dedup_semantic_clusters). Read this query with a
 ±0.25 s JIT band; protocol stays min-of-3, judge regressions by
-the calibration-normalized ratio or a fresh ≥10-run curve.""",
+the calibration-normalized ratio or a fresh ≥10-run curve.
+
+**r12 RE-BAND (optimization round, 2026-08-18).** After the
+window-based totals (OPTIMIZATION_r12.md change 7) the fresh-session
+12-run curve at the r12 HEAD (calibration 0.2601): 6.435 1.351
+1.267 1.228 1.065 1.186 1.237 1.247 1.182 1.165 1.122 1.096 —
+min-of-3 1.23, floor ~1.07. The old 1.13–1.37 band still brackets
+the min-of-3 reading; the floor moved down ~0.1 s.""",
     "tpch_q8_market_share": """\
 **Bench-variance band (round 12, r11 verdict ask #3 — the r10→r11
 +24% move, 0.829 → 1.024 s, zero code change).** Two independent
@@ -144,6 +169,14 @@ joins = 14 relations built per run and the headline set's
 second-largest generated-class count; the broadcasts re-JIT until
 the session tiers up. Protocol stays min-of-3; judge regressions
 by the calibration-normalized ratio or a fresh ≥10-run curve.""",
+    "similarity_ivf_trained_topk": """\
+**r12 band (optimization round, 2026-08-18).** First recorded band
+for this query, at the r12 HEAD (centroid-DF memo + fragment memos
+applied). Fresh-session 12-run idle-box curve (calibration 0.2606):
+12.989 1.345 1.292 1.300 1.084 1.217 1.081 1.043 1.449 1.102 1.053
+1.073 — bench-protocol min-of-3 1.29, warmed floor ~1.04. Read
+against a [1.00, 1.45] band; judge regressions by the
+calibration-normalized ratio or a fresh ≥10-run curve.""",
     "events_asof_last_purchase": """\
 **Bench-variance band (round 12, r11 verdict ask #3 — the r10→r11
 +19% move, 0.672 → 0.797 s, zero code change).** Two independent
