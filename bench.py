@@ -17,6 +17,21 @@ measures AMBIENT MACHINE SPEED, not this repo's plans: if the
 headline total drifts +3% and the probe drifts +3%, that's load; if
 the total moves and the probe doesn't, that's a real plan change.
 `value_over_calibration` pre-divides for convenience.
+
+COLD figures (r13, measurement-bug fix declared in
+OPTIMIZATION_r13.md): several query functions `persist()`
+intermediates, and the trained-quantizer memos keep model floats on
+the driver, so under min-of-3-after-warmup the timed runs of those
+queries read the warmup run's materialization instead of executing —
+the warm number measures a cache read. Each query is therefore ALSO
+timed cold: before every cold iteration `clear_computed_caches`
+drops the session CacheManager entries and the trained-model float
+memos (metadata memos — schemas, partition probes, expression
+fragments — stay; they cannot hold results), so every cold run pays
+the full computation from the parquet inputs, training included.
+`queries` / `value` keep the historical warm min-of-3 methodology
+(comparable with rounds 1–12); `queries_cold` / `value_cold` are the
+honest execution figures.
 """
 
 from __future__ import annotations
@@ -28,6 +43,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from wilayah_aceh_etl_spark.cachectl import clear_computed_caches
 from wilayah_aceh_etl_spark.plans.registry import all_specs
 from wilayah_aceh_etl_spark.session import get_spark
 
@@ -64,11 +80,13 @@ def main() -> None:
     calibration = _calibrate()
 
     timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, spec in sorted(specs.items()):
         # One failing query must not zero out the whole bench run:
         # record the error, keep timing the rest.
         try:
+            spark.sparkContext.setJobDescription(f"bench:{name}")
             df = spec.fn(spark, sf_dir)
             df.collect()  # warm-up: codegen + file listing + broadcast
             best = float("inf")
@@ -77,9 +95,21 @@ def main() -> None:
                 spec.fn(spark, sf_dir).collect()
                 best = min(best, time.time() - t0)
             timings[name] = round(best, 3)
+            # cold: every iteration pays execution from parquet —
+            # no CacheManager reuse across runs, no trained floats
+            spark.sparkContext.setJobDescription(f"bench:{name}:cold")
+            best = float("inf")
+            for _ in range(3):
+                clear_computed_caches(spark)
+                t0 = time.time()
+                spec.fn(spark, sf_dir).collect()
+                best = min(best, time.time() - t0)
+            timings_cold[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
+        finally:
+            spark.sparkContext.setJobDescription(None)
 
     report = {
         "metric": "headline_queries_wall_clock",
@@ -90,6 +120,9 @@ def main() -> None:
         "n_queries": len(timings),
         "cpus": int(cpus),
         "timing": "min_of_3_after_warmup",
+        "queries_cold": timings_cold,
+        "value_cold": round(sum(timings_cold.values()), 3),
+        "timing_cold": "min_of_3_caches_cleared_before_each_run",
         "calibration_sec": calibration,
         "value_over_calibration": (
             round(sum(timings.values()) / calibration, 3) if calibration else None

@@ -26,23 +26,43 @@ def test_schema_memo_returns_identical_schema_and_rows(spark):
     )
 
 
+def _write_parquet_file(spark, dest: str, expr: list[str]) -> None:
+    """Write a REGULAR parquet file at `dest` (not a directory): the
+    memoized path in load_table only engages for regular files — the
+    layout the real sf data uses — so the test must produce one
+    (r12 advice: the earlier directory-based version bypassed the
+    memo entirely and passed trivially)."""
+    import glob
+    import shutil
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        spark.range(5).selectExpr(*expr).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "out"))
+        part = glob.glob(os.path.join(tmp, "out", "part-*.parquet"))[0]
+        shutil.copyfile(part, dest)
+
+
 def test_schema_memo_invalidates_on_rewrite(spark, tmp_path):
-    src = os.path.join(str(tmp_path))
-    spark.range(5).selectExpr("id AS a").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(src, "nation.parquet"))
+    src = str(tmp_path)
+    dest = os.path.join(src, "nation.parquet")
+    _write_parquet_file(spark, dest, ["id AS a"])
     T._SCHEMA_MEMO.clear()
     first = T.load_table(spark, src, "nation")
     assert first.columns == ["a"]
-    # rewrite with a different schema: the (path, mtime, size) key
-    # must miss, so the new schema is inferred, not served stale
-    spark.range(5).selectExpr(
-        "id AS a", "id * 2 AS b"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(src, "nation.parquet")
-    )
+    # the regular-file path must actually populate the memo — this is
+    # the warm path the real sf layout exercises
+    assert dest in T._SCHEMA_MEMO
+    assert [f.name for f in T._SCHEMA_MEMO[dest][2].fields] == ["a"]
+    # rewrite with a different schema: the (mtime_ns, size) stamp
+    # must miss, so the new schema is inferred, not served stale —
+    # and the entry is REPLACED, not duplicated (path-keyed memo)
+    _write_parquet_file(spark, dest, ["id AS a", "id * 2 AS b"])
     second = T.load_table(spark, src, "nation")
     assert second.columns == ["a", "b"]
+    assert [f.name for f in T._SCHEMA_MEMO[dest][2].fields] == ["a", "b"]
+    assert len(T._SCHEMA_MEMO) == 1
 
 
 def test_events_ts_normalization_survives_schema_memo(spark):

@@ -35,9 +35,15 @@ def _frag(kind: str, names: tuple[str, ...], build) -> Column:
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
+    if sc is None:
+        # Spark Connect (or pre-context call): every lookup would
+        # miss and re-store, making the memo pure overhead and
+        # re-pinning Columns forever — build without storing
+        # (r12 advice)
+        return build()
     key = (kind, *names)
     hit = _FRAG_MEMO.get(key)
-    if hit is not None and hit[0] is sc and sc is not None:
+    if hit is not None and hit[0] is sc:
         return hit[1]
     # rebuilding implies the context changed (or first use): sweep
     # entries bound to DEAD contexts so a driver that cycles

@@ -342,11 +342,24 @@ def verified_near_dup_pairs(
     sizes = sh_arr.select(
         "doc_id", F.size("_sh").cast("long").alias("n_sh")
     )
-    return (
+    out = (
         jaccard_for_pairs(cands, sh, sizes=sizes)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    # Cache-lifetime contract (r12 verdict ask #5, mirroring
+    # semantic_dedup._ranked_cache): the persisted shingle-array
+    # relation is CORPUS-SIZED and Spark's CacheManager never evicts
+    # entries, so a long-lived driver deduping many distinct corpora
+    # would pin one MEMORY_AND_DISK relation per corpus forever. The
+    # caller owns release — materialize the result, then
+    # `out._shingle_cache.unpersist()` (and `_cands_cache`, tiny).
+    # Short-lived gate/bench processes may skip it; the memory-starved
+    # at-scale form is verified_near_dup_pairs_mapside (no corpus
+    # cache at all).
+    out._shingle_cache = sh_arr
+    out._cands_cache = cands
+    return out
 
 
 def verified_near_dup_pairs_mapside(

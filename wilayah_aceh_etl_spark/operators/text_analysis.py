@@ -237,7 +237,7 @@ def dsir_document_scores(
             F.sum("c").cast("bigint").alias("n_tokens"),
         )
     )
-    return scored.select(
+    out = scored.select(
         "doc_id",
         "dsir_score",
         "n_tokens",
@@ -249,3 +249,11 @@ def dsir_document_scores(
         .cast("bigint")
         .alias("dsir_rate"),
     )
+    # Cache-lifetime contract (r12 verdict ask #5, mirroring
+    # semantic_dedup._ranked_cache): the persisted per-(doc, bucket)
+    # counts are corpus-sized (≤B rows/doc) and CacheManager never
+    # evicts entries; the caller owns release — materialize, then
+    # `out._counts_cache.unpersist()`. Short-lived gate/bench
+    # processes may skip it.
+    out._counts_cache = dt
+    return out

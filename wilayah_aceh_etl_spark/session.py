@@ -24,10 +24,30 @@ from pyspark.sql import SparkSession
 # count downward per query, so the static value is a ceiling, not a
 # tuning knob. Locally CPUS=32 keeps the driver's bench comparable
 # with rounds 1–11 (which ran a constant 32).
+def _env_int(value: str | None, fallback: int) -> int:
+    """Validated env-int: an empty or non-numeric value falls back
+    instead of flowing verbatim into the build-time conf and failing
+    at JVM start with an opaque error (r12 advice). Note the parity
+    battery's oracle hash checks were validated at the default
+    partition count (32) and at 7 (local[7]/CPUS=7 sweeps); other
+    values change float-sum aggregation order, which the queries'
+    deterministic-aggregation contracts are designed to tolerate,
+    but 32 stays the validated default."""
+    try:
+        return int(value)  # type: ignore[arg-type]
+    except (TypeError, ValueError):
+        return fallback
+
+
 _BUILD_TIME_CONF = {
-    "spark.sql.shuffle.partitions": os.environ.get(
-        "SPARK_GRAFT_SHUFFLE_PARTITIONS",
-        os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.shuffle.partitions": str(
+        _env_int(
+            os.environ.get(
+                "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+                os.environ.get("SPARK_GRAFT_CPUS"),
+            ),
+            32,
+        )
     ),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",

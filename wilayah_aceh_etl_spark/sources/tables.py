@@ -30,8 +30,12 @@ STAR_TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Parquet-footer schema memo, keyed on (path, mtime, size) so a
-# rewritten file invalidates itself. Metadata only — never rows:
+# Parquet-footer schema memo, keyed by PATH with the validity stamp
+# (mtime_ns, size) stored in the VALUE (r12 advice): a rewrite
+# replaces the old entry instead of leaving superseded generations
+# behind, so a long-lived driver that rewrites tables holds exactly
+# one entry per path, and st_mtime_ns gives the finest invalidation
+# granularity the filesystem offers. Metadata only — never rows:
 # the first scan of a table in a process pays the footer read
 # (schema inference is a JVM job: measured 67-80 ms per call at
 # sf0.1), every later scan passes the schema explicitly (11 ms).
@@ -40,12 +44,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # ~60 ms × n_tables out of every timed DataFrame build while the
 # cold path (fresh process, first touch — i.e. the warm-up run)
 # still reads the footer from the parquet input.
-_SCHEMA_MEMO: dict[tuple[str, float, int], "object"] = {}
+_SCHEMA_MEMO: dict[str, tuple[int, int, "object"]] = {}
 
 # spread()'s partition-count probe memo: (plan semanticHash, goal)
-# → observed scan partition count. Metadata only (see spread's
-# docstring); a stale entry can only change a repartition decision.
-_SPREAD_MEMO: dict[tuple[int, int], int] = {}
+# → (SparkContext, observed scan partition count). Metadata only
+# (see spread's docstring); a stale entry can only change a
+# repartition decision. The context rides in the VALUE (r12 advice,
+# same contract as _FRAG_MEMO) so a restarted driver — whose new
+# context may have a different defaultParallelism and different
+# scan splits — never reuses counts probed under the old one;
+# dead-context entries are swept whenever a rebuild happens.
+_SPREAD_MEMO: dict[tuple[int, int], tuple[object, int]] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -68,20 +77,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # rewritten or appended, so a directory-backed dataset could
         # be served a stale schema — directories skip the memo and
         # pay per-call inference (r12 review finding)
-        key = (
-            (path, st.st_mtime, st.st_size)
+        stamp = (
+            (st.st_mtime_ns, st.st_size)
             if _stat.S_ISREG(st.st_mode)
             else None
         )
     except OSError:
-        key = None
-    cached = _SCHEMA_MEMO.get(key) if key is not None else None
-    if cached is not None:
-        df = spark.read.schema(cached).parquet(path)
+        stamp = None
+    hit = _SCHEMA_MEMO.get(path) if stamp is not None else None
+    if hit is not None and (hit[0], hit[1]) == stamp:
+        df = spark.read.schema(hit[2]).parquet(path)
     else:
         df = spark.read.parquet(path)
-        if key is not None:
-            _SCHEMA_MEMO[key] = df.schema
+        if stamp is not None:
+            _SCHEMA_MEMO[path] = (*stamp, df.schema)
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
@@ -130,14 +139,21 @@ def spread(df: DataFrame, target: int | None = None) -> DataFrame:
         key = (df.semanticHash(), goal)
     except Exception:
         key = None
-    n_parts = _SPREAD_MEMO.get(key) if key is not None else None
+    hit = _SPREAD_MEMO.get(key) if key is not None else None
+    n_parts = hit[1] if hit is not None and hit[0] is sc else None
     if n_parts is None:
         try:
             n_parts = df.rdd.getNumPartitions()
         except Exception:
             return df
         if key is not None:
-            _SPREAD_MEMO[key] = n_parts
+            # rebuilding: sweep entries bound to dead contexts so a
+            # driver that cycles sessions neither reuses counts
+            # probed under another context nor grows this dict
+            # unboundedly (r12 advice)
+            for k in [k for k, v in _SPREAD_MEMO.items() if v[0] is not sc]:
+                del _SPREAD_MEMO[k]
+            _SPREAD_MEMO[key] = (sc, n_parts)
     if n_parts < goal:
         return df.repartition(goal)
     return df
